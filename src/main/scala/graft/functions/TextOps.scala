@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for document pipelines (tokenization, shingle
+  * generation, quality scores, language-ID heuristics, fingerprints).
+  *
+  * Everything is a Catalyst column expression (split/regexp/higher-order
+  * functions) — no UDFs, so the hot path stays in whole-stage codegen and the
+  * operators scale linearly with no shuffle until an explicit groupBy/join.
+  */
+object TextOps {
+  /** Whitespace tokenization; drops empty tokens. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Regex pattern for "BPE-ish" tokens: alphanumeric runs or single
+    * non-space symbols. Deliberately portable between Java regex (Spark) and
+    * RE2 (DuckDB oracle): no lookaround, no \p classes.
+    */
+  val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Regex-based "BPE-ish" tokenization: words, numbers, or single
+    * punctuation marks (a common pre-tokenizer shape).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenPattern), lit(0))
+
+  /** Number of whitespace tokens. */
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** `k`-word shingles joined with single spaces: the unit of n-gram
+    * dedup / Jaccard similarity.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = words(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+        i => array_join(slice(ws, i + 1, lit(k)), " ")),
+      s => size(split(s, " ")) === k)
+  }
+
+  /** Distinct shingle set (for Jaccard / MinHash). */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  /** Punctuation character class, portable between Java regex and RE2
+    * (\p{Punct} is Java-only; POSIX [[:punct:]] is RE2-only).
+    */
+  val PunctPattern = "[.,;:!?()'\"-]"
+
+  /** Ratio of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctPattern, ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of whitespace tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = words(text)
+    size(filter(ws, w => lower(w).isInCollection(stopwords))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanWordLen(text: Column): Column =
+    aggregate(words(text), lit(0.0), (acc, w) => acc + length(w).cast("double")) /
+      greatest(size(words(text)), lit(1)).cast("double")
+
+  /** Composite [0,1] quality score from simple heuristics: long-enough docs
+    * with moderate punctuation and some stopwords score high. The exact
+    * weights are arbitrary but deterministic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3, 6)
+  }
+
+  /** 64-bit rolling-hash document fingerprint: xxhash64 over the normalized
+    * (lowercased, whitespace-collapsed) text. Exact-dup detection key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Language-marker stopword lists for the n-gram/stopword language-ID
+    * heuristic (top function words per language).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Heuristic language ID: the language whose marker-word hit count is
+    * highest wins; ties break lexicographically; zero hits => "und".
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val ws = transform(words(text), w => lower(w))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(ws, w => w.isInCollection(markers))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Document deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Designed for the 100 TB training-data pipeline case:
+  *  - exact dedup is a single hash-groupBy (map-side combine, one shuffle);
+  *  - MinHash/LSH and SimHash banding turn the O(n^2) pair problem into a
+  *    shuffle on (band, bucket) keys so only candidate pairs are compared;
+  *  - n-gram Jaccard verification joins only candidate pairs (or, in the
+  *    exhaustive variant used for oracle checks, the shingle-inverted index).
+  *
+  * Everything is hash-deterministic (xxhash64 with fixed seeds via literal
+  * prefixes) so results are reproducible across runs and cluster sizes.
+  */
+object Dedup {
+  /** Exact duplicate groups by normalized-text fingerprint.
+    * Output: fingerprint, n_dups, doc_ids (sorted) for groups with >1 doc.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("n_dups") > 1)
+
+  /** Inverted-index n-gram Jaccard: exhaustively computes Jaccard similarity
+    * for every pair of documents sharing at least one k-shingle.
+    *
+    * Plan shape: explode distinct shingles -> self-join on shingle (shuffle
+    * on shingle hash) -> count shared shingles per pair -> join per-doc set
+    * sizes -> jaccard = shared / (|A| + |B| - shared).
+    *
+    * Exact but O(sum of per-shingle doc-frequency^2): at 100 TB use
+    * [[minHashCandidates]] first and verify only candidates. Hot shingles
+    * are the skew risk — callers can cap doc-frequency via `maxDf`.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      minJaccard: Double, maxDf: Int = 1000): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingleSet(col(textCol), k).as("sh"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("set_size"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // df cap: drop degenerate ubiquitous shingles (stopword-only n-grams)
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the minimum
+    * xxhash64(seed_i, shingle) over the document's shingle set. Pure column
+    * expressions (transform over the shingle array), no UDF.
+    */
+  def minHashSignature(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH banding candidate pairs.
+    *
+    * Signature of `bands * rowsPerBand` min-hashes; documents agreeing on all
+    * rows of any band become a candidate pair. One shuffle on
+    * (band, band-hash); within-bucket pairing is quadratic per bucket, which
+    * LSH keeps tiny for non-duplicate data.
+    *
+    * Output: id_a < id_b, n_bands (how many bands collided), est_jaccard
+    * (signature agreement fraction — the unbiased MinHash Jaccard estimate).
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingleSet(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .drop("sh")
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes, 6))
+      .select("id_a", "id_b", "n_bands", "est_jaccard")
+  }
+
+  /** 64-bit SimHash from a pre-computed `array<long>` of token hashes:
+    * per-bit majority vote (ties -> 0). Shifts are Scala-literal so the whole
+    * thing is a pure codegen'd expression tree (no UDF, no shuffle).
+    */
+  def simHashFromHashes(hashes: Column): Column =
+    (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val votes = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** 64-bit SimHash over whitespace tokens of a text column. */
+  def simHash(textCol: Column): Column =
+    simHashFromHashes(transform(TextOps.words(textCol), w => xxhash64(w)))
+
+  /** SimHash near-dup candidates: band the 64-bit simhash into 4 x 16-bit
+    * chunks (any chunk equality -> candidate, guaranteeing recall for
+    * Hamming distance <= 3), then verify with exact Hamming distance.
+    */
+  def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        transform(TextOps.words(col(textCol)), w => xxhash64(w)).as("hs"))
+      .select(col("doc_id"), simHashFromHashes(col("hs")).as("simhash"))
+    val banded = hashed.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+    val xorBits = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val hamming = (0 until 64).map { b =>
+      when(xorBits.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)
+    }.reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact robust statistics: median / quantiles / trimmed mean ("midmean").
+  *
+  * The reference computes medians and an inter-quartile trimmed mean in
+  * linear power space (`midmean`, `/root/reference/demos/
+  * 3gpp_detect_and_sync.ipynb` cell 4; median aggregations in
+  * `demos/dask_processing.ipynb` cell 3). The DuckDB oracle computes exact
+  * quantiles, so we use Spark's exact sort-based `percentile` aggregate (NOT
+  * `percentile_approx`) — interpolating, matching DuckDB's `quantile_cont`.
+  *
+  * Scale notes: exact percentile collects each group's values into a buffer —
+  * fine when group cardinality is bounded (traces, per-flag stats). For
+  * unbounded groups at 100 TB, switch call sites to `percentile_approx` and
+  * drop oracle hash-matching, or pre-bucket values (the reference's data has
+  * ~15-17 captures/sweep so groups stay small).
+  */
+object RobustStats {
+  /** Exact interpolated percentile aggregate expression. */
+  def exactPercentile(c: Column, p: Double): Column =
+    percentile(c, lit(p))
+
+  /** Trimmed mean per group: mean of values within the group's exact
+    * [pLow, pHigh] quantile band (inclusive). Two-pass: quantiles per group,
+    * broadcast-joined back, conditional mean. Returns groupCols ++
+    * (q_low, q_high, trimmed_mean).
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLow: Double = 0.25, pHigh: Double = 0.75): DataFrame = {
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        exactPercentile(col(valueCol), pLow).as("q_low"),
+        exactPercentile(col(valueCol), pHigh).as("q_high"))
+    df.join(broadcast(q), groupCols)
+      .filter(col(valueCol) >= col("q_low") && col(valueCol) <= col("q_high"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("q_low")).as("q_low"),
+        first(col("q_high")).as("q_high"),
+        avg(col(valueCol)).as("trimmed_mean"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-shaped operators from the reference's demo surface: top-k per group
+  * (the `limiter` idiom), gap detection, and group-size equalization.
+  */
+object Windowed {
+
+  /** Top-k rows per group (reference `limiter`,
+    * `/root/reference/demos/colormap_plots.ipynb` cell 2: first-N rows per
+    * frequency). `row_number` over (group, order) then filter.
+    *
+    * Scale notes: one shuffle on the group keys; with AQE skewed groups are
+    * split. For huge k-per-group workloads prefer pre-aggregation, but for
+    * "first/last k" this is the canonical Spark plan.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Equalize group sizes to the global minimum group count (the reference's
+    * `limiter`: `groupby(freq).size().min()` then first-`lim` rows of each
+    * group). The min count is computed distributed and joined back as a
+    * 1-row broadcast — no driver collect.
+    */
+  def equalizeGroups(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val minCount = df.groupBy(groupCols.map(col): _*).count()
+      .agg(min("count").as("__lim"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(minCount))
+      .filter(col("__rn") <= col("__lim"))
+      .drop("__rn", "__lim")
+  }
+
+  /** Gap detection (reference `colormap_plots.ipynb` cell 12): per-key
+    * ordered timestamp diffs in seconds; rows whose gap from the previous
+    * observation exceeds `thresholdSec` (first row of a key has no gap).
+    * Output: key cols, ts, gap_sec.
+    */
+  def gaps(df: DataFrame, keys: Seq[String], tsCol: String,
+      thresholdSec: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    df.select(keys.map(col) :+ col(tsCol): _*)
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_sec",
+        (unix_micros(col(tsCol)) - unix_micros(col("__prev"))).cast("double") / 1e6)
+      .filter(col("gap_sec") > thresholdSec)
+      .drop("__prev")
+  }
+
+  /** Coverage statistic (reference missed-coverage %): per key, observed
+    * count vs ideal count for a fixed cadence over the key's own time span.
+    */
+  def coverage(df: DataFrame, keys: Seq[String], tsCol: String,
+      cadenceSec: Double): DataFrame = {
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(col(tsCol)).as("t_min"),
+        max(col(tsCol)).as("t_max"))
+      .withColumn("ideal",
+        floor((unix_micros(col("t_max")) - unix_micros(col("t_min"))).cast("double") /
+          1e6 / cadenceSec) + 1)
+      .withColumn("coverage_pct",
+        round(col("n_obs").cast("double") / col("ideal").cast("double") * 100.0, 4))
+  }
+
+  /** Sessionization: assign session ids per key where a new session starts
+    * after an inactivity gap > `gapSec`. Classic lag + cumulative-sum window.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapSec: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          (unix_micros(col(tsCol)) - unix_micros(col("__prev"))).cast("double") / 1e6 > gapSec,
+          1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new_session")
+  }
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-training-data-pipeline operator inventory: deduplication (exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash), similarity search (brute-force and
+  * LSH ANN), and text analysis (quality scores, token counts, language ID,
+  * fingerprints) over the `documents` / `embeddings` fixtures.
+  *
+  * MinHash / SimHash / LSH queries are hash-defined and not expressible in
+  * portable SQL — they ship without oracle SQL (driver rows-only check) but
+  * are deterministic (fixed xxhash64 seeds).
+  */
+object LlmQueries {
+  // Shared DuckDB word-array CTE mirroring TextOps.words.
+  private val WordsCte =
+    """WITH w AS (SELECT doc_id, lang, source, text,
+      list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+      FROM documents)"""
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Exact mean of a double metric: decimal-cast sum (order-independent)
+  // divided by count, no rounding (see QueryDef.davg rationale).
+  private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- exact dedup (hash-groupBy) ------------------------------------
+    "q23_dedup_exact" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("text")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_distinct_texts"))
+          .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- n-gram shingle statistics -------------------------------------
+    "q24_shingle_stats" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.wordCount(col("text")).as("n_words"),
+            size(TextOps.shingleSet(col("text"), 3)).as("n_shingles"))
+          .orderBy(col("n_shingles").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""$WordsCte
+        , g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT doc_id, COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_shingles
+          FROM g GROUP BY doc_id)
+        SELECT w.doc_id AS doc_id, len(w.ws) AS n_words,
+          COALESCE(sh.n_shingles, 0) AS n_shingles
+        FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
+        ORDER BY n_shingles DESC, w.doc_id LIMIT 10""")),
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index exact) ----------
+    "q25_jaccard_pairs" -> QueryDef(
+      (s, dir) => {
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            k = 3, minJaccard = 0.05, maxDf = 1000000)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$WordsCte,
+        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM g),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+          ROUND(CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared), 6)
+            AS jaccard
+        FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared) >= 0.05
+        ORDER BY id_a, id_b""")),
+
+    // ---- MinHash + LSH banding (hash-defined; rows-only oracle) --------
+    "q26_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
+            k = 3, bands = 16, rowsPerBand = 4)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ---- SimHash near-dup candidates (hash-defined; rows-only oracle) --
+    "q27_simhash" -> QueryDef(
+      (s, dir) => {
+        Dedup.simHashCandidates(t(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 16)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ---- text quality scoring ------------------------------------------
+    // Corpus-level quality ratios per language. All aggregates are exact
+    // integer sums (chars, words, punctuation chars, stopword hits) with ONE
+    // final double division — bit-identical across engines with no decimal
+    // cast of irrational doubles.
+    "q28_text_quality" -> QueryDef(
+      (s, dir) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "data")
+        val ws = TextOps.words(col("text"))
+        t(s, dir, "documents")
+          .select(col("lang"),
+            size(ws).as("n_words"),
+            length(col("text")).as("n_chars"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), TextOps.PunctPattern, "")))
+              .as("punct_chars"),
+            size(filter(ws, w => lower(w).isInCollection(stop))).as("stop_hits"),
+            aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("word_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            sum(col("punct_chars")).cast("double")
+              ./(sum(col("n_chars"))).as("punct_ratio"),
+            sum(col("stop_hits")).cast("double")
+              ./(sum(col("n_words"))).as("stopword_ratio"),
+            sum(col("word_chars")).cast("double")
+              ./(sum(col("n_words"))).as("avg_word_len"))
+          .orderBy("lang")
+      },
+      Some(s"""$WordsCte,
+        m AS (SELECT lang, len(ws) AS n_words, len(text) AS n_chars,
+          len(text) - len(regexp_replace(text, '[.,;:!?()''"-]', '', 'g'))
+            AS punct_chars,
+          len(list_filter(ws, x -> lower(x) IN
+            ('the','a','and','of','to','in','is','data'))) AS stop_hits,
+          list_sum(list_transform(ws, x -> len(x))) AS word_chars
+        FROM w)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS total_words,
+          CAST(SUM(punct_chars) AS DOUBLE)/CAST(SUM(n_chars) AS DOUBLE)
+            AS punct_ratio,
+          CAST(SUM(stop_hits) AS DOUBLE)/CAST(SUM(n_words) AS DOUBLE)
+            AS stopword_ratio,
+          CAST(SUM(word_chars) AS DOUBLE)/CAST(SUM(n_words) AS DOUBLE)
+            AS avg_word_len
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // ---- token counting (regex pre-tokenizer) --------------------------
+    "q29_token_count" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.regexTokens(col("text"))).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+          AS total_tokens,
+        MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+          AS max_tokens
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- language-ID heuristic -----------------------------------------
+    "q30_langid" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("predicted", TextOps.langIdHeuristic(col("text")))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""$WordsCte,
+        h AS (SELECT lang,
+          len(list_filter(ws, x -> lower(x) IN ('the','and','of','to','a','in','is','that'))) AS en,
+          len(list_filter(ws, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          len(list_filter(ws, x -> lower(x) IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+          len(list_filter(ws, x -> lower(x) IN ('el','la','los','y','es','un','una','en'))) AS es,
+          len(list_filter(ws, x -> lower(x) IN ('的','是','了','在','我','有','和','不'))) AS zh
+        FROM w),
+        p AS (SELECT lang,
+          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
+               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+               WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+               ELSE 'de' END AS predicted
+        FROM h)
+        SELECT lang, predicted, COUNT(*) AS n FROM p
+        GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) -----------------
+    "q31_knn_cosine" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+              AS cos
+          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM s)
+        SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- LSH-bucketed ANN (hash-defined; rows-only oracle) -------------
+    "q32_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nBits = 8, nTables = 4)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- embedding column statistics -----------------------------------
+    // Means of irrational per-row doubles (norms): scale-and-floor each value
+    // to an exact long (1e-9 truncation), sum exactly, divide once — immune
+    // to Spark's string-based vs DuckDB's binary-based double->decimal casts.
+    "q33_embedding_stats" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(col("label"),
+            floor(VectorOps.l2Norm(col("embedding")) * 1e9).cast("long").as("nrm9"),
+            floor(col("embedding").getItem(0).cast("double") * 1e9).cast("long")
+              .as("fd9"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("nrm9")).cast("double") / count(lit(1)) / 1e9).as("avg_norm"),
+            (sum(col("fd9")).cast("double") / count(lit(1)) / 1e9).as("avg_first_dim"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+          CAST(FLOOR(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            CAST(embedding AS DOUBLE[]))) * 1e9) AS BIGINT) AS nrm9,
+          CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e9) AS BIGINT) AS fd9
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(nrm9) AS DOUBLE)/COUNT(*)/1e9 AS avg_norm,
+          CAST(SUM(fd9) AS DOUBLE)/COUNT(*)/1e9 AS avg_first_dim
+        FROM e GROUP BY label ORDER BY label"""))
+  )
+}

@@ -1,0 +1,518 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.{AsOfJoin, RobustStats, Windowed}
+import QueryDef.{davg, dsum}
+
+/** Relational operator inventory (SURVEY.md §2.2-§2.7) over the TPC-H-ish
+  * fixture tables, each paired with a DuckDB oracle query.
+  *
+  * Determinism rules (oracle hash-matching):
+  *  - money/double sums accumulate in decimal (order-independent);
+  *  - exact interpolated percentile (never percentile_approx);
+  *  - every result ORDER BY a unique key, NULLS FIRST spelled out in SQL
+  *    (DuckDB defaults to NULLS LAST, Spark to NULLS FIRST);
+  *  - timestamps compared as epoch microseconds or DATE (events.ts is
+  *    parquet TIMESTAMP(NANOS): Spark reads it as long, DuckDB as
+  *    TIMESTAMP_NS; both truncate to microseconds).
+  */
+object RelationalQueries {
+  // DuckDB-side harmonized events view (ns -> us truncation).
+  private val EvCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, " +
+      "event_type, value, props FROM events)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- A1/A2/A8: grand aggregation (TPC-H Q1 shape) ------------------
+    "q01_pricing_summary" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- P1/P2/P3/P5: filter + projection + time-range slice -----------
+    "q02_filter_project" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view") &&
+            col("ts") >= lit("2024-01-02 00:00:00") &&
+            col("ts") < lit("2024-01-05 00:00:00"))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM ev WHERE event_type IN ('click','view')
+        AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        ORDER BY event_id""")),
+
+    // ---- J1: multi-way equi-join + aggregation -------------------------
+    "q03_join_agg" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        val ord = t(s, dir, "orders")
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("c_custkey")).as("n_customers"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
+        COUNT(DISTINCT c_custkey) AS n_customers,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- semi join (EXISTS) --------------------------------------------
+    "q04_semi_join" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer WHERE EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- anti join (NOT EXISTS) ----------------------------------------
+    "q05_anti_join" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- outer join + null handling ------------------------------------
+    "q06_outer_join" -> QueryDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_orderkey")).as("n_lines"),
+            dsum(coalesce(col("l_quantity"), lit(0.0))).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_rows,
+        COUNT(l_orderkey) AS n_lines,
+        CAST(SUM(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- W2/A5: top-k per group ----------------------------------------
+    "q07_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val ranked = Windowed.topKPerGroup(ord, Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        ranked
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("o_orderpriority")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+          .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk""")),
+
+    // ---- A9/W1: gap detection ------------------------------------------
+    "q08_gap_detect" -> QueryDef(
+      (s, dir) => {
+        val g = Windowed.gaps(t(s, dir, "events"), Seq("user_id"), "ts", 1800.0)
+        g.groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            max(col("gap_sec")).as("max_gap_sec"))
+          .orderBy("user_id")
+      },
+      Some(s"""$EvCte, l AS (
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM ev),
+        g AS (SELECT user_id,
+          CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE)/1e6 AS gap_sec
+          FROM l WHERE prev IS NOT NULL
+          AND CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE)/1e6 > 1800.0)
+        SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_sec) AS max_gap_sec
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- rollup ---------------------------------------------------------
+    "q09_rollup" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- cube -----------------------------------------------------------
+    "q10_cube" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- distinct counting ---------------------------------------------
+    "q11_distinct" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem""")),
+
+    // ---- set operations -------------------------------------------------
+    "q12_setops" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        val a = cust.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val b = ord.filter(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey").as("k")).distinct()
+        val nInter = a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+        val nExcept = a.except(b).agg(count(lit(1)).as("n_except"))
+        val nUnion = a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        nInter.crossJoin(nExcept).crossJoin(nUnion)
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0)
+        SELECT
+          (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+          (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_except,
+          (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union""")),
+
+    // ---- W: running total + rank within partition ----------------------
+    "q13_window_running" -> QueryDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        ord.select(
+            col("o_custkey"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- O1/P5: global sort + limit ------------------------------------
+    "q14_order_limit" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(15)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")),
+
+    // ---- F6: string functions ------------------------------------------
+    "q15_string_funcs" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "part")
+          .withColumn("name_head", upper(substring_index(col("p_name"), " ", 1)))
+          .withColumn("brand_num",
+            regexp_extract(col("p_brand"), "[0-9]+", 0).cast("int"))
+          .groupBy("name_head")
+          .agg(count(lit(1)).as("n"),
+            max(col("brand_num")).as("max_brand"),
+            min(length(col("p_name"))).as("min_name_len"))
+          .orderBy("name_head")
+      },
+      Some("""SELECT UPPER(split_part(p_name, ' ', 1)) AS name_head,
+        COUNT(*) AS n,
+        MAX(CAST(regexp_extract(p_brand, '[0-9]+') AS INT)) AS max_brand,
+        MIN(LENGTH(p_name)) AS min_name_len
+        FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F9/P2: date functions -----------------------------------------
+    "q16_date_funcs" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .withColumn("yr", year(col("o_orderdate")))
+          .groupBy("yr", "month")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("yr", "month")
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- O4: pivot ------------------------------------------------------
+    "q17_pivot" -> QueryDef(
+      (s, dir) => {
+        val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", pris)
+          .count()
+          .na.fill(0)
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- J2: as-of (backward) join -------------------------------------
+    // For each click event: the value of the user's most recent purchase
+    // at-or-before the click (reference nearest-datetime alignment,
+    // plots.py:76-77, implemented shuffle-once via union+window).
+    "q18_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsOfJoin.backward(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        COALESCE(
+          (SELECT arg_max(p.value, p.ts) FROM ev p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts <= c.ts), -1.0) AS last_purchase
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
+    // ---- A1/A3: exact median / quantiles -------------------------------
+    "q19_exact_median" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(RobustStats.exactPercentile(col("l_quantity"), 0.5), 4)
+              .as("median_qty"),
+            round(RobustStats.exactPercentile(col("l_extendedprice"), 0.25), 4)
+              .as("q25_price"),
+            round(RobustStats.exactPercentile(col("l_extendedprice"), 0.75), 4)
+              .as("q75_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25_price,
+        ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75_price,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A3: trimmed mean (midmean) ------------------------------------
+    "q20_trimmed_mean" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val q = li.groupBy("l_returnflag").agg(
+          RobustStats.exactPercentile(col("l_extendedprice"), 0.25).as("q_low"),
+          RobustStats.exactPercentile(col("l_extendedprice"), 0.75).as("q_high"))
+        li.join(broadcast(q), "l_returnflag")
+          .filter(col("l_extendedprice") >= col("q_low") &&
+            col("l_extendedprice") <= col("q_high"))
+          .groupBy("l_returnflag")
+          .agg(
+            round(first(col("q_low")), 4).as("q_low"),
+            round(first(col("q_high")), 4).as("q_high"),
+            count(lit(1)).as("n_kept"),
+            davg(col("l_extendedprice")).as("midmean_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.25) AS q_low,
+          quantile_cont(l_extendedprice, 0.75) AS q_high
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, ROUND(ANY_VALUE(q.q_low), 4) AS q_low,
+          ROUND(ANY_VALUE(q.q_high), 4) AS q_high,
+          COUNT(*) AS n_kept,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)/COUNT(*)
+            AS midmean_price
+        FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        WHERE l.l_extendedprice >= q.q_low AND l.l_extendedprice <= q.q_high
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
+    // ---- F1/A4: dB-space aggregation (envelope discipline) -------------
+    // Hourly mean of events.value done in linear envelope space
+    // (10^(v/20)), summed exactly in decimal, back to dB.
+    "q21_db_power_agg" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("hour_bin", floor(unix_micros(col("ts")) / 3600000000L))
+          .withColumn("lin", pow(lit(10.0), col("value") / 20.0)
+            .cast(DecimalType(38, 10)))
+          .groupBy("hour_bin")
+          .agg(count(lit(1)).as("n"),
+            round(lit(20.0) * log10(sum(col("lin")).cast("double") /
+              count(lit(1))), 6).as("db_mean"))
+          .orderBy("hour_bin")
+      },
+      Some(s"""$EvCte SELECT
+        CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bin,
+        COUNT(*) AS n,
+        ROUND(20.0 * LOG10(CAST(SUM(CAST(POW(10.0, value/20.0) AS DECIMAL(38,10)))
+          AS DOUBLE) / COUNT(*)), 6) AS db_mean
+        FROM ev GROUP BY 1 ORDER BY 1""")),
+
+    // ---- A4: downsample-by-factor --------------------------------------
+    "q22_downsample" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .withColumn("bucket", floor(col("l_partkey") / 100).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            davg(col("l_extendedprice")).as("avg_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(FLOOR(l_partkey / 100) AS BIGINT) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)/COUNT(*)
+          AS avg_price
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F7-ish: JSON extraction ---------------------------------------
+    "q34_json_extract" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some(s"""$EvCte SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(props->>'$$.k' AS INT)) AS sum_k,
+        MAX(CAST(props->>'$$.k' AS INT)) AS max_k
+        FROM ev GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- sessionization (streaming-shaped, batch formulation) ----------
+    "q35_sessionize" -> QueryDef(
+      (s, dir) => {
+        val sess = Windowed.sessionize(t(s, dir, "events"),
+          Seq("user_id"), "ts", 3600.0)
+        sess.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""$EvCte, l AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+            THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+        c AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+        FROM c GROUP BY user_id ORDER BY user_id"""))
+  )
+}
