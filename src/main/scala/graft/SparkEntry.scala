@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, QueryDef, RelationalQueries}
+import graft.queries.{LlmQueries, QueryDef, RelationalQueries, SeamfQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{LlmQueries, QueryDef, RelationalQueries}
 object SparkEntry {
 
   private def allDefs: ListMap[String, QueryDef] =
-    RelationalQueries.defs ++ LlmQueries.defs
+    RelationalQueries.defs ++ LlmQueries.defs ++ SeamfQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -87,9 +87,14 @@ object AsOfJoin {
     val back = backwardPacked(left, rightPacked, keys, leftTs, reverse = false)
     val both = backwardPacked(back, rightPacked, keys, leftTs, reverse = true)
 
-    val lUs = unix_micros(col(leftTs))
-    val bUs = unix_micros(col("__pack_b").getField("ts"))
-    val fUs = unix_micros(col("__pack_f").getField("ts"))
+    // |delta| arithmetic: epoch micros for TimestampType keys, raw numeric
+    // value otherwise (the operator is generic over orderable time axes).
+    val isTs = left.schema(leftTs).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def asNum(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
+    val lUs = asNum(col(leftTs))
+    val bUs = asNum(col("__pack_b").getField("ts"))
+    val fUs = asNum(col("__pack_f").getField("ts"))
     val pickB = col("__pack_f").isNull ||
       (col("__pack_b").isNotNull && (lUs - bUs) <= (fUs - lUs))
     val chosen = when(pickB, col("__pack_b")).otherwise(col("__pack_f"))

@@ -1,0 +1,158 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.DbMath
+import graft.operators.{AsOfJoin, TddSync, Windowed}
+import graft.seamf.{SeamfFixtures, SeamfReader}
+
+/** seamf ingest + analytics inventory (SURVEY.md §2.1 S1-S14 and the
+  * demo-derived analytics surface) exercised over a deterministic synthetic
+  * archive (SeamfFixtures.sharedArchive — FIXTURES.md §A.5: 8 sweeps at 90 s
+  * cadence, one omitted slot, one corrupt-sha member, one non-sigmf file).
+  *
+  * DuckDB cannot decode seamf containers, so these run as rows-only checks;
+  * exact decoded values are pinned by the ScalaTest specs
+  * (src/test/scala/graft/seamf/). All aggregates use order-independent
+  * accumulation (decimal sums / min / max) so outputs are bit-stable.
+  */
+object SeamfQueries {
+
+  /** Exact linear-space dB mean: decimal accumulation then back to dB. */
+  private def dbMeanExact(c: org.apache.spark.sql.Column) =
+    lit(10.0) * log10(
+      sum(pow(lit(10.0), c / 10.0).cast(DecimalType(38, 12))).cast("double") /
+        count(lit(1)))
+
+  private def fixture(): String = SeamfFixtures.sharedArchive()
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- S1/S5/S6: full decode -> long PSD table + A1-style agg --------
+    "s01_seamf_psd_summary" -> QueryDef(
+      (s, _) => {
+        val psd = SeamfReader.tables(s, fixture())("psd")
+        psd.groupBy("frequency", "capture_statistic")
+          .agg(count(lit(1)).as("n"),
+            round(dbMeanExact(col("psd_dbm_per_hz")), 6).as("db_mean"),
+            min(col("psd_dbm_per_hz")).as("db_min"),
+            max(col("psd_dbm_per_hz")).as("db_max"))
+          .orderBy("frequency", "capture_statistic")
+      }, None),
+
+    // ---- A8/J1: capture_summary (dask_processing.ipynb cell 3) ---------
+    "s02_seamf_capture_summary" -> QueryDef(
+      (s, _) => {
+        val t = SeamfReader.tables(s, fixture())
+        val pvt = t("pvt")
+          .groupBy("datetime", "frequency", "detector")
+          .agg(max(col("power_dbm")).as("peak_power"),
+            round(dbMeanExact(col("power_dbm")), 6).as("mean_power"))
+          .groupBy("datetime", "frequency")
+          .pivot("detector", Seq("peak", "rms"))
+          .agg(first(col("peak_power")).as("max"), first(col("mean_power")).as("mean"))
+        val cal = t("channel_metadata")
+          .select(col("datetime"), col("frequency"), col("overload"),
+            col("cal_noise_figure_dB"), col("cal_gain_dB"))
+        pvt.join(cal, Seq("datetime", "frequency"))
+          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
+          .orderBy("datetime_us", "frequency")
+      }, None),
+
+    // ---- S3: metadata-only scan ----------------------------------------
+    "s03_seamf_sweep_metadata" -> QueryDef(
+      (s, _) => {
+        SeamfReader.sweepMetadata(s, fixture())
+          .select(
+            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
+            col("version"), col("schema_generation"), col("num_channels"),
+            col("task"), col("schedule_interval_sec"),
+            col("timezone"), col("n_captures"))
+          .orderBy("name")
+      }, None),
+
+    // ---- S2/S9: integrity + permissive error mode ----------------------
+    "s04_seamf_error_tolerant" -> QueryDef(
+      (s, _) => {
+        val all = SeamfReader.sweepMetadata(s, fixture(), checkHash = false)
+          .agg(count(lit(1)).as("n_parseable"))
+        val ok = SeamfReader.sweepMetadata(s, fixture(), checkHash = true)
+          .agg(count(lit(1)).as("n_hash_ok"))
+        all.crossJoin(ok)
+          .withColumn("n_corrupt", col("n_parseable") - col("n_hash_ok"))
+      }, None),
+
+    // ---- A9: acquisition gap detection ---------------------------------
+    "s05_seamf_gaps" -> QueryDef(
+      (s, _) => {
+        val sm = SeamfReader.sweepMetadata(s, fixture())
+          .withColumn("t0", timestamp_micros(col("schedule_start_us")))
+        Windowed.gaps(sm, Seq.empty, "t0", 91.0)
+          .select(unix_micros(col("t0")).as("t0_us"), col("gap_sec"))
+          .orderBy("t0_us")
+      }, None),
+
+    // ---- O4/A4: spectrogram pivot + frequency-axis downsample ----------
+    "s06_seamf_spectrogram" -> QueryDef(
+      (s, _) => {
+        val psd = SeamfReader.tables(s, fixture())("psd")
+        psd
+          .withColumn("bin", floor((col("baseband_hz") + 4.992e6) / (16e3 * 25)))
+          .groupBy("datetime", "frequency", "bin")
+          .pivot("capture_statistic", Seq("max", "mean"))
+          .agg(round(dbMeanExact(col("psd_dbm_per_hz")), 6))
+          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
+          .orderBy("datetime_us", "frequency", "bin")
+      }, None),
+
+    // ---- F11/O5: APD Rayleigh axis transform ---------------------------
+    "s07_seamf_apd_transform" -> QueryDef(
+      (s, _) => {
+        val apd = SeamfReader.tables(s, fixture())("apd")
+        apd
+          .withColumn("p", col("probability_pct").cast("double") / 100.0)
+          .withColumn("rayleigh_x",
+            round(DbMath.apdRayleighX(col("amplitude_dbm"), col("p")), 6))
+          .filter(col("rayleigh_x").isNotNull)
+          .groupBy("frequency")
+          .agg(count(lit(1)).as("n"),
+            min(col("rayleigh_x")).as("x_min"),
+            max(col("rayleigh_x")).as("x_max"))
+          .orderBy("frequency")
+      }, None),
+
+    // ---- J2: as-of join of cal metadata onto pfp aggregate times -------
+    "s08_seamf_asof_cal" -> QueryDef(
+      (s, _) => {
+        val t = SeamfReader.tables(s, fixture())
+        val pfpAgg = t("pfp")
+          .groupBy("datetime", "frequency")
+          .agg(max(col("power_dbm")).as("frame_peak_dbm"))
+        val cal = t("channel_metadata")
+          .groupBy("frequency", "datetime")
+          .agg(max(col("cal_noise_figure_dB")).as("cal_noise_figure_dB"))
+        AsOfJoin.backward(pfpAgg, cal, Seq("frequency"), "datetime", "datetime",
+            Seq("cal_noise_figure_dB"))
+          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
+          .orderBy("frequency", "datetime_us")
+      }, None),
+
+    // ---- W4: TDD frame correlation / alignment -------------------------
+    "s09_seamf_tdd_sync" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val traces = SeamfReader.traces(s, fixture())
+          .filter(t => t.table == "pfp" && t.detector == "mean" &&
+            t.capture_statistic == "mean")
+          .toDF()
+        TddSync.syncTraces(traces, "trace")
+          .groupBy("frequency", "frame_format")
+          .agg(count(lit(1)).as("n"),
+            min(col("shift")).as("min_shift"),
+            max(col("shift")).as("max_shift"))
+          .orderBy("frequency", "frame_format")
+      }, None)
+  )
+}

@@ -1,0 +1,180 @@
+package graft.seamf
+
+import java.nio.file.{Files, Path, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Synthetic seamf fixture generator (FIXTURES.md §A): builds `.sigmf` tars
+  * with v6-generation metadata and deterministic float16 trace values, so
+  * decoded long-table contents are assertable/hash-checkable. Fixture shapes
+  * mirror demos/data/example_v6.sigmf (FIXTURES.md §A.2) at reduced channel
+  * count for test speed.
+  */
+object SeamfFixtures {
+  private val mapper = new ObjectMapper()
+
+  /** Deterministic trace sample value (survives half-float round-trip when
+    * asserted via HalfFloat.toFloat(HalfFloat.fromFloat(_))). Trace index 10
+    * is the APD: its cells are probabilities in percent (monotone decreasing
+    * in (0, 100)), all other traces are dB powers.
+    */
+  def sampleValue(channel: Int, traceIdx: Int, sample: Int): Float =
+    if (traceIdx == 10) 98.0f - (sample % 97) * 1.0f - channel * 0.25f
+    else (-(30.0f + channel) - (traceIdx * 2.0f) - (sample % 97) * 0.25f)
+
+  /** v6 per-capture data products: PSD 2x(len psd), PVT 2x(len pvt),
+    * PFP 6x(len pfp), APD 1x(len apd).
+    */
+  final case class Shape(psdLen: Int = 125, pvtLen: Int = 80,
+      pfpLen: Int = 112, apdLen: Int = 31) {
+    def perCapture: Int = 2 * psdLen + 2 * pvtLen + 6 * pfpLen + apdLen
+  }
+
+  def buildMetaJson(fileIdx: Int, t0Us: Long, nChannels: Int, shape: Shape,
+      sha512: String, intervalSec: Long = 90L): String = {
+    val root = mapper.createObjectNode()
+    val g = root.putObject("global")
+    g.put("core:version", "1.0.0")
+    g.put("core:datatype", "rf16_le")
+    g.put("core:sample_rate", 14e6)
+    g.put("core:num_channels", nChannels)
+    g.put("core:sha512", sha512)
+    val ext = g.putArray("core:extensions")
+    val e1 = ext.addObject()
+    e1.put("name", "ntia-nasctn-sea"); e1.put("version", "0.6.0")
+    val geo = g.putObject("core:geolocation")
+    geo.put("type", "Point")
+    val coords = geo.putArray("coordinates")
+    coords.add(-105.26); coords.add(40.01); coords.add(1650.0)
+    g.put("ntia-scos:task", 7000L + fileIdx)
+    val sched = g.putObject("ntia-scos:schedule")
+    sched.put("name", "synthetic_sweep")
+    sched.put("start", isoOf(t0Us))
+    sched.put("interval", intervalSec)
+
+    val dp = g.putArray("ntia-algorithm:data_products")
+    val psd = dp.addObject()
+    psd.put("name", "Power Spectral Density")
+    val psdSeries = psd.putArray("series"); psdSeries.add("maximum"); psdSeries.add("mean")
+    psd.put("length", shape.psdLen)
+    psd.putArray("x_start").add(-4.992e6)
+    psd.putArray("x_step").add(16e3)
+    val pvt = dp.addObject()
+    pvt.put("name", "Power vs. Time")
+    val pvtSeries = pvt.putArray("series"); pvtSeries.add("maximum"); pvtSeries.add("mean")
+    pvt.put("length", shape.pvtLen)
+    pvt.putArray("x_start").add(0.0)
+    pvt.putArray("x_step").add(0.01)
+    val pfp = dp.addObject()
+    pfp.put("name", "Periodic Frame Power")
+    val pfpSeries = pfp.putArray("series")
+    Seq("mean_minimum", "mean_maximum", "mean_mean",
+      "max_minimum", "max_maximum", "max_mean").foreach(pfpSeries.add)
+    pfp.put("length", shape.pfpLen)
+    pfp.putArray("x_start").add(0.0)
+    pfp.putArray("x_step").add(1.7857e-5)
+    val apd = dp.addObject()
+    apd.put("name", "Amplitude Probability Distribution")
+    apd.put("length", shape.apdLen)
+    apd.putArray("y_start").add(-180.0)
+    apd.putArray("y_step").add(1.0)
+
+    val maxPowers = g.putArray("ntia-nasctn-sea:max_of_max_channel_powers")
+    val medPowers = g.putArray("ntia-nasctn-sea:median_of_mean_channel_powers")
+    (0 until nChannels).foreach { c =>
+      maxPowers.add(-30.0 - c); medPowers.add(-40.0 - c)
+    }
+    val diag = g.putObject("ntia-diagnostics:diagnostics")
+    val pre = diag.putObject("preselector"); pre.put("noise_diode_temp", 14.6)
+    val spu = diag.putObject("spu"); spu.put("sigan_internal_temp", 37.2)
+
+    val caps = root.putArray("captures")
+    (0 until nChannels).foreach { c =>
+      val cap: ObjectNode = caps.addObject()
+      cap.put("core:frequency", 3.555e9 + c * 1e7)
+      cap.put("core:datetime", isoOf(t0Us + c * 1000000L))
+      cap.put("core:sample_start", c.toLong * shape.perCapture)
+      cap.put("ntia-sensor:overload", (fileIdx + c) % 5 == 0)
+      cap.put("ntia-sensor:duration", 4000.0)
+      val cal = cap.putObject("ntia-sensor:sensor_calibration")
+      cal.put("gain", 30.0 + c * 0.5)
+      cal.put("noise_figure", 5.0 + 0.1 * c + 0.01 * fileIdx)
+      cal.put("temperature", 21.5 + 0.25 * c)
+      cal.put("datetime", isoOf(t0Us - 3600000000L))
+      val sig = cap.putObject("ntia-sensor:sigan_settings")
+      sig.put("reference_level", -25.0)
+      sig.put("attenuation", 0.0)
+      sig.put("preamp_enable", true)
+    }
+    root.putArray("annotations")
+    mapper.writeValueAsString(root)
+  }
+
+  private def isoOf(us: Long): String =
+    java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      .toString.stripSuffix("Z") + "Z"
+
+  /** Payload values for one sweep file (per-capture contiguous blocks, trace
+    * order = declared data-product order, FIXTURES §A.2).
+    */
+  def buildPayload(nChannels: Int, shape: Shape): Array[Float] = {
+    val traceLens =
+      Seq.fill(2)(shape.psdLen) ++ Seq.fill(2)(shape.pvtLen) ++
+        Seq.fill(6)(shape.pfpLen) ++ Seq(shape.apdLen)
+    (0 until nChannels).flatMap { c =>
+      traceLens.zipWithIndex.flatMap { case (len, ti) =>
+        (0 until len).map(s => sampleValue(c, ti, s))
+      }
+    }.toArray
+  }
+
+  /** Write one .sigmf sweep file; returns its path.
+    * @param corruptSha poison the declared sha512 (error-mode fixtures).
+    */
+  def writeSweep(dir: Path, fileIdx: Int, t0Us: Long, nChannels: Int = 3,
+      shape: Shape = Shape(), corruptSha: Boolean = false): Path = {
+    val payload = HalfFloat.encodeVector(buildPayload(nChannels, shape))
+    val compressed = SeamfCodec.xzCompress(payload)
+    val sha = if (corruptSha) "0" * 128 else SeamfCodec.sha512Hex(compressed)
+    val meta = buildMetaJson(fileIdx, t0Us, nChannels, shape, sha)
+    val name = f"synthetic_sweep_$fileIdx%05d"
+    val tar = SeamfCodec.packTar(name, meta, compressed)
+    val out = dir.resolve(s"$name.sigmf")
+    Files.write(out, tar)
+    out
+  }
+
+  /** Write a small archive: `nFiles` sweeps at 90 s cadence starting at
+    * 2023-09-21T00:00Z, with one omitted slot (gap), one corrupt-sha file,
+    * and one non-sigmf member (FIXTURES §A.5).
+    */
+  def writeArchive(dirStr: String, nFiles: Int = 8, nChannels: Int = 3,
+      shape: Shape = Shape()): Path = {
+    val dir = Paths.get(dirStr)
+    Files.createDirectories(dir)
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    var slot = 0
+    (0 until nFiles).foreach { i =>
+      if (i == nFiles / 2) slot += 1 // skipped 90 s slot -> gap (A9 fixture)
+      writeSweep(dir, i, t0 + slot.toLong * 90L * 1000000L, nChannels, shape,
+        corruptSha = i == nFiles - 2)
+      slot += 1
+    }
+    Files.write(dir.resolve("README.txt"),
+      "not a sigmf member".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir
+  }
+
+  /** Idempotent shared fixture dir for inventory queries (generated once per
+    * JVM/tmp lifetime; deterministic contents).
+    */
+  def sharedArchive(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_seamf_fixture")
+    val marker = dir.resolve(".complete")
+    if (!Files.exists(marker)) {
+      writeArchive(dir.toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+}

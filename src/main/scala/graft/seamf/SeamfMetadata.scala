@@ -1,0 +1,303 @@
+package graft.seamf
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Versioned seamf metadata model + trace-layout derivation.
+  *
+  * The reference parses 5 metadata schema generations with msgspec structs
+  * (/root/reference/src/sea_ingest/schemas.py:105-358) dispatched by
+  * `select_loader` (seamf.py:927-978) on the `ntia-nasctn-sea` /
+  * `ntia-sensor` extension version. We re-express the same semantics as a
+  * Scala ADT + a Jackson tree-model parse (jackson ships with Spark): the
+  * output of parsing is a [[SeamfMeta]] carrying captures, global info, and
+  * the derived per-capture trace layout (offset table), which is all the
+  * decoder needs.
+  *
+  * Versions v0.4+ declare their data products in metadata
+  * (`_get_trace_metadata`, seamf.py:633-661, 794-840); earlier generations
+  * use fixed trace tables (TRACE_INFO, seamf.py:240-265, 367-392). The v5
+  * generation needs a byte-level JSON fixup for missing `type` tags on
+  * `processing_info` entries (seamf.py:954-969) — reproduced here as a
+  * string patch before parse.
+  */
+object SeamfMetadata {
+
+  /** One trace slot within a capture block: target table + labels + axis. */
+  final case class TraceInfo(
+      table: String, // psd | pvt | pfp | apd
+      captureStatistic: String, // max | mean | min | "" (n/a)
+      detector: String, // peak | rms | mean | max | "" (n/a)
+      length: Int,
+      axisStart: Double,
+      axisStep: Double)
+
+  /** One capture (channel) entry. */
+  final case class Capture(
+      datetimeUs: Long,
+      frequency: Double,
+      sampleStart: Long,
+      overload: Option[Boolean],
+      calGainDb: Option[Double],
+      calNoiseFigureDb: Option[Double],
+      calTemperatureDegC: Option[Double],
+      siganReferenceLevelDbm: Option[Double],
+      siganAttenuationDb: Option[Double],
+      siganPreampEnable: Option[Boolean],
+      iqCaptureDurationMs: Option[Double])
+
+  /** Parsed + derived file metadata. */
+  final case class SeamfMeta(
+      version: String, // extension version, e.g. "0.6.0"
+      schemaGeneration: Int, // 1..6
+      sampleRate: Double,
+      numChannels: Int,
+      task: Option[Long],
+      scheduleName: Option[String],
+      scheduleStartUs: Option[Long],
+      scheduleIntervalSec: Option[Long],
+      sha512Hex: Option[String],
+      geolocation: Option[(Double, Double)], // (lng, lat)
+      timezone: Option[String],
+      captures: Seq[Capture],
+      perCaptureLayout: Seq[TraceInfo],
+      maxOfMaxChannelPowers: Seq[Double],
+      medianOfMeanChannelPowers: Seq[Double],
+      diagnostics: Map[String, String]) {
+    /** Half-float slots per capture block. */
+    def perCaptureLength: Int = perCaptureLayout.map(_.length).sum
+    /** Total half-float slots in the payload. */
+    def totalLength: Int = perCaptureLength * captures.size
+  }
+
+  private val mapper = new ObjectMapper()
+
+  // ---- normalization maps (seamf.py:120-126, 474) ----------------------
+  /** capture_statistic normalization: maximum->max, minimum->min. */
+  def normalizeStatistic(s: String): String = s match {
+    case "maximum" => "max"
+    case "minimum" => "min"
+    case other => other
+  }
+
+  /** detector normalization for PVT: max->peak, mean->rms. */
+  def normalizeDetector(s: String): String = s match {
+    case "max" | "maximum" | "peak" => "peak"
+    case "mean" | "rms" => "rms"
+    case other => other
+  }
+
+  /** Graph name -> long-table name (v4+ declared data products). */
+  def tableForGraph(name: String): Option[String] = name match {
+    case "Power Spectral Density" => Some("psd")
+    case "Power vs. Time" => Some("pvt")
+    case "Periodic Frame Power" => Some("pfp")
+    case "Amplitude Probability Distribution" => Some("apd")
+    case _ => None
+  }
+
+  /** The v5 byte-patch: `processing_info` entries missing msgspec `type`
+    * tags get one injected based on a marker key (seamf.py:954-969).
+    */
+  def patchV5Json(json: String): String = {
+    var s = json
+    // DigitalFilter objects carry "filter_type"; DFT objects carry "samples".
+    s = s.replace("{\"filter_type\":", "{\"type\": \"DigitalFilter\", \"filter_type\":")
+    s = s.replace("{\"samples\":", "{\"type\": \"DFT\", \"samples\":")
+    s
+  }
+
+  /** Timezone from longitude: the reference hard-codes US bands
+    * (seamf.py:38-46). Same crude semantics: continental-US meridian bands;
+    * anything else is unresolvable (caller must pass an explicit tz).
+    */
+  def timezoneFromLongitude(lng: Double): Option[String] =
+    if (lng >= -125.0 && lng < -114.0) Some("America/Los_Angeles")
+    else if (lng >= -114.0 && lng < -102.0) Some("America/Denver")
+    else if (lng >= -102.0 && lng < -87.0) Some("America/Chicago")
+    else if (lng >= -87.0 && lng < -65.0) Some("America/New_York")
+    else None
+
+  /** ISO-8601 (trailing Z or offset) -> epoch microseconds
+    * (reference `_iso_to_datetime`, util.py:6-20).
+    */
+  def isoToMicros(iso: String): Long = {
+    val inst = java.time.OffsetDateTime
+      .parse(if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z")
+      .toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
+  private def dOpt(n: JsonNode, f: String): Option[Double] = opt(n, f).map(_.asDouble)
+  private def bOpt(n: JsonNode, f: String): Option[Boolean] = opt(n, f).map(_.asBoolean)
+
+  /** Flatten a nested JSON object into dotted string keys
+    * (reference `_flatten_dict`, util.py:86-94).
+    */
+  def flatten(node: JsonNode, prefix: String = ""): Map[String, String] = {
+    if (node.isObject) {
+      node.properties().asScala.flatMap { e =>
+        val k = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+        flatten(e.getValue, k)
+      }.toMap
+    } else if (node.isArray) {
+      node.elements().asScala.zipWithIndex.flatMap { case (v, i) =>
+        flatten(v, s"$prefix.$i")
+      }.toMap
+    } else Map(prefix -> node.asText())
+  }
+
+  /** Sniff the ntia-nasctn-sea / ntia-sensor extension version and map it to
+    * a schema generation 1..6 (seamf.py:927-978).
+    */
+  def schemaGenerationOf(version: String): Int = version match {
+    case v if v.startsWith("v0.1") || v == "0.1.0" => 1
+    case v if v.startsWith("v0.2") || v == "0.2.0" => 2
+    case v if v.startsWith("v0.3") || v == "0.3.0" => 3
+    case v if v.startsWith("v0.4") || v == "0.4.0" => 4
+    case v if v.startsWith("v0.5") || v == "0.5.0" => 5
+    case _ => 6 // 0.6+ reuses the v5 loader (seamf.py:971-976)
+  }
+
+  /** Fixed pre-v4 per-capture layout (TRACE_INFO, seamf.py:240-265,367-392):
+    * 2x625 PSD + 2x400 PVT + 6x560 PFP (+151 APD for gen >= 2).
+    */
+  def fixedLegacyLayout(gen: Int): Seq[TraceInfo] = {
+    val psd = Seq("max", "mean").map(st =>
+      TraceInfo("psd", st, "", 625, -4.992e6, 16e3))
+    val pvt = Seq("peak", "rms").map(det =>
+      TraceInfo("pvt", "", det, 400, 0.0, 0.01))
+    val pfp = for {
+      det <- Seq("mean", "max")
+      st <- Seq("min", "max", "mean")
+    } yield TraceInfo("pfp", st, det, 560, 0.0, 1.7857e-5)
+    val apd = if (gen >= 2) Seq(TraceInfo("apd", "", "", 151, -180.0, 1.0)) else Nil
+    psd ++ pvt ++ pfp ++ apd
+  }
+
+  /** Derive the per-capture layout from declared v4+ data products
+    * (Graph list; seamf.py:794-840). PFP series names like "mean_minimum"
+    * split into (detector, statistic); the detector token is NOT
+    * peak/rms-normalized for pfp (v5 behavior, seamf.py:824-830), while PVT
+    * detectors ARE (seamf.py:120-126).
+    */
+  def layoutFromDataProducts(dataProducts: JsonNode): Seq[TraceInfo] = {
+    dataProducts.elements().asScala.toSeq.flatMap { g =>
+      val name = opt(g, "name").map(_.asText).getOrElse("")
+      val length = opt(g, "length").map(_.asInt).getOrElse(0)
+      def axis(of: String): (Double, Double) = {
+        def head(f: String): Option[Double] = opt(g, f).flatMap { n =>
+          if (n.isArray) n.elements().asScala.toSeq.headOption.map(_.asDouble)
+          else Some(n.asDouble)
+        }
+        (head(s"${of}_start").getOrElse(0.0), head(s"${of}_step").getOrElse(1.0))
+      }
+      val series = opt(g, "series").map(_.elements().asScala.map(_.asText).toSeq)
+        .getOrElse(Nil)
+      tableForGraph(name).toSeq.flatMap {
+        case "psd" =>
+          val (s0, st) = axis("x")
+          series.map(s => TraceInfo("psd", normalizeStatistic(s), "", length, s0, st))
+        case "pvt" =>
+          val (s0, st) = axis("x")
+          series.map(s => TraceInfo("pvt", "", normalizeDetector(s), length, s0, st))
+        case "pfp" =>
+          val (s0, st) = axis("x")
+          series.map { s =>
+            val parts = s.split("_", 2)
+            val det = parts(0)
+            val stat = normalizeStatistic(if (parts.length > 1) parts(1) else "")
+            TraceInfo("pfp", stat, det, length, s0, st)
+          }
+        case "apd" =>
+          val (s0, st) = axis("y")
+          Seq(TraceInfo("apd", "", "", length, s0, st))
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Parse a seamf metadata JSON document. */
+  def parse(json: String, explicitTz: Option[String] = None): SeamfMeta = {
+    val patched = if (json.contains("\"filter_type\":") &&
+      !json.contains("\"type\": \"DigitalFilter\"")) patchV5Json(json) else json
+    val root = mapper.readTree(patched)
+    val global = root.get("global")
+    require(global != null, "seamf metadata missing 'global'")
+
+    val extensions = opt(global, "core:extensions")
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val version = extensions
+      .find(e => Set("ntia-nasctn-sea", "ntia-sensor")
+        .contains(opt(e, "name").map(_.asText).getOrElse("")))
+      .flatMap(e => opt(e, "version").map(_.asText))
+      .getOrElse("0.6.0")
+    val gen = schemaGenerationOf(version)
+
+    val geoloc = opt(global, "core:geolocation")
+      .flatMap(g => opt(g, "coordinates"))
+      .map(_.elements().asScala.map(_.asDouble).toSeq)
+      .collect { case Seq(lng, lat, _*) => (lng, lat) }
+
+    val tz = explicitTz.orElse(geoloc.flatMap(g => timezoneFromLongitude(g._1)))
+    if (tz.isEmpty && explicitTz.isEmpty && geoloc.isEmpty && gen >= 4)
+      throw new IllegalArgumentException(
+        "cannot infer timezone: no geolocation in metadata and no explicit tz")
+    if (gen < 4 && explicitTz.isEmpty)
+      // v1-v3 have no geolocation -> explicit tz required
+      // (parity with reference ValueError, tests/test_seamf.py:26-34)
+      throw new IllegalArgumentException(
+        s"schema generation $gen has no geolocation; pass an explicit timezone")
+
+    val captures = opt(root, "captures")
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      .map { c =>
+        val cal = opt(c, "ntia-sensor:sensor_calibration")
+        val sig = opt(c, "ntia-sensor:sigan_settings")
+        Capture(
+          datetimeUs = isoToMicros(c.get("core:datetime").asText),
+          frequency = c.get("core:frequency").asDouble,
+          sampleStart = opt(c, "core:sample_start").map(_.asLong).getOrElse(0L),
+          overload = bOpt(c, "ntia-sensor:overload"),
+          calGainDb = cal.flatMap(dOpt(_, "gain")),
+          calNoiseFigureDb = cal.flatMap(dOpt(_, "noise_figure")),
+          calTemperatureDegC = cal.flatMap(dOpt(_, "temperature")),
+          siganReferenceLevelDbm = sig.flatMap(dOpt(_, "reference_level")),
+          siganAttenuationDb = sig.flatMap(dOpt(_, "attenuation")),
+          siganPreampEnable = sig.flatMap(bOpt(_, "preamp_enable")),
+          iqCaptureDurationMs = dOpt(c, "ntia-sensor:duration"))
+      }
+
+    val layout = opt(global, "ntia-algorithm:data_products") match {
+      case Some(dp) if gen >= 4 => layoutFromDataProducts(dp)
+      case _ => fixedLegacyLayout(gen)
+    }
+
+    def dblList(f: String): Seq[Double] =
+      opt(global, f).map(_.elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil)
+
+    val schedule = opt(global, "ntia-scos:schedule")
+    SeamfMeta(
+      version = version,
+      schemaGeneration = gen,
+      sampleRate = dOpt(global, "core:sample_rate").getOrElse(0.0),
+      numChannels = opt(global, "core:num_channels").map(_.asInt)
+        .getOrElse(captures.size),
+      task = opt(global, "ntia-scos:task").map(_.asLong),
+      scheduleName = schedule.flatMap(s => opt(s, "name").map(_.asText)),
+      scheduleStartUs = schedule.flatMap(s => opt(s, "start").map(n => isoToMicros(n.asText))),
+      scheduleIntervalSec = schedule.flatMap(s => opt(s, "interval").map(_.asLong)),
+      sha512Hex = opt(global, "core:sha512").map(_.asText),
+      geolocation = geoloc,
+      timezone = tz,
+      captures = captures,
+      perCaptureLayout = layout,
+      maxOfMaxChannelPowers = dblList("ntia-nasctn-sea:max_of_max_channel_powers"),
+      medianOfMeanChannelPowers = dblList("ntia-nasctn-sea:median_of_mean_channel_powers"),
+      diagnostics = opt(global, "ntia-diagnostics:diagnostics")
+        .map(flatten(_, "diagnostics")).getOrElse(Map.empty))
+  }
+}

@@ -1,0 +1,226 @@
+package graft.seamf
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Spark-native seamf ingest: `binaryFile` scan -> typed decode ->
+  * long-format data-product tables.
+  *
+  * Reference lifecycle (`read_seamf`, /root/reference/src/sea_ingest/
+  * seamf.py:981-1070): tar open, version dispatch, sha512 check, XZ
+  * decompress, offset-table split, DataFrame assembly. Here the whole
+  * per-file pipeline is one executor-side function inside `mapPartitions`
+  * over Spark's `binaryFile` source — Spark's scheduler replaces the Dask
+  * delayed graph (ziparchive.py:208-316), task-per-file-batch parallelism
+  * replaces `partition_size` tuning, and permissive error mode
+  * (errors="log", ziparchive.py:381-440) becomes skip+accumulator.
+  *
+  * Scale notes (100 TB): binaryFile packs many small files per task
+  * (maxPartitionBytes); decode is CPU-bound on XZ exactly like the
+  * reference (seamf.py:1038-1040) and embarrassingly parallel; the long
+  * tables are written date-partitioned so downstream time-range queries
+  * prune partitions (the Spark analog of Dask divisions, SURVEY §3.3).
+  */
+object SeamfReader {
+
+  /** One decoded trace (one capture x one data-product series). */
+  final case class TraceRow(
+      file: String,
+      datetime_us: Long,
+      frequency: Double,
+      table: String,
+      capture_statistic: String,
+      detector: String,
+      axis_start: Double,
+      axis_step: Double,
+      trace: Array[Float])
+
+  /** One row per capture: channel metadata (seamf.py:202-219, keymap 614-623). */
+  final case class ChannelMetaRow(
+      file: String,
+      datetime_us: Long,
+      frequency: Double,
+      overload: Option[Boolean],
+      cal_gain_dB: Option[Double],
+      cal_noise_figure_dB: Option[Double],
+      cal_temperature_degC: Option[Double],
+      sigan_reference_level_dBm: Option[Double],
+      sigan_attenuation_dB: Option[Double],
+      sigan_preamp_enable: Option[Boolean],
+      iq_capture_duration_ms: Option[Double])
+
+  /** One row per file: sweep metadata (seamf.py:731-750). */
+  final case class SweepMetaRow(
+      file: String,
+      version: String,
+      schema_generation: Int,
+      sample_rate: Double,
+      num_channels: Int,
+      task: Option[Long],
+      schedule_name: Option[String],
+      schedule_start_us: Option[Long],
+      schedule_interval_sec: Option[Long],
+      timezone: Option[String],
+      sha512_ok: Boolean,
+      n_captures: Int,
+      diagnostics: Map[String, String])
+
+  final case class Decoded(
+      traces: Seq[TraceRow],
+      channels: Seq[ChannelMetaRow],
+      sweep: SweepMetaRow)
+
+  /** Decode one .sigmf file (all steps of SURVEY §3.1). */
+  def decodeFile(path: String, bytes: Array[Byte], tz: Option[String],
+      decodePayload: Boolean, checkHash: Boolean): Decoded = {
+    val raw = SeamfCodec.unpackTar(bytes)
+    val meta = SeamfMetadata.parse(raw.metaJson, tz)
+    val shaOk = !checkHash || SeamfCodec.checkSha512(meta, raw.compressedPayload)
+    if (checkHash && !shaOk)
+      throw new IllegalStateException(s"sha512 mismatch in $path")
+
+    val traces: Seq[TraceRow] =
+      if (!decodePayload) Nil
+      else {
+        val payload = HalfFloat.decodeVector(
+          SeamfCodec.xzDecompress(raw.compressedPayload))
+        val per = meta.perCaptureLength
+        require(payload.length == per * meta.captures.size,
+          s"payload length ${payload.length} != ${meta.captures.size} captures x $per")
+        meta.captures.zipWithIndex.flatMap { case (cap, ci) =>
+          var off = ci * per
+          meta.perCaptureLayout.map { ti =>
+            val slice = java.util.Arrays.copyOfRange(payload, off, off + ti.length)
+            off += ti.length
+            TraceRow(path, cap.datetimeUs, cap.frequency, ti.table,
+              ti.captureStatistic, ti.detector, ti.axisStart, ti.axisStep, slice)
+          }
+        }
+      }
+
+    val channels = meta.captures.map { c =>
+      ChannelMetaRow(path, c.datetimeUs, c.frequency, c.overload, c.calGainDb,
+        c.calNoiseFigureDb, c.calTemperatureDegC, c.siganReferenceLevelDbm,
+        c.siganAttenuationDb, c.siganPreampEnable, c.iqCaptureDurationMs)
+    }
+    val sweep = SweepMetaRow(path, meta.version, meta.schemaGeneration,
+      meta.sampleRate, meta.numChannels, meta.task, meta.scheduleName,
+      meta.scheduleStartUs, meta.scheduleIntervalSec, meta.timezone, shaOk,
+      meta.captures.size, meta.diagnostics)
+    Decoded(traces, channels, sweep)
+  }
+
+  /** Scan + decode a directory/glob of .sigmf files.
+    *
+    * @param errors "raise" (fail the job on a bad file) or "log" (skip it,
+    *               count it in the `seamf.failed_files` accumulator) —
+    *               reference errors= semantics (ziparchive.py:381-440).
+    * @param decodePayload false = metadata-only fast path (`read_seamf_meta`,
+    *               seamf.py:1073-1103): the XZ payload is never touched.
+    */
+  /** One fused scan -> decode -> project stage. The per-table projection
+    * happens INSIDE the single mapPartitions (no `Dataset[Decoded].flatMap`
+    * chain): a typed flatMap after a typed mapPartitions leaves an
+    * object-to-object ProjectExec in the plan, which crashes Spark's
+    * interpreted UnsafeProjection fallback (ObjectType is codegen-only).
+    */
+  private def decodeAs[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, path: String, tz: Option[String], errors: String,
+      decodePayload: Boolean, checkHash: Boolean)(
+      project: Decoded => IterableOnce[T]): Dataset[T] = {
+    import spark.implicits._
+    val failed: LongAccumulator = spark.sparkContext.longAccumulator("seamf.failed_files")
+    val raise = errors == "raise"
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.sigmf")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          try project(decodeFile(p, bytes, tz, decodePayload, checkHash))
+          catch {
+            case e: Exception if !raise =>
+              failed.add(1)
+              Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Whole-file decode (tests / ad-hoc use). */
+  def decode(spark: SparkSession, path: String, tz: Option[String] = None,
+      errors: String = "log", decodePayload: Boolean = true,
+      checkHash: Boolean = true): Dataset[Decoded] = {
+    import spark.implicits._
+    decodeAs[Decoded](spark, path, tz, errors, decodePayload, checkHash)(Seq(_))
+  }
+
+  def traces(spark: SparkSession, path: String, tz: Option[String] = None,
+      errors: String = "log"): Dataset[TraceRow] = {
+    import spark.implicits._
+    decodeAs[TraceRow](spark, path, tz, errors,
+      decodePayload = true, checkHash = true)(_.traces)
+  }
+
+  def channelMetadata(spark: SparkSession, path: String,
+      tz: Option[String] = None, errors: String = "log"): DataFrame = {
+    import spark.implicits._
+    decodeAs[ChannelMetaRow](spark, path, tz, errors,
+        decodePayload = false, checkHash = true)(_.channels).toDF()
+      .withColumn("datetime", timestamp_micros(col("datetime_us")))
+  }
+
+  /** Metadata-only scan (S3): one row per file, payload never decompressed. */
+  def sweepMetadata(spark: SparkSession, path: String,
+      tz: Option[String] = None, errors: String = "log",
+      checkHash: Boolean = false): DataFrame = {
+    import spark.implicits._
+    decodeAs[SweepMetaRow](spark, path, tz, errors,
+      decodePayload = false, checkHash = checkHash)(d => Seq(d.sweep)).toDF()
+  }
+
+  private def longify(tr: DataFrame, table: String): DataFrame = {
+    val base = tr.filter(col("table") === table)
+      .withColumn("datetime", timestamp_micros(col("datetime_us")))
+    val exploded = base.select(
+      col("file"), col("datetime"), col("frequency"),
+      col("capture_statistic"), col("detector"),
+      posexplode(col("trace")).as(Seq("pos", "value")),
+      col("axis_start"), col("axis_step"))
+      .withColumn("axis", col("axis_start") + col("pos") * col("axis_step"))
+    table match {
+      case "psd" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("capture_statistic"), col("axis").as("baseband_hz"),
+        col("value").as("psd_dbm_per_hz"))
+      case "pvt" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("detector"), col("axis").as("elapsed_s"),
+        col("value").as("power_dbm"))
+      case "pfp" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("capture_statistic"), col("detector"), col("axis").as("frame_s"),
+        col("value").as("power_dbm"))
+      case "apd" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("axis").as("amplitude_dbm"), col("value").as("probability_pct"))
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+  }
+
+  /** The reference's dict-of-tables bundle (`unpack_dataframes`,
+    * seamf.py:159-232) in long format: psd / pvt / pfp / apd +
+    * channel_metadata + sweep_metadata. The trace scan is shared: callers
+    * doing several products should `.persist()` the trace Dataset
+    * (SURVEY S13 shared-scan).
+    */
+  def tables(spark: SparkSession, path: String, tz: Option[String] = None,
+      errors: String = "log"): Map[String, DataFrame] = {
+    val tr = traces(spark, path, tz, errors).toDF()
+    Map(
+      "psd" -> longify(tr, "psd"),
+      "pvt" -> longify(tr, "pvt"),
+      "pfp" -> longify(tr, "pfp"),
+      "apd" -> longify(tr, "apd"),
+      "channel_metadata" -> channelMetadata(spark, path, tz, errors),
+      "sweep_metadata" -> sweepMetadata(spark, path, tz, errors, checkHash = true))
+  }
+}

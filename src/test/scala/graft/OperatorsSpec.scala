@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.{DbMath, TextOps, VectorOps}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AsOfJoin.backward matches a brute-force correlated lookup") {
+    val left = Seq((1L, 100L), (1L, 205L), (1L, 50L), (2L, 100L), (3L, 10L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 200L, 20.0),
+      (2L, 99L, 99.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(got.toSeq === Seq(
+      (1L, 50L, None),          // nothing at or before 50
+      (1L, 100L, Some(10.0)),   // ties are inclusive (rightTs <= leftTs)
+      (1L, 205L, Some(20.0)),
+      (2L, 100L, Some(99.0)),
+      (3L, 10L, None)))         // key with no right rows
+  }
+
+  test("AsOfJoin.nearest picks minimal |delta|, backward wins ties") {
+    val left = Seq((1L, 100L), (1L, 149L), (1L, 151L), (1L, 150L)).toDF("k", "ts")
+    val right = Seq((1L, 100L, 1.0), (1L, 200L, 2.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", "v")
+      .orderBy("ts").select("ts", "v").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((100L, 1.0), (149L, 1.0), (150L, 1.0), (151L, 2.0)))
+  }
+
+  test("topKPerGroup and equalizeGroups") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 20))
+      .toDF("g", "v")
+    val top2 = Windowed.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "v").as[(String, Int)].collect().toSeq
+    assert(top2 === Seq(("a", 2), ("a", 3), ("b", 10), ("b", 20)))
+    // equalize to min group size (2): group a keeps first 2 by v
+    val eq = Windowed.equalizeGroups(df, Seq("g"), Seq(col("v").asc))
+    assert(eq.groupBy("g").count().orderBy("g")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("sessionize splits on inactivity gaps") {
+    val ts = Seq(0L, 10L, 20L, 5000L, 5010L, 99999L).map(_ * 1000000L)
+    val df = ts.map(t => (1L, new java.sql.Timestamp(t / 1000L))).toDF("k", "ts")
+    val s = Windowed.sessionize(df, Seq("k"), "ts", gapSec = 60.0)
+    assert(s.select("session_id").as[Long].collect().toSeq.sorted ===
+      Seq(1L, 1L, 1L, 2L, 2L, 3L))
+  }
+
+  test("trimmedMean equals manual inter-quartile mean") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val tm = RobustStats.trimmedMean(df, Seq("g"), "v")
+      .select("trimmed_mean").as[Double].head()
+    val q25 = 25.75; val q75 = 75.25 // exact interpolated quartiles of 1..100
+    val kept = vals.filter(v => v >= q25 && v <= q75)
+    assert(math.abs(tm - kept.sum / kept.size) < 1e-9)
+  }
+
+  test("dB math round-trips and aggregates in linear space") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("db")
+    val m = df.agg(DbMath.dbMean(col("db"))).as[Double].head()
+    // mean of 10,100,1000 mW = 370 mW -> 25.68 dB
+    assert(math.abs(m - 10.0 * math.log10(370.0)) < 1e-9)
+    val rt = df.select(DbMath.powToDb(DbMath.dbToPow(col("db"))))
+      .as[Double].collect()
+    rt.zip(Seq(10.0, 20.0, 30.0)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val docs = Seq((1L, "Hello  world"), (2L, "hello world "), (3L, "unrelated"))
+      .toDF("id", "text")
+    val groups = Dedup.exactGroups(docs, "id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Seq[Long]]("doc_ids") === Seq(1L, 2L))
+  }
+
+  test("minhash: identical docs collide in all bands; est_jaccard = 1") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q")).toDF("id", "text")
+    val cand = Dedup.minHashCandidates(docs, "id", "text", k = 3,
+      bands = 4, rowsPerBand = 2)
+    val rows = cand.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("id_a") === 1L)
+    assert(rows.head.getAs[Long]("id_b") === 2L)
+    assert(rows.head.getAs[Long]("n_bands") === 4L)
+    assert(rows.head.getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("simhash: identical texts at hamming 0; disjoint texts far apart") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four")).toDF("id", "text")
+    val cand = Dedup.simHashCandidates(docs, "id", "text", maxHamming = 0)
+    val rows = cand.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("jaccardPairs computes exact overlap") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "a b c d x"),   // shingles: abc bcd cdx -> shared 2, union 4
+      (3L, "p q r s t")).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "id", "text", k = 3, minJaccard = 0.1)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("jaccard") === 0.5)
+  }
+
+  test("brute-force knn returns correct neighbors on a toy corpus") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(knn === Seq(1L, 2L))
+  }
+
+  test("TddSync recovers a known circular shift") {
+    val n = 112
+    val tpl = TddSync.defaultTemplates(n).head
+    // build a dB trace that is "on" exactly where template 0 is on, shifted by 7
+    val trace = (0 until n).map { i =>
+      if (tpl((i + n - 7) % n) > 0) 0.0f else -60.0f
+    }.toArray
+    val (shift, _, fmt) = TddSync.correlate(trace, TddSync.defaultTemplates(n))
+    assert(fmt === 0)
+    assert(shift === 7)
+    val aligned = TddSync.roll(trace, shift)
+    // after rolling, the on-region matches the template exactly
+    (0 until n).foreach { i =>
+      assert((aligned(i) > -30) === (tpl(i) > 0))
+    }
+  }
+
+  test("langIdHeuristic picks the dominant marker language") {
+    val df = Seq("the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextOps.langIdHeuristic(col("text"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("en", "de", "und"))
+  }
+
+  test("vector ops: cosine/dot/norm") {
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")),
+      VectorOps.l2Norm(col("a")),
+      VectorOps.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}

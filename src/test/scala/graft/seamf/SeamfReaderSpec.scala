@@ -1,0 +1,83 @@
+package graft.seamf
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SeamfReaderSpec extends SparkSpec {
+  private lazy val shape = SeamfFixtures.Shape()
+  // 8 files, 1 corrupt sha -> 7 good; 3 channels each
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_seamf_test").toString
+    SeamfFixtures.writeArchive(d, nFiles = 8, nChannels = 3, shape)
+    d
+  }
+
+  test("decodes traces with exact half-float values and correct layout") {
+    val tr = SeamfReader.traces(spark, dir).cache()
+    // 7 good files x 3 channels x 11 traces
+    assert(tr.count() === 7L * 3 * 11)
+    val psdMax = tr.filter(col("table") === "psd" &&
+        col("capture_statistic") === "max" && col("frequency") === 3.555e9)
+      .orderBy("datetime_us").head()
+    val trace = psdMax.trace.toSeq
+    assert(trace.size === shape.psdLen)
+    // expected value survives the half round-trip by construction
+    val expect0 = HalfFloat.toFloat(
+      HalfFloat.fromFloat(SeamfFixtures.sampleValue(0, 0, 0)) & 0xffff)
+    assert(trace.head === expect0)
+    val expect17 = HalfFloat.toFloat(
+      HalfFloat.fromFloat(SeamfFixtures.sampleValue(0, 0, 17)) & 0xffff)
+    assert(trace(17) === expect17)
+  }
+
+  test("permissive mode skips the corrupt-sha file; raise mode fails") {
+    val okFiles = SeamfReader.sweepMetadata(spark, dir, checkHash = true)
+      .select("file").distinct().count()
+    assert(okFiles === 7)
+    val ex = intercept[org.apache.spark.SparkException] {
+      SeamfReader.decode(spark, dir, errors = "raise").count()
+    }
+    assert(ex.getMessage.contains("sha512") ||
+      Option(ex.getCause).exists(_.getMessage.contains("sha512")))
+  }
+
+  test("metadata-only scan parses all parseable files without payload decode") {
+    val sm = SeamfReader.sweepMetadata(spark, dir, checkHash = false)
+    assert(sm.count() === 8) // corrupt sha not checked in metadata-only mode
+    val row = sm.orderBy("file").head()
+    assert(row.getAs[String]("version") === "0.6.0")
+    assert(row.getAs[Int]("num_channels") === 3)
+    assert(row.getAs[Long]("schedule_interval_sec") === 90L)
+  }
+
+  test("long tables have the FIXTURES §A.4 schemas and row counts") {
+    val t = SeamfReader.tables(spark, dir)
+    assert(t("psd").columns.toSeq ===
+      Seq("file", "datetime", "frequency", "capture_statistic", "baseband_hz", "psd_dbm_per_hz"))
+    assert(t("pvt").columns.toSeq ===
+      Seq("file", "datetime", "frequency", "detector", "elapsed_s", "power_dbm"))
+    assert(t("pfp").columns.toSeq ===
+      Seq("file", "datetime", "frequency", "capture_statistic", "detector", "frame_s", "power_dbm"))
+    assert(t("apd").columns.toSeq ===
+      Seq("file", "datetime", "frequency", "amplitude_dbm", "probability_pct"))
+    assert(t("psd").count() === 7L * 3 * 2 * shape.psdLen)
+    assert(t("apd").count() === 7L * 3 * shape.apdLen)
+    assert(t("channel_metadata").count() === 7L * 3)
+    assert(t("sweep_metadata").count() === 7)
+    // detector/statistic domains
+    val dets = t("pvt").select("detector").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(dets === Set("peak", "rms"))
+  }
+
+  test("gap detection finds the omitted 90s slot (A9)") {
+    val sm = SeamfReader.sweepMetadata(spark, dir)
+      .withColumn("t0", timestamp_micros(col("schedule_start_us")))
+    val gaps = graft.operators.Windowed.gaps(sm, Seq.empty, "t0", 91.0)
+    // slots: 0,1,2,3,(skip),5,6,7,8 -> exactly one 180 s gap
+    val g = gaps.collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Double]("gap_sec") === 180.0)
+  }
+}
