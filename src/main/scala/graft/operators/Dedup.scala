@@ -68,14 +68,31 @@ object Dedup {
       .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the minimum
-    * xxhash64(seed_i, shingle) over the document's shingle set. Pure column
-    * expressions (transform over the shingle array), no UDF.
+  /** splitmix64 finalizer — deterministic per-index 64-bit constants for the
+    * XOR min-hash family.
     */
-  def minHashSignature(shingleSet: Column, numHashes: Int): Column =
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature from a pre-hashed `array<long>` shingle column: hash
+    * function i is `h XOR c_i` (XOR with a fixed constant is a bijection of
+    * the 64-bit key space, so each is a valid min-wise permutation). The
+    * base xxhash64 of each shingle is computed ONCE; the per-function work
+    * is a single long XOR — 64 signature functions cost 64 array passes of
+    * long ops, not 64 string hashings.
+    */
+  def minHashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))
+      array_min(transform(shingleHashes, h => h.bitwiseXOR(lit(splitmix64(i.toLong)))))
     }: _*)
+
+  /** MinHash signature from a shingle-string set (convenience). */
+  def minHashSignature(shingleSet: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(transform(shingleSet, s => xxhash64(s)), numHashes)
 
   /** MinHash + LSH banding candidate pairs.
     *
@@ -88,21 +105,34 @@ object Dedup {
     * (signature agreement fraction — the unbiased MinHash Jaccard estimate).
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs
+    // Signature via explode + 64 codegen'd MIN aggregates (map-side combine,
+    // one shuffle on doc_id). Spark's higher-order array functions are
+    // interpreted (no codegen), so an array-transform formulation is ~10x
+    // slower; hash-aggregate columns keep the whole pipeline in
+    // WholeStageCodegen. The groupBy exchange is also reused by both sides
+    // of the band self-join (ReuseExchange).
+    val shingleHashes = docs
       .select(col(idCol).as("doc_id"),
-        TextOps.shingleSet(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .drop("sh")
-    val banded = sigs.select(
+        explode(TextOps.shingleSet(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sigs = shingleHashes
+      .groupBy("doc_id")
+      .agg(min(col("h").bitwiseXOR(lit(splitmix64(0L)))).as("m0"),
+        (1 until numHashes).map(i =>
+          min(col("h").bitwiseXOR(lit(splitmix64(i.toLong)))).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = capBuckets(sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
+      "bucket", maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -136,19 +166,48 @@ object Dedup {
     * chunks (any chunk equality -> candidate, guaranteeing recall for
     * Hamming distance <= 3), then verify with exact Hamming distance.
     */
+  /** Skew guard shared by the LSH variants: drop buckets larger than
+    * `maxBucket` members per band. Oversized buckets are non-discriminative
+    * (they pair near-everything with near-everything) and are the quadratic
+    * blowup risk at scale; dropping them trades recall for a hard bound on
+    * join fan-out. One window shuffle on the bucket key.
+    */
+  private def capBuckets(banded: DataFrame, bucketCol: String,
+      maxBucket: Int): DataFrame =
+    banded
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", bucketCol)))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+
   def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hashed = docs
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    // Bit votes via explode + 64 codegen'd SUM aggregates (same rationale as
+    // minHashCandidates: HOF array aggregation is interpreted and ~10x
+    // slower; conditional sums stay in WholeStageCodegen with map-side
+    // combine).
+    val tokenHashes = docs
       .select(col(idCol).as("doc_id"),
-        transform(TextOps.words(col(textCol)), w => xxhash64(w)).as("hs"))
-      .select(col("doc_id"), simHashFromHashes(col("hs")).as("simhash"))
-    val banded = hashed.select(col("doc_id"), col("simhash"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = tokenHashes
+      .groupBy("doc_id")
+      .agg(sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+            .as(s"v$b")): _*)
+    val hashed = votes.select(col("doc_id"),
+      (0 until 64).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("simhash"))
+    val banded = capBuckets(hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("chunk"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
+      "chunk", maxBucket)
     val xorBits = col("a.simhash").bitwiseXOR(col("b.simhash"))
     val hamming = (0 until 64).map { b =>
       when(xorBits.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)
@@ -159,7 +218,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

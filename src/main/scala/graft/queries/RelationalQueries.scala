@@ -437,26 +437,35 @@ object RelationalQueries {
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
 
     // ---- F1/A4: dB-space aggregation (envelope discipline) -------------
-    // Hourly mean of events.value done in linear envelope space
-    // (10^(v/20)), summed exactly in decimal, back to dB.
+    // Hourly mean of events.value in linear envelope space (10^(v/20)),
+    // back to dB. Uses the log-sum-exp shift — subtract the group max before
+    // exponentiating — so the linear terms are <= 1: numerically stable at
+    // any dB range AND exactly summable in decimal (order-independent).
     "q21_db_power_agg" -> QueryDef(
       (s, dir) => {
+        val w = Window.partitionBy("hour_bin")
         t(s, dir, "events")
           .withColumn("hour_bin", floor(unix_micros(col("ts")) / 3600000000L))
-          .withColumn("lin", pow(lit(10.0), col("value") / 20.0)
-            .cast(DecimalType(38, 10)))
+          .withColumn("vmax", max(col("value")).over(w))
+          .withColumn("lin", pow(lit(10.0), (col("value") - col("vmax")) / 20.0)
+            .cast(DecimalType(38, 18)))
           .groupBy("hour_bin")
           .agg(count(lit(1)).as("n"),
-            round(lit(20.0) * log10(sum(col("lin")).cast("double") /
-              count(lit(1))), 6).as("db_mean"))
+            round(max(col("vmax")) + lit(20.0) *
+              log10(sum(col("lin")).cast("double") / count(lit(1))), 6)
+              .as("db_mean"))
           .orderBy("hour_bin")
       },
-      Some(s"""$EvCte SELECT
-        CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bin,
-        COUNT(*) AS n,
-        ROUND(20.0 * LOG10(CAST(SUM(CAST(POW(10.0, value/20.0) AS DECIMAL(38,10)))
-          AS DOUBLE) / COUNT(*)), 6) AS db_mean
-        FROM ev GROUP BY 1 ORDER BY 1""")),
+      Some(s"""$EvCte, b AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bin,
+          value, MAX(value) OVER (PARTITION BY
+            CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)) AS vmax
+        FROM ev)
+        SELECT hour_bin, COUNT(*) AS n,
+          ROUND(MAX(vmax) + 20.0 * LOG10(
+            CAST(SUM(CAST(POW(10.0, (value - vmax)/20.0) AS DECIMAL(38,18)))
+              AS DOUBLE) / COUNT(*)), 6) AS db_mean
+        FROM b GROUP BY 1 ORDER BY 1""")),
 
     // ---- A4: downsample-by-factor --------------------------------------
     "q22_downsample" -> QueryDef(
