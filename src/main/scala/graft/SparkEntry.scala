@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, QueryDef, RelationalQueries, SeamfQueries}
+import graft.queries.{LlmQueries, MultimodalQueries, QueryDef, RelationalQueries, SeamfQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{LlmQueries, QueryDef, RelationalQueries, SeamfQueries}
 object SparkEntry {
 
   private def allDefs: ListMap[String, QueryDef] =
-    RelationalQueries.defs ++ LlmQueries.defs ++ SeamfQueries.defs
+    RelationalQueries.defs ++ LlmQueries.defs ++ SeamfQueries.defs ++
+      StreamQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

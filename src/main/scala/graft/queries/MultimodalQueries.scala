@@ -1,0 +1,65 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+/** Multimodal-column inventory: binary payload plumbing + batched
+  * decode/feature-extraction (stub kernels — see
+  * [[graft.operators.Multimodal]]). m01's byte accounting is SQL-expressible
+  * (UTF-8 octet length), so the binary plumbing gets a real oracle; the
+  * feature pipeline itself is rows-only.
+  */
+object MultimodalQueries {
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- binary columns + typed metadata, oracle on byte accounting ----
+    "m01_media_inventory" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir)
+        Multimodal.extractFeatures(media).toDF()
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_bytes")).as("total_bytes"),
+            max(col("n_bytes")).as("max_bytes"))
+          .orderBy("format")
+      },
+      Some("""SELECT
+        CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+             WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+        COUNT(*) AS n_media,
+        SUM(octet_length(encode(text))) AS total_bytes,
+        MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- batched feature extraction + ANN over media features ----------
+    "m02_media_knn" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir)
+        val feats = Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+        Similarity.bruteForceTopK(feats,
+            feats.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- frame sampling (video-shaped payloads) ------------------------
+    "m03_frame_sample" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir)
+        Multimodal.sampleFrames(media, stride = 4).toDF()
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames_sampled"),
+            sum(length(col("frame_bytes"))).as("sampled_bytes"))
+          .orderBy("media_id")
+          .limit(100)
+      },
+      None)
+  )
+}

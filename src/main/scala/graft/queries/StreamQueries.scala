@@ -1,0 +1,86 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured Streaming inventory (SURVEY.md §2.8): each query drives the
+  * events fixture through a real streaming query (file source -> watermarked
+  * stateful operator -> memory sink, run to completion) and exposes the
+  * materialized result. The tumbling/session/gap operators are
+  * SQL-expressible over the finished input, so the DuckDB oracle checks
+  * STREAMING results against a BATCH oracle — end-of-stream parity.
+  */
+object StreamQueries {
+  private val EvCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, " +
+      "event_type, value, props FROM events)"
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- watermarked tumbling window aggregation -----------------------
+    "w01_stream_tumbling" -> QueryDef(
+      (s, dir) => {
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.tumblingCounts(StreamingOps.eventsStream(s, dir)),
+          "w01_mem", outputMode = "complete")
+        streamed.select(
+            unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_us", "event_type")
+      },
+      Some(s"""$EvCte SELECT
+        CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+          AS window_start_us,
+        event_type, COUNT(*) AS n
+        FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- session windows (gap-based) -----------------------------------
+    "w02_stream_sessions" -> QueryDef(
+      (s, dir) => {
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.sessionWindows(StreamingOps.eventsStream(s, dir),
+            gap = "1 hour"),
+          "w02_mem", outputMode = "complete")
+        streamed.select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(s"""$EvCte, l AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+            THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        st AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id
+          ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+        SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+          COUNT(*) AS n_events
+        FROM st GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us""")),
+
+    // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
+    "w03_stream_gaps" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.streamingGaps(
+            StreamingOps.eventsStream(s, dir), 1800.0).toDF(),
+          "w03_mem")
+        streamed.select(col("user_id"), col("prev_ts_us"), col("ts_us"),
+            col("gap_sec"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(s"""$EvCte, l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+            AS prev_ts_us
+        FROM ev)
+        SELECT user_id, prev_ts_us, ts_us,
+          CAST(ts_us - prev_ts_us AS DOUBLE)/1e6 AS gap_sec
+        FROM l WHERE prev_ts_us IS NOT NULL
+          AND CAST(ts_us - prev_ts_us AS DOUBLE)/1e6 > 1800.0
+        ORDER BY user_id, ts_us"""))
+  )
+}

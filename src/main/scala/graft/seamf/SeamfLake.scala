@@ -1,0 +1,88 @@
+package graft.seamf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Lakehouse layout for decoded seamf products (SURVEY.md §7 step 3).
+  *
+  * Replaces the reference's calendar-block export
+  * (`repartition(freq='1MS'/'1W').map_partitions(write_*)`,
+  * demos/dask_processing.ipynb cell 8) and its divisions-based time pruning
+  * with date-partitioned zstd parquet: `date=YYYY-MM-DD/` directories give
+  * partition pruning for time-range queries (the Spark analog of Dask
+  * divisions), and zstd matches the reference's feather/pickle compression.
+  *
+  * Scale notes: `partitionBy(date)` + `sortWithinPartitions(datetime)` keeps
+  * row groups time-clustered so min/max stats prune within a day too. The
+  * multi-sink writer persists the decoded trace scan once and fans out all
+  * products (SURVEY S13 shared-scan: `dask.compute(dict_of_save_ops)`).
+  */
+object SeamfLake {
+
+  /** Write one long table date-partitioned. */
+  def writeDatePartitioned(df: DataFrame, outDir: String, table: String): Unit =
+    df.withColumn("date", to_date(col("datetime")))
+      .sortWithinPartitions("datetime")
+      .write
+      .mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("date")
+      .parquet(s"$outDir/$table")
+
+  /** Decode a landing dir ONCE and write every data product + metadata
+    * table (shared-scan multi-sink). Returns row counts per table.
+    */
+  def exportAll(spark: SparkSession, landingDir: String, outDir: String,
+      tz: Option[String] = None): Map[String, Long] = {
+    val traces = SeamfReader.traces(spark, landingDir, tz).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = Map(
+        "psd" -> traces, "pvt" -> traces, "pfp" -> traces, "apd" -> traces)
+      val longified = tables.map { case (name, _) =>
+        name -> longifyFromTraces(traces, name)
+      }
+      val counts = longified.map { case (name, df) =>
+        writeDatePartitioned(df, outDir, name)
+        name -> spark.read.parquet(s"$outDir/$name").count()
+      }
+      val cm = SeamfReader.channelMetadata(spark, landingDir, tz)
+      writeDatePartitioned(cm, outDir, "channel_metadata")
+      val sm = SeamfReader.sweepMetadata(spark, landingDir, tz, checkHash = true)
+        .withColumn("datetime", timestamp_micros(col("schedule_start_us")))
+      writeDatePartitioned(sm, outDir, "sweep_metadata")
+      counts ++ Map(
+        "channel_metadata" -> spark.read.parquet(s"$outDir/channel_metadata").count(),
+        "sweep_metadata" -> spark.read.parquet(s"$outDir/sweep_metadata").count())
+    } finally {
+      traces.unpersist()
+    }
+  }
+
+  // Same long-format projection as SeamfReader.tables, but over an already
+  // materialized trace DataFrame (so the scan is shared across sinks).
+  private def longifyFromTraces(tr: DataFrame, table: String): DataFrame = {
+    val base = tr.filter(col("table") === table)
+      .withColumn("datetime", timestamp_micros(col("datetime_us")))
+    val exploded = base.select(
+      col("file"), col("datetime"), col("frequency"),
+      col("capture_statistic"), col("detector"),
+      posexplode(col("trace")).as(Seq("pos", "value")),
+      col("axis_start"), col("axis_step"))
+      .withColumn("axis", col("axis_start") + col("pos") * col("axis_step"))
+    table match {
+      case "psd" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("capture_statistic"), col("axis").as("baseband_hz"),
+        col("value").as("psd_dbm_per_hz"))
+      case "pvt" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("detector"), col("axis").as("elapsed_s"), col("value").as("power_dbm"))
+      case "pfp" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("capture_statistic"), col("detector"), col("axis").as("frame_s"),
+        col("value").as("power_dbm"))
+      case "apd" => exploded.select(col("file"), col("datetime"), col("frequency"),
+        col("axis").as("amplitude_dbm"), col("value").as("probability_pct"))
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * The reference is batch-only, but its workload is streaming-shaped: files
+  * arrive on a 90 s schedule, tables are append-only and time-ordered, and
+  * the demos compute time-windowed aggregates. This module expresses those
+  * capabilities incrementally: watermarked tumbling/sliding/session windows,
+  * within-watermark dedup, and a custom stateful gap/session operator
+  * (`flatMapGroupsWithState`) mirroring the batch gap detector (A9).
+  *
+  * Scale notes: all operators are keyed-state streaming aggregations — state
+  * is partitioned by (key, window) and bounded by the watermark horizon;
+  * nothing accumulates unboundedly. File-source ingest scales by listing
+  * increments, the natural replacement for the reference's Dask
+  * partition-per-N-files scheme.
+  */
+object StreamingOps {
+
+  /** Streaming view of an events-shaped parquet directory. `tsNanos` handles
+    * the TIMESTAMP(NANOS) fixture encoding (see graft.Tables).
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      globFilter: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermarked sliding-window aggregate. */
+  def slidingMeans(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("mean_value"))
+
+  /** Built-in session windows (gap-based) per user. */
+  def sessionWindows(events: DataFrame, gap: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"))
+
+  /** Exactly-once-style dedup on event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class GapEvent(user_id: Long, ts_us: Long)
+  final case class GapReport(user_id: Long, prev_ts_us: Long, ts_us: Long,
+      gap_sec: Double)
+  final case class GapState(lastTsUs: Long)
+
+  /** Custom stateful operator: emit a report for every inter-event gap above
+    * `thresholdSec` per user — the streaming formulation of the batch gap
+    * detector (A9, reference colormap_plots.ipynb cell 12). State is one
+    * timestamp per key.
+    */
+  def streamingGaps(events: DataFrame, thresholdSec: Double)(
+      implicit spark: SparkSession): Dataset[GapReport] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[GapEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)((user: Long, rows: Iterator[GapEvent],
+          state: GroupState[GapState]) => {
+        val sorted = rows.toSeq.sortBy(_.ts_us)
+        var last = state.getOption.map(_.lastTsUs)
+        val out = Seq.newBuilder[GapReport]
+        sorted.foreach { e =>
+          last.foreach { l =>
+            val gap = (e.ts_us - l) / 1e6
+            if (gap > thresholdSec) out += GapReport(user, l, e.ts_us, gap)
+          }
+          last = Some(e.ts_us)
+        }
+        last.foreach(l => state.update(GapState(l)))
+        out.result().iterator
+      })
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (test/demo harness: a batch of files
+    * drives the stream synchronously).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
