@@ -485,6 +485,35 @@ object RelationalQueries {
           AS avg_price
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ---- A5: group-size equalization (the reference `limiter`) ---------
+    // Take the first-N rows of every group where N = the smallest group's
+    // size (colormap_plots.ipynb cell 2), N computed distributed and
+    // broadcast — no driver collect.
+    "q36_equalize_groups" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        Windowed.equalizeGroups(li, Seq("l_returnflag"),
+            Seq(col("l_orderkey").asc, col("l_linenumber").asc))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_kept"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            max(col("l_orderkey")).as("max_orderkey"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH lim AS (
+          SELECT MIN(cnt) AS lim FROM (
+            SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag)),
+        ranked AS (
+          SELECT l_returnflag, l_quantity, l_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_orderkey, l_linenumber) AS rn
+          FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n_kept,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          MAX(l_orderkey) AS max_orderkey
+        FROM ranked, lim WHERE rn <= lim
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- F7-ish: JSON extraction ---------------------------------------
     "q34_json_extract" -> QueryDef(
       (s, dir) => {

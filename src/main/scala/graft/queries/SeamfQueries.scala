@@ -139,6 +139,67 @@ object SeamfQueries {
           .orderBy("frequency", "datetime_us")
       }, None),
 
+    // ---- A7: declared vs recomputed channel-power parity ---------------
+    // The metadata carries per-channel summary powers
+    // (ntia-nasctn-sea:max_of_max_channel_powers); recompute them from the
+    // decoded PSD traces and compare — the reference-recommended integrity
+    // check (SURVEY A7).
+    "s10_seamf_power_parity" -> QueryDef(
+      (s, _) => {
+        val recomputed = SeamfReader.traces(s, fixture()).toDF()
+          .filter(col("table") === "psd" && col("capture_statistic") === "max")
+          .select(col("file"), col("frequency"),
+            array_max(col("trace")).cast("double").as("recomputed_max"))
+        val chanIdx = org.apache.spark.sql.expressions.Window
+          .partitionBy("file").orderBy("frequency")
+        val withIdx = recomputed
+          .withColumn("channel", row_number().over(chanIdx) - 1)
+        val declared = SeamfReader.sweepMetadata(s, fixture())
+          .select(col("file"),
+            posexplode(col("max_of_max_channel_powers"))
+              .as(Seq("channel", "declared_max")))
+        withIdx.join(declared, Seq("file", "channel"))
+          .withColumn("matches",
+            abs(col("recomputed_max") - col("declared_max")) < 0.01)
+          .select(
+            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
+            col("channel"), col("declared_max"), col("recomputed_max"),
+            col("matches"))
+          .orderBy("name", "channel")
+      }, None),
+
+    // ---- P4/J3: cell-wise boolean mask via broadcast mask join ---------
+    // Per-timestamp frame format selects one of 2 mask templates; the mask
+    // NaNs-out non-downlink samples before aggregating (reference
+    // 3gpp_detect_and_sync.ipynb cell 11).
+    "s11_seamf_masked_agg" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val pfp = SeamfReader.traces(s, fixture())
+          .filter(t => t.table == "pfp" && t.detector == "mean" &&
+            t.capture_statistic == "mean")
+          .toDF()
+        val n = 112 // fixture pfp trace length
+        val masks = TddSync.defaultTemplates(n).zipWithIndex
+          .map { case (m, i) => (i, m.map(_.toFloat).toSeq) }
+          .toDF("frame_format", "mask")
+        // frame format per trace from the sync operator, then mask join
+        val synced = TddSync.syncTraces(pfp, "trace")
+        synced.join(broadcast(masks), Seq("frame_format"))
+          .withColumn("masked_db_mean",
+            round(lit(10.0) * log10(
+              aggregate(
+                zip_with(col("aligned"), col("mask"),
+                  (x, m) => pow(lit(10.0), x / 10.0) * m),
+                lit(0.0), (acc, x) => acc + x) /
+                aggregate(col("mask"), lit(0.0), (acc, m) => acc + m)), 6))
+          .groupBy("frequency", "frame_format")
+          .agg(count(lit(1)).as("n"),
+            min(col("masked_db_mean")).as("min_masked_db"),
+            max(col("masked_db_mean")).as("max_masked_db"))
+          .orderBy("frequency", "frame_format")
+      }, None),
+
     // ---- W4: TDD frame correlation / alignment -------------------------
     "s09_seamf_tdd_sync" -> QueryDef(
       (s, _) => {

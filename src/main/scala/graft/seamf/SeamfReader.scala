@@ -64,6 +64,8 @@ object SeamfReader {
       timezone: Option[String],
       sha512_ok: Boolean,
       n_captures: Int,
+      max_of_max_channel_powers: Seq[Double],
+      median_of_mean_channel_powers: Seq[Double],
       diagnostics: Map[String, String])
 
   final case class Decoded(
@@ -107,7 +109,8 @@ object SeamfReader {
     val sweep = SweepMetaRow(path, meta.version, meta.schemaGeneration,
       meta.sampleRate, meta.numChannels, meta.task, meta.scheduleName,
       meta.scheduleStartUs, meta.scheduleIntervalSec, meta.timezone, shaOk,
-      meta.captures.size, meta.diagnostics)
+      meta.captures.size, meta.maxOfMaxChannelPowers,
+      meta.medianOfMeanChannelPowers, meta.diagnostics)
     Decoded(traces, channels, sweep)
   }
 

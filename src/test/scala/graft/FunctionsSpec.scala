@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Aggregators, TimeOps}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QuantileAgg matches Spark's exact percentile") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ds = vals.toDS()
+    val med = ds.select(Aggregators.QuantileAgg(0.5).toColumn).head()
+    val ref = ds.toDF("v").agg(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    assert(med === ref)
+  }
+
+  test("TrimmedMeanAgg matches the two-pass operator") {
+    val vals = (1 to 100).map(_.toDouble)
+    val ds = vals.toDS()
+    val tm = ds.select(Aggregators.TrimmedMeanAgg(0.25, 0.75).toColumn).head()
+    val kept = vals.filter(v => v >= 25.75 && v <= 75.25)
+    assert(math.abs(tm - kept.sum / kept.size) < 1e-9)
+  }
+
+  test("interpolate matches numpy linear quantile convention") {
+    val a = Array(1.0, 2.0, 3.0, 4.0)
+    assert(Aggregators.interpolate(a, 0.5) === 2.5)
+    assert(Aggregators.interpolate(a, 0.0) === 1.0)
+    assert(Aggregators.interpolate(a, 1.0) === 4.0)
+    assert(Aggregators.interpolate(a, 0.25) === 1.75)
+  }
+
+  test("localizeTimestamps shifts wall-clock by the zone offset") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+      .toDF("ts").withColumn("name", lit("x"))
+    val local = TimeOps.localizeTimestamps(df, "America/Denver")
+    val got = local.select(date_format(col("ts"), "HH:mm")).head().getString(0)
+    assert(got === "06:00") // UTC-6 in June (MDT)
+    assert(local.columns.toSeq === Seq("ts", "name"))
+  }
+
+  test("timezoneFromLongitude column matches the scalar banding") {
+    val got = Seq(-120.0, -105.0, -90.0, -75.0, 2.35).toDF("lng")
+      .select(TimeOps.timezoneFromLongitude(col("lng"))).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(got === Seq(Some("America/Los_Angeles"), Some("America/Denver"),
+      Some("America/Chicago"), Some("America/New_York"), None))
+  }
+
+  test("calendarBlock labels for export partitioning") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-06-05 12:00:00")).toDF("ts")
+    assert(df.select(TimeOps.calendarBlock(col("ts"), "month")).head().getString(0)
+      === "2024-06")
+    assert(df.select(TimeOps.calendarBlock(col("ts"), "day")).head().getString(0)
+      === "2024-06-05")
+    assert(df.select(TimeOps.calendarBlock(col("ts"), "week")).head().getString(0)
+      .startsWith("2024-W"))
+  }
+}
