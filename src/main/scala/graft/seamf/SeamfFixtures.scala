@@ -128,6 +128,60 @@ object SeamfFixtures {
     }.toArray
   }
 
+  /** Legacy-generation (v1-v3) metadata: ntia-sensor extension version, no
+    * geolocation (tz must be passed explicitly at read time — ValueError
+    * parity), no declared data products (fixed TRACE_INFO layout).
+    */
+  def buildLegacyMetaJson(gen: Int, fileIdx: Int, t0Us: Long, nChannels: Int,
+      sha512: String): String = {
+    val root = mapper.createObjectNode()
+    val g = root.putObject("global")
+    g.put("core:version", "0.0.2")
+    g.put("core:datatype", "rf16_le")
+    g.put("core:sample_rate", 14e6)
+    g.put("core:num_channels", nChannels)
+    g.put("core:sha512", sha512)
+    val ext = g.putArray("core:extensions")
+    val e1 = ext.addObject()
+    e1.put("name", "ntia-sensor"); e1.put("version", s"0.$gen.0")
+    g.put("ntia-scos:task", 5000L + fileIdx)
+    val caps = root.putArray("captures")
+    (0 until nChannels).foreach { c =>
+      val cap = caps.addObject()
+      cap.put("core:frequency", 3.555e9 + c * 1e7)
+      cap.put("core:datetime", isoOf(t0Us + c * 1000000L))
+      cap.put("core:sample_start", 0L)
+    }
+    root.putArray("annotations")
+    mapper.writeValueAsString(root)
+  }
+
+  /** Legacy payload: fixed TRACE_INFO lengths (625/400/560 + 2x151 APD for
+    * gen >= 2), per-capture contiguous.
+    */
+  def buildLegacyPayload(gen: Int, nChannels: Int): Array[Float] = {
+    val traceLens = SeamfMetadata.fixedLegacyLayout(gen).map(_.length)
+    (0 until nChannels).flatMap { c =>
+      traceLens.zipWithIndex.flatMap { case (len, ti) =>
+        (0 until len).map(s => sampleValue(c, ti, s))
+      }
+    }.toArray
+  }
+
+  /** Write one legacy-generation sweep file. */
+  def writeLegacySweep(dir: Path, gen: Int, fileIdx: Int, t0Us: Long,
+      nChannels: Int = 2): Path = {
+    val payload = HalfFloat.encodeVector(buildLegacyPayload(gen, nChannels))
+    val compressed = SeamfCodec.xzCompress(payload)
+    val meta = buildLegacyMetaJson(gen, fileIdx, t0Us, nChannels,
+      SeamfCodec.sha512Hex(compressed))
+    val name = f"legacy_v${gen}_sweep_$fileIdx%05d"
+    val tar = SeamfCodec.packTar(name, meta, compressed)
+    val out = dir.resolve(s"$name.sigmf")
+    Files.write(out, tar)
+    out
+  }
+
   /** Write one .sigmf sweep file; returns its path.
     * @param corruptSha poison the declared sha512 (error-mode fixtures).
     */

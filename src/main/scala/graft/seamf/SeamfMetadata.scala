@@ -163,7 +163,10 @@ object SeamfMetadata {
   }
 
   /** Fixed pre-v4 per-capture layout (TRACE_INFO, seamf.py:240-265,367-392):
-    * 2x625 PSD + 2x400 PVT + 6x560 PFP (+151 APD for gen >= 2).
+    * 2x625 PSD + 2x400 PVT + 6x560 PFP; generations 2-3 add the APD as TWO
+    * concatenated traces — probability percentiles then amplitudes
+    * (seamf.py:541-570) — which the reader zips into the tabular APD form
+    * (generation 1 has no APD).
     */
   def fixedLegacyLayout(gen: Int): Seq[TraceInfo] = {
     val psd = Seq("max", "mean").map(st =>
@@ -174,7 +177,11 @@ object SeamfMetadata {
       det <- Seq("mean", "max")
       st <- Seq("min", "max", "mean")
     } yield TraceInfo("pfp", st, det, 560, 0.0, 1.7857e-5)
-    val apd = if (gen >= 2) Seq(TraceInfo("apd", "", "", 151, -180.0, 1.0)) else Nil
+    val apd =
+      if (gen >= 2)
+        Seq(TraceInfo("apd_prob", "", "", 151, 0.0, 1.0),
+          TraceInfo("apd_amp", "", "", 151, -180.0, 1.0))
+      else Nil
     psd ++ pvt ++ pfp ++ apd
   }
 

@@ -209,11 +209,34 @@ object SeamfReader {
     }
   }
 
+  /** Legacy (v2/v3) APD: probability-percentile and amplitude traces zipped
+    * positionally into the tabular (amplitude, probability) long form
+    * (seamf.py:541-570). One equi-join on the capture key, arrays zipped
+    * cell-wise — no shuffle beyond the join.
+    */
+  private def legacyApd(tr: DataFrame): DataFrame = {
+    val prob = tr.filter(col("table") === "apd_prob")
+      .select(col("file"), col("datetime_us"), col("frequency"),
+        col("trace").as("prob_trace"))
+    val amp = tr.filter(col("table") === "apd_amp")
+      .select(col("file"), col("datetime_us"), col("frequency"),
+        col("trace").as("amp_trace"))
+    prob.join(amp, Seq("file", "datetime_us", "frequency"))
+      .withColumn("datetime", timestamp_micros(col("datetime_us")))
+      .select(col("file"), col("datetime"), col("frequency"),
+        posexplode(zip_with(col("amp_trace"), col("prob_trace"),
+          (a, p) => struct(a.as("amp"), p.as("prob")))).as(Seq("pos", "cell")))
+      .select(col("file"), col("datetime"), col("frequency"),
+        col("cell.amp").cast("double").as("amplitude_dbm"),
+        col("cell.prob").as("probability_pct"))
+  }
+
   /** The reference's dict-of-tables bundle (`unpack_dataframes`,
     * seamf.py:159-232) in long format: psd / pvt / pfp / apd +
     * channel_metadata + sweep_metadata. The trace scan is shared: callers
     * doing several products should `.persist()` the trace Dataset
-    * (SURVEY S13 shared-scan).
+    * (SURVEY S13 shared-scan). The apd table unions the v4+ axis-based form
+    * with the v2/v3 zipped two-trace form.
     */
   def tables(spark: SparkSession, path: String, tz: Option[String] = None,
       errors: String = "log"): Map[String, DataFrame] = {
@@ -222,7 +245,7 @@ object SeamfReader {
       "psd" -> longify(tr, "psd"),
       "pvt" -> longify(tr, "pvt"),
       "pfp" -> longify(tr, "pfp"),
-      "apd" -> longify(tr, "apd"),
+      "apd" -> longify(tr, "apd").unionByName(legacyApd(tr)),
       "channel_metadata" -> channelMetadata(spark, path, tz, errors),
       "sweep_metadata" -> sweepMetadata(spark, path, tz, errors, checkHash = true))
   }

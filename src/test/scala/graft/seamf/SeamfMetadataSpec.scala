@@ -73,7 +73,9 @@ class SeamfMetadataSpec extends AnyFunSuite {
     // legacy layout is the fixed TRACE_INFO table
     assert(ok.perCaptureLayout.count(_.table === "psd") === 2)
     assert(ok.perCaptureLayout.count(_.table === "pfp") === 6)
-    assert(ok.perCaptureLayout.exists(t => t.table === "apd" && t.length === 151))
+    // v2/v3 APD: probability + amplitude trace pair (seamf.py:541-570)
+    assert(ok.perCaptureLayout.exists(t => t.table === "apd_prob" && t.length === 151))
+    assert(ok.perCaptureLayout.exists(t => t.table === "apd_amp" && t.length === 151))
   }
 
   test("v5 JSON type-tag patch injects msgspec tags") {
