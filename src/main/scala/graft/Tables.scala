@@ -36,6 +36,24 @@ object Tables {
     }
   }
 
+  /** Time-sliced events scan with the range predicate expressed against the
+    * RAW nanosecond long — so it reaches the parquet scan as a pushed filter
+    * (row-group min/max pruning). Filtering the post-conversion timestamp
+    * column would evaluate above the scan and read every row group; at
+    * 100 TB the difference is the whole game (this is the engine analog of
+    * the reference's divisions-based `.loc` pruning, SURVEY §3.3).
+    */
+  def eventsTimeSlice(spark: SparkSession, dir: String,
+      startIsoUtc: String, endIsoUtc: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L +
+        java.time.Instant.parse(iso).getNano
+    spark.read.parquet(path(dir, "events"))
+      .filter(col("ts") >= ns(startIsoUtc) && col("ts") < ns(endIsoUtc))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Register every fixture table as a temp view for spark.sql queries. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

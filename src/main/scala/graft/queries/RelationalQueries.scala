@@ -63,10 +63,9 @@ object RelationalQueries {
     // ---- P1/P2/P3/P5: filter + projection + time-range slice -----------
     "q02_filter_project" -> QueryDef(
       (s, dir) => {
-        t(s, dir, "events")
-          .filter(col("event_type").isin("click", "view") &&
-            col("ts") >= lit("2024-01-02 00:00:00") &&
-            col("ts") < lit("2024-01-05 00:00:00"))
+        Tables.eventsTimeSlice(s, dir,
+            "2024-01-02T00:00:00Z", "2024-01-05T00:00:00Z")
+          .filter(col("event_type").isin("click", "view"))
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"))
           .orderBy("event_id")

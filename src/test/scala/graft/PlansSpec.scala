@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Physical-plan assertions: the scale properties the engine promises
+  * (pushdown, pruning, broadcast, partial aggregation) must be visible in
+  * the executed plan, not just hoped for.
+  */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    assert(plan("q01_pricing_summary").contains("partial_sum"))
+  }
+
+  test("q02: the time-range predicate reaches the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(ts") || p.contains("ts#")))
+    // raw-ns pushdown: the scan-level filter must mention the ns literal
+    assert(p.contains("1704153600000000000")) // 2024-01-02T00:00:00Z in ns
+  }
+
+  test("q03: dimension joins broadcast") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q04/q05: semi and anti joins plan as such") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q31: query side of the knn join broadcasts") {
+    assert(plan("q31_knn_cosine").contains("BroadcastNestedLoopJoin") ||
+      plan("q31_knn_cosine").contains("BroadcastHashJoin"))
+  }
+
+  test("salted join equals plain join and spreads hot keys") {
+    val hot = (1 to 1000).map(i => (1L, s"row$i")) ++ Seq((2L, "cold"))
+    val large = hot.toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "dim")
+    val plainCount = large.join(small, Seq("k")).count()
+    val salted = SkewJoin.saltedEquiJoin(large, small, Seq("k"), nSalts = 8)
+    assert(salted.count() === plainCount)
+    assert(salted.columns.toSeq.sorted === Seq("dim", "k", "payload"))
+  }
+}
