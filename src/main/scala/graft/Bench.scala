@@ -40,7 +40,33 @@ object Bench {
     // JVM/codegen warmup on the flagship query (not reported)
     runOnce("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    // seamf ingest throughput at reference shape (BASELINE.md: 200-sweep
+    // archive, 17 channels x (2x625 PSD + 2x400 PVT + 6x560 PFP + 151 APD)
+    // float16 traces, XZ): full decode to trace rows, files/s reported as
+    // seconds for the 200-file archive (reference: 2.471 s eager,
+    // 6.243 s dask first-partition).
+    val ingest = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_archive")
+      val marker = dir.resolve(".complete")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(dir)
+        val shape = graft.seamf.SeamfFixtures.Shape(625, 400, 560, 151)
+        val t0 = graft.seamf.SeamfMetadata.isoToMicros("2023-09-25T00:00:00Z")
+        (0 until 200).foreach { i =>
+          graft.seamf.SeamfFixtures.writeSweep(dir, i,
+            t0 + i * 90L * 1000000L, nChannels = 17, shape = shape)
+        }
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      val t0 = System.nanoTime()
+      graft.seamf.SeamfReader.traces(spark, dir.toString)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) :+
+      ("seamf_ingest_200_sweeps" -> ingest)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

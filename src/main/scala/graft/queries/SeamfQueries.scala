@@ -200,6 +200,16 @@ object SeamfQueries {
           .orderBy("frequency", "frame_format")
       }, None),
 
+    // ---- A9: coverage statistics vs the 90 s schedule cadence ----------
+    "s12_seamf_coverage" -> QueryDef(
+      (s, _) => {
+        val sm = SeamfReader.sweepMetadata(s, fixture())
+          .withColumn("t0", timestamp_micros(col("schedule_start_us")))
+          .withColumn("all", lit(1))
+        Windowed.coverage(sm, Seq("all"), "t0", cadenceSec = 90.0)
+          .select(col("n_obs"), col("ideal"), col("coverage_pct"))
+      }, None),
+
     // ---- W4: TDD frame correlation / alignment -------------------------
     "s09_seamf_tdd_sync" -> QueryDef(
       (s, _) => {
