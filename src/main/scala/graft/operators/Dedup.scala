@@ -208,10 +208,8 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
       "chunk", maxBucket)
-    val xorBits = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    val hamming = (0 until 64).map { b =>
-      when(xorBits.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)
-    }.reduce(_ + _)
+    // popcount of the XOR — bit_count is a codegen'd Catalyst builtin
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
