@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's private[sql] Column <-> Expression converters, for
+  * exposing custom Catalyst expressions as Columns (the classic pattern for
+  * Spark extension libraries since the Column/ColumnNode refactor).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
