@@ -39,6 +39,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF-style approximate top-k: the corpus is partitioned into `nCells`
+    * Voronoi cells around pseudo-centroids (a deterministic hash-sample of
+    * corpus vectors — at 100 TB a real k-means fit would run as a periodic
+    * batch job, but cell assignment/probing is identical); queries probe the
+    * `nProbe` nearest cells and re-rank exactly within them.
+    *
+    * Plan shape: centroids are a tiny broadcast; corpus assignment is one
+    * map-side argmin per row (no shuffle); the probe join shuffles only on
+    * cell id. Comparisons drop by ~nCells/nProbe vs brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // deterministic pseudo-centroids: the nCells corpus vectors with the
+    // smallest xxhash64(id) — stable, data-dependent, skew-free
+    val centroids = corpus
+      .select(col(idCol).as("cent_src"), col(vecCol).as("cent_vec"))
+      .withColumn("__h", xxhash64(col("cent_src")))
+      .orderBy("__h").limit(nCells)
+      .withColumn("cell", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1)
+      .select("cell", "cent_vec")
+
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(centroids))
+        .withColumn("__sim", VectorOps.cosine(col(vec), col("cent_vec")))
+      Windowed.topKPerGroup(scored, Seq(id),
+          Seq(col("__sim").desc, col("cell").asc), n)
+        .select(col(id), col(vec), col("cell"))
+    }
+
+    val corpusCells = assign(corpus, "neighbor_id", "cv", 1)
+    val queryCells = assign(queries, "query_id", "qv", nProbe)
+    val cand = corpusCells.join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+    Windowed.topKPerGroup(cand, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k cosine neighbors.
     * `nTables` independent hash tables of `nBits` hyperplane bits each;
     * candidates = same bucket in any table; exact cosine re-rank of the

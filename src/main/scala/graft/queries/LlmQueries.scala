@@ -238,6 +238,17 @@ object LlmQueries {
       },
       None),
 
+    // ---- IVF-bucketed ANN (deterministic pseudo-centroids; rows-only) --
+    "q37_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value
     // to an exact long (1e-9 truncation), sum exactly, divide once — immune

@@ -30,6 +30,19 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** One ANSI SQL text executed verbatim by BOTH Spark SQL and DuckDB
+    * (q37): restricted to the common dialect subset (CAST, EXTRACT,
+    * decimal sums).
+    */
+  private val SqlEndpointQuery: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- A1/A2/A8: grand aggregation (TPC-H Q1 shape) ------------------
@@ -527,6 +540,16 @@ object RelationalQueries {
         SUM(CAST(props->>'$$.k' AS INT)) AS sum_k,
         MAX(CAST(props->>'$$.k' AS INT)) AS max_k
         FROM ev GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- SQL-text endpoint: one ANSI string runs on BOTH engines -------
+    // Registers the fixture tables as views and executes the identical SQL
+    // text through spark.sql that the oracle runs through DuckDB.
+    "q37_sql_endpoint" -> QueryDef(
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql(SqlEndpointQuery)
+      },
+      Some(SqlEndpointQuery)),
 
     // ---- sessionization (streaming-shaped, batch formulation) ----------
     "q35_sessionize" -> QueryDef(

@@ -126,6 +126,23 @@ class OperatorsSpec extends SparkSpec {
     assert(knn === Seq(1L, 2L))
   }
 
+  test("ivfTopK returns valid ranked neighbors with decent recall") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+    val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(ivf.groupBy("query_id").count()
+      .filter(col("count") > 5).count() === 0)
+    // probing half the cells should recover a reasonable share of the
+    // exact top-5 (random 64-dim embeddings are a worst case for IVF)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("TddSync recovers a known circular shift") {
     val n = 112
     val tpl = TddSync.defaultTemplates(n).head
