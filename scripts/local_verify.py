@@ -74,6 +74,13 @@ def main():
             continue
         gc, gr = frame_cells(got)
         wc, wr = frame_cells(want)
+        # dtype-kind drift (int vs float etc.) — warn loudly: the driver may
+        # compare schemas more strictly than cell equality does
+        for c in sorted(set(got.columns) & set(want.columns)):
+            gk = got[c].dtype.kind
+            wk = want[c].dtype.kind
+            if gk != wk and {gk, wk} != {"O"}:
+                print(f"  TYPE {name}.{c}: spark={got[c].dtype} duck={want[c].dtype}")
         if gc != wc:
             print(f"FAIL {name}: columns differ\n  spark={gc}\n  duck ={wc}")
             n_fail += 1

@@ -64,8 +64,8 @@ object LlmQueries {
         , g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
         sh AS (SELECT doc_id, COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_shingles
           FROM g GROUP BY doc_id)
-        SELECT w.doc_id AS doc_id, len(w.ws) AS n_words,
-          COALESCE(sh.n_shingles, 0) AS n_shingles
+        SELECT w.doc_id AS doc_id, CAST(len(w.ws) AS INT) AS n_words,
+          CAST(COALESCE(sh.n_shingles, 0) AS INT) AS n_shingles
         FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
         ORDER BY n_shingles DESC, w.doc_id LIMIT 10""")),
 
@@ -85,7 +85,7 @@ object LlmQueries {
         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-        SELECT id_a, id_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+        SELECT id_a, id_b, shared, CAST(sa.set_size AS INT) AS size_a, CAST(sb.set_size AS INT) AS size_b,
           ROUND(CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared), 6)
             AS jaccard
         FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -170,10 +170,10 @@ object LlmQueries {
           .orderBy("source")
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
-        SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-          AS total_tokens,
-        MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-          AS max_tokens
+        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+          AS BIGINT) AS total_tokens,
+        CAST(MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+          AS INT) AS max_tokens
         FROM documents GROUP BY source ORDER BY source""")),
 
     // ---- language-ID heuristic -----------------------------------------
@@ -224,7 +224,7 @@ object LlmQueries {
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, neighbor_id) AS rank, cos
           FROM s)
-        SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 4) AS cosine
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- LSH-bucketed ANN (hash-defined; rows-only oracle) -------------

@@ -30,8 +30,8 @@ object MultimodalQueries {
         CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
         COUNT(*) AS n_media,
-        SUM(octet_length(encode(text))) AS total_bytes,
-        MAX(octet_length(encode(text))) AS max_bytes
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // ---- batched feature extraction + ANN over media features ----------

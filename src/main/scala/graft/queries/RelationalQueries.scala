@@ -180,7 +180,7 @@ object RelationalQueries {
           .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
           .orderBy("o_orderpriority", "rnk")
       },
-      Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      Some("""SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
         SELECT o_orderpriority, o_orderkey, o_totalprice,
           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
             ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -298,7 +298,7 @@ object RelationalQueries {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-        RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rnk,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
@@ -331,7 +331,7 @@ object RelationalQueries {
       Some("""SELECT UPPER(split_part(p_name, ' ', 1)) AS name_head,
         COUNT(*) AS n,
         MAX(CAST(regexp_extract(p_brand, '[0-9]+') AS INT)) AS max_brand,
-        MIN(LENGTH(p_name)) AS min_name_len
+        CAST(MIN(LENGTH(p_name)) AS INT) AS min_name_len
         FROM part GROUP BY 1 ORDER BY 1""")),
 
     // ---- F9/P2: date functions -----------------------------------------
@@ -537,8 +537,8 @@ object RelationalQueries {
           .orderBy("event_type")
       },
       Some(s"""$EvCte SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(props->>'$$.k' AS INT)) AS sum_k,
-        MAX(CAST(props->>'$$.k' AS INT)) AS max_k
+        CAST(SUM(CAST(props->>'$$.k' AS INT)) AS BIGINT) AS sum_k,
+        CAST(MAX(CAST(props->>'$$.k' AS INT)) AS INT) AS max_k
         FROM ev GROUP BY event_type ORDER BY event_type""")),
 
     // ---- SQL-text endpoint: one ANSI string runs on BOTH engines -------
