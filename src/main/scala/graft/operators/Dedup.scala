@@ -44,7 +44,12 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), k).as("sh"))
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("set_size"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // join on the 64-bit shingle hash, not the string: the inverted-index
+    // shuffle moves 8-byte keys instead of ~30-byte strings and compares
+    // longs (collision probability ~ |shingles|^2 / 2^64 — negligible)
+    val inv = sets.select(col("doc_id"),
+      explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     // df cap: drop degenerate ubiquitous shingles (stopword-only n-grams)
     val capped = inv
       .withColumn("df", count(lit(1)).over(
