@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.seamf.{HalfFloat, SeamfCodec, SeamfFixtures, SeamfMetadata}
+
+/** Property-based tests (SURVEY.md §5): dB/linear round-trips, trace
+  * split/reassembly conservation, as-of join vs brute force on random data.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dB <-> linear power round-trips within 1e-12 relative") {
+    check(Prop.forAll(Gen.chooseNum(-180.0, 100.0)) { db =>
+      val rt = 10.0 * math.log10(math.pow(10.0, db / 10.0))
+      math.abs(rt - db) <= 1e-10 * math.max(1.0, math.abs(db))
+    })
+  }
+
+  test("trace split conserves the payload: sum of layout lengths x captures") {
+    check(Prop.forAll(Gen.chooseNum(1, 20), Gen.chooseNum(1, 6)) { (psdLen, nCh) =>
+      val shape = SeamfFixtures.Shape(psdLen, psdLen + 3, psdLen + 7, psdLen + 1)
+      val payload = SeamfFixtures.buildPayload(nCh, shape)
+      payload.length == shape.perCapture * nCh
+    }, n = 50)
+  }
+
+  test("xz + half-float vector codec round-trips random payloads") {
+    val genVals = Gen.listOfN(64, Gen.chooseNum(-1000.0f, 1000.0f))
+    check(Prop.forAll(genVals) { vs =>
+      val quantized = vs.map(v =>
+        HalfFloat.toFloat(HalfFloat.fromFloat(v) & 0xffff))
+      val bytes = SeamfCodec.xzCompress(
+        HalfFloat.encodeVector(quantized.toArray))
+      HalfFloat.decodeVector(SeamfCodec.xzDecompress(bytes)).toSeq == quantized
+    }, n = 30)
+  }
+
+  test("as-of backward join matches brute force on random event sets") {
+    val genRows = for {
+      nLeft <- Gen.chooseNum(1, 30)
+      nRight <- Gen.chooseNum(0, 30)
+      lefts <- Gen.listOfN(nLeft, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 100L)))
+      rights <- Gen.listOfN(nRight, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 100L)))
+    } yield (lefts, rights)
+
+    check(Prop.forAll(genRows) { case (lefts, rights) =>
+      // unique (key, ts) on the right for determinism
+      val r = rights.distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toDouble) }
+      val rByKey = r.groupBy(_._1)
+      val left = lefts.toDF("k", "ts")
+      val right = r.toDF("k", "ts", "v")
+      val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          Option(row.get(2)).map(_.asInstanceOf[Double]))).toSet
+      val want = lefts.map { case (k, ts) =>
+        val best = rByKey.getOrElse(k, Nil).filter(_._2 <= ts)
+          .sortBy(x => (x._2, x._3)).lastOption
+        (k, ts, best.map(_._3))
+      }.toSet
+      got == want
+    }, n = 25)
+  }
+}
