@@ -526,6 +526,108 @@ object RelationalQueries {
         FROM ranked, lim WHERE rn <= lim
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- grouping sets --------------------------------------------------
+    "q38_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+            (l_returnflag, l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- window range frame (interval-based) ----------------------------
+    // 30-day trailing order count per customer: RANGE frame over the date
+    // axis, not a row frame.
+    "q39_range_frame" -> QueryDef(
+      (s, dir) => {
+        // o_orderdate reads as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false):
+        // cast to TIMESTAMP (UTC session) then to epoch seconds for the
+        // RANGE frame axis
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(unix_seconds(col("o_orderdate").cast("timestamp")))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("n_trailing_30d"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w)
+              .cast("double").as("rev_trailing_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        COUNT(*) OVER w AS n_trailing_30d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+          AS rev_trailing_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- analytic function family: lead/lag/first/last/ntile -----------
+    "q40_analytics" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            first(col("o_orderkey")).over(wf).as("first_order"),
+            last(col("o_orderkey")).over(wf).as("last_order"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        LEAD(o_orderkey, 1) OVER w AS next_order,
+        LAG(o_orderkey, 1) OVER w AS prev_order,
+        FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+        LAST_VALUE(o_orderkey) OVER wf AS last_order,
+        CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- array functions over embedding vectors -------------------------
+    "q41_array_funcs" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            col("embedding").getItem(0).cast("double").as("first"),
+            floor(array_max(col("embedding")).cast("double") * 1e6).cast("long")
+              .as("max_e6"),
+            floor(array_min(col("embedding")).cast("double") * 1e6).cast("long")
+              .as("min_e6"),
+            floor(element_at(array_sort(col("embedding")), 32).cast("double") * 1e6)
+              .cast("long").as("med_e6"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+        CAST(len(embedding) AS INT) AS dim,
+        CAST(embedding[1] AS DOUBLE) AS first,
+        CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS max_e6,
+        CAST(FLOOR(CAST(list_min(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS min_e6,
+        CAST(FLOOR(CAST(list_sort(embedding)[32] AS DOUBLE) * 1e6) AS BIGINT) AS med_e6
+        FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")),
+
     // ---- F7-ish: JSON extraction ---------------------------------------
     "q34_json_extract" -> QueryDef(
       (s, dir) => {
