@@ -65,8 +65,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) :+
-      ("seamf_ingest_200_sweeps" -> ingest)
+    // capture_summary pipeline over the same archive (reference dask:
+    // 6.243 s for the first 200-file partition, dask_processing cell 4):
+    // decode + per-capture PVT peak/mean aggregation + cal metadata join.
+    val capSummary = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
+      val t0 = System.nanoTime()
+      val tr = graft.seamf.SeamfReader.traces(spark, dir).toDF()
+      import org.apache.spark.sql.functions._
+      val pvt = tr.filter(col("table") === "pvt")
+        .groupBy("datetime_us", "frequency", "detector")
+        .agg(max(array_max(col("trace"))).as("peak"),
+          avg(aggregate(col("trace"), lit(0.0), (a, x) => a + x)).as("mean_sum"))
+      val cal = graft.seamf.SeamfReader.channelMetadata(spark, dir)
+        .select("datetime_us", "frequency", "cal_noise_figure_dB", "overload")
+      pvt.join(cal, Seq("datetime_us", "frequency"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) ++
+      Seq("seamf_ingest_200_sweeps" -> ingest,
+        "seamf_capture_summary_200" -> capSummary)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
