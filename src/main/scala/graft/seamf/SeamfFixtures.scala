@@ -145,14 +145,46 @@ object SeamfFixtures {
     val e1 = ext.addObject()
     e1.put("name", "ntia-sensor"); e1.put("version", s"0.$gen.0")
     g.put("ntia-scos:task", 5000L + fileIdx)
+    val layout = SeamfMetadata.fixedLegacyLayout(gen)
+    val perCapture = layout.map(_.length).sum
     val caps = root.putArray("captures")
     (0 until nChannels).foreach { c =>
       val cap = caps.addObject()
       cap.put("core:frequency", 3.555e9 + c * 1e7)
       cap.put("core:datetime", isoOf(t0Us + c * 1000000L))
-      cap.put("core:sample_start", 0L)
+      cap.put("core:sample_start", c.toLong * perCapture)
     }
-    root.putArray("annotations")
+    // legacy annotations: per capture, CalibrationAnnotation +
+    // SensorAnnotation + one detection annotation per trace (v2 labels)
+    val annots = root.putArray("annotations")
+    (0 until nChannels).foreach { c =>
+      val base = c.toLong * perCapture
+      val cal = annots.addObject()
+      cal.put("ntia-core:annotation_type", "CalibrationAnnotation")
+      cal.put("core:sample_start", base)
+      cal.put("ntia-sensor:gain_sensor", 30.0 + c * 0.5)
+      cal.put("ntia-sensor:noise_figure_sensor", 5.0 + 0.1 * c)
+      cal.put("ntia-sensor:temperature", 21.5 + 0.25 * c)
+      val sen = annots.addObject()
+      sen.put("ntia-core:annotation_type", "SensorAnnotation")
+      sen.put("core:sample_start", base)
+      sen.put("ntia-sensor:overload", (fileIdx + c) % 5 == 0)
+      sen.put("ntia-sensor:attenuation_setting_sigan", 0.0)
+      val v2Labels = Seq("max_fft", "mean_fft",
+        "max_td_pwr_series", "mean_td_pwr_series",
+        "min_rms_pfp", "max_rms_pfp", "mean_rms_pfp",
+        "min_peak_pfp", "max_peak_pfp", "mean_peak_pfp",
+        "apd_p", "apd_a")
+      var off = base
+      layout.zip(v2Labels).foreach { case (ti, label) =>
+        val d = annots.addObject()
+        d.put("ntia-core:annotation_type", "OtherDetection")
+        d.put("core:label", label)
+        d.put("core:sample_start", off)
+        d.put("core:sample_count", ti.length)
+        off += ti.length
+      }
+    }
     mapper.writeValueAsString(root)
   }
 

@@ -173,8 +173,10 @@ object SeamfMetadata {
       TraceInfo("psd", st, "", 625, -4.992e6, 16e3))
     val pvt = Seq("peak", "rms").map(det =>
       TraceInfo("pvt", "", det, 400, 0.0, 0.01))
+    // legacy PFP detectors are rms/peak (TRACE_INFO, seamf.py:240-265),
+    // unlike the v5+ series names (mean/max)
     val pfp = for {
-      det <- Seq("mean", "max")
+      det <- Seq("rms", "peak")
       st <- Seq("min", "max", "mean")
     } yield TraceInfo("pfp", st, det, 560, 0.0, 1.7857e-5)
     val apd =
@@ -184,6 +186,46 @@ object SeamfMetadata {
       else Nil
     psd ++ pvt ++ pfp ++ apd
   }
+
+  /** v1/v2 trace-label -> (table, capture_statistic, detector) map (the
+    * hard-coded TRACE_INFO tables, seamf.py:240-265 and 367-392; note legacy
+    * PFP detectors are rms/peak, and v1 labels end in `_power`).
+    */
+  val legacyTraceLabels: Map[String, (String, String, String)] = {
+    val v1 = Map(
+      "psd_max_power" -> (("psd", "max", "")),
+      "psd_mean_power" -> (("psd", "mean", "")),
+      "pvt_max_power" -> (("pvt", "", "peak")),
+      "pvt_mean_power" -> (("pvt", "", "rms")),
+      "apd_p_pct" -> (("apd_prob", "", "")),
+      "apd_a_dBm" -> (("apd_amp", "", ""))) ++
+      (for (det <- Seq("rms", "peak"); st <- Seq("min", "max", "mean"))
+        yield s"pfp_${det}_${st}_power" -> (("pfp", st, det)))
+    val v2 = Map(
+      "max_fft" -> (("psd", "max", "")),
+      "mean_fft" -> (("psd", "mean", "")),
+      "max_td_pwr_series" -> (("pvt", "", "peak")),
+      "mean_td_pwr_series" -> (("pvt", "", "rms")),
+      "apd_p" -> (("apd_prob", "", "")),
+      "apd_a" -> (("apd_amp", "", ""))) ++
+      (for (det <- Seq("rms", "peak"); st <- Seq("min", "max", "mean"))
+        yield s"${st}_${det}_pfp" -> (("pfp", st, det)))
+    v1 ++ v2
+  }
+
+  /** Trace label of a legacy detection annotation (`_trace_label`,
+    * seamf.py:353-360): FrequencyDomainDetection -> "psd_" + detector minus
+    * its "fft_" prefix; TimeDomainDetection -> "pvt_" + detector; otherwise
+    * the literal core:label.
+    */
+  def legacyAnnotationLabel(a: JsonNode): Option[String] =
+    opt(a, "ntia-core:annotation_type").map(_.asText) match {
+      case Some("FrequencyDomainDetection") =>
+        opt(a, "ntia-algorithm:detector").map(d => "psd_" + d.asText.drop(4))
+      case Some("TimeDomainDetection") =>
+        opt(a, "ntia-algorithm:detector").map(d => "pvt_" + d.asText)
+      case _ => opt(a, "core:label").map(_.asText)
+    }
 
   /** Derive the per-capture layout from declared v4+ data products
     * (Graph list; seamf.py:794-840). PFP series names like "mean_minimum"
@@ -278,9 +320,74 @@ object SeamfMetadata {
           iqCaptureDurationMs = dOpt(c, "ntia-sensor:duration"))
       }
 
+    // Legacy annotations drive both the trace layout and the channel
+    // metadata (v1 loader, seamf.py:268-332): CalibrationAnnotation /
+    // SensorAnnotation entries attach cal fields to their capture (matched
+    // on core:sample_start); detection annotations carry trace offsets.
+    val annotations = opt(root, "annotations")
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+    val capturesWithCal: Seq[Capture] =
+      if (gen >= 4 || annotations.isEmpty) captures
+      else {
+        val byStart = captures.map(c => c.sampleStart -> c).toMap
+        val updates = scala.collection.mutable.Map[Long, Capture]()
+        annotations.foreach { a =>
+          val tpe = opt(a, "ntia-core:annotation_type").map(_.asText).getOrElse("")
+          val start = opt(a, "core:sample_start").map(_.asLong).getOrElse(-1L)
+          byStart.get(start).foreach { cap0 =>
+            val cap = updates.getOrElse(start, cap0)
+            tpe match {
+              case "CalibrationAnnotation" =>
+                updates(start) = cap.copy(
+                  calGainDb = dOpt(a, "ntia-sensor:gain_sensor")
+                    .orElse(cap.calGainDb),
+                  calNoiseFigureDb = dOpt(a, "ntia-sensor:noise_figure_sensor")
+                    .orElse(cap.calNoiseFigureDb),
+                  calTemperatureDegC = dOpt(a, "ntia-sensor:temperature")
+                    .orElse(cap.calTemperatureDegC))
+              case "SensorAnnotation" =>
+                updates(start) = cap.copy(
+                  overload = bOpt(a, "ntia-sensor:overload").orElse(cap.overload),
+                  siganAttenuationDb =
+                    dOpt(a, "ntia-sensor:attenuation_setting_sigan")
+                      .orElse(cap.siganAttenuationDb))
+              case _ => ()
+            }
+          }
+        }
+        captures.map(c => updates.getOrElse(c.sampleStart, c))
+      }
+
+    // annotation-derived per-capture layout (first capture block, ordered by
+    // sample_start); falls back to the fixed TRACE_INFO layout
+    def layoutFromAnnotations: Option[Seq[TraceInfo]] = {
+      val secondStart = captures.sortBy(_.sampleStart).drop(1).headOption
+        .map(_.sampleStart).getOrElse(Long.MaxValue)
+      val dets = annotations.flatMap { a =>
+        for {
+          label <- legacyAnnotationLabel(a)
+          info <- legacyTraceLabels.get(label)
+          start <- opt(a, "core:sample_start").map(_.asLong)
+          count <- opt(a, "core:sample_count").map(_.asInt)
+          if start < secondStart
+        } yield (start, info, count)
+      }.sortBy(_._1)
+      if (dets.isEmpty) None
+      else Some(dets.map { case (_, (table, st, det), count) =>
+        val (a0, step) = table match {
+          case "psd" => (-5e6, 10e6 / count)
+          case "pvt" => (0.0, 0.01)
+          case "pfp" => (0.0, 0.01 / count)
+          case _ => (0.0, 1.0)
+        }
+        TraceInfo(table, st, det, count, a0, step)
+      })
+    }
+
     val layout = opt(global, "ntia-algorithm:data_products") match {
       case Some(dp) if gen >= 4 => layoutFromDataProducts(dp)
-      case _ => fixedLegacyLayout(gen)
+      case _ => layoutFromAnnotations.getOrElse(fixedLegacyLayout(gen))
     }
 
     def dblList(f: String): Seq[Double] =
@@ -300,7 +407,7 @@ object SeamfMetadata {
       sha512Hex = opt(global, "core:sha512").map(_.asText),
       geolocation = geoloc,
       timezone = tz,
-      captures = captures,
+      captures = capturesWithCal,
       perCaptureLayout = layout,
       maxOfMaxChannelPowers = dblList("ntia-nasctn-sea:max_of_max_channel_powers"),
       medianOfMeanChannelPowers = dblList("ntia-nasctn-sea:median_of_mean_channel_powers"),

@@ -16,8 +16,16 @@ class BucketingSpec extends SparkSpec {
   private def bucketedJoinBody(): Unit = {
     val li = Tables.load(spark, sf(), "lineitem")
     val ord = Tables.load(spark, sf(), "orders")
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // drop both the catalog entry and any orphaned warehouse dir from a
+    // previous test JVM (the in-memory catalog forgets, the disk doesn't)
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Bucketing.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
     Bucketing.writeBucketed(ord, "ord_bucketed", Seq("o_orderkey"), 8)
 

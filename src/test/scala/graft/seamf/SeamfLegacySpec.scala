@@ -50,6 +50,22 @@ class SeamfLegacySpec extends SparkSpec {
     assert(row.getAs[Float]("probability_pct") === expProb)
   }
 
+  test("annotation-derived channel metadata and pfp detectors (v1 loader semantics)") {
+    val cm = SeamfReader.channelMetadata(spark, dirV2, tz = Some("UTC"))
+      .orderBy("file", "frequency").collect()
+    assert(cm.length === 6)
+    // CalibrationAnnotation gain_sensor -> cal_gain_dB per channel
+    assert(cm(0).getAs[Double]("cal_gain_dB") === 30.0)
+    assert(cm(1).getAs[Double]("cal_gain_dB") === 30.5)
+    assert(cm(0).getAs[Double]("cal_noise_figure_dB") === 5.0)
+    assert(cm(0).getAs[Double]("sigan_attenuation_dB") === 0.0)
+    // legacy PFP detectors are rms/peak, not the v5+ mean/max
+    val dets = SeamfReader.traces(spark, dirV2, tz = Some("UTC")).toDF()
+      .filter(org.apache.spark.sql.functions.col("table") === "pfp")
+      .select("detector").distinct().collect().map(_.getString(0)).toSet
+    assert(dets === Set("rms", "peak"))
+  }
+
   test("v1 layout has no APD") {
     val d = Files.createTempDirectory("graft_legacy_v1").toString
     SeamfFixtures.writeLegacySweep(java.nio.file.Paths.get(d), gen = 1,
