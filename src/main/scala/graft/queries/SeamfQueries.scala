@@ -200,6 +200,19 @@ object SeamfQueries {
           .orderBy("frequency", "frame_format")
       }, None),
 
+    // ---- F7: flattened diagnostics map -> long rows (MapType ops) ------
+    "s13_seamf_diagnostics" -> QueryDef(
+      (s, _) => {
+        SeamfReader.sweepMetadata(s, fixture())
+          .select(
+            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
+            explode(col("diagnostics")).as(Seq("key", "value")))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n_files"),
+            countDistinct(col("value")).as("n_distinct_values"))
+          .orderBy("key")
+      }, None),
+
     // ---- A9: coverage statistics vs the 90 s schedule cadence ----------
     "s12_seamf_coverage" -> QueryDef(
       (s, _) => {
