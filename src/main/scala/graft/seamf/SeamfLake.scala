@@ -52,9 +52,25 @@ object SeamfLake {
       val sm = SeamfReader.sweepMetadata(spark, landingDir, tz, checkHash = true)
         .withColumn("datetime", timestamp_micros(col("schedule_start_us")))
       writeDatePartitioned(sm, outDir, "sweep_metadata")
+
+      // capture_summary derived table (A8, dask_processing cell 3): one row
+      // per capture with per-trace reductions + cal metadata, from the SAME
+      // persisted trace scan
+      val pvtSummary = traces.filter(col("table") === "pvt")
+        .withColumn("datetime", timestamp_micros(col("datetime_us")))
+        .groupBy("datetime", "frequency")
+        .pivot("detector", Seq("peak", "rms"))
+        .agg(max(array_max(col("trace"))).as("max_dbm"))
+      val capSummary = pvtSummary.join(
+        cm.select("datetime", "frequency", "overload", "cal_gain_dB",
+          "cal_noise_figure_dB"),
+        Seq("datetime", "frequency"))
+      writeDatePartitioned(capSummary, outDir, "capture_summary")
+
       counts ++ Map(
         "channel_metadata" -> spark.read.parquet(s"$outDir/channel_metadata").count(),
-        "sweep_metadata" -> spark.read.parquet(s"$outDir/sweep_metadata").count())
+        "sweep_metadata" -> spark.read.parquet(s"$outDir/sweep_metadata").count(),
+        "capture_summary" -> spark.read.parquet(s"$outDir/capture_summary").count())
     } finally {
       traces.unpersist()
     }

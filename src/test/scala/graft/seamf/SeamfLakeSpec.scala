@@ -18,6 +18,9 @@ class SeamfLakeSpec extends SparkSpec {
     assert(counts("apd") === 5L * 2 * shape.apdLen)
     assert(counts("channel_metadata") === 5L * 2)
     assert(counts("sweep_metadata") === 5L)
+    assert(counts("capture_summary") === 5L * 2) // one row per capture
+    val cs = spark.read.parquet(s"$out/capture_summary")
+    assert(cs.columns.toSet.contains("peak") && cs.columns.toSet.contains("rms"))
 
     // physical layout: hive-style date partition dirs
     val psdDirs = new java.io.File(s"$out/psd").listFiles()

@@ -24,6 +24,31 @@ class SeamfStreamSpec extends SparkSpec {
     assert(spark.table("sweeps_stream").count() === 4)
   }
 
+  test("checkpointed streaming append into the date-partitioned lake") {
+    val dir = Files.createTempDirectory("graft_stream_lake_in").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 2).foreach(i => SeamfFixtures.writeSweep(Paths.get(dir), i,
+      t0 + i * 90L * 1000000L, nChannels = 2))
+    val out = Files.createTempDirectory("graft_stream_lake_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val q = SeamfStream.traceStream(spark, dir).toDF()
+      .withColumn("date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("datetime_us"))))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/traces")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("date")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$out/traces")
+    assert(written.count() === 2L * 2 * 11) // 2 files x 2 ch x 11 traces
+    assert(new java.io.File(s"$out/traces/date=2023-09-21").exists())
+  }
+
   test("streaming capture summary aggregates with bounded state") {
     val dir = Files.createTempDirectory("graft_stream_landing2").toString
     val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
