@@ -55,8 +55,14 @@ object SeamfQueries {
           .agg(first(col("peak_power")).as("max"), first(col("mean_power")).as("mean"))
         val cal = t("channel_metadata")
           .select(col("datetime"), col("frequency"), col("overload"),
-            col("cal_noise_figure_dB"), col("cal_gain_dB"))
+            col("cal_noise_figure_dB"), col("cal_gain_dB"),
+            col("cal_temperature_degC"))
         pvt.join(cal, Seq("datetime", "frequency"))
+          // kTB thermal noise floor from cal temperature + noise figure
+          // (F2, seamf_quickplot.ipynb cell 5)
+          .withColumn("noise_floor_dbm_per_hz",
+            round(DbMath.ktbNoiseFloorDbmPerHz(
+              col("cal_temperature_degC"), col("cal_noise_figure_dB")), 6))
           .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
           .orderBy("datetime_us", "frequency")
       }, None),
