@@ -269,6 +269,50 @@ object SeamfMetadata {
     }
   }
 
+  /** v4 layout: `data_products` is an OBJECT of per-product structs with
+    * `traces` label objects (Metadata0_4, schemas.py:162-222; trace order
+    * and field renames per `_Loader_v4._get_trace_metadata`,
+    * seamf.py:633-661). APD is tabular: the amplitude axis comes from
+    * min_amplitude + amplitude_bin_size (seamf.py:663-671).
+    */
+  def layoutFromDataProductsV4(dp: JsonNode): Seq[TraceInfo] = {
+    val order = Seq(
+      "psd" -> "power_spectral_density",
+      "pvt" -> "time_series_power",
+      "pfp" -> "periodic_frame_power",
+      "apd" -> "amplitude_probability_distribution")
+    order.flatMap { case (table, jsonName) =>
+      opt(dp, jsonName).toSeq.flatMap { field =>
+        val length = opt(field, "length").map(_.asInt).getOrElse(0)
+        table match {
+          case "apd" =>
+            val a0 = dOpt(field, "min_amplitude").getOrElse(-180.0)
+            val step = dOpt(field, "amplitude_bin_size").getOrElse(1.0)
+            Seq(TraceInfo("apd", "", "", length, a0, step))
+          case _ =>
+            val traces = opt(field, "traces")
+              .map(_.elements().asScala.toSeq).getOrElse(Nil)
+            traces.map { tr =>
+              val stat = opt(tr, "statistic").map(n => normalizeStatistic(n.asText))
+                .getOrElse("")
+              val detRaw = opt(tr, "detector").map(_.asText).getOrElse("")
+              table match {
+                case "psd" =>
+                  TraceInfo("psd", if (stat.nonEmpty) stat
+                    else normalizeStatistic(detRaw), "", length, -5e6, 10e6 / length)
+                case "pvt" =>
+                  TraceInfo("pvt", "", normalizeDetector(detRaw), length, 0.0, 0.01)
+                case "pfp" =>
+                  TraceInfo("pfp", stat, detRaw, length, 0.0,
+                    0.01 / math.max(length, 1))
+                case _ => TraceInfo(table, stat, detRaw, length, 0.0, 1.0)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** Parse a seamf metadata JSON document. */
   def parse(json: String, explicitTz: Option[String] = None): SeamfMeta = {
     val patched = if (json.contains("\"filter_type\":") &&
@@ -386,7 +430,8 @@ object SeamfMetadata {
     }
 
     val layout = opt(global, "ntia-algorithm:data_products") match {
-      case Some(dp) if gen >= 4 => layoutFromDataProducts(dp)
+      case Some(dp) if gen >= 4 && dp.isArray => layoutFromDataProducts(dp)
+      case Some(dp) if gen >= 4 && dp.isObject => layoutFromDataProductsV4(dp)
       case _ => layoutFromAnnotations.getOrElse(fixedLegacyLayout(gen))
     }
 
