@@ -41,15 +41,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       minJaccard: Double, maxDf: Int = 1000): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      TextOps.shingleSet(col(textCol), k).as("sh"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("set_size"))
-    // join on the 64-bit shingle hash, not the string: the inverted-index
-    // shuffle moves 8-byte keys instead of ~30-byte strings and compares
-    // longs (collision probability ~ |shingles|^2 / 2^64 — negligible)
-    val inv = sets.select(col("doc_id"),
-      explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+    // Distinct shingle sets via explode + DISTINCT (codegen'd hash
+    // aggregate) — array_distinct on the array cell is an interpreted
+    // O(n^2) higher-order function. Join key is the 64-bit shingle hash:
+    // 8-byte shuffle keys, long compares (collision probability
+    // ~ |shingles|^2 / 2^64 — negligible).
+    val inv0 = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), k)).as("s"))
+      .distinct()
+    val sizes = inv0.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val inv = inv0.select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     // df cap: drop degenerate ubiquitous shingles (stopword-only n-grams)
     val capped = inv
       .withColumn("df", count(lit(1)).over(
@@ -119,9 +120,11 @@ object Dedup {
     // slower; hash-aggregate columns keep the whole pipeline in
     // WholeStageCodegen. The groupBy exchange is also reused by both sides
     // of the band self-join (ReuseExchange).
+    // raw shingles (duplicates included): MIN is idempotent, so the
+    // interpreted array_distinct pass is unnecessary
     val shingleHashes = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextOps.shingleSet(col(textCol), k)).as("s"))
+        explode(TextOps.shingles(col(textCol), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sigs = shingleHashes
       .groupBy("doc_id")

@@ -53,10 +53,16 @@ object LlmQueries {
     // ---- n-gram shingle statistics -------------------------------------
     "q24_shingle_stats" -> QueryDef(
       (s, dir) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            TextOps.wordCount(col("text")).as("n_words"),
-            size(TextOps.shingleSet(col("text"), 3)).as("n_shingles"))
+        val docs = t(s, dir, "documents")
+        // countDistinct over exploded shingles stays in codegen;
+        // size(array_distinct(...)) would run interpreted and O(n^2)/row
+        val counts = docs
+          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).cast("int").as("n_shingles"))
+        docs.select(col("doc_id"), TextOps.wordCount(col("text")).as("n_words"))
+          .join(counts, Seq("doc_id"), "left_outer")
+          .na.fill(0, Seq("n_shingles"))
           .orderBy(col("n_shingles").desc, col("doc_id").asc)
           .limit(10)
       },
