@@ -74,6 +74,23 @@ object Dedup {
       .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    * `minCosine`. Exact all-pairs formulation (the oracle-checkable
+    * baseline); at 100 TB, bucket first with
+    * [[graft.operators.Similarity.lshTopK]] hyperplane-LSH and verify only
+    * same-bucket candidates — the per-row vector math is identical.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** splitmix64 finalizer — deterministic per-index 64-bit constants for the
     * XOR min-hash family.
     */

@@ -244,6 +244,25 @@ object LlmQueries {
       },
       None),
 
+    // ---- embedding-cosine near-dup pairs (oracle-checked) --------------
+    "q42_embedding_dedup" -> QueryDef(
+      (s, dir) => {
+        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+            minCosine = 0.45)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+            AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        ORDER BY id_a, id_b""")),
+
     // ---- IVF-bucketed ANN (deterministic pseudo-centroids; rows-only) --
     "q37_ann_ivf" -> QueryDef(
       (s, dir) => {
