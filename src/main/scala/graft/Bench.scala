@@ -45,7 +45,7 @@ object Bench {
     // float16 traces, XZ): full decode to trace rows, files/s reported as
     // seconds for the 200-file archive (reference: 2.471 s eager,
     // 6.243 s dask first-partition).
-    val ingest = {
+    lazy val ingest = {
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_archive")
       val marker = dir.resolve(".complete")
@@ -68,7 +68,7 @@ object Bench {
     // capture_summary pipeline over the same archive (reference dask:
     // 6.243 s for the first 200-file partition, dask_processing cell 4):
     // decode + per-capture PVT peak/mean aggregation + cal metadata join.
-    val capSummary = {
+    lazy val capSummary = {
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
       val t0 = System.nanoTime()
@@ -87,12 +87,30 @@ object Bench {
 
     // min-of-2 for fast queries: the first run pays codegen/JIT; the driver
     // wants steady-state throughput, not compiler time
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // full lake export of the archive: decode once, write every product
+    // date-partitioned (reference bulk export: 47.410 s for capture_summary
+    // monthly + pfp weekly, dask_processing cell 8).
+    lazy val lakeExport = {
+      val in = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
+      val t0 = System.nanoTime()
+      graft.seamf.SeamfLake.exportAll(spark, in, out, validate = false)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // run the inventory queries FIRST: the heavyweight archive metrics
+    // (GC/page-cache churn from a 19M-row export) would otherwise pollute
+    // adjacent query timings
+    val queryResults = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val t1 = runOnce(n)
       val t = if (t1 >= 0 && t1 < 5.0) math.min(t1, runOnce(n)) else t1
       n -> t
-    } ++ Seq("seamf_ingest_200_sweeps" -> ingest,
-      "seamf_capture_summary_200" -> capSummary)
+    }
+    val results = queryResults ++
+      Seq("seamf_ingest_200_sweeps" -> ingest,
+        "seamf_capture_summary_200" -> capSummary,
+        "seamf_lake_export_200" -> lakeExport)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -109,6 +109,10 @@ object SeamfQueries {
           .groupBy("datetime", "frequency", "bin")
           .pivot("capture_statistic", Seq("max", "mean"))
           .agg(round(dbMeanExact(col("psd_dbm_per_hz")), 6))
+          // absolute RF axis = channel center + baseband bin offset
+          // (plots.py:148-164)
+          .withColumn("abs_hz_start",
+            col("frequency") - 4.992e6 + col("bin") * (16e3 * 25))
           .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
           .orderBy("datetime_us", "frequency", "bin")
       }, None),

@@ -34,7 +34,7 @@ object SeamfLake {
     * table (shared-scan multi-sink). Returns row counts per table.
     */
   def exportAll(spark: SparkSession, landingDir: String, outDir: String,
-      tz: Option[String] = None): Map[String, Long] = {
+      tz: Option[String] = None, validate: Boolean = true): Map[String, Long] = {
     val traces = SeamfReader.traces(spark, landingDir, tz).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -45,7 +45,7 @@ object SeamfLake {
       }
       val counts = longified.map { case (name, df) =>
         writeDatePartitioned(df, outDir, name)
-        name -> spark.read.parquet(s"$outDir/$name").count()
+        name -> (if (validate) spark.read.parquet(s"$outDir/$name").count() else -1L)
       }
       val cm = SeamfReader.channelMetadata(spark, landingDir, tz)
       writeDatePartitioned(cm, outDir, "channel_metadata")
@@ -67,10 +67,12 @@ object SeamfLake {
         Seq("datetime", "frequency"))
       writeDatePartitioned(capSummary, outDir, "capture_summary")
 
+      def cnt(t: String): Long =
+        if (validate) spark.read.parquet(s"$outDir/$t").count() else -1L
       counts ++ Map(
-        "channel_metadata" -> spark.read.parquet(s"$outDir/channel_metadata").count(),
-        "sweep_metadata" -> spark.read.parquet(s"$outDir/sweep_metadata").count(),
-        "capture_summary" -> spark.read.parquet(s"$outDir/capture_summary").count())
+        "channel_metadata" -> cnt("channel_metadata"),
+        "sweep_metadata" -> cnt("sweep_metadata"),
+        "capture_summary" -> cnt("capture_summary"))
     } finally {
       traces.unpersist()
     }
