@@ -70,12 +70,15 @@ object Multimodal {
     media.mapPartitions { batch =>
       batch.flatMap { m =>
         val n = math.max(m.meta.n_frames, 1)
-        val frameLen = math.max(m.content.length / n, 1)
+        val len = m.content.length
+        val frameLen = math.max(len / n, 1)
         (0 until n by stride).iterator.map { f =>
-          val from = f * frameLen
-          val until = math.min(from + frameLen, m.content.length)
+          // clamp both ends: when n_frames exceeds the byte budget the tail
+          // frames are empty, not out-of-bounds
+          val from = math.min(f * frameLen, len)
+          val until = math.min(from + frameLen, len)
           FrameRow(m.media_id, f,
-            java.util.Arrays.copyOfRange(m.content, from, math.max(from, until)))
+            java.util.Arrays.copyOfRange(m.content, from, until))
         }
       }
     }

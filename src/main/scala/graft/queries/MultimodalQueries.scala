@@ -48,7 +48,8 @@ object MultimodalQueries {
       },
       None),
 
-    // ---- frame sampling (video-shaped payloads) ------------------------
+    // ---- frame sampling (video-shaped payloads; integer-arithmetic
+    // oracle: frame boundaries are deterministic byte math) --------------
     "m03_frame_sample" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
@@ -56,10 +57,21 @@ object MultimodalQueries {
         Multimodal.sampleFrames(media, stride = 4).toDF()
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_frames_sampled"),
-            sum(length(col("frame_bytes"))).as("sampled_bytes"))
+            sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
           .orderBy("media_id")
           .limit(100)
       },
-      None)
+      Some("""WITH d AS (SELECT doc_id,
+          octet_length(encode(text)) AS b,
+          greatest(n_chars // 100, 1) AS n
+          FROM documents),
+        p AS (SELECT doc_id, b, n, greatest(b // n, 1) AS fl FROM d),
+        f AS (SELECT doc_id, b, fl, unnest(range(0, n, 4)) AS fi FROM p),
+        c AS (SELECT doc_id, COUNT(*) AS nf,
+          SUM(least(least(fi*fl, b) + fl, b) - least(fi*fl, b)) AS sb
+          FROM f GROUP BY doc_id)
+        SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames_sampled,
+          CAST(sb AS BIGINT) AS sampled_bytes
+        FROM c ORDER BY media_id LIMIT 100"""))
   )
 }
