@@ -61,6 +61,37 @@ object SeamfCodec {
     bos.toByteArray
   }
 
+  /** Enumerate `.sigmf` members of a zip archive (reference
+    * `read_seamf_zipfile`, ziparchive.py:365-447; the central-directory
+    * caching machinery of MultiProcessingZipFile is unnecessary here — each
+    * zip is one executor task and is read once, streaming).
+    */
+  def unpackZip(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory && e.getName.endsWith(".sigmf"))
+        out += ((e.getName, zin.readAllBytes()))
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  /** Build a zip archive from (name, bytes) members (fixtures). */
+  def packZip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    members.foreach { case (name, data) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(data)
+      zout.closeEntry()
+    }
+    zout.close()
+    bos.toByteArray
+  }
+
   def sha512Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-512").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString

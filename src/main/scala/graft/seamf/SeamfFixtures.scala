@@ -251,6 +251,25 @@ object SeamfFixtures {
     dir
   }
 
+  /** Write a .zip archive containing `nFiles` sweeps (one corrupt sha) plus
+    * a non-sigmf member — the reference's zip input container (S7).
+    */
+  def writeZipArchive(dirStr: String, zipName: String = "archive.zip",
+      nFiles: Int = 4, nChannels: Int = 2): Path = {
+    val dir = Paths.get(dirStr)
+    Files.createDirectories(dir)
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    val tmp = Files.createTempDirectory("graft_zip_members")
+    val members = (0 until nFiles).map { i =>
+      val p = writeSweep(tmp, i, t0 + i * 90L * 1000000L, nChannels,
+        corruptSha = i == nFiles - 1)
+      (p.getFileName.toString, Files.readAllBytes(p))
+    } :+ (("README.txt", "not sigmf".getBytes))
+    val out = dir.resolve(zipName)
+    Files.write(out, SeamfCodec.packZip(members))
+    out
+  }
+
   /** Idempotent shared fixture dir for inventory queries (generated once per
     * JVM/tmp lifetime; deterministic contents).
     */

@@ -152,6 +152,39 @@ object SeamfReader {
       }
   }
 
+  /** Decode zip archives of .sigmf members (S7: the reference's primary
+    * input container, ziparchive.py:365-447). One zip = one executor task
+    * (zips are not splittable); members decode sequentially within the
+    * task, zips in parallel across tasks — the Spark analog of the
+    * reference's partition-per-N-files scheme with partition_size = one
+    * archive. For finer parallelism, unpack archives into a landing dir
+    * and use the per-file readers.
+    */
+  def tracesFromZips(spark: SparkSession, path: String,
+      tz: Option[String] = None, errors: String = "log"): Dataset[TraceRow] = {
+    import spark.implicits._
+    val failed = spark.sparkContext.longAccumulator("seamf.failed_files")
+    val raise = errors == "raise"
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (zipPath, zipBytes) =>
+          SeamfCodec.unpackZip(zipBytes).iterator.flatMap { case (member, bytes) =>
+            try decodeFile(s"$zipPath!$member", bytes, tz,
+              decodePayload = true, checkHash = true).traces
+            catch {
+              case e: Exception if !raise =>
+                failed.add(1)
+                Iterator.empty
+            }
+          }
+        }
+      }
+  }
+
   /** Whole-file decode (tests / ad-hoc use). */
   def decode(spark: SparkSession, path: String, tz: Option[String] = None,
       errors: String = "log", decodePayload: Boolean = true,

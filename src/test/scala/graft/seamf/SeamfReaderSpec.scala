@@ -71,6 +71,16 @@ class SeamfReaderSpec extends SparkSpec {
     assert(dets === Set("peak", "rms"))
   }
 
+  test("zip-archive scan decodes .sigmf members, skips corrupt + non-sigmf") {
+    val zdir = Files.createTempDirectory("graft_zip_test").toString
+    SeamfFixtures.writeZipArchive(zdir, nFiles = 4, nChannels = 2)
+    val tr = SeamfReader.tracesFromZips(spark, zdir)
+    // 3 good members (1 corrupt sha) x 2 channels x 11 traces
+    assert(tr.count() === 3L * 2 * 11)
+    // member provenance: path!member naming
+    assert(tr.head().file.contains(".zip!"))
+  }
+
   test("gap detection finds the omitted 90s slot (A9)") {
     val sm = SeamfReader.sweepMetadata(spark, dir)
       .withColumn("t0", timestamp_micros(col("schedule_start_us")))
