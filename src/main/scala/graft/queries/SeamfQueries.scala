@@ -223,6 +223,26 @@ object SeamfQueries {
           .orderBy("key")
       }, None),
 
+    // ---- S7: zip-archive scan ------------------------------------------
+    "s14_seamf_zip_scan" -> QueryDef(
+      (s, _) => {
+        val zdir = {
+          val d = java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), "graft_seamf_zipfix")
+          val marker = d.resolve(".complete")
+          if (!java.nio.file.Files.exists(marker)) {
+            graft.seamf.SeamfFixtures.writeZipArchive(d.toString)
+            java.nio.file.Files.write(marker, Array.emptyByteArray)
+          }
+          d.toString
+        }
+        SeamfReader.tracesFromZips(s, zdir).toDF()
+          .groupBy("table")
+          .agg(count(lit(1)).as("n_traces"),
+            countDistinct(col("file")).as("n_members"))
+          .orderBy("table")
+      }, None),
+
     // ---- A9: coverage statistics vs the 90 s schedule cadence ----------
     "s12_seamf_coverage" -> QueryDef(
       (s, _) => {
