@@ -67,7 +67,7 @@ object AsOfJoin {
         last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
 
     filled.filter(col(SideCol) === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         valueCols.map(c => col(s"__asof_$c").as(c)): _*)
   }
 
@@ -136,6 +136,6 @@ object AsOfJoin {
       .unionByName(harmonized)
       .withColumn(out, last(col("__r_pack"), ignoreNulls = true).over(w))
       .filter(col(SideCol) === lit(if (reverse) 0 else 1))
-      .select(leftCols.map(col) :+ col(out): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(out): _*)
   }
 }

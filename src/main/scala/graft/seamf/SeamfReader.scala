@@ -135,9 +135,12 @@ object SeamfReader {
     import spark.implicits._
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("seamf.failed_files")
     val raise = errors == "raise"
+    // multi-archive union (S11, ziparchive.py:236-256): comma-separated
+    // paths scan as one unioned source
+    val paths = path.split(',').map(_.trim).filter(_.nonEmpty)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.sigmf")
-      .load(path)
+      .load(paths.toIndexedSeq: _*)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .mapPartitions { it =>

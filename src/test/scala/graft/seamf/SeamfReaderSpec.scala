@@ -71,6 +71,14 @@ class SeamfReaderSpec extends SparkSpec {
     assert(dets === Set("peak", "rms"))
   }
 
+  test("multi-archive union: comma-separated landing dirs scan as one source") {
+    val d2 = Files.createTempDirectory("graft_seamf_second").toString
+    SeamfFixtures.writeSweep(java.nio.file.Paths.get(d2), 99,
+      SeamfMetadata.isoToMicros("2023-09-22T00:00:00Z"), nChannels = 2)
+    val union = SeamfReader.sweepMetadata(spark, s"$dir,$d2", checkHash = true)
+    assert(union.count() === 7 + 1)
+  }
+
   test("zip-archive scan decodes .sigmf members, skips corrupt + non-sigmf") {
     val zdir = Files.createTempDirectory("graft_zip_test").toString
     SeamfFixtures.writeZipArchive(zdir, nFiles = 4, nChannels = 2)
