@@ -628,6 +628,27 @@ object RelationalQueries {
         CAST(FLOOR(CAST(list_sort(embedding)[32] AS DOUBLE) * 1e6) AS BIGINT) AS med_e6
         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")),
 
+    // ---- the approximate scale path (SCALE.md): HLL distinct counts ----
+    // approx_count_distinct merges HLL sketches associatively, so the
+    // result is identical at any partitioning/cluster size (deterministic
+    // rows-only check). percentile_approx is deliberately NOT here: its
+    // summaries are partition-order-dependent.
+    "q43_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.01)
+              .as("approx_parts_1pct"))
+          .withColumn("err_pct",
+            round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts") * 100.0, 4))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // ---- F7-ish: JSON extraction ---------------------------------------
     "q34_json_extract" -> QueryDef(
       (s, dir) => {
