@@ -61,6 +61,8 @@ object SimplifyDbRoundTrips extends Rule[LogicalPlan] {
   * `GraftSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifyDbRoundTrips)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
