@@ -52,11 +52,14 @@ object Dedup {
     val sizes = inv0.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val inv = inv0.select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     // df cap: drop degenerate ubiquitous shingles (stopword-only n-grams)
+    // persist: both self-join sides read this (exchange reuse does not fire
+    // across them); ~(doc, shingle-hash) pairs only
     val capped = inv
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= maxDf)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -181,6 +184,10 @@ object Dedup {
           min(col("h").bitwiseXOR(lit(splitmix64(i.toLong)))).as(s"m$i")): _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // persist: exchange reuse does not fire across the self-join sides, so
+    // without it the scan+shingle+64-min-agg pipeline runs TWICE. The banded
+    // signature table is tiny (docs x bands rows of one long signature) and
+    // is exactly what a production LSH pipeline would materialize.
     val banded = capBuckets(sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -189,6 +196,7 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
       "bucket", maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -264,6 +272,7 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
       "chunk", maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // popcount of the XOR — bit_count is a codegen'd Catalyst builtin
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     banded.as("a")
