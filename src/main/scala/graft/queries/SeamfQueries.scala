@@ -186,7 +186,7 @@ object SeamfQueries {
       (s, _) => {
         import s.implicits._
         val pfp = SeamfReader.traces(s, fixture())
-          .filter(t => t.table == "pfp" && t.detector == "mean" &&
+          .filter(t => t.table == "pfp" && t.detector == "rms" &&
             t.capture_statistic == "mean")
           .toDF()
         val n = 112 // fixture pfp trace length
@@ -258,7 +258,7 @@ object SeamfQueries {
       (s, _) => {
         import s.implicits._
         val traces = SeamfReader.traces(s, fixture())
-          .filter(t => t.table == "pfp" && t.detector == "mean" &&
+          .filter(t => t.table == "pfp" && t.detector == "rms" &&
             t.capture_statistic == "mean")
           .toDF()
         TddSync.syncTraces(traces, "trace")

@@ -128,37 +128,71 @@ object SeamfFixtures {
     }.toArray
   }
 
-  /** Legacy-generation (v1-v3) metadata: ntia-sensor extension version, no
-    * geolocation (tz must be passed explicitly at read time — ValueError
-    * parity), no declared data products (fixed TRACE_INFO layout).
+  // ---- legacy (v1-v3) fixtures -----------------------------------------
+  // Mirror the REAL golden-file formats (demos/data/example_v{1,2,3}.sigmf):
+  // `core:extensions` is a dict (no ntia-nasctn-sea key → v1; "v0.2" → v2;
+  // "v0.3" → v3), no geolocation (explicit tz required at read — ValueError
+  // parity), and variable per-capture APD lengths (variable capture stride).
+
+  /** Legacy trace lengths: psd x2, pvt x2, pfp x6, then the APD pair with a
+    * per-channel length (variable stride, like real v2/v3 files).
     */
-  def buildLegacyMetaJson(gen: Int, fileIdx: Int, t0Us: Long, nChannels: Int,
-      sha512: String): String = {
-    val root = mapper.createObjectNode()
-    val g = root.putObject("global")
+  final case class LegacyShape(psdLen: Int = 125, pvtLen: Int = 80,
+      pfpLen: Int = 112, fftLen: Int = 175) {
+    def apdLen(channel: Int): Int = 25 + 3 * channel
+    def tabularPerCapture: Int = 2 * psdLen + 2 * pvtLen + 6 * pfpLen
+    def stride(channel: Int): Int = tabularPerCapture + 2 * apdLen(channel)
+    def sampleStart(channel: Int): Long =
+      (0 until channel).map(stride).sum.toLong
+  }
+
+  private def putLegacyGlobals(g: ObjectNode, gen: Int, fileIdx: Int,
+      t0Us: Long, nChannels: Int, sha512: String): Unit = {
     g.put("core:version", "0.0.2")
     g.put("core:datatype", "rf16_le")
     g.put("core:sample_rate", 14e6)
     g.put("core:num_channels", nChannels)
     g.put("core:sha512", sha512)
-    val ext = g.putArray("core:extensions")
-    val e1 = ext.addObject()
-    e1.put("name", "ntia-sensor"); e1.put("version", s"0.$gen.0")
+    val ext = g.putObject("core:extensions")
+    ext.put("ntia-algorithm", "v1.0.0")
+    ext.put("ntia-sensor", "v1.0.0")
+    if (gen >= 2) ext.put("ntia-nasctn-sea", s"v0.$gen")
     g.put("ntia-scos:task", 5000L + fileIdx)
-    val layout = SeamfMetadata.fixedLegacyLayout(gen)
-    val perCapture = layout.map(_.length).sum
+    val sched = g.putObject("ntia-scos:schedule")
+    sched.put("name", "legacy_sweep")
+    sched.put("start", isoOf(t0Us))
+    sched.put("interval", 90L)
+    if (gen >= 2) {
+      g.put("calibration_temperature_degC", 21.5)
+      val diag = g.putObject("diagnostics")
+      diag.put("diagnostics_datetime", isoOf(t0Us))
+      diag.putObject("preselector").put("noise_diode_temp", 14.6)
+      diag.putObject("spu").put("sigan_internal_temp", 37.2)
+    }
+  }
+
+  private def putLegacyCaptureCore(cap: ObjectNode, shape: LegacyShape,
+      c: Int, t0Us: Long): Unit = {
+    cap.put("core:frequency", 3.555e9 + c * 1e7)
+    cap.put("core:datetime", isoOf(t0Us + c * 1000000L))
+    cap.put("core:sample_start", shape.sampleStart(c))
+  }
+
+  /** v1 metadata: every trace is a detection annotation with absolute
+    * offsets (reference `_Loader_v1`, seamf.py:235-360).
+    */
+  def buildV1MetaJson(fileIdx: Int, t0Us: Long, nChannels: Int,
+      shape: LegacyShape, sha512: String): String = {
+    val root = mapper.createObjectNode()
+    val g = root.putObject("global")
+    putLegacyGlobals(g, 1, fileIdx, t0Us, nChannels, sha512)
     val caps = root.putArray("captures")
     (0 until nChannels).foreach { c =>
-      val cap = caps.addObject()
-      cap.put("core:frequency", 3.555e9 + c * 1e7)
-      cap.put("core:datetime", isoOf(t0Us + c * 1000000L))
-      cap.put("core:sample_start", c.toLong * perCapture)
+      putLegacyCaptureCore(caps.addObject(), shape, c, t0Us)
     }
-    // legacy annotations: per capture, CalibrationAnnotation +
-    // SensorAnnotation + one detection annotation per trace (v2 labels)
     val annots = root.putArray("annotations")
     (0 until nChannels).foreach { c =>
-      val base = c.toLong * perCapture
+      val base = shape.sampleStart(c)
       val cal = annots.addObject()
       cal.put("ntia-core:annotation_type", "CalibrationAnnotation")
       cal.put("core:sample_start", base)
@@ -170,43 +204,153 @@ object SeamfFixtures {
       sen.put("core:sample_start", base)
       sen.put("ntia-sensor:overload", (fileIdx + c) % 5 == 0)
       sen.put("ntia-sensor:attenuation_setting_sigan", 0.0)
-      val v2Labels = Seq("max_fft", "mean_fft",
-        "max_td_pwr_series", "mean_td_pwr_series",
-        "min_rms_pfp", "max_rms_pfp", "mean_rms_pfp",
-        "min_peak_pfp", "max_peak_pfp", "mean_peak_pfp",
-        "apd_p", "apd_a")
       var off = base
-      layout.zip(v2Labels).foreach { case (ti, label) =>
+      def det(tpe: String, count: Int)(fill: ObjectNode => Unit): Unit = {
         val d = annots.addObject()
-        d.put("ntia-core:annotation_type", "OtherDetection")
-        d.put("core:label", label)
+        d.put("ntia-core:annotation_type", tpe)
         d.put("core:sample_start", off)
-        d.put("core:sample_count", ti.length)
-        off += ti.length
+        d.put("core:sample_count", count)
+        fill(d)
+        off += count
       }
+      Seq("fft_max_power", "fft_mean_power").foreach { name =>
+        det("FrequencyDomainDetection", shape.psdLen) { d =>
+          d.put("ntia-algorithm:detector", name)
+          d.put("ntia-algorithm:number_of_samples_in_fft", shape.fftLen)
+        }
+      }
+      Seq("max_power", "mean_power").foreach { name =>
+        det("TimeDomainDetection", shape.pvtLen) { d =>
+          d.put("ntia-algorithm:detector", name)
+          d.put("ntia-algorithm:number_of_samples", 56000000L)
+        }
+      }
+      for (detName <- Seq("rms", "peak"); st <- Seq("min", "max", "mean"))
+        det("AnnotationSegment", shape.pfpLen) {
+          _.put("core:label", s"pfp_${detName}_${st}_power")
+        }
+      det("AnnotationSegment", shape.apdLen(c)) { _.put("core:label", "apd_p_pct") }
+      det("AnnotationSegment", shape.apdLen(c)) { _.put("core:label", "apd_a_dBm") }
     }
     mapper.writeValueAsString(root)
   }
 
-  /** Legacy payload: fixed TRACE_INFO lengths (625/400/560 + 2x151 APD for
-    * gen >= 2), per-capture contiguous.
+  /** v2 metadata: per-capture `<trace>_sample_start` keys + sample counts +
+    * flat cal fields (reference `_Loader_v2`, seamf.py:362-464).
     */
-  def buildLegacyPayload(gen: Int, nChannels: Int): Array[Float] = {
-    val traceLens = SeamfMetadata.fixedLegacyLayout(gen).map(_.length)
+  def buildV2MetaJson(fileIdx: Int, t0Us: Long, nChannels: Int,
+      shape: LegacyShape, sha512: String): String = {
+    val root = mapper.createObjectNode()
+    val g = root.putObject("global")
+    putLegacyGlobals(g, 2, fileIdx, t0Us, nChannels, sha512)
+    val caps = root.putArray("captures")
+    (0 until nChannels).foreach { c =>
+      val cap = caps.addObject()
+      putLegacyCaptureCore(cap, shape, c, t0Us)
+      cap.put("overload", (fileIdx + c) % 5 == 0)
+      cap.put("cal_gain_dB", 30.0 + c * 0.5)
+      cap.put("cal_noise_figure_dB", 5.0 + 0.1 * c)
+      cap.put("sigan_attenuation_dB", 0.0)
+      cap.put("sigan_preamp_enable", true)
+      cap.put("sigan_reference_level_dBm", -25.0)
+      cap.put("iq_capture_duration_msec", 4000)
+      cap.put("fft_sample_count", shape.psdLen)
+      cap.put("td_pwr_sample_count", shape.pvtLen)
+      cap.put("pfp_sample_count", shape.pfpLen)
+      cap.put("apd_sample_count", shape.apdLen(c))
+      cap.put("max_channel_power_dBm", -30.0 - c)
+      cap.put("mean_channel_power_dBm", -40.0 - c)
+      var off = shape.sampleStart(c)
+      def start(name: String, count: Int): Unit = {
+        cap.put(s"${name}_sample_start", off); off += count
+      }
+      start("max_fft", shape.psdLen); start("mean_fft", shape.psdLen)
+      start("max_td_pwr_series", shape.pvtLen)
+      start("mean_td_pwr_series", shape.pvtLen)
+      for (st <- Seq("min", "max", "mean")) start(s"${st}_rms_pfp", shape.pfpLen)
+      for (st <- Seq("min", "max", "mean")) start(s"${st}_peak_pfp", shape.pfpLen)
+      start("apd_p", shape.apdLen(c)); start("apd_a", shape.apdLen(c))
+    }
+    root.putArray("annotations")
+    mapper.writeValueAsString(root)
+  }
+
+  /** v3 metadata: global `data_products` with detector name lists and a
+    * per-capture APD sample_count list (reference `_Loader_v3`,
+    * seamf.py:467-603).
+    */
+  def buildV3MetaJson(fileIdx: Int, t0Us: Long, nChannels: Int,
+      shape: LegacyShape, sha512: String): String = {
+    val root = mapper.createObjectNode()
+    val g = root.putObject("global")
+    putLegacyGlobals(g, 3, fileIdx, t0Us, nChannels, sha512)
+    val dp = g.putObject("data_products")
+    val psd = dp.putObject("power_spectral_density")
+    val psdDet = psd.putArray("detector")
+    psdDet.add("max_power"); psdDet.add("mean_power")
+    psd.put("sample_count", shape.psdLen)
+    psd.put("number_of_samples_in_fft", shape.fftLen)
+    val pvt = dp.putObject("time_series_power")
+    val pvtDet = pvt.putArray("detector")
+    pvtDet.add("max_power"); pvtDet.add("mean_power")
+    pvt.put("sample_count", shape.pvtLen)
+    pvt.put("number_of_samples", 56000000L)
+    val pfp = dp.putObject("periodic_frame_power")
+    val pfpDet = pfp.putArray("detector")
+    for (det <- Seq("rms", "peak"); st <- Seq("min", "max", "mean"))
+      pfpDet.add(s"${det}_${st}_power")
+    pfp.put("sample_count", shape.pfpLen)
+    val apd = dp.putObject("amplitude_probability_distribution")
+    val apdCounts = apd.putArray("sample_count")
+    (0 until nChannels).foreach(c => apdCounts.add(shape.apdLen(c)))
+    apd.put("power_bin_size", 1.0)
+    val maxP = g.putArray("max_channel_powers_dBm")
+    val rmsP = g.putArray("rms_channel_powers_dBm")
+    (0 until nChannels).foreach { c => maxP.add(-30.0 - c); rmsP.add(-40.0 - c) }
+    val caps = root.putArray("captures")
+    (0 until nChannels).foreach { c =>
+      val cap = caps.addObject()
+      putLegacyCaptureCore(cap, shape, c, t0Us)
+      cap.put("overload", (fileIdx + c) % 5 == 0)
+      cap.put("cal_gain_dB", 30.0 + c * 0.5)
+      cap.put("cal_noise_figure_dB", 5.0 + 0.1 * c)
+      cap.put("sigan_attenuation_dB", 0.0)
+      cap.put("sigan_preamp_enable", true)
+      cap.put("sigan_reference_level_dBm", -25.0)
+      cap.put("iq_capture_duration_msec", 4000)
+    }
+    root.putArray("annotations")
+    mapper.writeValueAsString(root)
+  }
+
+  /** v3 pfp detector order differs from v1/v2 label maps only in grouping;
+    * payload trace order is psd x2, pvt x2, pfp x6 (rms then peak, each
+    * min/max/mean), apd_p, apd_a — the declared-offset order in all three
+    * builders above.
+    */
+  def buildLegacyPayload(nChannels: Int, shape: LegacyShape): Array[Float] = {
     (0 until nChannels).flatMap { c =>
-      traceLens.zipWithIndex.flatMap { case (len, ti) =>
+      val lens = Seq.fill(2)(shape.psdLen) ++ Seq.fill(2)(shape.pvtLen) ++
+        Seq.fill(6)(shape.pfpLen) ++ Seq.fill(2)(shape.apdLen(c))
+      lens.zipWithIndex.flatMap { case (len, ti) =>
         (0 until len).map(s => sampleValue(c, ti, s))
       }
     }.toArray
   }
 
-  /** Write one legacy-generation sweep file. */
+  /** Write one legacy-generation sweep file (gen 1, 2 or 3). */
   def writeLegacySweep(dir: Path, gen: Int, fileIdx: Int, t0Us: Long,
-      nChannels: Int = 2): Path = {
-    val payload = HalfFloat.encodeVector(buildLegacyPayload(gen, nChannels))
+      nChannels: Int = 2, shape: LegacyShape = LegacyShape()): Path = {
+    val payload = HalfFloat.encodeVector(buildLegacyPayload(nChannels, shape))
     val compressed = SeamfCodec.xzCompress(payload)
-    val meta = buildLegacyMetaJson(gen, fileIdx, t0Us, nChannels,
-      SeamfCodec.sha512Hex(compressed))
+    val sha = SeamfCodec.sha512Hex(compressed)
+    val meta = gen match {
+      case 1 => buildV1MetaJson(fileIdx, t0Us, nChannels, shape, sha)
+      case 2 => buildV2MetaJson(fileIdx, t0Us, nChannels, shape, sha)
+      case 3 => buildV3MetaJson(fileIdx, t0Us, nChannels, shape, sha)
+      case other =>
+        throw new IllegalArgumentException(s"not a legacy generation: $other")
+    }
     val name = f"legacy_v${gen}_sweep_$fileIdx%05d"
     val tar = SeamfCodec.packTar(name, meta, compressed)
     val out = dir.resolve(s"$name.sigmf")

@@ -87,17 +87,16 @@ object SeamfReader {
       else {
         val payload = HalfFloat.decodeVector(
           SeamfCodec.xzDecompress(raw.compressedPayload))
-        val per = meta.perCaptureLength
-        require(payload.length == per * meta.captures.size,
-          s"payload length ${payload.length} != ${meta.captures.size} captures x $per")
-        meta.captures.zipWithIndex.flatMap { case (cap, ci) =>
-          var off = ci * per
-          meta.perCaptureLayout.map { ti =>
-            val slice = java.util.Arrays.copyOfRange(payload, off, off + ti.length)
-            off += ti.length
-            TraceRow(path, cap.datetimeUs, cap.frequency, ti.table,
-              ti.captureStatistic, ti.detector, ti.axisStart, ti.axisStep, slice)
-          }
+        // absolute offset table (handles the variable per-capture APD
+        // regions of generations 1-3; see SeamfMetadata class doc)
+        require(meta.requiredLength <= payload.length,
+          s"payload length ${payload.length} < offset table end ${meta.requiredLength}")
+        meta.slots.map { s =>
+          val cap = meta.captures(s.captureIdx)
+          val slice = java.util.Arrays.copyOfRange(
+            payload, s.start.toInt, s.start.toInt + s.length)
+          TraceRow(path, cap.datetimeUs, cap.frequency, s.table,
+            s.captureStatistic, s.detector, s.axisStart, s.axisStep, slice)
         }
       }
 
