@@ -1,30 +1,55 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.functions.DbMath
-import graft.operators.{AsOfJoin, TddSync, Windowed}
-import graft.seamf.{SeamfFixtures, SeamfReader}
+import graft.operators.{AsOfJoin, TddSync}
+import graft.seamf.{SeamfDump, SeamfFixtures, SeamfReader}
 
 /** seamf ingest + analytics inventory (SURVEY.md §2.1 S1-S14 and the
   * demo-derived analytics surface) exercised over a deterministic synthetic
   * archive (SeamfFixtures.sharedArchive — FIXTURES.md §A.5: 8 sweeps at 90 s
   * cadence, one omitted slot, one corrupt-sha member, one non-sigmf file).
   *
-  * DuckDB cannot decode seamf containers, so these run as rows-only checks;
-  * exact decoded values are pinned by the ScalaTest specs
-  * (src/test/scala/graft/seamf/). All aggregates use order-independent
-  * accumulation (decimal sums / min / max) so outputs are bit-stable.
+  * DuckDB cannot decode seamf containers, but it can query decoded parquet:
+  * [[graft.seamf.SeamfDump]] decodes the fixture once and dumps the long
+  * tables; each query here reads that dump and carries DuckDB oracle SQL
+  * over the SAME files — so the analytics are hash-checked cell-for-cell.
+  * The decode itself is pinned by SeamfGoldenSpec against the reference's
+  * real example_v{1..6}.sigmf files. Only the two TddSync-dependent queries
+  * (s09, s11 — the sanctioned correlation UDF) stay rows-only.
+  *
+  * dB means use the log-sum-exp discipline proven by q21: per-group max
+  * normalization + DECIMAL(38,18) sums, bit-stable across partitionings and
+  * engines.
   */
 object SeamfQueries {
 
-  /** Exact linear-space dB mean: decimal accumulation then back to dB. */
-  private def dbMeanExact(c: org.apache.spark.sql.Column) =
-    lit(10.0) * log10(
-      sum(pow(lit(10.0), c / 10.0).cast(DecimalType(38, 12))).cast("double") /
-        count(lit(1)))
+  private val D = SeamfDump.root
+  private def rp(t: String) = s"read_parquet('$D/$t/*.parquet')"
+
+  private def dump(s: SparkSession, table: String): DataFrame = {
+    SeamfDump.ensure(s)
+    s.read.parquet(s"$D/$table")
+  }
+
+  /** Exact linear-space dB mean: log-sum-exp with per-group max
+    * normalization (`vmax` must be a window max over the same keys as the
+    * enclosing groupBy) + decimal accumulation.
+    */
+  private def lin(v: Column, vmax: Column): Column =
+    pow(lit(10.0), (v - vmax) / 10.0).cast(DecimalType(38, 18))
+
+  private def dbMeanAgg(vmax: Column, linCol: Column): Column =
+    round(max(vmax) + lit(10.0) *
+      log10(sum(linCol).cast("double") / count(lit(1))), 6)
+
+  /** The matching DuckDB SQL fragment (v, vmax column names in scope). */
+  private def sqlDbMean(v: String, vmax: String): String =
+    s"ROUND(MAX($vmax) + 10.0*LOG10(CAST(SUM(CAST(POW(10.0, ($v - $vmax)/10.0)" +
+      s" AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*)), 6)"
 
   private def fixture(): String = SeamfFixtures.sharedArchive()
 
@@ -33,155 +58,252 @@ object SeamfQueries {
     // ---- S1/S5/S6: full decode -> long PSD table + A1-style agg --------
     "s01_seamf_psd_summary" -> QueryDef(
       (s, _) => {
-        val psd = SeamfReader.tables(s, fixture())("psd")
-        psd.groupBy("frequency", "capture_statistic")
+        val w = Window.partitionBy("frequency", "capture_statistic")
+        dump(s, "psd")
+          .withColumn("__vmax", max(col("psd_dbm_per_hz")).over(w))
+          .withColumn("__lin", lin(col("psd_dbm_per_hz"), col("__vmax")))
+          .groupBy("frequency", "capture_statistic")
           .agg(count(lit(1)).as("n"),
-            round(dbMeanExact(col("psd_dbm_per_hz")), 6).as("db_mean"),
+            dbMeanAgg(col("__vmax"), col("__lin")).as("db_mean"),
             min(col("psd_dbm_per_hz")).as("db_min"),
             max(col("psd_dbm_per_hz")).as("db_max"))
           .orderBy("frequency", "capture_statistic")
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT frequency, capture_statistic, psd_dbm_per_hz,
+        MAX(psd_dbm_per_hz) OVER (PARTITION BY frequency, capture_statistic)
+          AS vmax FROM ${rp("psd")})
+        SELECT frequency, capture_statistic, COUNT(*) AS n,
+          ${sqlDbMean("psd_dbm_per_hz", "vmax")} AS db_mean,
+          MIN(psd_dbm_per_hz) AS db_min, MAX(psd_dbm_per_hz) AS db_max
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- A8/J1: capture_summary (dask_processing.ipynb cell 3) ---------
+    // Includes F2 (kTB noise floor) and F8 (overload -> {-1, 1} categorical
+    // map, colormap_plots.ipynb cell 5).
     "s02_seamf_capture_summary" -> QueryDef(
       (s, _) => {
-        val t = SeamfReader.tables(s, fixture())
-        val pvt = t("pvt")
-          .groupBy("datetime", "frequency", "detector")
+        val w = Window.partitionBy("datetime_us", "frequency", "detector")
+        val agg = dump(s, "pvt")
+          .withColumn("__vmax", max(col("power_dbm")).over(w))
+          .withColumn("__lin", lin(col("power_dbm"), col("__vmax")))
+          .groupBy("datetime_us", "frequency", "detector")
           .agg(max(col("power_dbm")).as("peak_power"),
-            round(dbMeanExact(col("power_dbm")), 6).as("mean_power"))
-          .groupBy("datetime", "frequency")
+            dbMeanAgg(col("__vmax"), col("__lin")).as("mean_power"))
+        val piv = agg.groupBy("datetime_us", "frequency")
           .pivot("detector", Seq("peak", "rms"))
           .agg(first(col("peak_power")).as("max"), first(col("mean_power")).as("mean"))
-        val cal = t("channel_metadata")
-          .select(col("datetime"), col("frequency"), col("overload"),
+        val cal = dump(s, "channel_metadata")
+          .select(col("datetime_us"), col("frequency"), col("overload"),
             col("cal_noise_figure_dB"), col("cal_gain_dB"),
             col("cal_temperature_degC"))
-        pvt.join(cal, Seq("datetime", "frequency"))
-          // kTB thermal noise floor from cal temperature + noise figure
-          // (F2, seamf_quickplot.ipynb cell 5)
+        piv.join(cal, Seq("datetime_us", "frequency"))
+          // kTB thermal noise floor (F2, seamf_quickplot.ipynb cell 5)
           .withColumn("noise_floor_dbm_per_hz",
-            round(DbMath.ktbNoiseFloorDbmPerHz(
+            round(graft.functions.DbMath.ktbNoiseFloorDbmPerHz(
               col("cal_temperature_degC"), col("cal_noise_figure_dB")), 6))
-          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
+          // F8: overload boolean -> {-1, 1} (colormap_plots.ipynb cell 5)
+          .withColumn("overload_sign", when(col("overload"), -1).otherwise(1))
           .orderBy("datetime_us", "frequency")
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT datetime_us, frequency, detector, power_dbm,
+        MAX(power_dbm) OVER (PARTITION BY datetime_us, frequency, detector)
+          AS vmax FROM ${rp("pvt")}),
+      a AS (SELECT datetime_us, frequency, detector,
+        MAX(power_dbm) AS peak_power,
+        ${sqlDbMean("power_dbm", "vmax")} AS mean_power
+        FROM b GROUP BY 1, 2, 3),
+      p AS (SELECT datetime_us, frequency,
+        MAX(peak_power) FILTER (WHERE detector = 'peak') AS peak_max,
+        MAX(mean_power) FILTER (WHERE detector = 'peak') AS peak_mean,
+        MAX(peak_power) FILTER (WHERE detector = 'rms') AS rms_max,
+        MAX(mean_power) FILTER (WHERE detector = 'rms') AS rms_mean
+        FROM a GROUP BY 1, 2)
+      SELECT p.datetime_us, p.frequency, p.peak_max, p.peak_mean, p.rms_max,
+        p.rms_mean, c.overload, c.cal_noise_figure_dB, c.cal_gain_dB,
+        c.cal_temperature_degC,
+        ROUND(10.0*LOG10((c.cal_temperature_degC + 273.15)*1.380649e-23)
+          + 30.0 + c.cal_noise_figure_dB, 6) AS noise_floor_dbm_per_hz,
+        CASE WHEN c.overload THEN -1 ELSE 1 END AS overload_sign
+      FROM p JOIN ${rp("channel_metadata")} c
+        ON p.datetime_us = c.datetime_us AND p.frequency = c.frequency
+      ORDER BY 1, 2""")),
 
     // ---- S3: metadata-only scan ----------------------------------------
     "s03_seamf_sweep_metadata" -> QueryDef(
       (s, _) => {
-        SeamfReader.sweepMetadata(s, fixture())
-          .select(
-            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
+        dump(s, "sweep_metadata")
+          .select(col("file_name").as("name"),
             col("version"), col("schema_generation"), col("num_channels"),
             col("task"), col("schedule_interval_sec"),
             col("timezone"), col("n_captures"))
           .orderBy("name")
-      }, None),
+      },
+      Some(s"""SELECT file_name AS name, version, schema_generation,
+        num_channels, task, schedule_interval_sec, timezone, n_captures
+        FROM ${rp("sweep_metadata")} ORDER BY 1""")),
 
     // ---- S2/S9: integrity + permissive error mode ----------------------
     "s04_seamf_error_tolerant" -> QueryDef(
       (s, _) => {
-        val all = SeamfReader.sweepMetadata(s, fixture(), checkHash = false)
-          .agg(count(lit(1)).as("n_parseable"))
-        val ok = SeamfReader.sweepMetadata(s, fixture(), checkHash = true)
-          .agg(count(lit(1)).as("n_hash_ok"))
-        all.crossJoin(ok)
+        dump(s, "sweep_metadata")
+          .agg(count(lit(1)).as("n_parseable"),
+            count(when(col("sha512_ok"), lit(1))).as("n_hash_ok"))
           .withColumn("n_corrupt", col("n_parseable") - col("n_hash_ok"))
-      }, None),
+      },
+      Some(s"""SELECT COUNT(*) AS n_parseable,
+        COUNT(*) FILTER (WHERE sha512_ok) AS n_hash_ok,
+        COUNT(*) - COUNT(*) FILTER (WHERE sha512_ok) AS n_corrupt
+        FROM ${rp("sweep_metadata")}""")),
 
     // ---- A9: acquisition gap detection ---------------------------------
     "s05_seamf_gaps" -> QueryDef(
       (s, _) => {
-        val sm = SeamfReader.sweepMetadata(s, fixture())
-          .withColumn("t0", timestamp_micros(col("schedule_start_us")))
-        Windowed.gaps(sm, Seq.empty, "t0", 91.0)
-          .select(unix_micros(col("t0")).as("t0_us"), col("gap_sec"))
+        val w = Window.orderBy("schedule_start_us")
+        dump(s, "sweep_metadata")
+          .select(col("schedule_start_us"))
+          .withColumn("__prev", lag(col("schedule_start_us"), 1).over(w))
+          .withColumn("gap_sec",
+            (col("schedule_start_us") - col("__prev")).cast("double") / 1e6)
+          .filter(col("gap_sec") > 91.0)
+          .select(col("schedule_start_us").as("t0_us"), col("gap_sec"))
           .orderBy("t0_us")
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT schedule_start_us,
+        (schedule_start_us - LAG(schedule_start_us, 1) OVER
+          (ORDER BY schedule_start_us)) / 1000000.0 AS gap_sec
+        FROM ${rp("sweep_metadata")})
+        SELECT schedule_start_us AS t0_us, gap_sec FROM b
+        WHERE gap_sec > 91.0 ORDER BY 1""")),
 
     // ---- O4/A4: spectrogram pivot + frequency-axis downsample ----------
     "s06_seamf_spectrogram" -> QueryDef(
       (s, _) => {
-        val psd = SeamfReader.tables(s, fixture())("psd")
-        psd
+        val w = Window.partitionBy("datetime_us", "frequency", "bin",
+          "capture_statistic")
+        dump(s, "psd")
           .withColumn("bin", floor((col("baseband_hz") + 4.992e6) / (16e3 * 25)))
-          .groupBy("datetime", "frequency", "bin")
+          .withColumn("__vmax", max(col("psd_dbm_per_hz")).over(w))
+          .withColumn("__lin", lin(col("psd_dbm_per_hz"), col("__vmax")))
+          .groupBy("datetime_us", "frequency", "bin")
           .pivot("capture_statistic", Seq("max", "mean"))
-          .agg(round(dbMeanExact(col("psd_dbm_per_hz")), 6))
+          .agg(dbMeanAgg(col("__vmax"), col("__lin")))
           // absolute RF axis = channel center + baseband bin offset
           // (plots.py:148-164)
           .withColumn("abs_hz_start",
             col("frequency") - 4.992e6 + col("bin") * (16e3 * 25))
-          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
           .orderBy("datetime_us", "frequency", "bin")
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT datetime_us, frequency, capture_statistic,
+        psd_dbm_per_hz,
+        CAST(FLOOR((baseband_hz + 4992000.0) / 400000.0) AS BIGINT) AS bin
+        FROM ${rp("psd")}),
+      v AS (SELECT *, MAX(psd_dbm_per_hz) OVER (PARTITION BY datetime_us,
+        frequency, bin, capture_statistic) AS vmax FROM b),
+      g AS (SELECT datetime_us, frequency, bin, capture_statistic,
+        ${sqlDbMean("psd_dbm_per_hz", "vmax")} AS db FROM v
+        GROUP BY 1, 2, 3, 4)
+      SELECT datetime_us, frequency, bin,
+        MAX(db) FILTER (WHERE capture_statistic = 'max') AS "max",
+        MAX(db) FILTER (WHERE capture_statistic = 'mean') AS "mean",
+        frequency - 4992000.0 + bin * 400000.0 AS abs_hz_start
+      FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // ---- F11/O5: APD Rayleigh axis transform ---------------------------
     "s07_seamf_apd_transform" -> QueryDef(
       (s, _) => {
-        val apd = SeamfReader.tables(s, fixture())("apd")
-        apd
+        dump(s, "apd")
           .withColumn("p", col("probability_pct").cast("double") / 100.0)
           .withColumn("rayleigh_x",
-            round(DbMath.apdRayleighX(col("amplitude_dbm"), col("p")), 6))
+            round(graft.functions.DbMath.apdRayleighX(
+              col("amplitude_dbm"), col("p")), 6))
           .filter(col("rayleigh_x").isNotNull)
           .groupBy("frequency")
           .agg(count(lit(1)).as("n"),
             min(col("rayleigh_x")).as("x_min"),
             max(col("rayleigh_x")).as("x_max"))
           .orderBy("frequency")
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT frequency,
+        CASE WHEN CAST(probability_pct AS DOUBLE)/100.0 > 0.0
+              AND CAST(probability_pct AS DOUBLE)/100.0 < 1.0
+          THEN ROUND(amplitude_dbm - 10.0*LOG10(
+            -LN(CAST(probability_pct AS DOUBLE)/100.0)), 6) END AS rayleigh_x
+        FROM ${rp("apd")})
+        SELECT frequency, COUNT(*) AS n, MIN(rayleigh_x) AS x_min,
+          MAX(rayleigh_x) AS x_max
+        FROM b WHERE rayleigh_x IS NOT NULL GROUP BY 1 ORDER BY 1""")),
 
     // ---- J2: as-of join of cal metadata onto pfp aggregate times -------
+    // The oracle is DuckDB's native ASOF JOIN — an independent
+    // implementation of the backward as-of semantics.
     "s08_seamf_asof_cal" -> QueryDef(
       (s, _) => {
-        val t = SeamfReader.tables(s, fixture())
-        val pfpAgg = t("pfp")
-          .groupBy("datetime", "frequency")
+        val pfpAgg = dump(s, "pfp")
+          .groupBy("datetime_us", "frequency")
           .agg(max(col("power_dbm")).as("frame_peak_dbm"))
-        val cal = t("channel_metadata")
-          .groupBy("frequency", "datetime")
+        val cal = dump(s, "channel_metadata")
+          .groupBy("frequency", "datetime_us")
           .agg(max(col("cal_noise_figure_dB")).as("cal_noise_figure_dB"))
-        AsOfJoin.backward(pfpAgg, cal, Seq("frequency"), "datetime", "datetime",
-            Seq("cal_noise_figure_dB"))
-          .withColumn("datetime_us", unix_micros(col("datetime"))).drop("datetime")
+        AsOfJoin.backward(pfpAgg, cal, Seq("frequency"), "datetime_us",
+            "datetime_us", Seq("cal_noise_figure_dB"))
           .orderBy("frequency", "datetime_us")
-      }, None),
+      },
+      Some(s"""WITH pa AS (SELECT datetime_us, frequency,
+        MAX(power_dbm) AS frame_peak_dbm FROM ${rp("pfp")} GROUP BY 1, 2),
+      c AS (SELECT frequency, datetime_us,
+        MAX(cal_noise_figure_dB) AS cal_noise_figure_dB
+        FROM ${rp("channel_metadata")} GROUP BY 1, 2)
+      SELECT pa.datetime_us, pa.frequency, pa.frame_peak_dbm,
+        c.cal_noise_figure_dB
+      FROM pa ASOF LEFT JOIN c
+        ON pa.frequency = c.frequency AND pa.datetime_us >= c.datetime_us
+      ORDER BY 2, 1""")),
 
     // ---- A7: declared vs recomputed channel-power parity ---------------
-    // The metadata carries per-channel summary powers
-    // (ntia-nasctn-sea:max_of_max_channel_powers); recompute them from the
-    // decoded PSD traces and compare — the reference-recommended integrity
-    // check (SURVEY A7).
+    // The metadata carries per-channel summary powers; recompute the
+    // max-of-max from the decoded PSD long table and compare (SURVEY A7).
     "s10_seamf_power_parity" -> QueryDef(
       (s, _) => {
-        val recomputed = SeamfReader.traces(s, fixture()).toDF()
-          .filter(col("table") === "psd" && col("capture_statistic") === "max")
-          .select(col("file"), col("frequency"),
-            array_max(col("trace")).cast("double").as("recomputed_max"))
-        val chanIdx = org.apache.spark.sql.expressions.Window
-          .partitionBy("file").orderBy("frequency")
-        val withIdx = recomputed
-          .withColumn("channel", row_number().over(chanIdx) - 1)
-        val declared = SeamfReader.sweepMetadata(s, fixture())
-          .select(col("file"),
+        val rec = dump(s, "psd")
+          .filter(col("capture_statistic") === "max")
+          .groupBy("file_name", "frequency")
+          .agg(max(col("psd_dbm_per_hz")).cast("double").as("recomputed_max"))
+          .withColumn("channel", row_number().over(
+            Window.partitionBy("file_name").orderBy("frequency")) - 1)
+        val declared = dump(s, "sweep_metadata")
+          .select(col("file_name"),
             posexplode(col("max_of_max_channel_powers"))
               .as(Seq("channel", "declared_max")))
-        withIdx.join(declared, Seq("file", "channel"))
+        rec.join(declared, Seq("file_name", "channel"))
           .withColumn("matches",
             abs(col("recomputed_max") - col("declared_max")) < 0.01)
-          .select(
-            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
-            col("channel"), col("declared_max"), col("recomputed_max"),
-            col("matches"))
+          .select(col("file_name").as("name"), col("channel"),
+            col("declared_max"), col("recomputed_max"), col("matches"))
           .orderBy("name", "channel")
-      }, None),
+      },
+      Some(s"""WITH rec AS (SELECT file_name, frequency,
+        CAST(MAX(psd_dbm_per_hz) AS DOUBLE) AS recomputed_max
+        FROM ${rp("psd")} WHERE capture_statistic = 'max' GROUP BY 1, 2),
+      idx AS (SELECT file_name, recomputed_max,
+        CAST(ROW_NUMBER() OVER (PARTITION BY file_name ORDER BY frequency)
+          - 1 AS INTEGER) AS channel FROM rec),
+      dec AS (SELECT file_name,
+        CAST(unnest(range(len(max_of_max_channel_powers))) AS INTEGER)
+          AS channel,
+        unnest(max_of_max_channel_powers) AS declared_max
+        FROM ${rp("sweep_metadata")})
+      SELECT idx.file_name AS name, idx.channel, dec.declared_max,
+        idx.recomputed_max,
+        ABS(idx.recomputed_max - dec.declared_max) < 0.01 AS matches
+      FROM idx JOIN dec
+        ON idx.file_name = dec.file_name AND idx.channel = dec.channel
+      ORDER BY 1, 2""")),
 
     // ---- P4/J3: cell-wise boolean mask via broadcast mask join ---------
     // Per-timestamp frame format selects one of 2 mask templates; the mask
     // NaNs-out non-downlink samples before aggregating (reference
-    // 3gpp_detect_and_sync.ipynb cell 11).
+    // 3gpp_detect_and_sync.ipynb cell 11). Depends on the TddSync
+    // correlation UDF -> rows-only (values pinned by RowsOnlySpec).
     "s11_seamf_masked_agg" -> QueryDef(
       (s, _) => {
         import s.implicits._
@@ -210,50 +332,57 @@ object SeamfQueries {
           .orderBy("frequency", "frame_format")
       }, None),
 
-    // ---- F7: flattened diagnostics map -> long rows (MapType ops) ------
+    // ---- F7: flattened diagnostics map -> long rows --------------------
     "s13_seamf_diagnostics" -> QueryDef(
       (s, _) => {
-        SeamfReader.sweepMetadata(s, fixture())
-          .select(
-            regexp_extract(col("file"), "([^/]+)\\.sigmf$", 1).as("name"),
-            explode(col("diagnostics")).as(Seq("key", "value")))
+        dump(s, "diagnostics")
           .groupBy("key")
           .agg(count(lit(1)).as("n_files"),
             countDistinct(col("value")).as("n_distinct_values"))
           .orderBy("key")
-      }, None),
+      },
+      Some(s"""SELECT "key", COUNT(*) AS n_files,
+        COUNT(DISTINCT "value") AS n_distinct_values
+        FROM ${rp("diagnostics")} GROUP BY 1 ORDER BY 1""")),
 
     // ---- S7: zip-archive scan ------------------------------------------
     "s14_seamf_zip_scan" -> QueryDef(
       (s, _) => {
-        val zdir = {
-          val d = java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), "graft_seamf_zipfix")
-          val marker = d.resolve(".complete")
-          if (!java.nio.file.Files.exists(marker)) {
-            graft.seamf.SeamfFixtures.writeZipArchive(d.toString)
-            java.nio.file.Files.write(marker, Array.emptyByteArray)
-          }
-          d.toString
-        }
-        SeamfReader.tracesFromZips(s, zdir).toDF()
-          .groupBy("table")
+        dump(s, "zip_traces")
+          .groupBy("product")
           .agg(count(lit(1)).as("n_traces"),
-            countDistinct(col("file")).as("n_members"))
-          .orderBy("table")
-      }, None),
+            countDistinct(col("file_name")).as("n_members"))
+          .orderBy("product")
+      },
+      Some(s"""SELECT product, COUNT(*) AS n_traces,
+        COUNT(DISTINCT file_name) AS n_members
+        FROM ${rp("zip_traces")} GROUP BY 1 ORDER BY 1""")),
 
     // ---- A9: coverage statistics vs the 90 s schedule cadence ----------
     "s12_seamf_coverage" -> QueryDef(
       (s, _) => {
-        val sm = SeamfReader.sweepMetadata(s, fixture())
-          .withColumn("t0", timestamp_micros(col("schedule_start_us")))
-          .withColumn("all", lit(1))
-        Windowed.coverage(sm, Seq("all"), "t0", cadenceSec = 90.0)
+        dump(s, "sweep_metadata")
+          .agg(count(lit(1)).as("n_obs"),
+            min(col("schedule_start_us")).as("t_min"),
+            max(col("schedule_start_us")).as("t_max"))
+          .withColumn("ideal",
+            floor((col("t_max") - col("t_min")).cast("double") / 1e6 / 90.0) + 1)
+          .withColumn("coverage_pct",
+            round(col("n_obs").cast("double") / col("ideal").cast("double")
+              * 100.0, 4))
           .select(col("n_obs"), col("ideal"), col("coverage_pct"))
-      }, None),
+      },
+      Some(s"""WITH b AS (SELECT COUNT(*) AS n_obs,
+        CAST(FLOOR((MAX(schedule_start_us) - MIN(schedule_start_us))
+          / 1000000.0 / 90.0) AS BIGINT) + 1 AS ideal
+        FROM ${rp("sweep_metadata")})
+        SELECT n_obs, ideal,
+          ROUND(CAST(n_obs AS DOUBLE) / CAST(ideal AS DOUBLE) * 100.0, 4)
+            AS coverage_pct
+        FROM b""")),
 
     // ---- W4: TDD frame correlation / alignment -------------------------
+    // The one sanctioned UDF (correlation kernel) -> rows-only.
     "s09_seamf_tdd_sync" -> QueryDef(
       (s, _) => {
         import s.implicits._

@@ -1,0 +1,76 @@
+package graft.seamf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-table parquet dump shared by the seamf inventory queries and
+  * their DuckDB oracles.
+  *
+  * DuckDB cannot decode seamf containers, but it CAN query decoded parquet:
+  * the fixture archive is decoded once per JVM and dumped here, the Spark
+  * queries read these tables back, and each query's oracle SQL reads the
+  * SAME files via `read_parquet('<path>')` — so the analytics on top of the
+  * decode are hash-checked cell-for-cell (the decode itself is pinned by
+  * SeamfGoldenSpec against the reference's real example files).
+  *
+  * Timestamps are stored as epoch-microsecond longs (`datetime_us`) so the
+  * dump is codec-agnostic between Spark and DuckDB/pyarrow readers.
+  */
+object SeamfDump {
+
+  /** Absolute dump root — referenced verbatim inside oracle SQL strings. */
+  val root = "/root/repo/target/seamf_dump"
+
+  @volatile private var written = false
+
+  private def shortName(c: org.apache.spark.sql.Column) =
+    regexp_extract(c, "([^/!]+)\\.sigmf$", 1).as("file_name")
+
+  /** Decode the shared fixture archive and write all dump tables (idempotent
+    * per JVM). Returns the dump root.
+    */
+  def ensure(spark: SparkSession): String = synchronized {
+    if (written) return root
+    val fixture = SeamfFixtures.sharedArchive()
+    val t = SeamfReader.tables(spark, fixture)
+
+    def withUs(df: DataFrame): DataFrame =
+      df.withColumn("datetime_us", unix_micros(col("datetime")))
+        .drop("datetime")
+        .withColumn("file_name", shortName(col("file"))).drop("file")
+
+    def write(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+
+    write(withUs(t("psd")), "psd")
+    write(withUs(t("pvt")), "pvt")
+    write(withUs(t("pfp")), "pfp")
+    write(withUs(t("apd")), "apd")
+    write(withUs(t("channel_metadata")), "channel_metadata")
+
+    // permissive scan (checkHash=false): the corrupt-sha member still parses
+    // and carries sha512_ok=false — the error-mode queries need it
+    val sweep = SeamfReader.sweepMetadata(spark, fixture, checkHash = false)
+    write(sweep
+      .select(shortName(col("file")), col("version"), col("schema_generation"),
+        col("sample_rate"), col("num_channels"), col("task"),
+        col("schedule_name"), col("schedule_start_us"),
+        col("schedule_interval_sec"), col("timezone"), col("sha512_ok"),
+        col("n_captures"), col("max_of_max_channel_powers")),
+      "sweep_metadata")
+
+    // diagnostics map exploded to long rows (F7) — MapType parquet reads
+    // awkwardly in DuckDB, long form is the relational shape anyway
+    write(sweep.select(shortName(col("file")),
+      explode(col("diagnostics")).as(Seq("key", "value"))), "diagnostics")
+
+    // zip-archive scan results (S7): member-level trace inventory
+    val zdir = SeamfFixtures.sharedZipArchive()
+    write(SeamfReader.tracesFromZips(spark, zdir).toDF()
+      .select(shortName(col("file")), col("table").as("product")),
+      "zip_traces")
+
+    written = true
+    root
+  }
+}

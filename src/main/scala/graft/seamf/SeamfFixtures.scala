@@ -426,4 +426,15 @@ object SeamfFixtures {
     }
     dir.toString
   }
+
+  /** Idempotent shared zip-archive fixture dir (S7 inventory queries). */
+  def sharedZipArchive(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_seamf_zipfix")
+    val marker = dir.resolve(".complete")
+    if (!Files.exists(marker)) {
+      writeZipArchive(dir.toString)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
 }

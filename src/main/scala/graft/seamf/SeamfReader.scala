@@ -78,7 +78,10 @@ object SeamfReader {
       decodePayload: Boolean, checkHash: Boolean): Decoded = {
     val raw = SeamfCodec.unpackTar(bytes)
     val meta = SeamfMetadata.parse(raw.metaJson, tz)
-    val shaOk = !checkHash || SeamfCodec.checkSha512(meta, raw.compressedPayload)
+    // always compute the integrity flag (cheap vs XZ decode); checkHash
+    // only controls whether a mismatch is fatal (reference hash_check,
+    // seamf.py:1021-1024) — permissive scans still report sha512_ok=false
+    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
     if (checkHash && !shaOk)
       throw new IllegalStateException(s"sha512 mismatch in $path")
 
