@@ -90,23 +90,35 @@ object Bench {
     // full lake export of the archive: decode once, write every product
     // date-partitioned (reference bulk export: 47.410 s for capture_summary
     // monthly + pfp weekly, dask_processing cell 8).
+    // min-of-2: the first export in a JVM pays whole-stage codegen for the
+    // widest plan in the bench (~2x); the steady-state number is the one
+    // comparable to BASELINE.md's repeated-run timings
     lazy val lakeExport = {
       val in = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
-      val t0 = System.nanoTime()
-      graft.seamf.SeamfLake.exportAll(spark, in, out, validate = false)
-      (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
+        val t0 = System.nanoTime()
+        graft.seamf.SeamfLake.exportAll(spark, in, out, validate = false)
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
     }
 
     // run the inventory queries FIRST: the heavyweight archive metrics
     // (GC/page-cache churn from a 19M-row export) would otherwise pollute
-    // adjacent query timings
+    // adjacent query timings. Conversely, drop any leftover cached blocks
+    // before the archive metrics so the heavy queries don't pollute THEM.
+    def settle(): Unit = { spark.catalog.clearCache(); System.gc() }
     val queryResults = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val t1 = runOnce(n)
       val t = if (t1 >= 0 && t1 < 5.0) math.min(t1, runOnce(n)) else t1
+      // dedup operators persist LSH banding intermediates; release them so
+      // a long-lived session doesn't accumulate cached blocks (ADVICE r1)
+      graft.operators.Dedup.unpersistAll()
       n -> t
     }
+    settle()
     val results = queryResults ++
       Seq("seamf_ingest_200_sweeps" -> ingest,
         "seamf_capture_summary_200" -> capSummary,

@@ -17,6 +17,23 @@ import graft.functions.TextOps
   * prefixes) so results are reproducible across runs and cluster sizes.
   */
 object Dedup {
+  // Persisted intermediates (LSH banding tables etc.) registered here so
+  // long-lived sessions can release them: callers run [[unpersistAll]] once
+  // results are materialized (ADVICE r1 — persists used to accumulate until
+  // LRU eviction).
+  private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(df)
+    df
+  }
+
+  /** Release every intermediate persisted by dedup operators in this JVM. */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
   /** Exact duplicate groups by normalized-text fingerprint.
     * Output: fingerprint, n_dups, doc_ids (sorted) for groups with >1 doc.
     */
@@ -28,43 +45,21 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("doc_ids"))
       .filter(col("n_dups") > 1)
 
-  /** Inverted-index n-gram Jaccard: exhaustively computes Jaccard similarity
-    * for every pair of documents sharing at least one k-shingle.
-    *
-    * Plan shape: explode distinct shingles -> self-join on shingle (shuffle
-    * on shingle hash) -> count shared shingles per pair -> join per-doc set
-    * sizes -> jaccard = shared / (|A| + |B| - shared).
-    *
-    * Exact but O(sum of per-shingle doc-frequency^2): at 100 TB use
-    * [[minHashCandidates]] first and verify only candidates. Hot shingles
-    * are the skew risk — callers can cap doc-frequency via `maxDf`.
+  /** Per-doc distinct shingle-hash inverted index: (doc_id, shingle) rows.
+    * explode + DISTINCT stays in codegen (array_distinct on the array cell
+    * is an interpreted O(n^2) higher-order function); the 64-bit xxhash64
+    * key gives 8-byte shuffle keys (collision probability
+    * ~ |shingles|^2 / 2^64 — negligible).
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      minJaccard: Double, maxDf: Int = 1000): DataFrame = {
-    // Distinct shingle sets via explode + DISTINCT (codegen'd hash
-    // aggregate) — array_distinct on the array cell is an interpreted
-    // O(n^2) higher-order function. Join key is the 64-bit shingle hash:
-    // 8-byte shuffle keys, long compares (collision probability
-    // ~ |shingles|^2 / 2^64 — negligible).
-    val inv0 = docs.select(col(idCol).as("doc_id"),
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
-    val sizes = inv0.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val inv = inv0.select(col("doc_id"), xxhash64(col("s")).as("shingle"))
-    // df cap: drop degenerate ubiquitous shingles (stopword-only n-grams)
-    // persist: both self-join sides read this (exchange reuse does not fire
-    // across them); ~(doc, shingle-hash) pairs only
-    val capped = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+
+  private def attachSizesAndScore(pairs: DataFrame, sizes: DataFrame,
+      minJaccard: Double): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("set_size", "size_a"), "id_a")
@@ -75,15 +70,119 @@ object Dedup {
           (col("size_a") + col("size_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+
+  /** Inverted-index n-gram Jaccard: exhaustively computes Jaccard similarity
+    * for every pair of documents sharing at least one k-shingle (the
+    * oracle-checkable exact baseline — at scale prefer [[jaccardPairs]]).
+    *
+    * Plan shape: distinct (doc, shingle-hash) index -> groupBy shingle with
+    * collect_list -> emit in-group pairs (higher-order transform over the
+    * tiny per-shingle doc list; no self-join, no full-index window) ->
+    * count shared shingles per pair -> join per-doc set sizes.
+    *
+    * The df cap is the collect_list group-size filter: degenerate ubiquitous
+    * shingles (df > maxDf) are dropped BEFORE the quadratic pair emission,
+    * bounding fan-out at maxDf^2 per shingle. Two shuffles total
+    * (shingle, then pair) vs the r1 formulation's window + two-sided
+    * self-join shuffle.
+    */
+  def jaccardPairsExhaustive(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minJaccard: Double, maxDf: Int = 1000): DataFrame = {
+    val inv = shingleIndex(docs, idCol, textCol, k)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairs = inv
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids) - i),
+               b -> struct(element_at(ids, i) AS id_a, b AS id_b))))"""))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    attachSizesAndScore(pairs, sizes, minJaccard)
+  }
+
+  /** n-gram Jaccard near-dup pairs — the 100 TB default: MinHash+LSH
+    * candidate generation ([[minHashCandidates]]) followed by EXACT Jaccard
+    * verification of only the candidate pairs. Identical schema to
+    * [[jaccardPairsExhaustive]]; recall is bounded by the LSH banding
+    * parameters (graded by the q45 recall query, not just trusted).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val cand = minHashCandidates(docs, idCol, textCol, k, bands, rowsPerBand,
+      maxBucket).select("id_a", "id_b")
+    val inv = shingleIndex(docs, idCol, textCol, k)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val sets = inv.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"))
+    // exact verify: per-candidate sorted-array intersection (the candidate
+    // set is tiny relative to the corpus, so per-pair HOF cost is bounded)
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("shared"))
+      .filter(col("shared") > 0)
+    attachSizesAndScore(pairs, sizes, minJaccard)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
-    * `minCosine`. Exact all-pairs formulation (the oracle-checkable
-    * baseline); at 100 TB, bucket first with
-    * [[graft.operators.Similarity.lshTopK]] hyperplane-LSH and verify only
-    * same-bucket candidates — the per-row vector math is identical.
+    * `minCosine`.
+    *
+    * Size-gated (ADVICE r1 — the exact path collects the corpus to the
+    * driver): corpora up to `maxExactRows` use the exact broadcast
+    * block-nested-loop below; anything larger routes to
+    * [[embeddingNearDupsLsh]] (hyperplane-LSH candidates + exact verify,
+    * recall graded by the q45 inventory query). The gate is a cheap
+    * count() — one column-pruned scan, no data movement.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, maxExactRows: Long = 500000): DataFrame =
+    if (emb.count() <= maxExactRows)
+      embeddingNearDupsExact(emb, idCol, vecCol, minCosine)
+    else
+      embeddingNearDupsLsh(emb, idCol, vecCol, minCosine)
+
+  /** LSH-bucketed near-dup pairs — the unbounded-corpus path: bucket on
+    * (table, hyperplane-bucket), pair within buckets on bare ids (no vector
+    * payloads through the shuffle), dedup (id_a, id_b), then join vectors
+    * back for the exact cosine verify.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).as("vec"))
+    val bucketed = base.select(col("doc_id"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("table"),
+            graft.functions.VectorOps
+              .hyperplaneBucket(col("vec"), nBits, t * 1000).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("doc_id"), col("tb.table"), col("tb.bucket"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // id pairs only — 16 bytes/row through the shuffle
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine",
+        graft.functions.VectorOps.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs formulation (the oracle-checkable baseline). Requires
+    * the corpus to fit in a broadcast (~1e6 x 64 floats = 256 MB) — use via
+    * the size-gated [[embeddingNearDups]].
+    */
+  def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     // Block-nested-loop with a broadcast corpus: each task streams its rows
     // against the broadcast matrix in primitive-array loops (n^2*d/2 fused
@@ -188,15 +287,14 @@ object Dedup {
     // without it the scan+shingle+64-min-agg pipeline runs TWICE. The banded
     // signature table is tiny (docs x bands rows of one long signature) and
     // is exactly what a production LSH pipeline would materialize.
-    val banded = capBuckets(sigs.select(
+    val banded = cached(capBuckets(sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
-      "bucket", maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      "bucket", maxBucket))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -264,15 +362,14 @@ object Dedup {
       (0 until 64).map { b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("simhash"))
-    val banded = capBuckets(hashed.select(col("doc_id"), col("simhash"),
+    val banded = cached(capBuckets(hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
-      "chunk", maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      "chunk", maxBucket))
     // popcount of the XOR — bit_count is a codegen'd Catalyst builtin
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     banded.as("a")

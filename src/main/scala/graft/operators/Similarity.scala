@@ -1,26 +1,47 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
   *
-  * Two strategies:
+  * Three strategies:
   *  - [[bruteForceTopK]]: exact cosine top-k via a (queries x corpus) join.
   *    Queries are broadcast (they are the small side by construction), the
   *    corpus streams through map-side — no shuffle of the corpus, and the
   *    per-query top-k is a windowed rank over (query, corpus) scores. Exact
   *    baseline + the right plan when |queries| is small even at 100 TB corpus.
+  *  - [[ivfTopK]]: IVF-style cell partitioning around broadcast centroids.
+  *    Cell assignment is a pure column expression over a centroid array
+  *    literal — genuinely zero-shuffle map-side argmax (asserted by
+  *    PlansSpec); only the candidate join shuffles, keyed on cell id.
   *  - [[lshTopK]]: random-hyperplane LSH bucketing (deterministic,
   *    hash-derived hyperplanes so executors need no shared state). Corpus and
   *    queries are bucketed; only same-bucket candidates are scored across
-  *    `nTables` independent tables, trading recall for a ~2^nBits reduction
-  *    in comparisons. This is the 100 TB scale path; the shuffle key is
-  *    (table, bucket).
+  *    `nTables` independent tables. The 100 TB scale path; the shuffle key
+  *    is (table, bucket).
+  *
+  * Candidate dedup in both ANN variants runs over bare (query_id,
+  * neighbor_id) pairs — 16 bytes/row through the distinct shuffle — and
+  * vectors are joined back only for the exact re-rank (r1 shipped the
+  * distinct OVER full vector payloads).
   */
 object Similarity {
+
+  /** row_number rank + filter, keeping the rank column (one window, not the
+    * r1 rank-recomputed-twice shape).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: query_id, neighbor_id, rank, cosine.
     */
@@ -30,61 +51,70 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
-    Windowed.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cosine").desc, col("neighbor_id").asc), k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
-  /** IVF-style approximate top-k: the corpus is partitioned into `nCells`
-    * Voronoi cells around pseudo-centroids (a deterministic hash-sample of
-    * corpus vectors — at 100 TB a real k-means fit would run as a periodic
-    * batch job, but cell assignment/probing is identical); queries probe the
-    * `nProbe` nearest cells and re-rank exactly within them.
-    *
-    * Plan shape: centroids are a tiny broadcast; corpus assignment is one
-    * map-side argmin per row (no shuffle); the probe join shuffles only on
-    * cell id. Comparisons drop by ~nCells/nProbe vs brute force.
+  /** Deterministic pseudo-centroids: the `nCells` corpus vectors with the
+    * smallest xxhash64(id) — stable, data-dependent, skew-free. Collected to
+    * the driver (nCells x dim floats — bounded and tiny at any corpus
+    * size); at 100 TB a real k-means fit would run as a periodic batch job
+    * producing the same artifact.
+    */
+  def centroidsOf(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Seq[(Int, Seq[Float])] = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .collect()
+      .toSeq.zipWithIndex
+      .map { case ((_, v), cell) => (cell, v.toSeq) }
+  }
+
+  /** Pure-expression cell assignment: per row, cosine against each entry of
+    * a broadcast centroid array LITERAL, sorted descending, top `nProbe`
+    * cells exploded out. Zero shuffle, zero window — the whole thing is one
+    * map-side projection (PlansSpec asserts no exchange).
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+      outId: String, outVec: String): DataFrame = {
+    val centLit: Column = array(centroids.map { case (cell, v) =>
+      struct(lit(cell).as("cell"), array(v.map(lit(_)): _*).as("v"))
+    }: _*)
+    // struct sort: ascending on first field = descending cosine via negation
+    val ranked = array_sort(transform(centLit, c =>
+      struct((-VectorOps.cosine(col(vecCol), c.getField("v"))).as("neg_sim"),
+        c.getField("cell").as("cell"))))
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec),
+        explode(transform(slice(ranked, 1, nProbe), x => x.getField("cell")))
+          .as("cell"))
+  }
+
+  /** IVF-style approximate top-k: corpus rows live in their nearest
+    * centroid's cell; queries probe the `nProbe` nearest cells and re-rank
+    * exactly within them. Comparisons drop by ~nCells/nProbe vs brute
+    * force; the only shuffles are the candidate join on cell id and the
+    * final per-query rank.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic pseudo-centroids: the nCells corpus vectors with the
-    // smallest xxhash64(id) — stable, data-dependent, skew-free
-    val centroids = corpus
-      .select(col(idCol).as("cent_src"), col(vecCol).as("cent_vec"))
-      .withColumn("__h", xxhash64(col("cent_src")))
-      .orderBy("__h").limit(nCells)
-      .withColumn("cell", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1)
-      .select("cell", "cent_vec")
-
-    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(centroids))
-        .withColumn("__sim", VectorOps.cosine(col(vec), col("cent_vec")))
-      Windowed.topKPerGroup(scored, Seq(id),
-          Seq(col("__sim").desc, col("cell").asc), n)
-        .select(col(id), col(vec), col("cell"))
-    }
-
-    val corpusCells = assign(corpus, "neighbor_id", "cv", 1)
-    val queryCells = assign(queries, "query_id", "qv", nProbe)
-    val cand = corpusCells.join(queryCells, Seq("cell"))
+    val cents = centroidsOf(corpus, idCol, vecCol, nCells)
+    val corpusCells = assignCells(corpus, idCol, vecCol, cents, 1,
+      "neighbor_id", "cv")
+    val queryCells = assignCells(queries, idCol, vecCol, cents, nProbe,
+      "query_id", "qv")
+    // candidate ids only through the distinct (a query can meet the same
+    // neighbor in several probed cells); vectors re-attached after
+    val cand = corpusCells.select("cell", "neighbor_id")
+      .join(queryCells.select("cell", "query_id"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
-    Windowed.topKPerGroup(cand, Seq("query_id"),
-        Seq(col("cosine").desc, col("neighbor_id").asc), k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** LSH-bucketed approximate top-k cosine neighbors.
@@ -95,27 +125,33 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, nTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    def bucketed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
           explode(array((0 until nTables).map { t =>
             struct(lit(t).as("table"),
               VectorOps.hyperplaneBucket(col(vecCol), nBits, t * 1000).as("bucket"))
           }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
 
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
-    val cand = c.join(q, Seq("table", "bucket"))
+    val cand = bucketed(corpus, "neighbor_id")
+      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
+    scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact re-rank of candidate id pairs: join vectors back (queries via
+    * broadcast — they are the small side), score, rank.
+    */
+  private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
-    Windowed.topKPerGroup(cand, Seq("query_id"),
-        Seq(col("cosine").desc, col("neighbor_id").asc), k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 }

@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val supportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedEquiJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small-side row once PER
+    // SALT (the explode below) — null-extended duplicates. Large-side-
+    // preserving types are safe: the large side carries exactly one salt.
+    require(supportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti, not $joinType" +
+        " (the exploded small side would duplicate unmatched rows)")
     val saltSrc = large.columns.filterNot(keys.contains).map(col)
     val salted = large.withColumn("__salt",
       pmod(xxhash64(struct(saltSrc.toIndexedSeq: _*)), lit(nSalts.toLong)).cast("int"))

@@ -50,9 +50,18 @@ object SimplifyDbRoundTrips extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      // 10^((s*log10(x))/s) -> x
-      case PowOfTen(ScaledLog(x, s1), s2) if s1 == s2 => x
-      // s*log10(10^(x/s)) -> x
+      // 10^((s*log10(x))/s) -> x ONLY for x > 0: Spark's log10 returns NULL
+      // for x <= 0, so the unrewritten form yields NULL there — the guard
+      // preserves that (ADVICE r1) while still removing both transcendental
+      // ops from the hot path.
+      case PowOfTen(ScaledLog(x, s1), s2) if s1 == s2 =>
+        If(And(IsNotNull(x), GreaterThan(x, Literal(0.0))),
+          x, Literal(null, org.apache.spark.sql.types.DoubleType))
+      // s*log10(10^(x/s)) -> x. NULL-preserving as-is (null x propagates).
+      // Known domain assumption: for |x| > ~3082 dB the unrewritten form
+      // over/underflows the double intermediate (+Inf / NULL) while the
+      // rewrite returns x; 3000+ dB is 300 orders of magnitude beyond any
+      // physical power ratio, so the rewrite stays unconditional.
       case ScaledLog(PowOfTen(x, s1), s2) if s1 == s2 => x
     }
 }

@@ -78,7 +78,7 @@ object LlmQueries {
     // ---- n-gram Jaccard near-dup pairs (inverted-index exact) ----------
     "q25_jaccard_pairs" -> QueryDef(
       (s, dir) => {
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Dedup.jaccardPairsExhaustive(t(s, dir, "documents"), "doc_id", "text",
             k = 3, minJaccard = 0.05, maxDf = 1000000)
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy("id_a", "id_b")
@@ -271,6 +271,46 @@ object LlmQueries {
             "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- LSH recall vs exact baselines ---------------------------------
+    // The approximate dedup paths (MinHash-candidates Jaccard, hyperplane-
+    // LSH embedding near-dups) are graded against their exact counterparts:
+    // recall = |approx ∩ exact| / |exact| at the inventory thresholds.
+    // Hash-defined -> rows-only; values are deterministic and pinned in
+    // RowsOnlySpec.
+    "q45_dedup_recall" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // deterministic 25% document sample: recall is a set-overlap RATIO,
+        // measured as well on a sample — the exhaustive baseline over the
+        // full corpus would dominate the whole bench (it is exactly the
+        // all-pairs plan the approximate path exists to avoid)
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+        def recallRow(method: String, exact: DataFrame, approx: DataFrame)
+            : (String, Long, Long, java.lang.Double) = {
+          val keys = Seq("id_a", "id_b")
+          val nExact = exact.count()
+          val nFound = exact.join(approx, keys, "left_semi").count()
+          val pct: java.lang.Double =
+            if (nExact == 0) null
+            else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
+          (method, nExact, nFound, pct)
+        }
+        val jac = recallRow("jaccard_minhash",
+          Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", 3, 0.2)
+            .select("id_a", "id_b"),
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
+            bands = 32, rowsPerBand = 2).select("id_a", "id_b"))
+        val embR = recallRow("embedding_lsh",
+          Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.45)
+            .select("id_a", "id_b"),
+          Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.45)
+            .select("id_a", "id_b"))
+        Seq(jac, embR).toDF("method", "n_exact", "n_found", "recall_pct")
+          .orderBy("method")
       },
       None),
 

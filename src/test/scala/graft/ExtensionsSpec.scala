@@ -24,6 +24,16 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rewrite guards non-positive inputs (ADVICE r1): plan keeps a null " +
+    "branch, not bare x") {
+    val df = Seq(2.0).toDF("x")
+      .select(DbMath.dbToPow(DbMath.powToDb(col("x"))).as("rt"))
+    val s = SimplifyDbRoundTrips(df.queryExecution.analyzed).toString
+    // transcendentals gone, but the replacement is the guarded conditional
+    assert(!s.contains("LOG10") && !s.toLowerCase.contains("pow"))
+    assert(s.contains("if ") || s.contains("CASE"), s)
+  }
+
   test("rule leaves mismatched power/envelope scales alone") {
     val df = Seq(10.0).toDF("x")
       .select(DbMath.dbToPow(DbMath.envToDb(col("x"))).as("y"))
@@ -50,6 +60,15 @@ class ExtensionsSpec extends SparkSpec {
         assert(!opt.contains("LOG10") && !opt.toLowerCase.contains("pow"))
       }
       assert(df.head().getDouble(0) === 1.5) // exact: ops eliminated
+      // NULL/non-positive semantics preserved through the rewrite
+      // (ADVICE r1): log10(x <= 0) is NULL in Spark, so the round-trip
+      // must stay NULL there
+      val edge = Seq[java.lang.Double](4.0, 0.0, -3.0, null).toDF("x")
+        .select(col("x"), DbMath.dbToPow(DbMath.powToDb(col("x"))).as("rt"))
+      assert(!edge.queryExecution.optimizedPlan.toString.contains("LOG10"))
+      val got = edge.orderBy(col("x").asc_nulls_first).collect()
+        .map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+      assert(got.toSeq === Seq(null, null, null, 4.0))
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()

@@ -104,15 +104,51 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
-  test("jaccardPairs computes exact overlap") {
+  test("jaccardPairsExhaustive computes exact overlap") {
     val docs = Seq(
       (1L, "a b c d e"),   // shingles: abc bcd cde
       (2L, "a b c d x"),   // shingles: abc bcd cdx -> shared 2, union 4
       (3L, "p q r s t")).toDF("id", "text")
-    val pairs = Dedup.jaccardPairs(docs, "id", "text", k = 3, minJaccard = 0.1)
-      .collect()
+    val pairs = Dedup.jaccardPairsExhaustive(docs, "id", "text", k = 3,
+      minJaccard = 0.1).collect()
     assert(pairs.length === 1)
     assert(pairs.head.getAs[Double]("jaccard") === 0.5)
+  }
+
+  test("default jaccardPairs (candidates+verify) finds near-identical docs " +
+    "with exact scores") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different text with no overlap at all here today")).toDF("id", "text")
+    val approx = Dedup.jaccardPairs(docs, "id", "text", k = 3,
+      minJaccard = 0.5).collect()
+    val exact = Dedup.jaccardPairsExhaustive(docs, "id", "text", k = 3,
+      minJaccard = 0.5).collect()
+    // near-identical pair survives banding; scores match the exact path
+    assert(approx.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(approx.head.getAs[Double]("jaccard") ===
+      exact.head.getAs[Double]("jaccard"))
+    Dedup.unpersistAll()
+  }
+
+  test("size-gated embeddingNearDups routes large corpora to LSH+verify") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 4) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    // gate forces the LSH path; identical-direction pairs must still appear
+    // with exact cosines (verify step is exact)
+    val lsh = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minCosine = 0.999, maxExactRows = 10)
+    val exact = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding",
+      minCosine = 0.999)
+    val lshPairs = lsh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(exactPairs))
+    assert(lshPairs.nonEmpty)
   }
 
   test("brute-force knn returns correct neighbors on a toy corpus") {

@@ -40,6 +40,33 @@ class PlansSpec extends SparkSpec {
       plan("q31_knn_cosine").contains("BroadcastHashJoin"))
   }
 
+  test("IVF cell assignment is a pure map-side projection (no exchange)") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val cents = graft.operators.Similarity
+      .centroidsOf(emb, "vec_id", "embedding", 4)
+    val assigned = graft.operators.Similarity
+      .assignCells(emb, "vec_id", "embedding", cents, 2, "query_id", "qv")
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment plan shuffles:\n$p")
+    assert(!p.contains("Window"), s"assignment plan windows:\n$p")
+    // every row lands in nProbe cells
+    assert(assigned.count() === emb.count() * 2)
+  }
+
+  test("ANN candidate dedup carries bare id pairs, not vector payloads") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val p = graft.operators.Similarity
+      .lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      .queryExecution.optimizedPlan.toString
+    // the Deduplicate/Aggregate keys must be exactly the two id columns —
+    // a distinct over qv/cv would list the vector attrs here
+    val dedupLine = p.linesIterator
+      .find(l => l.contains("Aggregate") || l.contains("Deduplicate"))
+      .getOrElse("")
+    assert(!dedupLine.contains("qv") && !dedupLine.contains("cv"),
+      s"distinct carries vectors: $dedupLine")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     val hot = (1 to 1000).map(i => (1L, s"row$i")) ++ Seq((2L, "cold"))
     val large = hot.toDF("k", "payload")

@@ -26,6 +26,7 @@ class RowsOnlySpec extends SparkSpec {
     "q27_simhash" -> 2166L,
     "q32_ann_lsh" -> 49L,
     "q37_ann_ivf" -> 50L,
+    "q45_dedup_recall" -> 2L,
     "m02_media_knn" -> 15L)
 
   test("rows-only inventory queries keep their pinned sf0.01 row counts") {
@@ -33,6 +34,22 @@ class RowsOnlySpec extends SparkSpec {
     expected.toSeq.sortBy(_._1).foreach { case (name, want) =>
       val got = SparkEntry.queries(name)(spark, sfDir).count()
       withClue(name) { assert(got === want) }
+    }
+  }
+
+  test("q45 grades the approximate dedup paths with non-degenerate recall") {
+    val rows = SparkEntry.queries("q45_dedup_recall")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.toString.toDouble)))
+      .toMap
+    // exact baselines must find something at these thresholds, else the
+    // recall grade is vacuous
+    assert(rows("jaccard_minhash")._1 > 0)
+    assert(rows("embedding_lsh")._1 > 0)
+    // found <= exact always; recall defined whenever exact is non-empty
+    rows.values.foreach { case (ex, found, pct) =>
+      assert(found <= ex)
+      assert(pct.isDefined)
     }
   }
 }
