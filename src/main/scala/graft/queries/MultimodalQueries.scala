@@ -46,7 +46,38 @@ object MultimodalQueries {
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
       },
-      None),
+      // The stub features are deterministic byte math (16-bin high-nibble
+      // histogram of the UTF-8 payload, L1-normalized in float32) — fully
+      // SQL-expressible: the high nibble of byte i is hex char 2i+1 of
+      // hex(encode(text)).
+      Some("""WITH h AS (SELECT doc_id,
+          octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+          FROM documents),
+        e AS (SELECT doc_id, n,
+          CAST(unnest(range(n)) AS INT) AS i, hx FROM h),
+        cnt AS (SELECT doc_id, n,
+          strpos('0123456789ABCDEF', substring(hx, 2*i + 1, 1)) - 1 AS bin,
+          COUNT(*) AS c
+          FROM e GROUP BY 1, 2, 3),
+        dense AS (SELECT d.doc_id,
+          list(COALESCE(CAST(cnt.c AS FLOAT) / CAST(GREATEST(d.n, 1) AS FLOAT),
+            CAST(0 AS FLOAT)) ORDER BY g.bin) AS v
+          FROM h d CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS bin) g
+          LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = g.bin
+          GROUP BY d.doc_id),
+        dd AS (SELECT doc_id, CAST(v AS DOUBLE[]) AS v FROM dense),
+        scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+          list_dot_product(q.v, c.v) /
+            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+            AS cos
+          FROM dd q JOIN dd c ON q.doc_id < 5 AND q.doc_id != c.doc_id),
+        ranked AS (SELECT query_id, neighbor_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // ---- frame sampling (video-shaped payloads; integer-arithmetic
     // oracle: frame boundaries are deterministic byte math) --------------

@@ -395,6 +395,73 @@ object RelationalQueries {
              AND p.ts <= c.ts), -1.0) AS last_purchase
         FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
 
+    // ---- J2/W3: NEAREST as-of join -------------------------------------
+    // The reference's actual idiom is method='nearest' (plots.py:76-77,
+    // forensic/3gpp cell 3): right row minimizing |leftTs - rightTs|,
+    // backward winning ties (pandas lower-index preference). The oracle
+    // pins tie/bounds semantics via a composite arg_min ordering:
+    // 2*|delta| + forward-flag (unique per candidate; backward sorts first
+    // on equal distance).
+    "q44_asof_nearest" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsOfJoin.nearest(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCol = "purchase_value")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("nearest_purchase"),
+            coalesce(unix_micros(col("purchase_value_ts")), lit(-1L))
+              .as("nearest_purchase_ts_us"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte, p AS (SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          COALESCE((SELECT arg_min(p.purchase_value,
+              2*ABS(epoch_us(p.ts) - epoch_us(c.ts)) +
+              CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END)
+            FROM p WHERE p.user_id = c.user_id), -1.0) AS nearest_purchase,
+          COALESCE((SELECT arg_min(epoch_us(p.ts),
+              2*ABS(epoch_us(p.ts) - epoch_us(c.ts)) +
+              CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END)
+            FROM p WHERE p.user_id = c.user_id), -1) AS nearest_purchase_ts_us
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
+    // ---- J2 via the custom Catalyst operator ---------------------------
+    // Same query as q18, executed by the physical AsOfJoinExec
+    // (LogicalPlan + Strategy + BinaryExecNode) instead of the union+window
+    // formulation — the Catalyst extension is oracle-checked, not spec-only.
+    // The strategy is injected at runtime so the driver's vanilla session
+    // plans it too.
+    "q46_asof_physical" -> QueryDef(
+      (s, dir) => {
+        if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        graft.plans.AsOfJoinPhysical.backward(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        COALESCE(
+          (SELECT arg_max(p.value, p.ts) FROM ev p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts <= c.ts), -1.0) AS last_purchase
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
     // ---- A1/A3: exact median / quantiles -------------------------------
     "q19_exact_median" -> QueryDef(
       (s, dir) => {

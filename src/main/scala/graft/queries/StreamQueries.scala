@@ -60,6 +60,47 @@ object StreamQueries {
         FROM st GROUP BY user_id, sid
         ORDER BY user_id, session_start_us""")),
 
+    // ---- watermarked SLIDING window aggregation ------------------------
+    // 1 h windows sliding every 15 min: each event lands in exactly 4
+    // windows; the batch oracle regenerates the window set per event with a
+    // zipped-offset unnest over the 15-min epoch grid (Spark's window()
+    // aligns slides to the epoch).
+    "w04_stream_sliding" -> QueryDef(
+      (s, dir) => {
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.slidingMeans(StreamingOps.eventsStream(s, dir)),
+          "w04_mem", outputMode = "complete")
+        streamed.select(
+            unix_micros(col("window_start")).as("window_start_us"),
+            col("n"), col("mean_value"))
+          .orderBy("window_start_us")
+      },
+      Some(s"""$EvCte, g AS (SELECT epoch_us(ts) AS tus,
+        CAST(FLOOR(value * 1e6) AS BIGINT) AS v6 FROM ev),
+      x AS (SELECT CAST(FLOOR(tus / 900000000) AS BIGINT) * 900000000
+          - CAST(unnest([0, 1, 2, 3]) AS BIGINT) * 900000000
+          AS window_start_us, v6 FROM g)
+      SELECT window_start_us, COUNT(*) AS n,
+        CAST(SUM(v6) AS DOUBLE) / COUNT(*) / 1e6 AS mean_value
+      FROM x GROUP BY 1 ORDER BY 1""")),
+
+    // ---- within-watermark streaming dedup ------------------------------
+    // Duplicates are INJECTED (every 10th event re-emitted via self-union)
+    // so the operator provably drops something: without the dedup the row
+    // count would exceed the batch oracle's distinct-event count.
+    "w05_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        val ev = StreamingOps.eventsStream(s, dir)
+        val withDupes = ev.union(ev.filter(col("event_id") % 10 === 0))
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.dedupWithinWatermark(withDupes), "w05_mem")
+        streamed.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        event_type FROM ev ORDER BY event_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

@@ -47,14 +47,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Watermarked sliding-window aggregate. */
+  /** Watermarked sliding-window aggregate. The mean uses the scaled-floor
+    * discipline (floor(value*1e6) summed as longs) so the result is exactly
+    * reproducible across partitionings and engines — a raw double avg would
+    * be accumulation-order-dependent and break the batch-oracle hash check.
+    */
   def slidingMeans(events: DataFrame, windowLen: String = "1 hour",
       slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
+      .withColumn("__v6", floor(col("value") * 1e6).cast("long"))
       .groupBy(window(col("ts"), windowLen, slide))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
-      .select(col("window.start").as("window_start"), col("n"), col("mean_value"))
+      .agg(count(lit(1)).as("n"), sum(col("__v6")).as("__sum_v6"))
+      .select(col("window.start").as("window_start"), col("n"),
+        (col("__sum_v6").cast("double") / col("n") / 1e6).as("mean_value"))
 
   /** Built-in session windows (gap-based) per user. */
   def sessionWindows(events: DataFrame, gap: String = "1 hour",
