@@ -1,5 +1,6 @@
 package graft.seamf
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
@@ -158,34 +159,64 @@ object SeamfReader {
   }
 
   /** Decode zip archives of .sigmf members (S7: the reference's primary
-    * input container, ziparchive.py:365-447). One zip = one executor task
-    * (zips are not splittable); members decode sequentially within the
-    * task, zips in parallel across tasks — the Spark analog of the
-    * reference's partition-per-N-files scheme with partition_size = one
-    * archive. For finer parallelism, unpack archives into a landing dir
-    * and use the per-file readers.
+    * input container, ziparchive.py:365-447) with MEMBER-level parallelism:
+    * central directories are enumerated up front (the reference caches the
+    * same ZipInfo lists at construction, ziparchive.py:126-146) and the
+    * member list becomes the input split set, so one big archive fans out
+    * across tasks instead of serializing on one executor (reference
+    * partition-splitting parity, ziparchive.py:260-263). Each task opens
+    * the zip via random access and reads only its assigned members.
+    *
+    * Listing walks the local filesystem; on an object store the same
+    * enumeration would read each archive's central directory over ranged
+    * GETs — the split/decode pipeline is unchanged.
     */
   def tracesFromZips(spark: SparkSession, path: String,
-      tz: Option[String] = None, errors: String = "log"): Dataset[TraceRow] = {
+      tz: Option[String] = None, errors: String = "log",
+      membersPerSplit: Int = 8): Dataset[TraceRow] = {
     import spark.implicits._
     val failed = spark.sparkContext.longAccumulator("seamf.failed_files")
     val raise = errors == "raise"
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.zip")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
+    // driver-side central-directory enumeration: (zip path, member name)
+    val members: Seq[(String, String)] = {
+      val dir = java.nio.file.Paths.get(path)
+      val zips =
+        if (java.nio.file.Files.isDirectory(dir))
+          java.nio.file.Files.list(dir).iterator().asScala
+            .filter(_.toString.endsWith(".zip")).map(_.toString).toSeq.sorted
+        else Seq(path)
+      zips.flatMap { zp =>
+        val zf = new java.util.zip.ZipFile(zp)
+        try zf.entries().asScala
+          .filter(e => !e.isDirectory && e.getName.endsWith(".sigmf"))
+          .map(e => (zp, e.getName)).toSeq
+        finally zf.close()
+      }
+    }
+    val nSplits = math.max(1,
+      math.min(members.size / math.max(membersPerSplit, 1),
+        spark.sparkContext.defaultParallelism * 2))
+    spark.createDataset(members)
+      .repartition(math.max(nSplits, 2)) // >=2: one archive must still fan out
       .mapPartitions { it =>
-        it.flatMap { case (zipPath, zipBytes) =>
-          SeamfCodec.unpackZip(zipBytes).iterator.flatMap { case (member, bytes) =>
-            try decodeFile(s"$zipPath!$member", bytes, tz,
-              decodePayload = true, checkHash = true).traces
-            catch {
-              case e: Exception if !raise =>
+        // open each zip once per (partition, zip); random-access reads pull
+        // only this task's members
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (zp, ms) =>
+          val zf = new java.util.zip.ZipFile(zp)
+          val out = ms.flatMap { case (_, member) =>
+            try {
+              val entry = zf.getEntry(member)
+              val bytes = zf.getInputStream(entry).readAllBytes()
+              decodeFile(s"$zp!$member", bytes, tz,
+                decodePayload = true, checkHash = true).traces
+            } catch {
+              case _: Exception if !raise =>
                 failed.add(1)
-                Iterator.empty
+                Seq.empty
             }
           }
+          zf.close()
+          out
         }
       }
   }

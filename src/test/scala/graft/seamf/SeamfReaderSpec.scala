@@ -89,6 +89,22 @@ class SeamfReaderSpec extends SparkSpec {
     assert(tr.head().file.contains(".zip!"))
   }
 
+  test("one multi-member zip fans out across >1 task (member-level splits)") {
+    val zdir = Files.createTempDirectory("graft_zip_split").toString
+    SeamfFixtures.writeZipArchive(zdir, nFiles = 8, nChannels = 2)
+    val tr = SeamfReader.tracesFromZips(spark, zdir, membersPerSplit = 2)
+    // partition ids are assigned by the member-split repartition and are
+    // still visible after the decode mapPartitions (no shuffle in between)
+    val partsPerZip = tr.toDF()
+      .select(col("file"), org.apache.spark.sql.functions.spark_partition_id()
+        .as("pid"))
+      .distinct().collect()
+    assert(partsPerZip.map(_.getInt(1)).distinct.length > 1,
+      s"single archive decoded in one task: ${partsPerZip.mkString(",")}")
+    // and every good member decoded exactly once
+    assert(tr.toDF().select("file").distinct().count() === 7)
+  }
+
   test("gap detection finds the omitted 90s slot (A9)") {
     val sm = SeamfReader.sweepMetadata(spark, dir)
       .withColumn("t0", timestamp_micros(col("schedule_start_us")))
