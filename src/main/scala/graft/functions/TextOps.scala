@@ -83,6 +83,26 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowed document fingerprints (the MOSS/winnowing rolling-hash
+    * scheme): hash every k-shingle, slide a window of `w` consecutive
+    * shingle hashes, keep each window's minimum, distinct the kept set.
+    * Guarantees every run of w shingles contributes a fingerprint, so any
+    * shared substring of >= k+w-1 words yields a shared fingerprint —
+    * near-dup detection with a fingerprint set ~1/w the shingle count.
+    *
+    * The "hash" is the md5 hex string (lexicographic min) rather than
+    * xxhash64: md5 exists verbatim in DuckDB, keeping the operator
+    * oracle-checkable; the selection distribution is equivalent.
+    * Documents shorter than k words have no shingles -> empty set.
+    */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hs = transform(shingles(text, k), s => md5(s))
+    when(size(hs) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+  }
+
   /** Language-marker stopword lists for the n-gram/stopword language-ID
     * heuristic (top function words per language).
     */

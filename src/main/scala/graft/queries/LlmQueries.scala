@@ -274,6 +274,51 @@ object LlmQueries {
       },
       None),
 
+    // ---- winnowed document fingerprints (MOSS rolling-hash scheme) -----
+    // Every k-shingle is hashed, a w-window rolling minimum is kept, and
+    // docs sharing >= 2 winnowed fingerprints pair up — near-dup candidate
+    // generation with a fingerprint set ~1/w the shingle count. The oracle
+    // recomputes the winnowing with SQL window functions over the same md5
+    // shingle hashes.
+    "q47_winnow_fingerprints" -> QueryDef(
+      (s, dir) => {
+        val fps = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.winnowedFingerprints(col("text"), 3, 4)).as("fp"))
+        fps.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2 && size(col("ids")) <= 100)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ids) - 1),
+                 i -> transform(slice(ids, i + 1, size(ids) - i),
+                   b -> struct(element_at(ids, i) AS id_a, b AS id_b))))"""))
+            .as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$WordsCte,
+        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
+          ws FROM w),
+        sh AS (SELECT doc_id, i,
+          md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h FROM g),
+        mins AS (SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          COUNT(*) OVER (PARTITION BY doc_id) AS nsh FROM sh),
+        fp AS (SELECT DISTINCT doc_id, fp FROM mins
+          WHERE i <= GREATEST(nsh - 3, 1)),
+        capped AS (SELECT doc_id, fp,
+          COUNT(*) OVER (PARTITION BY fp) AS df FROM fp),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+          FROM capped a JOIN capped b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.df BETWEEN 2 AND 100 AND b.df BETWEEN 2 AND 100
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+        ORDER BY 1, 2""")),
+
     // ---- LSH recall vs exact baselines ---------------------------------
     // The approximate dedup paths (MinHash-candidates Jaccard, hyperplane-
     // LSH embedding near-dups) are graded against their exact counterparts:

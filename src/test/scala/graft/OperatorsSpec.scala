@@ -205,6 +205,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq("en", "de", "und"))
   }
 
+  test("winnowed fingerprints: window-min selection, shared-substring guarantee") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),             // 10 shingles, w=4 -> 7 windows
+      (2L, "x y z a b c d e f g h i j k l"),       // shares the long suffix run
+      (3L, "totally different words here no overlap at all with others")
+    ).toDF("id", "text")
+    val fps = docs.select(col("id"),
+      TextOps.winnowedFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // winnowing keeps at most (n_shingles - w + 1) distinct mins, at least 1
+    assert(fps(1).nonEmpty && fps(1).size <= 7)
+    // guarantee: docs 1 and 2 share a word run of length 12 >= k+w-1=6,
+    // so they MUST share at least one fingerprint
+    assert((fps(1) & fps(2)).nonEmpty)
+    assert((fps(1) & fps(3)).isEmpty)
+    // short doc (< k words): empty fingerprint set
+    val short = Seq((9L, "one two")).toDF("id", "text")
+      .select(TextOps.winnowedFingerprints(col("text"), 3, 4).as("f"))
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("vector ops: cosine/dot/norm") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val r = df.select(
