@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time individual inventory queries by name.
+  *
+  * {{{ sbt "runMain graft.DevRun q47_winnow_fingerprints q25_jaccard_pairs" }}}
+  * Scale-factor dir via SPARK_GRAFT_SF_DIR (default sf0.01). Not part of the
+  * driver contract — Bench.scala is the reported benchmark.
+  */
+object DevRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"$n%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      graft.operators.Dedup.unpersistAll()
+    }
+    spark.stop()
+  }
+}

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * operators scale linearly with no shuffle until an explicit groupBy/join.
   */
 object TextOps {
+  /** Let-binding for column expressions: evaluate `bound` once per row and
+    * bind it as a lambda variable in `body`.
+    *
+    * Spark higher-order functions (transform/filter/aggregate) evaluate their
+    * lambda interpreted, PER ELEMENT — any non-trivial expression captured
+    * from the enclosing scope is re-computed for every array element, turning
+    * an O(n) sliding window into O(n^2) (observed: winnowing a corpus went
+    * from minutes to seconds with this binding). Lambda variables, by
+    * contrast, are bound once. `transform(array(x), v => body)` is the
+    * cheapest expression-level "let" Spark offers.
+    */
+  def letCol(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), v => body(v)), 1)
+
   /** Whitespace tokenization; drops empty tokens. */
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
@@ -33,13 +47,13 @@ object TextOps {
   /** `k`-word shingles joined with single spaces: the unit of n-gram
     * dedup / Jaccard similarity.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = words(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
-        i => array_join(slice(ws, i + 1, lit(k)), " ")),
-      s => size(split(s, " ")) === k)
-  }
+  def shingles(text: Column, k: Int): Column =
+    letCol(words(text)) { ws =>
+      filter(
+        transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+          i => array_join(slice(ws, i + 1, lit(k)), " ")),
+        s => size(split(s, " ")) === k)
+    }
 
   /** Distinct shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
@@ -95,13 +109,13 @@ object TextOps {
     * oracle-checkable; the selection distribution is equivalent.
     * Documents shorter than k words have no shingles -> empty set.
     */
-  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
-    val hs = transform(shingles(text, k), s => md5(s))
-    when(size(hs) === 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
-          i => array_min(slice(hs, i + 1, lit(w))))))
-  }
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
+    letCol(transform(shingles(text, k), s => md5(s))) { hs =>
+      when(size(hs) === 0, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+            i => array_min(slice(hs, i + 1, lit(w))))))
+    }
 
   /** Language-marker stopword lists for the n-gram/stopword language-ID
     * heuristic (top function words per language).
@@ -116,14 +130,14 @@ object TextOps {
   /** Heuristic language ID: the language whose marker-word hit count is
     * highest wins; ties break lexicographically; zero hits => "und".
     */
-  def langIdHeuristic(text: Column): Column = {
-    val ws = transform(words(text), w => lower(w))
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(ws, w => w.isInCollection(markers))).as("hits"),
-        lit(lang).as("lang"))
+  def langIdHeuristic(text: Column): Column =
+    letCol(transform(words(text), w => lower(w))) { ws =>
+      val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        struct(
+          size(filter(ws, w => w.isInCollection(markers))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      val best = sort_array(array(scored: _*), asc = false).getItem(0)
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = sort_array(array(scored: _*), asc = false).getItem(0)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 }
