@@ -35,22 +35,43 @@ object VectorOps {
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Sign of the dot product with a deterministic pseudo-random hyperplane —
-    * the building block for random-hyperplane LSH (SimHash for vectors).
-    * The "hyperplane" for (seed, dim i) is a deterministic hash-derived value
-    * in [-0.5, 0.5); planes are fixed across executors with zero driver state.
+  /** Deterministic pseudo-random hyperplane for random-hyperplane LSH:
+    * value for (seed, dim i) = (md5_48("seed:i") mod 1e6)/1e6 - 0.5, i.e.
+    * uniform in [-0.5, 0.5). Computed DRIVER-SIDE and embedded as an array
+    * literal: the r1 formulation derived plane values with per-element
+    * hash expressions INSIDE the row pipeline, recomputing nBits x nTables
+    * x dim hashes per row (4096/row for 8x8 tables over 64 dims). The md5
+    * derivation is reproducible in portable SQL, so LSH bucketing is
+    * DuckDB-oracle-checkable.
     */
-  def hyperplaneSignBit(vec: Column, seed: Int): Column = {
+  def hyperplaneVals(seed: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i".getBytes("UTF-8"))
+      val h = (0 until 6).foldLeft(0L)((acc, j) => (acc << 8) | (md(j) & 0xffL))
+      (h % 1000000L).toDouble / 1e6 - 0.5
+    }
+
+  /** Sign bit of the projection onto the (seed) hyperplane. */
+  def hyperplaneSignBit(vec: Column, seed: Int, dim: Int): Column = {
+    val plane = hyperplaneVals(seed, dim)
     val proj = aggregate(
-      zip_with(d(vec), sequence(lit(0), size(vec) - 1),
-        (x, i) => x * (pmod(xxhash64(lit(seed), i), lit(1000000)).cast("double") / 1e6 - 0.5)),
+      zip_with(d(vec), array(plane.map(lit(_)).toIndexedSeq: _*), (x, p) => x * p),
       lit(0.0), (acc, x) => acc + x)
     when(proj >= 0.0, lit(1)).otherwise(lit(0))
   }
 
-  /** Pack `nBits` hyperplane sign bits into a long bucket id for LSH. */
-  def hyperplaneBucket(vec: Column, nBits: Int, seedBase: Int): Column =
+  /** Pack `nBits` hyperplane sign bits into a long bucket id for LSH
+    * (plane b uses seed `seedBase + b`).
+    */
+  def hyperplaneBucket(vec: Column, nBits: Int, seedBase: Int, dim: Int): Column =
     (0 until nBits).map { b =>
-      hyperplaneSignBit(vec, seedBase + b).cast("long") * (1L << b)
+      hyperplaneSignBit(vec, seedBase + b, dim).cast("long") * (1L << b)
     }.reduce(_ + _)
+
+  /** Element count of the vector column, from one row (schema carries no
+    * static length for array columns). One column-pruned single-row scan.
+    */
+  def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 }

@@ -154,13 +154,14 @@ object Dedup {
     */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    val dim = graft.functions.VectorOps.dimOf(emb, vecCol)
     val base = emb.select(col(idCol).cast("long").as("doc_id"),
       col(vecCol).as("vec"))
     val bucketed = base.select(col("doc_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("table"),
             graft.functions.VectorOps
-              .hyperplaneBucket(col("vec"), nBits, t * 1000).as("bucket"))
+              .hyperplaneBucket(col("vec"), nBits, t * 1000, dim).as("bucket"))
         }: _*)).as("tb"))
       .select(col("doc_id"), col("tb.table"), col("tb.bucket"))
     val cand = bucketed.as("a")
@@ -234,6 +235,36 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** Portable 48-bit hash: the first 12 hex chars of md5, parsed as an
+    * unsigned integer. md5 + hex-substring + base-16 parse exist verbatim in
+    * every engine (Spark `conv`, DuckDB `CAST('0x…')`), which makes every
+    * operator built on it oracle-checkable cell-for-cell.
+    */
+  def md5Hash48(c: Column, offset: Int = 1): Column =
+    conv(substring(md5(c), offset, 12), 16, 10).cast("long")
+
+  /** Mersenne prime modulus for the Carter–Wegman min-hash family. */
+  val MinHashP: Long = 2147483647L
+
+  /** Deterministic (a, b) coefficients for the universal family
+    * h_i(x) = (a_i*x + b_i) mod p over x = md5Hash48 mod p.
+    *
+    * Why this family: a_i*x stays under 2^62 (no BIGINT overflow in engines
+    * that error on wrap, unlike 64-bit XOR/multiply mixing), the mod-p
+    * wraparound makes the 64 functions effectively independent (a
+    * double-hashing h1 + i*h2 family is NOT — the min-attaining element
+    * changes only at O(n) thresholds across i, so in-band functions
+    * correlate and each band degrades to a single min-hash: observed 7x the
+    * candidate pairs at identical data), and the coefficients are plain
+    * literals, reproducible in oracle SQL.
+    */
+  def minHashCoeffs(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (splitmix64(2L * i) & Long.MaxValue) % (MinHashP - 1) + 1
+      val b = (splitmix64(2L * i + 1) & Long.MaxValue) % MinHashP
+      (a, b)
+    }
+
   /** MinHash signature from a pre-hashed `array<long>` shingle column: hash
     * function i is `h XOR c_i` (XOR with a fixed constant is a bijection of
     * the 64-bit key space, so each is a valid min-wise permutation). The
@@ -271,27 +302,38 @@ object Dedup {
     // WholeStageCodegen. The groupBy exchange is also reused by both sides
     // of the band self-join (ReuseExchange).
     // raw shingles (duplicates included): MIN is idempotent, so the
-    // interpreted array_distinct pass is unnecessary
+    // interpreted array_distinct pass is unnecessary.
+    // Hash family: ONE md5 per shingle reduced mod p, then the
+    // Carter–Wegman universal family h_i = (a_i*x + b_i) mod p (see
+    // [[minHashCoeffs]]). Per-function cost is a long multiply-add-mod —
+    // same shape as the r1 XOR family — but every value is reproducible in
+    // portable SQL, so the whole operator is DuckDB-oracle-checkable.
+    val coeffs = minHashCoeffs(numHashes)
     val shingleHashes = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(col(textCol), k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), (md5Hash48(col("s")) % MinHashP).as("x"))
     val sigs = shingleHashes
       .groupBy("doc_id")
-      .agg(min(col("h").bitwiseXOR(lit(splitmix64(0L)))).as("m0"),
-        (1 until numHashes).map(i =>
-          min(col("h").bitwiseXOR(lit(splitmix64(i.toLong)))).as(s"m$i")): _*)
+      .agg(min((col("x") * coeffs(0)._1 + coeffs(0)._2) % MinHashP).as("m0"),
+        (1 until numHashes).map { i =>
+          val (a, b) = coeffs(i)
+          min((col("x") * a + b) % MinHashP).as(s"m$i")
+        }: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     // persist: exchange reuse does not fire across the self-join sides, so
     // without it the scan+shingle+64-min-agg pipeline runs TWICE. The banded
     // signature table is tiny (docs x bands rows of one long signature) and
     // is exactly what a production LSH pipeline would materialize.
+    // Band bucket = portable 48-bit hash of the band's joined signature rows.
     val banded = cached(capBuckets(sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+          md5Hash48(concat_ws("_",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")))).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
       "bucket", maxBucket))
@@ -344,29 +386,34 @@ object Dedup {
 
   def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    // Bit votes via explode + 64 codegen'd SUM aggregates (same rationale as
+    // Bit votes via explode + 60 codegen'd SUM aggregates (same rationale as
     // minHashCandidates: HOF array aggregation is interpreted and ~10x
     // slower; conditional sums stay in WholeStageCodegen with map-side
     // combine).
+    // 60-bit simhash (15 md5 hex chars): the widest hex prefix that parses
+    // into a non-negative BIGINT in every engine — portable, so the operator
+    // is DuckDB-oracle-checkable. Bands: 4 x 15 bits.
+    val nBits = 60
     val tokenHashes = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.words(col(textCol))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = tokenHashes
       .groupBy("doc_id")
       .agg(sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1).otherwise(-1)).as("v0"),
-        (1 until 64).map(b =>
+        (1 until nBits).map(b =>
           sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
             .as(s"v$b")): _*)
     val hashed = votes.select(col("doc_id"),
-      (0 until 64).map { b =>
+      (0 until nBits).map { b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("simhash"))
     val banded = cached(capBuckets(hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+          shiftrightunsigned(col("simhash"), b * 15)
+            .bitwiseAND(lit(0x7FFFL)).as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
       "chunk", maxBucket))

@@ -55,10 +55,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-centroids: the `nCells` corpus vectors with the
-    * smallest xxhash64(id) — stable, data-dependent, skew-free. Collected to
-    * the driver (nCells x dim floats — bounded and tiny at any corpus
-    * size); at 100 TB a real k-means fit would run as a periodic batch job
-    * producing the same artifact.
+    * lexicographically smallest md5(id) — stable, data-dependent, skew-free,
+    * and reproducible in portable SQL (the q37 oracle re-derives the same
+    * centroid set). Collected to the driver (nCells x dim floats — bounded
+    * and tiny at any corpus size); at 100 TB a real k-means fit would run as
+    * a periodic batch job producing the same artifact.
     */
   def centroidsOf(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Seq[(Int, Seq[Float])] = {
@@ -66,7 +67,7 @@ object Similarity {
     corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .orderBy(xxhash64(col(idCol)))
+      .orderBy(md5(col(idCol).cast("string")))
       .limit(nCells)
       .collect()
       .toSeq.zipWithIndex
@@ -125,11 +126,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val dim = VectorOps.dimOf(corpus, vecCol)
     def bucketed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
           explode(array((0 until nTables).map { t =>
             struct(lit(t).as("table"),
-              VectorOps.hyperplaneBucket(col(vecCol), nBits, t * 1000).as("bucket"))
+              VectorOps.hyperplaneBucket(col(vecCol), nBits, t * 1000, dim)
+                .as("bucket"))
           }: _*)).as("tb"))
         .select(col(id), col("tb.table"), col("tb.bucket"))
 

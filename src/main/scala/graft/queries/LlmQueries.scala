@@ -13,9 +13,13 @@ import graft.operators.{Dedup, Similarity}
   * LSH ANN), and text analysis (quality scores, token counts, language ID,
   * fingerprints) over the `documents` / `embeddings` fixtures.
   *
-  * MinHash / SimHash / LSH queries are hash-defined and not expressible in
-  * portable SQL — they ship without oracle SQL (driver rows-only check) but
-  * are deterministic (fixed xxhash64 seeds).
+  * Every hash-defined operator (MinHash, SimHash, hyperplane LSH, IVF)
+  * uses a PORTABLE hash family — md5-derived 48-bit integers, Carter–Wegman
+  * universal hashing mod 2^31-1, md5-seeded hyperplane literals — so the
+  * full pipelines are replicated in DuckDB oracle SQL and hash-checked
+  * cell-for-cell. Only the recall-grading (q45) and HLL-sketch (q43)
+  * queries stay rows-only: the first compares two engine plans against
+  * each other, the second is sketch-implementation-defined.
   */
 object LlmQueries {
   // Shared DuckDB word-array CTE mirroring TextOps.words.
@@ -26,6 +30,11 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
+  // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
+  private val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   // Exact mean of a double metric: decimal-cast sum (order-independent)
   // divided by count, no rounding (see QueryDef.davg rationale).
@@ -98,23 +107,86 @@ object LlmQueries {
         WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared) >= 0.05
         ORDER BY id_a, id_b""")),
 
-    // ---- MinHash + LSH banding (hash-defined; rows-only oracle) --------
+    // ---- MinHash + LSH banding -----------------------------------------
+    // Portable hash family (one md5 per shingle split into two 48-bit
+    // halves; h_i = h1 + i*h2 double hashing), so the full signature ->
+    // band-bucket -> candidate-pair pipeline is replicated in DuckDB SQL
+    // and hash-checked cell-for-cell.
     "q26_minhash_lsh" -> QueryDef(
       (s, dir) => {
         Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
             k = 3, bands = 16, rowsPerBand = 4)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""$WordsCte,
+        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
+          ws FROM w),
+        hm AS (SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          AS m FROM g),
+        hh AS (SELECT doc_id,
+          CAST(('0x' || substr(m, 1, 12)) AS BIGINT) % 2147483647 AS x
+          FROM hm),
+        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(fi, a, b)),
+        sig AS (SELECT doc_id, fi, MIN((a * x + b) % 2147483647) AS mv
+          FROM hh CROSS JOIN f GROUP BY doc_id, fi),
+        bands AS (SELECT doc_id, CAST(fi // 4 AS INT) AS band,
+            CAST(('0x' || substr(md5(
+              string_agg(CAST(mv AS VARCHAR), '_' ORDER BY fi)), 1, 12))
+              AS BIGINT) AS bucket
+          FROM sig GROUP BY doc_id, band),
+        capped AS (SELECT * FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS n_bands
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        agree AS (SELECT c.id_a, c.id_b,
+            SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.fi = sa.fi
+          GROUP BY 1, 2)
+        SELECT c.id_a AS id_a, c.id_b AS id_b,
+          CAST(c.n_bands AS BIGINT) AS n_bands,
+          ROUND(CAST(a.eq AS DOUBLE) / 64, 6) AS est_jaccard
+        FROM cand c JOIN agree a ON a.id_a = c.id_a AND a.id_b = c.id_b
+        ORDER BY c.id_a, c.id_b""")),
 
-    // ---- SimHash near-dup candidates (hash-defined; rows-only oracle) --
+    // ---- SimHash near-dup candidates -----------------------------------
+    // 60-bit portable simhash (15 md5 hex chars -> non-negative BIGINT in
+    // every engine); 4 x 15-bit bands; oracle replicates the bit votes.
     "q27_simhash" -> QueryDef(
       (s, dir) => {
         Dedup.simHashCandidates(t(s, dir, "documents"), "doc_id", "text",
             maxHamming = 16)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""$WordsCte,
+        tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        th AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT CAST(unnest(range(0, 60)) AS INT) AS b),
+        votes AS (SELECT doc_id, b,
+            SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN bits GROUP BY doc_id, b),
+        sh AS (SELECT doc_id,
+            SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS simhash
+          FROM votes GROUP BY doc_id),
+        banded AS (SELECT doc_id, simhash, band,
+            (simhash >> (band * 15)) & 32767 AS chunk
+          FROM sh CROSS JOIN
+            (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) bb),
+        capped AS (SELECT * FROM banded
+          QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= 200)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+        ORDER BY id_a, id_b""")),
 
     // ---- text quality scoring ------------------------------------------
     // Corpus-level quality ratios per language. All aggregates are exact
@@ -233,7 +305,9 @@ object LlmQueries {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 4) AS cosine
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- LSH-bucketed ANN (hash-defined; rows-only oracle) -------------
+    // ---- LSH-bucketed ANN ----------------------------------------------
+    // Hyperplane values are md5-derived literals (VectorOps.hyperplaneVals),
+    // so the oracle regenerates the exact same planes and buckets in SQL.
     "q32_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -242,7 +316,35 @@ object LlmQueries {
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT e.vec_id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- embedding-cosine near-dup pairs (oracle-checked) --------------
     "q42_embedding_dedup" -> QueryDef(
@@ -263,7 +365,10 @@ object LlmQueries {
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         ORDER BY id_a, id_b""")),
 
-    // ---- IVF-bucketed ANN (deterministic pseudo-centroids; rows-only) --
+    // ---- IVF-bucketed ANN ----------------------------------------------
+    // Pseudo-centroids = the 16 corpus vectors with smallest md5(id) —
+    // reproducible in SQL, so assignment + probing + re-rank are all
+    // oracle-checked.
     "q37_ann_ivf" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -272,7 +377,39 @@ object LlmQueries {
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        cents AS (SELECT CAST(ROW_NUMBER() OVER
+              (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell, v
+          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        sc AS (SELECT e.vec_id, c.cell,
+            -(list_dot_product(e.v, c.v) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.v, c.v)))) AS neg
+          FROM e CROSS JOIN cents c),
+        ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY neg, cell) AS rk
+          FROM sc),
+        corpus_cells AS (SELECT vec_id AS neighbor_id, cell
+          FROM ranked WHERE rk = 1),
+        query_cells AS (SELECT vec_id AS query_id, cell
+          FROM ranked WHERE rk <= 4 AND vec_id < 10),
+        cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+          FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
+          WHERE q.query_id <> c.neighbor_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- winnowed document fingerprints (MOSS rolling-hash scheme) -----
     // Every k-shingle is hashed, a w-window rolling minimum is kept, and

@@ -22,10 +22,6 @@ class RowsOnlySpec extends SparkSpec {
     "s12_seamf_coverage" -> 1L,
     "s13_seamf_diagnostics" -> 2L,
     "s14_seamf_zip_scan" -> 4L,
-    "q26_minhash_lsh" -> 25L,
-    "q27_simhash" -> 2166L,
-    "q32_ann_lsh" -> 49L,
-    "q37_ann_ivf" -> 50L,
     "q45_dedup_recall" -> 2L,
     "m02_media_knn" -> 15L)
 
