@@ -301,22 +301,19 @@ object SeamfQueries {
 
     // ---- P4/J3: cell-wise boolean mask via broadcast mask join ---------
     // Per-timestamp frame format selects one of 2 mask templates; the mask
-    // NaNs-out non-downlink samples before aggregating (reference
-    // 3gpp_detect_and_sync.ipynb cell 11). Depends on the TddSync
-    // correlation UDF -> rows-only (values pinned by RowsOnlySpec).
+    // zeroes non-downlink samples before aggregating (reference
+    // 3gpp_detect_and_sync.ipynb cell 11). The oracle replays the TddSync
+    // argmax (shared CTE), then the masked linear mean: round(…, 6)
+    // absorbs the double-vs-decimal accumulation-order difference.
     "s11_seamf_masked_agg" -> QueryDef(
       (s, _) => {
         import s.implicits._
-        val pfp = SeamfReader.traces(s, fixture())
-          .filter(t => t.table == "pfp" && t.detector == "rms" &&
-            t.capture_statistic == "mean")
-          .toDF()
         val n = 112 // fixture pfp trace length
         val masks = TddSync.defaultTemplates(n).zipWithIndex
           .map { case (m, i) => (i, m.map(_.toFloat).toSeq) }
           .toDF("frame_format", "mask")
         // frame format per trace from the sync operator, then mask join
-        val synced = TddSync.syncTraces(pfp, "trace")
+        val synced = TddSync.syncTraces(pfpTraces(s), "trace")
         synced.join(broadcast(masks), Seq("frame_format"))
           .withColumn("masked_db_mean",
             round(lit(10.0) * log10(
@@ -330,7 +327,38 @@ object SeamfQueries {
             min(col("masked_db_mean")).as("min_masked_db"),
             max(col("masked_db_mean")).as("max_masked_db"))
           .orderBy("frequency", "frame_format")
-      }, None),
+      },
+      Some(s"""$TddSyncCte,
+        mk AS (SELECT sel.file_name, sel.datetime_us, sel.frequency,
+            sel.frame_format, s.lin,
+            CAST((s.m - sel.shift + s.n) % s.n AS DOUBLE) / s.n AS frac
+          FROM sel JOIN s ON s.file_name = sel.file_name
+            AND s.datetime_us = sel.datetime_us
+            AND s.frequency = sel.frequency),
+        mm AS (SELECT file_name, datetime_us, frequency, frame_format,
+            SUM(CAST(lin * (CASE WHEN frame_format = 0 THEN
+                CASE WHEN frac < 0.6 OR (frac >= 0.7 AND frac < 0.8)
+                  THEN 1.0 ELSE 0.0 END
+              ELSE
+                CASE WHEN frac < 0.3 OR (frac >= 0.5 AND frac < 0.8)
+                  THEN 1.0 ELSE 0.0 END
+              END) AS DECIMAL(38,30))) AS num,
+            SUM(CASE WHEN frame_format = 0 THEN
+                CASE WHEN frac < 0.6 OR (frac >= 0.7 AND frac < 0.8)
+                  THEN 1.0 ELSE 0.0 END
+              ELSE
+                CASE WHEN frac < 0.3 OR (frac >= 0.5 AND frac < 0.8)
+                  THEN 1.0 ELSE 0.0 END
+              END) AS den
+          FROM mk GROUP BY 1, 2, 3, 4),
+        md AS (SELECT frequency, frame_format,
+            ROUND(10.0 * LOG10(CAST(num AS DOUBLE) / den), 6)
+              AS masked_db_mean
+          FROM mm)
+        SELECT frequency, frame_format, COUNT(*) AS n,
+          MIN(masked_db_mean) AS min_masked_db,
+          MAX(masked_db_mean) AS max_masked_db
+        FROM md GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- F7: flattened diagnostics map -> long rows --------------------
     "s13_seamf_diagnostics" -> QueryDef(
@@ -382,20 +410,79 @@ object SeamfQueries {
         FROM b""")),
 
     // ---- W4: TDD frame correlation / alignment -------------------------
-    // The one sanctioned UDF (correlation kernel) -> rows-only.
+    // The sanctioned correlation UDF, reconstructed from the decoded dump
+    // so the oracle can replay the circular-correlation argmax in SQL.
+    // Masks are 0/1, so each correlation is a subset-sum of per-sample
+    // linear powers: the oracle accumulates in DECIMAL(38,30)
+    // (order-independent) while the UDF sums doubles sequentially —
+    // argmax-stable because correlation peaks are well-separated.
     "s09_seamf_tdd_sync" -> QueryDef(
       (s, _) => {
-        import s.implicits._
-        val traces = SeamfReader.traces(s, fixture())
-          .filter(t => t.table == "pfp" && t.detector == "rms" &&
-            t.capture_statistic == "mean")
-          .toDF()
-        TddSync.syncTraces(traces, "trace")
+        TddSync.syncTraces(pfpTraces(s), "trace")
           .groupBy("frequency", "frame_format")
           .agg(count(lit(1)).as("n"),
             min(col("shift")).as("min_shift"),
             max(col("shift")).as("max_shift"))
           .orderBy("frequency", "frame_format")
-      }, None)
+      },
+      Some(s"""$TddSyncCte
+        SELECT frequency, frame_format, COUNT(*) AS n,
+          CAST(MIN(shift) AS INT) AS min_shift,
+          CAST(MAX(shift) AS INT) AS max_shift
+        FROM sel GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** pfp rms/mean traces reconstructed from the decoded dump: one row per
+    * trace with the `array<float>` dB trace in frame order.
+    */
+  private def pfpTraces(s: SparkSession): DataFrame =
+    dump(s, "pfp")
+      .filter(col("detector") === "rms" && col("capture_statistic") === "mean")
+      .groupBy("file_name", "datetime_us", "frequency")
+      .agg(array_sort(collect_list(struct(col("frame_s"), col("power_dbm"))))
+        .as("sp"))
+      .select(col("file_name"), col("datetime_us"), col("frequency"),
+        transform(col("sp"), x => x.getField("power_dbm")).as("trace"))
+
+  /** Shared oracle CTE chain: per-trace circular-correlation argmax over the
+    * two TDD mask templates (mirrors TddSync.correlate — t-then-lag scan
+    * order, strict > = first maximal (t, lag) wins -> ORDER BY corr DESC,
+    * t, lag). acc = sum_j lin[(j+lag)%n]*tpl[j] re-indexed to
+    * sum_m lin[m]*tpl[(m-lag+n)%n] so each sample row contributes once.
+    * Ends with `sel`: (file_name, datetime_us, frequency, frame_format,
+    * shift) plus sample CTE `s` in scope.
+    */
+  private def TddSyncCte: String =
+    s"""WITH p AS (SELECT file_name, datetime_us, frequency, frame_s,
+        power_dbm FROM ${rp("pfp")}
+        WHERE detector = 'rms' AND capture_statistic = 'mean'),
+      s AS (SELECT file_name, datetime_us, frequency,
+          CAST(ROW_NUMBER() OVER (PARTITION BY file_name, datetime_us,
+            frequency ORDER BY frame_s) - 1 AS INT) AS m,
+          POW(10.0, power_dbm / 10.0) AS lin,
+          CAST(COUNT(*) OVER (PARTITION BY file_name, datetime_us, frequency)
+            AS INT) AS n
+        FROM p),
+      lags AS (SELECT CAST(unnest(range(0, 112)) AS INT) AS lag),
+      tpls AS (SELECT CAST(unnest(range(0, 2)) AS INT) AS t),
+      c0 AS (SELECT s.file_name, s.datetime_us, s.frequency, tt.t, l.lag,
+          s.lin,
+          CAST((s.m - l.lag + s.n) % s.n AS DOUBLE) / s.n AS frac
+        FROM s CROSS JOIN lags l CROSS JOIN tpls tt WHERE l.lag < s.n),
+      acc AS (SELECT file_name, datetime_us, frequency, t, lag,
+          SUM(CAST(lin * (CASE WHEN t = 0 THEN
+              CASE WHEN frac < 0.6 OR (frac >= 0.7 AND frac < 0.8)
+                THEN 1.0 ELSE 0.0 END
+            ELSE
+              CASE WHEN frac < 0.3 OR (frac >= 0.5 AND frac < 0.8)
+                THEN 1.0 ELSE 0.0 END
+            END) AS DECIMAL(38,30))) AS corr
+        FROM c0 GROUP BY 1, 2, 3, 4, 5),
+      best AS (SELECT file_name, datetime_us, frequency, t, lag,
+          ROW_NUMBER() OVER (PARTITION BY file_name, datetime_us, frequency
+            ORDER BY corr DESC, t, lag) AS rk
+        FROM acc),
+      sel AS (SELECT file_name, datetime_us, frequency,
+          t AS frame_format, lag AS shift
+        FROM best WHERE rk = 1)"""
 }
