@@ -474,12 +474,19 @@ object LlmQueries {
         def recallRow(method: String, exact: DataFrame, approx: DataFrame)
             : (String, Long, Long, java.lang.Double) = {
           val keys = Seq("id_a", "id_b")
-          val nExact = exact.count()
-          val nFound = exact.join(approx, keys, "left_semi").count()
-          val pct: java.lang.Double =
-            if (nExact == 0) null
-            else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
-          (method, nExact, nFound, pct)
+          // both sides are consumed twice (count + semi-join): persist so
+          // the expensive pair pipelines run once, release before returning
+          val e = exact.persist(); val a = approx.persist()
+          try {
+            val nExact = e.count()
+            val nFound = e.join(a, keys, "left_semi").count()
+            val pct: java.lang.Double =
+              if (nExact == 0) null
+              else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
+            (method, nExact, nFound, pct)
+          } finally {
+            e.unpersist(blocking = false); a.unpersist(blocking = false)
+          }
         }
         val jac = recallRow("jaccard_minhash",
           Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", 3, 0.2)

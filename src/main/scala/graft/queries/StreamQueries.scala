@@ -101,6 +101,33 @@ object StreamQueries {
       Some(s"""$EvCte SELECT event_id, epoch_us(ts) AS ts_us, user_id,
         event_type FROM ev ORDER BY event_id""")),
 
+    // ---- watermarked stream-stream interval join -----------------------
+    // click -> purchase attribution per user within 30 minutes; the batch
+    // oracle is a plain interval self-join over the finished input.
+    "w06_stream_join" -> QueryDef(
+      (s, dir) => {
+        val clicks = StreamingOps.eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+        val purchases = StreamingOps.eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.intervalJoin(clicks, purchases), "w06_mem")
+        streamed.select(col("user_id"), col("left_id").as("click_id"),
+            col("right_id").as("purchase_id"),
+            (unix_micros(col("rts")) - unix_micros(col("lts")))
+              .as("delay_us"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some(s"""$EvCte SELECT c.user_id AS user_id,
+          c.event_id AS click_id, p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        FROM ev c JOIN ev p
+          ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts > c.ts
+          AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+        ORDER BY user_id, click_id, purchase_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

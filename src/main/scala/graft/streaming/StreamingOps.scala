@@ -80,6 +80,29 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: pair each left event with the
+    * right events of the same user landing within (0, maxDelay] AFTER it.
+    * Both sides carry watermarks and the join condition bounds the event
+    * times against each other, so Spark can expire join state — the
+    * canonical interval-join shape whose state never grows past
+    * watermark + interval.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("lts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("__ru"), col("event_id").as("right_id"),
+        col("ts").as("rts"))
+    l.join(r,
+      col("user_id") === col("__ru") &&
+        col("rts") > col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("lts"), col("rts"))
+  }
+
   final case class GapEvent(user_id: Long, ts_us: Long)
   final case class GapReport(user_id: Long, prev_ts_us: Long, ts_us: Long,
       gap_sec: Double)
