@@ -528,6 +528,70 @@ object LlmQueries {
         SELECT label, COUNT(*) AS n,
           CAST(SUM(nrm9) AS DOUBLE)/COUNT(*)/1e9 AS avg_norm,
           CAST(SUM(fd9) AS DOUBLE)/COUNT(*)/1e9 AS avg_first_dim
-        FROM e GROUP BY label ORDER BY label"""))
+        FROM e GROUP BY label ORDER BY label""")),
+
+    // ---- vocabulary / inverted-index statistics ------------------------
+    // The core text-pipeline shuffle shape at 100 TB: explode tokens ->
+    // one (term) groupBy with map-side combine. df = distinct-doc count,
+    // tf = corpus frequency; top-20 by tf is the Zipf head.
+    "q49_vocab_stats" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.words(lower(col("text")))).as("w"))
+          .groupBy("w")
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("w").asc)
+          .limit(20)
+      },
+      Some(s"""$WordsCte,
+        tok AS (SELECT doc_id, unnest(list_transform(ws, x -> lower(x)))
+          AS w FROM w)
+        SELECT w, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        FROM tok GROUP BY w ORDER BY tf DESC, w LIMIT 20""")),
+
+    // ---- TF-IDF top terms per document ---------------------------------
+    // Keyword extraction: score = tf * ln(N/df) over the corpus-wide df
+    // table (broadcast-sized by Zipf: distinct vocab << corpus). round(.,6)
+    // absorbs the <=1-ulp libm ln() difference between engines.
+    "q50_tfidf_terms" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count()
+        val tok = docs.select(col("doc_id"),
+          explode(TextOps.words(lower(col("text")))).as("w"))
+        val df = tok.groupBy("w")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val tf = tok.filter(col("doc_id") < 10)
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(df), "w")
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        scored
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(col("tfidf").desc, col("w").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("w"), col("tf"), col("df"),
+            col("tfidf"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""$WordsCte,
+        tok AS (SELECT doc_id, unnest(list_transform(ws, x -> lower(x)))
+          AS w FROM w),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+          WHERE doc_id < 10 GROUP BY 1, 2),
+        scored AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+            ROUND(tf.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6)
+              AS tfidf
+          FROM tf JOIN df ON tf.w = df.w),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, w) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, w, tf, df, tfidf, rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }

@@ -734,7 +734,7 @@ object RelationalQueries {
     // ---- SQL-text endpoint: one ANSI string runs on BOTH engines -------
     // Registers the fixture tables as views and executes the identical SQL
     // text through spark.sql that the oracle runs through DuckDB.
-    "q37_sql_endpoint" -> QueryDef(
+    "q48_sql_endpoint" -> QueryDef(
       (s, dir) => {
         Tables.registerViews(s, dir)
         s.sql(SqlEndpointQuery)
