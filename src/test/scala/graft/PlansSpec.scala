@@ -67,6 +67,31 @@ class PlansSpec extends SparkSpec {
       s"distinct carries vectors: $dedupLine")
   }
 
+  test("LSH bucketing is map-side only: no exchange below the candidate join") {
+    // With literal hyperplanes, bucket assignment must be a pure projection;
+    // the first exchange in the plan should be the join/distinct shuffle,
+    // never an exchange feeding the bucket computation itself.
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val dim = graft.functions.VectorOps.dimOf(emb, "embedding")
+    val bucketed = emb.select(col("vec_id"),
+      graft.functions.VectorOps
+        .hyperplaneBucket(col("embedding"), 8, 0, dim).as("bucket"))
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucket assignment shuffles:\n$p")
+    // plane values are literals: no hash expressions per row
+    assert(!p.contains("xxhash64"), s"per-row plane hashing survived:\n$p")
+  }
+
+  test("q49: vocabulary build is one partial+final aggregation") {
+    val p = plan("q49_vocab_stats")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"), p)
+  }
+
+  test("q50: the corpus df side of the tf-idf join broadcasts") {
+    assert(plan("q50_tfidf_terms").contains("BroadcastHashJoin"))
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     val hot = (1 to 1000).map(i => (1L, s"row$i")) ++ Seq((2L, "cold"))
     val large = hot.toDF("k", "payload")
