@@ -152,8 +152,20 @@ object Dedup {
     * payloads through the shuffle), dedup (id_a, id_b), then join vectors
     * back for the exact cosine verify.
     */
+  /** Multi-probe banding: one side of the self-join additionally probes
+    * every bucket at Hamming distance 1 (nBits+1 probes/table), so a pair
+    * is a candidate when its table buckets differ by <= 1 bit. At the
+    * q42/q45 threshold (cosine 0.45, P(bit agree) = 1 - acos(0.45)/pi =
+    * 0.649) this lifts per-table recall from p^8 = 0.03 to p^8 +
+    * 8*p^7*(1-p) = 0.17 -> 0.77 over 8 tables, WITHOUT shrinking bucket
+    * entropy — fewer bits per bucket would raise recall too, but bucket
+    * population scales as corpus/2^nBits, so wide buckets are the
+    * quadratic blowup at 100 TB while multi-probe costs a linear 9x on one
+    * join side.
+    */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, nBits: Int = 8, nTables: Int = 8): DataFrame = {
+      minCosine: Double, nBits: Int = 8, nTables: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val dim = graft.functions.VectorOps.dimOf(emb, vecCol)
     val base = emb.select(col(idCol).cast("long").as("doc_id"),
       col(vecCol).as("vec"))
@@ -164,7 +176,12 @@ object Dedup {
               .hyperplaneBucket(col("vec"), nBits, t * 1000, dim).as("bucket"))
         }: _*)).as("tb"))
       .select(col("doc_id"), col("tb.table"), col("tb.bucket"))
-    val cand = bucketed.as("a")
+    val probed =
+      if (!multiProbe) bucketed
+      else bucketed.select(col("doc_id"), col("table"),
+        explode(array(col("bucket") +: (0 until nBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val cand = probed.as("a")
       .join(bucketed.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -120,8 +120,12 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k cosine neighbors.
     * `nTables` independent hash tables of `nBits` hyperplane bits each;
-    * candidates = same bucket in any table; exact cosine re-rank of the
-    * candidate set.
+    * multi-probe on the QUERY side (queries are the small side by
+    * construction): each query additionally probes every bucket at Hamming
+    * distance 1, so candidates = buckets differing by <= 1 bit in any
+    * table. Exact cosine re-rank of the candidate set. Probing costs
+    * (nBits+1)x on query rows only — the corpus side stays one row per
+    * (vector, table), which is what matters at 100 TB.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -136,8 +140,12 @@ object Similarity {
           }: _*)).as("tb"))
         .select(col(id), col("tb.table"), col("tb.bucket"))
 
+    val probedQueries = bucketed(queries, "query_id")
+      .select(col("query_id"), col("table"),
+        explode(array(col("bucket") +: (0 until nBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
     val cand = bucketed(corpus, "neighbor_id")
-      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
+      .join(probedQueries, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()

@@ -307,7 +307,9 @@ object LlmQueries {
 
     // ---- LSH-bucketed ANN ----------------------------------------------
     // Hyperplane values are md5-derived literals (VectorOps.hyperplaneVals),
-    // so the oracle regenerates the exact same planes and buckets in SQL.
+    // so the oracle regenerates the exact same planes and buckets in SQL;
+    // query-side multi-probe (Hamming<=1) becomes a bit_count(xor()) join
+    // condition.
     "q32_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -330,7 +332,8 @@ object LlmQueries {
               THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
           FROM e CROSS JOIN planes p GROUP BY 1, 2),
         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          FROM buck q JOIN buck c ON q.tbl = c.tbl
+            AND bit_count(xor(q.bucket, c.bucket)) <= 1
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
         scored AS (SELECT cand.query_id, cand.neighbor_id,
             list_dot_product(a.v, b.v) /
