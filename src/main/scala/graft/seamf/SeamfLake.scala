@@ -38,11 +38,8 @@ object SeamfLake {
     val traces = SeamfReader.traces(spark, landingDir, tz).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val tables = Map(
-        "psd" -> traces, "pvt" -> traces, "pfp" -> traces, "apd" -> traces)
-      val longified = tables.map { case (name, _) =>
-        name -> longifyFromTraces(traces, name)
-      }
+      val longified = Seq("psd", "pvt", "pfp", "apd")
+        .map(name => name -> longifyFromTraces(traces, name)).toMap
       val counts = longified.map { case (name, df) =>
         writeDatePartitioned(df, outDir, name)
         name -> (if (validate) spark.read.parquet(s"$outDir/$name").count() else -1L)
