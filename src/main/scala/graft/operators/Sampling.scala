@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and dataset splitting.
+  *
+  * Training-data pipelines need sampling that is REPRODUCIBLE: the same row
+  * must land in the same sample/split on every run, on any cluster layout,
+  * and after any repartition — `df.sample()`/`sampleBy()` (seeded partition
+  * RNG) give none of that. Content-hash sampling derives the decision from
+  * the row's own key: keep iff md5-hash(key + salt) mod 1e6 < rate * 1e6.
+  *
+  * Properties that matter at 100 TB:
+  *  - pure map-side column expression — no shuffle, no driver state;
+  *  - stable under re-runs, re-partitioning, and incremental appends
+  *    (a re-ingested row keeps its split — no train/test leakage);
+  *  - different `salt` values give independent samples (sample vs split
+  *    decisions don't correlate);
+  *  - portable (md5 + hex parse), so sampling decisions are reproducible
+  *    in any engine — the q51 oracle replays them in SQL.
+  */
+object Sampling {
+
+  private val Denom = 1000000L
+
+  /** Uniform hash in [0, 1e6) from the row key and a salt. */
+  def hashUnit(key: Column, salt: String): Column =
+    Dedup.md5Hash48(concat(key.cast("string"), lit("#" + salt))) % Denom
+
+  /** Keep predicate for a `rate` in [0, 1]: deterministic per (key, salt). */
+  def hashSample(key: Column, rate: Double, salt: String = "sample"): Column =
+    hashUnit(key, salt) < (rate * Denom).toLong
+
+  /** Split assignment from cumulative fractions, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions must sum
+    * to 1; the last split absorbs rounding.
+    */
+  def splitColumn(key: Column, fractions: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $fractions")
+    val h = hashUnit(key, salt)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail.map(c => (c * Denom).toLong)
+    fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
+      when(h < cut, name).otherwise(rest)
+    }
+  }
+}

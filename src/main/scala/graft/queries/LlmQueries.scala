@@ -595,6 +595,39 @@ object LlmQueries {
             ORDER BY tfidf DESC, w) AS INT) AS rank
           FROM scored)
         SELECT doc_id, w, tf, df, tfidf, rank
-        FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- deterministic hash sampling + train/val/test split ------------
+    // Content-addressed decisions (md5 of the doc id + salt): stable under
+    // re-runs, repartitioning, and incremental appends — no train/test
+    // leakage — and replayed exactly by the oracle. English is downsampled
+    // to 40% (the data-mixing shape); splits are 80/10/10.
+    "q51_hash_split" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sampling
+        t(s, dir, "documents")
+          .filter(col("lang") =!= "en"
+            || Sampling.hashSample(col("doc_id"), 0.4, salt = "mix"))
+          .withColumn("split", Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH h AS (SELECT lang, text,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 12))
+            AS BIGINT) % 1000000 AS hmix,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 12))
+            AS BIGINT) % 1000000 AS hsplit
+          FROM documents),
+        f AS (SELECT lang, text,
+            CASE WHEN hsplit < 800000 THEN 'train'
+                 WHEN hsplit < 900000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM h WHERE lang <> 'en' OR hmix < 400000)
+        SELECT lang, split, COUNT(*) AS n_docs,
+          CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -238,4 +238,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(1) === 5.0)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("hash sampling is deterministic, repartition-stable, ~rate-sized") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val kept = ids.filter(graft.operators.Sampling
+      .hashSample(col("id"), 0.3)).collect().map(_.getLong(0)).toSet
+    // rate holds to a few percent at n=10k
+    assert(math.abs(kept.size / 10000.0 - 0.3) < 0.03, s"${kept.size}")
+    // identical decision after a repartition (content-hash, not RNG)
+    val kept2 = ids.repartition(7).filter(graft.operators.Sampling
+      .hashSample(col("id"), 0.3)).collect().map(_.getLong(0)).toSet
+    assert(kept === kept2)
+    // a smaller rate keeps a SUBSET (nested samples — same salt)
+    val kept10 = ids.filter(graft.operators.Sampling
+      .hashSample(col("id"), 0.1)).collect().map(_.getLong(0)).toSet
+    assert(kept10.subsetOf(kept))
+  }
+
+  test("hash split covers every row exactly once at the declared fractions") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val split = ids.withColumn("split", graft.operators.Sampling
+      .splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.03, counts.toString)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.02, counts.toString)
+    // independent of the sampling decision (different salt)
+    val both = ids
+      .withColumn("keep", graft.operators.Sampling.hashSample(col("id"), 0.5))
+      .withColumn("split", graft.operators.Sampling
+        .splitColumn(col("id"), Seq("train" -> 0.5, "test" -> 0.5)))
+    val corr = both.groupBy("keep", "split").count().collect()
+    assert(corr.length === 4, "sample and split decisions must not correlate")
+  }
 }
