@@ -141,16 +141,29 @@ object StreamingOps {
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/demo harness: a batch of files
     * drives the stream synchronously).
+    *
+    * State-store task count is pinned at query start from
+    * `spark.sql.shuffle.partitions`; per-partition store open/commit/sync
+    * dominates small micro-batches, so the harness plans its streams with 8
+    * state partitions instead of the session's batch default (results are
+    * partitioning-invariant; a production deployment sizes this to
+    * state-volume/executor count, and it is fixed for the checkpoint's
+    * lifetime).
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
