@@ -429,7 +429,31 @@ object SeamfQueries {
         SELECT frequency, frame_format, COUNT(*) AS n,
           CAST(MIN(shift) AS INT) AS min_shift,
           CAST(MAX(shift) AS INT) AS max_shift
-        FROM sel GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM sel GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- §2.8: incremental seamf ingest -> windowed capture summary ----
+    // The landing dir streams through the SAME decode (SeamfStream), then a
+    // watermarked 1-minute window aggregates PVT peaks — the incremental
+    // formulation of s02. The oracle recomputes the windows batch-side from
+    // the decoded dump: streaming-vs-batch parity for the seamf pipeline
+    // itself, not just the events fixture.
+    "s15_seamf_stream_summary" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s) // oracle reads the dump of the same fixture
+        val streamed = graft.streaming.StreamingOps.runToMemory(s,
+          graft.seamf.SeamfStream.captureSummaryStream(s, fixture()),
+          "s15_mem", outputMode = "complete")
+        streamed.select(unix_micros(col("minute")).as("minute_us"),
+            col("frequency"), col("peak_dbm"), col("n_traces"))
+          .orderBy("minute_us", "frequency")
+      },
+      Some(s"""SELECT
+          CAST(FLOOR(datetime_us / 60000000) AS BIGINT) * 60000000
+            AS minute_us,
+          frequency, MAX(power_dbm) AS peak_dbm,
+          COUNT(DISTINCT file_name || '#' || CAST(datetime_us AS VARCHAR)
+            || '#' || detector) AS n_traces
+        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

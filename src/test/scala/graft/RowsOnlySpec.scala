@@ -22,6 +22,7 @@ class RowsOnlySpec extends SparkSpec {
     "s12_seamf_coverage" -> 1L,
     "s13_seamf_diagnostics" -> 2L,
     "s14_seamf_zip_scan" -> 4L,
+    "s15_seamf_stream_summary" -> 21L,
     "q45_dedup_recall" -> 2L,
     "m02_media_knn" -> 15L)
 
