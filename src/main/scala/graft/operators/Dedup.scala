@@ -49,9 +49,11 @@ object Dedup {
     * explode + DISTINCT stays in codegen (array_distinct on the array cell
     * is an interpreted O(n^2) higher-order function); the 64-bit xxhash64
     * key gives 8-byte shuffle keys (collision probability
-    * ~ |shingles|^2 / 2^64 — negligible).
+    * ~ |shingles|^2 / 2^64 — negligible). Public: pipelines that run
+    * several dedup passes over one corpus (e.g. the q45 recall grader)
+    * build this once, persist it, and pass it back in.
     */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(col(textCol), k)).as("s"))
@@ -87,8 +89,9 @@ object Dedup {
     * self-join shuffle.
     */
   def jaccardPairsExhaustive(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minJaccard: Double, maxDf: Int = 1000): DataFrame = {
-    val inv = shingleIndex(docs, idCol, textCol, k)
+      k: Int, minJaccard: Double, maxDf: Int = 1000,
+      index: Option[DataFrame] = None): DataFrame = {
+    val inv = index.getOrElse(shingleIndex(docs, idCol, textCol, k))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val pairs = inv
       .groupBy("shingle")
@@ -112,10 +115,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, index: Option[DataFrame] = None): DataFrame = {
     val cand = minHashCandidates(docs, idCol, textCol, k, bands, rowsPerBand,
       maxBucket).select("id_a", "id_b")
-    val inv = shingleIndex(docs, idCol, textCol, k)
+    val inv = index.getOrElse(shingleIndex(docs, idCol, textCol, k))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val sets = inv.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("hs"))

@@ -491,11 +491,18 @@ object LlmQueries {
             e.unpersist(blocking = false); a.unpersist(blocking = false)
           }
         }
+        // one inverted-index plan fragment feeds both paths (NOT persisted:
+        // materializing it breaks whole-stage fusion of the scan->explode->
+        // distinct pipeline into the downstream aggregates and measured
+        // SLOWER than recomputing — the pair outputs persisted inside
+        // recallRow are the right cache boundary)
+        val inv = Some(Dedup.shingleIndex(docs, "doc_id", "text", 3))
         val jac = recallRow("jaccard_minhash",
-          Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", 3, 0.2)
-            .select("id_a", "id_b"),
+          Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", 3, 0.2,
+            index = inv).select("id_a", "id_b"),
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
-            bands = 32, rowsPerBand = 2).select("id_a", "id_b"))
+            bands = 32, rowsPerBand = 2, index = inv)
+            .select("id_a", "id_b"))
         val embR = recallRow("embedding_lsh",
           Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.45)
             .select("id_a", "id_b"),
