@@ -702,13 +702,21 @@ object RelationalQueries {
     // summaries are partition-order-dependent.
     "q43_approx_distinct" -> QueryDef(
       (s, dir) => {
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        // exact and approx SEPARATELY, joined on the 3-row result: mixing
+        // countDistinct with approx_count_distinct in one agg makes Spark
+        // pre-group on (flag, partkey) and build the HLL sketches per
+        // SUBGROUP — ~200k sketches x 16 KB at rsd=0.01 — before merging.
+        // Split, each agg is the canonical partial+final plan: the approx
+        // side keeps 3 sketches total, the exact side shuffles (flag,
+        // partkey) pairs once.
+        val li = t(s, dir, "lineitem")
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
             approx_count_distinct(col("l_partkey"), rsd = 0.01)
               .as("approx_parts_1pct"))
+        exact.join(approx, "l_returnflag")
           .withColumn("err_pct",
             round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
               col("exact_parts") * 100.0, 4))
