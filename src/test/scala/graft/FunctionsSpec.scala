@@ -6,6 +6,23 @@ import graft.functions.{Aggregators, TimeOps}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("letCol binds once and is semantically transparent") {
+    import graft.functions.TextOps.letCol
+    val df = Seq("a b c", "", null.asInstanceOf[String]).toDF("t")
+    // identity: letCol(x)(v => f(v)) == f(x)
+    val got = df.select(
+      letCol(split(col("t"), " "))(ws => size(ws)).as("n"),
+      size(split(col("t"), " ")).as("want")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getInt(0) === r.getInt(1))
+    }
+    // null input flows through the binding (array(null) -> body(null))
+    val n = df.filter(col("t").isNull)
+      .select(letCol(col("t"))(v => length(v))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("QuantileAgg matches Spark's exact percentile") {
     val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
     val ds = vals.toDS()
