@@ -29,10 +29,12 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if hasattr(v, "item"):
-        v = v.item()
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "ndim") and getattr(v, "ndim") > 0:  # numpy array cell
+        return tuple(norm_cell(x) for x in v.tolist())
+    if hasattr(v, "item"):
+        v = v.item()
     return v
 
 

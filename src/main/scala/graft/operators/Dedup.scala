@@ -370,6 +370,54 @@ object Dedup {
       .select("id_a", "id_b", "n_bands", "est_jaccard")
   }
 
+  /** Connected components over undirected near-dup pairs: assigns every
+    * node the MINIMUM id reachable from it (its cluster root). This is what
+    * a dedup pipeline actually consumes — "keep one doc per cluster" needs
+    * clusters, not pairs.
+    *
+    * Plan: iterative min-label propagation (the Pregel/GraphX formulation
+    * as plain DataFrame joins — one join + one agg shuffle per round,
+    * rounds = component diameter, with an early-exit count per round).
+    * Deterministic: min-label converges to the same fixpoint under any
+    * execution order. Dup clusters have tiny diameters (near-cliques), so
+    * rounds ~ 2-4 in practice; `maxIter` hard-bounds pathological chains.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint each round: each iteration's plan references the
+    // previous labels frame several times, so WITHOUT lineage truncation the
+    // logical plan grows exponentially with iterations (observed: driver
+    // OOM stringifying the plan around iteration 15). Checkpointing keeps
+    // the per-round plan constant-size — the standard shape for iterative
+    // DataFrame algorithms.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neigh, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** 64-bit SimHash from a pre-computed `array<long>` of token hashes:
     * per-bit majority vote (ties -> 0). Shifts are Scala-literal so the whole
     * thing is a pure codegen'd expression tree (no UDF, no shuffle).

@@ -635,6 +635,46 @@ object LlmQueries {
           FROM h WHERE lang <> 'en' OR hmix < 400000)
         SELECT lang, split, COUNT(*) AS n_docs,
           CAST(SUM(len(text)) AS BIGINT) AS n_chars
-        FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- duplicate-cluster assignment (connected components) -----------
+    // Pairs -> clusters: what "keep one doc per dup group" actually needs.
+    // Spark side runs iterative min-label propagation; the oracle computes
+    // the same components with a recursive transitive-closure CTE.
+    "q52_dup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairsExhaustive(t(s, dir, "documents"),
+            "doc_id", "text", k = 3, minJaccard = 0.2, maxDf = 1000000)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(pairs)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"),
+            sort_array(collect_list(col("id"))).as("doc_ids"))
+          .select(col("label").as("cluster_root"), col("n_docs"),
+            col("doc_ids"))
+          .orderBy("cluster_root")
+      },
+      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
+        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (SELECT id_a, id_b FROM pr
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
+            >= 0.2),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+        nd AS (SELECT DISTINCT src AS id FROM e),
+        reach AS (SELECT id AS node, id AS root FROM nd
+          UNION SELECT e.dst AS node, r.root FROM reach r
+            JOIN e ON e.src = r.node),
+        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
+        SELECT label AS cluster_root, COUNT(*) AS n_docs,
+          list_sort(list(node)) AS doc_ids
+        FROM comp GROUP BY label ORDER BY cluster_root"""))
   )
 }
