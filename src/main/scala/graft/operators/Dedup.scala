@@ -382,40 +382,55 @@ object Dedup {
     * execution order. Dup clusters have tiny diameters (near-cliques), so
     * rounds ~ 2-4 in practice; `maxIter` hard-bounds pathological chains.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint each round: each iteration's plan references the
-    // previous labels frame several times, so WITHOUT lineage truncation the
-    // logical plan grows exponentially with iterations (observed: driver
-    // OOM stringifying the plan around iteration 15). Checkpointing keeps
-    // the per-round plan constant-size — the standard shape for iterative
-    // DataFrame algorithms.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val neigh = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(neigh, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      numPartitions: Int = 0): DataFrame = {
+    // The component graph is the DUP subset of the corpus — orders of
+    // magnitude smaller than the input. Size the iterative shuffles to it
+    // (default: shuffle.partitions / 4), not to the corpus-scale session
+    // default: each round runs 2 joins + 1 agg, and near-empty partitions
+    // dominate the round's wall clock otherwise. At true scale pass an
+    // explicit numPartitions sized to the pair count.
+    val spark = pairs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val nPart = if (numPartitions > 0) numPartitions
+      else math.max(2, prev.toInt / 4)
+    spark.conf.set(key, nPart.toString)
+    try {
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint each round: each iteration's plan references
+      // the previous labels frame several times, so WITHOUT lineage
+      // truncation the logical plan grows exponentially with iterations
+      // (observed: driver OOM stringifying the plan around iteration 15).
+      // Checkpointing keeps the per-round plan constant-size — the standard
+      // shape for iterative DataFrame algorithms.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
-      done = changed == 0
-      iter += 1
-    }
-    edges.unpersist(blocking = false)
-    labels
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val neigh = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        val next = labels
+          .join(neigh, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"))
+          .localCheckpoint(true)
+        val changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).count()
+        labels = next
+        done = changed == 0
+        iter += 1
+      }
+      edges.unpersist(blocking = false)
+      labels
+    } finally spark.conf.set(key, prev)
   }
 
   /** 64-bit SimHash from a pre-computed `array<long>` of token hashes:
