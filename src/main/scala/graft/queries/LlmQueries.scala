@@ -513,6 +513,52 @@ object LlmQueries {
       },
       None),
 
+    // ---- int8 embedding quantization quality ---------------------------
+    // Symmetric per-vector int8 quantization (4x storage vs float32) with
+    // reconstruction metrics per label: mean cosine(original, dequantized)
+    // and mean max-abs error, scaled-floor exact means (q33 discipline).
+    "q53_embedding_quantize" -> QueryDef(
+      (s, dir) => {
+        val d = (c: org.apache.spark.sql.Column) =>
+          transform(c, x => x.cast("double"))
+        t(s, dir, "embeddings")
+          .withColumn("deq", VectorOps.dequantizeInt8(
+            VectorOps.quantizeInt8(col("embedding"))))
+          .select(col("label"),
+            floor(VectorOps.cosine(col("embedding"), col("deq")) * 1e6)
+              .cast("long").as("cos6"),
+            floor(aggregate(
+              zip_with(d(col("embedding")), col("deq"), (x, y) => abs(x - y)),
+              lit(0.0), (a, x) => greatest(a, x)) * 1e6)
+              .cast("long").as("err6"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("cos6")).cast("double") / count(lit(1)) / 1e6)
+              .as("avg_cosine"),
+            (sum(col("err6")).cast("double") / count(lit(1)) / 1e6)
+              .as("avg_max_err"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT label, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+        dq AS (SELECT label, v,
+            list_transform(v, x -> round(x / scale) * scale) AS deq
+          FROM q),
+        m AS (SELECT label,
+            CAST(FLOOR(list_dot_product(v, deq) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq)))
+              * 1e6) AS BIGINT) AS cos6,
+            CAST(FLOOR(list_max(list_transform(range(1, len(v) + 1),
+              i -> abs(v[i] - deq[i]))) * 1e6) AS BIGINT) AS err6
+          FROM dq)
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(cos6) AS DOUBLE)/COUNT(*)/1e6 AS avg_cosine,
+          CAST(SUM(err6) AS DOUBLE)/COUNT(*)/1e6 AS avg_max_err
+        FROM m GROUP BY label ORDER BY label""")),
+
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value
     // to an exact long (1e-9 truncation), sum exactly, divide once — immune
