@@ -46,21 +46,9 @@ object Bench {
     // seconds for the 200-file archive (reference: 2.471 s eager,
     // 6.243 s dask first-partition).
     lazy val ingest = {
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_archive")
-      val marker = dir.resolve(".complete")
-      if (!java.nio.file.Files.exists(marker)) {
-        java.nio.file.Files.createDirectories(dir)
-        val shape = graft.seamf.SeamfFixtures.Shape(625, 400, 560, 151)
-        val t0 = graft.seamf.SeamfMetadata.isoToMicros("2023-09-25T00:00:00Z")
-        (0 until 200).foreach { i =>
-          graft.seamf.SeamfFixtures.writeSweep(dir, i,
-            t0 + i * 90L * 1000000L, nChannels = 17, shape = shape)
-        }
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
+      val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
       val t0 = System.nanoTime()
-      graft.seamf.SeamfReader.traces(spark, dir.toString)
+      graft.seamf.SeamfReader.traces(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -69,8 +57,7 @@ object Bench {
     // 6.243 s for the first 200-file partition, dask_processing cell 4):
     // decode + per-capture PVT peak/mean aggregation + cal metadata join.
     lazy val capSummary = {
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
+      val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
       val t0 = System.nanoTime()
       val tr = graft.seamf.SeamfReader.traces(spark, dir).toDF()
       import org.apache.spark.sql.functions._
@@ -94,8 +81,7 @@ object Bench {
     // widest plan in the bench (~2x); the steady-state number is the one
     // comparable to BASELINE.md's repeated-run timings
     lazy val lakeExport = {
-      val in = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_archive").toString
+      val in = graft.seamf.SeamfFixtures.sharedBenchArchive()
       def once(): Double = {
         val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
         val t0 = System.nanoTime()

@@ -18,23 +18,8 @@ object DevRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // pseudo-queries for the archive metrics (same shapes as Bench.scala)
-    def archiveDir: String = {
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_archive")
-      val marker = dir.resolve(".complete")
-      if (!java.nio.file.Files.exists(marker)) {
-        java.nio.file.Files.createDirectories(dir)
-        val shape = graft.seamf.SeamfFixtures.Shape(625, 400, 560, 151)
-        val t0 = graft.seamf.SeamfMetadata.isoToMicros("2023-09-25T00:00:00Z")
-        (0 until 200).foreach { i =>
-          graft.seamf.SeamfFixtures.writeSweep(dir, i,
-            t0 + i * 90L * 1000000L, nChannels = 17, shape = shape)
-        }
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-      dir.toString
-    }
+    // pseudo-queries for the archive metrics (same input as Bench.scala)
+    def archiveDir: String = graft.seamf.SeamfFixtures.sharedBenchArchive()
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val t0 = System.nanoTime()

@@ -70,10 +70,13 @@ object VectorOps {
     }.reduce(_ + _)
 
   /** Element count of the vector column, from one row (schema carries no
-    * static length for array columns). One column-pruned single-row scan.
+    * static length for array columns). One column-pruned single-row scan;
+    * 0 for an empty input (callers' `size(vec) === 0` filters then match
+    * nothing, so LSH over an empty corpus returns empty instead of
+    * throwing).
     */
   def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = round(x_i / scale). 4x the storage/bandwidth of float32 at ~1%
@@ -86,8 +89,12 @@ object VectorOps {
   def quantizeInt8(vec: Column): Column =
     graft.functions.TextOps.letCol(
       array_max(transform(d(vec), x => abs(x))) / 127.0) { scale =>
+      // all-zero vector: scale = 0 would make x/scale NaN; quantize to
+      // zeros explicitly (dequantize then reproduces the zero vector)
       struct(scale.as("scale"),
-        transform(d(vec), x => round(x / scale, 0).cast("int")).as("q"))
+        when(scale === 0.0, transform(d(vec), _ => lit(0)))
+          .otherwise(
+            transform(d(vec), x => round(x / scale, 0).cast("int"))).as("q"))
     }
 
   /** Dequantize the struct produced by [[quantizeInt8]]. */

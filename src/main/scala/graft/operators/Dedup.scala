@@ -170,8 +170,11 @@ object Dedup {
       minCosine: Double, nBits: Int = 8, nTables: Int = 8,
       multiProbe: Boolean = true): DataFrame = {
     val dim = graft.functions.VectorOps.dimOf(emb, vecCol)
-    val base = emb.select(col(idCol).cast("long").as("doc_id"),
-      col(vecCol).as("vec"))
+    // ragged rows would null-pad against the plane literals and collapse
+    // into bucket 0 of every table (quadratic blowup + bogus pairs)
+    val base = emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(vecCol).as("vec"))
     val bucketed = base.select(col("doc_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("table"),
@@ -382,7 +385,7 @@ object Dedup {
     * execution order. Dup clusters have tiny diameters (near-cliques), so
     * rounds ~ 2-4 in practice; `maxIter` hard-bounds pathological chains.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       numPartitions: Int = 0): DataFrame = {
     // The component graph is the DUP subset of the corpus — orders of
     // magnitude smaller than the input. Size the iterative shuffles to it
@@ -390,11 +393,14 @@ object Dedup {
     // default: each round runs 2 joins + 1 agg, and near-empty partitions
     // dominate the round's wall clock otherwise. At true scale pass an
     // explicit numPartitions sized to the pair count.
+    // NOTE: scoped session-conf override (restored in finally) — assumes no
+    // concurrent planning on this session, which holds for the batch
+    // harness. At true scale pass numPartitions explicitly.
     val spark = pairs.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val nPart = if (numPartitions > 0) numPartitions
-      else math.max(2, prev.toInt / 4)
+      else math.max(2, scala.util.Try(prev.toInt).getOrElse(32) / 4)
     spark.conf.set(key, nPart.toString)
     try {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -428,6 +434,13 @@ object Dedup {
         done = changed == 0
         iter += 1
       }
+      // silent truncation would SPLIT components (min-label moves one hop
+      // per round): refuse rather than return wrong clusters. Per-round
+      // checkpointed RDDs drop their last reference at the swap above and
+      // are reclaimed by the ContextCleaner on GC.
+      require(done,
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter exceeds maxIter) — raise maxIter")
       edges.unpersist(blocking = false)
       labels
     } finally spark.conf.set(key, prev)

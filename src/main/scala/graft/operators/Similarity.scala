@@ -131,8 +131,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, nTables: Int = 4): DataFrame = {
     val dim = VectorOps.dimOf(corpus, vecCol)
+    // ragged rows would null-pad the zip against the plane literal and
+    // collapse into bucket 0 of every table — exclude them explicitly
     def bucketed(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id),
+      df.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as(id),
           explode(array((0 until nTables).map { t =>
             struct(lit(t).as("table"),
               VectorOps.hyperplaneBucket(col(vecCol), nBits, t * 1000, dim)

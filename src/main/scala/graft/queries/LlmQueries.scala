@@ -108,10 +108,11 @@ object LlmQueries {
         ORDER BY id_a, id_b""")),
 
     // ---- MinHash + LSH banding -----------------------------------------
-    // Portable hash family (one md5 per shingle split into two 48-bit
-    // halves; h_i = h1 + i*h2 double hashing), so the full signature ->
-    // band-bucket -> candidate-pair pipeline is replicated in DuckDB SQL
-    // and hash-checked cell-for-cell.
+    // Portable hash family (one md5 per shingle reduced mod 2^31-1, then
+    // the Carter–Wegman universal family (a_i*x + b_i) mod p — see
+    // Dedup.minHashCoeffs for why double hashing was rejected), so the
+    // full signature -> band-bucket -> candidate-pair pipeline is
+    // replicated in DuckDB SQL and hash-checked cell-for-cell.
     "q26_minhash_lsh" -> QueryDef(
       (s, dir) => {
         Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
@@ -522,6 +523,10 @@ object LlmQueries {
         val d = (c: org.apache.spark.sql.Column) =>
           transform(c, x => x.cast("double"))
         t(s, dir, "embeddings")
+          // zero vectors have no cosine; keep the metric (and the oracle's
+          // FLOOR(NaN) cast, which hard-errors in DuckDB) NaN-free
+          .filter(aggregate(transform(col("embedding"),
+            x => abs(x.cast("double"))), lit(0.0), (a, x) => a + x) > 0.0)
           .withColumn("deq", VectorOps.dequantizeInt8(
             VectorOps.quantizeInt8(col("embedding"))))
           .select(col("label"),
@@ -540,7 +545,9 @@ object LlmQueries {
           .orderBy("label")
       },
       Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
+          FROM embeddings
+          WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+            x -> abs(x))) > 0),
         q AS (SELECT label, v,
             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
           FROM e),

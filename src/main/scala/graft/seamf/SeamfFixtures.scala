@@ -427,6 +427,27 @@ object SeamfFixtures {
     dir.toString
   }
 
+  /** Idempotent 200-sweep archive at the BASELINE.md reference shape
+    * (17 channels, full trace lengths, 90 s cadence) — the input behind the
+    * seamf_* bench metrics. Shared by Bench and DevRun so the dev loop
+    * times exactly the workload the bench reports.
+    */
+  def sharedBenchArchive(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_archive")
+    val marker = dir.resolve(".complete")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      val shape = Shape(625, 400, 560, 151)
+      val t0 = SeamfMetadata.isoToMicros("2023-09-25T00:00:00Z")
+      (0 until 200).foreach { i =>
+        writeSweep(dir, i, t0 + i * 90L * 1000000L, nChannels = 17,
+          shape = shape)
+      }
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
   /** Idempotent shared zip-archive fixture dir (S7 inventory queries). */
   def sharedZipArchive(): String = {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_seamf_zipfix")
