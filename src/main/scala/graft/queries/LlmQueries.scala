@@ -566,6 +566,54 @@ object LlmQueries {
           CAST(SUM(err6) AS DOUBLE)/COUNT(*)/1e6 AS avg_max_err
         FROM m GROUP BY label ORDER BY label""")),
 
+    // ---- distributed k-means (IVF coarse quantizer fit) ----------------
+    // Two Lloyd iterations over the embeddings, k=8, md5-deterministic
+    // seeds (see operators/KMeans.scala for the plan shape). Per-term
+    // decimal sums make centroids and inertia order-independent, so the
+    // oracle replays the ENTIRE fit as a DuckDB CTE chain and the cluster
+    // sizes + inertia hash-match cell-for-cell. This is the batch job that
+    // would refresh Similarity.ivfTopK's centroids at 100 TB.
+    "q57_kmeans" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.KMeans
+        val a2 = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        a2.groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n"),
+            sum(KMeans.inertia6(col("dist"))).as("inertia6"))
+          .orderBy("cluster")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
+          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
+        px AS (SELECT id, dim, v[dim] AS x FROM e, idxs),
+        sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
+            (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
+          FROM e),
+        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs WHERE cid < 8),
+        d1 AS (SELECT id, cid,
+            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
+              AS dist
+          FROM px JOIN c0 USING (dim) GROUP BY id, cid),
+        a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
+          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+            FROM d1 GROUP BY id)),
+        c1 AS (SELECT cid, dim,
+            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
+          FROM px JOIN a1 USING (id) GROUP BY cid, dim),
+        d2 AS (SELECT id, cid,
+            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
+              AS dist
+          FROM px JOIN c1 USING (dim) GROUP BY id, cid),
+        a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
+            struct_extract(m, 'dist') AS dist
+          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+            FROM d2 GROUP BY id))
+        SELECT cid AS cluster, COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia6
+        FROM a2 GROUP BY cid ORDER BY cluster""")),
+
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value
     // to an exact long (1e-9 truncation), sum exactly, divide once — immune
