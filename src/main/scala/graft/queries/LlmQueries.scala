@@ -705,6 +705,62 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- BM25 keyword search (inverted-index retrieval) ----------------
+    // Okapi BM25 (k1=1.2, b=0.75) over the corpus for a 3-term query with
+    // one rare discriminative term. Plan: doc length is a per-row size()
+    // (no explode needed); the token explode is filtered to the query
+    // terms BEFORE the (doc,term) aggregation, so the shuffle carries only
+    // matching postings; df and the per-term idf table are query-sized and
+    // broadcast. Per-term score contributions floor to 1e-9-scaled longs
+    // so the per-doc sum is order-independent (q33 discipline). Float
+    // literals (2.2, 1.2, 0.25, 0.75) are written identically in both
+    // engines — 1.2+1.0 in binary is NOT the double literal 2.2.
+    "q54_bm25_search" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("dup", "spark", "query")
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.words(lower(col("text"))).as("lws"))
+        val stats = d.agg(count(lit(1)), sum(size(col("lws")))).head
+        val n = stats.getLong(0)
+        val avgdl = stats.getLong(1).toDouble / n
+        val tf = d.select(col("doc_id"), size(col("lws")).as("dl"),
+            explode(col("lws")).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "w")
+          .withColumn("contrib9", floor(
+            log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+              * 1e9).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("contrib9")).as("score9"))
+          .withColumn("score", col("score9") / 1e9)
+          .orderBy(col("score9").desc, col("doc_id"))
+          .limit(15)
+          .select("doc_id", "n_terms", "score9", "score")
+      },
+      Some(s"""$WordsCte,
+        d AS (SELECT doc_id, list_transform(ws, x -> lower(x)) AS lws FROM w),
+        stats AS (SELECT COUNT(*) AS n,
+          CAST(SUM(len(lws)) AS DOUBLE)/COUNT(*) AS avgdl FROM d),
+        tf AS (SELECT doc_id, len(lws) AS dl, w, COUNT(*) AS tf
+          FROM (SELECT doc_id, lws, unnest(lws) AS w FROM d)
+          WHERE w IN ('dup', 'spark', 'query') GROUP BY 1, 2, 3),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        scored AS (SELECT tf.doc_id,
+            CAST(FLOOR(LN(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+              * 1e9) AS BIGINT) AS contrib9
+          FROM tf CROSS JOIN stats JOIN dfq ON tf.w = dfq.w),
+        agg AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(contrib9) AS score9
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_terms, CAST(score9 AS BIGINT) AS score9,
+          CAST(score9 AS BIGINT) / 1e9 AS score
+        FROM agg ORDER BY score9 DESC, doc_id LIMIT 15""")),
+
     // ---- deterministic hash sampling + train/val/test split ------------
     // Content-addressed decisions (md5 of the doc id + salt): stable under
     // re-runs, repartitioning, and incremental appends — no train/test
