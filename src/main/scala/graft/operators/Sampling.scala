@@ -32,6 +32,30 @@ object Sampling {
   def hashSample(key: Column, rate: Double, salt: String = "sample"): Column =
     hashUnit(key, salt) < (rate * Denom).toLong
 
+  /** Deterministic stratified k-sample: within each stratum, the k rows
+    * with the smallest md5(key + salt) — a reproducible stand-in for
+    * "k random rows per group" (hash uniformity = uniform sampling), with
+    * the same stability properties as [[hashSample]]. Returns the input
+    * columns plus `sample_rank` (1-based within the stratum).
+    *
+    * Plan: one row_number window partitioned by the strata column. The
+    * full md5 hex string (not the 48-bit prefix) orders candidates, so
+    * rank ties are practically impossible; `key` breaks them anyway.
+    * Scale: the shuffle is keyed by stratum — with few, huge strata the
+    * sort dominates; there a per-partition top-k aggregation (bounded
+    * k-heap, same shape as Windowed.topKPerGroup's scale note) replaces
+    * the window without changing the result.
+    */
+  def stratifiedTake(df: org.apache.spark.sql.DataFrame, strata: Column,
+      key: Column, k: Int, salt: String = "strat")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(key.cast("string"), lit("#" + salt)))
+    df.withColumn("sample_rank",
+        row_number().over(Window.partitionBy(strata).orderBy(h, key)))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Split assignment from cumulative fractions, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions must sum
     * to 1; the last split absorbs rounding.

@@ -705,6 +705,100 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- stratified deterministic sampling -----------------------------
+    // "5 random docs per language", reproducibly: rank docs inside each
+    // stratum by md5(doc_id + salt) and keep the first 5 (see
+    // Sampling.stratifiedTake). The inspection-sample / eval-subset shape:
+    // stable across runs and appends, replayed exactly by the oracle.
+    "q56_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Sampling.stratifiedTake(
+            t(s, dir, "documents"), col("lang"), col("doc_id"), 5)
+          .select(col("lang"), col("sample_rank"), col("doc_id"),
+            col("n_chars"))
+          .orderBy("lang", "sample_rank")
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id)
+            AS INT) AS sample_rank
+          FROM documents)
+        SELECT lang, sample_rank, doc_id, n_chars
+        FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank""")),
+
+    // ---- repetition quality signals (Gopher-style) ---------------------
+    // Per-document repetition metrics used by LLM corpus-quality filters:
+    // fraction of tokens that are the single most-frequent word, fraction
+    // of bigram instances that are the top bigram, fraction of trigram
+    // instances whose trigram occurs more than once. One tagged explode
+    // (k=1,2,3 shingles as struct(k, sh)) -> one (doc,k,sh) count -> per-
+    // (doc,k) partial aggregates -> per-language exact means (1e-9 floor-
+    // scaled longs). Single shuffle chain, all partial-aggregable; the
+    // short `lang` tag rides the explode instead of a doc-keyed join back.
+    "q55_repetition_quality" -> QueryDef(
+      (s, dir) => {
+        def tagged(lt: org.apache.spark.sql.Column, k: Int) =
+          transform(TextOps.shingles(lt, k),
+            x => struct(lit(k).as("k"), x.as("sh")))
+        val sh = t(s, dir, "documents")
+          .filter(size(TextOps.words(col("text"))) >= 3)
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+          .select(col("doc_id"), col("lang"),
+            explode(flatten(array(
+              tagged(col("lt"), 1), tagged(col("lt"), 2), tagged(col("lt"), 3))))
+              .as("t"))
+          .select(col("doc_id"), col("lang"),
+            col("t.k").as("k"), col("t.sh").as("sh"))
+        val perDoc = sh.groupBy("doc_id", "lang", "k", "sh")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "lang", "k")
+          .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+        val m = perDoc.groupBy("doc_id", "lang")
+          .agg(
+            max(when(col("k") === 1, col("mx") / col("tot"))).as("topw"),
+            max(when(col("k") === 2, col("mx") / col("tot"))).as("topb"),
+            max(when(col("k") === 3, col("dup") / col("tot"))).as("dupt"))
+        m.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(floor(col("topw") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / 1e9).as("avg_top_word_frac"),
+            (sum(floor(col("topb") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / 1e9).as("avg_top_bigram_frac"),
+            (sum(floor(col("dupt") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / 1e9).as("avg_dup_trigram_frac"))
+          .orderBy("lang")
+      },
+      Some(s"""$WordsCte,
+        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
+          FROM w WHERE len(ws) >= 3),
+        sh AS (
+          SELECT doc_id, lang, 1 AS k, unnest(lws) AS sh FROM lw
+          UNION ALL
+          SELECT doc_id, lang, 2, unnest(list_transform(range(1, len(lws)),
+            i -> lws[i] || ' ' || lws[i+1])) FROM lw
+          UNION ALL
+          SELECT doc_id, lang, 3, unnest(list_transform(range(1, len(lws) - 1),
+            i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2])) FROM lw),
+        cnt AS (SELECT doc_id, lang, k, sh, COUNT(*) AS c
+          FROM sh GROUP BY doc_id, lang, k, sh),
+        pd AS (SELECT doc_id, lang, k, MAX(c) AS mx, SUM(c) AS tot,
+            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM cnt GROUP BY doc_id, lang, k),
+        m AS (SELECT doc_id, lang,
+            MAX(CASE WHEN k = 1 THEN mx / tot END) AS topw,
+            MAX(CASE WHEN k = 2 THEN mx / tot END) AS topb,
+            MAX(CASE WHEN k = 3 THEN dup / tot END) AS dupt
+          FROM pd GROUP BY doc_id, lang)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(FLOOR(topw * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_top_word_frac,
+          CAST(SUM(CAST(FLOOR(topb * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_top_bigram_frac,
+          CAST(SUM(CAST(FLOOR(dupt * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_dup_trigram_frac
+        FROM m GROUP BY lang ORDER BY lang""")),
+
     // ---- BM25 keyword search (inverted-index retrieval) ----------------
     // Okapi BM25 (k1=1.2, b=0.75) over the corpus for a 3-term query with
     // one rare discriminative term. Plan: doc length is a per-row size()
