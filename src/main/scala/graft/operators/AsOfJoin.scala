@@ -104,6 +104,54 @@ object AsOfJoin {
       .drop("__pack_b", "__pack_f")
   }
 
+  /** Time-weighted linear interpolation of `valueCol` at each left row's
+    * timestamp: v = vb + (vf - vb) * (t - tb)/(tf - tb) between the
+    * backward (tb, vb) and forward (tf, vf) right neighbors per key.
+    * Clamps to the single available neighbor at series edges (pandas
+    * `interpolate(limit_direction='both')` behavior); an exact timestamp
+    * hit returns the observed value. Appends `<valueCol>_interp` and
+    * `<valueCol>_support` ('between' | 'exact' | 'edge').
+    *
+    * Same cost model as [[nearest]]: two union+window passes, one shuffle
+    * each, no range explosion. The delta arithmetic divides longs (epoch
+    * micros or the raw numeric axis), so the double result is identical
+    * across engines and partitionings.
+    */
+  def interpolate(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      valueCol: String): DataFrame = {
+    val rightPacked = right.select(
+      (keys.map(col) :+ col(rightTs).as("__r_ts")) :+
+        struct(col(rightTs).as("ts"), col(valueCol).as("v")).as("__r_pack"): _*)
+    val back = backwardPacked(left, rightPacked, keys, leftTs, reverse = false)
+    val both = backwardPacked(back, rightPacked, keys, leftTs, reverse = true)
+
+    val isTs = left.schema(leftTs).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def asNum(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
+    val t = asNum(col(leftTs))
+    val tb = asNum(col("__pack_b").getField("ts"))
+    val tf = asNum(col("__pack_f").getField("ts"))
+    val vb = col("__pack_b").getField("v")
+    val vf = col("__pack_f").getField("v")
+    // The backward fill is INCLUSIVE of ts == t and the forward fill is
+    // strictly exclusive (left sorts before right in the reversed order),
+    // so tb <= t < tf always: an exact hit appears as tb == t (where the
+    // formula degenerates to vb), and tf - tb is never zero.
+    val interp = when(col("__pack_b").isNull, vf)
+      .when(col("__pack_f").isNull, vb)
+      .otherwise(vb + (vf - vb) * ((t - tb) / (tf - tb)))
+    val support = when(col("__pack_b").isNull && col("__pack_f").isNull,
+        lit("none"))
+      .when(col("__pack_b").isNull || col("__pack_f").isNull, lit("edge"))
+      .when(tb === t, lit("exact"))
+      .otherwise(lit("between"))
+    both.withColumn(s"${valueCol}_interp", interp)
+      .withColumn(s"${valueCol}_support", support)
+      .drop("__pack_b", "__pack_f")
+  }
+
   // Backward (reverse=false) or forward (reverse=true) fill of the packed
   // right struct onto left rows; output column __pack_b / __pack_f.
   private def backwardPacked(

@@ -705,6 +705,62 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- Bloom-filter membership sketch --------------------------------
+    // Per-source Bloom filters (m=4096 bits, k=3 md5-derived hashes) over
+    // distinct text fingerprints; every source's probe set is tested
+    // against every filter. Output: probes / maybe / actually-present /
+    // false-positive counts per (probe, filter) pair. The filter is the
+    // broadcastable distinct-position set (operators/Bloom.scala): builds
+    // shuffle at most groups x m rows, probes are map-side. The oracle
+    // replays build AND probe relationally; n_maybe >= n_present (no
+    // false negatives) is the sketch invariant BloomSpec pins.
+    "q59_bloom_filter" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Bloom
+        val m = 4096; val kh = 3
+        val keys = t(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h")).distinct()
+        val filters = Bloom.build(keys, "h", "source", m, kh)
+          .withColumnRenamed("source", "filter_source")
+        val probes = keys
+          .withColumnRenamed("source", "probe_source")
+          .withColumn("pos", Bloom.positions(col("h"), m, kh))
+        val present = keys
+          .select(col("source").as("filter_source"), col("h"), lit(1L).as("present"))
+        probes.crossJoin(broadcast(filters))
+          .withColumn("might", Bloom.mightContain(col("filter"), col("pos")))
+          .join(present, Seq("filter_source", "h"), "left")
+          .groupBy("probe_source", "filter_source")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("might"), lit(1L)).otherwise(lit(0L))).as("n_maybe"),
+            sum(coalesce(col("present"), lit(0L))).as("n_present"))
+          .withColumn("n_false_positive", col("n_maybe") - col("n_present"))
+          .orderBy("probe_source", "filter_source")
+      },
+      Some("""WITH k AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+        pos AS (SELECT source, h, i,
+            CAST(('0x' || substr(md5(h || '#bloom' || CAST(i AS VARCHAR)), 1, 12))
+              AS BIGINT) % 4096 AS p
+          FROM k CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS i)),
+        fpos AS (SELECT DISTINCT source AS filter_source, p FROM pos),
+        might AS (SELECT pos.source AS probe_source, pos.h, f.filter_source,
+            (COUNT(fp.p) = 3) AS might
+          FROM pos
+          CROSS JOIN (SELECT DISTINCT source AS filter_source FROM k) f
+          LEFT JOIN fpos fp ON fp.filter_source = f.filter_source
+            AND fp.p = pos.p
+          GROUP BY 1, 2, 3),
+        pres AS (SELECT m.probe_source, m.filter_source, m.h, m.might,
+            CASE WHEN k2.h IS NOT NULL THEN 1 ELSE 0 END AS present
+          FROM might m LEFT JOIN k k2
+            ON k2.source = m.filter_source AND k2.h = m.h)
+        SELECT probe_source, filter_source, COUNT(*) AS n_probes,
+          CAST(SUM(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+          CAST(SUM(present) AS BIGINT) AS n_present,
+          CAST(SUM(CASE WHEN might THEN 1 ELSE 0 END) - SUM(present) AS BIGINT)
+            AS n_false_positive
+        FROM pres GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- stratified deterministic sampling -----------------------------
     // "5 random docs per language", reproducibly: rank docs inside each
     // stratum by md5(doc_id + salt) and keep the first 5 (see

@@ -432,6 +432,52 @@ object RelationalQueries {
             FROM p WHERE p.user_id = c.user_id), -1) AS nearest_purchase_ts_us
         FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
 
+    // ---- time-weighted linear interpolation (as-of both directions) ----
+    // Each click gets the purchase value linearly interpolated between the
+    // user's surrounding purchases (calibration-curve resampling shape);
+    // series edges clamp to the lone neighbor. Two union+window passes,
+    // one shuffle each (AsOfJoin.interpolate). The long/long delta ratio
+    // makes the interpolated double identical across engines.
+    "q58_interpolate" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("pv"))
+        AsOfJoin.interpolate(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCol = "pv")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("pv_interp"), lit(-1.0)).as("interp_value"),
+            col("pv_support").as("support"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte, p AS (SELECT user_id, ts, MAX(value) AS pv
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        j AS (SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          (SELECT MAX(epoch_us(p.ts)) FROM p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS tb,
+          (SELECT arg_max(p.pv, epoch_us(p.ts)) FROM p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS vb,
+          (SELECT MIN(epoch_us(p.ts)) FROM p
+            WHERE p.user_id = c.user_id AND p.ts > c.ts) AS tf,
+          (SELECT arg_min(p.pv, epoch_us(p.ts)) FROM p
+            WHERE p.user_id = c.user_id AND p.ts > c.ts) AS vf
+          FROM ev c WHERE c.event_type = 'click')
+        SELECT event_id, user_id, ts_us,
+          COALESCE(CASE
+            WHEN tb IS NULL THEN vf
+            WHEN tf IS NULL THEN vb
+            ELSE vb + (vf - vb) * ((ts_us - tb) / (tf - tb)) END, -1.0)
+            AS interp_value,
+          CASE WHEN tb IS NULL AND tf IS NULL THEN 'none'
+            WHEN tb IS NULL OR tf IS NULL THEN 'edge'
+            WHEN tb = ts_us THEN 'exact'
+            ELSE 'between' END AS support
+        FROM j ORDER BY event_id""")),
+
     // ---- J2 via the custom Catalyst operator ---------------------------
     // Same query as q18, executed by the physical AsOfJoinExec
     // (LogicalPlan + Strategy + BinaryExecNode) instead of the union+window

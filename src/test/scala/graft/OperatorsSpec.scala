@@ -272,4 +272,39 @@ class OperatorsSpec extends SparkSpec {
     val corr = both.groupBy("keep", "split").count().collect()
     assert(corr.length === 4, "sample and split decisions must not correlate")
   }
+
+  test("interpolate: exact hits, midpoints, and edge clamping") {
+    import spark.implicits._
+    val right = Seq((1, 10L, 100.0), (1, 20L, 200.0), (2, 5L, 50.0))
+      .toDF("k", "t", "v")
+    val left = Seq((1, 10L), (1, 15L), (1, 25L), (1, 5L), (2, 7L), (3, 1L))
+      .toDF("k", "t")
+    val out = graft.operators.AsOfJoin
+      .interpolate(left, right, Seq("k"), "t", "t", "v")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        (Option(r.get(2)), r.getString(3)))).toMap
+    assert(out((1, 10L)) === ((Some(100.0), "exact")))   // observed point
+    assert(out((1, 15L)) === ((Some(150.0), "between"))) // true midpoint
+    assert(out((1, 25L)) === ((Some(200.0), "edge")))    // clamp after last
+    assert(out((1, 5L))  === ((Some(100.0), "edge")))    // clamp before first
+    assert(out((2, 7L))  === ((Some(50.0), "edge")))     // single-point series
+    assert(out((3, 1L))  === ((None, "none")))           // no right rows at all
+  }
+
+  test("bloom filter: no false negatives, bounded positions") {
+    import spark.implicits._
+    import graft.operators.Bloom
+    val df = (0 until 200).map(i => (s"key$i", s"g${i % 2}"))
+      .toDF("h", "g")
+    val filters = Bloom.build(df, "h", "g", m = 256, k = 3)
+    assert(filters.count() === 2)
+    val probed = df.withColumn("pos", Bloom.positions(col("h"), 256, 3))
+      .crossJoin(broadcast(filters.withColumnRenamed("g", "fg")))
+      .withColumn("might", Bloom.mightContain(col("filter"), col("pos")))
+    // every key must hit its own group's filter (no false negatives)
+    assert(probed.filter(col("g") === col("fg") && !col("might")).count() === 0)
+    // positions stay in [0, m)
+    val mx = filters.select(max(element_at(col("filter"), -1))).head.getInt(0)
+    assert(mx < 256)
+  }
 }
