@@ -128,6 +128,31 @@ object StreamQueries {
           AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
         ORDER BY user_id, click_id, purchase_id""")),
 
+    // ---- stream-static broadcast enrichment ----------------------------
+    // The event stream joins the static customer dimension (broadcast per
+    // micro-batch, no join state) and aggregates per (market segment,
+    // event type); the batch oracle is the same join over the finished
+    // input. Value sums are 1e-6-floor-scaled exact longs.
+    "w07_stream_enrich" -> QueryDef(
+      (s, dir) => {
+        val dim = graft.Tables.load(s, dir, "customer")
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.enrichedTypeCounts(
+            StreamingOps.eventsStream(s, dir), dim,
+            dimKey = "c_custkey", dimAttr = "c_mktsegment"),
+          "w07_mem", outputMode = "complete")
+        streamed.select(col("c_mktsegment").as("segment"),
+            col("event_type"), col("n"),
+            (col("sum_v6").cast("double") / 1e6).as("sum_value"))
+          .orderBy("segment", "event_type")
+      },
+      Some(s"""$EvCte SELECT c.c_mktsegment AS segment, ev.event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(ev.value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+            AS sum_value
+        FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

@@ -103,6 +103,24 @@ object StreamingOps {
         col("lts"), col("rts"))
   }
 
+  /** Stream-static enrichment: broadcast-join the event stream to a static
+    * dimension table keyed (user_id = dimKey), then aggregate per
+    * (dimension attribute, event_type). The static side re-broadcasts per
+    * micro-batch — no streaming state beyond the aggregation itself, no
+    * watermark constraint on the join (only the aggregate needs one in
+    * append mode; the inventory query runs complete). This is THE 100 TB
+    * enrichment shape: fact stream never shuffles for the join.
+    * `value` is floor-scaled to exact longs before summing.
+    */
+  def enrichedTypeCounts(events: DataFrame, dim: DataFrame,
+      dimKey: String, dimAttr: String): DataFrame =
+    events
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("sum_v6"))
+
   final case class GapEvent(user_id: Long, ts_us: Long)
   final case class GapReport(user_id: Long, prev_ts_us: Long, ts_us: Long,
       gap_sec: Double)
