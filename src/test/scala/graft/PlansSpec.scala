@@ -92,6 +92,24 @@ class PlansSpec extends SparkSpec {
     assert(plan("q50_tfidf_terms").contains("BroadcastHashJoin"))
   }
 
+  test("q57: k-means centroid side broadcasts; assignment is partial-agg") {
+    val p = plan("q57_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    // argmin is min(struct(...)) via partial+final agg; the only window in
+    // the plan is the seed ranking, bounded to k rows by the preceding
+    // TakeOrderedAndProject
+    assert(p.contains("partial_min"), s"argmin not partial-aggregated:\n$p")
+  }
+
+  test("q59: bloom probe side broadcasts the filter table") {
+    assert(plan("q59_bloom_filter").contains("BroadcastNestedLoopJoin") ||
+      plan("q59_bloom_filter").contains("BroadcastHashJoin"))
+  }
+
+  test("q54: BM25 df/idf table broadcasts into the postings join") {
+    assert(plan("q54_bm25_search").contains("BroadcastHashJoin"))
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     val hot = (1 to 1000).map(i => (1L, s"row$i")) ++ Seq((2L, "cold"))
     val large = hot.toDF("k", "payload")
