@@ -28,6 +28,32 @@ object RobustStats {
     * broadcast-joined back, conditional mean. Returns groupCols ++
     * (q_low, q_high, trimmed_mean).
     */
+  /** Robust outlier detection per group: a value is an outlier when its
+    * absolute deviation from the group median exceeds `thresh` x MAD
+    * (median absolute deviation) — the standard heavy-tail-safe anomaly
+    * rule (3.5 is the conventional cut). Three passes, each one
+    * aggregation plus a broadcast join of the group-level stats (group
+    * cardinality bounded, same contract as [[trimmedMean]]). Returns
+    * groupCols ++ (n, median, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      thresh: Double = 3.5): DataFrame = {
+    val gc = groupCols.map(col)
+    val med = df.groupBy(gc: _*)
+      .agg(exactPercentile(col(valueCol), 0.5).as("med"))
+    val wd = df.join(broadcast(med), groupCols)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = wd.groupBy(gc: _*)
+      .agg(exactPercentile(col("__ad"), 0.5).as("mad"))
+    wd.join(broadcast(mad), groupCols)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__ad") > col("mad") * thresh, lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"))
+  }
+
   def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLow: Double = 0.25, pHigh: Double = 0.75): DataFrame = {
     val q = df.groupBy(groupCols.map(col): _*)

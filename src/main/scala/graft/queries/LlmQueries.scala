@@ -705,6 +705,46 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- character-entropy quality metric ------------------------------
+    // Unigram character entropy per document (low entropy = repetitive/
+    // degenerate text, a classic corpus-quality signal), averaged per
+    // source. Explode chars -> (doc, char) counts -> per-term
+    // floor(-(p)ln(p) * 1e9) longs -> exact sums: order-independent and
+    // engine-identical despite the transcendental ln (1-ulp libm noise is
+    // ~1e-17 relative, far under the 1e-9 truncation).
+    "q61_char_entropy" -> QueryDef(
+      (s, dir) => {
+        val cnt = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"),
+            explode(split(col("text"), "")).as("ch"))
+          .groupBy("doc_id", "source", "n", "ch")
+          .agg(count(lit(1)).as("c"))
+        val h = cnt.groupBy("doc_id", "source")
+          .agg(sum(floor((col("c") / col("n")) * log(col("c") / col("n"))
+              * lit(-1.0) * 1e9).cast("long")).as("h9"),
+            count(lit(1)).as("ndc"))
+        h.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("h9")).cast("double") / count(lit(1)) / 1e9)
+              .as("avg_entropy"),
+            (sum(col("ndc")).cast("double") / count(lit(1)))
+              .as("avg_distinct_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH ce AS (SELECT doc_id, source, len(text) AS n,
+          unnest(string_split_regex(text, '')) AS ch FROM documents),
+        cnt AS (SELECT doc_id, source, n, ch, COUNT(*) AS c
+          FROM ce GROUP BY doc_id, source, n, ch),
+        h AS (SELECT doc_id, source,
+            SUM(CAST(FLOOR((c / n) * LN(c / n) * -1.0 * 1e9) AS BIGINT))
+              AS h9,
+            COUNT(*) AS ndc
+          FROM cnt GROUP BY doc_id, source)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(h9) AS DOUBLE) / COUNT(*) / 1e9 AS avg_entropy,
+          CAST(SUM(ndc) AS DOUBLE) / COUNT(*) AS avg_distinct_chars
+        FROM h GROUP BY source ORDER BY source""")),
+
     // ---- Bloom-filter membership sketch --------------------------------
     // Per-source Bloom filters (m=4096 bits, k=3 md5-derived hashes) over
     // distinct text fingerprints; every source's probe set is tested

@@ -478,6 +478,74 @@ object RelationalQueries {
             ELSE 'between' END AS support
         FROM j ORDER BY event_id""")),
 
+    // ---- robust outlier detection (median + MAD) -----------------------
+    // Per event type: |value - median| > 3.5 * MAD flags anomalies without
+    // assuming normality (RobustStats.madOutliers — exact interpolating
+    // percentiles, matching DuckDB's quantile_cont). Median/MAD round to
+    // 1e-6 for display; the outlier cut uses the unrounded stats in both
+    // engines.
+    "q62_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        RobustStats.madOutliers(t(s, dir, "events"),
+            Seq("event_type"), "value", thresh = 3.5)
+          .select(col("event_type"), col("n"),
+            round(col("median"), 6).as("median_r6"),
+            round(col("mad"), 6).as("mad_r6"),
+            col("n_outliers"),
+            (col("n_outliers").cast("double") / col("n")).as("outlier_frac"))
+          .orderBy("event_type")
+      },
+      Some(s"""$EvCte, m AS (SELECT event_type,
+          quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),
+        d AS (SELECT ev.event_type, ev.value, m.med,
+            ABS(ev.value - m.med) AS ad
+          FROM ev JOIN m USING (event_type)),
+        md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT d.event_type, COUNT(*) AS n,
+          ROUND(MIN(d.med), 6) AS median_r6,
+          ROUND(MIN(md.mad), 6) AS mad_r6,
+          CAST(SUM(CASE WHEN d.ad > md.mad * 3.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+          CAST(SUM(CASE WHEN d.ad > md.mad * 3.5 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS outlier_frac
+        FROM d JOIN md USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // ---- Z-order layout (multi-column data skipping) -------------------
+    // Morton-interleave (l_partkey, l_suppkey), bucket rows by the top 4
+    // z bits, and report per-bucket min/max ranges on BOTH keys plus the
+    // skipping volume (range product): the number a lakehouse writer
+    // minimizes when it z-orders files so scans can prune on either key.
+    // The z-value is codegen'd shift/mask arithmetic (operators/ZOrder),
+    // replayed bit-for-bit by the oracle.
+    "q60_zorder_layout" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.ZOrder
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            ZOrder.zValue2(col("l_partkey"), col("l_suppkey"), 16).as("z"))
+          .withColumn("bucket", shiftright(col("z"), 28))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+            min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
+          .withColumn("range_product",
+            (col("max_p") - col("min_p") + 1) * (col("max_s") - col("min_s") + 1))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH z AS (SELECT l_partkey, l_suppkey,
+          (${graft.operators.ZOrder.zValue2Sql("l_partkey", "l_suppkey", 16)})
+            AS z
+          FROM lineitem),
+        b AS (SELECT l_partkey, l_suppkey, z >> 28 AS bucket FROM z)
+        SELECT bucket, COUNT(*) AS n,
+          MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+          MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s,
+          (MAX(l_partkey) - MIN(l_partkey) + 1) *
+            (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS range_product
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
     // ---- J2 via the custom Catalyst operator ---------------------------
     // Same query as q18, executed by the physical AsOfJoinExec
     // (LogicalPlan + Strategy + BinaryExecNode) instead of the union+window

@@ -291,6 +291,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out((3, 1L))  === ((None, "none")))           // no right rows at all
   }
 
+  test("z-order buckets bound both dimensions; linear sort only one") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = grid.withColumn("z", ZOrder.zValue2(col("x"), col("y"), 6))
+    // bijective on the 6-bit grid
+    assert(z.select(countDistinct(col("z"))).head.getLong(0) === 64L * 64L)
+    // top-4-bit z buckets: each covers a 16x16 tile -> range product 256;
+    // a linear sort on x gives 4x64 stripes -> range product 1024
+    val prod = z.withColumn("b", shiftright(col("z"), 8))
+      .groupBy("b")
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("rp"))
+    assert(prod.count() === 16)
+    assert(prod.agg(max("rp")).head.getLong(0) === 256L)
+  }
+
+  test("madOutliers flags planted anomalies and nothing else") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => ("g", i % 7 - 3.0)) ++
+      Seq(("g", 500.0), ("g", -500.0))
+    val out = graft.operators.RobustStats
+      .madOutliers(base.toDF("k", "v"), Seq("k"), "v").head
+    assert(out.getAs[Long]("n") === 102)
+    assert(out.getAs[Long]("n_outliers") === 2)
+    assert(out.getAs[Double]("median") === 0.0)
+  }
+
   test("bloom filter: no false negatives, bounded positions") {
     import spark.implicits._
     import graft.operators.Bloom
