@@ -478,6 +478,145 @@ object RelationalQueries {
             ELSE 'between' END AS support
         FROM j ORDER BY event_id""")),
 
+    // ---- funnel conversion analysis ------------------------------------
+    // First-occurrence ordered funnel view -> click -> purchase per user,
+    // rolled up to market segment: stage k is reached when the first
+    // occurrences are strictly ordered (v < c < p). ONE aggregation pass
+    // over events (min-ts per type via conditional aggs), then a broadcast
+    // dimension join — the event table never shuffles twice. A strictly-
+    // sequential funnel (each stage after the PREVIOUS stage's event)
+    // would chain one conditional-min pass per stage, same shapes.
+    "q65_funnel" -> QueryDef(
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", unix_micros(col("ts"))))
+              .as("v"),
+            min(when(col("event_type") === "click", unix_micros(col("ts"))))
+              .as("c"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+              .as("p"))
+          .withColumn("stage",
+            when(col("v").isNull, 0)
+              .when(col("c").isNull || col("c") <= col("v"), 1)
+              .when(col("p").isNull || col("p") <= col("c"), 2)
+              .otherwise(3))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        perUser.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_viewed"),
+            sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_clicked"),
+            sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchased"))
+          .withColumn("conversion",
+            col("n_purchased").cast("double") / col("n_users"))
+          .orderBy("segment")
+      },
+      Some(s"""$EvCte, u AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+          MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+          FROM ev GROUP BY user_id),
+        st AS (SELECT user_id,
+          CASE WHEN v IS NULL THEN 0
+            WHEN c IS NULL OR c <= v THEN 1
+            WHEN p IS NULL OR p <= c THEN 2
+            ELSE 3 END AS stage FROM u),
+        j AS (SELECT st.stage, cu.c_mktsegment AS segment
+          FROM st JOIN customer cu ON st.user_id = cu.c_custkey)
+        SELECT segment, COUNT(*) AS n_users,
+          CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_viewed,
+          CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clicked,
+          CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purchased,
+          CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS conversion
+        FROM j GROUP BY segment ORDER BY segment""")),
+
+    // ---- quantile binning (decile discretization) ----------------------
+    // ntile(10) per event type over (value, event_id) — the feature-
+    // discretization shape; per-bin count and value bounds. The sort is
+    // the inherent cost; ties break on event_id so the binning is total-
+    // order deterministic in both engines.
+    "q66_quantile_bins" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("decile", ntile(10).over(Window
+            .partitionBy("event_type")
+            .orderBy(col("value"), col("event_id"))))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"),
+            round(min("value"), 6).as("lo"),
+            round(max("value"), 6).as("hi"))
+          .orderBy("event_type", "decile")
+      },
+      Some(s"""$EvCte, d AS (SELECT event_type, value,
+          CAST(ntile(10) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS INT) AS decile FROM ev)
+        SELECT event_type, decile, COUNT(*) AS n,
+          ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- OLS trend fit (sufficient statistics) -------------------------
+    // Per event type: least-squares slope/intercept of value vs days since
+    // 2024-01-01 — one partial-aggregable pass over decimal-exact
+    // (n, Σx, Σy, Σxy, Σx²) (operators/Regression.scala). x is origin-
+    // shifted (slope-invariant) so x² stays small.
+    "q63_trend_fit" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Regression
+        val ev = t(s, dir, "events")
+          .withColumn("x",
+            (unix_micros(col("ts")) - 1704067200000000L) / 86400000000.0)
+        val st = Regression.sufficientStats(ev, Seq("event_type"),
+          col("x"), col("value"))
+        st.select(col("event_type"), col("n"),
+            round(Regression.slope, 9).as("slope"),
+            round(Regression.intercept(Regression.slope), 9).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some(s"""$EvCte, p AS (SELECT event_type,
+          (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x,
+          value AS y FROM ev),
+        st AS (SELECT event_type, ${graft.operators.Regression.StatsSql}
+          FROM p GROUP BY event_type)
+        SELECT event_type, n,
+          ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+          ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+            AS intercept
+        FROM st ORDER BY event_type""")),
+
+    // ---- Pearson correlation (same sufficient statistics) --------------
+    // Per return flag: correlation and regression slope of extended price
+    // on quantity, from the one-pass decimal-exact stats. Spark's builtin
+    // corr() is partition-order-dependent; this formulation hash-matches.
+    "q64_correlation" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Regression
+        val st = Regression.sufficientStats(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        st.select(col("l_returnflag"), col("n"),
+            round(Regression.pearson, 9).as("corr_qty_price"),
+            round(Regression.slope, 9).as("price_per_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH p AS (SELECT l_returnflag,
+          CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        st AS (SELECT l_returnflag, ${graft.operators.Regression.StatsSql}
+          FROM p GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          ROUND((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+            AS corr_qty_price,
+          ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+            AS price_per_qty
+        FROM st ORDER BY l_returnflag""")),
+
     // ---- robust outlier detection (median + MAD) -----------------------
     // Per event type: |value - median| > 3.5 * MAD flags anomalies without
     // assuming normality (RobustStats.madOutliers — exact interpolating
