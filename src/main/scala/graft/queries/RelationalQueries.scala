@@ -478,6 +478,116 @@ object RelationalQueries {
             ELSE 'between' END AS support
         FROM j ORDER BY event_id""")),
 
+    // ---- merge/upsert (MERGE INTO semantics on plain parquet) ----------
+    // CDC apply: a deterministic change set (updates = keys % 10 == 0 at
+    // 1.1x price, inserts = fresh negative keys for % 13 == 5, deletes =
+    // keys % 97 == 3) merges onto orders via ONE full-outer join keyed on
+    // the primary key — the engine-level shape of MERGE INTO when the
+    // table format has no transaction log. Post-merge per-status decimal
+    // checksums prove the apply.
+    "q67_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val chg = ord
+          .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 13 === 5
+            || col("o_orderkey") % 97 === 3)
+          .select(
+            when(col("o_orderkey") % 13 === 5, -col("o_orderkey"))
+              .otherwise(col("o_orderkey")).as("key"),
+            (col("o_totalprice") * 1.1).as("new_price"),
+            col("o_orderstatus").as("new_status"),
+            (col("o_orderkey") % 97 === 3).as("is_delete"))
+        val base = ord.select(col("o_orderkey").as("key"),
+          col("o_totalprice"), col("o_orderstatus"))
+        base.join(chg, Seq("key"), "full_outer")
+          .filter(col("is_delete").isNull || !col("is_delete"))
+          .select(col("key"),
+            coalesce(col("new_price"), col("o_totalprice")).as("price"),
+            coalesce(col("o_orderstatus"), col("new_status")).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), dsum(col("price"), 6).as("sum_price"))
+          .orderBy("status")
+      },
+      Some("""WITH chg AS (SELECT
+          CASE WHEN o_orderkey % 13 = 5 THEN -o_orderkey ELSE o_orderkey END
+            AS key,
+          o_totalprice * 1.1 AS new_price,
+          o_orderstatus AS new_status,
+          (o_orderkey % 97 = 3) AS is_delete
+          FROM orders
+          WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 = 5
+            OR o_orderkey % 97 = 3),
+        base AS (SELECT o_orderkey AS key, o_totalprice, o_orderstatus
+          FROM orders),
+        m AS (SELECT COALESCE(b.key, c.key) AS key,
+            COALESCE(c.new_price, b.o_totalprice) AS price,
+            COALESCE(b.o_orderstatus, c.new_status) AS status
+          FROM base b FULL OUTER JOIN chg c ON b.key = c.key
+          WHERE c.is_delete IS NULL OR NOT c.is_delete)
+        SELECT status, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM m GROUP BY status ORDER BY status""")),
+
+    // ---- SCD2 validity intervals (lead-window dimension build) ---------
+    // Type-2 slowly-changing-dimension construction: each event opens a
+    // state interval [ts, next event's ts) per user; the open interval has
+    // NULL valid_to. One lead() window per user (single shuffle), then
+    // per-(user, state) interval stats over a bounded user slice.
+    "q68_scd2_intervals" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("valid_to_us") - col("valid_from_us")).as("closed_dur_us"),
+            sum(when(col("valid_to_us").isNull, 1L).otherwise(0L))
+              .as("n_open"))
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""$EvCte, i AS (SELECT user_id, event_type,
+          epoch_us(ts) AS valid_from_us,
+          epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) AS valid_to_us
+          FROM ev WHERE user_id < 20)
+        SELECT user_id, event_type, COUNT(*) AS n_intervals,
+          CAST(SUM(valid_to_us - valid_from_us) AS BIGINT) AS closed_dur_us,
+          CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open
+        FROM i GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- unpivot / melt (wide -> long) ---------------------------------
+    // The inverse of q17's pivot: stack three measure columns into
+    // (metric, value) rows — Spark's native unpivot (codegen'd Expand,
+    // no shuffle of its own), aggregated per metric with 1e-6
+    // floor-scaled exact sums.
+    "q69_unpivot" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "v")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v") * 1e6).cast("long")).as("sum_v6"))
+          .orderBy("metric")
+      },
+      Some("""WITH u AS (
+          SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT metric, COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(v * 1e6) AS BIGINT)) AS BIGINT) AS sum_v6
+        FROM u GROUP BY metric ORDER BY metric""")),
+
     // ---- funnel conversion analysis ------------------------------------
     // First-occurrence ordered funnel view -> click -> purchase per user,
     // rolled up to market segment: stage k is reached when the first
