@@ -41,6 +41,72 @@ object LlmQueries {
   private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
 
+  // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
+  // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
+  // the post-merge weighted symbol total tot{k}. Mirrors Bpe.applyMerge
+  // step for step (match -> run id -> run-offset parity -> consume).
+  private def bpeRoundSql(k: Int): String = {
+    val p = k - 1
+    s"""pc$k AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, SUM(cnt) AS pc
+        FROM (SELECT cnt, string_split(seq, ' ') AS ts,
+            CAST(unnest(range(1, len(string_split(seq, ' ')))) AS INT) AS i
+          FROM s$p)
+        GROUP BY 1),
+      best$k AS (SELECT pair, pc, string_split(pair, ' ')[1] AS p1,
+          string_split(pair, ' ')[2] AS p2
+        FROM pc$k ORDER BY pc DESC, pair LIMIT 1),
+      tk$k AS (SELECT word, cnt, i, ts[i] AS tok
+        FROM (SELECT word, cnt, string_split(seq, ' ') AS ts,
+            CAST(unnest(range(1, len(string_split(seq, ' ')) + 1)) AS INT)
+              AS i
+          FROM s$p)),
+      m$k AS (SELECT word, cnt, i, tok, lead(tok) OVER w AS nxt,
+          (lead(tok) OVER w IS NOT NULL
+            AND tok = (SELECT p1 FROM best$k)
+            AND lead(tok) OVER w = (SELECT p2 FROM best$k)) AS mtch
+        FROM tk$k WINDOW w AS (PARTITION BY word ORDER BY i)),
+      r$k AS (SELECT *, CASE WHEN mtch
+            AND NOT COALESCE(lag(mtch) OVER w, false)
+          THEN 1 ELSE 0 END AS rs
+        FROM m$k WINDOW w AS (PARTITION BY word ORDER BY i)),
+      rr$k AS (SELECT *, SUM(rs) OVER (PARTITION BY word ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS rid FROM r$k),
+      mg$k AS (SELECT *, (mtch AND (i - MIN(CASE WHEN mtch THEN i END)
+            OVER (PARTITION BY word, rid)) % 2 = 0) AS merged
+        FROM rr$k),
+      em$k AS (SELECT word, cnt, i,
+          CASE WHEN merged THEN tok || nxt ELSE tok END AS emit
+        FROM (SELECT *, COALESCE(lag(merged)
+              OVER (PARTITION BY word ORDER BY i), false) AS consumed
+          FROM mg$k)
+        WHERE NOT consumed),
+      s$k AS (SELECT word, cnt, string_agg(emit, ' ' ORDER BY i) AS seq
+        FROM em$k GROUP BY word, cnt),
+      tot$k AS (SELECT SUM(len(string_split(seq, ' ')) * cnt) AS tot
+        FROM s$k)"""
+  }
+
+  private val BpeOracleSql: String = {
+    val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n      ")
+    val rows = (1 to 3).map { k =>
+      s"""UNION ALL SELECT $k, (SELECT pair FROM best$k),
+          CAST((SELECT pc FROM best$k) AS BIGINT),
+          CAST((SELECT tot FROM tot$k) AS BIGINT)"""
+    }.mkString("\n        ")
+    s"""$WordsCte,
+      tok AS (SELECT unnest(list_transform(ws, x -> lower(x))) AS word
+        FROM w),
+      s0 AS (SELECT word, COUNT(*) AS cnt,
+          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM tok GROUP BY word),
+      tot0 AS (SELECT SUM(len(string_split(seq, ' ')) * cnt) AS tot FROM s0),
+      $rounds
+      SELECT 0 AS round, '<base>' AS pair, CAST(0 AS BIGINT) AS pair_count,
+        CAST((SELECT tot FROM tot0) AS BIGINT) AS total_symbols
+        $rows
+      ORDER BY round"""
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- exact dedup (hash-groupBy) ------------------------------------
@@ -704,6 +770,27 @@ object LlmQueries {
           FROM scored)
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- BPE vocabulary learning (multi-round merge training) ----------
+    // Three rounds of byte-pair-encoding over the corpus-frequency word
+    // table (operators/Bpe.scala): weighted pair counting is the
+    // distributed step; merges apply with exact leftmost-greedy run
+    // semantics via windows (never substring replace). The oracle replays
+    // ALL THREE ROUNDS as a CTE chain — argmax, merge application, and the
+    // post-merge corpus token totals hash-match.
+    "q70_bpe_merges" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Bpe
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.words(lower(col("text")))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("seq", Bpe.charSeq(col("word")))
+        Bpe.fit(words, 3)
+          .toDF("round", "pair", "pair_count", "total_symbols")
+          .orderBy("round")
+      },
+      Some(BpeOracleSql)),
 
     // ---- character-entropy quality metric ------------------------------
     // Unigram character entropy per document (low entropy = repetitive/
