@@ -87,16 +87,24 @@ object Bpe {
     * initial symbol total with pair "<base>".
     */
   def fit(words: DataFrame, rounds: Int): Seq[(Int, String, Long, Long)] = {
-    var seqs = words
-    var out = Vector((0, "<base>", 0L, totalSymbols(seqs)))
-    for (r <- 1 to rounds) {
-      val top = pairCounts(seqs)
-        .orderBy(col("pc").desc, col("pair").asc).limit(1).head
-      val pair = top.getString(0)
-      val Array(p1, p2) = pair.split(" ", 2)
-      seqs = applyMerge(seqs, p1, p2)
-      out :+= ((r, pair, top.getLong(1), totalSymbols(seqs)))
-    }
-    out
+    // The word table is Zipf-bounded (distinct vocab << corpus): persist
+    // each round's sequences so the 2-3 actions per round (argmax, total,
+    // next round's counts) do not re-derive the corpus aggregation; each
+    // generation unpersists as soon as its successor is materialized.
+    var seqs = words.persist()
+    try {
+      var out = Vector((0, "<base>", 0L, totalSymbols(seqs)))
+      for (r <- 1 to rounds) {
+        val top = pairCounts(seqs)
+          .orderBy(col("pc").desc, col("pair").asc).limit(1).head
+        val pair = top.getString(0)
+        val Array(p1, p2) = pair.split(" ", 2)
+        val next = applyMerge(seqs, p1, p2).persist()
+        out :+= ((r, pair, top.getLong(1), totalSymbols(next)))
+        seqs.unpersist(blocking = false)
+        seqs = next
+      }
+      out
+    } finally seqs.unpersist(blocking = false)
   }
 }
