@@ -88,23 +88,37 @@ object Bpe {
     */
   def fit(words: DataFrame, rounds: Int): Seq[(Int, String, Long, Long)] = {
     // The word table is Zipf-bounded (distinct vocab << corpus): persist
-    // each round's sequences so the 2-3 actions per round (argmax, total,
-    // next round's counts) do not re-derive the corpus aggregation; each
-    // generation unpersists as soon as its successor is materialized.
-    var seqs = words.persist()
+    // each generation so the 2-3 actions per round (argmax, total, next
+    // round's counts) do not re-derive the corpus aggregation. All owned
+    // caches release in the finally block (generations are vocab-sized, so
+    // holding them for the fit's duration is cheap and leak-proof even if
+    // an action throws mid-round); a caller-persisted input is left alone.
+    val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(); owned += df
+      }
+      df
+    }
     try {
+      var seqs = cache(words)
       var out = Vector((0, "<base>", 0L, totalSymbols(seqs)))
-      for (r <- 1 to rounds) {
-        val top = pairCounts(seqs)
-          .orderBy(col("pc").desc, col("pair").asc).limit(1).head
-        val pair = top.getString(0)
-        val Array(p1, p2) = pair.split(" ", 2)
-        val next = applyMerge(seqs, p1, p2).persist()
-        out :+= ((r, pair, top.getLong(1), totalSymbols(next)))
-        seqs.unpersist(blocking = false)
-        seqs = next
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // stop early when every word has collapsed to a single symbol
+        pairCounts(seqs).orderBy(col("pc").desc, col("pair").asc)
+          .limit(1).collect().headOption match {
+          case None => exhausted = true
+          case Some(top) =>
+            val pair = top.getString(0)
+            val Array(p1, p2) = pair.split(" ", 2)
+            seqs = cache(applyMerge(seqs, p1, p2))
+            out :+= ((r, pair, top.getLong(1), totalSymbols(seqs)))
+            r += 1
+        }
       }
       out
-    } finally seqs.unpersist(blocking = false)
+    } finally owned.foreach(_.unpersist(blocking = false))
   }
 }

@@ -83,6 +83,12 @@ object KMeans {
 
   /** Run `iters` Lloyd iterations from the md5 seeds; returns the final
     * assignment (id, cid, dist).
+    *
+    * Standard Lloyd's behavior on empty clusters: a cid that captures no
+    * points after a reassignment drops out of the recomputed centroid
+    * table and is never reconsidered, so the result can have fewer than
+    * `k` distinct cids (no re-seeding). Callers sizing an IVF index must
+    * read the cluster set from the assignment, not assume exactly k.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : DataFrame = {

@@ -23,11 +23,6 @@ object RobustStats {
   def exactPercentile(c: Column, p: Double): Column =
     percentile(c, lit(p))
 
-  /** Trimmed mean per group: mean of values within the group's exact
-    * [pLow, pHigh] quantile band (inclusive). Two-pass: quantiles per group,
-    * broadcast-joined back, conditional mean. Returns groupCols ++
-    * (q_low, q_high, trimmed_mean).
-    */
   /** Robust outlier detection per group: a value is an outlier when its
     * absolute deviation from the group median exceeds `thresh` x MAD
     * (median absolute deviation) — the standard heavy-tail-safe anomaly
@@ -54,6 +49,11 @@ object RobustStats {
           .otherwise(lit(0L))).as("n_outliers"))
   }
 
+  /** Trimmed mean per group: mean of values within the group's exact
+    * [pLow, pHigh] quantile band (inclusive). Two-pass: quantiles per group,
+    * broadcast-joined back, conditional mean. Returns groupCols ++
+    * (q_low, q_high, trimmed_mean).
+    */
   def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLow: Double = 0.25, pHigh: Double = 0.75): DataFrame = {
     val q = df.groupBy(groupCols.map(col): _*)

@@ -796,9 +796,13 @@ object LlmQueries {
     // Unigram character entropy per document (low entropy = repetitive/
     // degenerate text, a classic corpus-quality signal), averaged per
     // source. Explode chars -> (doc, char) counts -> per-term
-    // floor(-(p)ln(p) * 1e9) longs -> exact sums: order-independent and
-    // engine-identical despite the transcendental ln (1-ulp libm noise is
-    // ~1e-17 relative, far under the 1e-9 truncation).
+    // floor(-(p)ln(p) * 1e9) longs -> exact sums: order-independent, and
+    // the SUMS are exact. The per-term floor is engine-identical unless a
+    // term lands within ~1 ulp of an integer AND the JVM's and DuckDB's
+    // ln() (neither correctly rounded) disagree there — truncation does
+    // not absorb noise AT a boundary, it only makes the hit set measure-
+    // ~1e-7 per corpus. Accepted residual risk, same as every rounded
+    // transcendental in this inventory (q50's round(.,6) included).
     "q61_char_entropy" -> QueryDef(
       (s, dir) => {
         val cnt = t(s, dir, "documents")
@@ -989,7 +993,8 @@ object LlmQueries {
     // terms BEFORE the (doc,term) aggregation, so the shuffle carries only
     // matching postings; df and the per-term idf table are query-sized and
     // broadcast. Per-term score contributions floor to 1e-9-scaled longs
-    // so the per-doc sum is order-independent (q33 discipline). Float
+    // so the per-doc sum is order-independent (q33 discipline; the ln()
+    // floor-boundary caveat documented at q61 applies here too). Float
     // literals (2.2, 1.2, 0.25, 0.75) are written identically in both
     // engines — 1.2+1.0 in binary is NOT the double literal 2.2.
     "q54_bm25_search" -> QueryDef(

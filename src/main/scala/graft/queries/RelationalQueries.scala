@@ -650,14 +650,15 @@ object RelationalQueries {
     // ---- quantile binning (decile discretization) ----------------------
     // ntile(10) per event type over (value, event_id) — the feature-
     // discretization shape; per-bin count and value bounds. The sort is
-    // the inherent cost; ties break on event_id so the binning is total-
-    // order deterministic in both engines.
+    // the inherent cost; ties break on event_id, and NULLS LAST is spelled
+    // out on both sides (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    // LAST), so the binning is total-order deterministic in both engines.
     "q66_quantile_bins" -> QueryDef(
       (s, dir) => {
         t(s, dir, "events")
           .withColumn("decile", ntile(10).over(Window
             .partitionBy("event_type")
-            .orderBy(col("value"), col("event_id"))))
+            .orderBy(col("value").asc_nulls_last, col("event_id"))))
           .groupBy("event_type", "decile")
           .agg(count(lit(1)).as("n"),
             round(min("value"), 6).as("lo"),
@@ -666,7 +667,8 @@ object RelationalQueries {
       },
       Some(s"""$EvCte, d AS (SELECT event_type, value,
           CAST(ntile(10) OVER (PARTITION BY event_type
-            ORDER BY value, event_id) AS INT) AS decile FROM ev)
+            ORDER BY value ASC NULLS LAST, event_id) AS INT) AS decile
+          FROM ev)
         SELECT event_type, decile, COUNT(*) AS n,
           ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
         FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),

@@ -37,6 +37,18 @@ class BpeSpec extends SparkSpec {
     assert(m("abab") === "ab ab")
   }
 
+  test("fit stops early when no pairs remain; caller's persist is untouched") {
+    val words = Seq(("a", 5L), ("b", 3L))
+      .toDF("word", "cnt").withColumn("seq", Bpe.charSeq(col("word")))
+      .persist()
+    try {
+      val out = Bpe.fit(words, 4)
+      assert(out === Seq((0, "<base>", 0L, 8L))) // nothing mergeable
+      assert(words.storageLevel !==
+        org.apache.spark.storage.StorageLevel.NONE)
+    } finally words.unpersist(blocking = false)
+  }
+
   test("fit: totals decrease by the number of merged occurrences") {
     val words = Seq(("banana", 3L), ("bandana", 2L))
       .toDF("word", "cnt").withColumn("seq", Bpe.charSeq(col("word")))
