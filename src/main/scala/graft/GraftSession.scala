@@ -21,10 +21,13 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.compression.codec", "zstd")
 
-  /** Build and register the engine's SQL surface (custom expressions). */
+  /** Build and register the engine's SQL surface (custom expressions +
+    * the composite operator functions).
+    */
   def create(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     graft.functions.expressions.DecodeExpressions.registerAll(spark)
+    graft.functions.SqlFunctions.registerAll(spark)
     spark
   }
 }

@@ -8,7 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Convert a Column to a real catalyst Expression TREE (unresolved
+    * functions and lambdas as first-class nodes the analyzer recurses
+    * into), not an opaque `ColumnNodeExpression` wrapper — required when
+    * the expression is handed to the analyzer outside a Dataset
+    * transformation, e.g. from a FunctionRegistry builder
+    * (functions.SqlFunctions).
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 
   /** DataFrame from a logical plan (classic Dataset.ofRows is private[sql]). */
   def ofRows(spark: SparkSession,

@@ -41,6 +41,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(s.contains("LOG10") || s.toLowerCase.contains("pow"))
   }
 
+  test("composite SQL functions evaluate like their Column-DSL forms") {
+    import spark.implicits._
+    graft.functions.SqlFunctions.registerAll(spark)
+    Seq(("the data of the pipeline is good and big", 7L, 13L))
+      .toDF("text", "x", "y").createOrReplaceTempView("sqlfn_t")
+    val r = spark.sql("""SELECT graft_token_count(text) AS tc,
+        graft_quality_score(text) AS q,
+        graft_lang_id(text) AS lang,
+        graft_hash48(text) AS h,
+        graft_zvalue2(x, y) AS z,
+        graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS cos
+      FROM sqlfn_t""").head
+    assert(r.getAs[Int]("tc") === 9)
+    val dsl = spark.table("sqlfn_t").select(
+      graft.functions.TextOps.qualityScore(col("text"),
+        graft.functions.SqlFunctions.DefaultStopwords)).head.getDouble(0)
+    assert(r.getAs[Double]("q") === dsl)
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("h") > 0L)
+    // z(7=0b111, 13=0b1101): interleave -> x bits at even, y at odd
+    assert(r.getAs[Long]("z") ===
+      (1L << 0 | 1L << 2 | 1L << 4 | 1L << 1 | 1L << 5 | 1L << 7))
+    assert(r.getAs[Double]("cos") === 1.0)
+  }
+
   test("extension injection wires the rule into a session's optimizer") {
     // a session created with GraftExtensions optimizes the round-trip away
     org.apache.spark.sql.SparkSession.clearActiveSession()
