@@ -632,6 +632,86 @@ object LlmQueries {
           CAST(SUM(err6) AS DOUBLE)/COUNT(*)/1e6 AS avg_max_err
         FROM m GROUP BY label ORDER BY label""")),
 
+    // ---- Johnson-Lindenstrauss random projection (64 -> 16 dims) -------
+    // Project embeddings onto 16 md5-derived hyperplanes (operators/
+    // RandomProjection.scala) and measure distance distortion on the
+    // deterministic even/odd vector pairs: ratio = sqrt(projected L2^2 /
+    // original L2^2) per pair, exact floor-scaled means per label. The
+    // oracle derives the SAME planes from md5 in SQL and replays both
+    // distance pipelines with decimal-exact sums.
+    "q71_random_projection" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.RandomProjection
+        val Dec = DecimalType(24, 15)
+        val emb = t(s, dir, "embeddings")
+        val dim = VectorOps.dimOf(emb, "embedding")
+        val planes = RandomProjection.planesDF(s, 16, dim, 1000)
+        val pts = emb.select(col("vec_id").as("id"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("id"), col("pos").as("i"),
+            col("xf").cast("double").as("x"))
+        val proj = RandomProjection.project(emb, "vec_id", "embedding", planes)
+        def pairDist(df: DataFrame, dimCol: String, vCol: String,
+            out: String) = {
+          val a = df.filter(col("id") % 2 === 0)
+          val b = df.select((col("id") - 1).as("id"),
+            col(dimCol).as("__bd"), col(vCol).as("__bv"))
+          a.join(b, a("id") === b("id") && col(dimCol) === col("__bd"))
+            .groupBy(a("id").as("pid"))
+            .agg(sum(((col(vCol) - col("__bv")) * (col(vCol) - col("__bv")))
+              .cast(Dec)).cast("double").as(out))
+        }
+        val od = pairDist(pts, "i", "x", "od2")
+        val pd = pairDist(proj, "j", "proj", "pd2")
+        od.join(pd, "pid")
+          .join(emb.select(col("vec_id").as("pid"), col("label")), "pid")
+          .filter(col("od2") > 0.0)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(floor(sqrt(col("pd2") / col("od2")) * 1e9).cast("long"))
+              .cast("double") / count(lit(1)) / 1e9).as("avg_ratio"),
+            (sum(floor(sqrt(col("od2")) * 1e9).cast("long"))
+              .cast("double") / count(lit(1)) / 1e9).as("avg_orig_dist"),
+            (sum(floor(sqrt(col("pd2")) * 1e9).cast("long"))
+              .cast("double") / count(lit(1)) / 1e9).as("avg_proj_dist"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
+          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
+        px AS (SELECT id, dim - 1 AS i, v[dim] AS x FROM e, idxs),
+        pl AS (SELECT j, di - 1 AS i,
+            CAST(CAST(('0x' || substr(md5(CAST(1000 + j AS VARCHAR) || ':'
+              || CAST(di - 1 AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000
+              AS DOUBLE) / 1e6 - 0.5 AS p
+          FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS j)
+          CROSS JOIN (SELECT dim AS di FROM idxs)),
+        pr AS (SELECT id, j,
+            CAST(SUM(CAST(x * p AS DECIMAL(24,15))) AS DOUBLE) AS proj
+          FROM px JOIN pl USING (i) GROUP BY id, j),
+        od AS (SELECT a.id AS pid,
+            CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(24,15)))
+              AS DOUBLE) AS od2
+          FROM px a JOIN px b ON b.id = a.id + 1 AND b.i = a.i
+          WHERE a.id % 2 = 0 GROUP BY 1),
+        pd AS (SELECT a.id AS pid,
+            CAST(SUM(CAST((a.proj - b.proj) * (a.proj - b.proj)
+              AS DECIMAL(24,15))) AS DOUBLE) AS pd2
+          FROM pr a JOIN pr b ON b.id = a.id + 1 AND b.j = a.j
+          WHERE a.id % 2 = 0 GROUP BY 1),
+        m AS (SELECT e.label, od.od2, pd.pd2
+          FROM od JOIN pd USING (pid) JOIN e ON e.id = od.pid
+          WHERE od.od2 > 0)
+        SELECT label, COUNT(*) AS n_pairs,
+          CAST(SUM(CAST(FLOOR(sqrt(pd2 / od2) * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_ratio,
+          CAST(SUM(CAST(FLOOR(sqrt(od2) * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_orig_dist,
+          CAST(SUM(CAST(FLOOR(sqrt(pd2) * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_proj_dist
+        FROM m GROUP BY label ORDER BY label""")),
+
     // ---- distributed k-means (IVF coarse quantizer fit) ----------------
     // Two Lloyd iterations over the embeddings, k=8, md5-deterministic
     // seeds (see operators/KMeans.scala for the plan shape). Per-term

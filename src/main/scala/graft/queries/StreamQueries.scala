@@ -153,6 +153,37 @@ object StreamQueries {
         FROM ev JOIN customer c ON ev.user_id = c.c_custkey
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- streaming corpus intake: filter + hash split ------------------
+    // The documents table streamed through the stateless quality-filter ->
+    // content-hash-split -> per-(split, lang) aggregation pipeline; the
+    // oracle replays filter and md5 split decisions in SQL over the
+    // finished input (split cuts: 0.8/0.9 of 1e6, q51 discipline).
+    "w08_stream_split" -> QueryDef(
+      (s, dir) => {
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.qualitySplitCounts(
+            StreamingOps.documentsStream(s, dir)),
+          "w08_mem", outputMode = "complete")
+        streamed.select(col("split"), col("lang"), col("n_docs"),
+            col("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
+            AS n_tok,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 12))
+            AS BIGINT) % 1000000 AS h
+          FROM documents
+          WHERE len(text) >= 50
+            AND len(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) >= 10),
+        sp AS (SELECT lang, n_tok,
+          CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val' ELSE 'test' END AS split FROM d)
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

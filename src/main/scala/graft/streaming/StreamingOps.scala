@@ -103,6 +103,34 @@ object StreamingOps {
         col("lts"), col("rts"))
   }
 
+  /** Streaming view of a documents-shaped parquet directory. */
+  def documentsStream(spark: SparkSession, dir: String,
+      globFilter: String = "documents.parquet"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+  }
+
+  /** Stateless streaming corpus-ingest pipeline: quality filter (length +
+    * token floor) -> content-hash train/val/test split -> per-(split, lang)
+    * counts. The filter and split are pure map-side column expressions
+    * (graft.operators.Sampling: repartition- and replay-stable), so the
+    * only state is the final aggregation — the shape of a 100 TB streaming
+    * corpus intake.
+    */
+  def qualitySplitCounts(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 50 &&
+        graft.functions.TextOps.wordCount(col("text")) >= 10)
+      .withColumn("split", graft.operators.Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextOps.wordCount(col("text"))).as("n_tokens"))
+
   /** Stream-static enrichment: broadcast-join the event stream to a static
     * dimension table keyed (user_id = dimKey), then aggregate per
     * (dimension attribute, event_type). The static side re-broadcasts per
