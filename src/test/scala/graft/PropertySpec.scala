@@ -68,4 +68,44 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 25)
   }
+
+  // Reference leftmost-greedy BPE merge: scan left to right, merge (p1, p2)
+  // occurrences, never re-examining a just-merged symbol.
+  private def refMerge(toks: List[String], p1: String, p2: String)
+      : List[String] = toks match {
+    case a :: b :: rest if a == p1 && b == p2 =>
+      (a + b) :: refMerge(rest, p1, p2)
+    case a :: rest => a :: refMerge(rest, p1, p2)
+    case Nil => Nil
+  }
+
+  test("Bpe.applyMerge matches the sequential reference on random sequences") {
+    val genTok = Gen.oneOf("a", "b", "ab", "c")
+    val genSeq = Gen.nonEmptyListOf(genTok)
+    val genPair = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c"))
+    check(Prop.forAll(Gen.listOfN(8, genSeq), genPair) { (seqs, pair) =>
+      val df = seqs.zipWithIndex
+        .map { case (ts, i) => (s"w$i", 1L, ts.mkString(" ")) }
+        .toDF("word", "cnt", "seq")
+      val got = graft.operators.Bpe.applyMerge(df, pair._1, pair._2)
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      seqs.zipWithIndex.forall { case (ts, i) =>
+        got(s"w$i") == refMerge(ts, pair._1, pair._2).mkString(" ")
+      }
+    }, n = 20)
+  }
+
+  test("zValue2 matches reference bit interleave and preserves order per tile") {
+    val refZ = (x: Long, y: Long, bits: Int) =>
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    check(Prop.forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) {
+      (x, y) =>
+        val got = Seq((x, y)).toDF("x", "y")
+          .select(graft.operators.ZOrder.zValue2(col("x"), col("y"), 16))
+          .head.getLong(0)
+        got == refZ(x, y, 16)
+    }, n = 30)
+  }
 }
