@@ -88,7 +88,11 @@ object TextOps {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
     val stopOk = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3, 6)
+    // deliberately NOT rounded: the raw IEEE sum of identical inputs is
+    // engine-identical, while round(.,6) is not — Spark rounds the decimal
+    // STRING repr (BigDecimal.valueOf) and DuckDB the binary double, which
+    // disagree when a score lands near a half boundary (seen in q72)
+    lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3
   }
 
   /** 64-bit rolling-hash document fingerprint: xxhash64 over the normalized

@@ -851,6 +851,96 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- quality-weighted sampling (data mixing) -----------------------
+    // Keep probability proportional to the composite quality score:
+    // keep iff md5-hash-unit(doc_id) < quality * 1e6 — deterministic
+    // importance sampling (higher-quality docs oversampled), map-side
+    // only. The oracle replays the FULL quality formula (length, punct
+    // ratio, stopword ratio) and the hash decision in SQL.
+    "q72_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sampling
+        val q = TextOps.qualityScore(col("text"),
+          graft.functions.SqlFunctions.DefaultStopwords)
+        t(s, dir, "documents")
+          .withColumn("q", q)
+          .withColumn("keep",
+            Sampling.hashUnit(col("doc_id"), "wq") < col("q") * 1e6)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            (sum(floor(col("q") * 1e9).cast("long")).cast("double")
+              / count(lit(1)) / 1e9).as("avg_q_all"),
+            (sum(when(col("keep"), floor(col("q") * 1e9).cast("long"))
+              .otherwise(0L)).cast("double")
+              / greatest(sum(when(col("keep"), 1L).otherwise(0L)), lit(1L))
+              / 1e9).as("avg_q_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+          FROM documents),
+        q AS (SELECT doc_id, source,
+            LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
+                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
+                THEN 1.0 ELSE 0.0 END) * 0.3
+              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
+                    lower(x)))) AS DOUBLE)
+                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+              AS q
+          FROM d),
+        k AS (SELECT source, q,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wq'), 1, 12))
+              AS BIGINT) % 1000000 < q * 1e6) AS keep
+          FROM q)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CAST(FLOOR(q * 1e9) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1e9 AS avg_q_all,
+          CAST(SUM(CASE WHEN keep THEN CAST(FLOOR(q * 1e9) AS BIGINT)
+              ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 1) / 1e9
+            AS avg_q_kept
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ---- language-balanced resampling (data mixing) --------------------
+    // Downsample over-represented languages to a uniform target: rate_l =
+    // min(1, (N/5)/n_l), decisions by content hash (stable, map-side);
+    // the per-language rate table is tiny and broadcast back onto the
+    // corpus. The oracle recomputes rates and replays every decision.
+    "q73_lang_rebalance" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+        val total = docs.count()
+        val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+          .withColumn("rate",
+            round(least(lit(1.0), lit(total) / 5.0 / col("n_before")), 9))
+        docs.join(broadcast(rates), "lang")
+          .withColumn("keep",
+            Sampling.hashUnit(col("doc_id"), "bal") < col("rate") * 1e6)
+          .groupBy("lang")
+          .agg(first(col("n_before")).as("n_before"),
+            first(col("rate")).as("rate"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
+          .orderBy("lang")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS total FROM documents),
+        r AS (SELECT lang, COUNT(*) AS n_before,
+            ROUND(LEAST(1.0, (SELECT total FROM n) / 5.0 / COUNT(*)), 9)
+              AS rate
+          FROM documents GROUP BY lang),
+        k AS (SELECT d.lang, r.n_before, r.rate,
+            (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#bal'),
+              1, 12)) AS BIGINT) % 1000000 < r.rate * 1e6) AS keep
+          FROM documents d JOIN r USING (lang))
+        SELECT lang, MIN(n_before) AS n_before, MIN(rate) AS rate,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        FROM k GROUP BY lang ORDER BY lang""")),
+
     // ---- BPE vocabulary learning (multi-round merge training) ----------
     // Three rounds of byte-pair-encoding over the corpus-frequency word
     // table (operators/Bpe.scala): weighted pair counting is the
