@@ -851,6 +851,63 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- bigram LM cross-entropy scoring (perplexity filter) -----------
+    // Train an add-one-smoothed bigram model on the corpus (one explode ->
+    // (w1,w2) and unigram counts, both Zipf-bounded), then score every
+    // document: H(doc) = -(1/n) sum ln p(w2|w1) — the KenLM-style quality
+    // filter. Model tables broadcast into the doc-pair join (at 100 TB the
+    // bigram table co-partitions on the pair instead). ln terms floor to
+    // 1e-9 longs (q61 discipline); per-language exact means.
+    "q74_bigram_entropy" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.shingles(lower(col("text")), 2)).as("pair"))
+        val toks = docs.select(
+          explode(TextOps.words(lower(col("text")))).as("w"))
+        val vocab = toks.agg(countDistinct(col("w"))).head.getLong(0)
+        val big = pairs.groupBy("pair").agg(count(lit(1)).as("c12"))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+        val scored = pairs
+          .join(broadcast(big), "pair")
+          .withColumn("w1", split(col("pair"), " ").getItem(0))
+          .join(broadcast(uni), col("w1") === col("w"))
+          .withColumn("lp9", floor(
+            log((col("c12") + 1.0) / (col("c1") + vocab.toDouble)) * -1e9)
+            .cast("long"))
+        // pooled (token-weighted) cross-entropy per language: exact long
+        // sums, ONE division at the end — a per-doc-mean formulation would
+        // need a double->decimal re-cast whose rounding differs between
+        // engines (q33 scaladoc)
+        scored.groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_pairs"),
+            (sum(col("lp9")).cast("double") / count(lit(1)) / 1e9)
+              .as("cross_entropy"))
+          .orderBy("lang")
+      },
+      Some(s"""$WordsCte,
+        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
+          FROM w),
+        prs AS (SELECT doc_id, lang, lws[i] || ' ' || lws[i+1] AS pair,
+            lws[i] AS w1
+          FROM (SELECT doc_id, lang, lws,
+            CAST(unnest(range(1, len(lws))) AS INT) AS i FROM lw)),
+        toks AS (SELECT unnest(lws) AS w FROM lw),
+        v AS (SELECT COUNT(DISTINCT w) AS vocab FROM toks),
+        big AS (SELECT pair, COUNT(*) AS c12 FROM prs GROUP BY pair),
+        uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+        sc AS (SELECT prs.doc_id, prs.lang,
+            CAST(FLOOR(LN((big.c12 + 1.0) /
+              (uni.c1 + CAST((SELECT vocab FROM v) AS DOUBLE))) * -1e9)
+              AS BIGINT) AS lp9
+          FROM prs JOIN big ON prs.pair = big.pair
+            JOIN uni ON prs.w1 = uni.w)
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+          COUNT(*) AS n_pairs,
+          CAST(SUM(lp9) AS DOUBLE) / COUNT(*) / 1e9 AS cross_entropy
+        FROM sc GROUP BY lang ORDER BY lang""")),
+
     // ---- quality-weighted sampling (data mixing) -----------------------
     // Keep probability proportional to the composite quality score:
     // keep iff md5-hash-unit(doc_id) < quality * 1e6 — deterministic
