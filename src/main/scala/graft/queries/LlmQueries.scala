@@ -851,6 +851,59 @@ object LlmQueries {
         SELECT doc_id, w, tf, df, tfidf, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- benchmark decontamination (n-gram overlap) --------------------
+    // Flag training documents sharing 3-gram shingles with an eval
+    // "benchmark" set (stand-in: doc_id % 100 == 0): contaminated iff
+    // >= 5 shared distinct shingles or >= 20% of the doc's shingles.
+    // The benchmark shingle set is eval-sized -> broadcast semi-join
+    // against the candidate inverted index; raw shingle strings here,
+    // 64-bit hashes at 100 TB (same join shape).
+    "q75_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.shingleSet(lower(col("text")), 3)).as("sh"))
+        val bench = sh.filter(col("doc_id") % 100 === 0)
+          .select("sh").distinct()
+        val cand = sh.filter(col("doc_id") % 100 =!= 0)
+        val cs = cand.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_sh"))
+        val ov = cand.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        cs.join(ov, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("contaminated", col("n_shared") >= 5 ||
+            col("n_shared").cast("double") / col("n_sh") >= 0.2)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(col("n_shared")).as("total_shared"),
+            max(col("n_shared")).as("max_shared"))
+          .orderBy("lang")
+      },
+      Some(s"""$WordsCte,
+        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
+          FROM w),
+        sh AS (SELECT DISTINCT doc_id, lang, sh FROM
+          (SELECT doc_id, lang, unnest(list_transform(range(1, len(lws) - 1),
+            i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2])) AS sh
+          FROM lw)),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+        cand AS (SELECT * FROM sh WHERE doc_id % 100 <> 0),
+        cs AS (SELECT doc_id, lang, COUNT(*) AS n_sh FROM cand GROUP BY 1, 2),
+        ov AS (SELECT c.doc_id, COUNT(*) AS n_shared
+          FROM cand c JOIN bench b USING (sh) GROUP BY 1),
+        f AS (SELECT cs.doc_id, cs.lang, cs.n_sh,
+            COALESCE(ov.n_shared, 0) AS n_shared
+          FROM cs LEFT JOIN ov ON cs.doc_id = ov.doc_id)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN n_shared >= 5
+              OR CAST(n_shared AS DOUBLE) / n_sh >= 0.2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+          CAST(MAX(n_shared) AS BIGINT) AS max_shared
+        FROM f GROUP BY lang ORDER BY lang""")),
+
     // ---- bigram LM cross-entropy scoring (perplexity filter) -----------
     // Train an add-one-smoothed bigram model on the corpus (one explode ->
     // (w1,w2) and unigram counts, both Zipf-bounded), then score every
