@@ -102,6 +102,7 @@ object Bench {
       // dedup operators persist LSH banding intermediates; release them so
       // a long-lived session doesn't accumulate cached blocks (ADVICE r1)
       graft.operators.Dedup.unpersistAll()
+      graft.operators.Windowed.unpersistAll()
       n -> t
     }
     settle()

@@ -58,6 +58,19 @@ object TextOps {
   /** Distinct shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
 
+  /** Non-overlapping `p`-word passages (the unit of passage-level /
+    * boilerplate dedup): consecutive word windows joined with single
+    * spaces; the final passage may be shorter than `p`. Empty text (no
+    * words) yields an empty array.
+    */
+  def passages(text: Column, p: Int): Column =
+    letCol(words(text)) { ws =>
+      when(size(ws) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(ws) - 1) / lit(p)).cast("int")),
+          j => array_join(slice(ws, j * p + 1, lit(p)), " ")))
+    }
+
   /** Punctuation character class, portable between Java regex and RE2
     * (\p{Punct} is Java-only; POSIX [[:punct:]] is RE2-only).
     */

@@ -90,4 +90,51 @@ object Windowed {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new_session")
   }
+
+  // persisted intermediates from distributedCumsum; released via
+  // [[unpersistAll]] (same ownership contract as Dedup.unpersistAll)
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every intermediate distributedCumsum persisted. */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
+
+  /** Exact cumulative sum of `valueCol` in global `orderCol` order WITHOUT a
+    * single-partition window (the naive `Window.orderBy(key)` plan funnels
+    * the whole table through one task — a non-starter at 100 TB).
+    *
+    * Two-phase prefix sum: range-partition on the order key (so partition i
+    * holds a contiguous key range and partition ids are ordered), compute
+    * per-partition running sums, and add each partition's broadcast prefix
+    * offset. The only single-partition step is the window over ONE ROW PER
+    * PARTITION (a few thousand rows on any real cluster).
+    *
+    * Output: input columns + `cumsum` (inclusive prefix sum). Ties in
+    * `orderCol` across partition boundaries are fine: range partitioning
+    * puts equal keys in one partition. The range-partitioned input is
+    * persisted (scanned by both phases); release with [[unpersistAll]].
+    */
+  def distributedCumsum(df: DataFrame, orderCol: String, valueCol: String,
+      nPartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(nPartitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(ranged)
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("__psum"))
+    val wPrefix = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__offset", coalesce(sum("__psum").over(wPrefix), lit(0L)))
+      .select("__pid", "__offset")
+    val wIn = Window.partitionBy("__pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn("cumsum",
+        col("__offset") + sum(col(valueCol).cast("long")).over(wIn))
+      .drop("__pid", "__offset")
+  }
 }

@@ -1394,6 +1394,201 @@ object LlmQueries {
         comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
         SELECT label AS cluster_root, COUNT(*) AS n_docs,
           list_sort(list(node)) AS doc_ids
-        FROM comp GROUP BY label ORDER BY cluster_root"""))
+        FROM comp GROUP BY label ORDER BY cluster_root""")),
+
+    // ---- passage-level boilerplate dedup -------------------------------
+    // RefinedWeb/CCNet-style: split each document into non-overlapping
+    // 8-word passages, count the DISTINCT documents each passage occurs
+    // in, and flag passages shared by >= 3 documents as boilerplate.
+    // One shuffle on the passage text; the hot set (tiny by construction:
+    // only passages repeated across docs) joins back broadcast.
+    "q76_passage_dedup" -> QueryDef(
+      (s, dir) => {
+        val pass = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.passages(col("text"), 8)).as("passage"))
+        val hot = pass.groupBy("passage")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 3)
+          .select(col("passage"), lit(true).as("is_dup"))
+        pass.join(broadcast(hot), Seq("passage"), "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_pass"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_pass").as("total_passages"),
+            sum("n_dup").as("dup_passages"),
+            (sum("n_dup").cast("double") / sum("n_pass")).as("dup_fraction"))
+          .orderBy("source")
+      },
+      Some(s"""$WordsCte,
+        g AS (SELECT doc_id, source, ws,
+            CAST(unnest(range(0, CAST(FLOOR((len(ws) - 1) / 8.0) AS INT) + 1))
+              AS INT) AS j
+          FROM w WHERE len(ws) > 0),
+        p AS (SELECT doc_id, source,
+            array_to_string(ws[j*8+1 : j*8+8], ' ') AS passage FROM g),
+        hot AS (SELECT passage FROM
+          (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+          WHERE nd >= 3),
+        d AS (SELECT doc_id, source, COUNT(*) AS n_pass,
+            SUM(CASE WHEN passage IN (SELECT passage FROM hot)
+              THEN 1 ELSE 0 END) AS n_dup
+          FROM p GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_pass) AS BIGINT) AS total_passages,
+          CAST(SUM(n_dup) AS BIGINT) AS dup_passages,
+          CAST(SUM(n_dup) AS DOUBLE) / SUM(n_pass) AS dup_fraction
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- sequence packing (concatenate-and-chunk) ----------------------
+    // The GPT-style training layout: concatenate every document in doc_id
+    // order into one token stream and cut fixed 512-token training
+    // sequences. Each doc occupies stream interval
+    // [cumsum - n_tokens, cumsum); a doc "crosses" when its interval spans
+    // a chunk boundary. The global running sum is
+    // Windowed.distributedCumsum — a two-phase prefix sum (range partition
+    // + broadcast partition offsets), NOT a single-partition window.
+    "q77_pack_chunks" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Windowed
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.regexTokens(col("text"))).as("n_tokens"))
+        Windowed.distributedCumsum(toks, "doc_id", "n_tokens")
+          .withColumn("first_chunk",
+            floor((col("cumsum") - col("n_tokens")) / lit(512.0)).cast("long"))
+          .withColumn("last_chunk",
+            floor((col("cumsum") - 1) / lit(512.0)).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum(when(col("last_chunk") > col("first_chunk"), 1L).otherwise(0L))
+              .as("n_crossing"),
+            max(col("last_chunk") - col("first_chunk")).as("max_span"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+            AS n_tokens FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS cs FROM tk),
+        m AS (SELECT source, n_tokens,
+            CAST(FLOOR((cs - n_tokens) / 512.0) AS BIGINT) AS fc,
+            CAST(FLOOR((cs - 1) / 512.0) AS BIGINT) AS lc FROM c)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN lc > fc THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_crossing,
+          CAST(MAX(lc - fc) AS BIGINT) AS max_span
+        FROM m GROUP BY source ORDER BY source""")),
+
+    // ---- domain-mixture weights (temperature sampling) -----------------
+    // Data mixing: per-source token counts n_s give sampling weights
+    // w_s ∝ n_s^tau (tau = 0.7 flattens the natural distribution toward
+    // uniform). n^tau = exp(tau·ln n) is quantized with floor(·*1e6)
+    // BEFORE normalizing so the cross-engine hash never depends on libm's
+    // last ulp (q74 discipline); normalization afterwards is exact
+    // integer/double arithmetic, identical in both engines.
+    "q78_mixture_weights" -> QueryDef(
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.regexTokens(col("text"))).as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+          .withColumn("wq",
+            floor(exp(lit(0.7) * log(col("n_tokens").cast("double"))) * 1e6)
+              .cast("long"))
+        val total = counts.agg(sum(col("wq")).as("__tot"))
+        counts.join(broadcast(total))
+          .withColumn("weight", col("wq").cast("double") / col("__tot"))
+          .withColumn("expected_tokens",
+            floor(col("weight") * 1e6).cast("long"))
+          .select("source", "n_tokens", "weight", "expected_tokens")
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source,
+          SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+            AS n_tokens FROM documents GROUP BY source),
+        q AS (SELECT source, n_tokens,
+            CAST(FLOOR(EXP(0.7 * LN(CAST(n_tokens AS DOUBLE))) * 1e6)
+              AS BIGINT) AS wq FROM tk),
+        tt AS (SELECT SUM(wq) AS tot FROM q)
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(wq AS DOUBLE) / (SELECT tot FROM tt) AS weight,
+          CAST(FLOOR(CAST(wq AS DOUBLE) / (SELECT tot FROM tt) * 1e6)
+            AS BIGINT) AS expected_tokens
+        FROM q ORDER BY source""")),
+
+    // ---- canonical representative per duplicate cluster ----------------
+    // The "keep one" step after clustering: within each connected
+    // component (q52's min-label clusters), keep the document with the
+    // highest quality score (ties -> lowest doc_id). The quality score is
+    // floor-quantized to 1e-9 (q72 discipline) before ranking so Spark
+    // and DuckDB order identically.
+    "q79_canonical_docs" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
+            k = 3, minJaccard = 0.2, maxDf = 1000000)
+          .select("id_a", "id_b")
+        val q = TextOps.qualityScore(col("text"),
+          graft.functions.SqlFunctions.DefaultStopwords)
+        val scored = Dedup.connectedComponents(pairs)
+          .join(docs.select(col("doc_id").as("id"),
+            floor(q * 1e9).cast("long").as("q9")), "id")
+        val w = Window.partitionBy("label")
+          .orderBy(col("q9").desc, col("id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"),
+            min(when(col("rn") === 1, col("id"))).as("kept_id"),
+            max(when(col("rn") === 1, col("q9"))).as("kept_q9"))
+          .select(col("label").as("cluster_root"), col("n_docs"),
+            col("kept_id"), col("kept_q9"))
+          .orderBy("cluster_root")
+      },
+      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
+        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (SELECT id_a, id_b FROM pr
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
+            >= 0.2),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+        nd AS (SELECT DISTINCT src AS id FROM e),
+        reach AS (SELECT id AS node, id AS root FROM nd
+          UNION SELECT e.dst AS node, r.root FROM reach r
+            JOIN e ON e.src = r.node),
+        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node),
+        qs AS (SELECT doc_id,
+            CAST(FLOOR((LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
+                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
+                THEN 1.0 ELSE 0.0 END) * 0.3
+              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
+                    lower(x)))) AS DOUBLE)
+                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3)
+              * 1e9) AS BIGINT) AS q9
+          FROM w),
+        sc AS (SELECT comp.node AS id, comp.label, qs.q9
+          FROM comp JOIN qs ON qs.doc_id = comp.node),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY q9 DESC, id ASC) AS rn FROM sc)
+        SELECT label AS cluster_root, COUNT(*) AS n_docs,
+          MIN(CASE WHEN rn = 1 THEN id END) AS kept_id,
+          MAX(CASE WHEN rn = 1 THEN q9 END) AS kept_q9
+        FROM r GROUP BY label ORDER BY cluster_root"""))
   )
 }

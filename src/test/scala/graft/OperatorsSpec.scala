@@ -43,6 +43,32 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("distributedCumsum matches a sequential prefix sum across partitions") {
+    // values chosen so partial sums differ per ordering; 7 partitions over
+    // 100 rows guarantees multiple non-trivial partition offsets
+    val rows = (1 to 100).map(i => (i.toLong, (i * 7 % 13 + 1)))
+    val df = rows.toDF("id", "v").repartition(8) // scrambled input layout
+    val got = Windowed.distributedCumsum(df, "id", "v", nPartitions = 7)
+      .orderBy("id").select("id", "cumsum").as[(Long, Long)].collect().toSeq
+    val want = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, v)) =>
+      (id, acc + v)
+    }.drop(1)
+    assert(got === want)
+    Windowed.unpersistAll()
+  }
+
+  test("passages splits words into non-overlapping windows") {
+    val df = Seq(
+      "a b c d e f g h i j",  // 10 words -> [8, 2]
+      "one two three",        // 3 words  -> [3]
+      "  ",                   // no words -> []
+      "x").toDF("text")
+    val got = df.select(TextOps.passages(col("text"), 8)).as[Seq[String]]
+      .collect().toSeq
+    assert(got === Seq(
+      Seq("a b c d e f g h", "i j"), Seq("one two three"), Seq(), Seq("x")))
+  }
+
   test("sessionize splits on inactivity gaps") {
     val ts = Seq(0L, 10L, 20L, 5000L, 5010L, 99999L).map(_ * 1000000L)
     val df = ts.map(t => (1L, new java.sql.Timestamp(t / 1000L))).toDF("k", "ts")
