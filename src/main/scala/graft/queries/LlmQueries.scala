@@ -1589,6 +1589,151 @@ object LlmQueries {
         SELECT label AS cluster_root, COUNT(*) AS n_docs,
           MIN(CASE WHEN rn = 1 THEN id END) AS kept_id,
           MAX(CASE WHEN rn = 1 THEN q9 END) AS kept_q9
-        FROM r GROUP BY label ORDER BY cluster_root"""))
+        FROM r GROUP BY label ORDER BY cluster_root""")),
+
+    // ---- semantic decontamination (embedding-space overlap) ------------
+    // The embedding analog of q75's shingle decontamination: flag training
+    // vectors whose max cosine against ANY held-out benchmark vector
+    // (vec_id % 20 == 0, ~5%) reaches 0.92. The benchmark side is small by
+    // construction, so it broadcasts and the max folds map-side — no
+    // shuffle proportional to the cross product. Cosines are floor-
+    // quantized to 1e-6 before max/compare (cross-engine float
+    // discipline).
+    "q80_semantic_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val bench = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+        val cos6 = floor(
+          VectorOps.cosine(col("embedding"), col("bv")) * 1e6).cast("long")
+        emb.filter(col("vec_id") % 20 =!= 0)
+          .crossJoin(broadcast(bench))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(cos6).as("max_cos6"))
+          .withColumn("contaminated", col("max_cos6") >= 920000L)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("contaminated"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            max(col("max_cos6")).as("max_cos6"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+          WHERE vec_id % 20 = 0),
+        mx AS (SELECT t.vec_id, t.label,
+            MAX(CAST(FLOOR(list_dot_product(t.v, b.bv) /
+              (sqrt(list_dot_product(t.v, t.v)) *
+               sqrt(list_dot_product(b.bv, b.bv))) * 1e6) AS BIGINT))
+              AS max_cos6
+          FROM e t, b WHERE t.vec_id % 20 <> 0
+          GROUP BY 1, 2)
+        SELECT label, COUNT(*) AS n_train,
+          CAST(SUM(CASE WHEN max_cos6 >= 920000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+          MAX(max_cos6) AS max_cos6
+        FROM mx GROUP BY label ORDER BY label""")),
+
+    // ---- BPE tokenizer application (encode with the learned merges) ----
+    // The other half of q70: learn 3 merges, re-apply them to the distinct
+    // word table (vocab-sized, Zipf-bounded — NOT the corpus), and encode
+    // the corpus by broadcast-joining word -> post-merge token count.
+    // Reports per-source chars/BPE-tokens compression. The oracle replays
+    // the full 3-round fit (bpeRoundSql chain) and the same join.
+    "q81_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Bpe
+        val tokens = t(s, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.words(lower(col("text")))).as("word"))
+        val words = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("seq", Bpe.charSeq(col("word")))
+        var seqs = words
+        Bpe.fit(words, 3).filter(_._1 > 0).foreach { case (_, pair, _, _) =>
+          val Array(p1, p2) = pair.split(" ", 2)
+          seqs = Bpe.applyMerge(seqs, p1, p2)
+        }
+        val wordLens = seqs.select(col("word"),
+          size(split(col("seq"), " ")).as("ntok"))
+        tokens.join(broadcast(wordLens), "word")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("ntok").as("n_bpe_tokens"),
+            sum(length(col("word"))).as("n_chars"))
+          .withColumn("compression",
+            col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""$WordsCte,
+        tok AS (SELECT source, unnest(list_transform(ws, x -> lower(x)))
+          AS word FROM w),
+        s0 AS (SELECT word, COUNT(*) AS cnt,
+            trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM tok GROUP BY word),
+        ${(1 to 3).map(bpeRoundSql).mkString(",\n        ")},
+        wl AS (SELECT word, len(string_split(seq, ' ')) AS ntok FROM s3)
+        SELECT source, COUNT(*) AS n_words,
+          CAST(SUM(wl.ntok) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(len(tok.word)) AS BIGINT) AS n_chars,
+          CAST(SUM(len(tok.word)) AS DOUBLE) / SUM(wl.ntok) AS compression
+        FROM tok JOIN wl USING (word)
+        GROUP BY source ORDER BY source""")),
+
+    // ---- boilerplate removal (rewrite, not just stats) -----------------
+    // q76 actually applied: drop hot passages (shared by >= 3 docs) from
+    // each document, reassemble the survivors in order, and measure the
+    // shrinkage. Reassembly is collect_list(struct(idx, passage)) ->
+    // array_sort -> join: deterministic regardless of shuffle order.
+    "q82_boilerplate_strip" -> QueryDef(
+      (s, dir) => {
+        val pass = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.passages(col("text"), 8))
+              .as(Seq("idx", "passage")))
+        val hot = pass.groupBy("passage")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 3)
+          .select(col("passage"), lit(true).as("is_dup"))
+        def rejoin(c: org.apache.spark.sql.Column) =
+          length(concat_ws(" ", transform(array_sort(collect_list(c)),
+            x => x.getField("passage"))))
+        val perDoc = pass.join(broadcast(hot), Seq("passage"), "left")
+          .groupBy("doc_id", "source")
+          .agg(
+            rejoin(struct(col("idx"), col("passage"))).as("chars_norm"),
+            rejoin(when(col("is_dup").isNull,
+              struct(col("idx"), col("passage")))).as("chars_clean"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("chars_norm").as("chars_norm"),
+            sum("chars_clean").as("chars_clean"),
+            sum(when(col("chars_clean") < col("chars_norm"), 1L)
+              .otherwise(0L)).as("n_modified"))
+          .orderBy("source")
+      },
+      Some(s"""$WordsCte,
+        g AS (SELECT doc_id, source, ws,
+            CAST(unnest(range(0, CAST(FLOOR((len(ws) - 1) / 8.0) AS INT) + 1))
+              AS INT) AS j
+          FROM w WHERE len(ws) > 0),
+        p AS (SELECT doc_id, source, j,
+            array_to_string(ws[j*8+1 : j*8+8], ' ') AS passage FROM g),
+        hot AS (SELECT passage FROM
+          (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+          WHERE nd >= 3),
+        d AS (SELECT doc_id, source,
+            COALESCE(len(string_agg(passage, ' ' ORDER BY j)), 0)
+              AS chars_norm,
+            COALESCE(len(string_agg(CASE WHEN passage IN
+                (SELECT passage FROM hot) THEN NULL ELSE passage END, ' '
+                ORDER BY j)), 0) AS chars_clean
+          FROM p GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(chars_norm) AS BIGINT) AS chars_norm,
+          CAST(SUM(chars_clean) AS BIGINT) AS chars_clean,
+          CAST(SUM(CASE WHEN chars_clean < chars_norm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_modified
+        FROM d GROUP BY source ORDER BY source"""))
   )
 }

@@ -184,6 +184,34 @@ object StreamQueries {
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- incremental intake: stream-dedup against the existing corpus --
+    // Odd doc_ids arrive as the stream; even doc_ids are the static
+    // "already ingested" corpus. The stream joins the corpus's normalized
+    // content-hash set (broadcast, stateless) and counts new-vs-duplicate
+    // per language; the oracle replays hash + membership in SQL.
+    "w09_stream_intake_dedup" -> QueryDef(
+      (s, dir) => {
+        val corpus = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.intakeDedupCounts(
+            StreamingOps.documentsStream(s, dir)
+              .filter(col("doc_id") % 2 === 1), corpus),
+          "w09_mem", outputMode = "complete")
+        streamed.select(col("lang"), col("n_new"), col("n_dup"))
+          .orderBy("lang")
+      },
+      Some("""WITH ck AS (SELECT DISTINCT
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id % 2 = 0),
+        inc AS (SELECT lang,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id % 2 = 1)
+        SELECT lang, COUNT(*) AS n_new,
+          CAST(SUM(CASE WHEN k IN (SELECT k FROM ck) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup
+        FROM inc GROUP BY lang ORDER BY lang""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

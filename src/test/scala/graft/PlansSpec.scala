@@ -110,6 +110,30 @@ class PlansSpec extends SparkSpec {
     assert(plan("q54_bm25_search").contains("BroadcastHashJoin"))
   }
 
+  test("q76: the hot-passage set joins back broadcast") {
+    assert(plan("q76_passage_dedup").contains("BroadcastHashJoin"))
+  }
+
+  test("q77: no single-partition window over the full corpus") {
+    // distributedCumsum windows must be partitioned by __pid; the only
+    // unpartitioned window is over the per-partition totals (rows =
+    // nPartitions), which then re-enters the plan via a broadcast join
+    val p = plan("q77_pack_chunks")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"full-data window is not __pid-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets do not broadcast:\n$p")
+  }
+
+  test("q80: the benchmark side of the decontamination join broadcasts") {
+    assert(plan("q80_semantic_decontaminate")
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q81: the post-merge word lengths broadcast into the encode join") {
+    assert(plan("q81_bpe_encode").contains("BroadcastHashJoin"))
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     val hot = (1 to 1000).map(i => (1L, s"row$i")) ++ Seq((2L, "cold"))
     val large = hot.toDF("k", "payload")
