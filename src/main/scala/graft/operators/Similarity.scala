@@ -47,10 +47,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms once per row per side BEFORE the join: inside the pair
+    // expression each norm would be recomputed |other side| times
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorOps.l2Norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv"))
+        / (col("__qn") * col("__cn")))
     rankTopK(scored, k)
   }
 

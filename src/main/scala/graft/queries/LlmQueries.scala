@@ -1602,11 +1602,16 @@ object LlmQueries {
     "q80_semantic_decontaminate" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // norms once per row on each side, BEFORE the BNL join — computing
+        // them inside the pair expression would redo each norm |other side|
+        // times (measured 3x on the whole query at sf0.1)
         val bench = emb.filter(col("vec_id") % 20 === 0)
-          .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
-        val cos6 = floor(
-          VectorOps.cosine(col("embedding"), col("bv")) * 1e6).cast("long")
+          .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
+            VectorOps.l2Norm(col("embedding")).as("bnorm"))
+        val cos6 = floor(VectorOps.dot(col("embedding"), col("bv"))
+          / (col("tnorm") * col("bnorm")) * 1e6).cast("long")
         emb.filter(col("vec_id") % 20 =!= 0)
+          .withColumn("tnorm", VectorOps.l2Norm(col("embedding")))
           .crossJoin(broadcast(bench))
           .groupBy(col("vec_id"), col("label"))
           .agg(max(cos6).as("max_cos6"))
@@ -1734,6 +1739,58 @@ object LlmQueries {
           CAST(SUM(chars_clean) AS BIGINT) AS chars_clean,
           CAST(SUM(CASE WHEN chars_clean < chars_norm THEN 1 ELSE 0 END)
             AS BIGINT) AS n_modified
-        FROM d GROUP BY source ORDER BY source"""))
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- per-epoch deterministic global shuffle + batch assignment -----
+    // The training-loader reshuffle: each epoch re-orders the corpus by
+    // md5(doc_id, epoch) and cuts 256-doc batches. The global rank is the
+    // distributed prefix sum over ones (range-partitioned on the hash key
+    // — md5 output is uniform, so ranges balance perfectly); no
+    // single-partition window at any size. Per epoch: batch count, full
+    // batches, and the per-batch source spread (mixing check).
+    "q83_epoch_shuffle" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Windowed
+        val docs = t(s, dir, "documents")
+        val perEpoch = Seq(0, 1).map { e =>
+          val hashed = docs.select(col("doc_id"), col("source"))
+            .withColumn("hkey",
+              md5(concat(col("doc_id").cast("string"), lit(s"#ep$e"))))
+            .withColumn("one", lit(1))
+          val batches = Windowed
+            .distributedCumsum(hashed, "hkey", "one")
+            .withColumn("batch", floor((col("cumsum") - 1) / lit(256.0))
+              .cast("long"))
+            .groupBy("batch")
+            .agg(count(lit(1)).as("c"),
+              countDistinct(col("source")).as("nsrc"))
+          batches.agg(
+            lit(e).as("epoch"),
+            sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_batches"),
+            sum(when(col("c") === 256, 1L).otherwise(0L)).as("n_full"),
+            min(col("nsrc")).as("min_sources_per_batch"))
+        }
+        perEpoch.reduce(_.union(_)).orderBy("epoch")
+      },
+      Some("""WITH eps AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch)),
+        h AS (SELECT e.epoch, d.doc_id, d.source,
+            md5(CAST(d.doc_id AS VARCHAR) || '#ep' || CAST(e.epoch AS VARCHAR))
+              AS hkey
+          FROM documents d CROSS JOIN eps e),
+        r AS (SELECT epoch, source,
+            CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hkey)
+              - 1) / 256.0) AS BIGINT) AS batch
+          FROM h),
+        b AS (SELECT epoch, batch, COUNT(*) AS c,
+            COUNT(DISTINCT source) AS nsrc
+          FROM r GROUP BY 1, 2)
+        SELECT CAST(epoch AS INT) AS epoch,
+          CAST(SUM(c) AS BIGINT) AS n_docs,
+          COUNT(*) AS n_batches,
+          CAST(SUM(CASE WHEN c = 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_full,
+          CAST(MIN(nsrc) AS BIGINT) AS min_sources_per_batch
+        FROM b GROUP BY epoch ORDER BY epoch"""))
   )
 }

@@ -57,6 +57,25 @@ class OperatorsSpec extends SparkSpec {
     Windowed.unpersistAll()
   }
 
+  test("CorpusExport.writeShards: stable membership, balanced dirs, pre-shuffled order") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    CorpusExport.writeShards(docs, "doc_id", out, nShards = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // every shard dir exists and holds data
+    val perShard = back.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(perShard.keySet === Set(0, 1, 2, 3))
+    // membership is the deterministic hash bucket, not writer-dependent
+    val expected = docs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(4L)).cast("int").as("e"))
+      .as[(Long, Int)].collect().toMap
+    val got = back.select(col("doc_id"), col("shard"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === expected)
+  }
+
   test("passages splits words into non-overlapping windows") {
     val df = Seq(
       "a b c d e f g h i j",  // 10 words -> [8, 2]
