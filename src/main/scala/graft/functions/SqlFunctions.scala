@@ -39,7 +39,13 @@ object SqlFunctions {
       e => graft.operators.Dedup.md5Hash48(c(e.head)))
     register(spark, "graft_zvalue2",
       e => graft.operators.ZOrder.zValue2(c(e(0)), c(e(1)), 16))
-    register(spark, "graft_cosine", e => VectorOps.cosine(c(e(0)), c(e(1))))
-    register(spark, "graft_dot", e => VectorOps.dot(c(e(0)), c(e(1))))
+    // SQL literals parse as decimal arrays; the native DotProduct is
+    // strict float/double, so the SQL surface normalizes to array<double>
+    // (identity cast for already-double columns; the Column-DSL hot path
+    // never sees this cast)
+    register(spark, "graft_cosine", e => VectorOps.cosine(
+      c(e(0)).cast("array<double>"), c(e(1)).cast("array<double>")))
+    register(spark, "graft_dot", e => VectorOps.dot(
+      c(e(0)).cast("array<double>"), c(e(1)).cast("array<double>")))
   }
 }

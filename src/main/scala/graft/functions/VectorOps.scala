@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-to-right double-precision dot product. */
+  /** Left-to-right double-precision dot product. Backed by the native
+    * codegen'd [[graft.functions.expressions.DotProduct]] expression — a
+    * fused multiply-add loop with zero per-pair allocation; semantics
+    * (accumulation order, empty -> 0.0, length mismatch / null element ->
+    * NULL) are identical to the previous `aggregate(zip_with(...))` form.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.VectorExpressions.dotProduct(a, b)
 
-  /** Euclidean (L2) norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+  /** Euclidean (L2) norm (sum-of-squares via the native dot product —
+    * same left-to-right double accumulation as the HOF form).
+    */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity = dot(a,b) / (||a|| * ||b||). */
   def cosine(a: Column, b: Column): Column =

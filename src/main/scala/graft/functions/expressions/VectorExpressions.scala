@@ -1,0 +1,104 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over `array<float>` / `array<double>`
+  * columns — the embedding hot path.
+  *
+  * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * allocates a casted copy of each array plus a zipped products array per
+  * ROW-PAIR; inside a (queries x corpus) join that is the dominant cost.
+  * This expression inlines into whole-stage codegen as a bare fused
+  * multiply-add loop over the unsafe array data — no allocation, no
+  * per-element lambda dispatch.
+  *
+  * Semantics EXACTLY match the HOF form (the DuckDB oracles rely on it):
+  * left-to-right double accumulation `acc + (double)a(i) * (double)b(i)`,
+  * empty arrays give 0.0, and a length mismatch or null element gives NULL
+  * (zip_with pads with null; null poisons the aggregate).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      s += get(la, i, lt) * get(ra, i, rt)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    def getter(t: DataType) = t match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+    val (lg, rg) = (getter(elemType(left).get), getter(elemType(right).get))
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += (double) $l.$lg($i) * (double) $r.$rg($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  private val eu = org.apache.spark.sql.GraftColumnBridge
+
+  def dotProduct(a: Column, b: Column): Column =
+    eu.column(DotProduct(eu.expression(a), eu.expression(b)))
+}

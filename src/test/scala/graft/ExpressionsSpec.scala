@@ -50,4 +50,42 @@ class ExpressionsSpec extends SparkSpec {
       Seq(1).toDF("x").select(DecodeExpressions.half_decode(col("x"))).head()
     }
   }
+
+  test("DotProduct matches the HOF form bit-for-bit and keeps its null semantics") {
+    import graft.functions.expressions.VectorExpressions.dotProduct
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    // bit parity with the aggregate(zip_with(cast)) formulation
+    val hof = df.select(aggregate(
+      zip_with(transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    val nat = df.select(dotProduct(col("a"), col("b"))).as[Double].collect()
+    assert(java.lang.Double.doubleToLongBits(nat(0)) ===
+      java.lang.Double.doubleToLongBits(hof(0)))
+    assert(nat(1) === 0.0) // empty arrays -> 0.0 like the HOF init
+    // length mismatch -> null (zip_with pads, null poisons the aggregate)
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b")
+      .select(dotProduct(col("a"), col("b")))
+    assert(mm.head().isNullAt(0))
+    // null array -> null; double arrays work; ints are an analysis error
+    assert(Seq((null: Array[Double], Array(1.0)))
+      .toDF("a", "b").select(dotProduct(col("a"), col("b")))
+      .head().isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .select(dotProduct(col("a"), col("b"))).head()
+    }
+    // stays inside whole-stage codegen (parquet-backed so the local
+    // relation doesn't constant-fold the projection away)
+    val dir = java.nio.file.Files.createTempDirectory("dottest").toString
+    df.write.mode("overwrite").parquet(s"$dir/p")
+    val plan = spark.read.parquet(s"$dir/p")
+      .select(dotProduct(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
