@@ -77,10 +77,13 @@ object Bpe {
         s => s.getField("emit"))).as("seq"))
   }
 
-  /** Weighted symbol count of the current sequences (corpus tokens). */
+  /** Weighted symbol count of the current sequences (corpus tokens).
+    * SUM over an empty word table is NULL, not 0 — coalesce so an empty
+    * corpus fits with zero totals instead of throwing.
+    */
   def totalSymbols(seqs: DataFrame): Long =
-    seqs.select(sum(size(split(col("seq"), " ")) * col("cnt")))
-      .head.getLong(0)
+    seqs.select(coalesce(sum(size(split(col("seq"), " ")) * col("cnt")),
+      lit(0L))).head.getLong(0)
 
   /** Run `rounds` merge rounds over (word, cnt, seq); returns
     * (round, pair, pair_count, total_symbols_after) — round 0 carries the

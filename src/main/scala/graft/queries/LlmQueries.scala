@@ -1764,8 +1764,9 @@ object LlmQueries {
             .groupBy("batch")
             .agg(count(lit(1)).as("c"),
               countDistinct(col("source")).as("nsrc"))
-          batches.agg(
-            lit(e).as("epoch"),
+          // groupBy on the epoch literal (not a global agg): an empty
+          // corpus then yields ZERO rows, matching the oracle's GROUP BY
+          batches.groupBy(lit(e).as("epoch")).agg(
             sum(col("c")).as("n_docs"),
             count(lit(1)).as("n_batches"),
             sum(when(col("c") === 256, 1L).otherwise(0L)).as("n_full"),
