@@ -109,6 +109,16 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = centroidsOf(corpus, idCol, vecCol, nCells)
+    if (cents.isEmpty) {
+      // empty corpus: the centroid array literal would be typeless (VOID)
+      // and fail analysis — short-circuit to an empty result of the same
+      // shape instead
+      return queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"))
+        .withColumn("rank", lit(1))
+        .withColumn("cosine", lit(0.0))
+        .limit(0)
+    }
     val corpusCells = assignCells(corpus, idCol, vecCol, cents, 1,
       "neighbor_id", "cv")
     val queryCells = assignCells(queries, idCol, vecCol, cents, nProbe,

@@ -1284,7 +1284,9 @@ object LlmQueries {
           .select(col("doc_id"), TextOps.words(lower(col("text"))).as("lws"))
         val stats = d.agg(count(lit(1)), sum(size(col("lws")))).head
         val n = stats.getLong(0)
-        val avgdl = stats.getLong(1).toDouble / n
+        // SUM over an empty corpus is NULL; avgdl is only a denominator
+        // for rows that then don't exist, so any finite placeholder works
+        val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
         val tf = d.select(col("doc_id"), size(col("lws")).as("dl"),
             explode(col("lws")).as("w"))
           .filter(col("w").isin(terms: _*))

@@ -27,27 +27,11 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  // one representative per operator family; streaming queries excluded
-  // (file streams over an empty dir are a different wait-semantics test)
-  private val names = Seq(
-    "q01_pricing_summary",   // agg
-    "q07_topk_per_group",    // window
-    "q18_asof_join",         // as-of
-    "q23_dedup_exact",       // exact dedup
-    "q25_jaccard_pairs",     // candidates + verify
-    "q26_minhash_lsh",       // LSH banding
-    "q31_knn_cosine",        // similarity join
-    "q36_equalize_groups",   // min-broadcast equalization
-    "q42_embedding_dedup",   // size-gated exact/LSH routing (count() == 0)
-    "q51_hash_split",        // sampling
-    "q61_char_entropy",      // per-doc explode + entropy
-    "q70_bpe_merges",        // iterative fit (argmax over empty table)
-    "q76_passage_dedup",     // passage explode + hot-set join
-    "q77_pack_chunks",       // distributed prefix sum
-    "q78_mixture_weights",   // temperature weights (log over no groups)
-    "q79_canonical_docs",    // connected components + ranking
-    "q82_boilerplate_strip", // rewrite + reassembly
-    "q83_epoch_shuffle")     // per-epoch shuffle + batch cut
+  // every relational/LLM inventory query; streaming (file-stream wait
+  // semantics) and seamf/media (archive fixtures, not the parquet lake)
+  // are exercised elsewhere
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+    .filter(_.startsWith("q"))
 
   names.foreach { name =>
     test(s"$name completes on empty inputs") {
@@ -59,6 +43,16 @@ class EmptyInputSpec extends SparkSpec {
         case "q70_bpe_merges" =>
           assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
             .toSeq === Seq((0, "<base>", 0L)))
+        // global aggregates (no GROUP BY) emit one all-zero row on empty
+        // input in BOTH engines — that row IS the correct answer
+        case "q11_distinct" | "q12_setops" =>
+          assert(rows.length === 1 &&
+            rows.head.toSeq.forall(v => v == 0L || v == 0 || v == null))
+        // the recall grader reports its two approx-vs-exact families with
+        // zero pair counts and NULL recall (0/0 is undefined, not 1.0)
+        case "q45_dedup_recall" =>
+          assert(rows.length === 2 && rows.forall(r =>
+            r.getLong(1) == 0L && r.isNullAt(3)))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
