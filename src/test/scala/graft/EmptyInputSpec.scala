@@ -31,7 +31,7 @@ class EmptyInputSpec extends SparkSpec {
   // semantics) and seamf/media (archive fixtures, not the parquet lake)
   // are exercised elsewhere
   private val names = SparkEntry.queries.keys.toSeq.sorted
-    .filter(_.startsWith("q"))
+    .filter(n => n.startsWith("q") || n.startsWith("m"))
 
   names.foreach { name =>
     test(s"$name completes on empty inputs") {

@@ -114,4 +114,13 @@ class SeamfReaderSpec extends SparkSpec {
     assert(g.length === 1)
     assert(g.head.getAs[Double]("gap_sec") === 180.0)
   }
+
+  test("empty landing dir decodes to zero rows, not an error") {
+    val empty = Files.createTempDirectory("graft_seamf_empty").toString
+    assert(SeamfReader.traces(spark, empty).count() === 0L)
+    assert(SeamfReader.sweepMetadata(spark, empty).count() === 0L)
+    assert(SeamfReader.channelMetadata(spark, empty).count() === 0L)
+    val emptyZip = Files.createTempDirectory("graft_zip_empty").toString
+    assert(SeamfReader.tracesFromZips(spark, emptyZip).count() === 0L)
+  }
 }
