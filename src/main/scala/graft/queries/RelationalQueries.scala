@@ -1136,6 +1136,112 @@ object RelationalQueries {
           ROWS UNBOUNDED PRECEDING) AS sid FROM l),
         c AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
         SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
-        FROM c GROUP BY user_id ORDER BY user_id"""))
+        FROM c GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- column profiling (data-quality pass over a table) -------------
+    // One row per orders column: row/non-null/distinct counts plus typed
+    // min/max (numeric as double, strings lexicographic). ONE aggregation
+    // pass builds every stat (Spark plans the multi-distinct via Expand —
+    // at 100 TB swap countDistinct for approx_count_distinct and the scan
+    // count drops to 1 with no other change); the per-column rows are then
+    // a stack() unpivot of that single row.
+    "q84_data_profile" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val str = Seq("o_orderstatus", "o_orderpriority")
+        val aggs = (num ++ str).flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")) ++
+            (if (num.contains(c))
+              Seq(min(col(c)).cast("double").as(s"mn_$c"),
+                max(col(c)).cast("double").as(s"mx_$c"))
+            else
+              Seq(min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c")))
+        }
+        val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stacked = (num.map { c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        } ++ str.map { c =>
+          s"'$c', nn_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+            s"ms_$c, xs_$c"
+        }).mkString(", ")
+        one.select(col("n_rows"), expr(
+            s"stack(${num.size + str.size}, $stacked) AS " +
+              "(column_name, n_nonnull, n_distinct, min_d, max_d, min_s, max_s)"))
+          .select("column_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_d", "max_d", "min_s", "max_s")
+          .orderBy("column_name")
+      },
+      Some("""WITH p AS (
+          SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+            COUNT(o_orderkey) AS n_nonnull,
+            COUNT(DISTINCT o_orderkey) AS n_distinct,
+            CAST(MIN(o_orderkey) AS DOUBLE) AS min_d,
+            CAST(MAX(o_orderkey) AS DOUBLE) AS max_d,
+            CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+          FROM orders
+          UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+            COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE),
+            CAST(MAX(o_custkey) AS DOUBLE), NULL, NULL FROM orders
+          UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+            COUNT(DISTINCT o_totalprice), MIN(o_totalprice),
+            MAX(o_totalprice), NULL, NULL FROM orders
+          UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+            COUNT(DISTINCT o_orderstatus), NULL, NULL,
+            MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+          UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+            COUNT(DISTINCT o_orderpriority), NULL, NULL,
+            MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+        SELECT column_name, n_rows, n_nonnull, n_distinct, min_d, max_d,
+          min_s, max_s
+        FROM p ORDER BY column_name""")),
+
+    // ---- constraint validation (deequ-style checks) --------------------
+    // Declarative data-quality checks over the lake: primary-key
+    // uniqueness, referential integrity (anti-join), and value-range
+    // rules, each reduced to a violation count + verdict. Every check is
+    // a partial-aggregable scan or an anti join — nothing driver-side.
+    "q85_quality_checks" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        def check(name: String, violations: org.apache.spark.sql.DataFrame) =
+          violations.select(lit(name).as("check_name"),
+            col("n").cast("long").as("n_violations"))
+        val pk = check("orders_pk_unique",
+          o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n")))
+        val ok = o.select(col("o_orderkey"))
+        val fk = check("lineitem_fk_orders",
+          l.join(ok, l("l_orderkey") === ok("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n")))
+        val qty = check("quantity_in_1_50",
+          l.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+            .agg(count(lit(1)).as("n")))
+        val disc = check("discount_in_0_0p5",
+          l.filter(col("l_discount") < 0 || col("l_discount") > 0.5)
+            .agg(count(lit(1)).as("n")))
+        val price = check("totalprice_positive",
+          o.filter(col("o_totalprice") <= 0).agg(count(lit(1)).as("n")))
+        Seq(pk, fk, qty, disc, price).reduce(_.union(_))
+          .withColumn("passed", col("n_violations") === 0L)
+          .orderBy("check_name")
+      },
+      Some("""WITH c AS (
+          SELECT 'orders_pk_unique' AS check_name,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+          UNION ALL SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL SELECT 'quantity_in_1_50', COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50
+          UNION ALL SELECT 'discount_in_0_0p5', COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5
+          UNION ALL SELECT 'totalprice_positive', COUNT(*) FROM orders
+            WHERE o_totalprice <= 0)
+        SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+          n_violations = 0 AS passed
+        FROM c ORDER BY check_name"""))
   )
 }

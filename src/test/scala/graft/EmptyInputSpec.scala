@@ -53,6 +53,14 @@ class EmptyInputSpec extends SparkSpec {
         case "q45_dedup_recall" =>
           assert(rows.length === 2 && rows.forall(r =>
             r.getLong(1) == 0L && r.isNullAt(3)))
+        // profiling/checks report per-column / per-check rows with zero
+        // counts on an empty table (matching the oracle's UNION ALL of
+        // global aggregates) — an empty lake "passes" every check
+        case "q84_data_profile" =>
+          assert(rows.length === 5 && rows.forall(r => r.getLong(1) == 0L))
+        case "q85_quality_checks" =>
+          assert(rows.length === 5 &&
+            rows.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
