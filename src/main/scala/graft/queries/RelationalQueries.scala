@@ -1242,6 +1242,103 @@ object RelationalQueries {
             WHERE o_totalprice <= 0)
         SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
           n_violations = 0 AS passed
-        FROM c ORDER BY check_name"""))
+        FROM c ORDER BY check_name""")),
+
+    // ---- point-in-interval range join (session attribution) ------------
+    // The batch range-join shape: click events open validity intervals
+    // (SCD2-style, lead-closed, last one open) and purchases attribute to
+    // the interval containing them. Plan: equi-join on user_id + interval
+    // predicate — the shuffle is keyed, the range condition filters inside
+    // the join, and per-user cardinality bounds the pair fan-out (AQE
+    // splits skewed users).
+    "q86_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .withColumn("vf", unix_micros(col("ts")))
+          .withColumn("vt", unix_micros(lead(col("ts"), 1).over(w)))
+          .select(col("user_id"), col("vf"), col("vt"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pts"))
+        buys.join(clicks, Seq("user_id"))
+          .filter(col("pts") >= col("vf") &&
+            (col("vt").isNull || col("pts") < col("vt")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_attributed"),
+            countDistinct(col("vf")).as("n_sessions_hit"),
+            min(col("pts") - col("vf")).as("min_lag_us"))
+          .orderBy("user_id")
+      },
+      Some(s"""$EvCte, c AS (SELECT user_id, epoch_us(ts) AS vf,
+          epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) AS vt
+          FROM ev WHERE user_id < 30 AND event_type = 'click'),
+        b AS (SELECT user_id, epoch_us(ts) AS pts FROM ev
+          WHERE user_id < 30 AND event_type = 'purchase'),
+        j AS (SELECT b.user_id, b.pts, c.vf FROM b JOIN c
+          ON b.user_id = c.user_id AND b.pts >= c.vf
+            AND (c.vt IS NULL OR b.pts < c.vt))
+        SELECT user_id, COUNT(*) AS n_attributed,
+          COUNT(DISTINCT vf) AS n_sessions_hit,
+          CAST(MIN(pts - vf) AS BIGINT) AS min_lag_us
+        FROM j GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- snapshot diff (CDC between two table versions) ----------------
+    // Change-data-capture over two deterministic "versions" of orders
+    // (membership and mutation decided by md5 of the key): full-outer
+    // join on the key classifies every row added / removed / changed /
+    // unchanged. Prices compare as exact integer cents — no float
+    // equality. One keyed shuffle; at 100 TB this is the standard
+    // snapshot-reconciliation plan (or a zero-shuffle one on bucketed
+    // snapshots).
+    "q87_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sampling
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"))
+        val cents = floor(col("o_totalprice") * 100).cast("long")
+        val oldSnap = o
+          .filter(pmod(Sampling.hashUnit(col("o_orderkey"), "v1"), lit(10)) =!= 0)
+          .select(col("o_orderkey").as("k"), cents.as("p_old"))
+        val newSnap = o
+          .filter(pmod(Sampling.hashUnit(col("o_orderkey"), "v2"), lit(10)) =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(pmod(Sampling.hashUnit(col("o_orderkey"), "chg"), lit(5)) === 0,
+              floor(col("o_totalprice") * 110).cast("long"))
+              .otherwise(cents).as("p_new"))
+        oldSnap.join(newSnap, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("p_old").isNull, "added")
+              .when(col("p_new").isNull, "removed")
+              .when(col("p_old") =!= col("p_new"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p
+          FROM orders),
+        h AS (SELECT k, p,
+          CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#v1'), 1, 12))
+            AS BIGINT) % 1000000 AS h1,
+          CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#v2'), 1, 12))
+            AS BIGINT) % 1000000 AS h2,
+          CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#chg'), 1, 12))
+            AS BIGINT) % 1000000 AS hc
+          FROM o),
+        olds AS (SELECT k, CAST(FLOOR(p * 100) AS BIGINT) AS p_old FROM h
+          WHERE h1 % 10 <> 0),
+        news AS (SELECT k, CASE WHEN hc % 5 = 0
+            THEN CAST(FLOOR(p * 110) AS BIGINT)
+            ELSE CAST(FLOOR(p * 100) AS BIGINT) END AS p_new FROM h
+          WHERE h2 % 10 <> 0),
+        f AS (SELECT p_old, p_new FROM olds
+          FULL OUTER JOIN news ON olds.k = news.k),
+        st AS (SELECT CASE WHEN p_old IS NULL THEN 'added'
+            WHEN p_new IS NULL THEN 'removed'
+            WHEN p_old <> p_new THEN 'changed'
+            ELSE 'unchanged' END AS status FROM f)
+        SELECT status, COUNT(*) AS n FROM st
+        GROUP BY status ORDER BY status"""))
   )
 }
