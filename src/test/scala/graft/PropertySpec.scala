@@ -95,6 +95,45 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("distributedCumsum equals the sequential scan for random data/partitioning") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+      parts <- Gen.chooseNum(1, 9)
+      layout <- Gen.chooseNum(1, 8)
+    } yield (vals, parts, layout)
+    check(Prop.forAll(gen) { case (vals, parts, layout) =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v").repartition(layout)
+      val got = graft.operators.Windowed
+        .distributedCumsum(df, "id", "v", nPartitions = parts)
+        .orderBy("id").select("cumsum").as[Long].collect().toSeq
+      graft.operators.Windowed.unpersistAll()
+      got == rows.scanLeft(0L)(_ + _._2).drop(1)
+    }, n = 15)
+  }
+
+  test("passages reassemble to the normalized word sequence") {
+    val word = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      ws <- Gen.listOfN(n, word)
+      p <- Gen.chooseNum(1, 9)
+    } yield (ws, p)
+    check(Prop.forAll(gen) { case (ws, p) =>
+      val text = ws.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(graft.functions.TextOps.passages(col("text"), p))
+        .as[Seq[String]].head()
+      // non-overlapping cover: rejoining passages restores the word stream,
+      // and every passage except the last has exactly p words
+      got.flatMap(_.split(" ")).filter(_.nonEmpty) == ws &&
+        got.dropRight(1).forall(_.split(" ").length == p) &&
+        got.lastOption.forall(_.split(" ").length <= p)
+    }, n = 25)
+  }
+
   test("zValue2 matches reference bit interleave and preserves order per tile") {
     val refZ = (x: Long, y: Long, bits: Int) =>
       (0 until bits).foldLeft(0L) { (acc, i) =>
