@@ -103,6 +103,7 @@ object Bench {
       // a long-lived session doesn't accumulate cached blocks (ADVICE r1)
       graft.operators.Dedup.unpersistAll()
       graft.operators.Windowed.unpersistAll()
+      graft.operators.Bpe.unpersistAll()
       n -> t
     }
     settle()

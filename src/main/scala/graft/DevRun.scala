@@ -36,6 +36,8 @@ object DevRun {
       }
       println(f"$n%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       graft.operators.Dedup.unpersistAll()
+      graft.operators.Windowed.unpersistAll()
+      graft.operators.Bpe.unpersistAll()
     }
     spark.stop()
   }

@@ -30,6 +30,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally {
+          graft.operators.Dedup.unpersistAll()
+          graft.operators.Windowed.unpersistAll()
+          graft.operators.Bpe.unpersistAll()
+        }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -75,14 +75,20 @@ object VectorOps {
       hyperplaneSignBit(vec, seedBase + b, dim).cast("long") * (1L << b)
     }.reduce(_ + _)
 
-  /** Element count of the vector column, from one row (schema carries no
-    * static length for array columns). One column-pruned single-row scan;
-    * 0 for an empty input (callers' `size(vec) === 0` filters then match
-    * nothing, so LSH over an empty corpus returns empty instead of
-    * throwing).
+  /** Element count of the vector column (schema carries no static length
+    * for array columns), computed as the MAX length over the table — a
+    * deterministic one-column aggregation, where a head(1) probe would
+    * depend on partition scan order. 0 for an empty input. Callers that
+    * derive fixed-dim hash planes from this (LSH, random projection) DROP
+    * rows of any other length: a dot against a mismatched-length plane is
+    * NULL, so mixed-dimension corpora (e.g. two encoder versions) must be
+    * partitioned by dimension before hashing — they are not comparable in
+    * one hash space anyway.
     */
   def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    df.agg(max(size(col(vecCol)))).head(1).headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(0)
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = round(x_i / scale). 4x the storage/bandwidth of float32 at ~1%

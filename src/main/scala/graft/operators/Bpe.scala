@@ -89,13 +89,49 @@ object Bpe {
     * (round, pair, pair_count, total_symbols_after) — round 0 carries the
     * initial symbol total with pair "<base>".
     */
+  // persisted final generations handed out by fitWithSeqs whose owners
+  // defer release to the harness (same contract as Dedup/Windowed caches)
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Defer a fitWithSeqs result's release to [[unpersistAll]]. */
+  def track(df: DataFrame): Unit = cachedFrames.add(df)
+
+  /** Release every tracked fitWithSeqs result. */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
+
   def fit(words: DataFrame, rounds: Int): Seq[(Int, String, Long, Long)] = {
+    // stats-only call: release the final table only if the fit persisted
+    // it (zero-merge fits return the caller's input — possibly the
+    // caller's OWN persist, which is not ours to take)
+    val (stats, finalSeqs, fitOwned) = fitImpl(words, rounds)
+    if (fitOwned) finalSeqs.unpersist(blocking = false)
+    stats
+  }
+
+  /** [[fit]] plus the FINAL merged (word, cnt, seq) table — for encoders
+    * (q81) that would otherwise replay every merge the fit just computed.
+    * The returned frame is still persisted; the CALLER owns releasing it
+    * (`.unpersist()` or [[track]]) once consumed.
+    */
+  def fitWithSeqs(words: DataFrame,
+      rounds: Int): (Seq[(Int, String, Long, Long)], DataFrame) = {
+    val (stats, finalSeqs, _) = fitImpl(words, rounds)
+    (stats, finalSeqs)
+  }
+
+  private def fitImpl(words: DataFrame,
+      rounds: Int): (Seq[(Int, String, Long, Long)], DataFrame, Boolean) = {
     // The word table is Zipf-bounded (distinct vocab << corpus): persist
     // each generation so the 2-3 actions per round (argmax, total, next
     // round's counts) do not re-derive the corpus aggregation. All owned
-    // caches release in the finally block (generations are vocab-sized, so
-    // holding them for the fit's duration is cheap and leak-proof even if
-    // an action throws mid-round); a caller-persisted input is left alone.
+    // caches except the returned final generation release in the finally
+    // block (generations are vocab-sized, so holding them for the fit's
+    // duration is cheap and leak-proof even if an action throws
+    // mid-round); a caller-persisted input is left alone.
     val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = {
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
@@ -103,8 +139,10 @@ object Bpe {
       }
       df
     }
+    var seqs: DataFrame = null
+    var ok = false
     try {
-      var seqs = cache(words)
+      seqs = cache(words)
       var out = Vector((0, "<base>", 0L, totalSymbols(seqs)))
       var r = 1
       var exhausted = false
@@ -121,7 +159,11 @@ object Bpe {
             r += 1
         }
       }
-      out
-    } finally owned.foreach(_.unpersist(blocking = false))
+      ok = true
+      (out, seqs, owned.exists(_ eq seqs))
+    } finally
+      // on failure release EVERYTHING (nothing is handed to the caller)
+      owned.filter(d => !ok || (d ne seqs))
+        .foreach(_.unpersist(blocking = false))
   }
 }

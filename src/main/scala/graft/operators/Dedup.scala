@@ -402,8 +402,9 @@ object Dedup {
     val nPart = if (numPartitions > 0) numPartitions
       else math.max(2, scala.util.Try(prev.toInt).getOrElse(32) / 4)
     spark.conf.set(key, nPart.toString)
+    var edges: DataFrame = null
     try {
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // eager localCheckpoint each round: each iteration's plan references
@@ -441,9 +442,13 @@ object Dedup {
       require(done,
         s"connectedComponents did not converge within $maxIter rounds " +
           "(component diameter exceeds maxIter) — raise maxIter")
-      edges.unpersist(blocking = false)
       labels
-    } finally spark.conf.set(key, prev)
+    } finally {
+      // release even when require(done) throws: the dup-subgraph cache
+      // would otherwise stay pinned in a long-lived session per failed call
+      if (edges != null) edges.unpersist(blocking = false)
+      spark.conf.set(key, prev)
+    }
   }
 
   /** 64-bit SimHash from a pre-computed `array<long>` of token hashes:

@@ -119,6 +119,13 @@ object Windowed {
     */
   def distributedCumsum(df: DataFrame, orderCol: String, valueCol: String,
       nPartitions: Int = 32): DataFrame = {
+    // exact-long accumulation: fractional inputs would silently truncate
+    // in the long cast below — refuse them (scale to integer units first,
+    // e.g. cents or micro-tokens, like every exact sum in this engine)
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"distributedCumsum needs an integral valueCol, got ${vt.simpleString}" +
+        " — floor-scale to integer units first")
     val ranged = df.repartitionByRange(nPartitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,30 @@ object LlmQueries {
   private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
 
+  // Recursive connected-components CTE chain over exhaustive Jaccard pairs
+  // (threshold 0.2, 3-shingles) — shared by the q52 and q79 oracles so the
+  // clustering definition cannot silently diverge between them. Expects
+  // the WordsCte `w` binding; yields comp(node, label).
+  private val ComponentsCte: String =
+    """g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+      sh AS (SELECT DISTINCT doc_id,
+        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
+      sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (SELECT id_a, id_b FROM pr
+        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
+          >= 0.2),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p),
+      nd AS (SELECT DISTINCT src AS id FROM e),
+      reach AS (SELECT id AS node, id AS root FROM nd
+        UNION SELECT e.dst AS node, r.root FROM reach r
+          JOIN e ON e.src = r.node),
+      comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)"""
+
   // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
   // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
   // the post-merge weighted symbol total tot{k}. Mirrors Bpe.applyMerge
@@ -1376,24 +1400,7 @@ object LlmQueries {
           .orderBy("cluster_root")
       },
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
-        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
-        sh AS (SELECT DISTINCT doc_id,
-          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
-        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        p AS (SELECT id_a, id_b FROM pr
-          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
-            >= 0.2),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
-          UNION SELECT id_b, id_a FROM p),
-        nd AS (SELECT DISTINCT src AS id FROM e),
-        reach AS (SELECT id AS node, id AS root FROM nd
-          UNION SELECT e.dst AS node, r.root FROM reach r
-            JOIN e ON e.src = r.node),
-        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
+        $ComponentsCte
         SELECT label AS cluster_root, COUNT(*) AS n_docs,
           list_sort(list(node)) AS doc_ids
         FROM comp GROUP BY label ORDER BY cluster_root""")),
@@ -1554,24 +1561,7 @@ object LlmQueries {
           .orderBy("cluster_root")
       },
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
-        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
-        sh AS (SELECT DISTINCT doc_id,
-          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
-        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        p AS (SELECT id_a, id_b FROM pr
-          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
-            >= 0.2),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
-          UNION SELECT id_b, id_a FROM p),
-        nd AS (SELECT DISTINCT src AS id FROM e),
-        reach AS (SELECT id AS node, id AS root FROM nd
-          UNION SELECT e.dst AS node, r.root FROM reach r
-            JOIN e ON e.src = r.node),
-        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node),
+        $ComponentsCte,
         qs AS (SELECT doc_id,
             CAST(FLOOR((LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
               + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
@@ -1607,13 +1597,17 @@ object LlmQueries {
         // norms once per row on each side, BEFORE the BNL join — computing
         // them inside the pair expression would redo each norm |other side|
         // times (measured 3x on the whole query at sf0.1)
+        // zero-vector guard (q53 discipline): cosine against a zero norm is
+        // 0/0 = NaN, which the oracle's CAST(FLOOR(NaN)) hard-errors on
         val bench = emb.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
             VectorOps.l2Norm(col("embedding")).as("bnorm"))
+          .filter(col("bnorm") > 0)
         val cos6 = floor(VectorOps.dot(col("embedding"), col("bv"))
           / (col("tnorm") * col("bnorm")) * 1e6).cast("long")
         emb.filter(col("vec_id") % 20 =!= 0)
           .withColumn("tnorm", VectorOps.l2Norm(col("embedding")))
+          .filter(col("tnorm") > 0)
           .crossJoin(broadcast(bench))
           .groupBy(col("vec_id"), col("label"))
           .agg(max(cos6).as("max_cos6"))
@@ -1628,13 +1622,14 @@ object LlmQueries {
       Some("""WITH e AS (SELECT vec_id, label,
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (SELECT vec_id AS bench_id, v AS bv FROM e
-          WHERE vec_id % 20 = 0),
+          WHERE vec_id % 20 = 0 AND list_dot_product(v, v) > 0),
         mx AS (SELECT t.vec_id, t.label,
             MAX(CAST(FLOOR(list_dot_product(t.v, b.bv) /
               (sqrt(list_dot_product(t.v, t.v)) *
                sqrt(list_dot_product(b.bv, b.bv))) * 1e6) AS BIGINT))
               AS max_cos6
           FROM e t, b WHERE t.vec_id % 20 <> 0
+            AND list_dot_product(t.v, t.v) > 0
           GROUP BY 1, 2)
         SELECT label, COUNT(*) AS n_train,
           CAST(SUM(CASE WHEN max_cos6 >= 920000 THEN 1 ELSE 0 END)
@@ -1656,11 +1651,13 @@ object LlmQueries {
             explode(TextOps.words(lower(col("text")))).as("word"))
         val words = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
           .withColumn("seq", Bpe.charSeq(col("word")))
-        var seqs = words
-        Bpe.fit(words, 3).filter(_._1 > 0).foreach { case (_, pair, _, _) =>
-          val Array(p1, p2) = pair.split(" ", 2)
-          seqs = Bpe.applyMerge(seqs, p1, p2)
-        }
+        // fitWithSeqs hands back the fit's own final merged table — no
+        // replay of the three merge passes. It stays persisted until the
+        // encode job has run; ownership passes to the module registry
+        // (released by the harness's per-query Bpe.unpersistAll, same
+        // contract as Dedup/Windowed caches)
+        val (_, seqs) = Bpe.fitWithSeqs(words, 3)
+        Bpe.track(seqs)
         val wordLens = seqs.select(col("word"),
           size(split(col("seq"), " ")).as("ntok"))
         tokens.join(broadcast(wordLens), "word")

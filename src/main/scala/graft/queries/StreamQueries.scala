@@ -198,7 +198,7 @@ object StreamQueries {
             StreamingOps.documentsStream(s, dir)
               .filter(col("doc_id") % 2 === 1), corpus),
           "w09_mem", outputMode = "complete")
-        streamed.select(col("lang"), col("n_new"), col("n_dup"))
+        streamed.select(col("lang"), col("n_in"), col("n_dup"), col("n_new"))
           .orderBy("lang")
       },
       Some("""WITH ck AS (SELECT DISTINCT
@@ -206,11 +206,13 @@ object StreamQueries {
           FROM documents WHERE doc_id % 2 = 0),
         inc AS (SELECT lang,
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
-          FROM documents WHERE doc_id % 2 = 1)
-        SELECT lang, COUNT(*) AS n_new,
+          FROM documents WHERE doc_id % 2 = 1),
+        a AS (SELECT lang, COUNT(*) AS n_in,
           CAST(SUM(CASE WHEN k IN (SELECT k FROM ck) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup
-        FROM inc GROUP BY lang ORDER BY lang""")),
+          FROM inc GROUP BY lang)
+        SELECT lang, n_in, n_dup, n_in - n_dup AS n_new
+        FROM a ORDER BY lang""")),
 
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(

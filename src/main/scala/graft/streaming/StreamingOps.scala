@@ -149,8 +149,9 @@ object StreamingOps {
     docs.withColumn("k", key(col("text")))
       .join(broadcast(corpusKeys), Seq("k"), "left")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_new"),
+      .agg(count(lit(1)).as("n_in"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("n_new", col("n_in") - col("n_dup"))
   }
 
   /** Stream-static enrichment: broadcast-join the event stream to a static
