@@ -1339,6 +1339,76 @@ object RelationalQueries {
             WHEN p_old <> p_new THEN 'changed'
             ELSE 'unchanged' END AS status FROM f)
         SELECT status, COUNT(*) AS n FROM st
-        GROUP BY status ORDER BY status"""))
+        GROUP BY status ORDER BY status""")),
+
+    // ---- histogram-sketch quantiles (the percentile scale path) --------
+    // q19's exact percentile buffers per-group values — fine for oracle
+    // parity, wrong at 100 TB. This is the mergeable alternative: one
+    // min/max pass, one 64-bin histogram aggregation (map-side combinable,
+    // partition-invariant), then linear interpolation inside the target
+    // bin. Unlike t-digest/approx_percentile the estimate is a closed-form
+    // deterministic function of (min, max, bin counts) — so DuckDB replays
+    // it exactly, which implementation-defined sketches can't do.
+    "q88_hist_quantiles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nb = 64
+        val x = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+        val qvals = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+        val mm = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx")).head
+        // empty/degenerate input: no histogram to build — empty result of
+        // the right shape (EmptyInputSpec) rather than a NULL min crash
+        if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) {
+          qvals.toDF("q").withColumn("qbin", lit(0))
+            .withColumn("estimate6", lit(0L)).limit(0)
+        } else {
+          val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+          val width = (mx - mn) / nb
+          val bins = x
+            .withColumn("bin",
+              least(floor((col("x") - mn) / width), lit(nb - 1)).cast("int"))
+            .groupBy("bin").agg(count(lit(1)).as("c"))
+          val w = Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = bins // 64 rows: the only unpartitioned window is tiny
+            .withColumn("cum", sum(col("c")).over(w))
+            .withColumn("cum_prev", col("cum") - col("c"))
+          val tot = bins.agg(sum(col("c")).as("n"))
+          val qs = qvals.toDF("q")
+          val hit = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+            .filter(col("cum") >= col("q") * col("n"))
+            .groupBy("q").agg(min(col("bin")).as("qbin"))
+          hit.join(cum.select(col("bin"), col("c"), col("cum_prev")),
+              hit("qbin") === col("bin"))
+            .join(broadcast(tot))
+            .withColumn("estimate6", floor(
+              (lit(mn) + (col("qbin") +
+                (col("q") * col("n") - col("cum_prev")) / col("c")) * width)
+                * 1e6).cast("long"))
+            .select(col("q"), col("qbin"), col("estimate6"))
+            .orderBy("q")
+        }
+      },
+      Some("""WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+        mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+          (MAX(x) - MIN(x)) / 64 AS width FROM x),
+        b AS (SELECT CAST(LEAST(FLOOR((x - (SELECT mn FROM mm))
+            / (SELECT width FROM mm)), 63) AS INT) AS bin,
+          COUNT(*) AS c FROM x GROUP BY 1),
+        cum AS (SELECT bin, c,
+          SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - c
+            AS cum_prev FROM b),
+        tot AS (SELECT SUM(c) AS n FROM b),
+        qs AS (SELECT CAST(q AS DOUBLE) AS q FROM
+          (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)) AS t(q)),
+        hit AS (SELECT q, MIN(bin) AS qbin FROM cum, tot, qs
+          WHERE cum >= q * n GROUP BY q)
+        SELECT hit.q, hit.qbin,
+          CAST(FLOOR(((SELECT mn FROM mm) + (hit.qbin +
+            (hit.q * (SELECT n FROM tot) - cum.cum_prev) / cum.c)
+            * (SELECT width FROM mm)) * 1e6) AS BIGINT) AS estimate6
+        FROM hit JOIN cum ON cum.bin = hit.qbin
+        ORDER BY hit.q"""))
   )
 }
