@@ -104,15 +104,22 @@ object TextOps {
     // deliberately NOT rounded: the raw IEEE sum of identical inputs is
     // engine-identical, while round(.,6) is not — Spark rounds the decimal
     // STRING repr (BigDecimal.valueOf) and DuckDB the binary double, which
-    // disagree when a score lands near a half boundary (seen in q72)
-    lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3
+    // disagree when a score lands near a half boundary (seen in q72).
+    // Null-guarded: `least` SKIPS nulls, so without the guard a null text
+    // scores least(null, 1.0)*0.4 + 0.3 = 0.7 — and quality-weighted
+    // sampling would keep 70% of null docs
+    when(text.isNotNull, lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3)
   }
 
   /** 64-bit rolling-hash document fingerprint: xxhash64 over the normalized
     * (lowercased, whitespace-collapsed) text. Exact-dup detection key.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    // xxhash64 IGNORES null inputs (hashes just the seed), which would
+    // silently group every null-text doc as mutual "duplicates" — keep
+    // null text -> null fingerprint instead
+    when(text.isNotNull,
+      xxhash64(regexp_replace(lower(trim(text)), "\\s+", " ")))
 
   /** Winnowed document fingerprints (the MOSS/winnowing rolling-hash
     * scheme): hash every k-shingle, slide a window of `w` consecutive

@@ -76,6 +76,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("text operators null-propagate on null text (no crash, no -1 sizes)") {
+    val df = Seq((1L, "hello world foo"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      TextOps.wordCount(col("text")).as("wc"),
+      TextOps.qualityScore(col("text"), Seq("the")).as("q"),
+      TextOps.passages(col("text"), 2).as("p"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.langIdHeuristic(col("text")).as("lang"))
+      .collect()
+    val nullRow = out(1)
+    // null text -> null wc/quality/passages/fingerprint ("und" for langid:
+    // undetermined is the right label for missing text too). In particular
+    // quality must NOT be 0.7 (least() skips nulls) and fingerprint must
+    // NOT be xxhash64's seed hash (it ignores null inputs) — both would
+    // silently pollute sampling and dedup
+    assert(Seq(0, 1, 2, 3).forall(nullRow.isNullAt))
+    assert(nullRow.getString(4) === "und")
+    // empty text -> zero words, empty passages, a real fingerprint
+    assert(out(2).getInt(0) === 0 && out(2).getSeq[String](2).isEmpty)
+    assert(!out(2).isNullAt(3))
+  }
+
   test("passages splits words into non-overlapping windows") {
     val df = Seq(
       "a b c d e f g h i j",  // 10 words -> [8, 2]
