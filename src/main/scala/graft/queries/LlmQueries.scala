@@ -363,7 +363,10 @@ object LlmQueries {
           len(list_filter(ws, x -> lower(x) IN ('的','是','了','在','我','有','和','不'))) AS zh
         FROM w),
         p AS (SELECT lang,
-          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+          -- null text -> every marker count NULL -> every WHEN comparison
+          -- NULL -> would fall through to ELSE 'de'; say 'und' like the
+          -- engine (undetermined is the right label for missing text)
+          CASE WHEN en IS NULL OR greatest(en, de, fr, es, zh) = 0 THEN 'und'
                WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
                WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
                WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
@@ -1015,6 +1018,7 @@ object LlmQueries {
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
           FROM documents),
         q AS (SELECT doc_id, source,
+            CASE WHEN text IS NULL THEN NULL ELSE
             LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
               + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
                     '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
@@ -1024,7 +1028,7 @@ object LlmQueries {
                     ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
                     lower(x)))) AS DOUBLE)
                   / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
-              AS q
+              END AS q
           FROM d),
         k AS (SELECT source, q,
             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wq'), 1, 12))
@@ -1109,9 +1113,13 @@ object LlmQueries {
     // transcendental in this inventory (q50's round(.,6) included).
     "q61_char_entropy" -> QueryDef(
       (s, dir) => {
+        // n > 0: entropy of a zero-length text is undefined, and the c/n
+        // term would divide by zero under ANSI mode (split("", "") still
+        // yields one empty element, so the explode does NOT drop empties)
         val cnt = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), length(col("text")).as("n"),
             explode(split(col("text"), "")).as("ch"))
+          .filter(col("n") > 0)
           .groupBy("doc_id", "source", "n", "ch")
           .agg(count(lit(1)).as("c"))
         val h = cnt.groupBy("doc_id", "source")
@@ -1127,7 +1135,8 @@ object LlmQueries {
           .orderBy("source")
       },
       Some("""WITH ce AS (SELECT doc_id, source, len(text) AS n,
-          unnest(string_split_regex(text, '')) AS ch FROM documents),
+          unnest(string_split_regex(text, '')) AS ch FROM documents
+          WHERE len(text) > 0),
         cnt AS (SELECT doc_id, source, n, ch, COUNT(*) AS c
           FROM ce GROUP BY doc_id, source, n, ch),
         h AS (SELECT doc_id, source,
@@ -1563,7 +1572,8 @@ object LlmQueries {
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
         $ComponentsCte,
         qs AS (SELECT doc_id,
-            CAST(FLOOR((LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+            CAST(FLOOR((CASE WHEN text IS NULL THEN NULL ELSE
+              LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
               + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
                     '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
                   / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
@@ -1571,7 +1581,8 @@ object LlmQueries {
               + LEAST(CAST(len(list_filter(ws, x -> list_contains(
                     ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
                     lower(x)))) AS DOUBLE)
-                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3)
+                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+              END)
               * 1e9) AS BIGINT) AS q9
           FROM w),
         sc AS (SELECT comp.node AS id, comp.label, qs.q9
