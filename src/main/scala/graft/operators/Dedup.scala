@@ -40,6 +40,10 @@ object Dedup {
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      // null fingerprint = null text = unknown content: groupBy would
+      // bucket all of them into ONE null group and a keep-one-per-group
+      // pipeline would drop every null doc but one
+      .filter(col("fingerprint").isNotNull)
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_dups"),
         sort_array(collect_list(col(idCol))).as("doc_ids"))

@@ -41,6 +41,23 @@ object LlmQueries {
   private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
 
+  // CASE-guarded quality-score formula (TextOps.qualityScore replica,
+  // null text -> NULL) — shared by the q72 and q79 oracles so the formula
+  // cannot silently diverge between them. Expects `text` and the word
+  // array `ws` in scope.
+  private val QualityScoreSql: String =
+    """CASE WHEN text IS NULL THEN NULL ELSE
+            LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
+                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
+                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
+                THEN 1.0 ELSE 0.0 END) * 0.3
+              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
+                    lower(x)))) AS DOUBLE)
+                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+              END"""
+
   // Recursive connected-components CTE chain over exhaustive Jaccard pairs
   // (threshold 0.2, 3-shingles) — shared by the q52 and q79 oracles so the
   // clustering definition cannot silently diverge between them. Expects
@@ -1014,21 +1031,11 @@ object LlmQueries {
               / 1e9).as("avg_q_kept"))
           .orderBy("source")
       },
-      Some("""WITH d AS (SELECT doc_id, source, text,
+      Some(raw"""WITH d AS (SELECT doc_id, source, text,
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
           FROM documents),
         q AS (SELECT doc_id, source,
-            CASE WHEN text IS NULL THEN NULL ELSE
-            LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
-                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
-                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
-                THEN 1.0 ELSE 0.0 END) * 0.3
-              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
-                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
-                    lower(x)))) AS DOUBLE)
-                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
-              END AS q
+            $QualityScoreSql AS q
           FROM d),
         k AS (SELECT source, q,
             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wq'), 1, 12))
@@ -1572,17 +1579,7 @@ object LlmQueries {
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
         $ComponentsCte,
         qs AS (SELECT doc_id,
-            CAST(FLOOR((CASE WHEN text IS NULL THEN NULL ELSE
-              LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
-                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
-                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
-                THEN 1.0 ELSE 0.0 END) * 0.3
-              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
-                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
-                    lower(x)))) AS DOUBLE)
-                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
-              END)
+            CAST(FLOOR(($QualityScoreSql)
               * 1e9) AS BIGINT) AS q9
           FROM w),
         sc AS (SELECT comp.node AS id, comp.label, qs.q9

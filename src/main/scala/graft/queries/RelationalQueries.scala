@@ -1356,44 +1356,48 @@ object RelationalQueries {
         val x = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
         val qvals = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
         val mm = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx")).head
-        // empty/degenerate input: no histogram to build — empty result of
-        // the right shape (EmptyInputSpec) rather than a NULL min crash
-        if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) {
+        // empty input: no histogram — empty result of the right shape
+        // (EmptyInputSpec) rather than a NULL min crash
+        if (mm.isNullAt(0)) {
           qvals.toDF("q").withColumn("qbin", lit(0))
             .withColumn("estimate6", lit(0L)).limit(0)
         } else {
           val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+          // constant column: every quantile IS the constant (width-0
+          // arithmetic below and in the oracle collapses to mn exactly)
           val width = (mx - mn) / nb
+          // the histogram aggregation is the ONE distributed pass; the
+          // 64-row result collects and quantile extraction is driver-side
+          // scalar arithmetic (a distributed formulation re-scanned the
+          // table 4x: join-reuse does not kick in across cum/tot/hit)
           val bins = x
-            .withColumn("bin",
-              least(floor((col("x") - mn) / width), lit(nb - 1)).cast("int"))
+            .withColumn("bin", if (width == 0) lit(0)
+              else least(floor((col("x") - mn) / width), lit(nb - 1))
+                .cast("int"))
             .groupBy("bin").agg(count(lit(1)).as("c"))
-          val w = Window.orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val cum = bins // 64 rows: the only unpartitioned window is tiny
-            .withColumn("cum", sum(col("c")).over(w))
-            .withColumn("cum_prev", col("cum") - col("c"))
-          val tot = bins.agg(sum(col("c")).as("n"))
-          val qs = qvals.toDF("q")
-          val hit = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
-            .filter(col("cum") >= col("q") * col("n"))
-            .groupBy("q").agg(min(col("bin")).as("qbin"))
-          hit.join(cum.select(col("bin"), col("c"), col("cum_prev")),
-              hit("qbin") === col("bin"))
-            .join(broadcast(tot))
-            .withColumn("estimate6", floor(
-              (lit(mn) + (col("qbin") +
-                (col("q") * col("n") - col("cum_prev")) / col("c")) * width)
-                * 1e6).cast("long"))
-            .select(col("q"), col("qbin"), col("estimate6"))
-            .orderBy("q")
+            .orderBy("bin")
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          val n = bins.map(_._2).sum
+          val cum = bins.scanLeft((0, 0L)) { case ((_, acc), (b, c)) =>
+            (b, acc + c)
+          }.drop(1)
+          val rows = qvals.map { q =>
+            val target = q * n
+            val idx = cum.indexWhere(_._2 >= target)
+            val (qbin, c) = (bins(idx)._1, bins(idx)._2)
+            val cumPrev = cum(idx)._2 - c
+            val est = mn + (qbin + (target - cumPrev) / c) * width
+            (q, qbin, math.floor(est * 1e6).toLong)
+          }
+          rows.toDF("q", "qbin", "estimate6").orderBy("q")
         }
       },
       Some("""WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
         mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
           (MAX(x) - MIN(x)) / 64 AS width FROM x),
-        b AS (SELECT CAST(LEAST(FLOOR((x - (SELECT mn FROM mm))
-            / (SELECT width FROM mm)), 63) AS INT) AS bin,
+        b AS (SELECT CAST(CASE WHEN (SELECT width FROM mm) = 0 THEN 0
+            ELSE LEAST(FLOOR((x - (SELECT mn FROM mm))
+              / (SELECT width FROM mm)), 63) END AS INT) AS bin,
           COUNT(*) AS c FROM x GROUP BY 1),
         cum AS (SELECT bin, c,
           SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,

@@ -39,7 +39,8 @@ class NullTextSpec extends SparkSpec {
     "q55_repetition_quality", "q61_char_entropy", "q70_bpe_merges",
     "q72_weighted_sample", "q73_lang_rebalance", "q74_bigram_entropy",
     "q76_passage_dedup", "q77_pack_chunks", "q78_mixture_weights",
-    "q81_bpe_encode", "q82_boilerplate_strip", "q83_epoch_shuffle")
+    "q79_canonical_docs", "q81_bpe_encode", "q82_boilerplate_strip",
+    "q83_epoch_shuffle")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
