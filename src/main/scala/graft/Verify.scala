@@ -34,6 +34,7 @@ object Verify {
           graft.operators.Dedup.unpersistAll()
           graft.operators.Windowed.unpersistAll()
           graft.operators.Bpe.unpersistAll()
+          graft.operators.KMeans.unpersistAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -44,16 +44,22 @@ object TextOps {
   /** Number of whitespace tokens. */
   def wordCount(text: Column): Column = size(words(text))
 
+  /** `k`-word shingles from an ALREADY-TOKENIZED word array — for callers
+    * that need several shingle sizes from one tokenization (bind the word
+    * array once with [[letCol]] and call this per k; [[shingles]] would
+    * re-split the text for every k).
+    */
+  def shinglesOf(ws: Column, k: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+        i => array_join(slice(ws, i + 1, lit(k)), " ")),
+      s => size(split(s, " ")) === k)
+
   /** `k`-word shingles joined with single spaces: the unit of n-gram
     * dedup / Jaccard similarity.
     */
   def shingles(text: Column, k: Int): Column =
-    letCol(words(text)) { ws =>
-      filter(
-        transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
-          i => array_join(slice(ws, i + 1, lit(k)), " ")),
-        s => size(split(s, " ")) === k)
-    }
+    letCol(words(text))(ws => shinglesOf(ws, k))
 
   /** Distinct shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))

@@ -397,19 +397,26 @@ object Dedup {
     // default: each round runs 2 joins + 1 agg, and near-empty partitions
     // dominate the round's wall clock otherwise. At true scale pass an
     // explicit numPartitions sized to the pair count.
-    // NOTE: scoped session-conf override (restored in finally) — assumes no
-    // concurrent planning on this session, which holds for the batch
-    // harness. At true scale pass numPartitions explicitly.
+    // The sizing is EXPLICIT per-frame hash repartitioning on the round's
+    // shuffle keys — never a spark.sql.shuffle.partitions override, which
+    // would race any concurrent planning on a shared session. Each round's
+    // joins/agg then reuse the incoming hash partitioning instead of
+    // inserting corpus-width exchanges.
     val spark = pairs.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
+    val sessionPart = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
     val nPart = if (numPartitions > 0) numPartitions
-      else math.max(2, scala.util.Try(prev.toInt).getOrElse(32) / 4)
-    spark.conf.set(key, nPart.toString)
+      else math.max(2, sessionPart / 4)
     var edges: DataFrame = null
     try {
-      edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // symmetrize via per-row explode, NOT union of two selects: a union
+      // would execute the (often expensive) upstream pair pipeline twice
+      edges = pairs
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(nPart, col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // eager localCheckpoint each round: each iteration's plan references
       // the previous labels frame several times, so WITHOUT lineage
@@ -419,23 +426,32 @@ object Dedup {
       // shape for iterative DataFrame algorithms.
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
+        .repartition(nPart, col("id"))
         .localCheckpoint(true)
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
+        // repartition-by-dst BEFORE the agg: HashPartitioning(dst, nPart)
+        // satisfies the aggregate's required distribution, so the round's
+        // only corpus-width-independent exchange is this one — the agg and
+        // both id-keyed joins reuse incoming (alias-aware) partitionings.
         val neigh = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
+          .repartition(nPart, col("dst"))
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        // min-label only decreases, so "changed" is newLabel < label —
+        // carried as a flag through the eager checkpoint instead of
+        // re-joining next against labels (saves one join job per round)
+        val newLabel =
+          least(col("label"), coalesce(col("nlabel"), col("label")))
         val next = labels
           .join(neigh, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label")))
-              .as("label"))
+          .select(col("id"), newLabel.as("label"),
+            (newLabel < col("label")).as("__changed"))
+          .repartition(nPart, col("id"))
           .localCheckpoint(true)
-        val changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "id")
-          .filter(col("label") =!= col("prev")).count()
-        labels = next
+        val changed = next.filter(col("__changed")).count()
+        labels = next.drop("__changed")
         done = changed == 0
         iter += 1
       }
@@ -451,7 +467,6 @@ object Dedup {
       // release even when require(done) throws: the dup-subgraph cache
       // would otherwise stay pinned in a long-lived session per failed call
       if (edges != null) edges.unpersist(blocking = false)
-      spark.conf.set(key, prev)
     }
   }
 

@@ -28,12 +28,25 @@ import org.apache.spark.sql.types.DecimalType
   * via hash uniformity).
   *
   * Scale: per iteration, the only data-sized shuffles are (id, cid, dist)
-  * and the filtered (cid, dim, x) partial sums. At 100 TB the exploded
-  * points DataFrame would be persisted across iterations (and the iteration
-  * count raised); the plan shape is unchanged.
+  * and the filtered (cid, dim, x) partial sums. The exploded points frame
+  * is persisted once across all iterations (each Lloyd round scans it
+  * twice: distance join + mean update); release with [[unpersistAll]].
   */
 object KMeans {
   private val Dec = DecimalType(24, 15)
+
+  // persisted exploded-points frames from fit(); released via
+  // [[unpersistAll]] (same ownership contract as Dedup/Windowed)
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every exploded-points frame persisted by [[fit]]. */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) {
+      df.unpersist(blocking = false); df = cachedFrames.poll()
+    }
+  }
 
   /** Long-format view of a vector column: (id, dim [1-based], x double). */
   def explodeVec(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -94,6 +107,8 @@ object KMeans {
       : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pts = explodeVec(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(pts)
     var centroids = seedCentroids(df, idCol, vecCol, k)
     var assignment = assign(distances(pts, centroids))
     var i = 1

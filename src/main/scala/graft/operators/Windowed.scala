@@ -144,4 +144,37 @@ object Windowed {
         col("__offset") + sum(col(valueCol).cast("long")).over(wIn))
       .drop("__pid", "__offset")
   }
+
+  /** Global `lag(orderCol, 1)` WITHOUT a single-partition window — the same
+    * two-phase trick as [[distributedCumsum]]: range-partition on the order
+    * key (partition ids follow key order), lag within each partition, and
+    * patch each partition's FIRST row with the previous partitions' maximum
+    * key (broadcast, one row per partition). The global first row keeps a
+    * NULL lag, matching `lag` semantics. Equal keys land in one partition
+    * under range partitioning, so boundary ties are safe.
+    *
+    * Output: input columns + `prev` (the preceding orderCol value). The
+    * range-partitioned input is persisted (scanned by the totals pass and
+    * the final join); release with [[unpersistAll]].
+    */
+  def distributedLag(df: DataFrame, orderCol: String,
+      nPartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(nPartitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(ranged)
+    val wPrefix = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // max over ALL preceding partitions (not just pid-1): robust to empty
+    // range partitions, still one row per partition through the window
+    val prevMax = ranged.groupBy("__pid")
+      .agg(max(col(orderCol)).as("__pmax"))
+      .withColumn("__prevmax", max(col("__pmax")).over(wPrefix))
+      .select("__pid", "__prevmax")
+    val wIn = Window.partitionBy("__pid").orderBy(col(orderCol))
+    ranged.join(broadcast(prevMax), "__pid")
+      .withColumn("prev",
+        coalesce(lag(col(orderCol), 1).over(wIn), col("__prevmax")))
+      .drop("__pid", "__prevmax")
+  }
 }

@@ -1242,18 +1242,22 @@ object LlmQueries {
     // (doc,k) partial aggregates -> per-language exact means (1e-9 floor-
     // scaled longs). Single shuffle chain, all partial-aggregable; the
     // short `lang` tag rides the explode instead of a doc-keyed join back.
+    // The word array is bound ONCE per row (letCol) and all three shingle
+    // sizes + the min-length gate derive from it — the naive form re-runs
+    // the whitespace split four times per document. Short docs yield an
+    // empty array, which explode drops (same rows as the length filter).
     "q55_repetition_quality" -> QueryDef(
       (s, dir) => {
-        def tagged(lt: org.apache.spark.sql.Column, k: Int) =
-          transform(TextOps.shingles(lt, k),
+        def tagged(ws: org.apache.spark.sql.Column, k: Int) =
+          transform(TextOps.shinglesOf(ws, k),
             x => struct(lit(k).as("k"), x.as("sh")))
         val sh = t(s, dir, "documents")
-          .filter(size(TextOps.words(col("text"))) >= 3)
-          .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
           .select(col("doc_id"), col("lang"),
-            explode(flatten(array(
-              tagged(col("lt"), 1), tagged(col("lt"), 2), tagged(col("lt"), 3))))
-              .as("t"))
+            explode(TextOps.letCol(TextOps.words(lower(col("text")))) { ws =>
+              when(size(ws) >= 3,
+                flatten(array(tagged(ws, 1), tagged(ws, 2), tagged(ws, 3))))
+                .otherwise(array().cast("array<struct<k:int,sh:string>>"))
+            }).as("t"))
           .select(col("doc_id"), col("lang"),
             col("t.k").as("k"), col("t.sh").as("sh"))
         val perDoc = sh.groupBy("doc_id", "lang", "k", "sh")
@@ -1402,6 +1406,13 @@ object LlmQueries {
     // Pairs -> clusters: what "keep one doc per dup group" actually needs.
     // Spark side runs iterative min-label propagation; the oracle computes
     // the same components with a recursive transitive-closure CTE.
+    // The exhaustive pair generation here (maxDf effectively unbounded) is
+    // the ORACLE-BASELINE configuration: it is only tractable at fixture
+    // scale and exists so the clusters can be checked exactly against the
+    // recursive CTE. The scale path — LSH candidates + exact verify feeding
+    // the same connectedComponents — is q89_dup_clusters_lsh below.
+    // doc_ids is emitted as a comma-joined string (numeric sort, then
+    // stringify) because the driver comparator cannot sort array columns.
     "q52_dup_clusters" -> QueryDef(
       (s, dir) => {
         val pairs = Dedup.jaccardPairsExhaustive(t(s, dir, "documents"),
@@ -1410,7 +1421,9 @@ object LlmQueries {
         Dedup.connectedComponents(pairs)
           .groupBy("label")
           .agg(count(lit(1)).as("n_docs"),
-            sort_array(collect_list(col("id"))).as("doc_ids"))
+            array_join(
+              transform(sort_array(collect_list(col("id"))),
+                x => x.cast("string")), ",").as("doc_ids"))
           .select(col("label").as("cluster_root"), col("n_docs"),
             col("doc_ids"))
           .orderBy("cluster_root")
@@ -1418,8 +1431,77 @@ object LlmQueries {
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
         $ComponentsCte
         SELECT label AS cluster_root, COUNT(*) AS n_docs,
-          list_sort(list(node)) AS doc_ids
+          array_to_string(list_sort(list(node)), ',') AS doc_ids
         FROM comp GROUP BY label ORDER BY cluster_root""")),
+
+    // ---- duplicate clustering, scale path (LSH candidates) -------------
+    // The 100 TB formulation: MinHash-LSH banding proposes candidate pairs
+    // (bounded by bucket size, never all-pairs), exact Jaccard verifies
+    // them, and the SAME connectedComponents assigns clusters. Graded the
+    // way q45 grades pair recall: the oracle recomputes the EXHAUSTIVE
+    // clusters (ground truth at fixture scale) and this query reports,
+    // per cluster, whether LSH recovered it intact — so the row is a
+    // cluster-recall scorecard that an external engine can replay exactly.
+    // Banding config is the q45-graded one (32 bands x 2 rows: candidate
+    // probability 1-(1-j^2)^32, ~0.73 at the j=0.2 threshold and ~1.0 by
+    // j=0.5); cluster intactness additionally tolerates individual missed
+    // pairs as long as each cluster stays connected.
+    "q89_dup_clusters_lsh" -> QueryDef(
+      (s, dir) => {
+        // deterministic 50% document sample (q45 discipline): the grade
+        // needs the EXHAUSTIVE clusters as denominator, and that quadratic
+        // baseline is exactly what the LSH path exists to avoid — cluster
+        // recall is measured as well on a sample, since BOTH paths see the
+        // same sampled corpus and the oracle replays the same predicate
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        // one shingle-index plan fragment for both paths: identical
+        // subplans let ReuseExchange serve the LSH verify and the
+        // exhaustive baseline from a single scan->explode->distinct
+        val inv = Some(Dedup.shingleIndex(docs, "doc_id", "text", 3))
+        val lshPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            k = 3, minJaccard = 0.2, bands = 32, rowsPerBand = 2,
+            index = inv)
+          .select("id_a", "id_b")
+        val exhPairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
+            k = 3, minJaccard = 0.2, maxDf = 1000000, index = inv)
+          .select("id_a", "id_b")
+        // the two clusterings are independent iterative jobs that each use
+        // a fraction of the cluster: submit them concurrently (driver-side
+        // job parallelism; the operators' cache registries are thread-safe)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val lshF = Future(Dedup.connectedComponents(lshPairs)
+          .select(col("id").as("doc_id"), col("label").as("lsh_root")))
+        val exactF = Future(Dedup.connectedComponents(exhPairs)
+          .select(col("id").as("doc_id"), col("label").as("true_root")))
+        val lsh = Await.result(lshF, Duration.Inf)
+        val exact = Await.result(exactF, Duration.Inf)
+        // Per true cluster: size, how many members LSH clustered at all,
+        // and whether LSH kept the cluster intact (single lsh label
+        // covering every member).
+        exact.join(lsh, Seq("doc_id"), "left")
+          .groupBy("true_root")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lsh_root").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"),
+            (countDistinct(col("lsh_root")) === 1 &&
+              sum(when(col("lsh_root").isNull, 1L).otherwise(0L)) === 0)
+              .as("intact"))
+          .orderBy("true_root")
+      },
+      // The oracle recomputes the exhaustive clusters (true_root, n_docs)
+      // exactly and asserts FULL cluster recall (every member clustered,
+      // every cluster intact) — valid because the pinned hash family makes
+      // LSH deterministic and, at this banding config, the fixture's dup
+      // clusters (near-clique, high-Jaccard) are fully recovered
+      // (verified empirically; LshClusterSpec pins it in sbt test).
+      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")
+          .replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")},
+        $ComponentsCte
+        SELECT label AS true_root, COUNT(*) AS n_docs,
+          COUNT(*) AS n_clustered, TRUE AS intact
+        FROM comp GROUP BY label ORDER BY true_root""")),
 
     // ---- passage-level boilerplate dedup -------------------------------
     // RefinedWeb/CCNet-style: split each document into non-overlapping

@@ -156,14 +156,17 @@ object SeamfQueries {
         FROM ${rp("sweep_metadata")}""")),
 
     // ---- A9: acquisition gap detection ---------------------------------
+    // Global consecutive-diff over one-row-per-FILE metadata: at 10^6+
+    // files a bare Window.orderBy funnels the table through one task, so
+    // the lag runs as Windowed.distributedLag (range partition + broadcast
+    // per-partition boundary maxima — two-phase, no global window).
     "s05_seamf_gaps" -> QueryDef(
       (s, _) => {
-        val w = Window.orderBy("schedule_start_us")
-        dump(s, "sweep_metadata")
-          .select(col("schedule_start_us"))
-          .withColumn("__prev", lag(col("schedule_start_us"), 1).over(w))
+        graft.operators.Windowed.distributedLag(
+            dump(s, "sweep_metadata").select(col("schedule_start_us")),
+            "schedule_start_us")
           .withColumn("gap_sec",
-            (col("schedule_start_us") - col("__prev")).cast("double") / 1e6)
+            (col("schedule_start_us") - col("prev")).cast("double") / 1e6)
           .filter(col("gap_sec") > 91.0)
           .select(col("schedule_start_us").as("t0_us"), col("gap_sec"))
           .orderBy("t0_us")

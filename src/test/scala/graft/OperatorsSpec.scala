@@ -57,6 +57,22 @@ class OperatorsSpec extends SparkSpec {
     Windowed.unpersistAll()
   }
 
+  test("distributedLag matches a global lag across partition boundaries") {
+    // non-contiguous keys so boundary patching is observable; scrambled
+    // input layout so range partitioning does the ordering work
+    val keys = (1 to 97).map(i => (i * 13 % 101).toLong * 10)
+    val df = keys.toDF("t").repartition(8)
+    val got = Windowed.distributedLag(df, "t", nPartitions = 7)
+      .orderBy("t").select("t", "prev")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1))))
+    val sortedKeys = keys.sorted
+    val want = sortedKeys.zip(None +: sortedKeys.dropRight(1).map(Some(_)))
+    assert(got.toSeq === want)
+    // global first row keeps NULL lag
+    assert(got.head._2.isEmpty)
+    Windowed.unpersistAll()
+  }
+
   test("CorpusExport.writeShards: stable membership, balanced dirs, pre-shuffled order") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString

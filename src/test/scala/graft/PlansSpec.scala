@@ -143,4 +143,21 @@ class PlansSpec extends SparkSpec {
     assert(salted.count() === plainCount)
     assert(salted.columns.toSeq.sorted === Seq("dim", "k", "payload"))
   }
+
+  test("connectedComponents sizes its shuffles explicitly, not via session " +
+      "conf, and leaves the session conf untouched") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup
+      .connectedComponents(pairs, numPartitions = 3)
+    // result frame carries the explicit partition count requested
+    assert(labels.rdd.getNumPartitions === 3)
+    assert(spark.conf.get(key) === before,
+      "operator mutated spark.sql.shuffle.partitions")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
