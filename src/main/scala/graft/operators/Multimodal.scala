@@ -1,6 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for 100 TB training-data
@@ -12,109 +17,287 @@ import org.apache.spark.sql.functions._
   * JVM analog of `mapInPandas`: one batch in executor memory at a time, no
   * per-row call overhead, schema declared up front).
   *
-  * The actual codec kernels (JPEG decode, audio resample, video frame
-  * extraction) require native media libraries that are NOT in this
-  * container, so the kernel bodies are STUBS: `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. The Spark-side
-  * contract — schema, batching, partitioning, null/error handling — is real
-  * and tested; swapping the stub for a real codec changes only the kernel
-  * body.
+  * The codec kernels are REAL in-JDK codecs — no native libraries needed:
+  * PNG and animated GIF through `javax.imageio`, 16-bit PCM WAV through
+  * `javax.sound.sampled`. Every operator genuinely decodes the binary
+  * payload; features are statistics of the decoded pixels/samples. The
+  * fixture generator ([[syntheticMediaTable]]) writes media whose DECODED
+  * content is a closed-form function of the row id, so the DuckDB oracle
+  * can replay feature values exactly without any codec — the correctness
+  * gate then checks the full encode -> decode -> featurize round trip.
   */
 object Multimodal {
+  // javax.imageio defaults to a disk-backed stream cache; these pipelines
+  // are pure in-memory byte arrays
+  ImageIO.setUseCache(false)
 
   final case class MediaMeta(format: String, width: Int, height: Int,
       n_frames: Int)
   final case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, format: String,
-      n_bytes: Int, features: Array[Float])
-  final case class FrameRow(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, n_units: Int, n_bytes: Int,
+      features: Array[Float])
+  final case class FrameRow(media_id: Long, frame_idx: Int, pixel_sum: Long,
       frame_bytes: Array[Byte])
 
-  /** STUB decode kernel: a real implementation would decode the media bytes
-    * (e.g. JPEG -> pixel tensor) and run a feature extractor. Deterministic
-    * fake: a 16-bin byte-value histogram, L1-normalized. Marked for
-    * replacement; see class scaladoc.
-    */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
+  // ---- deterministic fixture formulas (replayed by the SQL oracles) ----
+  // png 16x16 RGB:  channel c of pixel (x,y) = (id*31 + x*7 + y*13 + c*101) % 256
+  // wav PCM:        n = 200 + id%100 samples; unsigned16 u(i) =
+  //                 ((id+1)*2654435761 + i*40503) % 65536, sample = u - 32768
+  // gif 8x8 frames: gray index of (f,x,y) = (id*17 + f*29 + x*5 + y*11) % 256
+  val PngSide = 16
+  val GifSide = 8
+  val MaxGifFrames = 8
+
+  private def pngPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+  private def wavSamples(id: Long): Int = (200 + id % 100).toInt
+  private def wavU16(id: Long, i: Int): Int =
+    (((id + 1) * 2654435761L + i.toLong * 40503L) % 65536L).toInt
+  private def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 29 + x * 5 + y * 11) % 256).toInt
+
+  private def grayPalette: IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def makePng(id: Long): Array[Byte] = {
+    val img = new BufferedImage(PngSide, PngSide, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until PngSide; x <- 0 until PngSide)
+      img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
+        (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
+    encodePng(img)
+  }
+
+  private def makeWav(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n * 2)
     var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >>> 4) += 1f
+    while (i < n) {
+      val s = wavU16(id, i) - 32768
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val total = math.max(bytes.length, 1).toFloat
-    hist.map(_ / total)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def makeGif(id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nFrames) {
+        val img = new BufferedImage(GifSide, GifSide,
+          BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        for (y <- 0 until GifSide; x <- 0 until GifSide)
+          raster.setSample(x, y, 0, gifGray(id, f, x, y))
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose(); out.close()
+    }
+    bos.toByteArray
+  }
+
+  private val Bins = 16
+
+  private def normalize(hist: Array[Int], total: Int): Array[Float] = {
+    val t = math.max(total, 1).toFloat
+    hist.map(_ / t) // Float/Float division — replayed as FLOAT/FLOAT in SQL
+  }
+
+  /** Red-channel high-nibble histogram of a decoded frame (for the indexed
+    * grayscale GIFs the red channel IS the gray level).
+    */
+  private def imageHist(img: BufferedImage): (Array[Int], Int) = {
+    val hist = new Array[Int](Bins)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      hist(((img.getRGB(x, y) >> 16) & 0xff) >>> 4) += 1
+    (hist, img.getWidth * img.getHeight)
+  }
+
+  private def redSum(img: BufferedImage): Long = {
+    var s = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      s += (img.getRGB(x, y) >> 16) & 0xff
+    s
+  }
+
+  /** Decode 16-bit little-endian PCM back to unsigned-16 sample values. */
+  private def decodeWavU16(bytes: Array[Byte]): Array[Int] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val pcm = in.readAllBytes()
+      Array.tabulate(pcm.length / 2) { i =>
+        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        s + 32768
+      }
+    } finally in.close()
+  }
+
+  private def decodeGifFrames(bytes: Array[Byte]): Vector[BufferedImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(in)
+      (0 until reader.getNumImages(true)).map(reader.read).toVector
+    } finally {
+      reader.dispose(); in.close()
+    }
   }
 
   /** Batched feature extraction over a media table: binary in, fixed-width
-    * feature vector out. One partition = one batch (mapInPandas shape).
+    * feature vector out, REAL decode per row. One partition = one batch
+    * (mapInPandas shape). Features: 16-bin L1-normalized histogram of the
+    * red-channel high nibble (images; first frame for multi-frame media) or
+    * of the top 4 bits of the unsigned 16-bit samples (audio). `n_units` is
+    * the decoded pixel/sample count; `width`/`height` are the DECODED
+    * dimensions, not the declared metadata.
     */
   def extractFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
-        MediaFeatures(m.media_id, m.meta.format, m.content.length,
-          decodeStub(m.content))
+        m.meta.format match {
+          case "wav" =>
+            val u = decodeWavU16(m.content)
+            val hist = new Array[Int](Bins)
+            u.foreach(v => hist(v >>> 12) += 1)
+            MediaFeatures(m.media_id, "wav", u.length, 1, u.length,
+              m.content.length, normalize(hist, u.length))
+          case fmt =>
+            val img =
+              if (fmt == "gif") decodeGifFrames(m.content).head
+              else ImageIO.read(new ByteArrayInputStream(m.content))
+            val (hist, n) = imageHist(img)
+            MediaFeatures(m.media_id, fmt, img.getWidth, img.getHeight, n,
+              m.content.length, normalize(hist, n))
+        }
       }
     }
   }
 
-  /** STUB frame sampler: treats the payload as `n_frames` equal chunks and
-    * emits every `stride`-th chunk (a real implementation would seek video
-    * keyframes). Output rows are (media_id, frame_idx, frame_bytes).
+  /** Frame sampling: decode the media and emit every `stride`-th frame as a
+    * standalone PNG payload plus its decoded pixel sum (GIF: real
+    * multi-frame decode; single-frame formats emit frame 0 — for audio the
+    * "pixel sum" is the sum of unsigned sample values and the payload
+    * passes through).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)(
       implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { m =>
-        val n = math.max(m.meta.n_frames, 1)
-        val len = m.content.length
-        val frameLen = math.max(len / n, 1)
-        (0 until n by stride).iterator.map { f =>
-          // clamp both ends: when n_frames exceeds the byte budget the tail
-          // frames are empty, not out-of-bounds
-          val from = math.min(f * frameLen, len)
-          val until = math.min(from + frameLen, len)
-          FrameRow(m.media_id, f,
-            java.util.Arrays.copyOfRange(m.content, from, until))
+        m.meta.format match {
+          case "gif" =>
+            val frames = decodeGifFrames(m.content)
+            (0 until frames.length by stride).iterator.map { f =>
+              FrameRow(m.media_id, f, redSum(frames(f)),
+                encodePng(frames(f)))
+            }
+          case "wav" =>
+            val u = decodeWavU16(m.content)
+            Iterator.single(
+              FrameRow(m.media_id, 0, u.foldLeft(0L)(_ + _), m.content))
+          case _ =>
+            val img = ImageIO.read(new ByteArrayInputStream(m.content))
+            Iterator.single(
+              FrameRow(m.media_id, 0, redSum(img), encodePng(img)))
         }
       }
     }
   }
 
-  /** STUB resize: a real implementation would rescale pixels; the stub
-    * truncates/pads the payload to the target byte budget and rewrites the
-    * metadata, preserving the schema contract.
+  /** Real image resize: decode, rescale with Graphics2D bilinear
+    * interpolation, re-encode as PNG (GIF: every frame rescaled back into
+    * an animated GIF). Audio rows pass through unchanged — resize is image
+    * semantics.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
+    def scale(img: BufferedImage): BufferedImage = {
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      dst
+    }
     media.mapPartitions { batch =>
       batch.map { m =>
-        val budget = math.max(targetW * targetH / 64, 1)
-        val resized = java.util.Arrays.copyOf(m.content,
-          math.min(budget, math.max(m.content.length, 1)))
-        MediaRow(m.media_id, resized,
-          MediaMeta(m.meta.format, targetW, targetH, m.meta.n_frames))
+        m.meta.format match {
+          case "wav" => m
+          case "gif" =>
+            val frames = decodeGifFrames(m.content).map(scale)
+            val bos = new ByteArrayOutputStream()
+            val writer = ImageIO.getImageWritersByFormatName("gif").next()
+            val out = ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(out)
+              writer.prepareWriteSequence(null)
+              frames.foreach(f =>
+                writer.writeToSequence(new IIOImage(f, null, null), null))
+              writer.endWriteSequence()
+            } finally {
+              writer.dispose(); out.close()
+            }
+            MediaRow(m.media_id, bos.toByteArray,
+              MediaMeta("gif", targetW, targetH, frames.length))
+          case fmt =>
+            val img = ImageIO.read(new ByteArrayInputStream(m.content))
+            MediaRow(m.media_id, encodePng(scale(img)),
+              MediaMeta(fmt, targetW, targetH, m.meta.n_frames))
+        }
       }
     }
   }
 
-  /** Synthesize a deterministic media table from the `documents` fixture
-    * (text bytes stand in for media payloads) — exercises the binary-column
-    * plumbing without real codecs.
+  /** Deterministic REAL media table derived from the `documents` fixture:
+    * per document one PNG image, PCM WAV clip, or animated GIF (id mod 3),
+    * all encoded with in-JDK codecs. The decoded content follows the
+    * closed-form formulas at the top of this object, so SQL oracles can
+    * replay decoded statistics without a codec.
     */
   def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .map { case (id, text, nChars) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val fmt = if (id % 3 == 0) "jpeg" else if (id % 3 == 1) "wav" else "mp4"
-        MediaRow(id, bytes, MediaMeta(fmt, 64, 64, math.max((nChars / 100).toInt, 1)))
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, nChars) =>
+          id % 3 match {
+            case 0 => MediaRow(id, makePng(id),
+              MediaMeta("png", PngSide, PngSide, 1))
+            case 1 => MediaRow(id, makeWav(id),
+              MediaMeta("wav", wavSamples(id), 1, 1))
+            case _ =>
+              val nf = math.min(MaxGifFrames,
+                math.max((nChars / 100).toInt, 1))
+              MediaRow(id, makeGif(id, nf),
+                MediaMeta("gif", GifSide, GifSide, nf))
+          }
+        }
       }
   }
 }

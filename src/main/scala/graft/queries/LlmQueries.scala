@@ -17,9 +17,10 @@ import graft.operators.{Dedup, Similarity}
   * uses a PORTABLE hash family — md5-derived 48-bit integers, Carter–Wegman
   * universal hashing mod 2^31-1, md5-seeded hyperplane literals — so the
   * full pipelines are replicated in DuckDB oracle SQL and hash-checked
-  * cell-for-cell. Only the recall-grading (q45) and HLL-sketch (q43)
-  * queries stay rows-only: the first compares two engine plans against
-  * each other, the second is sketch-implementation-defined.
+  * cell-for-cell, INCLUDING the q45 recall grade (both its exact
+  * denominators and its LSH numerators are hash-family-deterministic).
+  * The one sketch whose internals no portable SQL can recompute (HLL,
+  * q43) is compared on its exact column plus bounded-error flags.
   */
 object LlmQueries {
   // Shared DuckDB word-array CTE mirroring TextOps.words.
@@ -574,8 +575,8 @@ object LlmQueries {
     // The approximate dedup paths (MinHash-candidates Jaccard, hyperplane-
     // LSH embedding near-dups) are graded against their exact counterparts:
     // recall = |approx ∩ exact| / |exact| at the inventory thresholds.
-    // Hash-defined -> rows-only; values are deterministic and pinned in
-    // RowsOnlySpec.
+    // Fully oracle-checked (see the oracle comment below); row counts also
+    // pinned in RowsOnlySpec.
     "q45_dedup_recall" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -622,7 +623,90 @@ object LlmQueries {
         Seq(jac, embR).toDF("method", "n_exact", "n_found", "recall_pct")
           .orderBy("method")
       },
-      None),
+      // FULL oracle (r3 ADVICE #6): both the exact denominators AND the
+      // approximate numerators are hash-family-deterministic, so DuckDB
+      // replays the whole recall grade — exhaustive Jaccard pairs + the
+      // 32x2 minhash banding (q26's CTE chain at fi//2), and exact-cosine
+      // pairs + the 8-table/8-bit multi-probe hyperplane LSH (q32's plane
+      // formula at seed t*1000+b, Hamming <= 1). approx = candidates
+      // exact-verified at the same threshold, so found = cand INTERSECT
+      // exact. Recall rounding replays math.round(x*10000)/100.
+      Some(s"""${WordsCte.replace("FROM documents",
+          "FROM documents WHERE doc_id % 4 = 0")},
+        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
+          ws FROM w),
+        shd AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM shd GROUP BY doc_id),
+        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM shd a JOIN shd b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jexact AS (SELECT id_a, id_b FROM prs
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
+            >= 0.2),
+        hm AS (SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          AS m FROM g),
+        hh AS (SELECT doc_id,
+          CAST(('0x' || substr(m, 1, 12)) AS BIGINT) % 2147483647 AS x
+          FROM hm),
+        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(fi, a, b)),
+        sig AS (SELECT doc_id, fi, MIN((a * x + b) % 2147483647) AS mv
+          FROM hh CROSS JOIN f GROUP BY doc_id, fi),
+        bands AS (SELECT doc_id, CAST(fi // 2 AS INT) AS band,
+            CAST(('0x' || substr(md5(
+              string_agg(CAST(mv AS VARCHAR), '_' ORDER BY fi)), 1, 12))
+              AS BIGINT) AS bucket
+          FROM sig GROUP BY doc_id, band),
+        capped AS (SELECT * FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
+        jcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+        jfound AS (SELECT e.id_a FROM jexact e
+          JOIN jcand c ON e.id_a = c.id_a AND e.id_b = c.id_b),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 2 = 0),
+        ef AS (SELECT vec_id, v FROM e
+          WHERE len(v) = (SELECT MAX(len(v)) FROM e)),
+        eexact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM ef a JOIN ef b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT ef.vec_id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(ef.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM ef CROSS JOIN planes p GROUP BY 1, 2),
+        ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buck a JOIN buck b ON a.tbl = b.tbl
+            AND bit_count(xor(a.bucket, b.bucket)) <= 1
+            AND a.vec_id < b.vec_id),
+        efound AS (SELECT e.id_a FROM eexact e
+          JOIN ecand c ON e.id_a = c.id_a AND e.id_b = c.id_b),
+        stats AS (
+          SELECT 'embedding_lsh' AS method,
+            (SELECT COUNT(*) FROM eexact) AS ne,
+            (SELECT COUNT(*) FROM efound) AS nf
+          UNION ALL
+          SELECT 'jaccard_minhash',
+            (SELECT COUNT(*) FROM jexact),
+            (SELECT COUNT(*) FROM jfound))
+        SELECT method, CAST(ne AS BIGINT) AS n_exact,
+          CAST(nf AS BIGINT) AS n_found,
+          CASE WHEN ne = 0 THEN NULL
+            ELSE ROUND(CAST(nf AS DOUBLE) / ne * 10000.0) / 100.0 END
+            AS recall_pct
+        FROM stats ORDER BY method""")),
 
     // ---- int8 embedding quantization quality ---------------------------
     // Symmetric per-vector int8 quantization (4x storage vs float32) with

@@ -4,17 +4,48 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 
-/** Multimodal-column inventory: binary payload plumbing + batched
-  * decode/feature-extraction (stub kernels — see
-  * [[graft.operators.Multimodal]]). m01's byte accounting is SQL-expressible
-  * (UTF-8 octet length), so the binary plumbing gets a real oracle; the
-  * feature pipeline itself is rows-only.
+/** Multimodal-column inventory: binary payload plumbing + batched REAL
+  * decode (in-JDK PNG/GIF/WAV codecs — see [[graft.operators.Multimodal]]).
+  * The fixture media's DECODED content is a closed-form function of the
+  * document id, so every query here has a full DuckDB oracle that replays
+  * the decoded statistics without a codec: a hash match proves the whole
+  * encode -> decode -> featurize round trip, not just the plumbing.
   */
 object MultimodalQueries {
 
+  // DuckDB replicas of the Multimodal fixture formulas (keep in lockstep
+  // with the constants at the top of operators/Multimodal.scala).
+  // png: red channel of pixel (x,y) = (id*31 + x*7 + y*13) % 256, 16x16
+  // wav: u16 sample i = ((id+1)*2654435761 + i*40503) % 65536,
+  //      n = 200 + id%100
+  // gif: gray of (frame,x,y) = (id*17 + f*29 + x*5 + y*11) % 256, 8x8,
+  //      n_frames = least(greatest(n_chars//100, 1), 8)
+  private val PngRedCte =
+    """png AS (SELECT doc_id,
+        (doc_id*31 + tx.x*7 + ty.y*13) % 256 AS red
+      FROM documents, range(16) tx(x), range(16) ty(y)
+      WHERE doc_id % 3 = 0)"""
+  private val WavU16Cte =
+    """wav AS (SELECT doc_id,
+        ((doc_id + 1)*2654435761 + ti.i*40503) % 65536 AS u
+      FROM documents, LATERAL (SELECT unnest(range(200 + doc_id % 100)) AS i) ti
+      WHERE doc_id % 3 = 1)"""
+  private val GifGrayCte =
+    """gifn AS (SELECT doc_id,
+        least(greatest(n_chars // 100, 1), 8) AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+      gif AS (SELECT doc_id, nf, tf.f,
+        (doc_id*17 + tf.f*29 + tx.x*5 + ty.y*11) % 256 AS gray
+      FROM gifn, LATERAL (SELECT unnest(range(nf)) AS f) tf,
+        range(8) tx(x), range(8) ty(y))"""
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
-    // ---- binary columns + typed metadata, oracle on byte accounting ----
+    // ---- inventory over decoded media ----------------------------------
+    // Per format: row count, total decoded units (pixels / samples), and a
+    // decode checksum — the first histogram bin frequency of every row,
+    // floor-scaled to micro-units and summed. The checksum ties each ROW's
+    // real decode to the oracle: a single corrupted decode shifts it.
     "m01_media_inventory" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
@@ -22,47 +53,56 @@ object MultimodalQueries {
         Multimodal.extractFeatures(media).toDF()
           .groupBy("format")
           .agg(count(lit(1)).as("n_media"),
-            sum(col("n_bytes")).as("total_bytes"),
-            max(col("n_bytes")).as("max_bytes"))
+            sum(col("n_units").cast("long")).as("total_units"),
+            sum(floor(element_at(col("features"), 1).cast("double") * 1e6)
+              .cast("long")).as("bin0_checksum"))
           .orderBy("format")
       },
-      Some("""SELECT
-        CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
-             WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
-        COUNT(*) AS n_media,
-        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
-        FROM documents GROUP BY 1 ORDER BY 1""")),
+      // bin0 is counted, divided in FLOAT (the engine's Float/Float), then
+      // floor-scaled in DOUBLE — bit-identical across engines
+      Some(s"""WITH $PngRedCte, $WavU16Cte, $GifGrayCte,
+        b AS (
+          SELECT 'png' AS format, doc_id, 256 AS n,
+            COUNT(*) FILTER (WHERE red < 16) AS c0
+          FROM png GROUP BY doc_id
+          UNION ALL
+          SELECT 'wav', doc_id, 200 + doc_id % 100,
+            COUNT(*) FILTER (WHERE u < 4096)
+          FROM wav GROUP BY doc_id
+          UNION ALL
+          SELECT 'gif', doc_id, 64,
+            COUNT(*) FILTER (WHERE gray < 16 AND f = 0)
+          FROM gif GROUP BY doc_id)
+        SELECT format, COUNT(*) AS n_media,
+          CAST(SUM(n) AS BIGINT) AS total_units,
+          CAST(SUM(CAST(FLOOR(CAST(CAST(c0 AS FLOAT) / CAST(n AS FLOAT)
+            AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS bin0_checksum
+        FROM b GROUP BY format ORDER BY format""")),
 
-    // ---- batched feature extraction + ANN over media features ----------
+    // ---- batched feature extraction + ANN over decoded image features --
+    // Brute-force cosine top-k over the images' decoded histograms. The
+    // oracle rebuilds each 16-bin histogram from the pixel formula (FLOAT
+    // division, like the engine) and replays the ranking.
     "m02_media_knn" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
         val media = Multimodal.syntheticMediaTable(s, dir)
+          .filter(_.meta.format == "png")
         val feats = Multimodal.extractFeatures(media).toDF()
           .select(col("media_id").as("vec_id"), col("features").as("embedding"))
         Similarity.bruteForceTopK(feats,
-            feats.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+            feats.filter(col("vec_id") < 15), "vec_id", "embedding", k = 3)
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
       },
-      // The stub features are deterministic byte math (16-bin high-nibble
-      // histogram of the UTF-8 payload, L1-normalized in float32) — fully
-      // SQL-expressible: the high nibble of byte i is hex char 2i+1 of
-      // hex(encode(text)).
-      Some("""WITH h AS (SELECT doc_id,
-          octet_length(encode(text)) AS n, hex(encode(text)) AS hx
-          FROM documents),
-        e AS (SELECT doc_id, n,
-          CAST(unnest(range(n)) AS INT) AS i, hx FROM h),
-        cnt AS (SELECT doc_id, n,
-          strpos('0123456789ABCDEF', substring(hx, 2*i + 1, 1)) - 1 AS bin,
-          COUNT(*) AS c
-          FROM e GROUP BY 1, 2, 3),
+      Some(s"""WITH $PngRedCte,
+        cnt AS (SELECT doc_id, red // 16 AS bin, COUNT(*) AS c
+          FROM png GROUP BY 1, 2),
+        ids AS (SELECT DISTINCT doc_id FROM png),
         dense AS (SELECT d.doc_id,
-          list(COALESCE(CAST(cnt.c AS FLOAT) / CAST(GREATEST(d.n, 1) AS FLOAT),
+          list(COALESCE(CAST(cnt.c AS FLOAT) / CAST(256 AS FLOAT),
             CAST(0 AS FLOAT)) ORDER BY g.bin) AS v
-          FROM h d CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS bin) g
+          FROM ids d CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS bin) g
           LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = g.bin
           GROUP BY d.doc_id),
         dd AS (SELECT doc_id, CAST(v AS DOUBLE[]) AS v FROM dense),
@@ -70,7 +110,7 @@ object MultimodalQueries {
           list_dot_product(q.v, c.v) /
             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
             AS cos
-          FROM dd q JOIN dd c ON q.doc_id < 5 AND q.doc_id != c.doc_id),
+          FROM dd q JOIN dd c ON q.doc_id < 15 AND q.doc_id != c.doc_id),
         ranked AS (SELECT query_id, neighbor_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
@@ -79,30 +119,27 @@ object MultimodalQueries {
         SELECT query_id, neighbor_id, rank, cosine FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
-    // ---- frame sampling (video-shaped payloads; integer-arithmetic
-    // oracle: frame boundaries are deterministic byte math) --------------
+    // ---- video frame sampling (real multi-frame GIF decode) ------------
+    // Every 4th frame of each animated GIF, graded on decoded pixel sums
+    // (the re-encoded per-frame PNG payload is encoder-defined and is NOT
+    // part of the compare).
     "m03_frame_sample" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
         val media = Multimodal.syntheticMediaTable(s, dir)
+          .filter(_.meta.format == "gif")
         Multimodal.sampleFrames(media, stride = 4).toDF()
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_frames_sampled"),
-            sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+            sum(col("pixel_sum")).as("sampled_pixel_sum"))
           .orderBy("media_id")
           .limit(100)
       },
-      Some("""WITH d AS (SELECT doc_id,
-          octet_length(encode(text)) AS b,
-          greatest(n_chars // 100, 1) AS n
-          FROM documents),
-        p AS (SELECT doc_id, b, n, greatest(b // n, 1) AS fl FROM d),
-        f AS (SELECT doc_id, b, fl, unnest(range(0, n, 4)) AS fi FROM p),
-        c AS (SELECT doc_id, COUNT(*) AS nf,
-          SUM(least(least(fi*fl, b) + fl, b) - least(fi*fl, b)) AS sb
-          FROM f GROUP BY doc_id)
-        SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames_sampled,
-          CAST(sb AS BIGINT) AS sampled_bytes
-        FROM c ORDER BY media_id LIMIT 100"""))
+      Some(s"""WITH $GifGrayCte
+        SELECT doc_id AS media_id,
+          CAST(COUNT(DISTINCT f) AS BIGINT) AS n_frames_sampled,
+          CAST(SUM(gray) AS BIGINT) AS sampled_pixel_sum
+        FROM gif WHERE f % 4 = 0
+        GROUP BY doc_id ORDER BY media_id LIMIT 100"""))
   )
 }

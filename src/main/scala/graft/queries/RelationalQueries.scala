@@ -1062,9 +1062,15 @@ object RelationalQueries {
 
     // ---- the approximate scale path (SCALE.md): HLL distinct counts ----
     // approx_count_distinct merges HLL sketches associatively, so the
-    // result is identical at any partitioning/cluster size (deterministic
-    // rows-only check). percentile_approx is deliberately NOT here: its
-    // summaries are partition-order-dependent.
+    // result is identical at any partitioning/cluster size.
+    // percentile_approx is deliberately NOT here: its summaries are
+    // partition-order-dependent.
+    // Output discipline: the raw HLL estimates are sketch-implementation-
+    // defined (no portable oracle can recompute them), so the compared row
+    // carries the EXACT count (DuckDB-checkable) plus bounded-relative-
+    // error flags asserting each sketch landed within 3 standard errors of
+    // truth (rsd 0.05 -> 15%, rsd 0.01 -> 3%) — the row is now
+    // self-validating AND hash-checkable; the estimates stay engine-side.
     "q43_approx_distinct" -> QueryDef(
       (s, dir) => {
         // exact and approx SEPARATELY, joined on the 3-row result: mixing
@@ -1081,13 +1087,19 @@ object RelationalQueries {
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
             approx_count_distinct(col("l_partkey"), rsd = 0.01)
               .as("approx_parts_1pct"))
+        def errPct(est: org.apache.spark.sql.Column) =
+          abs(est - col("exact_parts")).cast("double") /
+            col("exact_parts") * 100.0
         exact.join(approx, "l_returnflag")
-          .withColumn("err_pct",
-            round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
-              col("exact_parts") * 100.0, 4))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (errPct(col("approx_parts")) <= 15.0).as("hll_ok"),
+            (errPct(col("approx_parts_1pct")) <= 3.0).as("hll_1pct_ok"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS hll_ok, TRUE AS hll_1pct_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ---- F7-ish: JSON extraction ---------------------------------------
     "q34_json_extract" -> QueryDef(

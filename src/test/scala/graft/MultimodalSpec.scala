@@ -11,37 +11,83 @@ class MultimodalSpec extends SparkSpec {
   test("media table carries binary content + typed metadata") {
     val row = media.filter(_.media_id == 0L).head()
     assert(row.content.nonEmpty)
-    assert(Set("jpeg", "wav", "mp4").contains(row.meta.format))
+    assert(Set("png", "wav", "gif").contains(row.meta.format))
     val df = media.toDF()
     assert(df.schema("content").dataType ===
       org.apache.spark.sql.types.BinaryType)
   }
 
-  test("batched feature extraction yields normalized fixed-width vectors") {
+  test("payloads are REAL media: magic bytes per format") {
+    val byFmt = media.collect().groupBy(_.meta.format)
+    val png = byFmt("png").head.content
+    assert(png.take(8).toSeq ===
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val wav = byFmt("wav").head.content
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val gif = byFmt("gif").head.content
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+  }
+
+  test("decoded pixels match the generator formula (PNG round trip)") {
+    // media_id 0 is png; the decoded red channel must reproduce
+    // (id*31 + x*7 + y*13) % 256 pixel-for-pixel
+    val row = media.filter(_.media_id == 0L).head()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.content))
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val red = (img.getRGB(x, y) >> 16) & 0xff
+      assert(red === ((0L * 31 + x * 7 + y * 13) % 256).toInt,
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("batched feature extraction yields normalized fixed-width vectors " +
+      "from real decodes") {
     val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() === media.count())
-    val f = feats.filter(_.media_id == 1L).head()
+    val f = feats.filter(_.media_id == 1L).head() // wav row
     assert(f.features.length === 16)
     assert(math.abs(f.features.sum - 1.0f) < 1e-4) // L1-normalized histogram
+    assert(f.n_units === 201) // 200 + id%100 decoded samples
     assert(f.n_bytes > 0)
     // deterministic: same input -> same features
     val again = Multimodal.extractFeatures(media).filter(_.media_id == 1L).head()
     assert(again.features.toSeq === f.features.toSeq)
+    // png row reports DECODED dimensions
+    val p = feats.filter(_.media_id == 0L).head()
+    assert(p.width === 16 && p.height === 16 && p.n_units === 256)
   }
 
-  test("frame sampling emits every stride-th chunk with correct indices") {
-    val frames = Multimodal.sampleFrames(media, stride = 2).toDF()
+  test("frame sampling decodes every stride-th GIF frame with pixel sums " +
+      "matching the generator formula") {
+    val gifs = media.filter(_.meta.format == "gif")
+    val frames = Multimodal.sampleFrames(gifs, stride = 2).toDF()
     assert(frames.count() > 0)
-    val idxs = frames.filter(col("media_id") === 2L)
-      .select("frame_idx").collect().map(_.getInt(0)).toSeq
-    assert(idxs === idxs.sorted)
-    assert(idxs.forall(_ % 2 == 0))
+    val rows = frames.filter(col("media_id") === 2L)
+      .select("frame_idx", "pixel_sum").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1).forall(_ % 2 == 0))
+    rows.foreach { case (f, got) =>
+      val want = (for (x <- 0 until 8; y <- 0 until 8)
+        yield ((2L * 17 + f * 29 + x * 5 + y * 11) % 256)).sum
+      assert(got === want, s"frame $f pixel sum")
+    }
+    // sampled frames are standalone PNGs
+    val fb = frames.filter(col("media_id") === 2L && col("frame_idx") === 0)
+      .select("frame_bytes").head().getAs[Array[Byte]](0)
+    assert(fb.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte))
   }
 
-  test("resize preserves ids and rewrites metadata") {
+  test("resize really rescales image pixels and preserves ids") {
     val resized = Multimodal.resize(media, 32, 32)
-    val r = resized.filter(_.media_id == 3L).head()
+    val r = resized.filter(_.media_id == 3L).head() // png row
     assert(r.meta.width === 32 && r.meta.height === 32)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert(img.getWidth === 32 && img.getHeight === 32)
     assert(resized.count() === media.count())
   }
 
