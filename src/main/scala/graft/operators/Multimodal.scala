@@ -57,7 +57,9 @@ object Multimodal {
   private def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 17 + f * 29 + x * 5 + y * 11) % 256).toInt
 
-  private def grayPalette: IndexColorModel = {
+  // shared across rows/threads: IndexColorModel is immutable after
+  // construction and BufferedImage only reads it
+  private val grayPalette: IndexColorModel = {
     val ramp = Array.tabulate(256)(_.toByte)
     new IndexColorModel(8, 256, ramp, ramp, ramp)
   }
@@ -278,11 +280,26 @@ object Multimodal {
     * all encoded with in-JDK codecs. The decoded content follows the
     * closed-form formulas at the top of this object, so SQL oracles can
     * replay decoded statistics without a codec.
+    *
+    * `format` restricts generation to one modality — the restriction is a
+    * RELATIONAL filter applied before the encode map, so single-modality
+    * consumers (image KNN, video frame sampling) never pay for encoding
+    * rows a post-map `Dataset.filter` would immediately discard (the
+    * encode lambda is opaque to Catalyst; a filter after it cannot be
+    * pushed above it).
     */
-  def syntheticMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+  def syntheticMediaTable(spark: SparkSession, sfDir: String,
+      format: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
+    val residue = format.map {
+      case "png" => 0L
+      case "wav" => 1L
+      case "gif" => 2L
+      case f => throw new IllegalArgumentException(s"unknown format $f")
+    }
+    val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"))
+    residue.fold(base)(r => base.filter(col("doc_id") % 3 === r))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, nChars) =>

@@ -86,8 +86,7 @@ object MultimodalQueries {
     "m02_media_knn" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
-        val media = Multimodal.syntheticMediaTable(s, dir)
-          .filter(_.meta.format == "png")
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("png"))
         val feats = Multimodal.extractFeatures(media).toDF()
           .select(col("media_id").as("vec_id"), col("features").as("embedding"))
         Similarity.bruteForceTopK(feats,
@@ -126,8 +125,7 @@ object MultimodalQueries {
     "m03_frame_sample" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
-        val media = Multimodal.syntheticMediaTable(s, dir)
-          .filter(_.meta.format == "gif")
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("gif"))
         Multimodal.sampleFrames(media, stride = 4).toDF()
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_frames_sampled"),
