@@ -41,7 +41,13 @@ object Multimodal {
       frame_bytes: Array[Byte])
 
   // ---- deterministic fixture formulas (replayed by the SQL oracles) ----
-  // png 16x16 RGB:  channel c of pixel (x,y) = (id*31 + x*7 + y*13 + c*101) % 256
+  // png 16x16 RGB:  channel c of pixel (x,y) =
+  //                 (id*31 + x*7 + y*13 + c*101 + x*y*(1 + id%16)) % 256
+  //                 — the x*y cross term makes the VALUE DISTRIBUTION (and
+  //                 hence the feature histogram) depend on id%16, so image
+  //                 similarity is non-degenerate: same-class images are
+  //                 near-dups, cross-class are not (a purely linear formula
+  //                 makes every histogram near-uniform and every cosine ~1)
   // wav PCM:        n = 200 + id%100 samples; unsigned16 u(i) =
   //                 ((id+1)*2654435761 + i*40503) % 65536, sample = u - 32768
   // gif 8x8 frames: gray index of (f,x,y) = (id*17 + f*29 + x*5 + y*11) % 256
@@ -50,7 +56,8 @@ object Multimodal {
   val MaxGifFrames = 8
 
   private def pngPixel(id: Long, x: Int, y: Int, c: Int): Int =
-    ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+    ((id * 31 + x * 7 + y * 13 + c * 101 +
+      x * y * (1 + id % 16)) % 256).toInt
   private def wavSamples(id: Long): Int = (200 + id % 100).toInt
   private def wavU16(id: Long, i: Int): Int =
     (((id + 1) * 2654435761L + i.toLong * 40503L) % 65536L).toInt

@@ -15,14 +15,16 @@ object MultimodalQueries {
 
   // DuckDB replicas of the Multimodal fixture formulas (keep in lockstep
   // with the constants at the top of operators/Multimodal.scala).
-  // png: red channel of pixel (x,y) = (id*31 + x*7 + y*13) % 256, 16x16
+  // png: red channel of pixel (x,y) =
+  //      (id*31 + x*7 + y*13 + x*y*(1 + id%16)) % 256, 16x16
   // wav: u16 sample i = ((id+1)*2654435761 + i*40503) % 65536,
   //      n = 200 + id%100
   // gif: gray of (frame,x,y) = (id*17 + f*29 + x*5 + y*11) % 256, 8x8,
   //      n_frames = least(greatest(n_chars//100, 1), 8)
   private val PngRedCte =
     """png AS (SELECT doc_id,
-        (doc_id*31 + tx.x*7 + ty.y*13) % 256 AS red
+        (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
+          AS red
       FROM documents, range(16) tx(x), range(16) ty(y)
       WHERE doc_id % 3 = 0)"""
   private val WavU16Cte =

@@ -30,15 +30,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decoded pixels match the generator formula (PNG round trip)") {
-    // media_id 0 is png; the decoded red channel must reproduce
-    // (id*31 + x*7 + y*13) % 256 pixel-for-pixel
-    val row = media.filter(_.media_id == 0L).head()
+    // media_id 3 is png (3%3==0) with a non-trivial id%16 class; the
+    // decoded red channel must reproduce
+    // (id*31 + x*7 + y*13 + x*y*(1 + id%16)) % 256 pixel-for-pixel
+    val row = media.filter(_.media_id == 3L).head()
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(row.content))
     assert(img.getWidth === 16 && img.getHeight === 16)
     for (y <- 0 until 16; x <- 0 until 16) {
       val red = (img.getRGB(x, y) >> 16) & 0xff
-      assert(red === ((0L * 31 + x * 7 + y * 13) % 256).toInt,
+      assert(red === ((3L * 31 + x * 7 + y * 13 + x * y * 4) % 256).toInt,
         s"pixel ($x,$y)")
     }
   }
