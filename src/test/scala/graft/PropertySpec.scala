@@ -113,6 +113,61 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("distributedLag equals the sequential lag for random data/partitioning") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 100)
+      keys <- Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L))
+      parts <- Gen.chooseNum(1, 9)
+      layout <- Gen.chooseNum(1, 8)
+    } yield (keys, parts, layout)
+    check(Prop.forAll(gen) { case (keys, parts, layout) =>
+      // distinct keys: equal keys have no defined lag order, and real
+      // callers (gap detection) lag a unique timestamp column
+      val ks = keys.distinct
+      val df = ks.toDF("t").repartition(layout)
+      val got = graft.operators.Windowed
+        .distributedLag(df, "t", nPartitions = parts)
+        .orderBy("t").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSeq
+      graft.operators.Windowed.unpersistAll()
+      val sorted = ks.sorted
+      got == sorted.zip(None +: sorted.dropRight(1).map(Some(_)))
+    }, n = 15)
+  }
+
+  // sequential union-find reference for connected components
+  private def refComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches sequential union-find on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      pairs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+      parts <- Gen.chooseNum(1, 5)
+    } yield (pairs.filter(p => p._1 != p._2), parts)
+    check(Prop.forAll(gen) { case (pairs, parts) =>
+      pairs.isEmpty || {
+        val got = graft.operators.Dedup
+          .connectedComponents(pairs.toDF("id_a", "id_b"),
+            numPartitions = parts)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == refComponents(pairs)
+      }
+    }, n = 12)
+  }
+
   test("passages reassemble to the normalized word sequence") {
     val word = Gen.chooseNum(1, 3).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
