@@ -56,10 +56,14 @@ object TextOps {
       s => size(split(s, " ")) === k)
 
   /** `k`-word shingles joined with single spaces: the unit of n-gram
-    * dedup / Jaccard similarity.
+    * dedup / Jaccard similarity. Backed by the native codegen'd
+    * [[graft.functions.expressions.Shingles]] expression (one pass, no
+    * regex, no interpreted HOFs) with semantics identical to the HOF form
+    * `letCol(words(text))(ws => shinglesOf(ws, k))` — equality pinned by
+    * ExpressionsSpec and a scalacheck property.
     */
   def shingles(text: Column, k: Int): Column =
-    letCol(words(text))(ws => shinglesOf(ws, k))
+    graft.functions.expressions.TextExpressions.shingles(text, k)
 
   /** Distinct shingle set (for Jaccard / MinHash). */
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))

@@ -88,4 +88,57 @@ class ExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("Shingles matches the HOF form and keeps its null/edge semantics") {
+    import graft.functions.TextOps
+    // the HOF formulation the expression replaced (kept here as the
+    // semantic reference)
+    def hofShingles(text: org.apache.spark.sql.Column, k: Int) =
+      TextOps.letCol(TextOps.words(text))(ws => TextOps.shinglesOf(ws, k))
+    val texts = Seq(
+      "a b c d e",
+      "  leading and\ttab\nnewline  double  spaces ",
+      "one",
+      "",
+      "   ",
+      "exactly three words",
+      "unicode nbsp stays inside words")
+    val df = texts.toDF("t")
+    for (k <- 2 to 4) {
+      val nat = df.select(TextOps.shingles(col("t"), k))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(hofShingles(col("t"), k))
+        .as[Seq[String]].collect().toSeq
+      assert(nat === hof, s"k=$k")
+    }
+    // deliberate k=1 divergence: the HOF form emits [""] for zero-word
+    // text (its window filter sees split("", " ") = [""], size 1 == k);
+    // the native expression returns the correct empty array. No inventory
+    // query shingles possibly-empty text at k=1 (q55's unigram path is
+    // the ARRAY variant, gated to >= 3 words).
+    val empties = Seq("", "   ").toDF("t")
+    assert(empties.select(TextOps.shingles(col("t"), 1))
+      .as[Seq[String]].collect().toSeq === Seq(Seq(), Seq()))
+    assert(empties.select(hofShingles(col("t"), 1))
+      .as[Seq[String]].collect().toSeq === Seq(Seq(""), Seq("")))
+    // non-empty text agrees at k=1 too
+    assert(df.filter(length(trim(col("t"))) > 0)
+      .select(TextOps.shingles(col("t"), 1)).as[Seq[String]].collect().toSeq
+      === df.filter(length(trim(col("t"))) > 0)
+        .select(hofShingles(col("t"), 1)).as[Seq[String]].collect().toSeq)
+    // null propagates
+    assert(Seq((null: String)).toDF("t")
+      .select(TextOps.shingles(col("t"), 3)).head().isNullAt(0))
+    // non-string input is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("t").select(TextOps.shingles(col("t"), 3)).head()
+    }
+    // stays inside whole-stage codegen on a parquet-backed scan
+    val dir = java.nio.file.Files.createTempDirectory("shingletest").toString
+    df.write.mode("overwrite").parquet(s"$dir/p")
+    val plan = spark.read.parquet(s"$dir/p")
+      .select(TextOps.shingles(col("t"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }

@@ -168,6 +168,40 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("native Shingles equals the HOF formulation on random text") {
+    import graft.functions.TextOps
+    def hofShingles(text: org.apache.spark.sql.Column, k: Int) =
+      TextOps.letCol(TextOps.words(text))(ws => TextOps.shinglesOf(ws, k))
+    // random words separated by random whitespace runs (incl. tabs/newlines)
+    val word = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val sep = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(' ', '\t', '\n')).map(_.mkString))
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(n + 1, sep)
+      k <- Gen.chooseNum(1, 4)
+    } yield (seps.zip(ws :+ "").map { case (s, w) => s + w }.mkString, k)
+    check(Prop.forAll(gen) { case (text, k) =>
+      val df = Seq(text).toDF("t")
+      val nat = df.select(TextOps.shingles(col("t"), k))
+        .as[Seq[String]].head()
+      // sequential reference: k-windows over the non-empty \s+ tokens
+      val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val want =
+        if (words.length < k) Seq.empty[String]
+        else words.sliding(k).map(_.mkString(" ")).toSeq
+      // HOF equality wherever the HOF form is well-defined (its k=1
+      // zero-word edge emits [""] — see ExpressionsSpec)
+      val hofOk = k == 1 && words.isEmpty || {
+        val hof = df.select(hofShingles(col("t"), k)).as[Seq[String]].head()
+        nat == hof
+      }
+      nat == want && hofOk
+    }, n = 40)
+  }
+
   test("passages reassemble to the normalized word sequence") {
     val word = Gen.chooseNum(1, 3).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
