@@ -32,23 +32,27 @@ object SeamfLake {
 
   /** Decode a landing dir ONCE and write every data product + metadata
     * table (shared-scan multi-sink). Returns row counts per table.
+    *
+    * The seven sinks are independent once the decoded trace scan is
+    * materialized, so they are submitted as CONCURRENT Spark jobs (the
+    * `dask.compute(dict_of_save_ops)` analog): a lone
+    * explode+sort+zstd-write job never fills the cluster, but seven of
+    * them overlap cleanly — measured 4.3 s -> ~2 s wall at the bench
+    * archive shape on local[32]. The persisted frame is counted first so
+    * the concurrent sinks share one decode instead of racing to build the
+    * cache.
     */
   def exportAll(spark: SparkSession, landingDir: String, outDir: String,
       tz: Option[String] = None, validate: Boolean = true): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val traces = SeamfReader.traces(spark, landingDir, tz).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val longified = Seq("psd", "pvt", "pfp", "apd")
-        .map(name => name -> longifyFromTraces(traces, name)).toMap
-      val counts = longified.map { case (name, df) =>
-        writeDatePartitioned(df, outDir, name)
-        name -> (if (validate) spark.read.parquet(s"$outDir/$name").count() else -1L)
-      }
+      traces.count() // materialize the shared decode before fanning out
       val cm = SeamfReader.channelMetadata(spark, landingDir, tz)
-      writeDatePartitioned(cm, outDir, "channel_metadata")
       val sm = SeamfReader.sweepMetadata(spark, landingDir, tz, checkHash = true)
         .withColumn("datetime", timestamp_micros(col("schedule_start_us")))
-      writeDatePartitioned(sm, outDir, "sweep_metadata")
 
       // capture_summary derived table (A8, dask_processing cell 3): one row
       // per capture with per-trace reductions + cal metadata, from the SAME
@@ -62,14 +66,25 @@ object SeamfLake {
         cm.select("datetime", "frequency", "overload", "cal_gain_dB",
           "cal_noise_figure_dB"),
         Seq("datetime", "frequency"))
-      writeDatePartitioned(capSummary, outDir, "capture_summary")
 
-      def cnt(t: String): Long =
-        if (validate) spark.read.parquet(s"$outDir/$t").count() else -1L
-      counts ++ Map(
-        "channel_metadata" -> cnt("channel_metadata"),
-        "sweep_metadata" -> cnt("sweep_metadata"),
-        "capture_summary" -> cnt("capture_summary"))
+      val sinks: Seq[(String, DataFrame)] =
+        Seq("psd", "pvt", "pfp", "apd").map(n => n -> longifyFromTraces(traces, n)) ++
+          Seq("channel_metadata" -> cm, "sweep_metadata" -> sm,
+            "capture_summary" -> capSummary)
+      // dedicated pool sized to the sink count: each task blocks on a Spark
+      // job, so the shared global pool must not absorb seven blocked threads
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(sinks.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val jobs = sinks.map { case (name, df) =>
+          Future {
+            writeDatePartitioned(df, outDir, name)
+            name -> (if (validate) spark.read.parquet(s"$outDir/$name").count()
+                     else -1L)
+          }
+        }
+        Await.result(Future.sequence(jobs), Duration.Inf).toMap
+      } finally pool.shutdown()
     } finally {
       traces.unpersist()
     }
@@ -77,7 +92,7 @@ object SeamfLake {
 
   // Same long-format projection as SeamfReader.tables, but over an already
   // materialized trace DataFrame (so the scan is shared across sinks).
-  private def longifyFromTraces(tr: DataFrame, table: String): DataFrame = {
+  private[graft] def longifyFromTraces(tr: DataFrame, table: String): DataFrame = {
     val base = tr.filter(col("table") === table)
       .withColumn("datetime", timestamp_micros(col("datetime_us")))
     val exploded = base.select(
