@@ -36,7 +36,7 @@ object Multimodal {
   final case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, format: String,
       width: Int, height: Int, n_units: Int, n_bytes: Int,
-      features: Array[Float])
+      features: Array[Float], unit_mean: Double)
   final case class FrameRow(media_id: Long, frame_idx: Int, pixel_sum: Long,
       frame_bytes: Array[Byte])
 
@@ -51,9 +51,17 @@ object Multimodal {
   // wav PCM:        n = 200 + id%100 samples; unsigned16 u(i) =
   //                 ((id+1)*2654435761 + i*40503) % 65536, sample = u - 32768
   // gif 8x8 frames: gray index of (f,x,y) = (id*17 + f*29 + x*5 + y*11) % 256
+  // jpeg 16x16:     all channels = (id%128) + 2x + 2y (smooth, wrap-free
+  //                 gray ramp, max 187). JPEG is LOSSY: decoded pixels are
+  //                 NOT the formula, so oracles grade jpeg rows with the
+  //                 q43 bounded-error pattern — expected per-image MEAN is
+  //                 (id%128) + 30 (= +2*7.5 +2*7.5), and the decoded mean
+  //                 must land within JpegMeanTol of it.
   val PngSide = 16
   val GifSide = 8
   val MaxGifFrames = 8
+  val JpegSide = 16
+  val JpegMeanTol = 3.0
 
   private def pngPixel(id: Long, x: Int, y: Int, c: Int): Int =
     ((id * 31 + x * 7 + y * 13 + c * 101 +
@@ -63,6 +71,8 @@ object Multimodal {
     (((id + 1) * 2654435761L + i.toLong * 40503L) % 65536L).toInt
   private def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 17 + f * 29 + x * 5 + y * 11) % 256).toInt
+  private def jpegGray(id: Long, x: Int, y: Int): Int =
+    ((id % 128) + 2 * x + 2 * y).toInt
 
   // shared across rows/threads: IndexColorModel is immutable after
   // construction and BufferedImage only reads it
@@ -83,6 +93,17 @@ object Multimodal {
       img.setRGB(x, y, (pngPixel(id, x, y, 0) << 16) |
         (pngPixel(id, x, y, 1) << 8) | pngPixel(id, x, y, 2))
     encodePng(img)
+  }
+
+  private def makeJpeg(id: Long): Array[Byte] = {
+    val img = new BufferedImage(JpegSide, JpegSide, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until JpegSide; x <- 0 until JpegSide) {
+      val v = jpegGray(id, x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 
   private def makeWav(id: Long): Array[Byte] = {
@@ -149,28 +170,44 @@ object Multimodal {
     s
   }
 
-  /** Decode 16-bit little-endian PCM back to unsigned-16 sample values. */
-  private def decodeWavU16(bytes: Array[Byte]): Array[Int] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-    try {
-      val pcm = in.readAllBytes()
-      Array.tabulate(pcm.length / 2) { i =>
-        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-        s + 32768
-      }
-    } finally in.close()
-  }
+  // ---- error-tolerant decode wrappers (ADVICE r4) ----------------------
+  // Generic binary columns carry corrupt payloads at 100 TB; a decode
+  // failure must degrade to a per-row signal, not an NPE that kills the
+  // stage. ImageIO.read returns null for undecodable bytes and the codecs
+  // throw on truncation — both collapse to None/empty here.
 
-  private def decodeGifFrames(bytes: Array[Byte]): Vector[BufferedImage] = {
-    val reader = ImageIO.getImageReadersByFormatName("gif").next()
-    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+  /** Decode a single-frame image; None when the payload is undecodable. */
+  private def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode 16-bit little-endian PCM back to unsigned-16 sample values;
+    * None when the payload is not a readable WAV.
+    */
+  private def decodeWavU16(bytes: Array[Byte]): Option[Array[Int]] =
     try {
-      reader.setInput(in)
-      (0 until reader.getNumImages(true)).map(reader.read).toVector
-    } finally {
-      reader.dispose(); in.close()
-    }
-  }
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val pcm = in.readAllBytes()
+        Some(Array.tabulate(pcm.length / 2) { i =>
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          s + 32768
+        })
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode every GIF frame; empty when the payload is undecodable. */
+  private def decodeGifFrames(bytes: Array[Byte]): Vector[BufferedImage] =
+    try {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(in)
+        (0 until reader.getNumImages(true)).map(reader.read).toVector
+      } finally {
+        reader.dispose(); in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
 
   /** Batched feature extraction over a media table: binary in, fixed-width
     * feature vector out, REAL decode per row. One partition = one batch
@@ -178,27 +215,42 @@ object Multimodal {
     * red-channel high nibble (images; first frame for multi-frame media) or
     * of the top 4 bits of the unsigned 16-bit samples (audio). `n_units` is
     * the decoded pixel/sample count; `width`/`height` are the DECODED
-    * dimensions, not the declared metadata.
+    * dimensions, not the declared metadata. `unit_mean` is the mean decoded
+    * red value / unsigned sample — the bounded-error grading stat for lossy
+    * formats (jpeg).
+    *
+    * Undecodable payloads yield a SENTINEL row (width/height/n_units = -1,
+    * empty features, unit_mean 0) instead of killing the stage; downstream
+    * filters on `n_units >= 0` pick the clean subset.
     */
   def extractFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    def sentinel(m: MediaRow): MediaFeatures =
+      MediaFeatures(m.media_id, m.meta.format, -1, -1, -1,
+        m.content.length, Array.empty[Float], 0.0)
     media.mapPartitions { batch =>
       batch.map { m =>
         m.meta.format match {
           case "wav" =>
-            val u = decodeWavU16(m.content)
-            val hist = new Array[Int](Bins)
-            u.foreach(v => hist(v >>> 12) += 1)
-            MediaFeatures(m.media_id, "wav", u.length, 1, u.length,
-              m.content.length, normalize(hist, u.length))
+            decodeWavU16(m.content).fold(sentinel(m)) { u =>
+              val hist = new Array[Int](Bins)
+              var s = 0L
+              u.foreach { v => hist(v >>> 12) += 1; s += v }
+              MediaFeatures(m.media_id, "wav", u.length, 1, u.length,
+                m.content.length, normalize(hist, u.length),
+                if (u.isEmpty) 0.0 else s.toDouble / u.length)
+            }
           case fmt =>
             val img =
-              if (fmt == "gif") decodeGifFrames(m.content).head
-              else ImageIO.read(new ByteArrayInputStream(m.content))
-            val (hist, n) = imageHist(img)
-            MediaFeatures(m.media_id, fmt, img.getWidth, img.getHeight, n,
-              m.content.length, normalize(hist, n))
+              if (fmt == "gif") decodeGifFrames(m.content).headOption
+              else decodeImage(m.content)
+            img.fold(sentinel(m)) { i =>
+              val (hist, n) = imageHist(i)
+              MediaFeatures(m.media_id, fmt, i.getWidth, i.getHeight, n,
+                m.content.length, normalize(hist, n),
+                if (n == 0) 0.0 else redSum(i).toDouble / n)
+            }
         }
       }
     }
@@ -208,7 +260,9 @@ object Multimodal {
     * standalone PNG payload plus its decoded pixel sum (GIF: real
     * multi-frame decode; single-frame formats emit frame 0 — for audio the
     * "pixel sum" is the sum of unsigned sample values and the payload
-    * passes through).
+    * passes through). Undecodable payloads emit NO frames (a frame sampler
+    * has nothing truthful to emit for them; run [[extractFeatures]] first
+    * to census the corrupt subset).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)(
       implicit spark: SparkSession): Dataset[FrameRow] = {
@@ -223,12 +277,10 @@ object Multimodal {
                 encodePng(frames(f)))
             }
           case "wav" =>
-            val u = decodeWavU16(m.content)
-            Iterator.single(
+            decodeWavU16(m.content).iterator.map(u =>
               FrameRow(m.media_id, 0, u.foldLeft(0L)(_ + _), m.content))
           case _ =>
-            val img = ImageIO.read(new ByteArrayInputStream(m.content))
-            Iterator.single(
+            decodeImage(m.content).iterator.map(img =>
               FrameRow(m.media_id, 0, redSum(img), encodePng(img)))
         }
       }
@@ -238,7 +290,8 @@ object Multimodal {
   /** Real image resize: decode, rescale with Graphics2D bilinear
     * interpolation, re-encode as PNG (GIF: every frame rescaled back into
     * an animated GIF). Audio rows pass through unchanged — resize is image
-    * semantics.
+    * semantics. Undecodable payloads also pass through unchanged (their
+    * original meta intact) rather than failing the stage.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
@@ -259,34 +312,39 @@ object Multimodal {
           case "wav" => m
           case "gif" =>
             val frames = decodeGifFrames(m.content).map(scale)
-            val bos = new ByteArrayOutputStream()
-            val writer = ImageIO.getImageWritersByFormatName("gif").next()
-            val out = ImageIO.createImageOutputStream(bos)
-            try {
-              writer.setOutput(out)
-              writer.prepareWriteSequence(null)
-              frames.foreach(f =>
-                writer.writeToSequence(new IIOImage(f, null, null), null))
-              writer.endWriteSequence()
-            } finally {
-              writer.dispose(); out.close()
+            if (frames.isEmpty) m
+            else {
+              val bos = new ByteArrayOutputStream()
+              val writer = ImageIO.getImageWritersByFormatName("gif").next()
+              val out = ImageIO.createImageOutputStream(bos)
+              try {
+                writer.setOutput(out)
+                writer.prepareWriteSequence(null)
+                frames.foreach(f =>
+                  writer.writeToSequence(new IIOImage(f, null, null), null))
+                writer.endWriteSequence()
+              } finally {
+                writer.dispose(); out.close()
+              }
+              MediaRow(m.media_id, bos.toByteArray,
+                MediaMeta("gif", targetW, targetH, frames.length))
             }
-            MediaRow(m.media_id, bos.toByteArray,
-              MediaMeta("gif", targetW, targetH, frames.length))
           case fmt =>
-            val img = ImageIO.read(new ByteArrayInputStream(m.content))
-            MediaRow(m.media_id, encodePng(scale(img)),
-              MediaMeta(fmt, targetW, targetH, m.meta.n_frames))
+            decodeImage(m.content).fold(m)(img =>
+              MediaRow(m.media_id, encodePng(scale(img)),
+                MediaMeta(fmt, targetW, targetH, m.meta.n_frames)))
         }
       }
     }
   }
 
   /** Deterministic REAL media table derived from the `documents` fixture:
-    * per document one PNG image, PCM WAV clip, or animated GIF (id mod 3),
-    * all encoded with in-JDK codecs. The decoded content follows the
-    * closed-form formulas at the top of this object, so SQL oracles can
-    * replay decoded statistics without a codec.
+    * per document one PNG image, PCM WAV clip, animated GIF, or JPEG photo
+    * (id mod 4), all encoded with in-JDK codecs. The decoded content
+    * follows the closed-form formulas at the top of this object, so SQL
+    * oracles can replay decoded statistics without a codec — exactly for
+    * the lossless formats, and to within [[JpegMeanTol]] of the expected
+    * per-image mean for the lossy jpeg rows.
     *
     * `format` restricts generation to one modality — the restriction is a
     * RELATIONAL filter applied before the encode map, so single-modality
@@ -302,24 +360,27 @@ object Multimodal {
       case "png" => 0L
       case "wav" => 1L
       case "gif" => 2L
+      case "jpeg" => 3L
       case f => throw new IllegalArgumentException(s"unknown format $f")
     }
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    residue.fold(base)(r => base.filter(col("doc_id") % 3 === r))
+    residue.fold(base)(r => base.filter(col("doc_id") % 4 === r))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, nChars) =>
-          id % 3 match {
+          id % 4 match {
             case 0 => MediaRow(id, makePng(id),
               MediaMeta("png", PngSide, PngSide, 1))
             case 1 => MediaRow(id, makeWav(id),
               MediaMeta("wav", wavSamples(id), 1, 1))
-            case _ =>
+            case 2 =>
               val nf = math.min(MaxGifFrames,
                 math.max((nChars / 100).toInt, 1))
               MediaRow(id, makeGif(id, nf),
                 MediaMeta("gif", GifSide, GifSide, nf))
+            case _ => MediaRow(id, makeJpeg(id),
+              MediaMeta("jpeg", JpegSide, JpegSide, 1))
           }
         }
       }

@@ -21,21 +21,24 @@ object MultimodalQueries {
   //      n = 200 + id%100
   // gif: gray of (frame,x,y) = (id*17 + f*29 + x*5 + y*11) % 256, 8x8,
   //      n_frames = least(greatest(n_chars//100, 1), 8)
+  // jpeg: gray of (x,y) = (id%128) + 2x + 2y, 16x16 — LOSSY, so oracles
+  //      never replay jpeg pixels; they assert the bounded-error flag
+  //      (decoded mean within JpegMeanTol of (id%128)+30) instead.
   private val PngRedCte =
     """png AS (SELECT doc_id,
         (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
           AS red
       FROM documents, range(16) tx(x), range(16) ty(y)
-      WHERE doc_id % 3 = 0)"""
+      WHERE doc_id % 4 = 0)"""
   private val WavU16Cte =
     """wav AS (SELECT doc_id,
         ((doc_id + 1)*2654435761 + ti.i*40503) % 65536 AS u
       FROM documents, LATERAL (SELECT unnest(range(200 + doc_id % 100)) AS i) ti
-      WHERE doc_id % 3 = 1)"""
+      WHERE doc_id % 4 = 1)"""
   private val GifGrayCte =
     """gifn AS (SELECT doc_id,
         least(greatest(n_chars // 100, 1), 8) AS nf
-      FROM documents WHERE doc_id % 3 = 2),
+      FROM documents WHERE doc_id % 4 = 2),
       gif AS (SELECT doc_id, nf, tf.f,
         (doc_id*17 + tf.f*29 + tx.x*5 + ty.y*11) % 256 AS gray
       FROM gifn, LATERAL (SELECT unnest(range(nf)) AS f) tf,
@@ -48,6 +51,10 @@ object MultimodalQueries {
     // decode checksum — the first histogram bin frequency of every row,
     // floor-scaled to micro-units and summed. The checksum ties each ROW's
     // real decode to the oracle: a single corrupted decode shifts it.
+    // jpeg is LOSSY, so its rows are graded with the q43 bounded-error
+    // pattern instead: bin0_checksum is NULL and n_within_tol counts rows
+    // whose DECODED mean lands within JpegMeanTol of the closed-form
+    // expected mean (the oracle asserts all of them do).
     "m01_media_inventory" -> QueryDef(
       (s, dir) => {
         implicit val sp = s
@@ -56,12 +63,21 @@ object MultimodalQueries {
           .groupBy("format")
           .agg(count(lit(1)).as("n_media"),
             sum(col("n_units").cast("long")).as("total_units"),
-            sum(floor(element_at(col("features"), 1).cast("double") * 1e6)
-              .cast("long")).as("bin0_checksum"))
+            sum(when(col("format") =!= "jpeg",
+              floor(element_at(col("features"), 1).cast("double") * 1e6)
+                .cast("long"))).as("bin0_checksum"),
+            sum(when(col("format") === "jpeg",
+              (abs(col("unit_mean") -
+                ((col("media_id") % 128) + lit(30)).cast("double"))
+                <= Multimodal.JpegMeanTol).cast("long")))
+              .as("n_within_tol"))
           .orderBy("format")
       },
       // bin0 is counted, divided in FLOAT (the engine's Float/Float), then
-      // floor-scaled in DOUBLE — bit-identical across engines
+      // floor-scaled in DOUBLE — bit-identical across engines. The jpeg row
+      // hard-codes n_within_tol = n_media: a codec/tolerance regression
+      // surfaces as a hash mismatch on this row (see MultimodalSpec's
+      // per-row jpeg tolerance assertion for the pinpointing failure).
       Some(s"""WITH $PngRedCte, $WavU16Cte, $GifGrayCte,
         b AS (
           SELECT 'png' AS format, doc_id, 256 AS n,
@@ -74,12 +90,20 @@ object MultimodalQueries {
           UNION ALL
           SELECT 'gif', doc_id, 64,
             COUNT(*) FILTER (WHERE gray < 16 AND f = 0)
-          FROM gif GROUP BY doc_id)
-        SELECT format, COUNT(*) AS n_media,
+          FROM gif GROUP BY doc_id),
+        lossless AS (SELECT format, COUNT(*) AS n_media,
           CAST(SUM(n) AS BIGINT) AS total_units,
           CAST(SUM(CAST(FLOOR(CAST(CAST(c0 AS FLOAT) / CAST(n AS FLOAT)
-            AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS bin0_checksum
-        FROM b GROUP BY format ORDER BY format""")),
+            AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS bin0_checksum,
+          CAST(NULL AS BIGINT) AS n_within_tol
+          FROM b GROUP BY format),
+        jpeg AS (SELECT 'jpeg' AS format, COUNT(*) AS n_media,
+          CAST(COUNT(*) * 256 AS BIGINT) AS total_units,
+          CAST(NULL AS BIGINT) AS bin0_checksum,
+          CAST(COUNT(*) AS BIGINT) AS n_within_tol
+          FROM documents WHERE doc_id % 4 = 3)
+        SELECT * FROM lossless UNION ALL SELECT * FROM jpeg
+        ORDER BY format""")),
 
     // ---- batched feature extraction + ANN over decoded image features --
     // Brute-force cosine top-k over the images' decoded histograms. The

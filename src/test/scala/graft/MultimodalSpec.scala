@@ -11,7 +11,7 @@ class MultimodalSpec extends SparkSpec {
   test("media table carries binary content + typed metadata") {
     val row = media.filter(_.media_id == 0L).head()
     assert(row.content.nonEmpty)
-    assert(Set("png", "wav", "gif").contains(row.meta.format))
+    assert(Set("png", "wav", "gif", "jpeg").contains(row.meta.format))
     val df = media.toDF()
     assert(df.schema("content").dataType ===
       org.apache.spark.sql.types.BinaryType)
@@ -27,21 +27,57 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
     val gif = byFmt("gif").head.content
     assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val jpg = byFmt("jpeg").head.content
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8) // SOI marker
   }
 
   test("decoded pixels match the generator formula (PNG round trip)") {
-    // media_id 3 is png (3%3==0) with a non-trivial id%16 class; the
+    // media_id 4 is png (4%4==0) with a non-trivial id%16 class; the
     // decoded red channel must reproduce
     // (id*31 + x*7 + y*13 + x*y*(1 + id%16)) % 256 pixel-for-pixel
-    val row = media.filter(_.media_id == 3L).head()
+    val row = media.filter(_.media_id == 4L).head()
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(row.content))
     assert(img.getWidth === 16 && img.getHeight === 16)
     for (y <- 0 until 16; x <- 0 until 16) {
       val red = (img.getRGB(x, y) >> 16) & 0xff
-      assert(red === ((3L * 31 + x * 7 + y * 13 + x * y * 4) % 256).toInt,
+      assert(red === ((4L * 31 + x * 7 + y * 13 + x * y * 5) % 256).toInt,
         s"pixel ($x,$y)")
     }
+  }
+
+  test("jpeg decodes land within JpegMeanTol of the closed-form mean " +
+      "(per row, the m01 bounded-error grade)") {
+    val jpegs = Multimodal.extractFeatures(
+      Multimodal.syntheticMediaTable(spark, sf(), Some("jpeg"))).collect()
+    assert(jpegs.nonEmpty)
+    jpegs.foreach { f =>
+      assert(f.format === "jpeg" && f.width === 16 && f.n_units === 256)
+      val expected = (f.media_id % 128) + 30.0
+      assert(math.abs(f.unit_mean - expected) <= Multimodal.JpegMeanTol,
+        s"media ${f.media_id}: decoded mean ${f.unit_mean} vs $expected")
+    }
+  }
+
+  test("undecodable payloads degrade to sentinels, not stage failures") {
+    import spark.implicits._
+    val corrupt = Seq(
+      Multimodal.MediaRow(900L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("png", 16, 16, 1)),
+      Multimodal.MediaRow(901L, Array[Byte](9, 9),
+        Multimodal.MediaMeta("wav", 200, 1, 1)),
+      Multimodal.MediaRow(902L, Array[Byte](0),
+        Multimodal.MediaMeta("gif", 8, 8, 2))).toDS()
+    val feats = Multimodal.extractFeatures(corrupt).collect()
+    assert(feats.length === 3)
+    feats.foreach(f => assert(f.n_units === -1 && f.features.isEmpty,
+      s"media ${f.media_id} should be a sentinel"))
+    // frame sampler emits nothing for them; resize passes them through
+    assert(Multimodal.sampleFrames(corrupt, 1).count() === 0)
+    val passed = Multimodal.resize(corrupt, 4, 4).collect()
+    assert(passed.map(_.media_id).toSet === Set(900L, 901L, 902L))
+    assert(passed.find(_.media_id == 900L).get.content.toSeq ===
+      Seq[Byte](1, 2, 3))
   }
 
   test("batched feature extraction yields normalized fixed-width vectors " +
@@ -84,7 +120,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize really rescales image pixels and preserves ids") {
     val resized = Multimodal.resize(media, 32, 32)
-    val r = resized.filter(_.media_id == 3L).head() // png row
+    val r = resized.filter(_.media_id == 4L).head() // png row
     assert(r.meta.width === 32 && r.meta.height === 32)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.content))

@@ -24,7 +24,8 @@ class RowsOnlySpec extends SparkSpec {
     "s14_seamf_zip_scan" -> 4L,
     "s15_seamf_stream_summary" -> 21L,
     "q45_dedup_recall" -> 2L,
-    "m02_media_knn" -> 15L)
+    // 12 = 4 query images (doc_id < 15 with doc_id % 4 == 0) x k=3
+    "m02_media_knn" -> 12L)
 
   test("rows-only inventory queries keep their pinned sf0.01 row counts") {
     val sfDir = sf("sf0.01")
