@@ -32,6 +32,18 @@ object SqlFunctions {
   def registerAll(spark: SparkSession): Unit = {
     register(spark, "graft_quality_score",
       e => TextOps.qualityScore(c(e.head), DefaultStopwords))
+    // graft_shingles(text, k): k must be an integer literal — it is a
+    // structural parameter of the codegen'd expression (the generated
+    // one-pass scan is specialized per k), not a runtime column
+    register(spark, "graft_shingles", e => {
+      val k = e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(text, k): k must be an integer literal, got $other")
+      }
+      c(expressions.Shingles(e(0), k))
+    })
     register(spark, "graft_lang_id", e => TextOps.langIdHeuristic(c(e.head)))
     register(spark, "graft_token_count", e => TextOps.wordCount(c(e.head)))
     register(spark, "graft_fingerprint", e => TextOps.fingerprint(c(e.head)))

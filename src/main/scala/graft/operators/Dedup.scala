@@ -225,7 +225,13 @@ object Dedup {
     // VectorOps.cosine and the DuckDB oracle.
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
+    // same raggedness semantics as embeddingNearDupsLsh and the q45
+    // oracle: rows shorter than the max dimension are dropped, not
+    // crashed on (ADVICE r4 — a mixed-dimension corpus would otherwise
+    // AIOOBE in the dot loop)
+    val dim = graft.functions.VectorOps.dimOf(emb, vecCol)
+    val rows = emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     val corpus: Array[(Long, Array[Double], Double)] = rows.collect()
       .map { case (id, v) =>

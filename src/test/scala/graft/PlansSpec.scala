@@ -160,4 +160,28 @@ class PlansSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("connectedComponents converges on a diameter-25 chain and refuses " +
+      "silent truncation when maxIter is below the diameter") {
+    // min-label propagation moves one hop per round, so a path graph of
+    // diameter D needs ~D rounds — exercises the iteration loop far past
+    // the fixture dup clusters' trivial 2-4 round regime (VERDICT r4 #4)
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup
+      .connectedComponents(chain, maxIter = 30, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 26)
+    assert(labels.forall(_._2 == 0L),
+      "every chain node must collapse to the min id")
+
+    // maxIter below the diameter: the operator must REFUSE (truncating
+    // would silently split the component) with an actionable message
+    val refused = intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .connectedComponents(chain, maxIter = 5, numPartitions = 4)
+        .collect()
+    }
+    assert(refused.getMessage.contains("did not converge"))
+    assert(refused.getMessage.contains("raise maxIter"))
+  }
 }
