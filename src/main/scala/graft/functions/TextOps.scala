@@ -121,6 +121,39 @@ object TextOps {
     when(text.isNotNull, lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3)
   }
 
+  // ---- PII detection / redaction ---------------------------------------
+  // Patterns restricted to the Java-regex AND RE2 common subset (no
+  // lookarounds, no backreferences) so the DuckDB oracles replay them
+  // verbatim. Deliberately precision-leaning: a corpus scrubber prefers
+  // missing an exotic address over mangling code/markup.
+
+  /** Email address (user@host.tld). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded; no octet range check — redaction
+    * favors recall over parsing rigor for things that LOOK like addresses).
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of email-shaped spans in the text (null text -> null). */
+  def piiEmailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern))
+
+  /** Count of IPv4-shaped spans in the text (null text -> null). */
+  def piiIpCount(text: Column): Column =
+    regexp_count(text, lit(Ipv4Pattern))
+
+  /** Redact email/IPv4 spans to `<EMAIL>`/`<IP>` placeholders — the
+    * standard pre-training scrub. Emails are replaced FIRST so a dotted
+    * quad inside an email's local part (`1.2.3.4@example.com`) redacts as
+    * one `<EMAIL>`, not `<IP>@example.com`. Map-side, codegen'd, no
+    * shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
   /** 64-bit rolling-hash document fingerprint: xxhash64 over the normalized
     * (lowercased, whitespace-collapsed) text. Exact-dup detection key.
     */

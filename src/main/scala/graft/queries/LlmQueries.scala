@@ -1659,6 +1659,69 @@ object LlmQueries {
         FROM f JOIN e ON f.doc_id = e.vec_id
         ORDER BY f.doc_id LIMIT 30""")),
 
+    // ---- PII detection / redaction --------------------------------------
+    // The standard pre-training scrub: count + redact email/IPv4 spans
+    // (TextOps.redactPii — patterns restricted to the Java-regex/RE2
+    // common subset so DuckDB replays them verbatim). The fixture text is
+    // synthetic and PII-free, so the query INJECTS deterministic PII
+    // relationally — every 5th doc gains an email, every 7th an IPv4,
+    // built from doc_id with the identical expression in the oracle —
+    // making the grade non-degenerate (the m01 jpeg pattern: fixture
+    // augmentation is relational, the OPERATOR is what is graded). The
+    // redaction checksum (summed md5-48 of redacted text) proves the
+    // rewrite is byte-identical, not just the counts. Map-side only: the
+    // single shuffle is the per-source aggregation.
+    "q91_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val aug = t(s, dir, "documents").withColumn("t2",
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com for details"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" logged from 10.0."),
+                (col("doc_id") % 256).cast("string"), lit("."),
+                (col("doc_id") % 100).cast("string"))).otherwise(lit(""))))
+        aug.select(col("source"),
+            TextOps.piiEmailCount(col("t2")).as("ne"),
+            TextOps.piiIpCount(col("t2")).as("ni"),
+            Dedup.md5Hash48(TextOps.redactPii(col("t2"))).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("ni")).as("n_ips"),
+            sum(when(col("ne") + col("ni") > 0, 1L).otherwise(0L))
+              .as("n_docs_with_pii"),
+            sum(col("h")).as("redact_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH a AS (SELECT source, text ||
+          CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+            || CAST(doc_id AS VARCHAR) || '@example.com for details'
+            ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' logged from 10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t2
+          FROM documents),
+        r AS (SELECT source,
+          len(regexp_extract_all(t2,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+          len(regexp_extract_all(t2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+          regexp_replace(regexp_replace(t2,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+          FROM a)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(ne) AS BIGINT) AS n_emails,
+          CAST(SUM(ni) AS BIGINT) AS n_ips,
+          CAST(SUM(CASE WHEN ne + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_with_pii,
+          CAST(SUM(CAST(('0x' || substr(md5(red), 1, 12)) AS BIGINT))
+            AS BIGINT) AS redact_checksum
+        FROM r GROUP BY source ORDER BY source""")),
+
     // ---- passage-level boilerplate dedup -------------------------------
     // RefinedWeb/CCNet-style: split each document into non-overlapping
     // 8-word passages, count the DISTINCT documents each passage occurs

@@ -73,4 +73,33 @@ class FunctionsSpec extends SparkSpec {
     assert(df.select(TimeOps.calendarBlock(col("ts"), "week")).head().getString(0)
       .startsWith("2024-W"))
   }
+
+  test("PII counting and redaction handle emails, IPs, and edge overlaps") {
+    import graft.functions.TextOps
+    val cases = Seq(
+      ("mail me at a.b+c@sub.example.org thanks", 1, 0,
+        "mail me at <EMAIL> thanks"),
+      ("server 192.168.1.1 and 10.0.0.255 up", 0, 2,
+        "server <IP> and <IP> up"),
+      // dotted quad inside an email's local part: email wins (replaced
+      // first), no partial <IP> rewrite
+      ("1.2.3.4@example.com wrote", 1, 1, "<EMAIL> wrote"),
+      ("no pii here 1.2 or v3", 0, 0, "no pii here 1.2 or v3"),
+      (null.asInstanceOf[String], -1, -1, null))
+    val got = cases.map(_._1).toDF("t").select(
+      TextOps.piiEmailCount(col("t")).as("ne"),
+      TextOps.piiIpCount(col("t")).as("ni"),
+      TextOps.redactPii(col("t")).as("red")).collect()
+    cases.zip(got).foreach { case ((in, ne, ni, red), r) =>
+      withClue(s"input: $in") {
+        if (in == null) {
+          assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+        } else {
+          assert(r.getInt(0) === ne)
+          assert(r.getInt(1) === ni)
+          assert(r.getString(2) === red)
+        }
+      }
+    }
+  }
 }
