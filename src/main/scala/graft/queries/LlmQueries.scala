@@ -1659,6 +1659,53 @@ object LlmQueries {
         FROM f JOIN e ON f.doc_id = e.vec_id
         ORDER BY f.doc_id LIMIT 30""")),
 
+    // ---- Count-Min frequency sketch (heavy hitters) ---------------------
+    // Build a 4x256 CMS over every word occurrence (the shuffle is bounded
+    // by depth*width, not the vocabulary), then point-estimate the top-15
+    // exact heavy hitters against it. The Carter-Wegman family is the
+    // MinHash one, so the oracle replays build AND estimate cell-exactly —
+    // including the genuine collisions the 256-wide rows force — and the
+    // no-underestimate invariant is graded per row rather than trusted.
+    // At 100 TB the exact per-key groupBy here is exactly what the sketch
+    // exists to avoid; it is computed only as the grading baseline.
+    "q92_count_min" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.CountMin
+        val depth = 4; val width = 256
+        val toks = t(s, dir, "documents")
+          .select(explode(TextOps.words(lower(col("text")))).as("w"))
+        val counters = CountMin.build(toks, "w", depth, width)
+        val exact = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        val top = exact.orderBy(col("n_exact").desc, col("w").asc).limit(15)
+        CountMin.estimate(top, "w", counters, depth, width)
+          .select(col("w").as("word"), col("n_exact"), col("cms_estimate"),
+            (col("cms_estimate") >= col("n_exact")).as("no_underestimate"))
+          .orderBy(col("n_exact").desc, col("word").asc)
+      },
+      Some(s"""WITH w AS (SELECT list_filter(string_split_regex(lower(text),
+            '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        tok AS (SELECT unnest(ws) AS w FROM w),
+        cnt AS (SELECT w, COUNT(*) AS n_exact FROM tok GROUP BY w),
+        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(d, a, b)
+          WHERE d < 4),
+        x AS (SELECT w, n_exact,
+            CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 2147483647 AS x
+          FROM cnt),
+        cm AS (SELECT d, ((a*x + b) % 2147483647) % 256 AS bucket,
+            SUM(n_exact) AS c
+          FROM x CROSS JOIN f GROUP BY 1, 2),
+        top AS (SELECT w, n_exact, x FROM x
+          ORDER BY n_exact DESC, w LIMIT 15),
+        est AS (SELECT t.w, t.n_exact, MIN(COALESCE(cm.c, 0)) AS cms_estimate
+          FROM top t CROSS JOIN f
+          LEFT JOIN cm ON cm.d = f.d
+            AND cm.bucket = ((f.a*t.x + f.b) % 2147483647) % 256
+          GROUP BY 1, 2)
+        SELECT w AS word, CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(cms_estimate AS BIGINT) AS cms_estimate,
+          cms_estimate >= n_exact AS no_underestimate
+        FROM est ORDER BY n_exact DESC, word""")),
+
     // ---- PII detection / redaction --------------------------------------
     // The standard pre-training scrub: count + redact email/IPv4 spans
     // (TextOps.redactPii — patterns restricted to the Java-regex/RE2

@@ -419,4 +419,23 @@ class OperatorsSpec extends SparkSpec {
     val mx = filters.select(max(element_at(col("filter"), -1))).head.getInt(0)
     assert(mx < 256)
   }
+
+  test("CountMin never underestimates, is repartition-invariant, and " +
+      "conserves total weight per row") {
+    val depth = 4; val width = 16 // narrow enough to force collisions
+    val keys = (0 until 200).map(i => s"k${i % 37}").toDF("w")
+    val counters = CountMin.build(keys, "w", depth, width)
+    // each of the depth rows holds every occurrence exactly once
+    val rowSums = counters.groupBy("d").agg(sum(col("c")).as("s"))
+      .select("s").as[Long].collect()
+    assert(rowSums.length === depth && rowSums.forall(_ === 200L))
+    // estimates >= exact for EVERY key (the CMS invariant)
+    val exact = keys.groupBy("w").agg(count(lit(1)).as("n"))
+    val est = CountMin.estimate(exact, "w", counters, depth, width)
+    assert(est.filter(col("cms_estimate") < col("n")).count() === 0)
+    // build is deterministic under repartitioning (mergeable cell sums)
+    val again = CountMin.build(keys.repartition(7), "w", depth, width)
+    assert(counters.exceptAll(again).count() === 0)
+    assert(again.exceptAll(counters).count() === 0)
+  }
 }
