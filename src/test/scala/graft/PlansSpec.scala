@@ -53,6 +53,30 @@ class PlansSpec extends SparkSpec {
     assert(assigned.count() === emb.count() * 2)
   }
 
+  test("k-means distances compute in-row against broadcast centroids: " +
+      "no shuffle keyed on point ids, and wide == long formulation") {
+    import graft.operators.KMeans
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val pts = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = KMeans.centroidsWide(
+      KMeans.seedCentroids(emb, "vec_id", "embedding", 4))
+    val dists = KMeans.distancesWide(pts, cents)
+    val p = dists.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast:\n$p")
+    // the only exchanges allowed are the k-row centroid assembly ones —
+    // nothing in the distance computation may shuffle the points
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"points side of the distance join shuffles:\n$p")
+    // in-row decimal fold == the long-format groupBy sum, bit-for-bit
+    val long = KMeans.distances(
+      KMeans.explodeVec(emb, "vec_id", "embedding"),
+      KMeans.seedCentroids(emb, "vec_id", "embedding", 4))
+    assert(dists.exceptAll(long).count() === 0)
+    assert(long.exceptAll(dists).count() === 0)
+  }
+
   test("ANN candidate dedup carries bare id pairs, not vector payloads") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val p = graft.operators.Similarity
