@@ -40,7 +40,8 @@ class NullTextSpec extends SparkSpec {
     "q72_weighted_sample", "q73_lang_rebalance", "q74_bigram_entropy",
     "q76_passage_dedup", "q77_pack_chunks", "q78_mixture_weights",
     "q79_canonical_docs", "q81_bpe_encode", "q82_boilerplate_strip",
-    "q83_epoch_shuffle")
+    "q83_epoch_shuffle", "q90_sql_graft_surface", "q91_pii_redact",
+    "q92_count_min")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
