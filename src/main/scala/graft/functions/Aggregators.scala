@@ -59,4 +59,35 @@ object Aggregators {
     if (lo == hi) sorted(lo)
     else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
   }
+
+  /** Bounded k-smallest (rank, key) aggregator — the UNBOUNDED-stratum
+    * scale path for deterministic sampling ([[graft.operators.Sampling
+    * .stratifiedTakeHeap]]): unlike the window-rank form, the buffer never
+    * exceeds k entries, so a billion-row stratum costs one pass + a
+    * k-element merge per partition instead of a full per-stratum sort.
+    * Partial-aggregable: each map task ships at most k pairs per group.
+    * Output is the kept keys ordered by (rank, key) — identical selection
+    * and order to `row_number().over(orderBy(rank, key)) <= k`.
+    */
+  final case class BoundedMinK(k: Int)
+      extends Aggregator[(String, Long), List[(String, Long)], Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: List[(String, Long)] = Nil
+    def reduce(b: List[(String, Long)], a: (String, Long)): List[(String, Long)] =
+      insert(b, a)
+    def merge(b1: List[(String, Long)], b2: List[(String, Long)])
+        : List[(String, Long)] = b2.foldLeft(b1)(insert)
+    def finish(b: List[(String, Long)]): Seq[Long] = b.map(_._2)
+    // buffer kept sorted ascending; k is sampling-sized (tens), so the
+    // insertion re-sort is effectively an insertion step
+    private def insert(b: List[(String, Long)], a: (String, Long)) = {
+      if (b.lengthCompare(k) >= 0 && implicitly[Ordering[(String, Long)]]
+          .gteq(a, b.last)) b
+      else ((a :: b).sorted).take(k)
+    }
+    def bufferEncoder: Encoder[List[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long)]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -56,6 +56,35 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** The UNBOUNDED-stratum form of [[stratifiedTake]] — identical rows and
+    * ranks, different plan: a bounded k-buffer aggregation
+    * ([[graft.functions.Aggregators.BoundedMinK]]) selects each stratum's
+    * k smallest (md5, key) pairs with map-side partial aggregation (at
+    * most k pairs per stratum leave each partition — no per-stratum sort,
+    * no billion-row window), then the kept keys join back to recover the
+    * full rows. Two narrow shuffles bounded by strata*k instead of one
+    * stratum-keyed sort of the corpus. `key` must be integral (the id
+    * shape every sampling call site uses).
+    */
+  def stratifiedTakeHeap(df: org.apache.spark.sql.DataFrame, strataCol: String,
+      keyCol: String, k: Int, salt: String = "strat")
+      : org.apache.spark.sql.DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(String, Long)]()
+    val topk = udaf(graft.functions.Aggregators.BoundedMinK(k), enc)
+    val kept = df
+      .select(col(strataCol).as("__s"),
+        md5(concat(col(keyCol).cast("string"), lit("#" + salt))).as("__h"),
+        col(keyCol).cast("long").as("__k"))
+      .groupBy(col("__s"))
+      .agg(topk(col("__h"), col("__k")).as("__kept"))
+      .select(col("__s"), posexplode(col("__kept")).as(Seq("__pos", "__k")))
+      .select(col("__s"), col("__k"), (col("__pos") + 1).as("sample_rank"))
+    df.join(broadcast(kept),
+        col(strataCol) === col("__s") && col(keyCol).cast("long") === col("__k"))
+      .drop("__s", "__k")
+  }
+
   /** Split assignment from cumulative fractions, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions must sum
     * to 1; the last split absorbs rounding.

@@ -420,6 +420,21 @@ class OperatorsSpec extends SparkSpec {
     assert(mx < 256)
   }
 
+  test("stratifiedTakeHeap matches the window form row-for-row, " +
+      "including under repartitioning") {
+    val df = (0 until 500).map(i => (s"g${i % 7}", i.toLong, s"payload$i"))
+      .toDF("g", "id", "p")
+    val a = Sampling.stratifiedTake(df, col("g"), col("id"), 5)
+      .select("g", "id", "p", "sample_rank")
+    val b = Sampling.stratifiedTakeHeap(df, "g", "id", 5)
+      .select("g", "id", "p", "sample_rank")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // the bounded-buffer merge path is genuinely exercised across tasks
+    val c = Sampling.stratifiedTakeHeap(df.repartition(13), "g", "id", 5)
+      .select("g", "id", "p", "sample_rank")
+    assert(a.exceptAll(c).count() === 0 && c.exceptAll(a).count() === 0)
+  }
+
   test("CountMin never underestimates, is repartition-invariant, and " +
       "conserves total weight per row") {
     val depth = 4; val width = 16 // narrow enough to force collisions
