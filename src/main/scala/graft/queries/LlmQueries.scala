@@ -34,7 +34,7 @@ object LlmQueries {
 
   // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
   // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
-  private val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
+  private[queries] val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   // Exact mean of a double metric: decimal-cast sum (order-independent)

@@ -214,6 +214,38 @@ object StreamQueries {
         SELECT lang, n_in, n_dup, n_in - n_dup AS n_new
         FROM a ORDER BY lang""")),
 
+    // ---- streaming Count-Min sketch (bounded-state heavy hitters) ------
+    // The CMS counter table builds INCREMENTALLY over the document stream:
+    // state is the (d, bucket) aggregation — hard-bounded at depth*width
+    // keys no matter how long the stream runs (THE property that makes
+    // frequency sketches the streaming answer where an exact per-word
+    // count grows with the vocabulary). Counters are mergeable sums, so
+    // end-of-stream equals the batch sketch and the q92-family oracle
+    // replays it cell-exactly.
+    "w10_stream_cms" -> QueryDef(
+      (s, dir) => {
+        val toks = StreamingOps.documentsStream(s, dir)
+          .select(explode(graft.functions.TextOps.words(lower(col("text"))))
+            .as("w"))
+        val counters = graft.operators.CountMin.build(toks, "w",
+          depth = 4, width = 256)
+        StreamingOps.runToMemory(s, counters, "w10_mem",
+            outputMode = "complete")
+          .orderBy("d", "bucket")
+      },
+      Some(s"""WITH w AS (SELECT list_filter(string_split_regex(lower(text),
+            '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        tok AS (SELECT unnest(ws) AS w FROM w),
+        cnt AS (SELECT w, COUNT(*) AS c0 FROM tok GROUP BY w),
+        f AS (SELECT * FROM (VALUES ${LlmQueries.MinHashCoeffSql}) t(d, a, b)
+          WHERE d < 4),
+        x AS (SELECT w, c0,
+            CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 2147483647 AS x
+          FROM cnt)
+        SELECT d, CAST(((a*x + b) % 2147483647) % 256 AS INT) AS bucket,
+          CAST(SUM(c0) AS BIGINT) AS c
+        FROM x CROSS JOIN f GROUP BY 1, 2 ORDER BY d, bucket""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {
