@@ -30,6 +30,28 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Fused exact quantile bundle: every requested quantile from ONE
+    * buffered sort (the reference computes min/q1/median/q3/max in a
+    * single numpy `quantile` call — this is that shape for the typed API;
+    * N separate QuantileAggs would sort the group N times).
+    */
+  final case class QuantileBundleAgg(ps: Seq[Double])
+      extends Aggregator[Double, List[Double], Seq[Double]] {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must be in [0, 1]: $ps")
+    def zero: List[Double] = Nil
+    def reduce(b: List[Double], a: Double): List[Double] = a :: b
+    def merge(b1: List[Double], b2: List[Double]): List[Double] = b1 ::: b2
+    def finish(b: List[Double]): Seq[Double] = {
+      val sorted = b.toArray.sorted
+      ps.map(interpolate(sorted, _))
+    }
+    def bufferEncoder: Encoder[List[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Exact inter-quantile trimmed mean ("midmean", reference 3gpp cell 4):
     * mean of values within the [pLow, pHigh] interpolated quantile band.
     */

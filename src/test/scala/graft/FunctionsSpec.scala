@@ -31,6 +31,16 @@ class FunctionsSpec extends SparkSpec {
     assert(med === ref)
   }
 
+  test("QuantileBundleAgg equals per-quantile QuantileAggs from one sort") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ds = vals.toDS()
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val bundle = ds.select(Aggregators.QuantileBundleAgg(ps).toColumn).head()
+    val singles = ps.map(p =>
+      ds.select(Aggregators.QuantileAgg(p).toColumn).head())
+    assert(bundle.toSeq === singles)
+  }
+
   test("TrimmedMeanAgg matches the two-pass operator") {
     val vals = (1 to 100).map(_.toDouble)
     val ds = vals.toDS()
