@@ -42,6 +42,35 @@ object LlmQueries {
   private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
 
+  /** Shared BM25 scoring (q54 + the q93 hybrid fusion): per-doc
+    * (doc_id, n_terms, score9) over the query `terms`, floor-scaled per
+    * term so the sum is order-independent. See q54's comment for the plan
+    * and float-discipline rationale.
+    */
+  private def bm25Scored(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.words(lower(col("text"))).as("lws"))
+    val stats = d.agg(count(lit(1)), sum(size(col("lws")))).head
+    val n = stats.getLong(0)
+    // SUM over an empty corpus is NULL; avgdl is only a denominator
+    // for rows that then don't exist, so any finite placeholder works
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    val tf = d.select(col("doc_id"), size(col("lws")).as("dl"),
+        explode(col("lws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "w")
+      .withColumn("contrib9", floor(
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+          * 1e9).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib9")).as("score9"))
+  }
+
   // CASE-guarded quality-score formula (TextOps.qualityScore replica,
   // null text -> NULL) — shared by the q72 and q79 oracles so the formula
   // cannot silently diverge between them. Expects `text` and the word
@@ -1426,27 +1455,7 @@ object LlmQueries {
     // engines — 1.2+1.0 in binary is NOT the double literal 2.2.
     "q54_bm25_search" -> QueryDef(
       (s, dir) => {
-        val terms = Seq("dup", "spark", "query")
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), TextOps.words(lower(col("text"))).as("lws"))
-        val stats = d.agg(count(lit(1)), sum(size(col("lws")))).head
-        val n = stats.getLong(0)
-        // SUM over an empty corpus is NULL; avgdl is only a denominator
-        // for rows that then don't exist, so any finite placeholder works
-        val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
-        val tf = d.select(col("doc_id"), size(col("lws")).as("dl"),
-            explode(col("lws")).as("w"))
-          .filter(col("w").isin(terms: _*))
-          .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfT), "w")
-          .withColumn("contrib9", floor(
-            log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-              * (col("tf") * 2.2)
-              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-              * 1e9).cast("long"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum(col("contrib9")).as("score9"))
+        bm25Scored(s, dir, Seq("dup", "spark", "query"))
           .withColumn("score", col("score9") / 1e9)
           .orderBy(col("score9").desc, col("doc_id"))
           .limit(15)
@@ -1705,6 +1714,83 @@ object LlmQueries {
           CAST(cms_estimate AS BIGINT) AS cms_estimate,
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
+
+    // ---- hybrid retrieval: BM25 + vector KNN via reciprocal-rank fusion -
+    // The standard two-tower serving shape: a lexical ranked list (the q54
+    // BM25 scorer) and a semantic ranked list (cosine to a query vector,
+    // here embedding 0) fuse with RRF: score = sum over lists of
+    // 1/(60 + rank). Per-list contributions floor-scale to longs so the
+    // fusion sum is order-independent and engine-exact; the ranking
+    // windows run AFTER orderBy(...).limit(20) (TakeOrdered) so they sort
+    // 20 rows, never the corpus — same pattern as KMeans.seedCentroids.
+    // Docs appearing in only one list still surface (full outer fusion).
+    "q93_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = bm25Scored(s, dir, Seq("dup", "spark", "query"))
+          .orderBy(col("score9").desc, col("doc_id")).limit(20)
+          .withColumn("lex_rank", row_number()
+            .over(Window.orderBy(col("score9").desc, col("doc_id"))))
+          .select("doc_id", "lex_rank")
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            floor(VectorOps.cosine(col("embedding"), col("qv")) * 1e9)
+              .cast("long").as("cos9"))
+          .orderBy(col("cos9").desc, col("doc_id")).limit(20)
+          .withColumn("sem_rank", row_number()
+            .over(Window.orderBy(col("cos9").desc, col("doc_id"))))
+          .select("doc_id", "sem_rank")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf9",
+            coalesce(floor(lit(1e9) / (col("lex_rank") + 60)).cast("long"),
+              lit(0L)) +
+            coalesce(floor(lit(1e9) / (col("sem_rank") + 60)).cast("long"),
+              lit(0L)))
+          .orderBy(col("rrf9").desc, col("doc_id"))
+          .limit(15)
+          .select("doc_id", "lex_rank", "sem_rank", "rrf9")
+      },
+      Some(s"""$WordsCte,
+        d AS (SELECT doc_id, list_transform(ws, x -> lower(x)) AS lws FROM w),
+        stats AS (SELECT COUNT(*) AS n,
+          CAST(SUM(len(lws)) AS DOUBLE)/COUNT(*) AS avgdl FROM d),
+        tf AS (SELECT doc_id, len(lws) AS dl, tw.w, COUNT(*) AS tf
+          FROM (SELECT doc_id, lws, unnest(lws) AS w FROM d) tw
+          WHERE tw.w IN ('dup', 'spark', 'query') GROUP BY 1, 2, 3),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        scored AS (SELECT tf.doc_id,
+            CAST(FLOOR(LN(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+              * 1e9) AS BIGINT) AS contrib9
+          FROM tf CROSS JOIN stats JOIN dfq ON tf.w = dfq.w),
+        lexs AS (SELECT doc_id, SUM(contrib9) AS score9
+          FROM scored GROUP BY doc_id),
+        lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+            (ORDER BY score9 DESC, doc_id) AS INT) AS lex_rank
+          FROM lexs ORDER BY score9 DESC, doc_id LIMIT 20),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+        sems AS (SELECT vec_id AS doc_id,
+            CAST(FLOOR(list_dot_product(v, q) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))
+              * 1e9) AS BIGINT) AS cos9
+          FROM e CROSS JOIN qv WHERE vec_id <> 0),
+        sem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+            (ORDER BY cos9 DESC, doc_id) AS INT) AS sem_rank
+          FROM sems ORDER BY cos9 DESC, doc_id LIMIT 20),
+        fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+            lex_rank, sem_rank,
+            COALESCE(CAST(FLOOR(1e9 / (lex_rank + 60)) AS BIGINT), 0) +
+            COALESCE(CAST(FLOOR(1e9 / (sem_rank + 60)) AS BIGINT), 0) AS rrf9
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        SELECT doc_id, lex_rank, sem_rank, rrf9
+        FROM fused ORDER BY rrf9 DESC, doc_id LIMIT 15""")),
 
     // ---- PII detection / redaction --------------------------------------
     // The standard pre-training scrub: count + redact email/IPv4 spans
