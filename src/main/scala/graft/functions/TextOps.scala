@@ -121,6 +121,31 @@ object TextOps {
     when(text.isNotNull, lenScore * 0.4 + punctOk * 0.3 + stopOk * 0.3)
   }
 
+  /** Overlapping `size`-word chunks every `stride` words (stride < size =
+    * overlap) — the RAG-ingestion chunking shape, vs [[passages]]'
+    * non-overlapping windows. Chunk k covers words [k*stride,
+    * min(k*stride + size, n)); the last chunk ends exactly at the last
+    * word, so coverage is total and the tail chunk may be short. Empty
+    * text (no words) -> empty array; null -> null.
+    */
+  def slidingChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
+    letCol(words(text)) { ws =>
+      // number of chunks - 1: ceil(max(n - size, 0) / stride), in integer
+      // arithmetic (int / int is double in Spark; truncation after the
+      // +stride-1 bump IS the ceil for non-negative operands)
+      val kMax = ((greatest(org.apache.spark.sql.functions.size(ws) - size,
+        lit(0)) + lit(stride - 1)) / lit(stride)).cast("int")
+      // explicit null gate: `greatest` SKIPS nulls (SCALE.md float rule 6),
+      // so without it a null text flows through kMax = 0 and emits [null]
+      when(ws.isNull, lit(null).cast("array<string>"))
+        .when(org.apache.spark.sql.functions.size(ws) === 0,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), kMax),
+          k => array_join(slice(ws, k * stride + 1, lit(size)), " ")))
+    }
+  }
+
   // ---- PII detection / redaction ---------------------------------------
   // Patterns restricted to the Java-regex AND RE2 common subset (no
   // lookarounds, no backreferences) so the DuckDB oracles replay them

@@ -1715,6 +1715,47 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- RAG chunking: overlapping sliding windows ----------------------
+    // TextOps.slidingChunks (size 64, stride 48 => 16-word overlap): the
+    // retrieval-ingestion counterpart of q77's training-sequence packing.
+    // Graded per source on chunk counts, tail behavior (max/min chunk
+    // words), and a summed md5-48 checksum of every chunk string — the
+    // oracle rebuilds each window with list slicing, so boundary semantics
+    // (total coverage, short tail, empty doc -> zero chunks) are
+    // hash-checked, not trusted.
+    "q94_rag_chunks" -> QueryDef(
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.slidingChunks(col("text"), 64, 48)).as("chunk"))
+        chunks
+          .select(col("source"), Dedup.md5Hash48(col("chunk")).as("h"),
+            TextOps.wordCount(col("chunk")).as("cw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            max(col("cw")).as("max_chunk_words"),
+            min(col("cw")).as("min_chunk_words"),
+            sum(col("h")).as("chunk_checksum"))
+          .orderBy("source")
+      },
+      Some(s"""$WordsCte,
+        k AS (SELECT source, ws,
+            (GREATEST(len(ws) - 64, 0) + 47) // 48 AS kmax
+          FROM w WHERE len(ws) > 0),
+        c AS (SELECT source,
+            array_to_string(ws[ki*48 + 1 : ki*48 + 64], ' ') AS chunk
+          FROM k, LATERAL (SELECT unnest(range(0, kmax + 1)) AS ki) t),
+        h AS (SELECT source,
+            CAST(('0x' || substr(md5(chunk), 1, 12)) AS BIGINT) AS h,
+            len(list_filter(string_split_regex(chunk, '\\s+'),
+              x -> len(x) > 0)) AS cw
+          FROM c)
+        SELECT source, COUNT(*) AS n_chunks,
+          CAST(MAX(cw) AS INT) AS max_chunk_words,
+          CAST(MIN(cw) AS INT) AS min_chunk_words,
+          CAST(SUM(h) AS BIGINT) AS chunk_checksum
+        FROM h GROUP BY source ORDER BY source""")),
+
     // ---- hybrid retrieval: BM25 + vector KNN via reciprocal-rank fusion -
     // The standard two-tower serving shape: a lexical ranked list (the q54
     // BM25 scorer) and a semantic ranked list (cosine to a query vector,

@@ -84,6 +84,19 @@ class FunctionsSpec extends SparkSpec {
       .startsWith("2024-W"))
   }
 
+  test("slidingChunks covers the text with overlap and a short tail") {
+    import graft.functions.TextOps
+    val df = Seq("a b c d e", "a b c d e f", "a", "", null.asInstanceOf[String])
+      .toDF("t")
+    val got = df.select(TextOps.slidingChunks(col("t"), 3, 2).as("c"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList))
+    assert(got(0) === Some(List("a b c", "c d e")))
+    assert(got(1) === Some(List("a b c", "c d e", "e f"))) // short tail
+    assert(got(2) === Some(List("a")))
+    assert(got(3) === Some(Nil))   // empty text -> zero chunks
+    assert(got(4) === None)        // null propagates
+  }
+
   test("PII counting and redaction handle emails, IPs, and edge overlaps") {
     import graft.functions.TextOps
     val cases = Seq(
