@@ -50,6 +50,8 @@ object SqlFunctions {
     register(spark, "graft_hash48",
       e => graft.operators.Dedup.md5Hash48(c(e.head)))
     register(spark, "graft_redact_pii", e => TextOps.redactPii(c(e.head)))
+    register(spark, "graft_nfc",
+      e => c(expressions.NfcNormalize(e.head)))
     register(spark, "graft_zvalue2",
       e => graft.operators.ZOrder.zValue2(c(e(0)), c(e(1)), 16))
     // SQL literals parse as decimal arrays; the native DotProduct is

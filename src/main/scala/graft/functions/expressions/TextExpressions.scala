@@ -51,11 +51,59 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Native codegen'd Unicode NFC normalization — canonicalize text BEFORE
+  * hashing/fingerprinting so visually-identical strings (precomposed é vs
+  * e + combining acute) dedup together. Spark has no builtin normalizer;
+  * a Scala UDF would leave whole-stage codegen and serialize every row.
+  * DuckDB's `nfc_normalize` replays it, so q95 hash-checks the semantics.
+  * NFC (not NFKC): canonical composition only — compatibility folding
+  * (ﬁ -> fi) changes content and belongs to a tokenizer policy, not a
+  * default canonicalizer.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc needs a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextExpressions.nfcImpl(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExpressions.nfcImpl($c);")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 object TextExpressions {
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
   def shingles(text: Column, k: Int): Column =
     eu.column(Shingles(eu.expression(text), k))
+
+  def nfcNormalize(text: Column): Column =
+    eu.column(NfcNormalize(eu.expression(text)))
+
+  /** NFC-normalize; static so generated code calls it directly. Fast path:
+    * `Normalizer.isNormalized` is a cheap scan that avoids allocating for
+    * the (overwhelmingly common) already-NFC input.
+    */
+  def nfcImpl(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 
   // Java-regex \s (the class split(text, "\\s+") uses): space, tab, LF,
   // vertical tab, form feed, CR — deliberately NOT Character.isWhitespace,

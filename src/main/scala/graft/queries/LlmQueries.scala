@@ -1715,6 +1715,48 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- Unicode NFC canonicalization ----------------------------------
+    // The codegen'd NfcNormalize expression (expressions/TextExpressions):
+    // canonicalize before hashing so precomposed and combining-mark forms
+    // of the same text dedup together. The ASCII fixture is augmented
+    // relationally with both forms of 'café' (q91 discipline: chr-built
+    // in the oracle, \\u-escaped in the engine — identical codepoints),
+    // so the grade is non-degenerate: decomposed rows MUST change under
+    // NFC, precomposed and ASCII rows must not, and the normalized-text
+    // checksum pins the exact output bytes.
+    "q95_nfc_normalize" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.expressions.TextExpressions
+        // escape-built so no editor/toolchain can silently normalize the
+        // source: %3==0 decomposed (e + U+0301), %3==1 precomposed U+00E9
+        val aug = t(s, dir, "documents").withColumn("t2",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" cafe\u0301 plan"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 1, lit(" caf\u00e9 plan"))
+              .otherwise(lit(""))))
+        aug.select(col("source"), col("t2"),
+            TextExpressions.nfcNormalize(col("t2")).as("norm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("norm") === col("t2")).cast("long")).as("n_unchanged"),
+            sum(Dedup.md5Hash48(col("norm"))).as("norm_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH a AS (SELECT source, text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' caf' || chr(101) || chr(769) || ' plan' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' caf' || chr(233) || ' plan' ELSE '' END AS t2
+          FROM documents),
+        n AS (SELECT source, t2, nfc_normalize(t2) AS norm FROM a)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN norm = t2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unchanged,
+          CAST(SUM(CAST(('0x' || substr(md5(norm), 1, 12)) AS BIGINT))
+            AS BIGINT) AS norm_checksum
+        FROM n GROUP BY source ORDER BY source""")),
+
     // ---- RAG chunking: overlapping sliding windows ----------------------
     // TextOps.slidingChunks (size 64, stride 48 => 16-word overlap): the
     // retrieval-ingestion counterpart of q77's training-sequence packing.

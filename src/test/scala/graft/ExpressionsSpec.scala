@@ -141,4 +141,31 @@ class ExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("NfcNormalize composes combining marks, is identity on NFC text, " +
+      "and registers as graft_nfc") {
+    import graft.functions.expressions.TextExpressions
+    val decomposed = "cafe\u0301"      // e + U+0301
+    val precomposed = "caf\u00e9"      // U+00E9
+    val df = Seq(decomposed, precomposed, "plain ascii",
+      null.asInstanceOf[String]).toDF("t")
+    val got = df.select(TextExpressions.nfcNormalize(col("t"))).collect()
+      .map(r => Option(r.getString(0)))
+    assert(got(0) === Some(precomposed),
+      "decomposed form must compose to the precomposed codepoint")
+    assert(got(1) === Some(precomposed))
+    assert(got(2) === Some("plain ascii"))
+    assert(got(3) === None)
+    // the dedup motivation: both forms share a fingerprint after NFC
+    val fps = df.filter(col("t").isNotNull)
+      .select(graft.functions.TextOps
+        .fingerprint(TextExpressions.nfcNormalize(col("t"))))
+      .collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    // SQL surface
+    graft.functions.SqlFunctions.registerAll(spark)
+    df.limit(1).createOrReplaceTempView("nfc_probe")
+    assert(spark.sql("SELECT graft_nfc(t) FROM nfc_probe").head().getString(0)
+      === precomposed)
+  }
 }
