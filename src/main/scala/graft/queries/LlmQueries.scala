@@ -1715,6 +1715,58 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- TextRank keyword extraction (iterative weighted PageRank) ------
+    // operators/TextRank: damping 0.85, 3 rounds of QUANTIZED PageRank
+    // over the word co-occurrence graph — per-edge contributions floor to
+    // 1e12-scaled longs before summing, so every round is an exact long
+    // aggregation and DuckDB replays all 3 rounds as unrolled CTEs. The
+    // damping complement is written (1.0 - 0.85) in BOTH engines — the
+    // literal 0.15 is a DIFFERENT double (SCALE.md float rule 3).
+    "q96_textrank_keywords" -> QueryDef(
+      (s, dir) => {
+        graft.operators.TextRank
+          .keywordRank(t(s, dir, "documents"), "text", iters = 3)
+          .withColumn("rank", col("rank12") / 1e12)
+          .orderBy(col("rank12").desc, col("word"))
+          .limit(15)
+          .select("word", "rank12", "rank")
+      },
+      Some("""WITH g AS (SELECT list_filter(string_split_regex(lower(text),
+            '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        bg AS (SELECT ws[i] AS a, ws[i+1] AS b
+          FROM g, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+        ed AS (SELECT src, dst, COUNT(*) AS w FROM (
+            SELECT a AS src, b AS dst FROM bg
+            UNION ALL SELECT b, a FROM bg)
+          GROUP BY 1, 2),
+        wo AS (SELECT src, SUM(w) AS wout FROM ed GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM wo),
+        p0 AS (SELECT src AS word, CAST(FLOOR(1e12 / n) AS BIGINT) AS rank12
+          FROM wo, nn),
+        p1 AS (SELECT ed.dst AS word,
+            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
+              AS BIGINT)) AS BIGINT)
+            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
+              AS rank12
+          FROM ed JOIN wo USING (src) JOIN p0 p ON p.word = ed.src
+          GROUP BY ed.dst),
+        p2 AS (SELECT ed.dst AS word,
+            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
+              AS BIGINT)) AS BIGINT)
+            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
+              AS rank12
+          FROM ed JOIN wo USING (src) JOIN p1 p ON p.word = ed.src
+          GROUP BY ed.dst),
+        p3 AS (SELECT ed.dst AS word,
+            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
+              AS BIGINT)) AS BIGINT)
+            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
+              AS rank12
+          FROM ed JOIN wo USING (src) JOIN p2 p ON p.word = ed.src
+          GROUP BY ed.dst)
+        SELECT word, rank12, rank12 / 1e12 AS rank
+        FROM p3 ORDER BY rank12 DESC, word LIMIT 15""")),
+
     // ---- Unicode NFC canonicalization ----------------------------------
     // The codegen'd NfcNormalize expression (expressions/TextExpressions):
     // canonicalize before hashing so precomposed and combining-mark forms

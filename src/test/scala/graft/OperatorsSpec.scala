@@ -420,6 +420,37 @@ class OperatorsSpec extends SparkSpec {
     assert(mx < 256)
   }
 
+  test("TextRank keywordRank matches a sequential reference, including " +
+      "quantization") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown cat", "lazy dog sleeps all day", "cat and dog", "solo")
+    val got = TextRank.keywordRank(texts.toDF("text"), "text", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent sequential implementation with identical quantization
+    val split = texts.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val bigrams = split.flatMap(a =>
+      a.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+    val edges = (bigrams ++ bigrams.map(_.swap))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wout = edges.groupBy(_._1._1)
+      .map { case (s, es) => s -> es.values.sum }
+    val n = wout.size
+    var pr: Map[String, Long] =
+      wout.keys.map(_ -> math.floor(1e12 / n).toLong).toMap
+    val base = math.floor((1.0 - 0.85) * 1e12 / n).toLong
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for (((s, d), w) <- edges)
+        contrib(d) += math.floor(0.85 * pr(s) * w / wout(s)).toLong
+      pr = contrib.map { case (k, v) => k -> (v + base) }.toMap
+    }
+    assert(got === pr)
+    // "solo" has no bigrams: correctly absent from the graph
+    assert(!got.contains("solo"))
+  }
+
   test("stratifiedTakeHeap matches the window form row-for-row, " +
       "including under repartitioning") {
     val df = (0 until 500).map(i => (s"g${i % 7}", i.toLong, s"payload$i"))
