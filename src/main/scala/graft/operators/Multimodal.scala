@@ -287,6 +287,45 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameRow(media_id: Long, frame_idx: Int,
+      rms9: Long, zero_crossings: Int)
+
+  /** Frame-level audio features over the DECODED PCM: for every complete
+    * `frameLen`-sample frame, the floor-scaled RMS energy
+    * (floor(sqrt(sum(s²)/frameLen) * 1e9) — sum of squares is exact long
+    * arithmetic, sqrt is IEEE-correctly-rounded, so the value replays in
+    * any engine) and the zero-crossing count (strict sign change between
+    * consecutive samples). The trailing partial frame is dropped —
+    * fixed-length frames only, the VAD/energy-gating shape. Non-audio and
+    * undecodable rows emit nothing.
+    */
+  def audioFrameFeatures(media: Dataset[MediaRow], frameLen: Int)(
+      implicit spark: SparkSession): Dataset[AudioFrameRow] = {
+    import spark.implicits._
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    media.mapPartitions { batch =>
+      batch.filter(_.meta.format == "wav").flatMap { m =>
+        decodeWavU16(m.content).iterator.flatMap { u =>
+          val nFrames = u.length / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var sq = 0L; var zc = 0; var j = 0
+            while (j < frameLen) {
+              val s = u(f * frameLen + j) - 32768
+              sq += s.toLong * s
+              if (j > 0) {
+                val p = u(f * frameLen + j - 1) - 32768
+                if (p * s < 0) zc += 1
+              }
+              j += 1
+            }
+            AudioFrameRow(m.media_id, f,
+              math.floor(math.sqrt(sq.toDouble / frameLen) * 1e9).toLong, zc)
+          }
+        }
+      }
+    }
+  }
+
   /** Real image resize: decode, rescale with Graphics2D bilinear
     * interpolation, re-encode as PNG (GIF: every frame rescaled back into
     * an animated GIF). Audio rows pass through unchanged — resize is image

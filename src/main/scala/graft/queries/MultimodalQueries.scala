@@ -144,6 +144,45 @@ object MultimodalQueries {
         SELECT query_id, neighbor_id, rank, cosine FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- audio frame features (real PCM decode -> DSP stats) ------------
+    // 80-sample (10 ms @ 8 kHz) frames: floor-scaled RMS energy + strict
+    // zero-crossing counts, per media. Every number derives from the
+    // DECODED samples, and the closed-form u16 formula lets the oracle
+    // recompute each frame exactly — squares sum in exact longs, sqrt is
+    // IEEE-correctly-rounded, so even the RMS checksum hash-matches.
+    "m04_audio_features" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("wav"))
+        Multimodal.audioFrameFeatures(media, frameLen = 80).toDF()
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("zero_crossings").cast("long")).as("total_crossings"),
+            max(col("rms9")).as("max_rms9"),
+            sum(col("rms9")).as("rms_checksum"))
+          .orderBy("media_id")
+          .limit(100)
+      },
+      Some("""WITH wi AS (SELECT doc_id, ti.i,
+          ((doc_id + 1)*2654435761 + ti.i*40503) % 65536 - 32768 AS s,
+          CASE WHEN ti.i % 80 > 0 THEN
+            ((doc_id + 1)*2654435761 + (ti.i - 1)*40503) % 65536 - 32768
+          END AS sp
+          FROM documents,
+            LATERAL (SELECT unnest(range(200 + doc_id % 100)) AS i) ti
+          WHERE doc_id % 4 = 1
+            AND ti.i // 80 < (200 + doc_id % 100) // 80),
+        fr AS (SELECT doc_id, CAST(i // 80 AS INT) AS f,
+            CAST(FLOOR(sqrt(CAST(SUM(s*s) AS DOUBLE) / 80) * 1e9) AS BIGINT)
+              AS rms9,
+            SUM(CASE WHEN sp IS NOT NULL AND sp * s < 0 THEN 1 ELSE 0 END)
+              AS zc
+          FROM wi GROUP BY 1, 2)
+        SELECT doc_id AS media_id, COUNT(*) AS n_frames,
+          CAST(SUM(zc) AS BIGINT) AS total_crossings,
+          MAX(rms9) AS max_rms9, CAST(SUM(rms9) AS BIGINT) AS rms_checksum
+        FROM fr GROUP BY doc_id ORDER BY media_id LIMIT 100""")),
+
     // ---- video frame sampling (real multi-frame GIF decode) ------------
     // Every 4th frame of each animated GIF, graded on decoded pixel sums
     // (the re-encoded per-frame PNG payload is encoder-defined and is NOT

@@ -128,6 +128,29 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.count() === media.count())
   }
 
+  test("audio frame features match the sample formula frame-for-frame") {
+    val wavs = media.filter(_.meta.format == "wav")
+    val rows = Multimodal.audioFrameFeatures(wavs, 80)
+      .filter(_.media_id == 1L).collect().sortBy(_.frame_idx)
+    // media 1: 201 samples -> 2 complete frames, tail dropped
+    assert(rows.map(_.frame_idx).toSeq === Seq(0, 1))
+    rows.foreach { r =>
+      def s(i: Int): Int =
+        ((2L * 2654435761L + i.toLong * 40503L) % 65536L).toInt - 32768
+      val idx = (r.frame_idx * 80) until (r.frame_idx * 80 + 80)
+      val sq = idx.map(i => s(i).toLong * s(i)).sum
+      assert(r.rms9 ===
+        math.floor(math.sqrt(sq.toDouble / 80) * 1e9).toLong)
+      val zc = idx.drop(1).count(i => s(i - 1) * s(i) < 0)
+      assert(r.zero_crossings === zc)
+    }
+    // corrupt payloads emit no frames
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRow(900L, Array[Byte](9),
+      Multimodal.MediaMeta("wav", 200, 1, 1))).toDS()
+    assert(Multimodal.audioFrameFeatures(corrupt, 80).count() === 0)
+  }
+
   test("media features feed the similarity operators end-to-end") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(media).toDF()
