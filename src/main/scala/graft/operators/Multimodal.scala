@@ -326,6 +326,40 @@ object Multimodal {
     }
   }
 
+  final case class FrameDeltaRow(media_id: Long, frame_idx: Int,
+      delta_sum: Long)
+
+  /** Consecutive-frame pixel deltas over DECODED multi-frame media: for
+    * frame f >= 1, the sum of |red(f) - red(f-1)| over all pixels — the
+    * scene-cut / shot-boundary signal that drives adaptive frame sampling
+    * (sample densely around cuts, sparsely inside still shots).
+    * Single-frame and undecodable media emit nothing.
+    */
+  def frameDeltas(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[FrameDeltaRow] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.meta.format == "gif").flatMap { m =>
+        val frames = decodeGifFrames(m.content)
+        (1 until frames.length).iterator.map { f =>
+          val a = frames(f - 1); val b = frames(f)
+          var s = 0L
+          var y = 0
+          while (y < b.getHeight) {
+            var x = 0
+            while (x < b.getWidth) {
+              s += math.abs(((b.getRGB(x, y) >> 16) & 0xff) -
+                ((a.getRGB(x, y) >> 16) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          FrameDeltaRow(m.media_id, f, s)
+        }
+      }
+    }
+  }
+
   /** Real image resize: decode, rescale with Graphics2D bilinear
     * interpolation, re-encode as PNG (GIF: every frame rescaled back into
     * an animated GIF). Audio rows pass through unchanged — resize is image

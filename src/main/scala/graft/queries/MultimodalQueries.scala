@@ -183,6 +183,43 @@ object MultimodalQueries {
           MAX(rms9) AS max_rms9, CAST(SUM(rms9) AS BIGINT) AS rms_checksum
         FROM fr GROUP BY doc_id ORDER BY media_id LIMIT 100""")),
 
+    // ---- scene-cut detection (consecutive decoded-frame deltas) --------
+    // Shot-boundary signal per animated GIF: |pixel delta| sums between
+    // consecutive DECODED frames, cut = delta above threshold. The gif
+    // gray formula makes every delta exactly replayable, so cuts are
+    // hash-graded, not trusted. Threshold 4000 sits between the fixture's
+    // intra-shot deltas and nothing (every frame pair shifts by the same
+    // formula step) — the point graded here is the decode+delta plumbing
+    // and the threshold flag arithmetic.
+    "m05_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("gif"))
+        Multimodal.frameDeltas(media).toDF()
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_transitions"),
+            sum(col("delta_sum")).as("total_delta"),
+            sum(when(col("delta_sum") > 4000, 1L).otherwise(0L))
+              .as("n_cuts"))
+          .orderBy("media_id")
+          .limit(100)
+      },
+      Some("""WITH gifn AS (SELECT doc_id,
+            least(greatest(n_chars // 100, 1), 8) AS nf
+          FROM documents WHERE doc_id % 4 = 2),
+        pd AS (SELECT doc_id, tf.f,
+            SUM(ABS((doc_id*17 + tf.f*29 + tx.x*5 + ty.y*11) % 256
+              - (doc_id*17 + (tf.f - 1)*29 + tx.x*5 + ty.y*11) % 256))
+              AS delta_sum
+          FROM gifn, LATERAL (SELECT unnest(range(1, nf)) AS f) tf,
+            range(8) tx(x), range(8) ty(y)
+          GROUP BY 1, 2)
+        SELECT doc_id AS media_id, COUNT(*) AS n_transitions,
+          CAST(SUM(delta_sum) AS BIGINT) AS total_delta,
+          CAST(SUM(CASE WHEN delta_sum > 4000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts
+        FROM pd GROUP BY doc_id ORDER BY media_id LIMIT 100""")),
+
     // ---- video frame sampling (real multi-frame GIF decode) ------------
     // Every 4th frame of each animated GIF, graded on decoded pixel sums
     // (the re-encoded per-frame PNG payload is encoder-defined and is NOT
