@@ -1715,6 +1715,82 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- end-to-end curation funnel -------------------------------------
+    // The showcase composition: quality gate -> portable exact dedup ->
+    // near-dup clustering with canonical survivors -> train split, each
+    // stage the ALREADY-GRADED operator (q28 quality, w09 fingerprint,
+    // q25/q52 jaccard+components, q51 split), reported as a funnel of
+    // surviving-document counts. The oracle replays every stage, so the
+    // COMPOSITION is hash-checked, not just the pieces. The five counts
+    // are five driver scalars (aggregate actions, no data collected);
+    // intermediates persist across the stage counts and release before
+    // the scalar result frame returns.
+    "q97_curation_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.storage.StorageLevel
+        val docs = t(s, dir, "documents")
+        val n1 = docs.count()
+        val q = docs.filter(TextOps.qualityScore(col("text"),
+          graft.functions.SqlFunctions.DefaultStopwords) >= 0.5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n2 = q.count()
+          // portable content fingerprint (the w09 intake form), keep the
+          // min doc_id per fingerprint — scale-safe groupBy+semi-join,
+          // not a per-group window
+          val keyed = q.withColumn("k",
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          val exact = keyed.join(
+            keyed.groupBy("k").agg(min(col("doc_id")).as("doc_id")),
+            Seq("k", "doc_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n3 = exact.count()
+            val pairs = Dedup.jaccardPairsExhaustive(exact, "doc_id", "text",
+              k = 3, minJaccard = 0.2, maxDf = 1000000)
+              .select("id_a", "id_b")
+            val nonCanonical = Dedup.connectedComponents(pairs)
+              .filter(col("id") =!= col("label"))
+              .select(col("id").as("doc_id"))
+            val kept = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+            val n4 = kept.count()
+            val n5 = kept.filter(graft.operators.Sampling.splitColumn(
+              col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+              === "train").count()
+            Seq(("1_raw", n1), ("2_quality", n2), ("3_exact_dedup", n3),
+              ("4_near_dedup", n4), ("5_train_split", n5))
+              .toDF("stage", "n_docs").orderBy("stage")
+          } finally exact.unpersist(blocking = false)
+        } finally q.unpersist(blocking = false)
+      },
+      Some(s"""WITH RECURSIVE raw AS (SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+            AS ws
+          FROM documents),
+        q AS (SELECT * FROM raw WHERE ($QualityScoreSql) >= 0.5),
+        kx AS (SELECT doc_id, text, ws,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
+          FROM q),
+        keep AS (SELECT k, MIN(doc_id) AS doc_id FROM kx GROUP BY k),
+        ex AS (SELECT kx.* FROM kx
+          JOIN keep ON keep.k = kx.k AND keep.doc_id = kx.doc_id),
+        w AS (SELECT doc_id, ws FROM ex),
+        $ComponentsCte,
+        nk AS (SELECT ex.doc_id FROM ex
+          LEFT JOIN comp ON comp.node = ex.doc_id AND comp.node <> comp.label
+          WHERE comp.node IS NULL),
+        tr AS (SELECT doc_id FROM nk
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+            1, 12)) AS BIGINT) % 1000000 < 800000)
+        SELECT stage, n_docs FROM (
+          SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM raw
+          UNION ALL SELECT '2_quality', COUNT(*) FROM q
+          UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ex
+          UNION ALL SELECT '4_near_dedup', COUNT(*) FROM nk
+          UNION ALL SELECT '5_train_split', COUNT(*) FROM tr)
+        ORDER BY stage""")),
+
     // ---- TextRank keyword extraction (iterative weighted PageRank) ------
     // operators/TextRank: damping 0.85, 3 rounds of QUANTIZED PageRank
     // over the word co-occurrence graph — per-edge contributions floor to

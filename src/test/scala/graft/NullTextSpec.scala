@@ -42,7 +42,7 @@ class NullTextSpec extends SparkSpec {
     "q79_canonical_docs", "q81_bpe_encode", "q82_boilerplate_strip",
     "q83_epoch_shuffle", "q90_sql_graft_surface", "q91_pii_redact",
     "q92_count_min", "q93_hybrid_rrf", "q94_rag_chunks",
-    "q95_nfc_normalize", "q96_textrank_keywords")
+    "q95_nfc_normalize", "q96_textrank_keywords", "q97_curation_funnel")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
