@@ -61,6 +61,10 @@ class EmptyInputSpec extends SparkSpec {
         case "q85_quality_checks" =>
           assert(rows.length === 5 &&
             rows.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+        // the funnel reports all five stages with zero survivors — the
+        // stage list IS the result shape, like the profile queries above
+        case "q97_curation_funnel" =>
+          assert(rows.length === 5 && rows.forall(_.getLong(1) == 0L))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
