@@ -1747,6 +1747,10 @@ object LlmQueries {
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
             val n3 = exact.count()
+            // exhaustive Jaccard is the ORACLE-REPLAYABLE configuration of
+            // this stage; the 100 TB pipeline swaps in Dedup.jaccardPairs
+            // (MinHash-LSH candidates + exact verify) — q89 grades that
+            // swap's cluster recall as identical at this threshold
             val pairs = Dedup.jaccardPairsExhaustive(exact, "doc_id", "text",
               k = 3, minJaccard = 0.2, maxDf = 1000000)
               .select("id_a", "id_b")
