@@ -561,6 +561,67 @@ object RelationalQueries {
 
     // ---- unpivot / melt (wide -> long) ---------------------------------
     // The inverse of q17's pivot: stack three measure columns into
+    // ---- corpus interchange formats: JSONL + CSV round trips -----------
+    // Corpora arrive as jsonl.gz / csv, not parquet. Each query writes
+    // the documents table in that format, reads it back with an EXPLICIT
+    // schema (inference is a second full scan — never at 100 TB), and
+    // aggregates content checksums; the oracle computes the same from the
+    // original parquet, so a hash match proves the write->read round trip
+    // is byte-lossless through the format.
+    "q98_jsonl_source" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_jsonl").toString
+        docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
+        s.read.schema(docs.schema).json(tmp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.operators.Dedup.md5Hash48(col("text"))).as("text_checksum"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+            AS BIGINT) AS text_checksum,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // CSV needs the options real corpora break without: multiLine (texts
+    // contain newlines), RFC quote-escaping (quote doubled, not
+    // backslashed), an explicit nullValue sentinel (the default ""
+    // silently conflates NULL text with empty text on read-back),
+    // quoteAll (so empty strings survive as quoted fields), and
+    // ignore*WhiteSpace=false on WRITE (Spark's CSV writer TRIMS field
+    // whitespace by default — a whitespace-only doc silently became
+    // empty; caught by the null-text differential oracle run).
+    "q99_csv_source" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csv").toString
+        docs.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .option("nullValue", "\\N").option("quoteAll", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(tmp)
+        s.read.schema(docs.schema)
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"").option("nullValue", "\\N")
+          .csv(tmp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.operators.Dedup.md5Hash48(col("text"))).as("text_checksum"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+            AS BIGINT) AS text_checksum,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // (metric, value) rows — Spark's native unpivot (codegen'd Expand,
     // no shuffle of its own), aggregated per metric with 1e-6
     // floor-scaled exact sums.

@@ -42,7 +42,8 @@ class NullTextSpec extends SparkSpec {
     "q79_canonical_docs", "q81_bpe_encode", "q82_boilerplate_strip",
     "q83_epoch_shuffle", "q90_sql_graft_surface", "q91_pii_redact",
     "q92_count_min", "q93_hybrid_rrf", "q94_rag_chunks",
-    "q95_nfc_normalize", "q96_textrank_keywords", "q97_curation_funnel")
+    "q95_nfc_normalize", "q96_textrank_keywords", "q97_curation_funnel",
+    "q98_jsonl_source", "q99_csv_source")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
