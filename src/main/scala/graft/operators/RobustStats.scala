@@ -23,6 +23,14 @@ object RobustStats {
   def exactPercentile(c: Column, p: Double): Column =
     percentile(c, lit(p))
 
+  /** Several exact percentiles of ONE column from ONE buffered sort:
+    * `percentile(c, array(...))` — N separate [[exactPercentile]] calls
+    * over the same column would buffer (and sort) the group N times.
+    * Returns an array aligned with `ps`.
+    */
+  def exactPercentiles(c: Column, ps: Seq[Double]): Column =
+    percentile(c, array(ps.map(lit): _*))
+
   /** Robust outlier detection per group: a value is an outlier when its
     * absolute deviation from the group median exceeds `thresh` x MAD
     * (median absolute deviation) — the standard heavy-tail-safe anomaly

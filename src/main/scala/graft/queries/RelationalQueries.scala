@@ -891,16 +891,21 @@ object RelationalQueries {
     // ---- A1/A3: exact median / quantiles -------------------------------
     "q19_exact_median" -> QueryDef(
       (s, dir) => {
+        // the two price quantiles share ONE buffered sort
+        // (exactPercentiles array form) — a separate percentile agg per
+        // quantile buffers the same column twice
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
             round(RobustStats.exactPercentile(col("l_quantity"), 0.5), 4)
               .as("median_qty"),
-            round(RobustStats.exactPercentile(col("l_extendedprice"), 0.25), 4)
-              .as("q25_price"),
-            round(RobustStats.exactPercentile(col("l_extendedprice"), 0.75), 4)
-              .as("q75_price"),
+            RobustStats.exactPercentiles(col("l_extendedprice"),
+              Seq(0.25, 0.75)).as("pq"),
             count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("median_qty"),
+            round(element_at(col("pq"), 1), 4).as("q25_price"),
+            round(element_at(col("pq"), 2), 4).as("q75_price"),
+            col("n"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
@@ -915,8 +920,11 @@ object RelationalQueries {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val q = li.groupBy("l_returnflag").agg(
-          RobustStats.exactPercentile(col("l_extendedprice"), 0.25).as("q_low"),
-          RobustStats.exactPercentile(col("l_extendedprice"), 0.75).as("q_high"))
+            RobustStats.exactPercentiles(col("l_extendedprice"),
+              Seq(0.25, 0.75)).as("pq"))
+          .select(col("l_returnflag"),
+            element_at(col("pq"), 1).as("q_low"),
+            element_at(col("pq"), 2).as("q_high"))
         li.join(broadcast(q), "l_returnflag")
           .filter(col("l_extendedprice") >= col("q_low") &&
             col("l_extendedprice") <= col("q_high"))
