@@ -2204,7 +2204,6 @@ object LlmQueries {
     // and DuckDB order identically.
     "q79_canonical_docs" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents")
         val pairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
             k = 3, minJaccard = 0.2, maxDf = 1000000)
@@ -2214,15 +2213,14 @@ object LlmQueries {
         val scored = Dedup.connectedComponents(pairs)
           .join(docs.select(col("doc_id").as("id"),
             floor(q * 1e9).cast("long").as("q9")), "id")
-        val w = Window.partitionBy("label")
-          .orderBy(col("q9").desc, col("id").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .groupBy("label")
+        // canonical pick = argmin of (-q9, id): one partial-aggregable
+        // min(struct) per cluster, identical selection to a (q9 desc, id)
+        // rank-1 window without the per-label sort
+        scored.groupBy("label")
           .agg(count(lit(1)).as("n_docs"),
-            min(when(col("rn") === 1, col("id"))).as("kept_id"),
-            max(when(col("rn") === 1, col("q9"))).as("kept_q9"))
+            min(struct((-col("q9")).as("nq9"), col("id"))).as("m"))
           .select(col("label").as("cluster_root"), col("n_docs"),
-            col("kept_id"), col("kept_q9"))
+            col("m.id").as("kept_id"), (-col("m.nq9")).as("kept_q9"))
           .orderBy("cluster_root")
       },
       Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
