@@ -35,6 +35,7 @@ object Verify {
           graft.operators.Windowed.unpersistAll()
           graft.operators.Bpe.unpersistAll()
           graft.operators.KMeans.unpersistAll()
+          graft.operators.CurationFunnel.unpersistAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -63,8 +63,15 @@ object Sampling {
     * most k pairs per stratum leave each partition — no per-stratum sort,
     * no billion-row window), then the kept keys join back to recover the
     * full rows. Two narrow shuffles bounded by strata*k instead of one
-    * stratum-keyed sort of the corpus. `key` must be integral (the id
-    * shape every sampling call site uses).
+    * stratum-keyed sort of the corpus.
+    *
+    * Preconditions for row-for-row identity with [[stratifiedTake]]:
+    * `keyCol` must be a UNIQUE, NON-NULL integral id (the shape every
+    * sampling call site uses). A duplicated key would match every kept
+    * copy on the join-back and multiply rows; a null key hashes to null
+    * and is never selected, where the window form would rank it. Null
+    * STRATA are fine: the join uses null-safe equality, so a null stratum
+    * is one partition in both forms.
     */
   def stratifiedTakeHeap(df: org.apache.spark.sql.DataFrame, strataCol: String,
       keyCol: String, k: Int, salt: String = "strat")
@@ -81,7 +88,7 @@ object Sampling {
       .select(col("__s"), posexplode(col("__kept")).as(Seq("__pos", "__k")))
       .select(col("__s"), col("__k"), (col("__pos") + 1).as("sample_rank"))
     df.join(broadcast(kept),
-        col(strataCol) === col("__s") && col(keyCol).cast("long") === col("__k"))
+        col(strataCol) <=> col("__s") && col(keyCol).cast("long") === col("__k"))
       .drop("__s", "__k")
   }
 

@@ -571,8 +571,11 @@ object RelationalQueries {
     "q98_jsonl_source" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_jsonl").toString
+        // fixed path + overwrite (not createTempDirectory): repeated
+        // bench/verify runs reuse one directory instead of accumulating
+        // corpus-sized copies in /tmp (ADVICE r5)
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_interchange_jsonl").toString
         docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
         s.read.schema(docs.schema).json(tmp)
           .groupBy("source")
@@ -598,8 +601,8 @@ object RelationalQueries {
     "q99_csv_source" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv").toString
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_interchange_csv").toString
         docs.write.mode("overwrite")
           .option("header", "true").option("escape", "\"")
           .option("nullValue", "\\N").option("quoteAll", "true")

@@ -448,6 +448,30 @@ object SeamfFixtures {
     dir.toString
   }
 
+  /** Idempotent 2000-sweep archive, same per-file shape as
+    * [[sharedBenchArchive]] (VERDICT r5 #4): 10x the file count so ingest
+    * throughput is measured past page-cache warm-up and task-scheduling
+    * overhead. Generation parallelizes across cores (one-time cost,
+    * ~2 GB of XZ sweeps; deterministic per-file contents).
+    */
+  def sharedBenchArchiveLarge(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_bench_archive_2000")
+    val marker = dir.resolve(".complete")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      val shape = Shape(625, 400, 560, 151)
+      val t0 = SeamfMetadata.isoToMicros("2023-09-25T00:00:00Z")
+      import scala.collection.parallel.CollectionConverters._
+      (0 until 2000).par.foreach { i =>
+        writeSweep(dir, i, t0 + i * 90L * 1000000L, nChannels = 17,
+          shape = shape)
+      }
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir.toString
+  }
+
   /** Idempotent shared zip-archive fixture dir (S7 inventory queries). */
   def sharedZipArchive(): String = {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_seamf_zipfix")

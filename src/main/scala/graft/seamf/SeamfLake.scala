@@ -76,14 +76,23 @@ object SeamfLake {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(sinks.size)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
+        // each sink lifted to Try so Future.sequence waits for ALL seven:
+        // failing fast would unpersist `traces` (finally below) while the
+        // surviving sinks still run, forcing them to recompute the full
+        // decode and keep writing into outDir after the caller saw the
+        // error (ADVICE r5)
         val jobs = sinks.map { case (name, df) =>
           Future {
-            writeDatePartitioned(df, outDir, name)
-            name -> (if (validate) spark.read.parquet(s"$outDir/$name").count()
-                     else -1L)
+            scala.util.Try {
+              writeDatePartitioned(df, outDir, name)
+              name -> (if (validate) spark.read.parquet(s"$outDir/$name").count()
+                       else -1L)
+            }
           }
         }
-        Await.result(Future.sequence(jobs), Duration.Inf).toMap
+        val done = Await.result(Future.sequence(jobs), Duration.Inf)
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+        done.collect { case scala.util.Success(kv) => kv }.toMap
       } finally pool.shutdown()
     } finally {
       traces.unpersist()

@@ -63,7 +63,7 @@ class EmptyInputSpec extends SparkSpec {
             rows.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
         // the funnel reports all five stages with zero survivors — the
         // stage list IS the result shape, like the profile queries above
-        case "q97_curation_funnel" =>
+        case "q97_curation_funnel" | "q97b_funnel_onepass" =>
           assert(rows.length === 5 && rows.forall(_.getLong(1) == 0L))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }

@@ -236,4 +236,56 @@ class PropertySpec extends SparkSpec {
         got == refZ(x, y, 16)
     }, n = 30)
   }
+
+  // VERDICT r5 #6: the quantized iterative operators must be partition-
+  // invariant — floor-before-sum makes every per-node aggregation an exact
+  // long sum, so ANY physical layout must yield bit-identical results.
+
+  test("TextRank ranks are bit-identical under any input partitioning") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      nDocs <- Gen.chooseNum(1, 6)
+      docs <- Gen.listOfN(nDocs,
+        Gen.chooseNum(2, 10).flatMap(Gen.listOfN(_, word)))
+      l1 <- Gen.chooseNum(1, 8)
+      l2 <- Gen.chooseNum(1, 8)
+      iters <- Gen.chooseNum(1, 3)
+    } yield (docs.map(_.mkString(" ")), l1, l2, iters)
+    check(Prop.forAll(gen) { case (docs, l1, l2, iters) =>
+      def ranks(layout: Int): Map[String, Long] =
+        graft.operators.TextRank
+          .keywordRank(docs.toDF("text").repartition(layout), "text", iters)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ranks(l1) == ranks(l2)
+    }, n = 8)
+  }
+
+  test("CountMin counters are layout-invariant and never underestimate") {
+    val key = Gen.oneOf("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8")
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      keys <- Gen.listOfN(n, key)
+      l1 <- Gen.chooseNum(1, 8)
+      l2 <- Gen.chooseNum(1, 8)
+    } yield (keys, l1, l2)
+    // width 8 forces collisions, so the no-underestimate direction is the
+    // load-bearing half of the CMS guarantee here
+    val (depth, width) = (3, 8)
+    check(Prop.forAll(gen) { case (keys, l1, l2) =>
+      def counters(layout: Int): Map[(Int, Int), Long] =
+        graft.operators.CountMin
+          .build(keys.toDF("k").repartition(layout), "k", depth, width)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val built = graft.operators.CountMin
+        .build(keys.toDF("k").repartition(l1), "k", depth, width)
+      val exact = keys.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val estMap = graft.operators.CountMin
+        .estimate(exact.keys.toSeq.toDF("k"), "k", built, depth, width)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counters(l1) == counters(l2) &&
+        exact.forall { case (k, n) => estMap(k) >= n }
+    }, n = 8)
+  }
 }
