@@ -30,6 +30,15 @@ object SeamfQueries {
   private val D = SeamfDump.root
   private def rp(t: String) = s"read_parquet('$D/$t/*.parquet')"
 
+  // s16 prune window: first 4 sweep slots (the fixture staggers captures
+  // <= 2 s past each 90 s slot start) and the two lower of the three
+  // channel frequencies. Shared by the Spark predicate and the oracle SQL.
+  // Declared BEFORE `defs` — the oracle string interpolates these at map
+  // construction time, and a val declared later would still be 0 here.
+  private[graft] val PruneCutUs: Long =
+    graft.seamf.SeamfMetadata.isoToMicros("2023-09-21T00:05:00Z")
+  private[graft] val PruneMaxFreq: Double = 3.566e9
+
   private def dump(s: SparkSession, table: String): DataFrame = {
     SeamfDump.ensure(s)
     s.read.parquet(s"$D/$table")
@@ -456,7 +465,39 @@ object SeamfQueries {
           frequency, MAX(power_dbm) AS peak_dbm,
           COUNT(DISTINCT file_name || '#' || CAST(datetime_us AS VARCHAR)
             || '#' || detector) AS n_traces
-        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- S3 stretch: decode-time predicate pruning (VERDICT r5 #7) -----
+    // tracesPruned evaluates a (table, time-range, frequency-band)
+    // predicate against parsed METADATA: the 4 fixture sweeps outside the
+    // 5-minute window skip XZ decompression entirely (accumulator-counted;
+    // SeamfSpec asserts the counts), and within decoded files only the psd
+    // slots of the two in-band channels are sliced. The oracle applies the
+    // SAME predicate as a WHERE clause over the full-decode dump, so a
+    // hash match proves pruned-decode ≡ decode-then-filter.
+    "s16_seamf_pruned_decode" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s) // oracle reads the dump of the same fixture
+        val pruned = SeamfReader.tracesPruned(s, fixture(),
+          SeamfReader.TracePrune(tables = Some(Set("psd")),
+            maxDatetimeUs = Some(PruneCutUs),
+            maxFrequency = Some(PruneMaxFreq)))
+        pruned.toDF()
+          .groupBy("frequency", "capture_statistic")
+          .agg(count(lit(1)).as("n_traces"),
+            sum(size(col("trace"))).as("n_points"),
+            max(array_max(col("trace"))).as("max_db"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"))
+          .orderBy("frequency", "capture_statistic")
+      },
+      Some(s"""SELECT frequency, capture_statistic,
+          COUNT(DISTINCT datetime_us) AS n_traces, COUNT(*) AS n_points,
+          MAX(psd_dbm_per_hz) AS max_db,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
+        FROM ${rp("psd")}
+        WHERE datetime_us <= $PruneCutUs AND frequency <= $PruneMaxFreq
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

@@ -158,6 +158,113 @@ object SeamfReader {
       }
   }
 
+  /** Metadata-evaluable decode predicate for [[tracesPruned]]: every field
+    * is testable from the parsed metadata JSON ALONE — capture datetimes,
+    * capture frequencies, and the slot table names all live in the tar's
+    * metadata member — so a non-matching file is rejected before its XZ
+    * payload is ever decompressed (the decode-dominant cost,
+    * seamf.py:1038-1040). `None` = no constraint.
+    */
+  final case class TracePrune(
+      tables: Option[Set[String]] = None,
+      minDatetimeUs: Option[Long] = None,
+      maxDatetimeUs: Option[Long] = None,
+      minFrequency: Option[Double] = None,
+      maxFrequency: Option[Double] = None) {
+    def matchesCapture(datetimeUs: Long, frequency: Double): Boolean =
+      minDatetimeUs.forall(datetimeUs >= _) &&
+        maxDatetimeUs.forall(datetimeUs <= _) &&
+        minFrequency.forall(frequency >= _) &&
+        maxFrequency.forall(frequency <= _)
+    def matchesTable(table: String): Boolean = tables.forall(_.contains(table))
+  }
+
+  /** Decode-work counters for one [[tracesPruned]] scan: files whose XZ
+    * payload was never decompressed, trace slots skipped within decoded
+    * files, and files fully decoded. Read them on the driver AFTER an
+    * action on the returned Dataset.
+    */
+  final case class PruneCounters(prunedFiles: LongAccumulator,
+      prunedTraces: LongAccumulator, decodedFiles: LongAccumulator)
+
+  /** [[traces]] with decode-time pruning (VERDICT r5 #7): the predicate is
+    * evaluated against parsed METADATA before the payload is touched.
+    * A file none of whose (table, capture) slots match skips XZ
+    * decompression entirely — at archive scale the time/frequency window
+    * of a typical analytic keeps a small fraction of files, so the
+    * CPU-bound decode cost drops proportionally, not just the row count.
+    * Within a decoded file only matching slots are sliced and emitted
+    * (one XZ stream per file — partial decompression is not possible, so
+    * slot pruning saves allocation + downstream width, not XZ time).
+    *
+    * Result rows are EXACTLY `traces(...).filter(predicate)` — the pruned
+    * scan is a pushdown, not a different semantics; s16 hash-grades that
+    * equivalence against the full-decode dump.
+    */
+  def tracesPrunedCounted(spark: SparkSession, path: String, prune: TracePrune,
+      tz: Option[String] = None, errors: String = "log")
+      : (Dataset[TraceRow], PruneCounters) = {
+    import spark.implicits._
+    val failed = spark.sparkContext.longAccumulator("seamf.failed_files")
+    val counters = PruneCounters(
+      spark.sparkContext.longAccumulator("seamf.pruned_files"),
+      spark.sparkContext.longAccumulator("seamf.pruned_traces"),
+      spark.sparkContext.longAccumulator("seamf.decoded_files"))
+    val raise = errors == "raise"
+    val paths = path.split(',').map(_.trim).filter(_.nonEmpty)
+    val ds = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.sigmf")
+      .load(paths.toIndexedSeq: _*)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          try {
+            val raw = SeamfCodec.unpackTar(bytes)
+            val meta = SeamfMetadata.parse(raw.metaJson, tz)
+            val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
+            if (!shaOk)
+              throw new IllegalStateException(s"sha512 mismatch in $p")
+            val keep = meta.slots.filter { s =>
+              val cap = meta.captures(s.captureIdx)
+              prune.matchesTable(s.table) &&
+                prune.matchesCapture(cap.datetimeUs, cap.frequency)
+            }
+            if (keep.isEmpty) {
+              counters.prunedFiles.add(1)
+              Iterator.empty
+            } else {
+              counters.decodedFiles.add(1)
+              counters.prunedTraces.add(meta.slots.size - keep.size)
+              val payload = HalfFloat.decodeVector(
+                SeamfCodec.xzDecompress(raw.compressedPayload))
+              require(meta.requiredLength <= payload.length,
+                s"payload length ${payload.length} < offset table end " +
+                  s"${meta.requiredLength}")
+              keep.iterator.map { s =>
+                val cap = meta.captures(s.captureIdx)
+                val slice = java.util.Arrays.copyOfRange(
+                  payload, s.start.toInt, s.start.toInt + s.length)
+                TraceRow(p, cap.datetimeUs, cap.frequency, s.table,
+                  s.captureStatistic, s.detector, s.axisStart, s.axisStep,
+                  slice)
+              }
+            }
+          } catch {
+            case _: Exception if !raise =>
+              failed.add(1)
+              Iterator.empty
+          }
+        }
+      }
+    (ds, counters)
+  }
+
+  /** [[tracesPrunedCounted]] without the counters (query surface). */
+  def tracesPruned(spark: SparkSession, path: String, prune: TracePrune,
+      tz: Option[String] = None, errors: String = "log"): Dataset[TraceRow] =
+    tracesPrunedCounted(spark, path, prune, tz, errors)._1
+
   /** Decode zip archives of .sigmf members (S7: the reference's primary
     * input container, ziparchive.py:365-447) with MEMBER-level parallelism:
     * central directories are enumerated up front (the reference caches the

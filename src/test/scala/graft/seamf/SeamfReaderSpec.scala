@@ -115,6 +115,34 @@ class SeamfReaderSpec extends SparkSpec {
     assert(g.head.getAs[Double]("gap_sec") === 180.0)
   }
 
+  test("pruned decode equals decode-then-filter and skips out-of-window XZ work") {
+    val cut = SeamfMetadata.isoToMicros("2023-09-21T00:05:00Z") // slots 0-3
+    val prune = SeamfReader.TracePrune(tables = Some(Set("psd")),
+      maxDatetimeUs = Some(cut), maxFrequency = Some(3.566e9))
+    val (ds, counters) = SeamfReader.tracesPrunedCounted(spark, dir, prune)
+    val got = ds.collect()
+    val full = SeamfReader.traces(spark, dir).collect()
+    val want = full.filter(r => r.table == "psd" && r.datetime_us <= cut &&
+      r.frequency <= 3.566e9)
+    def key(r: SeamfReader.TraceRow) =
+      (r.file, r.datetime_us, r.frequency, r.capture_statistic)
+    assert(got.map(key).toSet === want.map(key).toSet)
+    assert(got.nonEmpty && got.length === want.length)
+    // decoded values identical, not just keys
+    val gotByKey = got.map(r => key(r) -> r.trace.toSeq).toMap
+    assert(want.forall(r => gotByKey(key(r)) == r.trace.toSeq))
+    // files at slots 5, 6, 8 are outside the window and skip XZ entirely
+    // (the corrupt-sha file, also out-of-window, fails before pruning and
+    // lands in failed_files instead)
+    assert(counters.prunedFiles.value === 3)
+    assert(counters.decodedFiles.value === 4)
+    // within decoded files, only the psd slots of the 2 in-band channels
+    // survive; everything else is slot-pruned
+    val decodedFiles = got.map(_.file).toSet
+    val slotsInDecoded = full.count(r => decodedFiles.contains(r.file))
+    assert(counters.prunedTraces.value === (slotsInDecoded - got.length).toLong)
+  }
+
   test("empty landing dir decodes to zero rows, not an error") {
     val empty = Files.createTempDirectory("graft_seamf_empty").toString
     assert(SeamfReader.traces(spark, empty).count() === 0L)
