@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (VERDICT r5 next-round #1): measures the headline
+  * operator families at sf0.1 and at a derived 10x corpus ("sf1.0"), so the
+  * 100 TB plan-shape arguments become measured slopes. Prints one JSON line
+  * per query: {"query":..., "sf01_sec":..., "sf10_sec":..., "ratio":...};
+  * results land in SCALE.md.
+  *
+  * The 10x corpus is DERIVED, not regenerated (the driver owns testdata):
+  * 10 copies of sf0.1's documents with a per-copy BIJECTIVE word rename
+  * (every word w of copy i becomes "w_i") and offset doc_ids. A bijective
+  * token rename preserves every within-copy shingle-set relation EXACTLY
+  * (Jaccard, MinHash collision structure, winnowing, vocabulary Zipf shape
+  * per copy) while making distinct copies pairwise disjoint in shingle
+  * space — so dup-pair counts, component sizes, and cluster diameters scale
+  * by exactly 10x. Naive duplication would instead create a 10-clique of
+  * near-dups per document and measure a DIFFERENT (quadratic) workload.
+  * Embeddings get a tiny per-copy scalar perturbation (1 + i*1e-6) so the
+  * 10x point set is not 10 coincident copies.
+  *
+  * Timing: same session shape as Bench (local[32], shuffle partitions =
+  * cores, AQE on); sf0.1 runs median-of-3, the 10x point runs once (the
+  * runs are long enough that cold-start variance is secondary, and the
+  * slope question only needs ~1.2x resolution).
+  */
+object ScaleBench {
+
+  val HeadlineQueries: Seq[String] = Seq(
+    "q26_minhash_lsh",      // MinHash+LSH banding
+    "q52_dup_clusters",     // connected components (exhaustive pairs)
+    "q89_dup_clusters_lsh", // components, LSH scale path + truth path
+    "q57_kmeans",           // k-means / IVF quantizer
+    "q77_pack_chunks",      // sequence packing (distributed prefix sum)
+    "q92_count_min",        // Count-Min sketch build + estimate
+    "q97_curation_funnel",  // staged funnel (oracle shape)
+    "q97b_funnel_onepass")  // one-pass funnel (production shape)
+
+  /** Build the derived 10x dir once (idempotent marker). */
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int = 10): Unit = {
+    val root = java.nio.file.Paths.get(outDir)
+    val marker = root.resolve(".complete")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(root)
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val idSpan = 100000000L
+    val scaledDocs = (0 until copies).map { i =>
+      val renamed = array_join(
+        transform(filter(split(col("text"), "\\s+"), w => length(w) > 0),
+          w => concat(w, lit(s"_$i"))), " ")
+      docs.select(
+        (col("doc_id") + lit(i * idSpan)).as("doc_id"),
+        when(col("text").isNull, lit(null: String))
+          .otherwise(renamed).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars",
+          coalesce(length(col("text")).cast("long"), lit(0L)))
+    }.reduce(_ unionByName _)
+    scaledDocs.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val scaledEmb = (0 until copies).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * idSpan)).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0f + i * 1e-6f)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    scaledEmb.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // remaining tables: copy sf0.1's files verbatim (none of the headline
+    // queries read them, but SparkEntry query closures may resolve paths)
+    for (t <- Tables.names if t != "documents" && t != "embeddings") {
+      val src = java.nio.file.Paths.get(Tables.path(srcDir, t))
+      val dst = java.nio.file.Paths.get(Tables.path(outDir, t))
+      if (java.nio.file.Files.exists(src) && !java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(src, dst)
+    }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1.0")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, srcDir, bigDir)
+
+    def releaseCaches(): Unit = {
+      graft.operators.Dedup.unpersistAll()
+      graft.operators.Windowed.unpersistAll()
+      graft.operators.Bpe.unpersistAll()
+      graft.operators.KMeans.unpersistAll()
+      graft.operators.CurationFunnel.unpersistAll()
+      spark.catalog.clearCache()
+    }
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+          -1.0
+      } finally releaseCaches()
+    }
+
+    runOnce(HeadlineQueries.head, srcDir) // codegen warm-up (not reported)
+    // args restrict the run: query names, plus the literal "archive" to
+    // include the archive-family metrics (no args = everything)
+    val wanted =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else HeadlineQueries
+    val rows = wanted.map { name =>
+      val small = Seq.fill(3)(runOnce(name, srcDir)).filter(_ >= 0).sorted
+      val s = if (small.isEmpty) -1.0 else small((small.size - 1) / 2)
+      val big = runOnce(name, bigDir)
+      val ratio = if (s > 0 && big > 0) big / s else -1.0
+      println(f"""{"query":"$name","sf01_sec":$s%.3f,"sf10_sec":$big%.3f,"ratio":$ratio%.2f}""")
+      (name, s, big, ratio)
+    }
+
+    // Archive family (lake export + full decode), 200 vs 2000 sweeps —
+    // 10x the FILE count at identical per-file shape, the axis a seamf
+    // archive actually grows along. One run each (the 2000-sweep runs are
+    // long enough that cold-start variance is secondary).
+    val archiveRows =
+      if (args.nonEmpty && !args.contains("archive")) Seq.empty
+      else {
+        def timed(body: => Unit): Double = {
+          val t0 = System.nanoTime()
+          try { body; (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] archive metric failed: ${e.getMessage}")
+            -1.0
+          } finally releaseCaches()
+        }
+        val small = graft.seamf.SeamfFixtures.sharedBenchArchive()
+        val large = graft.seamf.SeamfFixtures.sharedBenchArchiveLarge()
+        def ingest(dir: String): Double = timed {
+          graft.seamf.SeamfReader.traces(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        def export(dir: String): Double = timed {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_scale_lake").toString
+          graft.seamf.SeamfLake.exportAll(spark, dir, out, validate = false)
+        }
+        // each metric's first run in a JVM pays whole-stage codegen (~1 s
+        // for ingest, ~2x for the 7-sink export plan) — without a warm-up
+        // the 200-sweep number absorbs it and the 2000/200 ratio reads
+        // SUBLINEAR-by-artifact (measured: cold 200-ingest 1.08 s vs warm
+        // 2000-ingest 0.71 s). Warm on the small archive, then time.
+        ingest(small); export(small)
+        Seq(
+          ("seamf_ingest", ingest(small), ingest(large)),
+          ("seamf_lake_export", export(small), export(large))
+        ).map { case (name, s, big) =>
+          val ratio = if (s > 0 && big > 0) big / s else -1.0
+          println(f"""{"query":"$name","n200_sec":$s%.3f,"n2000_sec":$big%.3f,"ratio":$ratio%.2f}""")
+          (name, s, big, ratio)
+        }
+      }
+
+    val bad = (rows ++ archiveRows)
+      .filter { case (_, _, _, r) => r < 0 || r > 15.0 }
+    if (bad.nonEmpty)
+      System.err.println("SUPERLINEAR/FAILED: " + bad.map(_._1).mkString(", "))
+    spark.stop()
+  }
+}
