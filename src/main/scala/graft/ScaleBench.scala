@@ -38,6 +38,16 @@ object ScaleBench {
     "q97_curation_funnel",  // staged funnel (oracle shape)
     "q97b_funnel_onepass")  // one-pass funnel (production shape)
 
+  /** Third-decade subset (the "x100" mode): production-shape families only
+    * — the exhaustive-pairs grading configurations (q52, q97) are
+    * deliberately oracle-replayable shapes whose scale paths are measured
+    * separately (q89's LSH half, q97b), so burning minutes on their
+    * quadratic-candidate decade adds no information.
+    */
+  val ThirdDecadeQueries: Seq[String] = Seq(
+    "q26_minhash_lsh", "q57_kmeans", "q77_pack_chunks",
+    "q92_count_min", "q97b_funnel_onepass")
+
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): Unit = {
@@ -88,6 +98,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1.0")
+    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -179,7 +190,21 @@ object ScaleBench {
         }
       }
 
-    val bad = (rows ++ archiveRows)
+    // "x100" arg: third decade (100 copies, 500k docs / 200k embeddings) for
+    // the production-shape families — one timed run each; with 3 decades the
+    // curve shape is unambiguous without repetition.
+    val hundredRows =
+      if (!args.contains("x100")) Seq.empty
+      else {
+        buildScaled(spark, srcDir, hugeDir, copies = 100)
+        ThirdDecadeQueries.map { name =>
+          val t = runOnce(name, hugeDir)
+          println(f"""{"query":"$name","sf100_sec":$t%.3f}""")
+          (name, t, t, if (t > 0) 1.0 else -1.0)
+        }
+      }
+
+    val bad = (rows ++ archiveRows ++ hundredRows)
       .filter { case (_, _, _, r) => r < 0 || r > 15.0 }
     if (bad.nonEmpty)
       System.err.println("SUPERLINEAR/FAILED: " + bad.map(_._1).mkString(", "))

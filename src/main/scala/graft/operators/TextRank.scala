@@ -51,10 +51,18 @@ object TextRank {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-    val n = wout.count() // one scalar: the node count (Zipf-bounded vocab)
-    val base = math.floor((1.0 - damping) * 1e12 / n).toLong
-    var pr = wout.select(col("src").as("word"),
-      lit(math.floor(1e12 / n).toLong).as("rank12"))
+    // node count as an IN-PLAN broadcast scalar, not a driver count():
+    // wout's exchange already appears in every iteration's join, so
+    // ReuseExchange absorbs this 1-row aggregate — where a count() action
+    // forced one extra full bigram-scan job before iteration 1. The
+    // arithmetic keeps the exact double operation order of the previous
+    // driver-side math (and of the oracle's scalar subqueries), so rank12
+    // values are bit-identical.
+    val nDf = wout.agg(count(lit(1)).as("__n"))
+    val baseCol = floor(lit((1.0 - damping) * 1e12) / col("__n")).cast("long")
+    var pr = wout.crossJoin(broadcast(nDf))
+      .select(col("src").as("word"),
+        floor(lit(1e12) / col("__n")).cast("long").as("rank12"))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(wout, "src")
@@ -64,7 +72,8 @@ object TextRank {
             .cast("long").as("c"))
         .groupBy("word").agg(sum(col("c")).as("cs"))
       // undirected graph => every node has in-edges; inner join is total
-      pr = contrib.select(col("word"), (col("cs") + base).as("rank12"))
+      pr = contrib.crossJoin(broadcast(nDf))
+        .select(col("word"), (col("cs") + baseCol).as("rank12"))
     }
     pr
   }
