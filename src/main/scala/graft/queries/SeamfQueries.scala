@@ -497,7 +497,44 @@ object SeamfQueries {
           MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
         FROM ${rp("psd")}
         WHERE datetime_us <= $PruneCutUs AND frequency <= $PruneMaxFreq
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- S12/S13 on the hash surface: lake export round trip ------------
+    // exportAll decodes the fixture ONCE (persisted shared scan) and writes
+    // all seven products date-partitioned; the query reads the psd product
+    // BACK from the partitioned layout (including the derived `date`
+    // partition column) and aggregates it. The oracle computes the same
+    // aggregation over the full-decode dump, so a hash match proves every
+    // decoded row landed in the correct date partition with values intact
+    // through the zstd parquet round trip.
+    "s17_seamf_lake_roundtrip" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        // fixed path + overwrite, not createTempDirectory (q98 discipline:
+        // repeated bench/verify runs must not accumulate /tmp copies)
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_lake_roundtrip").toString
+        graft.seamf.SeamfLake.exportAll(s, fixture(), out, validate = false)
+        s.read.parquet(s"$out/psd")
+          // partition date as STRING: a date32 cell normalizes differently
+          // from DuckDB's DATE through pandas (datetime.date vs Timestamp)
+          .groupBy(date_format(col("date"), "yyyy-MM-dd").as("part_date"),
+            col("frequency"), col("capture_statistic"))
+          .agg(count(lit(1)).as("n_points"),
+            countDistinct(col("datetime")).as("n_captures"),
+            min(col("psd_dbm_per_hz")).as("min_db"),
+            max(col("psd_dbm_per_hz")).as("max_db"),
+            max(col("baseband_hz")).as("max_hz"))
+          .orderBy("part_date", "frequency", "capture_statistic")
+      },
+      Some(s"""SELECT strftime(make_timestamp(datetime_us), '%Y-%m-%d')
+            AS part_date,
+          frequency, capture_statistic, COUNT(*) AS n_points,
+          COUNT(DISTINCT datetime_us) AS n_captures,
+          MIN(psd_dbm_per_hz) AS min_db, MAX(psd_dbm_per_hz) AS max_db,
+          MAX(baseband_hz) AS max_hz
+        FROM ${rp("psd")}
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per
