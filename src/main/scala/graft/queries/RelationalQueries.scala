@@ -625,6 +625,36 @@ object RelationalQueries {
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // ---- F4 on the hash surface: whole-table tz localization -----------
+    // TimeOps.localizeTimestamps (the reference's localize_timestamps,
+    // util.py:63-83) projects every TimestampType column to local wall
+    // clock. The UTC->America/New_York shift moves events across local
+    // midnights, so grouping by the LOCAL date only matches if the
+    // conversion is exact; wall-clock extremes are compared as formatted
+    // strings (timestamp dtype drift discipline, s17). The oracle's
+    // two-step timezone() is session-TimeZone-independent: the inner call
+    // pins UTC interpretation, the outer pins the NY projection.
+    "q100_tz_localize" -> QueryDef(
+      (s, dir) => {
+        val loc = graft.functions.TimeOps
+          .localizeTimestamps(t(s, dir, "events"), "America/New_York")
+        loc.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("local_date"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("first_local"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("last_local"))
+          .orderBy("local_date")
+      },
+      Some("""WITH loc AS (SELECT
+            timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP)))
+              AS lts FROM events)
+        SELECT strftime(lts, '%Y-%m-%d') AS local_date,
+          COUNT(*) AS n_events,
+          strftime(MIN(lts), '%Y-%m-%d %H:%M:%S') AS first_local,
+          strftime(MAX(lts), '%Y-%m-%d %H:%M:%S') AS last_local
+        FROM loc GROUP BY 1 ORDER BY 1""")),
+
     // (metric, value) rows — Spark's native unpivot (codegen'd Expand,
     // no shuffle of its own), aggregated per metric with 1e-6
     // floor-scaled exact sums.

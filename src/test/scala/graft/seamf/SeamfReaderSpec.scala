@@ -146,6 +146,8 @@ class SeamfReaderSpec extends SparkSpec {
   test("empty landing dir decodes to zero rows, not an error") {
     val empty = Files.createTempDirectory("graft_seamf_empty").toString
     assert(SeamfReader.traces(spark, empty).count() === 0L)
+    assert(SeamfReader.tracesPruned(spark, empty,
+      SeamfReader.TracePrune(tables = Some(Set("psd")))).count() === 0L)
     assert(SeamfReader.sweepMetadata(spark, empty).count() === 0L)
     assert(SeamfReader.channelMetadata(spark, empty).count() === 0L)
     val emptyZip = Files.createTempDirectory("graft_zip_empty").toString
