@@ -288,4 +288,29 @@ class PropertySpec extends SparkSpec {
         exact.forall { case (k, n) => estMap(k) >= n }
     }, n = 8)
   }
+
+  test("pruned decode equals decode-then-filter for arbitrary prune windows") {
+    import graft.seamf.SeamfReader
+    val dir = SeamfFixtures.sharedArchive()
+    val full = SeamfReader.traces(spark, dir).collect()
+    val (tMin, tMax) = (full.map(_.datetime_us).min, full.map(_.datetime_us).max)
+    val freqs = full.map(_.frequency).distinct.sorted
+    val genPrune = for {
+      tables <- Gen.someOf("psd", "pvt", "pfp", "apd")
+      lo <- Gen.chooseNum(tMin - 1, tMax + 1)
+      hi <- Gen.chooseNum(lo, tMax + 1)
+      fLo <- Gen.oneOf(None +: freqs.map(f => Some(f - 1)).toSeq)
+      fHi <- Gen.oneOf(None +: freqs.map(f => Some(f + 1)).toSeq)
+    } yield SeamfReader.TracePrune(
+      if (tables.isEmpty) None else Some(tables.toSet),
+      Some(lo), Some(hi), fLo, fHi)
+    def key(r: SeamfReader.TraceRow) =
+      (r.file, r.datetime_us, r.frequency, r.table, r.capture_statistic,
+        r.detector)
+    check(Prop.forAll(genPrune) { p =>
+      val want = full.filter(r => p.matchesTable(r.table) &&
+        p.matchesCapture(r.datetime_us, r.frequency)).map(key).toSet
+      SeamfReader.tracesPruned(spark, dir, p).collect().map(key).toSet == want
+    }, n = 10)
+  }
 }
