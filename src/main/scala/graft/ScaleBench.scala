@@ -197,11 +197,35 @@ object ScaleBench {
       if (!args.contains("x100")) Seq.empty
       else {
         buildScaled(spark, srcDir, hugeDir, copies = 100)
-        ThirdDecadeQueries.map { name =>
+        val queryRows = ThirdDecadeQueries.map { name =>
           val t = runOnce(name, hugeDir)
           println(f"""{"query":"$name","sf100_sec":$t%.3f}""")
           (name, t, t, if (t > 0) 1.0 else -1.0)
         }
+        // the funnel's ACTUAL 100 TB configuration (MinHash-LSH candidates
+        // instead of the oracle-replayable exhaustive Jaccard) is not on
+        // the query surface — q97b must match q97's oracle — so time it
+        // directly at all three decades
+        def funnelLsh(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try {
+            graft.operators.CurationFunnel
+              .metrics(spark.read.parquet(s"$dir/documents.parquet"),
+                exhaustivePairs = false)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] funnel_lsh @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val lshRow = {
+          val (s, b, h) = (funnelLsh(srcDir), funnelLsh(bigDir), funnelLsh(hugeDir))
+          println(f"""{"query":"funnel_onepass_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+          ("funnel_onepass_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+        }
+        queryRows :+ lshRow
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)
