@@ -197,7 +197,14 @@ object ScaleBench {
       if (!args.contains("x100")) Seq.empty
       else {
         buildScaled(spark, srcDir, hugeDir, copies = 100)
-        val queryRows = ThirdDecadeQueries.map { name =>
+        // extra query-name args restrict the third decade too, and the
+        // literal "funnel" selects just the funnel comparison (dev loop);
+        // bare "x100" runs the full subset
+        val tdq =
+          if (args.contains("funnel")) Seq.empty
+          else if (wanted.nonEmpty) ThirdDecadeQueries.filter(wanted.contains)
+          else ThirdDecadeQueries
+        val queryRows = tdq.map { name =>
           val t = runOnce(name, hugeDir)
           println(f"""{"query":"$name","sf100_sec":$t%.3f}""")
           (name, t, t, if (t > 0) 1.0 else -1.0)

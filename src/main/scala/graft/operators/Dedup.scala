@@ -123,9 +123,13 @@ object Dedup {
     val cand = minHashCandidates(docs, idCol, textCol, k, bands, rowsPerBand,
       maxBucket).select("id_a", "id_b")
     val inv = index.getOrElse(shingleIndex(docs, idCol, textCol, k))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val sets = inv.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("hs"))
+    // set sizes as a map-side projection of the collected sets (inv is
+    // distinct, so size(hs) == the former count(*) re-aggregation of inv —
+    // one less full pass over the index)
+    val sizes = sets.select(col("doc_id"),
+      size(col("hs")).cast("long").as("set_size"))
     // exact verify: per-candidate sorted-array intersection (the candidate
     // set is tiny relative to the corpus, so per-pair HOF cost is bounded)
     val pairs = cand
