@@ -123,8 +123,11 @@ object Dedup {
     val cand = minHashCandidates(docs, idCol, textCol, k, bands, rowsPerBand,
       maxBucket).select("id_a", "id_b")
     val inv = index.getOrElse(shingleIndex(docs, idCol, textCol, k))
+    // unsorted: hs feeds only the order-independent array_intersect below,
+    // so the former sort_array paid n log n per document on both join
+    // sides for nothing
     val sets = inv.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("hs"))
+      .agg(collect_list(col("shingle")).as("hs"))
     // set sizes as a map-side projection of the collected sets (inv is
     // distinct, so size(hs) == the former count(*) re-aggregation of inv —
     // one less full pass over the index)
