@@ -112,4 +112,32 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** [[BoundedMinK]] over a NUMERIC sort value — the unbounded-group scale
+    * path for top-k-per-group ([[graft.operators.Windowed
+    * .topKPerGroupHeap]]): keeps the k smallest (sortValue, key) pairs with
+    * a never-more-than-k buffer, so a billion-row group costs one pass +
+    * a k-element merge per partition instead of the window form's full
+    * per-group sort. Descending orderings negate the sort value; `key`
+    * breaks ties exactly like the window's trailing order column.
+    */
+  final case class BoundedMinKByValue(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      insert(b, a)
+    def merge(b1: List[(Double, Long)], b2: List[(Double, Long)])
+        : List[(Double, Long)] = b2.foldLeft(b1)(insert)
+    def finish(b: List[(Double, Long)]): Seq[Long] = b.map(_._2)
+    private def insert(b: List[(Double, Long)], a: (Double, Long)) = {
+      if (b.lengthCompare(k) >= 0 && implicitly[Ordering[(Double, Long)]]
+          .gteq(a, b.last)) b
+      else ((a :: b).sorted).take(k)
+    }
+    def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -25,6 +25,41 @@ object Windowed {
       .drop("__rn")
   }
 
+  /** The UNBOUNDED-group form of [[topKPerGroup]] — identical selection,
+    * different plan: a bounded k-buffer aggregation
+    * ([[graft.functions.Aggregators.BoundedMinKByValue]]) keeps each
+    * group's k smallest (sortAsc, key) pairs with map-side partial
+    * aggregation — at most k pairs per group leave each partition, no
+    * per-group sort, no window over a billion-row group — then the kept
+    * keys broadcast-join back to recover full rows (kept is groups x k
+    * rows). `rankCol` carries the 1-based within-group rank the window
+    * form would assign.
+    *
+    * Preconditions (same discipline as `Sampling.stratifiedTakeHeap`):
+    * `keyCol` must be a UNIQUE, NON-NULL integral id and `sortAsc`
+    * non-null (the window form would rank nulls per null-ordering; the
+    * heap cannot see them). Descending orderings pass the negated column;
+    * for decimal sort columns the double cast is order-preserving as long
+    * as distinct values differ by more than one double ulp (~1e-11 at
+    * 1e5 magnitude — every fixture and any price-like column qualifies).
+    */
+  def topKPerGroupHeap(df: DataFrame, groupCols: Seq[String],
+      sortAsc: Column, keyCol: String, k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long)]()
+    val topk = udaf(graft.functions.Aggregators.BoundedMinKByValue(k), enc)
+    val kept = df
+      .select(groupCols.map(col) :+ sortAsc.cast("double").as("__v") :+
+        col(keyCol).cast("long").as("__k"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(col("__v"), col("__k")).as("__kept"))
+      .select(posexplode(col("__kept")).as(Seq("__pos", "__k")))
+      .select(col("__k"), (col("__pos") + 1).as(rankCol))
+    df.join(broadcast(kept), col(keyCol).cast("long") === col("__k"))
+      .drop("__k")
+  }
+
   /** Equalize group sizes to the global minimum group count (the reference's
     * `limiter`: `groupby(freq).size().min()` then first-`lim` rows of each
     * group). The min count is computed distributed and joined back as a

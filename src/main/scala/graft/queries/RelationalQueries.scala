@@ -187,6 +187,26 @@ object RelationalQueries {
         FROM orders) WHERE rnk <= 3
         ORDER BY o_orderpriority, rnk""")),
 
+    // q07's 100 TB configuration: the bounded k-buffer aggregation replaces
+    // the per-group rank window (at most k pairs per group leave each
+    // partition — no per-group sort, immune to one huge group). Same rows
+    // and ranks as the window form (equivalence spec'd in OperatorsSpec),
+    // so q07's oracle replays unchanged.
+    "q07b_topk_heap" -> QueryDef(
+      (s, dir) => {
+        Windowed.topKPerGroupHeap(t(s, dir, "orders"),
+            Seq("o_orderpriority"), negate(col("o_totalprice")),
+            "o_orderkey", 3, rankCol = "rnk")
+          .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk""")),
+
     // ---- A9/W1: gap detection ------------------------------------------
     "q08_gap_detect" -> QueryDef(
       (s, dir) => {

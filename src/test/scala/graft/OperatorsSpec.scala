@@ -466,6 +466,25 @@ class OperatorsSpec extends SparkSpec {
     assert(a.exceptAll(c).count() === 0 && c.exceptAll(a).count() === 0)
   }
 
+  test("topKPerGroupHeap matches the window form rows AND ranks, " +
+      "including under repartitioning") {
+    // values deliberately collide across ids so the key tiebreak is load-
+    // bearing, exactly like the window's trailing order column
+    val df = (0 until 400).map(i => (s"g${i % 5}", i.toLong, (i % 23).toDouble))
+      .toDF("g", "id", "v")
+    def windowed(d: org.apache.spark.sql.DataFrame) = d.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rnk") <= 4).select("g", "id", "v", "rnk")
+    val a = windowed(df)
+    val b = Windowed.topKPerGroupHeap(df, Seq("g"), negate(col("v")), "id", 4,
+      rankCol = "rnk").select("g", "id", "v", "rnk")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val c = Windowed.topKPerGroupHeap(df.repartition(13), Seq("g"),
+      negate(col("v")), "id", 4, rankCol = "rnk").select("g", "id", "v", "rnk")
+    assert(a.exceptAll(c).count() === 0 && c.exceptAll(a).count() === 0)
+  }
+
   test("CountMin never underestimates, is repartition-invariant, and " +
       "conserves total weight per row") {
     val depth = 4; val width = 16 // narrow enough to force collisions
