@@ -133,7 +133,12 @@ object Bench {
     // (q45 straddled exactly that line). Per-query run counts go in the
     // JSON so the next judge can tell a methodology change from a
     // regression.
-    val queryResults = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // optional trailing args restrict the run to named queries (dev loop,
+    // same contract as Verify); the archive metrics only run unfiltered
+    val only = args.toSet
+    def selected(n: String) = only.isEmpty || only(n)
+    val queryResults = SparkEntry.queries.keys.toSeq.sorted
+      .filter(selected).map { n =>
       val t1 = runOnce(n)
       releaseCaches()
       if (t1 >= 0 && t1 < 6.0) {
@@ -145,11 +150,11 @@ object Bench {
       } else n -> (t1, 1)
     }
     settle()
-    val results = queryResults ++
+    val results = queryResults ++ (if (only.nonEmpty) Seq() else
       Seq("seamf_ingest_200_sweeps" -> (ingest, 3),
         "seamf_ingest_2000_sweeps" -> (ingestLarge, 1),
         "seamf_capture_summary_200" -> (capSummary, 3),
-        "seamf_lake_export_200" -> (lakeExport, 2))
+        "seamf_lake_export_200" -> (lakeExport, 2)))
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val rc = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }

@@ -1738,6 +1738,45 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- CCNet-style n-gram LM perplexity filter ------------------------
+    // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —
+    // a deterministic stand-in for "the curated corpus"), score EVERY doc
+    // by mean negative log-likelihood, surface the worst 15 (the tail a
+    // perplexity filter would cut). Training itself is part of the graded
+    // surface: the oracle recomputes the count tables, the vocab size, and
+    // every floor-scaled ln() contribution. See operators/NgramLm.scala
+    // for the 100 TB plan shape (vocab-bounded shuffles, broadcast model).
+    "q101_lm_perplexity" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.NgramLm
+        val docs = t(s, dir, "documents")
+        val model = NgramLm.train(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text")
+        NgramLm.crossEntropy(model, docs, "doc_id", "text")
+          .orderBy(col("cross_entropy").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS ws FROM documents),
+        g AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        tr AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT x) AS v
+          FROM (SELECT unnest(ws) AS x FROM w WHERE doc_id % 3 <> 0)),
+        sc AS (SELECT g.doc_id,
+            CAST(FLOOR(ln((COALESCE(c2.c12, 0) + 1.0)
+              / (COALESCE(c1.c1, 0) + vv.v)) * 1e9) AS BIGINT) AS l9
+          FROM g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+          LEFT JOIN c1 ON g.w1 = c1.w1
+          CROSS JOIN vv)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(-SUM(l9) AS DOUBLE) / COUNT(*) / 1e9 AS cross_entropy
+        FROM sc GROUP BY doc_id
+        ORDER BY cross_entropy DESC, doc_id LIMIT 15""")),
+
     // ---- end-to-end curation funnel -------------------------------------
     // The showcase composition: quality gate -> portable exact dedup ->
     // near-dup clustering with canonical survivors -> train split, each

@@ -503,4 +503,32 @@ class OperatorsSpec extends SparkSpec {
     assert(counters.exceptAll(again).count() === 0)
     assert(again.exceptAll(counters).count() === 0)
   }
+
+  test("NgramLm cross-entropy matches the closed-form add-one values " +
+      "and is repartition-invariant") {
+    // train corpus: one doc "a b a b a" -> bigrams ab, ba, ab, ba... :
+    //   c(a,b)=2, c(b,a)=2, c1(a)=2, c1(b)=2, V=2
+    val train = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val model = NgramLm.train(train, "doc_id", "text")
+    assert(model.vocabSize === 2L)
+    // score "a b" (seen bigram) and "a a" (unseen bigram, seen context):
+    //   P(b|a) = (2+1)/(2+2) = 0.75;  P(a|a) = (0+1)/(2+2) = 0.25
+    // and "c c" (unseen context): P(c|c) = 1/V = 0.5
+    val docs = Seq((10L, "a b"), (11L, "a a"), (12L, "c c"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.crossEntropy(model, docs, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "cross_entropy")
+      .as[(Long, Long, Double)].collect().toSeq
+    def xent(p: Double) = -math.floor(math.log(p) * 1e9) / 1e9
+    assert(got === Seq((10L, 1L, xent(0.75)), (11L, 1L, xent(0.25)),
+      (12L, 1L, xent(0.5))))
+    // lower entropy = closer to the training distribution
+    assert(got(0)._3 < got(1)._3)
+    // bit-identical under repartitioning (exact long sums)
+    val again = NgramLm.crossEntropy(model, docs.repartition(7), "doc_id",
+      "text")
+    val base = NgramLm.crossEntropy(model, docs, "doc_id", "text")
+    assert(base.exceptAll(again).count() === 0)
+    assert(again.exceptAll(base).count() === 0)
+  }
 }
