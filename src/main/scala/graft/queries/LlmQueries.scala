@@ -1777,6 +1777,53 @@ object LlmQueries {
         FROM sc GROUP BY doc_id
         ORDER BY cross_entropy DESC, doc_id LIMIT 15""")),
 
+    // ---- exact repeated-span detection (substring dedup) ----------------
+    // The k-gram approximation of suffix-array substring dedup (Lee et al.
+    // 2021): positions whose 30-char gram recurs across documents, merged
+    // into maximal spans per doc. Top 20 docs by duplicated characters —
+    // the removal list a substring-dedup pass would act on. The oracle
+    // replays gram hashing (raw substring equality — md5 is injective on
+    // distinct inputs up to 2^-64, and DuckDB groups the same substrings),
+    // island merging, and the roll-up.
+    "q102_repeated_spans" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SpanDedup
+        val docs = t(s, dir, "documents")
+        SpanDedup.spanStats(docs, "doc_id", "text", k = 30)
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("dup_frac",
+            col("dup_chars").cast("double") / col("n_chars"))
+          .orderBy(col("dup_chars").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "n_dup_spans", "dup_chars", "n_chars", "dup_frac")
+      },
+      Some("""WITH g AS (SELECT doc_id, i,
+          substring(text, CAST(i AS INT), 30) AS gr
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
+            FROM documents WHERE len(text) >= 30)),
+        d AS (SELECT gr FROM g GROUP BY gr
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        p AS (SELECT doc_id, i FROM g JOIN d USING (gr)),
+        m AS (SELECT doc_id, i,
+            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
+                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808) THEN 1 ELSE 0 END AS nw
+          FROM p),
+        isl AS (SELECT doc_id, i,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m),
+        sp AS (SELECT doc_id, island, MIN(i) AS span_start,
+            MAX(i) + 30 AS span_end
+          FROM isl GROUP BY 1, 2),
+        st AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+            SUM(span_end - span_start) AS dup_chars
+          FROM sp GROUP BY doc_id)
+        SELECT st.doc_id, n_dup_spans, CAST(dup_chars AS BIGINT) AS dup_chars,
+          d2.n_chars, CAST(dup_chars AS DOUBLE) / d2.n_chars AS dup_frac
+        FROM st JOIN documents d2 ON d2.doc_id = st.doc_id
+        ORDER BY dup_chars DESC, st.doc_id LIMIT 20""")),
+
     // ---- end-to-end curation funnel -------------------------------------
     // The showcase composition: quality gate -> portable exact dedup ->
     // near-dup clustering with canonical survivors -> train split, each

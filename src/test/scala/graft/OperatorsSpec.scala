@@ -504,6 +504,36 @@ class OperatorsSpec extends SparkSpec {
     assert(again.exceptAll(counters).count() === 0)
   }
 
+  test("SpanDedup recovers exact repeated-span boundaries and merges " +
+      "overlapping grams into maximal islands") {
+    // the 24-char block is shared at position 6 of docs 1 and 2; doc 3 is
+    // unique; doc 4 repeats the block TWICE with unique filler between
+    val block = "HELLOWORLDTHISISREPEATED" // len 24
+    val docs = Seq(
+      (1L, "aaaaa" + block + "bbbbb"),
+      (2L, "ccccc" + block + "ddddd"),
+      (3L, "nothing shared in this one at all........."),
+      (4L, block + "-unique-filler-here-" + block))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 10)
+      .orderBy("id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // k=10 grams of the block span positions p..p+14 (24-10+1 grams),
+    // merging to exactly [p, p+24)
+    assert(spans === Seq(
+      (1L, 6L, 30L), (2L, 6L, 30L),
+      (4L, 1L, 25L), (4L, 45L, 69L)))
+    val stats = SpanDedup.spanStats(docs, "doc_id", "text", k = 10)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(stats === Seq((1L, 1L, 24L), (2L, 1L, 24L), (4L, 2L, 48L)))
+    // repartition-invariant (island ids differ only per-doc, never across)
+    val again = SpanDedup.spanStats(docs.repartition(7), "doc_id", "text",
+      k = 10)
+    val base = SpanDedup.spanStats(docs, "doc_id", "text", k = 10)
+    assert(base.exceptAll(again).count() === 0)
+    assert(again.exceptAll(base).count() === 0)
+  }
+
   test("NgramLm cross-entropy matches the closed-form add-one values " +
       "and is repartition-invariant") {
     // train corpus: one doc "a b a b a" -> bigrams ab, ba, ab, ba... :
