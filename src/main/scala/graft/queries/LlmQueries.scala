@@ -112,6 +112,40 @@ object LlmQueries {
           JOIN e ON e.src = r.node),
       comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)"""
 
+  // The full 2-iteration k=8 Lloyd fit as DuckDB CTEs ending at
+  // a2(id, cid, dist) — shared by the q57 and q103 oracles so the
+  // clustering definition cannot silently diverge between them. Mirrors
+  // KMeans.fit: md5-smallest-8 seeds, per-term decimal sums, min-struct
+  // assignment. Expects `embeddings` in scope; also binds e(id, v).
+  private val KMeansA2Cte: String =
+    """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
+          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
+        px AS (SELECT id, dim, v[dim] AS x FROM e, idxs),
+        sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
+            (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
+          FROM e),
+        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs WHERE cid < 8),
+        d1 AS (SELECT id, cid,
+            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
+              AS dist
+          FROM px JOIN c0 USING (dim) GROUP BY id, cid),
+        a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
+          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+            FROM d1 GROUP BY id)),
+        c1 AS (SELECT cid, dim,
+            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
+          FROM px JOIN a1 USING (id) GROUP BY cid, dim),
+        d2 AS (SELECT id, cid,
+            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
+              AS dist
+          FROM px JOIN c1 USING (dim) GROUP BY id, cid),
+        a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
+            struct_extract(m, 'dist') AS dist
+          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+            FROM d2 GROUP BY id))"""
+
   // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
   // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
   // the post-merge weighted symbol total tot{k}. Mirrors Bpe.applyMerge
@@ -905,36 +939,38 @@ object LlmQueries {
             sum(KMeans.inertia6(col("dist"))).as("inertia6"))
           .orderBy("cluster")
       },
-      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
-          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
-        px AS (SELECT id, dim, v[dim] AS x FROM e, idxs),
-        sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
-            (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
-          FROM e),
-        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs WHERE cid < 8),
-        d1 AS (SELECT id, cid,
-            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
-              AS dist
-          FROM px JOIN c0 USING (dim) GROUP BY id, cid),
-        a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
-          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
-            FROM d1 GROUP BY id)),
-        c1 AS (SELECT cid, dim,
-            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
-          FROM px JOIN a1 USING (id) GROUP BY cid, dim),
-        d2 AS (SELECT id, cid,
-            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
-              AS dist
-          FROM px JOIN c1 USING (dim) GROUP BY id, cid),
-        a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
-            struct_extract(m, 'dist') AS dist
-          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
-            FROM d2 GROUP BY id))
+      Some(s"""WITH $KMeansA2Cte
         SELECT cid AS cluster, COUNT(*) AS n,
           CAST(SUM(CAST(FLOOR(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia6
         FROM a2 GROUP BY cid ORDER BY cluster""")),
+
+    // ---- SemDeDup: semantic dedup via k-means + within-cluster cosine --
+    // Abbas et al. 2023: the k-means fit IS q57's graded fit (shared
+    // KMeansA2Cte oracle chain), then every within-cluster pair at
+    // cosine >= 0.45 marks its larger id as removed (deterministic min-id
+    // keep rule). Per-cluster survival counts are the paper's headline
+    // statistic. See operators/SemDedup.scala for the bounded-cluster
+    // scale argument.
+    "q103_semdedup" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        SemDedup.clusterStats(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2, minCosine = 0.45)
+      },
+      Some(s"""WITH $KMeansA2Cte,
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        rem AS (SELECT DISTINCT b.cid, b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        rc AS (SELECT cid, COUNT(*) AS n_removed FROM rem GROUP BY cid),
+        nc AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid)
+        SELECT nc.cid AS cluster, nc.n,
+          CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+          CAST(nc.n - COALESCE(rc.n_removed, 0) AS BIGINT) AS n_kept
+        FROM nc LEFT JOIN rc ON rc.cid = nc.cid
+        ORDER BY cluster""")),
 
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value

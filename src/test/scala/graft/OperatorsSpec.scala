@@ -504,6 +504,26 @@ class OperatorsSpec extends SparkSpec {
     assert(again.exceptAll(counters).count() === 0)
   }
 
+  test("SemDedup removes exactly the larger id of each near-identical " +
+      "pair and keeps everything else") {
+    // 8 well-separated directions (pairwise cosine <= 1/sqrt(2)) plus two
+    // exact copies: id 10 duplicates id 3, id 11 duplicates id 7
+    val dirs = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f),
+      Seq(0f, 0f, 0f, 1f), Seq(1f, 1f, 0f, 0f), Seq(0f, 1f, 1f, 0f),
+      Seq(0f, 0f, 1f, 1f), Seq(1f, 0f, 0f, 1f))
+    val emb = (dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((10L, dirs(3)), (11L, dirs(7)))).toDF("vec_id", "embedding")
+    val stats = SemDedup.clusterStats(emb, "vec_id", "embedding",
+      k = 2, iters = 2, minCosine = 0.95)
+    assert(stats.agg(sum("n"), sum("n_removed")).as[(Long, Long)].head ===
+      ((10L, 2L)))
+    val kept = SemDedup.survivors(emb, "vec_id", "embedding",
+        k = 2, iters = 2, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(kept === (0L to 7L).toSet) // copies 10 and 11 removed, keep min id
+  }
+
   test("SpanDedup recovers exact repeated-span boundaries and merges " +
       "overlapping grams into maximal islands") {
     // the 24-char block is shared at position 6 of docs 1 and 2; doc 3 is
