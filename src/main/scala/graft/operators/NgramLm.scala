@@ -87,15 +87,19 @@ object NgramLm {
     */
   def crossEntropy(model: Model, docs: DataFrame, idCol: String,
       textCol: String, broadcastModel: Boolean = true): DataFrame = {
-    require(model.vocabSize >= 2,
-      s"degenerate training vocabulary (V=${model.vocabSize})")
+    // an EMPTY training corpus (V=0, no counts) degrades to the uniform
+    // 1-symbol model rather than throwing: scoring any non-empty doc then
+    // reports ln(1) = 0 per bigram, and the empty-lake contract (every
+    // query completes on empty inputs) holds because the score side has
+    // no bigrams either
+    val v = math.max(model.vocabSize, 1L)
     def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
     bigrams(docs, idCol, textCol)
       .join(side(model.bigrams), Seq("w1", "w2"), "left")
       .join(side(model.contexts), Seq("w1"), "left")
       .select(col("__id"),
         floor(log((coalesce(col("c12"), lit(0L)) + 1.0) /
-          (coalesce(col("c1"), lit(0L)) + lit(model.vocabSize.toDouble)))
+          (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))
           * 1e9).cast("long").as("l9"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
