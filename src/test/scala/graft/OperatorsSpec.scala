@@ -552,6 +552,11 @@ class OperatorsSpec extends SparkSpec {
     val base = SpanDedup.spanStats(docs, "doc_id", "text", k = 10)
     assert(base.exceptAll(again).count() === 0)
     assert(again.exceptAll(base).count() === 0)
+    // the skew-robust agg+join plan selects the identical flag set
+    val robust = SpanDedup.spanStats(docs, "doc_id", "text", k = 10,
+      skewRobust = true)
+    assert(base.exceptAll(robust).count() === 0)
+    assert(robust.exceptAll(base).count() === 0)
   }
 
   test("NgramLm cross-entropy matches the closed-form add-one values " +
