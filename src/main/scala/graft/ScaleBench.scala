@@ -36,7 +36,10 @@ object ScaleBench {
     "q77_pack_chunks",      // sequence packing (distributed prefix sum)
     "q92_count_min",        // Count-Min sketch build + estimate
     "q97_curation_funnel",  // staged funnel (oracle shape)
-    "q97b_funnel_onepass")  // one-pass funnel (production shape)
+    "q97b_funnel_onepass",  // one-pass funnel (production shape)
+    "q101_lm_perplexity",   // bigram-LM perplexity filter (r6)
+    "q102_repeated_spans",  // k-gram repeated-span dedup (r6)
+    "q103_semdedup")        // SemDeDup clusters + within-cluster cosine (r6)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -44,9 +47,14 @@ object ScaleBench {
     * separately (q89's LSH half, q97b), so burning minutes on their
     * quadratic-candidate decade adds no information.
     */
+  /* q103 is deliberately NOT here: SemDeDup's scale contract is that k
+   * GROWS with the corpus (n/k stays ~constant); the inventory query's
+   * fixed k=8 at the third decade would time a misconfigured quadratic
+   * workload, the same reason the exhaustive-pairs shapes are excluded. */
   val ThirdDecadeQueries: Seq[String] = Seq(
     "q26_minhash_lsh", "q57_kmeans", "q77_pack_chunks",
-    "q92_count_min", "q97b_funnel_onepass")
+    "q92_count_min", "q97b_funnel_onepass",
+    "q101_lm_perplexity", "q102_repeated_spans")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

@@ -1774,6 +1774,56 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- Naive Bayes domain/source classifier ---------------------------
+    // The deterministic stand-in for the fastText-style corpus-filter
+    // classifier: multinomial NB trained on the doc_id % 3 != 0 slice with
+    // class = source, then EVERY doc classified and the confusion matrix
+    // graded (same reporting shape as q30 langid). Training counts,
+    // priors, smoothing, floor-scaled log scores, and the min-struct
+    // argmax all replay in the oracle.
+    "q104_nb_source_classifier" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.NaiveBayes
+        val docs = t(s, dir, "documents")
+        val model = NaiveBayes.train(docs.filter(col("doc_id") % 3 =!= 0),
+          "source", "text")
+        NaiveBayes.predict(model, docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "predicted")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0) AS ws FROM documents),
+        tr AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
+        tok AS (SELECT source AS cls, unnest(ws) AS w FROM tr),
+        wc AS (SELECT w, cls, COUNT(*) AS c_wc FROM tok GROUP BY 1, 2),
+        cc AS (SELECT source AS cls, COUNT(*) AS n_docs_c,
+            SUM(len(ws)) AS n_words_c FROM tr GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+        nn AS (SELECT COUNT(*) AS n FROM tr),
+        pri AS (SELECT cls, n_words_c,
+            CAST(FLOOR(ln(CAST(n_docs_c AS DOUBLE) / nn.n) * 1e9) AS BIGINT)
+              AS prior9
+          FROM cc CROSS JOIN nn),
+        dw AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        sc AS (SELECT dw.doc_id, p.cls,
+            CAST(FLOOR(ln((COALESCE(wc.c_wc, 0) + 1.0)
+              / (p.n_words_c + vv.v)) * 1e9) AS BIGINT) AS l9
+          FROM dw CROSS JOIN pri p
+          LEFT JOIN wc ON wc.w = dw.w AND wc.cls = p.cls
+          CROSS JOIN vv),
+        tot AS (SELECT doc_id, cls, SUM(l9) AS ll9 FROM sc GROUP BY 1, 2),
+        fin AS (SELECT tot.doc_id, tot.cls, ll9 + pri.prior9 AS score9
+          FROM tot JOIN pri USING (cls)),
+        pred AS (SELECT doc_id,
+            struct_extract(MIN({'ns': -score9, 'c': cls}), 'c') AS predicted
+          FROM fin GROUP BY doc_id)
+        SELECT d.source, p.predicted, COUNT(*) AS n
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- CCNet-style n-gram LM perplexity filter ------------------------
     // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —
     // a deterministic stand-in for "the curated corpus"), score EVERY doc

@@ -504,6 +504,30 @@ class OperatorsSpec extends SparkSpec {
     assert(again.exceptAll(counters).count() === 0)
   }
 
+  test("NaiveBayes separates disjoint vocabularies and breaks exact " +
+      "ties to the smallest class") {
+    val train = Seq(
+      (1L, "alpha", "apple banana"), (2L, "alpha", "banana apple"),
+      (3L, "beta", "xray yankee"), (4L, "beta", "yankee xray"))
+      .toDF("doc_id", "source", "text")
+    val model = NaiveBayes.train(train, "source", "text")
+    assert(model.vocabSize === 4L && model.nDocs === 4L)
+    val docs = Seq((10L, "apple apple"), (11L, "xray"), (12L, "unseen"))
+      .toDF("doc_id", "text")
+    val got = NaiveBayes.predict(model, docs, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "predicted")
+      .as[(Long, String)].collect().toSeq
+    // doc 12: both classes have identical priors and word totals, so the
+    // unseen word scores EXACTLY equal longs -> lexicographic tie-break
+    assert(got === Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha")))
+    // repartition-invariant (exact long sums)
+    val base = NaiveBayes.predict(model, docs, "doc_id", "text")
+    val again = NaiveBayes.predict(model, docs.repartition(7), "doc_id",
+      "text")
+    assert(base.exceptAll(again).count() === 0)
+    assert(again.exceptAll(base).count() === 0)
+  }
+
   test("SemDedup removes exactly the larger id of each near-identical " +
       "pair and keeps everything else") {
     // 8 well-separated directions (pairwise cosine <= 1/sqrt(2)) plus two

@@ -313,4 +313,51 @@ class PropertySpec extends SparkSpec {
       SeamfReader.tracesPruned(spark, dir, p).collect().map(key).toSet == want
     }, n = 10)
   }
+
+  // Sequential reference for SpanDedup: flag every position whose k-gram
+  // appears in >= 2 distinct docs, then left-to-right interval merge
+  // (merge iff pos <= running max end — matches the window's
+  // pos > max(prev pos + k) new-island rule).
+  private def refSpans(docs: List[(Long, String)], k: Int)
+      : Set[(Long, Long, Long)] = {
+    def gramsOf(t: String): Seq[(Long, String)] =
+      if (t.length < k) Nil
+      else (0 to t.length - k).map(p => (p + 1L, t.substring(p, p + k)))
+    val shared = docs.flatMap { case (id, t) =>
+        gramsOf(t).map { case (_, g) => (g, id) }
+      }.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    docs.flatMap { case (id, t) =>
+      val flagged = gramsOf(t).collect { case (p, g) if shared(g) => p }
+      flagged.foldLeft(List.empty[(Long, Long)]) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p <= e => (s, math.max(e, p + k)) :: rest
+          case _ => (p, p + k) :: acc
+        }
+      }.map { case (s, e) => (id, s, e) }
+    }.toSet
+  }
+
+  test("SpanDedup (both plans) matches sequential span merging on " +
+      "random low-alphabet corpora") {
+    import graft.operators.SpanDedup
+    val k = 6
+    val genDocs = for {
+      n <- Gen.chooseNum(2, 5)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 60)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+      } yield cs.mkString)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(genDocs) { docs =>
+      val want = refSpans(docs, k)
+      val df = docs.toDF("doc_id", "text")
+      def got(robust: Boolean) =
+        SpanDedup.repeatedSpans(df, "doc_id", "text", k,
+            skewRobust = robust)
+          .collect().map(r => (r.getLong(0),
+            r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+          .toSet
+      got(robust = false) == want && got(robust = true) == want
+    }, n = 15)
+  }
 }
