@@ -1774,6 +1774,68 @@ object LlmQueries {
           cms_estimate >= n_exact AS no_underestimate
         FROM est ORDER BY n_exact DESC, word""")),
 
+    // ---- length-bucketed batch packing ----------------------------------
+    // The padding-efficiency op for fixed-batch training/inference: cut
+    // 32-doc batches in arrival order vs sorted-by-length order and
+    // compare padded-token waste (each batch pads to its max length).
+    // Batch ordinals come from Windowed.distributedCumsum of ones — the
+    // q77/q83 two-phase prefix-sum shape, no single-task global window.
+    // The bucketed strategy's sort key is n_tok*1e9 + doc_id, a single
+    // integral column that replays as ROW_NUMBER in the oracle.
+    "q106_length_bucketing" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Windowed
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          coalesce(size(TextOps.words(col("text"))), lit(0)).as("n_tok"))
+        def strat(skey: org.apache.spark.sql.Column, name: String) = {
+          val ord = Windowed.distributedCumsum(
+            toks.withColumn("__skey", skey).withColumn("__one", lit(1)),
+            "__skey", "__one")
+          ord.withColumn("batch", floor((col("cumsum") - 1) / 32).cast("long"))
+            .groupBy("batch")
+            .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("s"),
+              count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("s")).as("real_tokens"),
+              sum(col("mx") * col("c")).as("padded_tokens"))
+            .withColumn("strategy", lit(name))
+        }
+        strat(col("doc_id"), "arrival")
+          .unionByName(strat(
+            col("n_tok").cast("long") * 1000000000L + col("doc_id"),
+            "bucketed"))
+          .withColumn("waste_frac",
+            (col("padded_tokens") - col("real_tokens")).cast("double")
+              / col("padded_tokens"))
+          .select("strategy", "n_batches", "real_tokens", "padded_tokens",
+            "waste_frac")
+          .orderBy("strategy")
+      },
+      Some(s"""$WordsCte,
+        tk AS (SELECT doc_id, COALESCE(len(ws), 0) AS n_tok FROM w),
+        a AS (SELECT n_tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+          FROM tk),
+        ab AS (SELECT CAST(FLOOR((rn - 1) / 32.0) AS BIGINT) AS batch,
+            MAX(n_tok) AS mx, SUM(n_tok) AS s, COUNT(*) AS c
+          FROM a GROUP BY 1),
+        astat AS (SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+            CAST(SUM(s) AS BIGINT) AS real_tokens,
+            CAST(SUM(mx * c) AS BIGINT) AS padded_tokens FROM ab),
+        b AS (SELECT n_tok, ROW_NUMBER() OVER
+            (ORDER BY CAST(n_tok AS BIGINT) * 1000000000 + doc_id) AS rn
+          FROM tk),
+        bb AS (SELECT CAST(FLOOR((rn - 1) / 32.0) AS BIGINT) AS batch,
+            MAX(n_tok) AS mx, SUM(n_tok) AS s, COUNT(*) AS c
+          FROM b GROUP BY 1),
+        bstat AS (SELECT 'bucketed' AS strategy, COUNT(*) AS n_batches,
+            CAST(SUM(s) AS BIGINT) AS real_tokens,
+            CAST(SUM(mx * c) AS BIGINT) AS padded_tokens FROM bb)
+        SELECT strategy, n_batches, real_tokens, padded_tokens,
+          CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
+            AS waste_frac
+        FROM (SELECT * FROM astat UNION ALL SELECT * FROM bstat)
+        ORDER BY strategy""")),
+
     // ---- Naive Bayes domain/source classifier ---------------------------
     // The deterministic stand-in for the fastText-style corpus-filter
     // classifier: multinomial NB trained on the doc_id % 3 != 0 slice with

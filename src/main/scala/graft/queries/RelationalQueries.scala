@@ -1418,6 +1418,47 @@ object RelationalQueries {
           CAST(MIN(pts - vf) AS BIGINT) AS min_lag_us
         FROM j GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- distribution drift monitor (PSI) ------------------------------
+    // Population Stability Index between a reference corpus slice
+    // (doc_id % 2 = 0) and a "live" slice (% 2 = 1) over doc length:
+    // the standard per-ingest drift check. 10 fixed-width bins over the
+    // REFERENCE range (live clamps to edge bins so out-of-range mass is
+    // visible), add-one smoothing, per-bin (p-q)*ln(p/q) floor-scaled to
+    // exact longs. Shuffle is bin-count-bounded (operators/Drift.scala).
+    "q105_drift_psi" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Drift
+        val docs = t(s, dir, "documents")
+        Drift.psiBins(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10)
+      },
+      Some("""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x
+          FROM documents WHERE doc_id % 2 = 0),
+        lv AS (SELECT CAST(n_chars AS DOUBLE) AS x
+          FROM documents WHERE doc_id % 2 = 1),
+        rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM r),
+        b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+        rc AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - lo)
+              / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+            COUNT(*) AS ref_n
+          FROM r CROSS JOIN rng GROUP BY 1),
+        lc AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - lo)
+              / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+            COUNT(*) AS live_n
+          FROM lv CROSS JOIN rng GROUP BY 1),
+        n AS (SELECT (SELECT COUNT(*) FROM r) AS rn,
+            (SELECT COUNT(*) FROM lv) AS lvn),
+        j AS (SELECT b.bin, COALESCE(rc.ref_n, 0) AS ref_n,
+            COALESCE(lc.live_n, 0) AS live_n
+          FROM b LEFT JOIN rc USING (bin) LEFT JOIN lc USING (bin))
+        SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(live_n AS BIGINT) AS live_n,
+          CAST(FLOOR(((ref_n + 1.0) / (rn + 10)
+              - (live_n + 1.0) / (lvn + 10))
+            * LN(((ref_n + 1.0) / (rn + 10))
+              / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
+        FROM j CROSS JOIN n ORDER BY bin""")),
+
     // ---- snapshot diff (CDC between two table versions) ----------------
     // Change-data-capture over two deterministic "versions" of orders
     // (membership and mutation decided by md5 of the key): full-outer

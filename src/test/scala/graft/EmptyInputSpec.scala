@@ -65,6 +65,17 @@ class EmptyInputSpec extends SparkSpec {
         // stage list IS the result shape, like the profile queries above
         case "q97_curation_funnel" | "q97b_funnel_onepass" =>
           assert(rows.length === 5 && rows.forall(_.getLong(1) == 0L))
+        // the PSI monitor's bin spine exists independent of data: ten
+        // zero-count bins with add-one-smoothed p == q -> psi9 == 0,
+        // exactly what the oracle's literal range(0,10) emits
+        case "q105_drift_psi" =>
+          assert(rows.length === 10 && rows.forall(r =>
+            r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+        // both batching strategies report zero batches and NULL token
+        // totals (SUM over nothing) — same rows as the oracle's UNION
+        case "q106_length_bucketing" =>
+          assert(rows.length === 2 && rows.forall(r =>
+            r.getLong(1) == 0L && r.isNullAt(2)))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()

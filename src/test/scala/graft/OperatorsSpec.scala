@@ -504,6 +504,28 @@ class OperatorsSpec extends SparkSpec {
     assert(again.exceptAll(counters).count() === 0)
   }
 
+  test("Drift.psiBins is zero for identical distributions and positive " +
+      "under shift, with exact clamped binning") {
+    val ref = (0 to 9).map(_.toLong).toDF("v")
+    // identical sides: p == q exactly per bin -> psi9 == 0 everywhere
+    val same = Drift.psiBins(ref, ref, "v", bins = 10)
+    assert(same.filter(col("psi9") =!= 0L).count() === 0)
+    assert(same.count() === 10)
+    // all live mass at the top: lo=0, hi=9, width=0.9 -> value 9 lands in
+    // bin floor(10.0) clamped to 9
+    val live = Seq.fill(5)(9L).toDF("v")
+    val shifted = Drift.psiBins(ref, live, "v", bins = 10)
+      .orderBy("bin").select("bin", "ref_n", "live_n", "psi9")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(shifted.map(_._2).sum === 10L && shifted.map(_._3).sum === 5L)
+    assert(shifted.last === ((9, 1L, 5L, shifted.last._4)))
+    assert(shifted.map(_._4).sum > 0L) // headline PSI strictly positive
+    // live values OUTSIDE the reference range clamp into edge bins
+    val outside = Drift.psiBins(ref, Seq(-100L, 100L).toDF("v"), "v", 10)
+      .filter(col("live_n") > 0).select("bin").as[Int].collect().sorted
+    assert(outside.toSeq === Seq(0, 9))
+  }
+
   test("NaiveBayes separates disjoint vocabularies and breaks exact " +
       "ties to the smallest class") {
     val train = Seq(
