@@ -14,21 +14,30 @@ import graft.functions.TextOps
   * the scores are floor-scaled exact longs, training AND inference
   * replay in portable SQL — the oracle grades the full confusion matrix.
   *
-  * Plan shape, reading 100 TB: training is one (word, class) groupBy
-  * plus one class groupBy (both vocab-/class-bounded shuffles with
-  * map-side combine); scoring is a map-side explode crossed with the
-  * tiny class list, joined against the broadcast count table, then one
-  * per-(doc, class) partial-aggregable sum. Nothing driver-side except
-  * the vocab-size and class-prior scalars (class-count-bounded).
+  * Plan shape, reading 100 TB: the model is FULLY LAZY — the count
+  * tables, the vocabulary size, and the doc total are unresolved plans
+  * (the scalars live in a one-row frame cross-joined into the score
+  * plan), so fit + inference is ONE Spark job with no eager driver
+  * actions. Training is one (word, class) groupBy plus one class groupBy
+  * (vocab-/class-bounded shuffles with map-side combine); scoring is a
+  * map-side explode crossed with the tiny class list (prior and
+  * smoothing constants ride along), joined against the broadcast count
+  * table, then one per-(doc, class) partial-aggregable sum.
   */
 object NaiveBayes {
 
-  /** Trained model. `classCounts` rows: (cls, n_docs_c, n_words_c);
-    * `wordCounts` rows: (w, cls, c_wc); `vocabSize` = distinct train
-    * words; `nDocs` = training documents (prior denominator).
+  /** Trained model: every member is an unresolved plan — nothing executes
+    * until a scoring action runs. `classCounts` rows: (cls, n_docs_c,
+    * n_words_c); `wordCounts` rows: (w, cls, c_wc); `stats` is ONE row
+    * (v = distinct train words clamped >= 1, n = train docs).
     */
   final case class Model(wordCounts: DataFrame, classCounts: DataFrame,
-      vocabSize: Long, nDocs: Long)
+      stats: DataFrame) {
+    /** Driver probe for tests/inspection — runs a job. */
+    def vocabSize: Long = stats.head.getLong(0)
+    /** Driver probe for tests/inspection — runs a job. */
+    def nDocs: Long = stats.head.getLong(1)
+  }
 
   private def tokens(text: Column): Column = TextOps.words(lower(text))
 
@@ -37,18 +46,22 @@ object NaiveBayes {
     */
   def train(trainDocs: DataFrame, classCol: String,
       textCol: String): Model = {
-    val toks = trainDocs
-      .filter(col(classCol).isNotNull)
+    val labeled = trainDocs.filter(col(classCol).isNotNull)
+    val toks = labeled
       .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("w"))
     val wc = toks.groupBy("w", "cls").agg(count(lit(1)).as("c_wc"))
-    val cc = trainDocs
-      .filter(col(classCol).isNotNull)
+    val cc = labeled
       .groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n_docs_c"),
         sum(coalesce(size(tokens(col(textCol))), lit(0))).as("n_words_c"))
-    val v = toks.agg(countDistinct(col("w"))).head.getLong(0)
-    val n = trainDocs.filter(col(classCol).isNotNull).count()
-    Model(wc, cc, v, n)
+    // empty-corpus degeneracy: v clamps to 1 (uniform 1-symbol model) so
+    // the smoothing denominator never hits ln(0) — same contract as
+    // NgramLm.crossEntropy
+    val stats = labeled
+      .select(explode(tokens(col(textCol))).as("w"))
+      .agg(greatest(countDistinct(col("w")), lit(1L)).as("v"))
+      .crossJoin(labeled.agg(count(lit(1)).as("n")))
+    Model(wc, cc, stats)
   }
 
   /** Score + predict: one row per (idCol) with the argmax class under
@@ -58,28 +71,34 @@ object NaiveBayes {
     */
   def predict(model: Model, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val v = math.max(model.vocabSize, 1L)
-    // per-class constant: floor-scaled ln prior (class-count-bounded rows)
-    val priors = model.classCounts.select(col("cls"), col("n_words_c"),
-      floor(log(col("n_docs_c") / lit(model.nDocs.toDouble)) * 1e9)
-        .cast("long").as("prior9"))
-    val docWords = docs
+    // per-class constants (prior, word total) + the global scalars in one
+    // broadcast class-count-bounded frame that rides the cross join
+    val priors = model.classCounts.crossJoin(model.stats)
+      .select(col("cls"), col("n_words_c"), col("v"),
+        floor(log(col("n_docs_c") / col("n").cast("double")) * 1e9)
+          .cast("long").as("prior9"))
+    // scoring fans each doc out |classes| x |words|-fold from a compact
+    // scan — spread the pre-explosion rows across cores first (same
+    // repartition-UP-only discipline as SpanDedup.grams)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val docWords = spread
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
     // every (doc word) x every class, so unseen (w, cls) pairs score the
     // smoothed floor ln(1/(n_words_c + V)) instead of silently dropping
-    val scored = docWords
-      .crossJoin(broadcast(priors.select("cls", "n_words_c")))
+    docWords
+      .crossJoin(broadcast(priors))
       .join(broadcast(model.wordCounts), Seq("w", "cls"), "left")
-      .select(col("__id"), col("cls"),
+      .select(col("__id"), col("cls"), col("prior9"),
         floor(log((coalesce(col("c_wc"), lit(0L)) + 1.0) /
-          (col("n_words_c") + lit(v.toDouble))) * 1e9)
+          (col("n_words_c") + col("v").cast("double"))) * 1e9)
           .cast("long").as("l9"))
       .groupBy("__id", "cls")
-      .agg(sum(col("l9")).as("ll9"))
-      .join(broadcast(priors.select("cls", "prior9")), "cls")
-      .select(col("__id"), col("cls"),
-        (col("ll9") + col("prior9")).as("score9"))
-    scored.groupBy(col("__id").as(idCol))
+      // prior9 is constant within the (__id, cls) group; min() folds it
+      // into the same aggregation instead of a second join
+      .agg((sum(col("l9")) + min(col("prior9"))).as("score9"))
+      .groupBy(col("__id").as(idCol))
       .agg(min(struct((-col("score9")).as("ns"), col("cls").as("c")))
         .as("m"))
       .select(col(idCol), col("m.c").as("predicted"),
