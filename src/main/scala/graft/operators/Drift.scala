@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring: Population Stability Index (PSI) between
@@ -20,43 +20,59 @@ import org.apache.spark.sql.functions._
   * whose key space is B bins — the shuffle is bin-count-bounded exactly
   * like Count-Min (shuffle bounded by sketch size, not corpus size). The
   * bin spine is a B-row literal frame, so zero-count bins surface without
-  * any outer join against data.
+  * any outer join against data. The same property makes the LIVE side
+  * STREAMABLE: a watermark-free complete-mode groupBy over the bin column
+  * holds at most B state rows for the life of the stream (w11).
   */
 object Drift {
 
-  /** Per-bin PSI table: (bin, ref_n, live_n, psi9) ordered by bin, where
-    * psi9 = floor((p - q) * ln(p / q) * 1e9) and p, q are the add-one
-    * smoothed bin shares. Sum(psi9)/1e9 is the headline PSI.
-    */
-  def psiBins(ref: DataFrame, live: DataFrame, valueCol: String,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
-    val spark = ref.sparkSession
-    val Row2 = ref.agg(min(col(valueCol).cast("double")),
+  /** Reference range (min, max) as driver scalars; (0, 0) on empty. */
+  def referenceRange(ref: DataFrame, valueCol: String): (Double, Double) = {
+    val r = ref.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head
-    // empty reference: the bin spine still exists; everything lands in
-    // bin 0 and only count smoothing contributes (finite, well-defined)
-    val (lo, hi) =
-      if (Row2.isNullAt(0)) (0.0, 0.0)
-      else (Row2.getDouble(0), Row2.getDouble(1))
-    val width = (hi - lo) / bins
-    def binOf(c: Column): Column =
-      if (width == 0.0) lit(0)
-      else least(greatest(floor((c.cast("double") - lit(lo)) / lit(width))
-        .cast("int"), lit(0)), lit(bins - 1))
-    def counts(df: DataFrame, out: String) =
-      df.groupBy(binOf(col(valueCol)).as("bin"))
-        .agg(count(lit(1)).as(out))
+    if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Clamped fixed-width bin index for a value column — usable in batch
+    * AND streaming plans (pure expression). `width` 0 (degenerate
+    * reference) maps everything to bin 0.
+    */
+  def binCol(c: Column, lo: Double, width: Double, bins: Int): Column =
+    if (width == 0.0) lit(0)
+    else least(greatest(floor((c.cast("double") - lit(lo)) / lit(width))
+      .cast("int"), lit(0)), lit(bins - 1))
+
+  /** Final PSI table from per-bin counts: (bin, ref_n, live_n, psi9)
+    * ordered by bin. `refCounts`/`liveCounts` carry (bin, ref_n) /
+    * (bin, live_n); missing bins fill as 0 against the literal spine.
+    */
+  def psiFromBinned(spark: SparkSession, refCounts: DataFrame,
+      liveCounts: DataFrame, refN: Long, liveN: Long, bins: Int)
+      : DataFrame = {
     val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
-    val refN = ref.count(); val liveN = live.count()
     val joined = spine
-      .join(counts(ref, "ref_n"), Seq("bin"), "left")
-      .join(counts(live, "live_n"), Seq("bin"), "left")
+      .join(refCounts, Seq("bin"), "left")
+      .join(liveCounts, Seq("bin"), "left")
       .na.fill(0L, Seq("ref_n", "live_n"))
     val p = (col("ref_n") + 1.0) / lit((refN + bins).toDouble)
     val q = (col("live_n") + 1.0) / lit((liveN + bins).toDouble)
     joined.select(col("bin"), col("ref_n"), col("live_n"),
         floor((p - q) * log(p / q) * 1e9).cast("long").as("psi9"))
       .orderBy("bin")
+  }
+
+  /** Per-bin PSI table between two batch frames; sum(psi9)/1e9 is the
+    * headline PSI.
+    */
+  def psiBins(ref: DataFrame, live: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val (lo, hi) = referenceRange(ref, valueCol)
+    val width = (hi - lo) / bins
+    def counts(df: DataFrame, out: String) =
+      df.groupBy(binCol(col(valueCol), lo, width, bins).as("bin"))
+        .agg(count(lit(1)).as(out))
+    psiFromBinned(ref.sparkSession, counts(ref, "ref_n"),
+      counts(live, "live_n"), ref.count(), live.count(), bins)
   }
 }

@@ -246,6 +246,61 @@ object StreamQueries {
           CAST(SUM(c0) AS BIGINT) AS c
         FROM x CROSS JOIN f GROUP BY 1, 2 ORDER BY d, bucket""")),
 
+    // ---- streaming drift monitor (bounded-state PSI) -------------------
+    // The live half of q105 as a STREAM: documents arrive incrementally,
+    // the per-bin histogram builds as a complete-mode groupBy whose state
+    // is hard-bounded at B bins for the life of the stream (the same
+    // bounded-state argument as w10's CMS), and end-of-stream PSI against
+    // the static reference equals the batch computation — so q105's
+    // oracle replays it verbatim.
+    "w11_stream_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Drift
+        val docs = graft.Tables.load(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val (lo, hi) = Drift.referenceRange(ref, "n_chars")
+        val bins = 10
+        val width = (hi - lo) / bins
+        val liveBinned = StreamingOps.documentsStream(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .groupBy(Drift.binCol(col("n_chars"), lo, width, bins).as("bin"))
+          .agg(count(lit(1)).as("live_n"))
+        val mat = StreamingOps.runToMemory(s, liveBinned, "w11_mem",
+          outputMode = "complete")
+        val liveN = mat.agg(coalesce(sum(col("live_n")), lit(0L)))
+          .head.getLong(0)
+        val refCounts = ref
+          .groupBy(Drift.binCol(col("n_chars"), lo, width, bins).as("bin"))
+          .agg(count(lit(1)).as("ref_n"))
+        Drift.psiFromBinned(s, refCounts, mat, ref.count(), liveN, bins)
+      },
+      Some("""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x
+          FROM documents WHERE doc_id % 2 = 0),
+        lv AS (SELECT CAST(n_chars AS DOUBLE) AS x
+          FROM documents WHERE doc_id % 2 = 1),
+        rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM r),
+        b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+        rc AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - lo)
+              / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+            COUNT(*) AS ref_n
+          FROM r CROSS JOIN rng GROUP BY 1),
+        lc AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - lo)
+              / ((hi - lo) / 10)) AS INT), 0), 9) AS bin,
+            COUNT(*) AS live_n
+          FROM lv CROSS JOIN rng GROUP BY 1),
+        n AS (SELECT (SELECT COUNT(*) FROM r) AS rn,
+            (SELECT COUNT(*) FROM lv) AS lvn),
+        j AS (SELECT b.bin, COALESCE(rc.ref_n, 0) AS ref_n,
+            COALESCE(lc.live_n, 0) AS live_n
+          FROM b LEFT JOIN rc USING (bin) LEFT JOIN lc USING (bin))
+        SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(live_n AS BIGINT) AS live_n,
+          CAST(FLOOR(((ref_n + 1.0) / (rn + 10)
+              - (live_n + 1.0) / (lvn + 10))
+            * LN(((ref_n + 1.0) / (rn + 10))
+              / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
+        FROM j CROSS JOIN n ORDER BY bin""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {
