@@ -208,4 +208,58 @@ class PlansSpec extends SparkSpec {
     assert(refused.getMessage.contains("did not converge"))
     assert(refused.getMessage.contains("raise maxIter"))
   }
+
+  test("NgramLm scoring joins the model by broadcast, never sort-merge") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val model = graft.operators.NgramLm.train(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val p = graft.operators.NgramLm
+      .crossEntropy(model, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring sort-merge joins:\n$p")
+  }
+
+  test("NaiveBayes inference is one broadcast-only plan: class cross + " +
+      "count-table hash join, no sort-merge") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val model = graft.operators.NaiveBayes.train(
+      docs.filter(col("doc_id") % 3 =!= 0), "source", "text")
+    val p = graft.operators.NaiveBayes
+      .predict(model, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"class constants must broadcast-cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word-count join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"inference sort-merge joins:\n$p")
+  }
+
+  test("Drift.psiBins shuffles only on the bin key (histogram-bounded), " +
+      "never on the value column") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = graft.operators.Drift.psiBins(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(bin"),
+      s"bin-keyed count aggregation missing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(n_chars"),
+      s"plan shuffles raw values:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"spine join sort-merges:\n$p")
+  }
+
+  test("SpanDedup's default flag plan is join-free (single gram pass); " +
+      "the skewRobust plan is the one with the join") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val pw = graft.operators.SpanDedup
+      .repeatedSpans(docs, "doc_id", "text", 30)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Join"), s"window-form plan joins:\n$pw")
+    assert(pw.contains("Window"), s"window-form plan has no window:\n$pw")
+    val pr = graft.operators.SpanDedup
+      .repeatedSpans(docs, "doc_id", "text", 30, skewRobust = true)
+      .queryExecution.executedPlan.toString
+    assert(pr.contains("Join"), s"skewRobust plan must join flags back:\n$pr")
+  }
 }
