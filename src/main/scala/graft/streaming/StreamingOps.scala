@@ -21,20 +21,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  /** Streaming view of an events-shaped parquet directory. `tsNanos` handles
-    * the TIMESTAMP(NANOS) fixture encoding (see graft.Tables).
+  /** Streaming view of an events-shaped parquet directory. The stream
+    * schema comes from a one-footer static read (streaming sources need an
+    * explicit schema), so both fixture encodings of `ts` — raw nanosecond
+    * longs and TIMESTAMP(MICROS)/NTZ — stream correctly; the column is
+    * normalized to Spark-native TimestampType exactly like graft.Tables.
     */
   def eventsStream(spark: SparkSession, dir: String,
       globFilter: String = "events.parquet"): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    spark.readStream
-      .schema(schema)
+    val static = spark.read.option("pathGlobFilter", globFilter).parquet(dir)
+    val stream = spark.readStream
+      .schema(static.schema)
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    static.schema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Watermarked tumbling-window counts per event type. */
