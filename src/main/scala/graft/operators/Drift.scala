@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   * finite, portable value. Per-bin contributions (p-q)*ln(p/q) are
   * floor-scaled exact longs — the whole computation replays in SQL.
   *
-  * Plan shape, reading 100 TB: two scalar aggregates for the reference
+  * Plan shape, reading 100 TB: one scalar aggregate for the reference
   * range (driver-bounded), then ONE partial-aggregable groupBy per side
   * whose key space is B bins — the shuffle is bin-count-bounded exactly
   * like Count-Min (shuffle bounded by sketch size, not corpus size). The
-  * bin spine is a B-row literal frame, so zero-count bins surface without
-  * any outer join against data. The same property makes the LIVE side
-  * STREAMABLE: a watermark-free complete-mode groupBy over the bin column
-  * holds at most B state rows for the life of the stream (w11).
+  * side totals refN/liveN are NOT separate count() actions: clamping puts
+  * every row in some bin, so each total is the sum of its own B-row
+  * bin-count frame, computed by an unbounded window over the joined spine
+  * (B rows — driver-trivial). Each side is therefore scanned exactly once
+  * inside the PSI plan (the reference pays one extra bounded scan for the
+  * range scalars). The bin spine is a B-row literal frame, so zero-count
+  * bins surface without any outer join against data. The same property
+  * makes the LIVE side STREAMABLE: a watermark-free complete-mode groupBy
+  * over the bin column holds at most B state rows for the life of the
+  * stream (w11).
   */
 object Drift {
 
@@ -45,24 +51,39 @@ object Drift {
   /** Final PSI table from per-bin counts: (bin, ref_n, live_n, psi9)
     * ordered by bin. `refCounts`/`liveCounts` carry (bin, ref_n) /
     * (bin, live_n); missing bins fill as 0 against the literal spine.
+    *
+    * The side totals are derived IN-PLAN by summing the bin counts over
+    * the joined spine (an unbounded window over B rows) — clamping
+    * guarantees every source row landed in some bin, so the sums equal
+    * the side cardinalities without any extra scan or driver action.
     */
   def psiFromBinned(spark: SparkSession, refCounts: DataFrame,
-      liveCounts: DataFrame, refN: Long, liveN: Long, bins: Int)
-      : DataFrame = {
+      liveCounts: DataFrame, bins: Int): DataFrame = {
     val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
     val joined = spine
       .join(refCounts, Seq("bin"), "left")
       .join(liveCounts, Seq("bin"), "left")
       .na.fill(0L, Seq("ref_n", "live_n"))
-    val p = (col("ref_n") + 1.0) / lit((refN + bins).toDouble)
-    val q = (col("live_n") + 1.0) / lit((liveN + bins).toDouble)
-    joined.select(col("bin"), col("ref_n"), col("live_n"),
+    // B-row total window: the only unpartitioned window in the plan, and
+    // it runs over exactly `bins` rows post-aggregation — driver-trivial.
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTotals = joined
+      .withColumn("__ref_total", sum(col("ref_n")).over(all))
+      .withColumn("__live_total", sum(col("live_n")).over(all))
+    val p = (col("ref_n") + 1.0) /
+      (col("__ref_total").cast("double") + lit(bins.toDouble))
+    val q = (col("live_n") + 1.0) /
+      (col("__live_total").cast("double") + lit(bins.toDouble))
+    withTotals.select(col("bin"), col("ref_n"), col("live_n"),
         floor((p - q) * log(p / q) * 1e9).cast("long").as("psi9"))
       .orderBy("bin")
   }
 
   /** Per-bin PSI table between two batch frames; sum(psi9)/1e9 is the
-    * headline PSI.
+    * headline PSI. Rows whose value is NULL bin to NULL and are excluded
+    * from both the histogram and the side totals (the totals are the
+    * binned mass, not the raw row count).
     */
   def psiBins(ref: DataFrame, live: DataFrame, valueCol: String,
       bins: Int = 10): DataFrame = {
@@ -73,6 +94,6 @@ object Drift {
       df.groupBy(binCol(col(valueCol), lo, width, bins).as("bin"))
         .agg(count(lit(1)).as(out))
     psiFromBinned(ref.sparkSession, counts(ref, "ref_n"),
-      counts(live, "live_n"), ref.count(), live.count(), bins)
+      counts(live, "live_n"), bins)
   }
 }

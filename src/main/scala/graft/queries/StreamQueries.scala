@@ -267,12 +267,12 @@ object StreamQueries {
           .agg(count(lit(1)).as("live_n"))
         val mat = StreamingOps.runToMemory(s, liveBinned, "w11_mem",
           outputMode = "complete")
-        val liveN = mat.agg(coalesce(sum(col("live_n")), lit(0L)))
-          .head.getLong(0)
         val refCounts = ref
           .groupBy(Drift.binCol(col("n_chars"), lo, width, bins).as("bin"))
           .agg(count(lit(1)).as("ref_n"))
-        Drift.psiFromBinned(s, refCounts, mat, ref.count(), liveN, bins)
+        // both side totals derive from the B-row bin frames inside
+        // psiFromBinned — no ref.count() full scan, no driver sum over mat
+        Drift.psiFromBinned(s, refCounts, mat, bins)
       },
       Some("""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x
           FROM documents WHERE doc_id % 2 = 0),

@@ -20,10 +20,14 @@ class PlansSpec extends SparkSpec {
 
   test("q02: the time-range predicate reaches the parquet scan") {
     val p = plan("q02_filter_project")
-    assert(p.contains("PushedFilters") &&
-      (p.contains("GreaterThanOrEqual(ts") || p.contains("ts#")))
-    // raw-ns pushdown: the scan-level filter must mention the ns literal
-    assert(p.contains("1704153600000000000")) // 2024-01-02T00:00:00Z in ns
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"range predicate not pushed to the scan:\n$p")
+    // the scan-level filter must carry the slice boundary itself — as the
+    // raw ns long (TIMESTAMP(NANOS) fixtures) or the timestamp literal
+    // (TIMESTAMP(MICROS)/NTZ fixtures); either way pruning happens at the
+    // row-group level, not above the scan
+    assert(p.contains("1704153600000000000") || p.contains("2024-01-02"),
+      s"slice boundary missing from the pushed filter:\n$p")
   }
 
   test("q03: dimension joins broadcast") {
@@ -238,15 +242,24 @@ class PlansSpec extends SparkSpec {
   test("Drift.psiBins shuffles only on the bin key (histogram-bounded), " +
       "never on the value column") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
-    val p = graft.operators.Drift.psiBins(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "n_chars", 10)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("Exchange hashpartitioning(bin"),
+    val psi = graft.operators.Drift.psiBins(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "n_chars", 10)
+    val exec = psi.queryExecution.executedPlan
+    val p = exec.toString
+    // Catalyst renders a groupBy on an aliased expression key as
+    // `_groupingexpression#N`, so accept either spelling; the structural
+    // guarantee is the same: the only hash exchanges are bin-keyed.
+    assert(p.contains("Exchange hashpartitioning(bin") ||
+      p.contains("Exchange hashpartitioning(_groupingexpression"),
       s"bin-keyed count aggregation missing:\n$p")
     assert(!p.contains("Exchange hashpartitioning(n_chars"),
       s"plan shuffles raw values:\n$p")
     assert(!p.contains("SortMergeJoin"), s"spine join sort-merges:\n$p")
+    // refN/liveN must derive from the B-row bin frames, not extra count()
+    // scans: the whole PSI plan reads each side exactly once
+    val scans = "(?:FileScan|Scan) parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected exactly 2 parquet scans, got $scans:\n$p")
   }
 
   test("SpanDedup's default flag plan is join-free (single gram pass); " +
