@@ -68,9 +68,22 @@ object NaiveBayes {
     * floor-scaled add-one log scores. Ties (exact long-score equality)
     * break to the lexicographically smallest class — deterministic, and
     * replayed identically by the oracle's min-struct.
+    *
+    * Coverage contract: documents with NULL text or zero tokens emit NO
+    * prediction row (the explode drops them before scoring) — coverage is
+    * the tokenizable subset, not the input row count. Callers joining
+    * predictions back must left-join; prior-only scoring for empty docs
+    * would be the alternative if full coverage is ever wanted.
+    *
+    * `broadcastModel`: the (w, cls) count table is Zipf-bounded for
+    * natural language (MBs) and broadcasts by default; for open-vocab
+    * corpora where it is not, pass false and the same plan degrades to a
+    * shuffle join on (w, cls) — semantics identical (mirrors
+    * NgramLm.crossEntropy's flag). The per-class prior frame is
+    * class-count-bounded and always broadcasts.
     */
   def predict(model: Model, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastModel: Boolean = true): DataFrame = {
     // per-class constants (prior, word total) + the global scalars in one
     // broadcast class-count-bounded frame that rides the cross join
     val priors = model.classCounts.crossJoin(model.stats)
@@ -87,9 +100,11 @@ object NaiveBayes {
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
     // every (doc word) x every class, so unseen (w, cls) pairs score the
     // smoothed floor ln(1/(n_words_c + V)) instead of silently dropping
+    val counts =
+      if (broadcastModel) broadcast(model.wordCounts) else model.wordCounts
     docWords
       .crossJoin(broadcast(priors))
-      .join(broadcast(model.wordCounts), Seq("w", "cls"), "left")
+      .join(counts, Seq("w", "cls"), "left")
       .select(col("__id"), col("cls"), col("prior9"),
         floor(log((coalesce(col("c_wc"), lit(0L)) + 1.0) /
           (col("n_words_c") + col("v").cast("double"))) * 1e9)

@@ -38,13 +38,18 @@ import graft.functions.TextOps
   */
 object NgramLm {
 
-  /** Trained model: bigram counts, left-context counts, and the training
-    * vocabulary size. The two frames are unresolved plans — training only
-    * executes when a scoring action runs (except `vocabSize`, one bounded
-    * scalar aggregate computed eagerly at fit time).
+  /** Trained model: every member is an unresolved plan — nothing executes
+    * until a scoring action runs (same fully-lazy discipline as
+    * NaiveBayes.Model: fit + score is ONE Spark job). `stats` is one row
+    * carrying `v` = distinct training tokens clamped >= 1; it rides the
+    * score plan as a broadcast cross join instead of an eager driver
+    * scalar.
     */
   final case class Model(bigrams: DataFrame, contexts: DataFrame,
-      vocabSize: Long)
+      stats: DataFrame) {
+    /** Driver probe for tests/inspection — runs a job. */
+    def vocabSize: Long = stats.head.getLong(0)
+  }
 
   /** Lower-cased whitespace words, matching the q101 oracle's
     * `string_split_regex(lower(text), '\s+')` exactly.
@@ -63,19 +68,20 @@ object NgramLm {
         }).as("__bg"))
       .select(col("__id"), col("__bg.0").as("w1"), col("__bg.1").as("w2"))
 
-  /** Fit the bigram LM on `train`. `vocabSize` = distinct tokens in the
-    * training slice — ONE scalar aggregate collected to the driver
-    * (vocabulary-bounded, the same justification as TextRank's damping
-    * base; it parameterizes the smoothing denominator literal).
+  /** Fit the bigram LM on `train`. Lazy end to end: the count tables AND
+    * the vocabulary scalar are unresolved plans (the scalar is a one-row
+    * frame), so fit runs no job — everything executes with the first
+    * scoring action. An empty training corpus degrades to v = 1 (uniform
+    * 1-symbol model) via the in-plan clamp, same contract as NaiveBayes.
     */
   def train(trainDocs: DataFrame, idCol: String, textCol: String): Model = {
     val bg = bigrams(trainDocs, idCol, textCol)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = trainDocs
+    val stats = trainDocs
       .select(explode(tokens(col(textCol))).as("w"))
-      .agg(countDistinct(col("w"))).head.getLong(0)
-    Model(c2, c1, v)
+      .agg(greatest(countDistinct(col("w")), lit(1L)).as("v"))
+    Model(c2, c1, stats)
   }
 
   /** Score `docs` against `model`: one row per document that has at least
@@ -87,19 +93,20 @@ object NgramLm {
     */
   def crossEntropy(model: Model, docs: DataFrame, idCol: String,
       textCol: String, broadcastModel: Boolean = true): DataFrame = {
-    // an EMPTY training corpus (V=0, no counts) degrades to the uniform
-    // 1-symbol model rather than throwing: scoring any non-empty doc then
-    // reports ln(1) = 0 per bigram, and the empty-lake contract (every
-    // query completes on empty inputs) holds because the score side has
-    // no bigrams either
-    val v = math.max(model.vocabSize, 1L)
+    // an EMPTY training corpus (no counts, v clamped to 1) degrades to the
+    // uniform 1-symbol model rather than throwing: scoring any non-empty
+    // doc then reports ln(1) = 0 per bigram, and the empty-lake contract
+    // (every query completes on empty inputs) holds because the score side
+    // has no bigrams either
     def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
     bigrams(docs, idCol, textCol)
       .join(side(model.bigrams), Seq("w1", "w2"), "left")
       .join(side(model.contexts), Seq("w1"), "left")
+      // one-row stats frame: always broadcast regardless of the model flag
+      .crossJoin(broadcast(model.stats))
       .select(col("__id"),
         floor(log((coalesce(col("c12"), lit(0L)) + 1.0) /
-          (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))
+          (coalesce(col("c1"), lit(0L)) + col("v").cast("double")))
           * 1e9).cast("long").as("l9"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
