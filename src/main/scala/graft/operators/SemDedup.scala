@@ -73,4 +73,74 @@ object SemDedup {
       removals(emb, idCol, vecCol, a, minCosine).select("id"))
       .select(col("id").as(idCol))
   }
+
+  /** The scale contract, executable: k = ceil(n / targetClusterSize),
+    * clamped to >= 1 — so per-cluster size stays bounded BY CONSTRUCTION
+    * as the corpus grows, instead of being asserted in prose. ONE bounded
+    * count() parameterizes the fit (the centroid count must be a literal
+    * for the k-means seed ranking) — the same justification as
+    * [[Dedup.embeddingNearDups]]'s size gate.
+    */
+  def deriveK(emb: DataFrame, targetClusterSize: Int): Int = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    val n = emb.count()
+    math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
+  /** [[removals]] with the per-cluster size cap the scaladoc promises:
+    * clusters whose population exceeds `maxClusterSize` (skew collapse —
+    * an input-quality signal, e.g. a constant-embedding corpus) skip the
+    * quadratic self-join and fall back to the LSH pair path
+    * ([[Dedup.embeddingNearDupsLsh]]) restricted to same-cluster pairs, so
+    * the worst case is the banded-candidate join, never a quadratic
+    * explosion. Within-cap clusters are byte-identical to [[removals]];
+    * over-cap clusters trade exactness for the LSH recall curve (graded by
+    * q45's recall harness).
+    */
+  def removalsGuarded(emb: DataFrame, idCol: String, vecCol: String,
+      assignment: DataFrame, minCosine: Double, maxClusterSize: Int)
+      : DataFrame = {
+    val sizes = assignment.groupBy("cid").agg(count(lit(1)).as("__cn"))
+    // k-row size table: broadcast, never a shuffle of the assignment
+    val sized = assignment.select(col("id"), col("cid"))
+      .join(broadcast(sizes), "cid")
+    val small = sized.filter(col("__cn") <= maxClusterSize)
+      .select("id", "cid")
+    val large = sized.filter(col("__cn") > maxClusterSize)
+      .select("id", "cid")
+    val exact = removals(emb, idCol, vecCol, small, minCosine)
+    val largeEmb = emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(large.select("id"), "id")
+    val lshRemoved = Dedup
+      .embeddingNearDupsLsh(largeEmb, "id", "__v", minCosine)
+      .join(large.select(col("id").as("id_a"), col("cid").as("cid_a")),
+        "id_a")
+      .join(large.select(col("id").as("id_b"), col("cid").as("cid_b")),
+        "id_b")
+      .filter(col("cid_a") === col("cid_b"))
+      .select(col("cid_b").as("cid"), col("id_b").as("id"))
+      .distinct()
+    // the two branches cover disjoint cluster sets — union, no re-dedup
+    exact.unionByName(lshRemoved)
+  }
+
+  /** Full derived-k SemDeDup pass: fit with k from [[deriveK]], remove
+    * within-cluster near-dups under the [[removalsGuarded]] cap
+    * (`maxClusterFactor` x the target size), return survivors. This is
+    * the production entry point — the fixed-k [[survivors]] is the
+    * benchmark/oracle form for a known corpus.
+    */
+  def survivorsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int, iters: Int, minCosine: Double,
+      maxClusterFactor: Int = 8): DataFrame = {
+    val k = deriveK(emb, targetClusterSize)
+    val a = KMeans.fit(emb, idCol, vecCol, k, iters)
+    val cap = math.max(targetClusterSize.toLong * maxClusterFactor,
+      targetClusterSize.toLong).min(Int.MaxValue).toInt
+    a.select("id").except(
+      removalsGuarded(emb, idCol, vecCol, a, minCosine, cap).select("id"))
+      .select(col("id").as(idCol))
+  }
 }

@@ -112,13 +112,16 @@ object LlmQueries {
           JOIN e ON e.src = r.node),
       comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)"""
 
-  // The full 2-iteration k=8 Lloyd fit as DuckDB CTEs ending at
-  // a2(id, cid, dist) — shared by the q57 and q103 oracles so the
+  // The full 2-iteration Lloyd fit as DuckDB CTEs ending at
+  // a2(id, cid, dist) — shared by the q57/q103/q103b oracles so the
   // clustering definition cannot silently diverge between them. Mirrors
-  // KMeans.fit: md5-smallest-8 seeds, per-term decimal sums, min-struct
+  // KMeans.fit: md5-smallest-k seeds, per-term decimal sums, min-struct
   // assignment. Expects `embeddings` in scope; also binds e(id, v).
-  private val KMeansA2Cte: String =
-    """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  // `kSql` is the centroid count as a SQL expression — a literal for the
+  // fixed-k oracles, a scalar subquery replaying SemDedup.deriveK for the
+  // derived-k one.
+  private def kmeansA2Cte(kSql: String): String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
         idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
           AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
@@ -126,7 +129,8 @@ object LlmQueries {
         sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
             (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
           FROM e),
-        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs WHERE cid < 8),
+        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs
+          WHERE cid < ($kSql)),
         d1 AS (SELECT id, cid,
             CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
               AS dist
@@ -145,6 +149,8 @@ object LlmQueries {
             struct_extract(m, 'dist') AS dist
           FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
             FROM d2 GROUP BY id))"""
+
+  private val KMeansA2Cte: String = kmeansA2Cte("8")
 
   // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
   // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
@@ -971,6 +977,35 @@ object LlmQueries {
           CAST(nc.n - COALESCE(rc.n_removed, 0) AS BIGINT) AS n_kept
         FROM nc LEFT JOIN rc ON rc.cid = nc.cid
         ORDER BY cluster""")),
+
+    // ---- SemDeDup, derived-k production form ---------------------------
+    // The scale contract made executable: k = ceil(n / 50) grows with the
+    // corpus (SemDedup.deriveK), so mean cluster size stays ~50 at every
+    // SF and the within-cluster quadratic is bounded by construction; the
+    // oracle replays the derivation as a scalar subquery over the same
+    // table. Grades the SURVIVOR SET itself (which rows a pipeline keeps),
+    // complementing q103's per-cluster statistics. The per-cluster cap
+    // (8x target -> 400) does not trip on the fixtures, so the exact
+    // within-cluster path is what the oracle replays; the cap's LSH
+    // fallback semantics are spec-tested in OperatorsSpec.
+    "q103b_semdedup_survivors" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
+            "embedding", targetClusterSize = 50, iters = 2,
+            minCosine = 0.45)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${kmeansA2Cte(
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        rem AS (SELECT DISTINCT b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
+        SELECT id AS vec_id FROM a2 WHERE id NOT IN (SELECT id FROM rem)
+        ORDER BY vec_id""")),
 
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value

@@ -548,6 +548,12 @@ class OperatorsSpec extends SparkSpec {
       "text")
     assert(base.exceptAll(again).count() === 0)
     assert(again.exceptAll(base).count() === 0)
+    // the open-vocab escape hatch (shuffle join on (w, cls)) is
+    // semantics-identical to the broadcast default
+    val shuffled = NaiveBayes.predict(model, docs, "doc_id", "text",
+      broadcastModel = false)
+    assert(base.exceptAll(shuffled).count() === 0)
+    assert(shuffled.exceptAll(base).count() === 0)
   }
 
   test("SemDedup removes exactly the larger id of each near-identical " +
@@ -568,6 +574,41 @@ class OperatorsSpec extends SparkSpec {
         k = 2, iters = 2, minCosine = 0.95)
       .as[Long].collect().toSet
     assert(kept === (0L to 7L).toSet) // copies 10 and 11 removed, keep min id
+  }
+
+  test("SemDedup derived-k contract: deriveK scales with n, survivorsAuto " +
+      "matches the fixed-k path, and the over-cap LSH fallback still " +
+      "removes exact duplicates") {
+    val dirs = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f),
+      Seq(0f, 0f, 0f, 1f), Seq(1f, 1f, 0f, 0f), Seq(0f, 1f, 1f, 0f),
+      Seq(0f, 0f, 1f, 1f), Seq(1f, 0f, 0f, 1f))
+    val emb = (dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((10L, dirs(3)), (11L, dirs(7)))).toDF("vec_id", "embedding")
+    // k = ceil(n / target): 10 rows, target 5 -> 2; target 3 -> 4
+    assert(SemDedup.deriveK(emb, 5) === 2)
+    assert(SemDedup.deriveK(emb, 3) === 4)
+    assert(SemDedup.deriveK(emb.limit(0), 5) === 1) // empty clamps to 1
+    // derived k (target 5 -> k=2) reproduces the fixed-k=2 survivor set —
+    // the cap (8x5=40) never trips on 10 rows, so the paths coincide
+    val auto = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 5, iters = 2, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(auto === (0L to 7L).toSet)
+    // force EVERY cluster over the cap: the LSH fallback path must still
+    // find the exact copies (identical vectors share every LSH bucket)
+    val a = graft.operators.KMeans.fit(emb, "vec_id", "embedding", 2, 2)
+    val guarded = SemDedup.removalsGuarded(emb, "vec_id", "embedding", a,
+      minCosine = 0.95, maxClusterSize = 1)
+      .select("id").as[Long].collect().toSet
+    assert(guarded.contains(10L) && guarded.contains(11L),
+      s"LSH fallback missed an exact duplicate: $guarded")
+    // candidates are exact-cosine-verified, so the fallback can only ever
+    // remove a subset of what the exact quadratic path removes
+    val exact = SemDedup.removals(emb, "vec_id", "embedding", a, 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(guarded.subsetOf(exact),
+      s"fallback removed rows the exact path keeps: ${guarded -- exact}")
   }
 
   test("SpanDedup recovers exact repeated-span boundaries and merges " +
@@ -631,5 +672,36 @@ class OperatorsSpec extends SparkSpec {
     val base = NgramLm.crossEntropy(model, docs, "doc_id", "text")
     assert(base.exceptAll(again).count() === 0)
     assert(again.exceptAll(base).count() === 0)
+    // shuffle-join escape hatch is semantics-identical
+    val shuffled = NgramLm.crossEntropy(model, docs, "doc_id", "text",
+      broadcastModel = false)
+    assert(base.exceptAll(shuffled).count() === 0)
+    assert(shuffled.exceptAll(base).count() === 0)
+  }
+
+  test("model fit is fully lazy: NgramLm.train and NaiveBayes.train run " +
+      "zero Spark jobs, so fit + score executes as one job") {
+    val docs = Seq((1L, "alpha", "a b c"), (2L, "beta", "d e f"))
+      .toDF("doc_id", "source", "text")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      NgramLm.train(docs, "doc_id", "text")
+      NaiveBayes.train(docs, "source", "text")
+      // barrier: the listener bus is FIFO, so once this job's event lands,
+      // any job submitted by the two trains above would already have been
+      // counted — an eager fit would push the total past 1
+      spark.range(1).collect()
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(jobs === 1,
+        s"expected only the barrier job after two fits, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
