@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape, reading 100 TB:
   *  - gram emission is a map-side explode: one row per character position,
-  *    hashed to a full 128-bit md5 before anything shuffles (positions
-  *    carry a 32-char hex, never the raw text);
+  *    hashed to a 128-bit fingerprint (a struct of two independently
+  *    seeded xxhash64s, 16 bytes) before anything shuffles — positions
+  *    carry the fingerprint, never the raw text;
   *  - the duplicated-gram set is ONE groupBy over gram hashes with
   *    partial aggregation (count-distinct-docs, capped semantics not
   *    needed: the group value is a 2-bound flag, not a pair explosion —
@@ -31,8 +32,9 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** (id, pos, h): every character position 1..len-k+1 with the md5 hex of
-    * its k-gram. Documents shorter than k emit nothing.
+  /** (id, pos, h): every character position 1..len-k+1 with the 128-bit
+    * dual-xxhash64 fingerprint of its k-gram. Documents shorter than k
+    * emit nothing.
     */
   def grams(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -126,4 +128,44 @@ object SpanDedup {
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("span_end") - col("span_start")).as("dup_chars"))
+
+  /** The Lee et al. pipeline's ACTION step: cut every merged duplicated
+    * span out of its document and reassemble the remainder in order —
+    * detection (q102) made actionable (q102b), the substring-granularity
+    * sibling of q82's passage strip. Returns every input row as
+    * (idCol, stripped); untouched documents pass through verbatim.
+    *
+    * Plan shape, reading 100 TB: the merged spans collapse to ONE array
+    * row per flagged document (span count is bounded by len/k, so the
+    * array is document-bounded, never corpus-bounded), joined back to the
+    * doc scan on id; the cut itself is a single in-row higher-order
+    * `aggregate` over the sorted span array — no explode back to
+    * character rows, no second shuffle beyond the id join.
+    */
+  def stripSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int = 2, skewRobust: Boolean = false): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minDf, skewRobust)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e")))).as("__spans"))
+    val t = col(textCol)
+    // fold over the (disjoint, sorted) spans: carry (next-uncut-position,
+    // accumulated-kept-text), emit the segment before each span, then the
+    // tail after the last one
+    val rebuilt = aggregate(
+      col("__spans"),
+      struct(lit(1).as("p"), lit("").as("a")),
+      (acc, sp) => struct(
+        sp.getField("e").as("p"),
+        concat(acc.getField("a"),
+          t.substr(acc.getField("p"), sp.getField("s") - acc.getField("p")))
+          .as("a")),
+      acc => concat(acc.getField("a"),
+        t.substr(acc.getField("p"), length(t) - acc.getField("p") + 1)))
+    docs.select(col(idCol), t)
+      .join(spans.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, t).otherwise(rebuilt).as("stripped"))
+  }
 }

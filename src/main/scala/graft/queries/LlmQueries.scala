@@ -1965,9 +1965,10 @@ object LlmQueries {
     // 2021): positions whose 30-char gram recurs across documents, merged
     // into maximal spans per doc. Top 20 docs by duplicated characters —
     // the removal list a substring-dedup pass would act on. The oracle
-    // replays gram hashing (raw substring equality — md5 is injective on
-    // distinct inputs up to 2^-64, and DuckDB groups the same substrings),
-    // island merging, and the roll-up.
+    // groups RAW substrings where the engine groups their 128-bit
+    // dual-xxhash64 fingerprints (collision odds ~1e-11 at 1e14 grams, so
+    // the two groupings agree), then replays island merging and the
+    // roll-up.
     "q102_repeated_spans" -> QueryDef(
       (s, dir) => {
         import graft.operators.SpanDedup
@@ -2006,6 +2007,65 @@ object LlmQueries {
           d2.n_chars, CAST(dup_chars AS DOUBLE) / d2.n_chars AS dup_frac
         FROM st JOIN documents d2 ON d2.doc_id = st.doc_id
         ORDER BY dup_chars DESC, st.doc_id LIMIT 20""")),
+
+    // ---- repeated-span STRIP (the action step) -------------------------
+    // q102 applied: cut every merged duplicated span out of its document
+    // and reassemble (SpanDedup.stripSpans). Graded by checksum over the
+    // FULL corpus — every kept byte of every document rides the md5, so a
+    // one-character slicing error anywhere fails the hash. The oracle
+    // replays the cut by string slicing: segment before each span
+    // (lag(span_end) window), tail after the last, concatenated in order.
+    "q102b_span_strip" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SpanDedup
+        SpanDedup.stripSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 30)
+          .select(col("doc_id"),
+            length(col("stripped")).as("kept_chars"),
+            md5(col("stripped").cast("binary")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, i,
+          substring(text, CAST(i AS INT), 30) AS gr
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
+            FROM documents WHERE len(text) >= 30)),
+        d AS (SELECT gr FROM g GROUP BY gr
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        p AS (SELECT doc_id, i FROM g JOIN d USING (gr)),
+        m AS (SELECT doc_id, i,
+            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
+                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808) THEN 1 ELSE 0 END AS nw
+          FROM p),
+        isl AS (SELECT doc_id, i,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m),
+        sp AS (SELECT doc_id, island, MIN(i) AS span_start,
+            MAX(i) + 30 AS span_end
+          FROM isl GROUP BY 1, 2),
+        seg AS (SELECT doc_id, span_start, span_end,
+            COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+              ORDER BY span_start), 1) AS prev_end
+          FROM sp),
+        pieces AS (SELECT s.doc_id,
+            substring(d2.text, CAST(s.prev_end AS INT),
+              CAST(s.span_start - s.prev_end AS INT)) AS piece,
+            s.span_start
+          FROM seg s JOIN documents d2 USING (doc_id)),
+        hd AS (SELECT doc_id,
+            COALESCE(string_agg(piece, '' ORDER BY span_start), '') AS head
+          FROM pieces GROUP BY doc_id),
+        mx AS (SELECT doc_id, MAX(span_end) AS maxe FROM sp GROUP BY doc_id),
+        kept AS (SELECT d2.doc_id,
+            CASE WHEN mx.doc_id IS NULL THEN d2.text
+              ELSE hd.head || substring(d2.text, CAST(mx.maxe AS INT)) END
+              AS kt
+          FROM documents d2 LEFT JOIN mx USING (doc_id)
+            LEFT JOIN hd USING (doc_id))
+        SELECT doc_id, CAST(len(kt) AS INT) AS kept_chars,
+          md5(kt) AS kept_md5
+        FROM kept ORDER BY doc_id""")),
 
     // ---- end-to-end curation funnel -------------------------------------
     // The showcase composition: quality gate -> portable exact dedup ->

@@ -644,6 +644,14 @@ class OperatorsSpec extends SparkSpec {
       skewRobust = true)
     assert(base.exceptAll(robust).count() === 0)
     assert(robust.exceptAll(base).count() === 0)
+    // stripSpans applies the cut: exact reassembly of the kept segments,
+    // untouched docs verbatim, edge spans (doc start / doc end) clean
+    val stripped = SpanDedup.stripSpans(docs, "doc_id", "text", k = 10)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(stripped === Seq(
+      (1L, "aaaaabbbbb"), (2L, "cccccddddd"),
+      (3L, "nothing shared in this one at all........."),
+      (4L, "-unique-filler-here-")))
   }
 
   test("NgramLm cross-entropy matches the closed-form add-one values " +
