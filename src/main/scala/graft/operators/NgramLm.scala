@@ -58,13 +58,17 @@ object NgramLm {
 
   /** (w1, w2) bigram rows for each document: zip the word array against
     * itself shifted by one — a per-row map-side transform, no join.
+    * The slice length clamps at 0: a ZERO-token document (empty or
+    * all-whitespace text — blank lines are routine in a real corpus)
+    * would otherwise feed slice a length of -1 and fail the whole job at
+    * runtime (caught by the PropertySpec random-corpus generator).
     */
   def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__ws"))
       .select(col("__id"),
         explode(TextOps.letCol(col("__ws")) { ws =>
-          arrays_zip(slice(ws, lit(1), size(ws) - 1),
-            slice(ws, lit(2), size(ws) - 1))
+          arrays_zip(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+            slice(ws, lit(2), greatest(size(ws) - 1, lit(0))))
         }).as("__bg"))
       .select(col("__id"), col("__bg.0").as("w1"), col("__bg.1").as("w2"))
 

@@ -338,7 +338,8 @@ class PropertySpec extends SparkSpec {
   }
 
   test("SpanDedup (both plans) matches sequential span merging on " +
-      "random low-alphabet corpora") {
+      "random low-alphabet corpora, is partition-invariant, and " +
+      "stripSpans removes exactly the flagged character ranges") {
     import graft.operators.SpanDedup
     val k = 6
     val genDocs = for {
@@ -347,17 +348,145 @@ class PropertySpec extends SparkSpec {
         len <- Gen.chooseNum(0, 60)
         cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
       } yield cs.mkString)
-    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    check(Prop.forAll(genDocs) { docs =>
+      layout <- Gen.chooseNum(1, 7)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, layout)
+    check(Prop.forAll(genDocs) { case (docs, layout) =>
       val want = refSpans(docs, k)
       val df = docs.toDF("doc_id", "text")
-      def got(robust: Boolean) =
-        SpanDedup.repeatedSpans(df, "doc_id", "text", k,
+      def got(robust: Boolean, frame: org.apache.spark.sql.DataFrame) =
+        SpanDedup.repeatedSpans(frame, "doc_id", "text", k,
             skewRobust = robust)
           .collect().map(r => (r.getLong(0),
             r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
           .toSet
-      got(robust = false) == want && got(robust = true) == want
+      // sequential reference for the strip: keep chars not covered by any
+      // flagged span (1-based half-open ranges)
+      val spansByDoc = want.groupBy(_._1)
+      val wantKept = docs.map { case (id, t) =>
+        val sp = spansByDoc.getOrElse(id, Set.empty)
+        id -> t.zipWithIndex.collect {
+          case (c, i) if !sp.exists(s => i + 1 >= s._2 && i + 1 < s._3) => c
+        }.mkString
+      }.toMap
+      val gotKept = SpanDedup.stripSpans(df, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got(robust = false, df) == want &&
+        got(robust = true, df) == want &&
+        got(robust = false, df.repartition(layout)) == want &&
+        gotKept == wantKept
     }, n = 15)
+  }
+
+  // Sequential reference for the bigram LM: add-one cross-entropy with
+  // floor-scaled 1e9 longs, mirroring NgramLm's smoothing exactly.
+  private def refXent(train: List[String], score: List[(Long, String)])
+      : Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    def bigrams(t: String) = { val w = toks(t); w.zip(w.drop(1)) }
+    val tb = train.flatMap(bigrams)
+    val c12 = tb.groupBy(identity).map { case (g, v) => (g, v.size.toLong) }
+    val c1 = tb.groupBy(_._1).map { case (w, v) => (w, v.size.toLong) }
+    val v = math.max(train.flatMap(toks).distinct.size.toLong, 1L)
+    score.flatMap { case (id, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None
+      else {
+        val l9s = bg.map { g =>
+          math.floor(math.log((c12.getOrElse(g, 0L) + 1.0) /
+            (c1.getOrElse(g._1, 0L) + v.toDouble)) * 1e9).toLong
+        }
+        Some(id -> (bg.size.toLong, -l9s.sum.toDouble / bg.size / 1e9))
+      }
+    }.toMap
+  }
+
+  test("NgramLm cross-entropy matches the sequential reference and is " +
+      "bit-identical under any input partitioning") {
+    import graft.operators.NgramLm
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val genText = Gen.chooseNum(0, 8)
+      .flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      train <- Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, genText))
+      score <- Gen.chooseNum(1, 5).flatMap(Gen.listOfN(_, genText))
+      l1 <- Gen.chooseNum(1, 7)
+      l2 <- Gen.chooseNum(1, 7)
+    } yield (train, score.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      l1, l2)
+    check(Prop.forAll(gen) { case (train, score, l1, l2) =>
+      val trainDf = train.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def got(layout: Int): Map[Long, (Long, Double)] = {
+        val m = NgramLm.train(trainDf.repartition(layout), "doc_id", "text")
+        NgramLm.crossEntropy(m, score.toDF("doc_id", "text")
+            .repartition(layout), "doc_id", "text")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      }
+      val a = got(l1)
+      a == refXent(train, score) && a == got(l2)
+    }, n = 10)
+  }
+
+  // Sequential reference for Naive Bayes: floor-scaled add-one log scores,
+  // argmax with ties to the lexicographically smallest class.
+  private def refNbPredict(train: List[(String, String)],
+      score: List[(Long, String)]): Map[Long, String] = {
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    val n = train.size.toLong
+    val classes = train.map(_._1).distinct.sorted
+    val nDocsC = train.groupBy(_._1).map { case (c, v) => (c, v.size.toLong) }
+    val nWordsC = train.groupBy(_._1)
+      .map { case (c, v) => (c, v.map(d => toks(d._2).size).sum.toLong) }
+    val cwc = train.flatMap { case (c, t) => toks(t).map(w => (w, c)) }
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val v = math.max(train.flatMap(d => toks(d._2)).distinct.size.toLong, 1L)
+    score.flatMap { case (id, t) =>
+      val ws = toks(t)
+      if (ws.isEmpty) None
+      else {
+        val best = classes.map { c =>
+          val prior9 = math.floor(
+            math.log(nDocsC(c) / n.toDouble) * 1e9).toLong
+          val sum9 = ws.map { w =>
+            math.floor(math.log((cwc.getOrElse((w, c), 0L) + 1.0) /
+              (nWordsC(c) + v.toDouble)) * 1e9).toLong
+          }.sum
+          (-(sum9 + prior9), c)
+        }.min
+        Some(id -> best._2)
+      }
+    }.toMap
+  }
+
+  test("NaiveBayes predictions match the sequential reference and are " +
+      "bit-identical under any input partitioning") {
+    import graft.operators.NaiveBayes
+    val word = Gen.oneOf("u", "v", "w", "x")
+    val cls = Gen.oneOf("p", "q")
+    val genText = Gen.chooseNum(1, 6)
+      .flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      train <- Gen.chooseNum(2, 6)
+        .flatMap(Gen.listOfN(_, Gen.zip(cls, genText)))
+      score <- Gen.chooseNum(1, 5).flatMap(Gen.listOfN(_, genText))
+      l1 <- Gen.chooseNum(1, 7)
+      l2 <- Gen.chooseNum(1, 7)
+    } yield (train, score.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      l1, l2)
+    check(Prop.forAll(gen) { case (train, score, l1, l2) =>
+      val trainDf = train.zipWithIndex
+        .map { case ((c, t), i) => (i.toLong, c, t) }
+        .toDF("doc_id", "source", "text")
+      def got(layout: Int): Map[Long, String] = {
+        val m = NaiveBayes.train(trainDf.repartition(layout),
+          "source", "text")
+        NaiveBayes.predict(m, score.toDF("doc_id", "text")
+            .repartition(layout), "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      val a = got(l1)
+      a == refNbPredict(train, score) && a == got(l2)
+    }, n = 10)
   }
 }
