@@ -160,7 +160,21 @@ object Bench {
     val rc = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture keeps only the tail of the line, losing
+    // per-query timings every round — persist the full JSON in-repo so
+    // round-over-round diffs don't need a judge re-run (unfiltered runs
+    // only; a dev-loop subset would clobber the full record)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+        json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+      }
     spark.stop()
   }
 }

@@ -39,7 +39,11 @@ object ScaleBench {
     "q97b_funnel_onepass",  // one-pass funnel (production shape)
     "q101_lm_perplexity",   // bigram-LM perplexity filter (r6)
     "q102_repeated_spans",  // k-gram repeated-span dedup (r6)
-    "q103_semdedup")        // SemDeDup clusters + within-cluster cosine (r6)
+    "q103_semdedup",        // SemDeDup clusters + within-cluster cosine (r6)
+    "q103b_semdedup_survivors", // SemDeDup derived-k production form (r7)
+    "q104_nb_source_classifier", // Naive Bayes train + confusion (r7 point)
+    "q105_drift_psi",       // PSI drift monitor (r7 point)
+    "q106_length_bucketing") // length-bucketed batching (r7 point)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -47,14 +51,17 @@ object ScaleBench {
     * separately (q89's LSH half, q97b), so burning minutes on their
     * quadratic-candidate decade adds no information.
     */
-  /* q103 is deliberately NOT here: SemDeDup's scale contract is that k
-   * GROWS with the corpus (n/k stays ~constant); the inventory query's
-   * fixed k=8 at the third decade would time a misconfigured quadratic
-   * workload, the same reason the exhaustive-pairs shapes are excluded. */
+  /* q103 (fixed k=8) is deliberately NOT here: SemDeDup's scale contract
+   * is that k GROWS with the corpus (n/k stays ~constant); the inventory
+   * query's fixed k at the third decade would time a misconfigured
+   * quadratic workload, the same reason the exhaustive-pairs shapes are
+   * excluded. q103b IS here — it derives k = ceil(n/50), so it times the
+   * configuration the contract actually prescribes at every decade. */
   val ThirdDecadeQueries: Seq[String] = Seq(
     "q26_minhash_lsh", "q57_kmeans", "q77_pack_chunks",
     "q92_count_min", "q97b_funnel_onepass",
-    "q101_lm_perplexity", "q102_repeated_spans")
+    "q101_lm_perplexity", "q102_repeated_spans",
+    "q103b_semdedup_survivors")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -93,12 +100,24 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     // remaining tables: copy sf0.1's files verbatim (none of the headline
-    // queries read them, but SparkEntry query closures may resolve paths)
+    // queries read them, but main() accepts arbitrary query names, so a
+    // table that ships as a parquet DIRECTORY must copy recursively — a
+    // bare Files.copy would create an empty dir and silently aggregate
+    // nothing)
+    def copyRecursive(src: java.nio.file.Path,
+        dst: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.list(src).forEach(p =>
+          copyRecursive(p, dst.resolve(p.getFileName)))
+      } else java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     for (t <- Tables.names if t != "documents" && t != "embeddings") {
       val src = java.nio.file.Paths.get(Tables.path(srcDir, t))
       val dst = java.nio.file.Paths.get(Tables.path(outDir, t))
       if (java.nio.file.Files.exists(src) && !java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(src, dst)
+        copyRecursive(src, dst)
     }
     java.nio.file.Files.write(marker, Array.emptyByteArray)
   }

@@ -183,6 +183,14 @@ object SeamfReader {
     * payload was never decompressed, trace slots skipped within decoded
     * files, and files fully decoded. Read them on the driver AFTER an
     * action on the returned Dataset.
+    *
+    * BEST-EFFORT contract: the counters are incremented inside a
+    * transformation (`mapPartitions`), so Spark only guarantees
+    * exactly-once updates for tasks that succeed on the first attempt —
+    * stage retries and speculative execution can inflate them. They are
+    * observability telemetry (skip-rate dashboards), not query results;
+    * anything correctness-bearing must come from the Dataset itself
+    * (s16 hash-grades the pruned rows, not the counters).
     */
   final case class PruneCounters(prunedFiles: LongAccumulator,
       prunedTraces: LongAccumulator, decodedFiles: LongAccumulator)
