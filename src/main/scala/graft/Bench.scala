@@ -123,6 +123,7 @@ object Bench {
       graft.operators.Bpe.unpersistAll()
       graft.operators.KMeans.unpersistAll()
       graft.operators.CurationFunnel.unpersistAll()
+      graft.operators.SemDedup.unpersistAll()
     }
     // variance guard (VERDICT r4 #3): fast queries report the MEDIAN of 3
     // cold-cache runs (first run still pays codegen, so the median lands

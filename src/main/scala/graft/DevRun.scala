@@ -38,6 +38,9 @@ object DevRun {
       graft.operators.Dedup.unpersistAll()
       graft.operators.Windowed.unpersistAll()
       graft.operators.Bpe.unpersistAll()
+      graft.operators.KMeans.unpersistAll()
+      graft.operators.CurationFunnel.unpersistAll()
+      graft.operators.SemDedup.unpersistAll()
     }
     spark.stop()
   }

@@ -145,6 +145,7 @@ object ScaleBench {
       graft.operators.Bpe.unpersistAll()
       graft.operators.KMeans.unpersistAll()
       graft.operators.CurationFunnel.unpersistAll()
+      graft.operators.SemDedup.unpersistAll()
       spark.catalog.clearCache()
     }
     def runOnce(name: String, dir: String): Double = {

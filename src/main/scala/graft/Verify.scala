@@ -36,6 +36,7 @@ object Verify {
           graft.operators.Bpe.unpersistAll()
           graft.operators.KMeans.unpersistAll()
           graft.operators.CurationFunnel.unpersistAll()
+      graft.operators.SemDedup.unpersistAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -11,25 +11,29 @@ import org.apache.spark.sql.types.DecimalType
   * here each Lloyd iteration is two Spark aggregations:
   *
   *   distances: the k centroid VECTORS are broadcast (k rows of wide
-  *     arrays — model state) and every point computes its k squared
-  *     distances WITHIN its own row via `zip_with` + `aggregate` over the
-  *     arrays. No explode, no join key, no shuffle: the only data-sized
-  *     movement per round is the (id, cid, dist) argmin aggregation
-  *     (n*k scalar rows with map-side partial min).
-  *   assignment: argmin as `min(struct(dist, cid))` — partial-aggregable,
+  *     arrays — model state) and every point computes its k scaled-floor
+  *     squared distances WITHIN its own row via the codegen'd
+  *     [[graft.functions.expressions.SqDist9]] kernel. No explode, no
+  *     join key, no shuffle: the only data-sized movement per round is
+  *     the (id, cid, dist9) argmin aggregation (n*k scalar rows with
+  *     map-side partial min).
+  *   assignment: argmin as `min(struct(dist9, cid))` — partial-aggregable,
   *     no window sort; ties (only possible for bit-identical distances)
   *     break on the lower cluster id in both engines.
   *   update: one aggregation keyed (cid, dim) over the posexploded
   *     assigned points (map-side combine shrinks it to k*dim rows per
   *     partition before the shuffle), reassembled to wide centroid rows.
   *
-  * Determinism/oracle discipline: per-term decimal casts make every sum
-  * order-independent (decimal addition is exact, so the in-row left fold
-  * and DuckDB's hash-aggregate SUM agree bit-for-bit), so centroids and
-  * inertia are identical across partitionings AND across engines — the
-  * whole 2-iteration fit is replayed by a DuckDB CTE chain in q57's
-  * oracle. Seeds are the k ids with the smallest `md5(id)` (portable
-  * deterministic init, k-means++-style spread via hash uniformity).
+  * Determinism/oracle discipline: distances are per-term floor-scaled
+  * longs — floor((x-c)^2 * 1e9) is identical IEEE 754 double arithmetic
+  * in Spark and DuckDB, and long sums are exact in any order — while the
+  * centroid MEANS keep per-term decimal sums (n*dim decimal terms, no k
+  * factor, so the cost is negligible where the n*k*dim distance fold was
+  * not). Centroids, assignments, and inertia are identical across
+  * partitionings AND across engines — the whole 2-iteration fit is
+  * replayed by a DuckDB CTE chain in q57's oracle. Seeds are the k ids
+  * with the smallest `md5(id)` (portable deterministic init,
+  * k-means++-style spread via hash uniformity).
   *
   * Persisting the projected points frame trades one materialization
   * (which breaks whole-stage fusion with the source scan) against
@@ -81,8 +85,10 @@ object KMeans {
         col("cf").cast("double").as("c"))
   }
 
-  /** Squared L2 distance of every point to every centroid: (id, cid, dist).
-    * Decimal per-term sums keep the result order-independent.
+  /** Scaled-floor squared L2 distance of every point to every centroid:
+    * (id, cid, dist9) with dist9 = sum of floor((x-c)^2 * 1e9) — exact
+    * long sums, order-independent, portable (see [[SqDist9]]'s scaladoc
+    * for the IEEE-identity argument).
     *
     * Long-format building block (points (id, dim, x) x centroids
     * (cid, dim, c)); [[fit]] uses the shuffle-free wide form
@@ -90,9 +96,11 @@ object KMeans {
     */
   def distances(points: DataFrame, centroids: DataFrame): DataFrame =
     points.join(broadcast(centroids), "dim")
-      .withColumn("t", ((col("x") - col("c")) * (col("x") - col("c"))).cast(Dec))
+      .withColumn("t9",
+        floor((col("x") - col("c")) * (col("x") - col("c")) * 1e9)
+          .cast("long"))
       .groupBy("id", "cid")
-      .agg(sum(col("t")).cast("double").as("dist"))
+      .agg(sum(col("t9")).as("dist9"))
 
   /** Wide view of a long centroid table (cid, dim, c) -> (cid, cv), cv
     * ordered by dim. k*dim rows — driver-scale model state, never data.
@@ -102,27 +110,24 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s("c")).as("cv"))
 
-  /** Squared L2 distance computed WITHIN each row: points (id, v) cross
-    * the broadcast k-row wide centroid table (cid, cv) -> (id, cid, dist).
-    * The per-term decimal cast matches [[distances]] (and the q57 oracle)
-    * exactly: decimal addition is exact, so the in-row left fold equals
-    * any hash-aggregate summation order bit-for-bit.
+  /** Scaled-floor squared L2 distance computed WITHIN each row: points
+    * (id, v) cross the broadcast k-row wide centroid table (cid, cv) ->
+    * (id, cid, dist9). The codegen'd [[SqDist9]] kernel folds
+    * floor((a-b)^2 * 1e9) over the unsafe array data — per-term longs
+    * make the in-row fold equal any hash-aggregate summation order (and
+    * [[distances]]) bit-for-bit.
     */
   def distancesWide(points: DataFrame, centroids: DataFrame): DataFrame =
     points.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"),
-        aggregate(
-          zip_with(col("v"), col("cv"),
-            (a, b) => ((a - b) * (a - b)).cast(Dec)),
-          lit(0).cast(Dec),
-          (acc, t) => (acc + t).cast(Dec)
-        ).cast("double").as("dist"))
+        graft.functions.expressions.VectorExpressions
+          .sqDist9(col("v"), col("cv")).as("dist9"))
 
-  /** Nearest-centroid assignment: (id, cid, dist). */
+  /** Nearest-centroid assignment: (id, cid, dist9). */
   def assign(dists: DataFrame): DataFrame =
     dists.groupBy("id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+      .agg(min(struct(col("dist9"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.dist9").as("dist9"))
 
   /** Mean-update centroids from an assignment: (cid, dim, c). */
   def recompute(points: DataFrame, assignment: DataFrame): DataFrame =
@@ -131,7 +136,7 @@ object KMeans {
       .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("c"))
 
   /** Run `iters` Lloyd iterations from the md5 seeds; returns the final
-    * assignment (id, cid, dist).
+    * assignment (id, cid, dist9).
     *
     * Standard Lloyd's behavior on empty clusters: a cid that captures no
     * points after a reassignment drops out of the recomputed centroid
@@ -170,7 +175,12 @@ object KMeans {
     assignment
   }
 
-  /** Exact-summable inertia contribution: floor(dist * 1e6) as a long. */
-  def inertia6(dist: Column): Column =
-    floor(dist * 1e6).cast("long")
+  /** Exact-summable inertia contribution from a scaled-long distance:
+    * dist9 div 1000 (== floor(dist * 1e6) for nonnegative distances).
+    * The subtraction-of-remainder form keeps the division exact: the
+    * numerator is a multiple of 1000, so the double quotient is an
+    * integer representable exactly (dist9 is far below 2^53).
+    */
+  def inertia6(dist9: Column): Column =
+    ((dist9 - pmod(dist9, lit(1000))) / 1000).cast("long")
 }

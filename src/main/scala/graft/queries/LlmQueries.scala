@@ -113,9 +113,11 @@ object LlmQueries {
       comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)"""
 
   // The full 2-iteration Lloyd fit as DuckDB CTEs ending at
-  // a2(id, cid, dist) — shared by the q57/q103/q103b oracles so the
+  // a2(id, cid, dist9) — shared by the q57/q103/q103b oracles so the
   // clustering definition cannot silently diverge between them. Mirrors
-  // KMeans.fit: md5-smallest-k seeds, per-term decimal sums, min-struct
+  // KMeans.fit: md5-smallest-k seeds, per-term floor-scaled long
+  // distances (floor((x-c)^2*1e9) — identical IEEE doubles in both
+  // engines), per-term decimal sums for the centroid means, min-struct
   // assignment. Expects `embeddings` in scope; also binds e(id, v).
   // `kSql` is the centroid count as a SQL expression — a literal for the
   // fixed-k oracles, a scalar subquery replaying SemDedup.deriveK for the
@@ -132,22 +134,22 @@ object LlmQueries {
         c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs
           WHERE cid < ($kSql)),
         d1 AS (SELECT id, cid,
-            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
-              AS dist
+            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
+              AS BIGINT) AS dist9
           FROM px JOIN c0 USING (dim) GROUP BY id, cid),
         a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
-          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+          FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
             FROM d1 GROUP BY id)),
         c1 AS (SELECT cid, dim,
             CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
           FROM px JOIN a1 USING (id) GROUP BY cid, dim),
         d2 AS (SELECT id, cid,
-            CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(24,15))) AS DOUBLE)
-              AS dist
+            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
+              AS BIGINT) AS dist9
           FROM px JOIN c1 USING (dim) GROUP BY id, cid),
         a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
-            struct_extract(m, 'dist') AS dist
-          FROM (SELECT id, MIN({'dist': dist, 'cid': cid}) AS m
+            struct_extract(m, 'dist9') AS dist9
+          FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
             FROM d2 GROUP BY id))"""
 
   private val KMeansA2Cte: String = kmeansA2Cte("8")
@@ -942,12 +944,12 @@ object LlmQueries {
           k = 8, iters = 2)
         a2.groupBy(col("cid").as("cluster"))
           .agg(count(lit(1)).as("n"),
-            sum(KMeans.inertia6(col("dist"))).as("inertia6"))
+            sum(KMeans.inertia6(col("dist9"))).as("inertia6"))
           .orderBy("cluster")
       },
       Some(s"""WITH $KMeansA2Cte
         SELECT cid AS cluster, COUNT(*) AS n,
-          CAST(SUM(CAST(FLOOR(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia6
+          CAST(SUM(dist9 // 1000) AS BIGINT) AS inertia6
         FROM a2 GROUP BY cid ORDER BY cluster""")),
 
     // ---- SemDeDup: semantic dedup via k-means + within-cluster cosine --

@@ -17,10 +17,12 @@ class KMeansSpec extends SparkSpec {
     assert(a1.count() === n)
     assert(a2.count() === n)
     assert(a2.select(countDistinct(col("id"))).head.getLong(0) === n)
-    val i1 = a1.agg(sum("dist")).head.getDouble(0)
-    val i2 = a2.agg(sum("dist")).head.getDouble(0)
-    // Lloyd's algorithm never increases total inertia between iterations
-    assert(i2 <= i1 + 1e-9, s"inertia rose: $i1 -> $i2")
+    val i1 = a1.agg(sum("dist9")).head.getLong(0)
+    val i2 = a2.agg(sum("dist9")).head.getLong(0)
+    // Lloyd's algorithm never increases total inertia between iterations;
+    // each scaled-floor term is within 1 of the true scaled value, so
+    // allow dim slack per point on the 1e9 scale
+    assert(i2 <= i1 + 64L * n, s"inertia rose: $i1 -> $i2")
   }
 
   test("fit is bit-identical under repartitioning") {

@@ -73,7 +73,7 @@ class PlansSpec extends SparkSpec {
     // nothing in the distance computation may shuffle the points
     assert(!p.contains("Exchange hashpartitioning(id"),
       s"points side of the distance join shuffles:\n$p")
-    // in-row decimal fold == the long-format groupBy sum, bit-for-bit
+    // in-row scaled-floor fold == the long-format groupBy sum, bit-for-bit
     val long = KMeans.distances(
       KMeans.explodeVec(emb, "vec_id", "embedding"),
       KMeans.seedCentroids(emb, "vec_id", "embedding", 4))
