@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   * space — so dup-pair counts, component sizes, and cluster diameters scale
   * by exactly 10x. Naive duplication would instead create a 10-clique of
   * near-dups per document and measure a DIFFERENT (quadratic) workload.
-  * Embeddings get a tiny per-copy scalar perturbation (1 + i*1e-6) so the
-  * 10x point set is not 10 coincident copies.
+  * Embeddings get the cosine analog of the bijective rename: a per-copy
+  * SIGNED CYCLIC PERMUTATION of the dimensions (an orthogonal transform
+  * — every within-copy dot product, norm, and cosine is preserved
+  * EXACTLY, so cluster structure and near-dup relations replicate
+  * per-copy) while cross-copy cosines decorrelate. The r6 construction
+  * perturbed copies by a scalar multiple, which cosine ignores — every
+  * copy was an exact cosine-duplicate of its original, so the x100 point
+  * handed cosine operators a pathological 100-clique workload (~10M
+  * true pairs) instead of a 100x corpus.
   *
   * Timing: same session shape as Bench (local[32], shuffle partitions =
   * cores, AQE on); sf0.1 runs median-of-3, the 10x point runs once (the
@@ -67,7 +74,9 @@ object ScaleBench {
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): Unit = {
     val root = java.nio.file.Paths.get(outDir)
-    val marker = root.resolve(".complete")
+    // v2: r7 replaced the scalar embedding perturbation (a cosine no-op)
+    // with the signed-permutation isometry — stale v1 corpora must rebuild
+    val marker = root.resolve(".complete_v2")
     if (java.nio.file.Files.exists(marker)) return
     java.nio.file.Files.createDirectories(root)
 
@@ -89,11 +98,20 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = graft.functions.VectorOps.dimOf(emb, "embedding")
     val scaledEmb = (0 until copies).map { i =>
+      // signed cyclic permutation per copy: out[j] = s(i,j) * in[(j+i)%d]
+      // with s a deterministic ±1 — orthogonal, so within-copy geometry
+      // is bit-preserved; distinct copies land in decorrelated directions
+      val shift = i % math.max(dim, 1)
       emb.select(
         (col("vec_id") + lit(i * idSpan)).as("vec_id"),
-        transform(col("embedding"),
-          x => x * lit(1.0f + i * 1e-6f)).as("embedding"),
+        transform(col("embedding"), (_, j) =>
+          when(pmod(xxhash64(lit(i), j), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f)) *
+          element_at(col("embedding"),
+            pmod(j + lit(shift), lit(dim)).cast("int") + 1))
+          .as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
     scaledEmb.repartition(32)

@@ -157,11 +157,67 @@ object SemDedup {
     * (`maxClusterFactor` x the target size), return survivors. This is
     * the production entry point — the fixed-k [[survivors]] is the
     * benchmark/oracle form for a known corpus.
+    *
+    * `maxExactK` is the honest limit of the cell construction itself:
+    * exact Lloyd ASSIGNMENT is Θ(n·k) work, and with k = n/target that
+    * is quadratic in the corpus — measured: the derived-k fit is
+    * overhead-dominated to k=400 (decade-2 slope ~3) and compute-bound
+    * superlinear by k=4000 (decade-3 slope ~28). Beyond the gate the
+    * pass switches to REPRESENTATIVE-ANCHORED LSH cells: hyperplane
+    * buckets (bit depth scaled so expected occupancy ~ target) stand in
+    * for the k-means cells, and each member is verified by exact cosine
+    * against its bucket's min-id representative only — candidate volume
+    * is n x tables, LINEAR even when the corpus is a stack of tight
+    * clusters. That last property is load-bearing: near-parallel
+    * vectors land in the same bucket at ANY bit depth, so an
+    * all-pairs-within-bucket rule (q42's pair path) is quadratic on
+    * exactly the corpora SemDeDup exists for (measured: OOM at the
+    * third decade), while anchoring on a representative mirrors the
+    * paper's own keep-one-per-group semantics (Abbas 2023 dedups
+    * against cluster centroids). The k-means cell path remains the
+    * configuration while k stays bounded; the gate makes the crossover
+    * explicit instead of letting either quadratic run.
     */
   def survivorsAuto(emb: DataFrame, idCol: String, vecCol: String,
       targetClusterSize: Int, iters: Int, minCosine: Double,
-      maxClusterFactor: Int = 8): DataFrame = {
-    val k = deriveK(emb, targetClusterSize)
+      maxClusterFactor: Int = 8, maxExactK: Int = 1024): DataFrame = {
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    val n = emb.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    if (k > maxExactK) {
+      import graft.functions.VectorOps
+      val nTables = 8
+      // expected bucket occupancy ~ targetClusterSize (2^bits ~ n/target)
+      val bits = math.min(20, math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / targetClusterSize) - 1)))
+      val base = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__v"))
+      val dim = VectorOps.dimOf(base, "__v")
+      val clean = base.filter(size(col("__v")) === dim)
+      val bucketed = clean.select(col("id"),
+          explode(array((0 until nTables).map { t =>
+            struct(lit(t).as("t"), VectorOps
+              .hyperplaneBucket(col("__v"), bits, t * 1000, dim).as("b"))
+          }: _*)).as("tb"))
+        .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      // min-id representative per cell; members pair against it ONLY
+      val reps = bucketed.groupBy("t", "b").agg(min(col("id")).as("id_a"))
+      val cand = bucketed.join(reps, Seq("t", "b"))
+        .filter(col("id") > col("id_a"))
+        .select(col("id_a"), col("id").as("id_b")).distinct()
+      val removed = cand
+        .join(clean.select(col("id").as("id_a"), col("__v").as("va")),
+          "id_a")
+        .join(clean.select(col("id").as("id_b"), col("__v").as("vb")),
+          "id_b")
+        .filter(VectorOps.cosine(col("va"), col("vb")) >= minCosine)
+        .select(col("id_b").as("id")).distinct()
+      return emb.select(col(idCol).as("id")).except(removed)
+        .select(col("id").as(idCol))
+    }
     val a = persisted(KMeans.fit(emb, idCol, vecCol, k, iters))
     val cap = math.max(targetClusterSize.toLong * maxClusterFactor,
       targetClusterSize.toLong).min(Int.MaxValue).toInt

@@ -609,6 +609,14 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(guarded.subsetOf(exact),
       s"fallback removed rows the exact path keeps: ${guarded -- exact}")
+    // past the maxExactK gate (k would be 10 > 1) the pass switches to
+    // the global LSH rule: exact copies still go, the well-separated
+    // directions all survive
+    val gated = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 1, iters = 2, minCosine = 0.95, maxExactK = 1)
+      .as[Long].collect().toSet
+    assert(gated === (0L to 7L).toSet,
+      s"LSH-gated survivors wrong: $gated")
   }
 
   test("SpanDedup recovers exact repeated-span boundaries and merges " +
