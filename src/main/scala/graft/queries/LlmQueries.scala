@@ -1009,6 +1009,53 @@ object LlmQueries {
         SELECT id AS vec_id FROM a2 WHERE id NOT IN (SELECT id FROM rem)
         ORDER BY vec_id""")),
 
+    // ---- SemDeDup, past-the-gate LSH scale path ------------------------
+    // The representative-anchored configuration survivorsAuto switches to
+    // when derived k exceeds maxExactK (here forced with maxExactK = 1):
+    // 8 hyperplane tables stand in for the k-means cells, each member is
+    // exact-cosine-verified against its bucket's min-id representative
+    // ONLY (candidates = n x tables — linear even on tight clusters,
+    // where any within-bucket pair rule is quadratic; see SemDedup
+    // scaladoc). Every stage replays in SQL: the md5-derived planes (as
+    // in q32), bucket packing, min-id reps, and the cosine verify — so
+    // the SCALE path is hash-graded, not just the bounded-k oracle form.
+    // Bit depth is 8 at both gate SFs (max(8, ceil(log2(n/50)))).
+    "q103c_semdedup_lsh_gate" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
+            "embedding", targetClusterSize = 50, iters = 2,
+            minCosine = 0.45, maxExactK = 1)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT e.vec_id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        reps AS (SELECT tbl, bucket, MIN(vec_id) AS id_a
+          FROM buck GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT r.id_a, k.vec_id AS id_b
+          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
+          WHERE k.vec_id > r.id_a),
+        rem AS (SELECT DISTINCT id_b FROM cand
+          JOIN e a ON a.vec_id = cand.id_a
+          JOIN e b ON b.vec_id = cand.id_b
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT id_b FROM rem)
+        ORDER BY vec_id""")),
+
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value
     // to an exact long (1e-9 truncation), sum exactly, divide once — immune
