@@ -96,4 +96,64 @@ object Drift {
     psiFromBinned(ref.sparkSession, counts(ref, "ref_n"),
       counts(live, "live_n"), bins)
   }
+
+  /** Categorical PSI between two batch frames over a (string-castable)
+    * column — the domain-mix / language-mix drift check. The bin spine is
+    * the top-`topB` REFERENCE categories by count (ties break
+    * lexicographically — deterministic, oracle-replayable) plus a
+    * reserved `__other` bucket that absorbs everything else, so state and
+    * shuffle stay bounded at topB+1 rows per side no matter how
+    * long-tailed the live distribution gets (a new live-side category is
+    * visible as `__other` drift, the categorical analog of psiBins' edge
+    * bins). NULL categories fold into `__other`. Smoothing denominators
+    * use the actual spine size, derived in-plan.
+    *
+    * Plan shape, reading 100 TB: one vocabulary-bounded groupBy per side
+    * (partial aggregation — the shuffle carries distinct categories, not
+    * rows), one unpartitioned window over the DISTINCT-CATEGORY frame to
+    * rank the top set (vocabulary-sized, the q49 argument), and a
+    * broadcast join of the <= topB spine back into the count frames.
+    * Output: (cat, ref_n, live_n, psi9) ordered by cat; sum(psi9)/1e9 is
+    * the headline PSI.
+    */
+  def psiCategories(ref: DataFrame, live: DataFrame, catCol: String,
+      topB: Int = 20): DataFrame = {
+    require(topB >= 1, s"topB must be >= 1, got $topB")
+    val spark = ref.sparkSession
+    def cats(df: DataFrame) = df.select(
+      coalesce(col(catCol).cast("string"), lit("__other")).as("c"))
+    val rc0 = cats(ref).groupBy("c").agg(count(lit(1)).as("n"))
+    val top = rc0
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("c"))))
+      .filter(col("rk") <= topB).select("c")
+    val spine = top.select(col("c").as("cat"))
+      .unionByName(spark.range(1).select(lit("__other").as("cat")))
+      .distinct()
+    def mapped(df: DataFrame, out: String) =
+      cats(df)
+        .join(broadcast(top.select(col("c").as("cat"),
+          lit(1).as("__in"))), col("c") === col("cat"), "left")
+        .select(when(col("__in").isNotNull, col("c"))
+          .otherwise(lit("__other")).as("cat"))
+        .groupBy("cat").agg(count(lit(1)).as(out))
+    val joined = spine
+      .join(mapped(ref, "ref_n"), Seq("cat"), "left")
+      .join(mapped(live, "live_n"), Seq("cat"), "left")
+      .na.fill(0L, Seq("ref_n", "live_n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTotals = joined
+      .withColumn("__ref_total", sum(col("ref_n")).over(all))
+      .withColumn("__live_total", sum(col("live_n")).over(all))
+      .withColumn("__b", count(lit(1)).over(all))
+    val p = (col("ref_n") + 1.0) /
+      (col("__ref_total") + col("__b")).cast("double")
+    val q = (col("live_n") + 1.0) /
+      (col("__live_total") + col("__b")).cast("double")
+    withTotals.select(col("cat"), col("ref_n"), col("live_n"),
+        floor((p - q) * log(p / q) * 1e9).cast("long").as("psi9"))
+      .orderBy("cat")
+  }
 }

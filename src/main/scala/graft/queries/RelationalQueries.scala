@@ -1459,6 +1459,49 @@ object RelationalQueries {
               / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
         FROM j CROSS JOIN n ORDER BY bin""")),
 
+    // ---- categorical drift monitor (PSI over a domain mix) -------------
+    // The categorical sibling of q105: PSI between the reference and live
+    // slices over the `lang` mix — the "did my language/domain
+    // composition shift" check. The spine is the top-3 REFERENCE
+    // languages (ties lexicographic) plus the reserved __other bucket
+    // absorbing the tail, so state is bounded at 4 rows regardless of
+    // how long-tailed live gets; smoothing denominators use the actual
+    // spine size, derived in-plan (operators/Drift.scala).
+    "q107_drift_psi_categorical" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Drift
+        val docs = t(s, dir, "documents")
+        Drift.psiCategories(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang", topB = 3)
+      },
+      Some("""WITH r AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__other')
+            AS c FROM documents WHERE doc_id % 2 = 0),
+        lv AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__other') AS c
+          FROM documents WHERE doc_id % 2 = 1),
+        rc0 AS (SELECT c, COUNT(*) AS n FROM r GROUP BY c),
+        top AS (SELECT c FROM (SELECT c, ROW_NUMBER() OVER
+            (ORDER BY n DESC, c) AS rk FROM rc0) WHERE rk <= 3),
+        spine AS (SELECT DISTINCT cat FROM (SELECT c AS cat FROM top
+          UNION ALL SELECT '__other')),
+        rm AS (SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+            ELSE '__other' END AS cat FROM r),
+        lm AS (SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+            ELSE '__other' END AS cat FROM lv),
+        rcc AS (SELECT cat, COUNT(*) AS ref_n FROM rm GROUP BY cat),
+        lcc AS (SELECT cat, COUNT(*) AS live_n FROM lm GROUP BY cat),
+        j AS (SELECT s.cat, COALESCE(rcc.ref_n, 0) AS ref_n,
+            COALESCE(lcc.live_n, 0) AS live_n
+          FROM spine s LEFT JOIN rcc USING (cat) LEFT JOIN lcc USING (cat)),
+        t AS (SELECT SUM(ref_n) AS rn, SUM(live_n) AS lvn,
+            COUNT(*) AS b FROM j)
+        SELECT cat, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(live_n AS BIGINT) AS live_n,
+          CAST(FLOOR(((ref_n + 1.0) / (rn + b)
+              - (live_n + 1.0) / (lvn + b))
+            * LN(((ref_n + 1.0) / (rn + b))
+              / ((live_n + 1.0) / (lvn + b))) * 1e9) AS BIGINT) AS psi9
+        FROM j CROSS JOIN t ORDER BY cat""")),
+
     // ---- snapshot diff (CDC between two table versions) ----------------
     // Change-data-capture over two deterministic "versions" of orders
     // (membership and mutation decided by md5 of the key): full-outer

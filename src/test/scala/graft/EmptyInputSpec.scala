@@ -76,6 +76,12 @@ class EmptyInputSpec extends SparkSpec {
         case "q106_length_bucketing" =>
           assert(rows.length === 2 && rows.forall(r =>
             r.getLong(1) == 0L && r.isNullAt(2)))
+        // the categorical PSI spine always contains the reserved __other
+        // bucket (the oracle's UNION ALL literal) — one all-zero row with
+        // smoothed p == q -> psi9 == 0 is the correct empty answer
+        case "q107_drift_psi_categorical" =>
+          assert(rows.length === 1 && rows.head.getString(0) == "__other" &&
+            (1 to 3).forall(i => rows.head.getLong(i) == 0L))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()

@@ -526,6 +526,25 @@ class OperatorsSpec extends SparkSpec {
     assert(outside.toSeq === Seq(0, 9))
   }
 
+  test("Drift.psiCategories ranks the reference top set, folds the tail " +
+      "and NULLs into __other, and is zero for identical mixes") {
+    val ref = (Seq.fill(5)("en") ++ Seq.fill(3)("de") ++ Seq.fill(2)("fr") ++
+      Seq("it") ++ Seq(null: String)).toDF("lang")
+    // identical mixes -> psi9 exactly 0 on every spine row
+    val same = Drift.psiCategories(ref, ref, "lang", topB = 2)
+    assert(same.filter(col("psi9") =!= 0L).count() === 0)
+    // spine = top-2 of the reference (en, de) + __other; fr/it/null fold
+    val rows = Drift.psiCategories(ref, ref, "lang", topB = 2)
+      .select("cat", "ref_n").as[(String, Long)].collect().toMap
+    assert(rows === Map("en" -> 5L, "de" -> 3L, "__other" -> 4L))
+    // a live-side category unseen in the reference surfaces as __other
+    // drift, never as a new row (state stays bounded)
+    val live = Seq.fill(10)("zz").toDF("lang")
+    val shifted = Drift.psiCategories(ref, live, "lang", topB = 2)
+      .select("cat", "live_n").as[(String, Long)].collect().toMap
+    assert(shifted === Map("en" -> 0L, "de" -> 0L, "__other" -> 10L))
+  }
+
   test("NaiveBayes separates disjoint vocabularies and breaks exact " +
       "ties to the smallest class") {
     val train = Seq(
