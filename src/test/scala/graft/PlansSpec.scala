@@ -262,6 +262,19 @@ class PlansSpec extends SparkSpec {
     assert(scans === 2, s"expected exactly 2 parquet scans, got $scans:\n$p")
   }
 
+  test("Drift.psiCategories joins the bounded spine broadcast, never " +
+      "sort-merge, and shuffles only distinct categories") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val p = graft.operators.Drift.psiCategories(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang", topB = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"top-set/spine joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan sort-merge joins:\n$p")
+  }
+
   test("SpanDedup's default flag plan is join-free (single gram pass); " +
       "the skewRobust plan is the one with the join") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
