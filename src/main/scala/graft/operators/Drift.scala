@@ -138,9 +138,22 @@ object Drift {
         .select(when(col("__in").isNotNull, col("c"))
           .otherwise(lit("__other")).as("cat"))
         .groupBy("cat").agg(count(lit(1)).as(out))
+    psiFromCategoryCounts(spine, mapped(ref, "ref_n"),
+      mapped(live, "live_n"))
+  }
+
+  /** Final categorical PSI table from per-category counts against a
+    * spine frame: (cat, ref_n, live_n, psi9) ordered by cat. Totals and
+    * the smoothing denominator (actual spine size) derive in-plan from
+    * the <= B+1-row frames — no driver actions, same discipline as
+    * [[psiFromBinned]]. Shared by the batch form ([[psiCategories]]) and
+    * the streaming monitor (w12), so the two cannot diverge.
+    */
+  def psiFromCategoryCounts(spine: DataFrame, refCounts: DataFrame,
+      liveCounts: DataFrame): DataFrame = {
     val joined = spine
-      .join(mapped(ref, "ref_n"), Seq("cat"), "left")
-      .join(mapped(live, "live_n"), Seq("cat"), "left")
+      .join(refCounts, Seq("cat"), "left")
+      .join(liveCounts, Seq("cat"), "left")
       .na.fill(0L, Seq("ref_n", "live_n"))
     val all = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)

@@ -301,6 +301,72 @@ object StreamQueries {
               / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
         FROM j CROSS JOIN n ORDER BY bin""")),
 
+    // ---- streaming categorical drift (bounded-state PSI) ---------------
+    // q107's live half as a STREAM: the top-B reference categories are
+    // driver literals (bounded model state — the categorical analog of
+    // w11's lo/hi range scalars), the live mix builds as a complete-mode
+    // groupBy over the mapped category whose state is hard-bounded at
+    // B+1 rows for the life of the stream (every unseen category folds
+    // into __other IN the expression, so no key explosion is possible),
+    // and end-of-stream PSI against the static reference equals the
+    // batch computation — q107's oracle replays it verbatim.
+    "w12_stream_drift_categorical" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Drift
+        val docs = graft.Tables.load(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val top = ref
+          .select(coalesce(col("lang").cast("string"), lit("__other"))
+            .as("c"))
+          .groupBy("c").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("c")).limit(3)
+          .select("c").collect().map(_.getString(0)).toSeq
+        def mapCat(c: org.apache.spark.sql.Column) = {
+          val base = coalesce(c.cast("string"), lit("__other"))
+          if (top.isEmpty) lit("__other")
+          else when(base.isInCollection(top), base).otherwise(lit("__other"))
+        }
+        val liveBinned = StreamingOps.documentsStream(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .groupBy(mapCat(col("lang")).as("cat"))
+          .agg(count(lit(1)).as("live_n"))
+        val mat = StreamingOps.runToMemory(s, liveBinned, "w12_mem",
+          outputMode = "complete")
+        val refCounts = ref
+          .groupBy(mapCat(col("lang")).as("cat"))
+          .agg(count(lit(1)).as("ref_n"))
+        val spine = (top :+ "__other").distinct.toDF("cat")
+        Drift.psiFromCategoryCounts(spine, refCounts, mat)
+      },
+      Some("""WITH r AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__other')
+            AS c FROM documents WHERE doc_id % 2 = 0),
+        lv AS (SELECT COALESCE(CAST(lang AS VARCHAR), '__other') AS c
+          FROM documents WHERE doc_id % 2 = 1),
+        rc0 AS (SELECT c, COUNT(*) AS n FROM r GROUP BY c),
+        top AS (SELECT c FROM (SELECT c, ROW_NUMBER() OVER
+            (ORDER BY n DESC, c) AS rk FROM rc0) WHERE rk <= 3),
+        spine AS (SELECT DISTINCT cat FROM (SELECT c AS cat FROM top
+          UNION ALL SELECT '__other')),
+        rm AS (SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+            ELSE '__other' END AS cat FROM r),
+        lm AS (SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+            ELSE '__other' END AS cat FROM lv),
+        rcc AS (SELECT cat, COUNT(*) AS ref_n FROM rm GROUP BY cat),
+        lcc AS (SELECT cat, COUNT(*) AS live_n FROM lm GROUP BY cat),
+        j AS (SELECT s.cat, COALESCE(rcc.ref_n, 0) AS ref_n,
+            COALESCE(lcc.live_n, 0) AS live_n
+          FROM spine s LEFT JOIN rcc USING (cat) LEFT JOIN lcc USING (cat)),
+        t AS (SELECT SUM(ref_n) AS rn, SUM(live_n) AS lvn,
+            COUNT(*) AS b FROM j)
+        SELECT cat, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(live_n AS BIGINT) AS live_n,
+          CAST(FLOOR(((ref_n + 1.0) / (rn + b)
+              - (live_n + 1.0) / (lvn + b))
+            * LN(((ref_n + 1.0) / (rn + b))
+              / ((live_n + 1.0) / (lvn + b))) * 1e9) AS BIGINT) AS psi9
+        FROM j CROSS JOIN t ORDER BY cat""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {
