@@ -24,12 +24,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query execution accounting (VERDICT r7 #1): shuffle/spill/task
+    // totals between reset and snapshot, plus a canonicalized-plan
+    // fingerprint, recorded alongside wall time so bench drift is
+    // attributable. Snapshots are taken OUTSIDE the timed window (after the
+    // t0 delta is captured) so wall numbers stay comparable to prior rounds.
+    val mx = new BenchMetrics(spark.sparkContext)
+    val execs = scala.collection.mutable.Map.empty[String, BenchMetrics.Exec]
+
     def runOnce(name: String): Double = {
+      mx.reset()
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // metrics of the LAST run win for median-of-3 queries: the plan is
+        // identical across runs, and shuffle volumes differ only by AQE noise
+        execs(name) = mx.snapshot(BenchMetrics.planHash(df))
+        wall
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -53,10 +66,13 @@ object Bench {
     // 6.243 s dask first-partition).
     lazy val ingest = median3 {
       val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
+      mx.reset()
       val t0 = System.nanoTime()
       graft.seamf.SeamfReader.traces(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      execs("seamf_ingest_200_sweeps") = mx.snapshot("")
+      wall
     }
 
     // 10x archive (2000 sweeps, same per-file shape): ingest throughput
@@ -66,10 +82,13 @@ object Bench {
     // bench's dominant cost.
     lazy val ingestLarge = {
       val dir = graft.seamf.SeamfFixtures.sharedBenchArchiveLarge()
+      mx.reset()
       val t0 = System.nanoTime()
       graft.seamf.SeamfReader.traces(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      execs("seamf_ingest_2000_sweeps") = mx.snapshot("")
+      wall
     }
 
     // capture_summary pipeline over the same archive (reference dask:
@@ -77,6 +96,7 @@ object Bench {
     // decode + per-capture PVT peak/mean aggregation + cal metadata join.
     lazy val capSummary = median3 {
       val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
+      mx.reset()
       val t0 = System.nanoTime()
       val tr = graft.seamf.SeamfReader.traces(spark, dir).toDF()
       import org.apache.spark.sql.functions._
@@ -88,7 +108,9 @@ object Bench {
         .select("datetime_us", "frequency", "cal_noise_figure_dB", "overload")
       pvt.join(cal, Seq("datetime_us", "frequency"))
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      execs("seamf_capture_summary_200") = mx.snapshot("")
+      wall
     }
 
     // full lake export of the archive: decode once, write every product
@@ -101,9 +123,12 @@ object Bench {
       val in = graft.seamf.SeamfFixtures.sharedBenchArchive()
       def once(): Double = {
         val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
+        mx.reset()
         val t0 = System.nanoTime()
         graft.seamf.SeamfLake.exportAll(spark, in, out, validate = false)
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        execs("seamf_lake_export_200") = mx.snapshot("")
+        wall
       }
       math.min(once(), once())
     }
@@ -160,9 +185,11 @@ object Bench {
       .mkString("{", ",", "}")
     val rc = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    val ex = results.flatMap { case (k, _) => execs.get(k).map(e =>
+      "\"" + k + "\":" + e.toJson) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"exec":$ex,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only the tail of the line, losing
     // per-query timings every round — persist the full JSON in-repo so

@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+/** Per-query execution accounting for `Bench` (VERDICT r7 #1): aggregates
+  * task-level shuffle read/write bytes, spilled bytes, and task counts
+  * between `reset()` and `snapshot()`, plus a canonicalized-plan
+  * fingerprint, so round-over-round bench diffs can separate "the plan
+  * changed" from "the machine was busy".
+  *
+  * A `SparkListener` (not SQL metrics) is deliberate: several inventory
+  * queries run multiple internal actions (persist + grade + components
+  * loops), and the attribution we want is TOTAL cluster work per query,
+  * which task metrics capture and any single `QueryExecution`'s SQL
+  * metrics would not. The listener bus is async, so `snapshot()` drains it
+  * (via [[org.apache.spark.graft.ListenerBusHatch]]) before reading.
+  */
+final class BenchMetrics(sc: SparkContext) extends SparkListener {
+  private val shuffleRead = new AtomicLong
+  private val shuffleWrite = new AtomicLong
+  private val spill = new AtomicLong
+  private val tasks = new AtomicLong
+
+  sc.addSparkListener(this)
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      tasks.incrementAndGet()
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+
+  def reset(): Unit = {
+    org.apache.spark.graft.ListenerBusHatch.drain(sc)
+    shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); tasks.set(0)
+  }
+
+  /** Drain the bus, then read the counters accumulated since `reset()`. */
+  def snapshot(planHash: String): BenchMetrics.Exec = {
+    org.apache.spark.graft.ListenerBusHatch.drain(sc)
+    BenchMetrics.Exec(shuffleRead.get, shuffleWrite.get, spill.get,
+      tasks.get, planHash)
+  }
+}
+
+object BenchMetrics {
+  /** One query's execution footprint; `planHash` is "" for multi-step
+    * archive metrics that have no single plan to fingerprint.
+    */
+  final case class Exec(shuffleRead: Long, shuffleWrite: Long, spill: Long,
+      tasks: Long, planHash: String) {
+    def toJson: String =
+      s"""{"shuffleRead":$shuffleRead,"shuffleWrite":$shuffleWrite,""" +
+        s""""spill":$spill,"tasks":$tasks,"planHash":"$planHash"}"""
+  }
+
+  /** Fingerprint of the canonicalized (exprId-normalized) physical plan.
+    * Temp-dir paths (seamf fixture archives are created under java.io.tmpdir
+    * with a random suffix each bench run) are masked so the hash is stable
+    * across runs of the same code; under AQE this is the INITIAL plan, i.e.
+    * the code-determined shape, which is exactly what a round-over-round
+    * diff should key on (runtime re-plans are machine-dependent by design).
+    */
+  def planHash(df: DataFrame): String = {
+    val canon = df.queryExecution.executedPlan.canonicalized.toString
+    val masked = canon.replaceAll("/tmp/[^\\s,\\)\\]]*", "<tmp>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(masked.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bench execution-accounting (VERDICT r7 #1): the listener attributes task
+  * work to the window between reset and snapshot, and the plan fingerprint
+  * is deterministic with temp paths masked.
+  */
+class BenchMetricsSpec extends SparkSpec {
+
+  test("planHash is deterministic and insensitive to temp-dir location") {
+    val df1 = spark.range(10).select((col("id") * 2).as("x"))
+    val df2 = spark.range(10).select((col("id") * 2).as("x"))
+    assert(BenchMetrics.planHash(df1) === BenchMetrics.planHash(df2))
+
+    // same data + schema written to two different /tmp locations must hash
+    // identically (seamf fixture archives land in fresh temp dirs each run)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ph_a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ph_b").toString
+    df1.write.mode("overwrite").parquet(d1)
+    df1.write.mode("overwrite").parquet(d2)
+    val h1 = BenchMetrics.planHash(spark.read.parquet(d1).filter(col("x") > 4))
+    val h2 = BenchMetrics.planHash(spark.read.parquet(d2).filter(col("x") > 4))
+    assert(h1 === h2)
+  }
+
+  test("planHash distinguishes different plans") {
+    val a = spark.range(10).select((col("id") * 2).as("x"))
+    val b = spark.range(10).select((col("id") + 2).as("x"))
+    assert(BenchMetrics.planHash(a) !== BenchMetrics.planHash(b))
+  }
+
+  test("listener attributes tasks/shuffle to the reset..snapshot window") {
+    val mx = new BenchMetrics(spark.sparkContext)
+    // work BEFORE reset must not leak into the window
+    spark.range(100000).groupBy(col("id") % 7).count()
+      .write.format("noop").mode("overwrite").save()
+    mx.reset()
+    val before = mx.snapshot("")
+    assert(before.tasks === 0 && before.shuffleWrite === 0)
+
+    spark.range(100000).groupBy(col("id") % 7).count()
+      .write.format("noop").mode("overwrite").save()
+    val after = mx.snapshot("")
+    assert(after.tasks > 0)
+    assert(after.shuffleWrite > 0)
+    assert(after.shuffleRead > 0)
+  }
+}
