@@ -126,8 +126,9 @@ object ScaleBench {
         dst: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(src)) {
         java.nio.file.Files.createDirectories(dst)
-        java.nio.file.Files.list(src).forEach(p =>
-          copyRecursive(p, dst.resolve(p.getFileName)))
+        val s = java.nio.file.Files.list(src)
+        try s.forEach(p => copyRecursive(p, dst.resolve(p.getFileName)))
+        finally s.close()
       } else java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

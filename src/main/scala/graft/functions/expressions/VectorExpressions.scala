@@ -111,6 +111,14 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * Null semantics match the zip_with formulation: length mismatch or a
   * null element gives NULL.
+  *
+  * Input-magnitude bound: each term floor((a-b)^2 * 1e9) must fit a long,
+  * which holds for |a - b| < ~9.6e4 per element (and the SUM for any
+  * realistic dimension count). Beyond that the JVM cast saturates at
+  * Long.MaxValue while DuckDB's CAST(FLOOR(...) AS BIGINT) raises — the
+  * cross-engine identity above assumes unit-ish embedding magnitudes
+  * (every caller here: normalized or near-normalized vectors), not
+  * arbitrary doubles.
   */
 case class SqDist9(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -41,7 +41,10 @@ object Drift {
 
   /** Clamped fixed-width bin index for a value column — usable in batch
     * AND streaming plans (pure expression). `width` 0 (degenerate
-    * reference) maps everything to bin 0.
+    * reference) maps everything to bin 0. NULL values clamp to bin 0
+    * (Spark's greatest/least skip NULLs) — callers that want the
+    * documented NULLs-excluded semantics must filter `isNotNull` BEFORE
+    * binning, as [[psiBins]] does.
     */
   def binCol(c: Column, lo: Double, width: Double, bins: Int): Column =
     if (width == 0.0) lit(0)
@@ -81,9 +84,12 @@ object Drift {
   }
 
   /** Per-bin PSI table between two batch frames; sum(psi9)/1e9 is the
-    * headline PSI. Rows whose value is NULL bin to NULL and are excluded
-    * from both the histogram and the side totals (the totals are the
-    * binned mass, not the raw row count).
+    * headline PSI. Rows whose value is NULL are filtered out BEFORE
+    * binning and are therefore excluded from both the histogram and the
+    * side totals (the totals are the binned mass, not the raw row count).
+    * The explicit filter — rather than relying on how NULL flows through
+    * the clamp — keeps the semantics portable: engines disagree on
+    * whether GREATEST propagates or skips NULL.
     */
   def psiBins(ref: DataFrame, live: DataFrame, valueCol: String,
       bins: Int = 10): DataFrame = {
@@ -91,7 +97,8 @@ object Drift {
     val (lo, hi) = referenceRange(ref, valueCol)
     val width = (hi - lo) / bins
     def counts(df: DataFrame, out: String) =
-      df.groupBy(binCol(col(valueCol), lo, width, bins).as("bin"))
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(binCol(col(valueCol), lo, width, bins).as("bin"))
         .agg(count(lit(1)).as(out))
     psiFromBinned(ref.sparkSession, counts(ref, "ref_n"),
       counts(live, "live_n"), bins)
@@ -110,9 +117,10 @@ object Drift {
     *
     * Plan shape, reading 100 TB: one vocabulary-bounded groupBy per side
     * (partial aggregation — the shuffle carries distinct categories, not
-    * rows), one unpartitioned window over the DISTINCT-CATEGORY frame to
-    * rank the top set (vocabulary-sized, the q49 argument), and a
-    * broadcast join of the <= topB spine back into the count frames.
+    * rows), a TakeOrderedAndProject top-B over the distinct-category frame
+    * (partial top-B per partition — no single-partition sort even on an
+    * adversarial high-cardinality column), and a broadcast join of the
+    * <= topB spine back into the count frames.
     * Output: (cat, ref_n, live_n, psi9) ordered by cat; sum(psi9)/1e9 is
     * the headline PSI.
     */
@@ -123,11 +131,12 @@ object Drift {
     def cats(df: DataFrame) = df.select(
       coalesce(col(catCol).cast("string"), lit("__other")).as("c"))
     val rc0 = cats(ref).groupBy("c").agg(count(lit(1)).as("n"))
-    val top = rc0
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("c"))))
-      .filter(col("rk") <= topB).select("c")
+    // orderBy().limit() (not a row_number() window): Catalyst plans this as
+    // TakeOrderedAndProject — partial top-B per partition, merged on the
+    // driver — so an adversarial high-cardinality column never funnels the
+    // whole distinct-category frame through one partition's sort. Same
+    // deterministic order (count desc, category asc), same result.
+    val top = rc0.orderBy(col("n").desc, col("c")).limit(topB).select("c")
     val spine = top.select(col("c").as("cat"))
       .unionByName(spark.range(1).select(lit("__other").as("cat")))
       .distinct()

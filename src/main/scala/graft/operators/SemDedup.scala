@@ -178,9 +178,21 @@ object SemDedup {
     * configuration while k stays bounded; the gate makes the crossover
     * explicit instead of letting either quadratic run.
     */
+  /** Bit depth of the past-the-gate LSH cells: 2^bits ~ n/target so
+    * expected bucket occupancy ~ targetClusterSize, clamped to [8, 20].
+    * Exposed (and integer-exact — no float log2) because any hash-replayed
+    * oracle of the gate path must hard-code its plane count; callers pin
+    * the coupling via `survivorsAuto(pinnedBits = ...)`.
+    */
+  def gateBits(n: Long, targetClusterSize: Int): Int =
+    math.min(20, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, n / targetClusterSize) - 1)))
+
   def survivorsAuto(emb: DataFrame, idCol: String, vecCol: String,
       targetClusterSize: Int, iters: Int, minCosine: Double,
-      maxClusterFactor: Int = 8, maxExactK: Int = 1024): DataFrame = {
+      maxClusterFactor: Int = 8, maxExactK: Int = 1024,
+      pinnedBits: Option[Int] = None): DataFrame = {
     require(targetClusterSize >= 1,
       s"targetClusterSize must be >= 1, got $targetClusterSize")
     val n = emb.count()
@@ -190,9 +202,13 @@ object SemDedup {
       import graft.functions.VectorOps
       val nTables = 8
       // expected bucket occupancy ~ targetClusterSize (2^bits ~ n/target)
-      val bits = math.min(20, math.max(8,
-        64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(1L, n / targetClusterSize) - 1)))
+      val bits = gateBits(n, targetClusterSize)
+      // an oracle that replays the plane construction hard-codes its plane
+      // count; fail LOUDLY the moment the derivation drifts past it
+      // instead of silently invalidating the replay (ADVICE r7)
+      pinnedBits.foreach(pb => require(bits == pb,
+        s"derived LSH bit depth $bits != oracle-pinned $pb at n=$n, " +
+          s"target=$targetClusterSize — regenerate the oracle plane count"))
       val base = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v"))
       val dim = VectorOps.dimOf(base, "__v")

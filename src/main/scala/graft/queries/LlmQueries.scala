@@ -1019,13 +1019,16 @@ object LlmQueries {
     // scaladoc). Every stage replays in SQL: the md5-derived planes (as
     // in q32), bucket packing, min-id reps, and the cosine verify — so
     // the SCALE path is hash-graded, not just the bounded-k oracle form.
-    // Bit depth is 8 at both gate SFs (max(8, ceil(log2(n/50)))).
+    // Bit depth derives as SemDedup.gateBits (8 at both gate SFs); the
+    // oracle's 8x8 plane grid is PINNED via pinnedBits, so crossing the
+    // >12,800-embedding threshold fails loudly in the operator instead of
+    // silently invalidating the replay (ADVICE r7).
     "q103c_semdedup_lsh_gate" -> QueryDef(
       (s, dir) => {
         import graft.operators.SemDedup
         SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
             "embedding", targetClusterSize = 50, iters = 2,
-            minCosine = 0.45, maxExactK = 1)
+            minCosine = 0.45, maxExactK = 1, pinnedBits = Some(8))
           .orderBy("vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1433,9 +1433,9 @@ object RelationalQueries {
           docs.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10)
       },
       Some("""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x
-          FROM documents WHERE doc_id % 2 = 0),
+          FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
         lv AS (SELECT CAST(n_chars AS DOUBLE) AS x
-          FROM documents WHERE doc_id % 2 = 1),
+          FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
         rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM r),
         b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
         rc AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - lo)

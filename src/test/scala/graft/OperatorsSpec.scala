@@ -724,6 +724,10 @@ class OperatorsSpec extends SparkSpec {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs += 1
     }
+    // drain the shared async bus BEFORE registering: a still-queued
+    // job-start event from a previous test would otherwise be dispatched
+    // to the new listener and counted, making jobs > 1 flaky (ADVICE r7)
+    org.apache.spark.graft.ListenerBusHatch.drain(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     try {
       NgramLm.train(docs, "doc_id", "text")

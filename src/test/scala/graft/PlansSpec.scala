@@ -273,6 +273,13 @@ class PlansSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"top-set/spine joins not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"plan sort-merge joins:\n$p")
+    // the top-B rank must plan as TakeOrderedAndProject (partial top-B per
+    // partition), NOT a row_number() over a single-partition window — the
+    // final psiFromCategoryCounts total window over the <= B+1-row spine is
+    // the only window allowed in the plan (VERDICT r7 #4)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-B rank not TakeOrderedAndProject:\n$p")
+    assert(!p.contains("row_number"), s"plan still ranks via row_number:\n$p")
   }
 
   test("SpanDedup's default flag plan is join-free (single gram pass); " +
