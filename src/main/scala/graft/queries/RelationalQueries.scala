@@ -415,6 +415,39 @@ object RelationalQueries {
              AND p.ts <= c.ts), -1.0) AS last_purchase
         FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
 
+    // ---- J2: BOUNDED backward as-of join (tolerance) -------------------
+    // q18 with a 1-day tolerance: a purchase more than a day before the
+    // click no longer matches (NULL -> -1), the pandas
+    // merge_asof(tolerance=...) contract. An unbounded as-of against
+    // calibration metadata silently joins stale values across sensor
+    // gaps — this is the production form (VERDICT r7 #3). Same one-shuffle
+    // union+window plan; the bound is a per-row predicate on the filled
+    // match, not an extra join.
+    "q18b_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsOfJoin.backward(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("purchase_value"),
+            tolerance = Some(86400000000L))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        COALESCE(
+          (SELECT arg_max(p.value, p.ts) FROM ev p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts <= c.ts
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000), -1.0)
+          AS last_purchase
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
     // ---- J2/W3: NEAREST as-of join -------------------------------------
     // The reference's actual idiom is method='nearest' (plots.py:76-77,
     // forensic/3gpp cell 3): right row minimizing |leftTs - rightTs|,
@@ -450,6 +483,45 @@ object RelationalQueries {
               2*ABS(epoch_us(p.ts) - epoch_us(c.ts)) +
               CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END)
             FROM p WHERE p.user_id = c.user_id), -1) AS nearest_purchase_ts_us
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
+    // ---- J2/W3: BOUNDED nearest as-of join (tolerance) -----------------
+    // q44 with a 1-day tolerance on |delta|: candidates beyond the bound
+    // are disqualified BEFORE the nearest pick, so a click whose only
+    // purchases are stale gets NULL -> -1 (pandas direction='nearest' +
+    // tolerance). Same two union+window passes as q44.
+    "q44b_asof_nearest_tolerance" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsOfJoin.nearest(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCol = "purchase_value", tolerance = Some(86400000000L))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("nearest_purchase"),
+            coalesce(unix_micros(col("purchase_value_ts")), lit(-1L))
+              .as("nearest_purchase_ts_us"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte, p AS (SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          COALESCE((SELECT arg_min(p.purchase_value,
+              2*ABS(epoch_us(p.ts) - epoch_us(c.ts)) +
+              CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END)
+            FROM p WHERE p.user_id = c.user_id
+              AND ABS(epoch_us(p.ts) - epoch_us(c.ts)) <= 86400000000),
+            -1.0) AS nearest_purchase,
+          COALESCE((SELECT arg_min(epoch_us(p.ts),
+              2*ABS(epoch_us(p.ts) - epoch_us(c.ts)) +
+              CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END)
+            FROM p WHERE p.user_id = c.user_id
+              AND ABS(epoch_us(p.ts) - epoch_us(c.ts)) <= 86400000000),
+            -1) AS nearest_purchase_ts_us
         FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
 
     // ---- time-weighted linear interpolation (as-of both directions) ----
@@ -939,6 +1011,40 @@ object RelationalQueries {
           (SELECT arg_max(p.value, p.ts) FROM ev p
            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
              AND p.ts <= c.ts), -1.0) AS last_purchase
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
+    // ---- J2 via the custom operator, bounded + strict ------------------
+    // q46's physical AsOfJoinExec exercising BOTH production knobs: a
+    // 1-day tolerance (stale match -> NULL, enforced per-row at emit
+    // inside the one streaming merge pass) and allowExactMatches = false
+    // (a purchase at EXACTLY the click timestamp no longer matches — the
+    // advance loop stops one row sooner). Oracle replays both bounds.
+    "q46b_asof_physical_tolerance" -> QueryDef(
+      (s, dir) => {
+        if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts", "user_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        graft.plans.AsOfJoinPhysical.backward(clicks, purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("purchase_value"),
+            tolerance = Some(86400000000L), allowExactMatches = false)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("purchase_value"), lit(-1.0)).as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        COALESCE(
+          (SELECT arg_max(p.value, p.ts) FROM ev p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts < c.ts
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000), -1.0)
+          AS last_purchase
         FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
 
     // ---- A1/A3: exact median / quantiles -------------------------------
