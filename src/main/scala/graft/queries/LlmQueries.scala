@@ -1059,6 +1059,81 @@ object LlmQueries {
         WHERE vec_id NOT IN (SELECT id_b FROM rem)
         ORDER BY vec_id""")),
 
+    // ---- SemDeDup gate-path recall grade -------------------------------
+    // What the q103c gate TRADES AWAY, measured (VERDICT r7 #2): on the
+    // same corpus, survivor-set agreement between the exact derived-k path
+    // (q103b config) and the past-the-gate representative-anchored LSH
+    // path (q103c config). Emits the removal-set sizes, their overlap,
+    // and recall9 = floor(n_agree * 1e9 / n_exact_removed) — integer
+    // arithmetic end to end (DIV / //), so the agreement METRIC itself
+    // replays exactly, the way q45 grades MinHash pair recall and q89
+    // grades LSH cluster recall. Both paths hash-replay in the oracle
+    // (the Lloyd CTE chain + the md5-derived plane chain).
+    "q103d_semdedup_gate_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        val emb = t(s, dir, "embeddings")
+        val exact = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2, minCosine = 0.45)
+        val lsh = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2, minCosine = 0.45,
+          maxExactK = 1, pinnedBits = Some(8))
+        val all = emb.select(col("vec_id"))
+        val exRem = all.except(exact).select(col("vec_id"),
+          lit(1L).as("__ex"))
+        val lshRem = all.except(lsh).select(col("vec_id"),
+          lit(1L).as("__ls"))
+        exRem.join(lshRem, Seq("vec_id"), "full")
+          .na.fill(0L, Seq("__ex", "__ls"))
+          .agg(sum("__ex").as("n_exact_removed"),
+            sum("__ls").as("n_lsh_removed"),
+            sum(col("__ex") * col("__ls")).as("n_agree"))
+          .select(col("n_exact_removed"), col("n_lsh_removed"),
+            col("n_agree"),
+            when(col("n_exact_removed") === 0, lit(-1L))
+              .otherwise(expr("n_agree * 1000000000 DIV n_exact_removed"))
+              .as("recall9"))
+      },
+      Some(s"""WITH ${kmeansA2Cte(
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        remx AS (SELECT DISTINCT b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT e.id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        reps AS (SELECT tbl, bucket, MIN(id) AS id_a
+          FROM buck GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT r.id_a, k.id AS id_b
+          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
+          WHERE k.id > r.id_a),
+        reml AS (SELECT DISTINCT id_b AS id FROM cand
+          JOIN e a ON a.id = cand.id_a
+          JOIN e b ON b.id = cand.id_b
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        st AS (SELECT (SELECT COUNT(*) FROM remx) AS nx,
+            (SELECT COUNT(*) FROM reml) AS nl,
+            (SELECT COUNT(*) FROM remx JOIN reml USING (id)) AS na)
+        SELECT CAST(nx AS BIGINT) AS n_exact_removed,
+          CAST(nl AS BIGINT) AS n_lsh_removed,
+          CAST(na AS BIGINT) AS n_agree,
+          CAST(CASE WHEN nx = 0 THEN -1
+            ELSE na * 1000000000 // nx END AS BIGINT) AS recall9
+        FROM st""")),
+
     // ---- embedding column statistics -----------------------------------
     // Means of irrational per-row doubles (norms): scale-and-floor each value
     // to an exact long (1e-9 truncation), sum exactly, divide once — immune
