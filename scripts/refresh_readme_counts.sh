@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Regenerate the hand-drifting counts in README.md from ground truth
+# (VERDICT r7 #7: the README said 314 tests when the suite had 328 —
+# counts must be injected, not hand-maintained).
+#
+# Usage: scripts/refresh_readme_counts.sh [sbt-test-log]
+#   - test/suite counts parse from the given sbt test log (default:
+#     /tmp/sbt_test.log); if the log is missing or has no summary line,
+#     the test counts are left untouched and a warning prints.
+#   - the query-inventory count greps the QueryDef registry (the same
+#     `"name" -> QueryDef(` shape SparkEntry assembles verbatim, so the
+#     grep IS the registry size).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/sbt_test.log}"
+
+NQUERIES=$(grep -rhoE '"[a-z0-9_]+" -> QueryDef\(' src/main/scala/graft/queries/*.scala | sort -u | wc -l)
+sed -i -E "s/full [0-9]+-query inventory/full ${NQUERIES}-query inventory/" README.md
+
+if [[ -f "$LOG" ]] && grep -qE 'Total number of tests run: [0-9]+' "$LOG"; then
+  NTESTS=$(grep -oE 'Total number of tests run: [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+')
+  NSUITES=$(grep -oE 'Suites: completed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+')
+  sed -i -E "s/# [0-9]+ tests, [0-9]+ suites/# ${NTESTS} tests, ${NSUITES} suites/" README.md
+else
+  echo "WARN: no sbt summary in $LOG — test counts left as-is" >&2
+fi
+
+grep -nE "tests, [0-9]+ suites|query inventory" README.md

@@ -50,7 +50,9 @@ object ScaleBench {
     "q103b_semdedup_survivors", // SemDeDup derived-k production form (r7)
     "q104_nb_source_classifier", // Naive Bayes train + confusion (r7 point)
     "q105_drift_psi",       // PSI drift monitor (r7 point)
-    "q106_length_bucketing") // length-bucketed batching (r7 point)
+    "q106_length_bucketing", // length-bucketed batching (r7 point)
+    "q102b_span_strip",     // span strip/reassembly (r8 point)
+    "q107_drift_psi_categorical") // categorical PSI (r8 point)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -68,7 +70,12 @@ object ScaleBench {
     "q26_minhash_lsh", "q57_kmeans", "q77_pack_chunks",
     "q92_count_min", "q97b_funnel_onepass",
     "q101_lm_perplexity", "q102_repeated_spans",
-    "q103b_semdedup_survivors")
+    "q103b_semdedup_survivors",
+    // r8 points (VERDICT r7 #5): families previously measured to
+    // decade 2 only — all flat-to-linear by construction
+    "q104_nb_source_classifier", "q105_drift_psi",
+    "q106_length_bucketing", "q102b_span_strip",
+    "q107_drift_psi_categorical")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

@@ -104,6 +104,16 @@ object SpanDedup {
         .select("h")
       g.join(dup, "h").select("id", "pos")
     }
+    mergeFlagged(flagged, k)
+  }
+
+  /** Coalesce flagged gram positions (id, pos) into maximal half-open
+    * spans (id, span_start, span_end): a new island starts wherever a
+    * position clears every previous gram's end. Shared by the production
+    * fingerprint path and the exact truth construction so the two span
+    * sets differ ONLY in their flag rule.
+    */
+  private def mergeFlagged(flagged: DataFrame, k: Int): DataFrame = {
     val before = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val upTo = Window.partitionBy("id").orderBy("pos")
@@ -117,6 +127,41 @@ object SpanDedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + k).as("span_end"))
       .drop("__island")
+  }
+
+  /** Suffix-array-grade TRUTH spans on a bounded grading corpus (q102c):
+    * the exact character set a suffix array with match threshold k marks
+    * (Lee et al. 2021 §4.1 — a repeat of length >= k exists at a position
+    * iff some k-gram starting in it occurs at >= 2 distinct corpus
+    * positions), built relationally:
+    *  - grams are grouped RAW (no fingerprint — exactness is the point of
+    *    a truth construction, so hash collisions must be impossible);
+    *  - the flag rule counts total corpus OCCURRENCES (>= 2 positions
+    *    anywhere), so repeats WITHIN a single document mark too — the
+    *    semantics `repeatedSpans`' cross-document minDf rule deliberately
+    *    narrows, and exactly what q102c measures;
+    *  - island merging is shared with the production path, so the span
+    *    sets differ only in the flag rule.
+    * Corpus-bounded BY DESIGN: the gram shuffle carries raw k-char
+    * strings (~k bytes per character of corpus). This is the grading
+    * baseline, not the scale path — at 100 TB you run `repeatedSpans`
+    * and carry its measured recall from a corpus sample.
+    */
+  def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2, got $k")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val g = spread.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+        col(textCol))
+      .select(col("id"), col("pos"),
+        col(textCol).substr(col("pos"), lit(k)).as("g"))
+    val dup = g.groupBy("g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("g")
+    mergeFlagged(g.join(dup, "g").select("id", "pos"), k)
   }
 
   /** Per-document roll-up: (idCol, n_dup_spans, dup_chars) for documents

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): slide a window of `w` consecutive k-gram hashes over each
+  * document and keep the minimum hash per window (rightmost position on
+  * ties). The selected set is a document SKETCH with two guarantees:
+  *  - density: the expected fraction of grams kept is 2/(w+1), so the
+  *    sketch is ~w/2 x smaller than the full gram set;
+  *  - detection: any substring match of length >= w + k - 1 between two
+  *    documents shares at least one selected fingerprint — no long
+  *    copy can slip between windows.
+  *
+  * This is the BOUNDED-SKETCH scale path for substring-level similarity:
+  * `SpanDedup` shuffles every gram (exact span recovery, linear in
+  * characters); winnowing shuffles ~2/(w+1) of them and still catches
+  * every repeat of length >= w + k - 1 — the configuration for "which
+  * documents share copied text" at 100 TB, when per-character span
+  * boundaries are not needed.
+  *
+  * Plan shape: gram emission + hash + the encode are map-side; selection
+  * is ONE per-document window (partition bounded by document length);
+  * the sketch dedup is a partial-aggregable distinct. Nothing anywhere
+  * is corpus-keyed except the final fingerprint join a caller builds on
+  * the sketch.
+  *
+  * Portability: gram hashes are 40-bit md5 prefixes and the (hash asc,
+  * position desc) selection order is packed into ONE long — `h * 2^23 +
+  * (2^23 - 1 - pos)` — so the window aggregate is a plain MIN that DuckDB
+  * replays verbatim (hash-first lexicographic = minimal hash, and the
+  * inverted position picks the RIGHTMOST minimal gram, the paper's tie
+  * rule). The packing bounds positions at 2^23 - 1 (~8.3M chars per
+  * document) — beyond that the encode would collide across positions;
+  * documents longer than that should be segmented upstream.
+  */
+object Winnow {
+
+  /** Positions per document are packed into this many low bits. */
+  val PosBits = 23
+  private val PosMask = (1L << PosBits) - 1 // 8388607
+
+  /** The winnowed sketch: (id, pos, h) — the selected k-gram fingerprints
+    * of every document with at least one full window (length >= k+w-1).
+    * `h` is the portable 40-bit md5 prefix of the gram; `pos` its 1-based
+    * character position.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+    // spread pre-explosion rows across cores (same rationale as
+    // SpanDedup.grams: the explode is ~len(text)-fold and CPU-bound)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val g = spread.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("id"), length(col(textCol)).as("__n"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+        col(textCol))
+      .select(col("id"), col("__n"), col("pos"),
+        (conv(substring(md5(col(textCol).substr(col("pos"), lit(k))), 1, 10),
+          16, 10).cast("long") * lit(PosMask + 1) +
+          (lit(PosMask) - col("pos"))).as("__comb"))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("__sel", min(col("__comb")).over(frame))
+      // only FULL windows select (starts 1 .. nGrams - w + 1, where
+      // nGrams = len - k + 1); overlapping windows re-selecting the same
+      // gram collapse in the distinct
+      .filter(col("pos") <= col("__n") - (k + w - 2))
+      .select(col("id"),
+        (lit(PosMask) - pmod(col("__sel"), lit(PosMask + 1))).as("pos"),
+        shiftright(col("__sel"), PosBits).as("h"))
+      .distinct()
+  }
+}

@@ -1085,9 +1085,12 @@ object LlmQueries {
           lit(1L).as("__ls"))
         exRem.join(lshRem, Seq("vec_id"), "full")
           .na.fill(0L, Seq("__ex", "__ls"))
-          .agg(sum("__ex").as("n_exact_removed"),
-            sum("__ls").as("n_lsh_removed"),
-            sum(col("__ex") * col("__ls")).as("n_agree"))
+          // coalesce: SUM over an empty corpus is NULL in Spark but the
+          // oracle's scalar COUNT subqueries emit 0 — the empty answer is
+          // (0, 0, 0, -1) in both engines (EmptyInputSpec pins it)
+          .agg(coalesce(sum("__ex"), lit(0L)).as("n_exact_removed"),
+            coalesce(sum("__ls"), lit(0L)).as("n_lsh_removed"),
+            coalesce(sum(col("__ex") * col("__ls")), lit(0L)).as("n_agree"))
           .select(col("n_exact_removed"), col("n_lsh_removed"),
             col("n_agree"),
             when(col("n_exact_removed") === 0, lit(-1L))
@@ -2193,6 +2196,146 @@ object LlmQueries {
         SELECT doc_id, CAST(len(kt) AS INT) AS kept_chars,
           md5(kt) AS kept_md5
         FROM kept ORDER BY doc_id""")),
+
+    // ---- repeated-span RECALL vs the suffix-array-grade truth ----------
+    // What the production k-gram path TRADES AWAY, measured (VERDICT r7
+    // stretch): TRUTH = SpanDedup.exactRepeatedSpans — raw grams (no
+    // fingerprint, collisions impossible) flagged on total corpus
+    // occurrences >= 2, which marks exactly the characters a suffix array
+    // with match threshold k marks, INCLUDING repeats within a single
+    // document. PRODUCTION = repeatedSpans' cross-document rule. The
+    // production span set is a subset by construction (precision 1), so
+    // the grade is character-level recall: covered truth chars, as
+    // recall9 = floor(covered * 1e9 / truth_chars) in integer arithmetic
+    // end to end (DIV / //) so the metric itself hash-replays — the q45 /
+    // q89 / q103d grading standard. Both span sets are per-doc disjoint,
+    // so summed pairwise interval overlaps = |intersection| exactly.
+    "q102c_span_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SpanDedup
+        val docs = t(s, dir, "documents")
+        val truth = SpanDedup.exactRepeatedSpans(docs, "doc_id", "text",
+          k = 30)
+        val prod = SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 30)
+        val tAgg = truth.agg(count(lit(1)).as("n_truth_spans"),
+          coalesce(sum(col("span_end") - col("span_start")), lit(0L))
+            .cast("long").as("truth_chars"))
+        val pAgg = prod.agg(count(lit(1)).as("n_prod_spans"),
+          coalesce(sum(col("span_end") - col("span_start")), lit(0L))
+            .cast("long").as("prod_chars"))
+        val ov = truth.alias("t").join(prod.alias("p"),
+            col("t.id") === col("p.id") &&
+              col("p.span_start") < col("t.span_end") &&
+              col("t.span_start") < col("p.span_end"))
+          .select((least(col("t.span_end"), col("p.span_end")) -
+            greatest(col("t.span_start"), col("p.span_start"))).as("__ov"))
+          .agg(coalesce(sum(col("__ov")), lit(0L)).cast("long")
+            .as("covered_chars"))
+        tAgg.crossJoin(pAgg).crossJoin(ov)
+          .select(col("n_truth_spans"), col("truth_chars"),
+            col("n_prod_spans"), col("prod_chars"), col("covered_chars"),
+            when(col("truth_chars") === 0, lit(-1L))
+              .otherwise(expr("covered_chars * 1000000000 DIV truth_chars"))
+              .as("recall9"))
+      },
+      Some("""WITH g AS (SELECT doc_id, i,
+          substring(text, CAST(i AS INT), 30) AS gr
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
+            FROM documents WHERE len(text) >= 30)),
+        dt AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) >= 2),
+        dp AS (SELECT gr FROM g GROUP BY gr
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        pt AS (SELECT doc_id, i FROM g JOIN dt USING (gr)),
+        pp AS (SELECT doc_id, i FROM g JOIN dp USING (gr)),
+        mt AS (SELECT doc_id, i,
+            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
+                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808) THEN 1 ELSE 0 END AS nw
+          FROM pt),
+        it AS (SELECT doc_id, i,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM mt),
+        spt AS (SELECT doc_id, island, MIN(i) AS s, MAX(i) + 30 AS e
+          FROM it GROUP BY 1, 2),
+        mp AS (SELECT doc_id, i,
+            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
+                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808) THEN 1 ELSE 0 END AS nw
+          FROM pp),
+        ip AS (SELECT doc_id, i,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM mp),
+        spp AS (SELECT doc_id, island, MIN(i) AS s, MAX(i) + 30 AS e
+          FROM ip GROUP BY 1, 2),
+        ta AS (SELECT COUNT(*) AS nts, COALESCE(SUM(e - s), 0) AS tc
+          FROM spt),
+        pa AS (SELECT COUNT(*) AS nps, COALESCE(SUM(e - s), 0) AS pc
+          FROM spp),
+        ov AS (SELECT COALESCE(SUM(LEAST(spt.e, spp.e)
+              - GREATEST(spt.s, spp.s)), 0) AS cc
+          FROM spt JOIN spp ON spt.doc_id = spp.doc_id
+            AND spp.s < spt.e AND spt.s < spp.e)
+        SELECT CAST(nts AS BIGINT) AS n_truth_spans,
+          CAST(tc AS BIGINT) AS truth_chars,
+          CAST(nps AS BIGINT) AS n_prod_spans,
+          CAST(pc AS BIGINT) AS prod_chars,
+          CAST(cc AS BIGINT) AS covered_chars,
+          CAST(CASE WHEN tc = 0 THEN -1
+            ELSE cc * 1000000000 // tc END AS BIGINT) AS recall9
+        FROM ta CROSS JOIN pa CROSS JOIN ov""")),
+
+    // ---- winnowing fingerprint matching (MOSS) -------------------------
+    // The BOUNDED-SKETCH substring-similarity path (Schleimer et al. 2003):
+    // each document keeps only the window-minimum k-gram hashes (~2/(w+1)
+    // of its grams; operators/Winnow.scala), yet any shared substring of
+    // length >= w+k-1 = 27 still shares a fingerprint. Top document pairs
+    // by shared-fingerprint count — MOSS's plagiarism ranking, and the
+    // cheap "which documents share copied text" pass at 100 TB. Hot
+    // fingerprints (boilerplate present in > 20 docs) are dropped before
+    // pairing — same df-cap rationale as the Jaccard inverted index, and
+    // the cap bounds the pair fan-out at df^2 per fingerprint. Fully
+    // portable: 40-bit md5 gram hashes, (hash asc, pos desc) selection
+    // packed into one BIGINT so the oracle's window MIN replays the
+    // rightmost-min tie rule exactly.
+    "q102d_winnow_pairs" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Winnow
+        val docs = t(s, dir, "documents")
+        val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+        val byDoc = fp.select(col("id"), col("h")).distinct()
+        val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 20).select("h")
+        val m = byDoc.join(ok, "h")
+        m.alias("a").join(m.alias("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+          .limit(10)
+      },
+      Some("""WITH g AS (SELECT doc_id, i, len(text) AS n,
+          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
+            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
+            FROM documents WHERE len(text) >= 27)),
+        s AS (SELECT doc_id, i, n,
+            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+          FROM g),
+        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
+          FROM s WHERE i <= n - 26),
+        okh AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
+        m AS (SELECT doc_id, h FROM fp JOIN okh USING (h)),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS n_shared
+          FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        FROM p WHERE n_shared >= 2
+        ORDER BY n_shared DESC, id_a, id_b LIMIT 10""")),
 
     // ---- end-to-end curation funnel -------------------------------------
     // The showcase composition: quality gate -> portable exact dedup ->

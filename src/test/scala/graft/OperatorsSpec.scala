@@ -681,6 +681,90 @@ class OperatorsSpec extends SparkSpec {
       (4L, "-unique-filler-here-")))
   }
 
+  test("exactRepeatedSpans marks within-document repeats the " +
+      "cross-document production rule misses, and nothing else differs") {
+    val block = "HELLOWORLDTHISISREPEATED" // len 24, shared by docs 1+2
+    val self = "SELFREPEATINGBLOCKXYZ"     // len 21, twice in doc 5 ONLY
+    val docs = Seq(
+      (1L, "aaaaa" + block + "bbbbb"),
+      (2L, "ccccc" + block + "ddddd"),
+      (3L, "nothing shared in this one at all........."),
+      (5L, self + "--unique--middle--" + self))
+      .toDF("doc_id", "text")
+    val truth = SpanDedup.exactRepeatedSpans(docs, "doc_id", "text", k = 10)
+      .orderBy("id", "span_start").as[(Long, Long, Long)].collect().toSeq
+    // suffix-array semantics: the cross-doc block AND doc 5's self-repeat
+    // (positions 1..21 and 40..60, merged per occurrence) both mark
+    assert(truth === Seq(
+      (1L, 6L, 30L), (2L, 6L, 30L),
+      (5L, 1L, 22L), (5L, 40L, 61L)))
+    // the production cross-document rule sees only the shared block: its
+    // span set is a strict SUBSET of truth (precision 1 by construction)
+    val prod = SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 10)
+      .orderBy("id", "span_start").as[(Long, Long, Long)].collect().toSeq
+    assert(prod === Seq((1L, 6L, 30L), (2L, 6L, 30L)))
+    // character-level recall on this fixture: truth 24+24+21+21 = 90,
+    // covered 48 -> recall9 = 48e9 DIV 90
+    val truthChars = truth.map(s => s._3 - s._2).sum
+    val coveredChars = prod.map(s => s._3 - s._2).sum
+    assert(truthChars === 90L && coveredChars === 48L)
+    // overlapping self-occurrences mark too (a run "xxxxxxxxxxxx" repeats
+    // its k-gram at shifted positions — two distinct corpus suffixes
+    // share a length-k prefix, exactly what a suffix array reports)
+    val run = Seq((9L, "zq" + "x" * 14 + "qz")).toDF("doc_id", "text")
+    val runSpans = SpanDedup.exactRepeatedSpans(run, "doc_id", "text",
+      k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(runSpans === Seq((9L, 3L, 17L)))
+  }
+
+  test("Winnow sketch honors the paper's guarantees: every window " +
+      "selects, fingerprints are real gram hashes, shared blocks detect") {
+    val k = 5; val w = 4
+    val block = "COPIEDBLOCKXYZ" // len 14 >= w+k-1 = 8 -> must detect
+    val docs = Seq(
+      (1L, "aaaa" + block + "bbbbbbbb"),
+      (2L, "cccccccc" + block + "dddd"),
+      (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect().toSeq
+    val texts = Map(1L -> ("aaaa" + block + "bbbbbbbb"),
+      2L -> ("cccccccc" + block + "dddd"),
+      3L -> "totally unrelated content here")
+    def h40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(10), 16)
+    }
+    // every fingerprint is the hash of the gram actually at its position
+    fp.foreach { case (id, pos, h) =>
+      val gram = texts(id).substring(pos.toInt - 1, pos.toInt - 1 + k)
+      assert(h === h40(gram), s"doc $id pos $pos: not the gram's hash")
+    }
+    // coverage: every full window of w consecutive gram starts contains a
+    // selected position (the winnowing invariant — no long match can slip
+    // between selections)
+    for ((id, text) <- texts) {
+      val sel = fp.filter(_._1 == id).map(_._2).toSet
+      val nGrams = text.length - k + 1
+      for (i <- 1 to (nGrams - w + 1))
+        assert((i until i + w).exists(p => sel(p.toLong)),
+          s"doc $id window at $i selected nothing")
+    }
+    // detection: docs 1+2 share a >= w+k-1 substring -> >= 1 common
+    // fingerprint hash; doc 3 shares none with either
+    def hashes(id: Long) = fp.filter(_._1 == id).map(_._3).toSet
+    assert((hashes(1L) intersect hashes(2L)).nonEmpty)
+    assert((hashes(3L) intersect (hashes(1L) union hashes(2L))).isEmpty)
+    // density: the sketch is a strict subset of the gram set
+    for ((id, text) <- texts)
+      assert(hashes(id).size < text.length - k + 1)
+    // stable under repartitioning
+    val again = Winnow.fingerprints(docs.repartition(7), "doc_id", "text",
+      k, w).as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(again === fp.sorted)
+  }
+
   test("NgramLm cross-entropy matches the closed-form add-one values " +
       "and is repartition-invariant") {
     // train corpus: one doc "a b a b a" -> bigrams ab, ba, ab, ba... :
