@@ -52,7 +52,8 @@ object ScaleBench {
     "q105_drift_psi",       // PSI drift monitor (r7 point)
     "q106_length_bucketing", // length-bucketed batching (r7 point)
     "q102b_span_strip",     // span strip/reassembly (r8 point)
-    "q107_drift_psi_categorical") // categorical PSI (r8 point)
+    "q107_drift_psi_categorical", // categorical PSI (r8 point)
+    "q102d_winnow_pairs")   // winnowing fingerprint pairs (r8)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -75,7 +76,7 @@ object ScaleBench {
     // decade 2 only — all flat-to-linear by construction
     "q104_nb_source_classifier", "q105_drift_psi",
     "q106_length_bucketing", "q102b_span_strip",
-    "q107_drift_psi_categorical")
+    "q107_drift_psi_categorical", "q102d_winnow_pairs")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * is corpus-keyed except the final fingerprint join a caller builds on
   * the sketch.
   *
+  * Relation to `TextOps.winnowedFingerprints` (q47): that is the
+  * WORD-shingle, per-row HOF form — an unordered fingerprint set, no
+  * positions, whole doc in one lambda. This is the CHARACTER-gram
+  * relational form: positions ride the sketch (so matches can be
+  * extended/localized downstream), the selection is a distributed window
+  * (no per-row array bound), and the tie rule is the paper's rightmost-
+  * min — the form that pairs with `SpanDedup`'s character-gram machinery.
+  *
   * Portability: gram hashes are 40-bit md5 prefixes and the (hash asc,
   * position desc) selection order is packed into ONE long — `h * 2^23 +
   * (2^23 - 1 - pos)` — so the window aggregate is a plain MIN that DuckDB

@@ -367,6 +367,36 @@ object StreamQueries {
               / ((live_n + 1.0) / (lvn + b))) * 1e9) AS BIGINT) AS psi9
         FROM j CROSS JOIN t ORDER BY cat""")),
 
+    // ---- streaming backward as-of enrichment (one-row-per-key state) ----
+    // The INCREMENTAL form of the batch tolerance as-of (q18b): each
+    // streamed click picks up its user's latest purchase value at or
+    // before it, within 1 day, from a flatMapGroupsWithState operator
+    // whose state is ONE (ts, value) row per user — nothing buffers,
+    // nothing replays. Backward-inclusive + max-value-on-ts-ties match
+    // the batch operator exactly, so q18b's oracle replays this stream's
+    // end-of-state output verbatim (the strongest equivalence the
+    // streaming surface offers: stream and batch share one oracle).
+    "w13_stream_asof" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val streamed = StreamingOps.runToMemory(s,
+          StreamingOps.streamingAsOf(StreamingOps.eventsStream(s, dir),
+            leftType = "click", rightType = "purchase",
+            toleranceUs = 86400000000L).toDF(),
+          "w13_mem")
+        streamed.select(col("event_id"), col("user_id"), col("ts_us"),
+            col("last_value").as("last_purchase"))
+          .orderBy("event_id")
+      },
+      Some(s"""$EvCte SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        COALESCE(
+          (SELECT arg_max(p.value, p.ts) FROM ev p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts <= c.ts
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000), -1.0)
+          AS last_purchase
+        FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

@@ -215,6 +215,67 @@ object StreamingOps {
       })
   }
 
+  final case class AsOfEvent(user_id: Long, event_id: Long, ts_us: Long,
+      is_right: Boolean, value: Double)
+  final case class AsOfState(rtsUs: Long, rvalue: Double)
+  final case class AsOfRow(user_id: Long, event_id: Long, ts_us: Long,
+      matched: Boolean, last_value: Double)
+
+  /** Streaming backward as-of enrichment: each left-type event picks up
+    * the key's latest right-type value at or before it, within
+    * `toleranceUs` — the INCREMENTAL form of the batch as-of join
+    * (operators/AsOfJoin.backward with tolerance; reference nearest-cal
+    * join plots.py:76-77). State is ONE (ts, value) row per key — the
+    * streaming-native cost model: nothing buffers, nothing replays.
+    *
+    * Semantics match the batch q18b configuration exactly: backward
+    * inclusive (a right at the same timestamp matches), same-ts right
+    * ties resolve to MAX value, misses emit matched=false / -1.
+    *
+    * Ordering contract: within a micro-batch events sort by event time
+    * (rights before lefts at equal ts), so any arrival order inside a
+    * batch is handled; ACROSS batches a right older than an
+    * already-emitted left cannot retro-fill it — the one-row state is the
+    * price of incrementality. Out-of-order feeds beyond the micro-batch
+    * horizon belong to the batch/physical as-of operator; a click older
+    * than the retained state row is still matched correctly or dropped to
+    * NULL by the `rtsUs <= ts` guard, never mis-matched forward.
+    */
+  def streamingAsOf(events: DataFrame, leftType: String, rightType: String,
+      toleranceUs: Long)(implicit spark: SparkSession): Dataset[AsOfRow] = {
+    import spark.implicits._
+    events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === rightType).as("is_right"), col("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)((user: Long, rows: Iterator[AsOfEvent],
+          state: GroupState[AsOfState]) => {
+        // rights sort before lefts at equal ts (backward is INCLUSIVE);
+        // event_id makes the walk deterministic
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, !e.is_right, e.event_id))
+        var st = state.getOption
+        val out = Seq.newBuilder[AsOfRow]
+        sorted.foreach { e =>
+          if (e.is_right) st = st match {
+            case Some(s) if s.rtsUs > e.ts_us => Some(s)
+            case Some(s) if s.rtsUs == e.ts_us =>
+              Some(AsOfState(e.ts_us, math.max(s.rvalue, e.value)))
+            case _ => Some(AsOfState(e.ts_us, e.value))
+          } else {
+            val m = st.filter(s =>
+              s.rtsUs <= e.ts_us && e.ts_us - s.rtsUs <= toleranceUs)
+            out += AsOfRow(user, e.event_id, e.ts_us, m.isDefined,
+              m.map(_.rvalue).getOrElse(-1.0))
+          }
+        }
+        st.foreach(state.update)
+        out.result().iterator
+      })
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/demo harness: a batch of files
     * drives the stream synchronously).

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() === deduped.count())
   }
 
+  test("streaming as-of enrichment matches the batch tolerance as-of " +
+      "row for row") {
+    implicit val s = spark
+    val tolUs = 86400000000L
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.streamingAsOf(StreamingOps.eventsStream(spark, sf()),
+        "click", "purchase", tolUs).toDF(), "t_asof")
+      .select(col("event_id"), col("ts_us"),
+        col("matched"), col("last_value"))
+      .orderBy("event_id").collect().toSeq
+    // batch truth: the q18b configuration (backward inclusive, same-ts
+    // purchase ties -> max value, 1-day tolerance)
+    val ev = batchEvents
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pv"))
+    val batch = graft.operators.AsOfJoin.backward(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("pv"), tolerance = Some(tolUs))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("pv").isNotNull.as("matched"),
+        coalesce(col("pv"), lit(-1.0)).as("last_value"))
+      .orderBy("event_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty &&
+      streamed.exists(_.getBoolean(2)) && streamed.exists(!_.getBoolean(2)))
+  }
+
   test("flatMapGroupsWithState gap detector matches the batch gap count") {
     implicit val s = spark
     val gaps = StreamingOps.runToMemory(spark,
