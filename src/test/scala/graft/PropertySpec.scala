@@ -377,6 +377,103 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  // Sequential reference for the suffix-array-grade truth (q102c): grams
+  // grouped RAW, flagged on TOTAL occurrence count >= 2 anywhere in the
+  // corpus (within-doc repeats included), merged identically to refSpans.
+  private def refTruthSpans(docs: List[(Long, String)], k: Int)
+      : Set[(Long, Long, Long)] = {
+    def gramsOf(t: String): Seq[(Long, String)] =
+      if (t.length < k) Nil
+      else (0 to t.length - k).map(p => (p + 1L, t.substring(p, p + k)))
+    val shared = docs.flatMap { case (_, t) => gramsOf(t).map(_._2) }
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    docs.flatMap { case (id, t) =>
+      val flagged = gramsOf(t).collect { case (p, g) if shared(g) => p }
+      flagged.foldLeft(List.empty[(Long, Long)]) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p <= e => (s, math.max(e, p + k)) :: rest
+          case _ => (p, p + k) :: acc
+        }
+      }.map { case (s, e) => (id, s, e) }
+    }.toSet
+  }
+
+  test("exactRepeatedSpans matches the sequential occurrence-count truth " +
+      "and its span set always covers the production (cross-doc) set") {
+    import graft.operators.SpanDedup
+    val k = 6
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 5)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 60)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+      } yield cs.mkString)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(genDocs) { docs =>
+      val want = refTruthSpans(docs, k)
+      val got = SpanDedup.exactRepeatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0),
+          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+        .toSet
+      // every char the production rule marks, the truth marks too
+      // (precision 1 of q102c's grade, by construction)
+      val prodCovered = refSpans(docs, k).forall { case (id, s, e) =>
+        (s until e).forall(c =>
+          want.exists(t => t._1 == id && t._2 <= c && c < t._3))
+      }
+      got == want && prodCovered
+    }, n = 15)
+  }
+
+  // Sequential winnowing reference: 40-bit md5 gram hashes, window of w
+  // consecutive grams, min hash with RIGHTMOST position on ties, distinct
+  // selections — the low-alphabet generator makes equal-hash ties common,
+  // so the tie rule is genuinely exercised.
+  private def refWinnow(docs: List[(Long, String)], k: Int, w: Int)
+      : Set[(Long, Long, Long)] = {
+    def h40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(10), 16)
+    }
+    docs.flatMap { case (id, t) =>
+      if (t.length < k + w - 1) Nil
+      else {
+        val grams = (0 to t.length - k)
+          .map(p => (p + 1L, h40(t.substring(p, p + k))))
+        (0 to grams.size - w).map { i =>
+          val win = grams.slice(i, i + w)
+          val mh = win.map(_._2).min
+          (id, win.filter(_._2 == mh).map(_._1).max, mh)
+        }
+      }
+    }.toSet
+  }
+
+  test("Winnow matches the sequential rightmost-min winnowing reference " +
+      "on random low-alphabet corpora") {
+    import graft.operators.Winnow
+    val k = 4; val w = 3
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 4)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 40)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+      } yield cs.mkString)
+      layout <- Gen.chooseNum(1, 7)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, layout)
+    check(Prop.forAll(genDocs) { case (docs, layout) =>
+      val want = refWinnow(docs, k, w)
+      def got(frame: org.apache.spark.sql.DataFrame) =
+        Winnow.fingerprints(frame, "doc_id", "text", k, w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val df = docs.toDF("doc_id", "text")
+      got(df) == want && got(df.repartition(layout)) == want
+    }, n = 15)
+  }
+
   // Sequential reference for the bigram LM: add-one cross-entropy with
   // floor-scaled 1e9 longs, mirroring NgramLm's smoothing exactly.
   private def refXent(train: List[String], score: List[(Long, String)])
