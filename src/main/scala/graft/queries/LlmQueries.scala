@@ -2337,6 +2337,65 @@ object LlmQueries {
         FROM p WHERE n_shared >= 2
         ORDER BY n_shared DESC, id_a, id_b LIMIT 10""")),
 
+    // ---- substring-level decontamination (winnow containment) ----------
+    // q75's shingle-overlap decontamination catches word-level reuse; this
+    // catches VERBATIM COPYING: asymmetric containment of a benchmark
+    // doc's winnowed fingerprint sketch inside each training doc —
+    // n_shared / |sketch(bench)|, the direction that matters (a training
+    // doc QUOTING the whole benchmark scores ~1 however much other text
+    // surrounds the quote; symmetric Jaccard would dilute it). By the
+    // winnowing guarantee, any copied run >= w+k-1 = 27 chars contributes
+    // sketch hits, so long quotes cannot hide between samples. The
+    // containment grade is integer-exact (DIV / //) and the whole chain
+    // (planes-free: gram hash -> window min -> distinct -> join) replays
+    // in the oracle. At 100 TB, boilerplate fingerprints get the q102d
+    // df-cap on BOTH sides before the join (drops them from n_fp too, so
+    // the grade stays conservative); the fixture corpus needs no cap.
+    "q75b_winnow_decontaminate" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Winnow
+        val docs = t(s, dir, "documents")
+        val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+          .select(col("id"), col("h")).distinct()
+        val bench = fp.filter(col("id") % 100 === 0)
+          .withColumnRenamed("id", "bench_id")
+        val train = fp.filter(col("id") % 100 =!= 0)
+          .withColumnRenamed("id", "train_id")
+        val bsize = bench.groupBy("bench_id").agg(count(lit(1)).as("n_fp"))
+        train.join(bench, "h")
+          .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+          .join(bsize, "bench_id")
+          .select(col("train_id"), col("bench_id"), col("n_shared"),
+            col("n_fp"),
+            expr("n_shared * 1000000000 DIV n_fp").as("containment9"))
+          .orderBy(col("containment9").desc, col("train_id"),
+            col("bench_id"))
+          .limit(15)
+      },
+      Some("""WITH g AS (SELECT doc_id, i, len(text) AS n,
+          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
+            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
+            FROM documents WHERE len(text) >= 27)),
+        s AS (SELECT doc_id, i, n,
+            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+          FROM g),
+        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
+          FROM s WHERE i <= n - 26),
+        bench AS (SELECT doc_id AS bench_id, h FROM fp
+          WHERE doc_id % 100 = 0),
+        train AS (SELECT doc_id AS train_id, h FROM fp
+          WHERE doc_id % 100 <> 0),
+        bs AS (SELECT bench_id, COUNT(*) AS n_fp FROM bench GROUP BY 1),
+        sh AS (SELECT train_id, bench_id, COUNT(*) AS n_shared
+          FROM train JOIN bench USING (h) GROUP BY 1, 2)
+        SELECT train_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+          CAST(n_fp AS BIGINT) AS n_fp,
+          CAST(n_shared * 1000000000 // n_fp AS BIGINT) AS containment9
+        FROM sh JOIN bs USING (bench_id)
+        ORDER BY containment9 DESC, train_id, bench_id LIMIT 15""")),
+
     // ---- end-to-end curation funnel -------------------------------------
     // The showcase composition: quality gate -> portable exact dedup ->
     // near-dup clustering with canonical survivors -> train split, each

@@ -295,4 +295,25 @@ class PlansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(pr.contains("Join"), s"skewRobust plan must join flags back:\n$pr")
   }
+
+  test("Winnow selection is a per-document window (never unpartitioned) " +
+      "and the sketch dedup partial-aggregates") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val fp = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+    val p = fp.queryExecution.executedPlan.toString
+    // exactly the one selection window, partitioned by the doc id — an
+    // unpartitioned window here would funnel the whole gram explosion
+    // through one task at 100 TB
+    assert(p.contains("Window"), s"no window in the winnow plan:\n$p")
+    assert(!p.contains("Window [")
+      || p.contains("windowspecdefinition(id"),
+      s"winnow window not partitioned by id:\n$p")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      s"sketch dedup does not partial-aggregate:\n$p")
+    // distinct must reduce the sketch BEFORE any downstream join a caller
+    // adds: the final HashAggregate keys are (id, pos, h)
+    assert(p.contains("HashAggregate(keys=[id"),
+      s"sketch distinct not keyed on (id, pos, h):\n$p")
+  }
 }
