@@ -83,6 +83,59 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Native codegen'd winnowing sketch (Schleimer et al. 2003) — the
+  * map-side form of [[graft.operators.Winnow]]'s selection.
+  *
+  * Winnowing is per-document work: every window decision depends only on
+  * the document's own grams, so shuffling the gram explosion to a
+  * partitioned window (the relational form) moves data that never needed
+  * to move — at bench scale the window form shuffles the full gram set
+  * (~40 MB at sf0.1 per q102d's exec record) where this expression
+  * shuffles NOTHING before the fingerprint join. The relational form
+  * remains the configuration for pathological single documents too large
+  * for one task (it spreads ONE doc's grams across the cluster); for
+  * every normal corpus this is the plan.
+  *
+  * Returns array<struct<pos:long, h:long>> — identical rows to the
+  * relational selection (same 40-bit md5 prefix hashes, same 1-based
+  * code-point positions, same rightmost-min tie rule; equivalence
+  * property-tested and both replayed by the same DuckDB oracle). Null
+  * text yields null; shorter than k+w-1 code points yields an empty
+  * array (= the relational form's length gate).
+  */
+case class WinnowSketch(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 2 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow needs k >= 2 and w >= 1, got k=$k w=$w")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow needs a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextExpressions.winnowImpl(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExpressions" +
+        s".winnowImpl($c, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowSketch =
+    copy(child = c)
+}
+
 object TextExpressions {
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
@@ -152,6 +205,87 @@ object TextExpressions {
       }
       out(j) = UTF8String.fromString(sb.toString)
       j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def winnowSketch(text: Column, k: Int, w: Int): Column =
+    eu.column(WinnowSketch(eu.expression(text), k, w))
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass winnowing over the decoded string; static so generated code
+    * calls it directly. Positions are 1-based CODE POINTS (Spark `substr`
+    * and DuckDB `substring` both index code points — UTF-16 indexing would
+    * silently diverge on supplementary characters), hashes are the 40-bit
+    * md5 prefix of each gram's UTF-8 bytes, and ties select the RIGHTMOST
+    * minimal gram — all exactly the semantics the relational form packs
+    * into its `h * 2^23 + (2^23-1 - pos)` window MIN, so the two plans
+    * produce identical rows (PropertySpec pins it) and the same DuckDB
+    * oracle replays both.
+    */
+  def winnowImpl(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // work directly on the UTF-8 bytes: a code point starts exactly at
+    // every non-continuation byte ((b & 0xC0) != 0x80), so code-point
+    // gram slices are byte ranges — no String decode, no per-gram
+    // re-encode, and md5 over the slice equals md5 over the substring's
+    // UTF-8 bytes byte-for-byte (what the relational form and the oracle
+    // hash)
+    val bytes = text.getBytes
+    val nb = bytes.length
+    val off = new Array[Int](nb + 1)
+    var i = 0
+    var m = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { off(m) = i; m += 1 }
+      i += 1
+    }
+    off(m) = nb
+    val nGrams = m - k + 1
+    if (nGrams < w) return Empty
+    val md = Md5.get()
+    val digest = new Array[Byte](16)
+    val hs = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, off(g), off(g + k) - off(g))
+      md.digest(digest, 0, 16)
+      hs(g) = ((digest(0) & 0xffL) << 32) | ((digest(1) & 0xffL) << 24) |
+        ((digest(2) & 0xffL) << 16) | ((digest(3) & 0xffL) << 8) |
+        (digest(4) & 0xffL)
+      g += 1
+    }
+    // window scan: min hash, rightmost on ties (<= keeps the later index);
+    // w is small (single digits), so the O(nGrams * w) scan is noise next
+    // to the md5 work above. Selections are MONOTONE non-decreasing as the
+    // window slides (the old rightmost-min either stays in the window and
+    // stays selected, or a gram at least as small enters on the right), so
+    // dedup is one last-position check — no set, exact at any doc length.
+    val poss = new scala.collection.mutable.ArrayBuffer[Int]()
+    val sels = new scala.collection.mutable.ArrayBuffer[Long]()
+    var last = -1
+    var st = 0
+    while (st <= nGrams - w) {
+      var best = st
+      var j = st + 1
+      while (j < st + w) {
+        if (hs(j) <= hs(best)) best = j
+        j += 1
+      }
+      if (best != last) { poss += best + 1; sels += hs(best); last = best }
+      st += 1
+    }
+    // windows advance left to right, so selections are position-sorted
+    val out = new Array[Any](poss.length)
+    var r = 0
+    while (r < poss.length) {
+      out(r) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](poss(r).toLong, sels(r)))
+      r += 1
     }
     new GenericArrayData(out)
   }

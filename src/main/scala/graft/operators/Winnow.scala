@@ -55,9 +55,44 @@ object Winnow {
     * of every document with at least one full window (length >= k+w-1).
     * `h` is the portable 40-bit md5 prefix of the gram; `pos` its 1-based
     * character position.
+    *
+    * DEFAULT PLAN: the codegen'd [[graft.functions.expressions
+    * .WinnowSketch]] expression — winnowing is per-document work, so the
+    * whole selection runs MAP-SIDE and nothing shuffles before whatever
+    * join the caller builds on the sketch (the relational window form
+    * shuffled the full gram explosion first; q102d's exec record showed
+    * ~40 MB of shuffle at sf0.1 that this plan simply deletes). Row-for-
+    * row identical output (PropertySpec pins both against the sequential
+    * reference); same DuckDB oracle replays both.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+    // the sketch kernel is CPU-bound (one md5 per character position), so
+    // a compact doc scan (one parquet split) would run the whole corpus on
+    // one core — spread the cheap PRE-sketch rows first, repartitioning UP
+    // only (an already well-partitioned 100 TB scan is untouched). This is
+    // a round-robin shuffle of document rows, ~gram-explosion/k the bytes
+    // the relational form's gram shuffle moves.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("id"),
+        explode(graft.functions.expressions.TextExpressions
+          .winnowSketch(col(textCol), k, w)).as("f"))
+      .select(col("id"), col("f.pos").as("pos"), col("f.h").as("h"))
+  }
+
+  /** The relational (distributed-window) selection plan — identical rows
+    * to [[fingerprints]]. This is the configuration for PATHOLOGICAL
+    * single documents too large for one task: it spreads one document's
+    * gram set across the cluster and selects via a partitioned window,
+    * paying a full gram shuffle for the privilege. For any normal corpus
+    * prefer [[fingerprints]] (map-side, shuffle-free).
+    */
+  def fingerprintsRelational(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
     // spread pre-explosion rows across cores (same rationale as

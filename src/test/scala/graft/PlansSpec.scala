@@ -296,24 +296,31 @@ class PlansSpec extends SparkSpec {
     assert(pr.contains("Join"), s"skewRobust plan must join flags back:\n$pr")
   }
 
-  test("Winnow selection is a per-document window (never unpartitioned) " +
-      "and the sketch dedup partial-aggregates") {
+  test("default Winnow plan is MAP-SIDE (no shuffle, no window before " +
+      "the sketch); the relational form keeps its partitioned window") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
-    val fp = graft.operators.Winnow
+    // default: codegen'd WinnowSketch expression — scan -> (round-robin
+    // doc spread) -> project -> explode. No window, and the only exchange
+    // allowed is the cheap PRE-sketch round-robin of document rows; a
+    // gram-keyed hashpartitioning would mean the selection got distributed
+    val p = graft.operators.Winnow
       .fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-    val p = fp.queryExecution.executedPlan.toString
-    // exactly the one selection window, partitioned by the doc id — an
-    // unpartitioned window here would funnel the whole gram explosion
-    // through one task at 100 TB
-    assert(p.contains("Window"), s"no window in the winnow plan:\n$p")
-    assert(!p.contains("Window [")
-      || p.contains("windowspecdefinition(id"),
-      s"winnow window not partitioned by id:\n$p")
-    assert(p.contains("partial_") || p.contains("HashAggregate"),
-      s"sketch dedup does not partial-aggregate:\n$p")
-    // distinct must reduce the sketch BEFORE any downstream join a caller
-    // adds: the final HashAggregate keys are (id, pos, h)
-    assert(p.contains("HashAggregate(keys=[id"),
-      s"sketch distinct not keyed on (id, pos, h):\n$p")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"map-side winnow plan shuffles on a key:\n$p")
+    assert(!p.contains("Window"), s"map-side winnow plan windows:\n$p")
+    assert(p.contains("Generate"), s"no explode in the winnow plan:\n$p")
+    // relational fallback (giant single documents): exactly the one
+    // selection window, partitioned by the doc id — an unpartitioned
+    // window would funnel the whole gram explosion through one task
+    val pr = graft.operators.Winnow
+      .fingerprintsRelational(docs, "doc_id", "text", k = 20, w = 8)
+      .queryExecution.executedPlan.toString
+    assert(pr.contains("Window"), s"no window in the relational plan:\n$pr")
+    assert(!pr.contains("Window [")
+      || pr.contains("windowspecdefinition(id"),
+      s"relational winnow window not partitioned by id:\n$pr")
+    assert(pr.contains("HashAggregate(keys=[id"),
+      s"relational sketch distinct not keyed on (id, pos, h):\n$pr")
   }
 }

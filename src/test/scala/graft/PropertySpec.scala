@@ -469,8 +469,15 @@ class PropertySpec extends SparkSpec {
         Winnow.fingerprints(frame, "doc_id", "text", k, w)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .toSet
+      // the relational (distributed-window) plan must select the
+      // IDENTICAL rows — same hashes, same rightmost-min tie decisions
+      def gotRelational(frame: org.apache.spark.sql.DataFrame) =
+        Winnow.fingerprintsRelational(frame, "doc_id", "text", k, w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
       val df = docs.toDF("doc_id", "text")
-      got(df) == want && got(df.repartition(layout)) == want
+      got(df) == want && got(df.repartition(layout)) == want &&
+        gotRelational(df) == want
     }, n = 15)
   }
 
