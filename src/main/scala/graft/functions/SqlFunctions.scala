@@ -62,5 +62,18 @@ object SqlFunctions {
       c(e(0)).cast("array<double>"), c(e(1)).cast("array<double>")))
     register(spark, "graft_dot", e => VectorOps.dot(
       c(e(0)).cast("array<double>"), c(e(1)).cast("array<double>")))
+    // graft_winnow(text, k, w): winnowing fingerprint sketch as
+    // array<struct<pos,h>> — k and w are structural (same contract as
+    // graft_shingles)
+    register(spark, "graft_winnow", e => {
+      def intLit(x: Expression, name: String): Int = x match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow(text, k, w): $name must be an integer literal, " +
+            s"got $other")
+      }
+      c(expressions.WinnowSketch(e(0), intLit(e(1), "k"), intLit(e(2), "w")))
+    })
   }
 }

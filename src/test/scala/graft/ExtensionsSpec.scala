@@ -64,6 +64,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("z") ===
       (1L << 0 | 1L << 2 | 1L << 4 | 1L << 1 | 1L << 5 | 1L << 7))
     assert(r.getAs[Double]("cos") === 1.0)
+    // graft_winnow: SQL surface of the codegen'd sketch — same rows as
+    // the Column-DSL operator form, structural k/w as literals
+    val sqlFp = spark.sql(
+      """SELECT f.pos AS pos, f.h AS h
+        FROM sqlfn_t LATERAL VIEW explode(graft_winnow(text, 5, 3)) AS f
+        ORDER BY pos""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dslFp = graft.operators.Winnow.fingerprints(
+        spark.table("sqlfn_t").withColumn("id", lit(1L)), "id", "text",
+        k = 5, w = 3)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sqlFp.nonEmpty && sqlFp.toSeq === dslFp.toSeq)
+    intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, x, 3) FROM sqlfn_t").collect()
+    }
   }
 
   test("extension injection wires the rule into a session's optimizer") {
