@@ -215,6 +215,48 @@ object StreamingOps {
       })
   }
 
+  /** Stateless streaming NEAR-COPY intake: each incoming document's
+    * winnowed fingerprint sketch (computed MAP-SIDE by the codegen'd
+    * WinnowSketch kernel) probes a Bloom filter of the existing corpus's
+    * sketch — per-doc (n_fp, n_hits, suspect) with ZERO streaming state:
+    * the sketch is a per-row expression, the filter is a static
+    * broadcast, and the count is an in-row HOF over the sketch array.
+    * The exact-hash intake (w09, [[intakeDedupCounts]]) catches verbatim
+    * re-ingests; this catches documents that COPY >= w+k-1-char runs
+    * from the corpus without being byte-identical.
+    *
+    * Cross-engine exactness: Bloom positions are md5-derived
+    * ([[graft.operators.Bloom.positions]]), so even FALSE POSITIVES are
+    * deterministic and identical in DuckDB — the oracle replays the
+    * filter build and every probe bit-for-bit (no false negatives by the
+    * Bloom guarantee, fp rate ~ (1-e^(-kn/m))^k documented at q59).
+    * At 100 TB the m-bit filter stays sketch-sized (positions-set form,
+    * broadcastable); corpus growth re-runs the bounded build, not the
+    * stream.
+    */
+  def intakeWinnowMatches(docs: DataFrame, corpus: DataFrame,
+      k: Int = 20, w: Int = 8, m: Int = 16384, kHash: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    import graft.operators.{Bloom, Winnow}
+    val corpusKeys = Winnow.fingerprints(corpus, "doc_id", "text", k, w)
+      .select(col("h").cast("string").as("hk")).distinct()
+      .withColumn("__g", lit(1))
+    val filt = Bloom.build(corpusKeys, "hk", "__g", m, kHash)
+    docs.select(col("doc_id"), col("lang"),
+        graft.functions.expressions.TextExpressions
+          .winnowSketch(col("text"), k, w).as("__sk"))
+      .withColumn("__g", lit(1))
+      .join(broadcast(filt), Seq("__g"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(size(col("__sk")), lit(0)).as("n_fp"),
+        when(col("filter").isNull, lit(0)).otherwise(
+          coalesce(size(filter(col("__sk"), f =>
+            Bloom.mightContain(col("filter"),
+              Bloom.positions(f.getField("h").cast("string"), m, kHash)))),
+            lit(0))).as("n_hits"))
+      .withColumn("suspect", col("n_hits") >= minHits)
+  }
+
   final case class AsOfEvent(user_id: Long, event_id: Long, ts_us: Long,
       is_right: Boolean, value: Double)
   final case class AsOfState(rtsUs: Long, rvalue: Double)

@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
       streamed.exists(_.getBoolean(2)) && streamed.exists(!_.getBoolean(2)))
   }
 
+  test("stateless winnow-Bloom intake: streamed rows equal the identical " +
+      "batch computation row for row") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.intakeWinnowMatches(
+        StreamingOps.documentsStream(spark, sf())
+          .filter(col("doc_id") % 3 =!= 0),
+        corpus, m = 131072, minHits = 5),
+      "t_winnow_intake").orderBy("doc_id").collect().toSeq
+    // the operator is pure DataFrame ops — running it in BATCH over the
+    // same input must give the identical rows (the strongest statement
+    // of statelessness: nothing depends on micro-batch boundaries)
+    val batch = StreamingOps.intakeWinnowMatches(
+        docs.filter(col("doc_id") % 3 =!= 0), corpus,
+        m = 131072, minHits = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState gap detector matches the batch gap count") {
     implicit val s = spark
     val gaps = StreamingOps.runToMemory(spark,
