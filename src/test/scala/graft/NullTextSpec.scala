@@ -43,7 +43,12 @@ class NullTextSpec extends SparkSpec {
     "q83_epoch_shuffle", "q90_sql_graft_surface", "q91_pii_redact",
     "q92_count_min", "q93_hybrid_rrf", "q94_rag_chunks",
     "q95_nfc_normalize", "q96_textrank_keywords", "q97_curation_funnel",
-    "q98_jsonl_source", "q99_csv_source")
+    "q98_jsonl_source", "q99_csv_source",
+    // r6-r8 text families
+    "q47_winnow_fingerprints", "q75_decontaminate",
+    "q75b_winnow_decontaminate", "q101_lm_perplexity",
+    "q102_repeated_spans", "q102b_span_strip", "q102c_span_recall",
+    "q102d_winnow_pairs", "q104_nb_source_classifier")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
