@@ -140,4 +140,34 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Dense-bitmap OR over bit positions — the [[graft.operators.Bloom
+    * .buildPacked]] assembly. The relational assembly (per-word bit_or +
+    * map_from_entries + a sequence/element_at expansion) pays an O(words)
+    * MAP lookup per output word — O(words^2) per filter, measured seconds
+    * at m = 2^20 — where this buffer sets each bit in O(1) and merges by
+    * a straight word-wise OR. Fixed m/8-byte state per group; OR is
+    * idempotent, so the upstream explode needs NO distinct, and the
+    * aggregation is fully partial-aggregable (map-side combine ships one
+    * bitmap per group per partition).
+    */
+  final case class BitmapOr(nWords: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(nWords >= 1, s"nWords must be >= 1, got $nWords")
+    def zero: Array[Long] = new Array[Long](nWords)
+    def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      b((pos >>> 6).toInt) |= 1L << (pos & 63); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nWords) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

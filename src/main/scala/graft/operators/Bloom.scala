@@ -47,7 +47,40 @@ object Bloom {
     * `filterCol`. Probe-side lambda only touches attribute refs (no
     * captured computed expressions — see TextOps.letCol), so the HOF cost
     * is k array_contains probes per row.
+    *
+    * COST MODEL WARNING (measured, w14's first cut): `array_contains` is
+    * a LINEAR scan of the positions set, so a probe costs O(|set|) — at
+    * m of a few thousand that is noise, but a 1e5-position filter turned
+    * a 2 s stream query into 700+ s at sf0.1. For large filters use the
+    * packed form below: O(1) probes.
     */
   def mightContain(filterCol: Column, posArray: Column): Column =
     forall(posArray, p => array_contains(filterCol, p))
+
+  /** PACKED-BITMAP filter for LARGE m: (groupCol, filter array<long> of
+    * ceil(m/64) words, every word present). Same md5 position family as
+    * [[build]] — the two forms are semantically identical (an oracle
+    * replaying position membership covers both) — but the probe is an
+    * element_at + getbit, O(1) regardless of m, and the broadcast is
+    * m/8 bytes (128 KiB at m = 2^20) however full the filter gets.
+    */
+  def buildPacked(df: DataFrame, keyCol: String, groupCol: String,
+      m: Int, k: Int, salt: String = "bloom"): DataFrame = {
+    val nWords = (m + 63) / 64
+    // typed bitmap-OR aggregator: O(1) per bit, fixed m/8-byte buffers,
+    // map-side combine; OR idempotence makes a pre-distinct pointless
+    val bitmap = udaf(graft.functions.Aggregators.BitmapOr(nWords),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(groupCol),
+        explode(positions(col(keyCol), m, k, salt)).as("__pos"))
+      .groupBy(col(groupCol))
+      .agg(bitmap(col("__pos").cast("long")).as("filter"))
+  }
+
+  /** O(1)-per-probe membership against a [[buildPacked]] filter. */
+  def mightContainPacked(filterCol: Column, posArray: Column): Column =
+    forall(posArray, p =>
+      call_function("getbit",
+        element_at(filterCol, (p.cast("long") / 64).cast("int") + 1),
+        p.cast("long") % 64) === 1)
 }

@@ -414,7 +414,7 @@ object StreamQueries {
           .filter(col("doc_id") % 3 =!= 0)
         StreamingOps.runToMemory(s,
             StreamingOps.intakeWinnowMatches(stream, corpus,
-              m = 131072, minHits = 5), "w14_mem")
+              minHits = 5), "w14_mem")
           .orderBy("doc_id")
       },
       Some("""WITH gc AS (SELECT doc_id, i, len(text) AS n,
@@ -430,7 +430,7 @@ object StreamQueries {
           FROM sc WHERE i <= n - 26),
         bpos AS (SELECT DISTINCT CAST(CAST(('0x'
               || substr(md5(CAST(h AS VARCHAR) || '#bloom'
-                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 131072 AS INT)
+                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
             AS p
           FROM cfp CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
         gs AS (SELECT doc_id, i, len(text) AS n,
@@ -447,7 +447,7 @@ object StreamQueries {
           FROM ss WHERE i <= n - 26),
         sp AS (SELECT doc_id, pos, h,
             CAST(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '#bloom'
-              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 131072 AS INT)
+              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
             AS bp
           FROM sfp CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
         hit AS (SELECT doc_id, pos, h,

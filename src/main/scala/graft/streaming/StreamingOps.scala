@@ -230,18 +230,26 @@ object StreamingOps {
     * deterministic and identical in DuckDB — the oracle replays the
     * filter build and every probe bit-for-bit (no false negatives by the
     * Bloom guarantee, fp rate ~ (1-e^(-kn/m))^k documented at q59).
-    * At 100 TB the m-bit filter stays sketch-sized (positions-set form,
-    * broadcastable); corpus growth re-runs the bounded build, not the
-    * stream.
+    * The filter is the PACKED bitmap form ([[graft.operators.Bloom
+    * .buildPacked]]): a fixed m/8-byte broadcast with O(1) probes —
+    * the positions-set form's array_contains probe is O(occupied) and
+    * measured 350x slower at sf0.1 (SCALE.md). Size m to the corpus
+    * sketch (fill = 1-e^(-kn/m) well under ~0.3); corpus growth re-runs
+    * the bounded build, not the stream.
     */
   def intakeWinnowMatches(docs: DataFrame, corpus: DataFrame,
-      k: Int = 20, w: Int = 8, m: Int = 16384, kHash: Int = 3,
+      k: Int = 20, w: Int = 8, m: Int = 1 << 20, kHash: Int = 3,
       minHits: Int = 2): DataFrame = {
     import graft.operators.{Bloom, Winnow}
     val corpusKeys = Winnow.fingerprints(corpus, "doc_id", "text", k, w)
       .select(col("h").cast("string").as("hk")).distinct()
       .withColumn("__g", lit(1))
-    val filt = Bloom.build(corpusKeys, "hk", "__g", m, kHash)
+    // PACKED bitmap, not the positions-set form: the probe below runs
+    // per sketch element per streamed doc, and array_contains over a
+    // corpus-sized position set is O(|set|) per probe — measured 700+ s
+    // at sf0.1 before this switch (SCALE.md). element_at+getbit is O(1),
+    // and the m/8-byte bitmap broadcasts at a fixed 128 KiB.
+    val filt = Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
     docs.select(col("doc_id"), col("lang"),
         graft.functions.expressions.TextExpressions
           .winnowSketch(col("text"), k, w).as("__sk"))
@@ -251,7 +259,7 @@ object StreamingOps {
         coalesce(size(col("__sk")), lit(0)).as("n_fp"),
         when(col("filter").isNull, lit(0)).otherwise(
           coalesce(size(filter(col("__sk"), f =>
-            Bloom.mightContain(col("filter"),
+            Bloom.mightContainPacked(col("filter"),
               Bloom.positions(f.getField("h").cast("string"), m, kHash)))),
             lit(0))).as("n_hits"))
       .withColumn("suspect", col("n_hits") >= minHits)

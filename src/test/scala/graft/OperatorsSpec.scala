@@ -420,6 +420,34 @@ class OperatorsSpec extends SparkSpec {
     assert(mx < 256)
   }
 
+  test("packed-bitmap bloom agrees with the positions-set form on every " +
+      "probe, including probes of absent keys") {
+    import spark.implicits._
+    import graft.operators.Bloom
+    val m = 512; val k = 3
+    val df = (0 until 150).map(i => (s"key$i", s"g${i % 2}")).toDF("h", "g")
+    val setForm = Bloom.build(df, "h", "g", m, k)
+    val packed = Bloom.buildPacked(df, "h", "g", m, k)
+    assert(packed.count() === 2)
+    // probe present AND absent keys against both forms of both groups:
+    // identical membership verdicts everywhere (same md5 position family,
+    // so the packed layout is a pure representation change)
+    val probes = (0 until 300).map(i => s"key$i").toDF("h")
+      .withColumn("pos", Bloom.positions(col("h"), m, k))
+    val both = probes
+      .crossJoin(broadcast(setForm.withColumnRenamed("g", "sg")
+        .withColumnRenamed("filter", "sf")))
+      .join(broadcast(packed.withColumnRenamed("g", "pg")
+        .withColumnRenamed("filter", "pf")),
+        col("sg") === col("pg"))
+      .withColumn("setm", Bloom.mightContain(col("sf"), col("pos")))
+      .withColumn("pakm", Bloom.mightContainPacked(col("pf"), col("pos")))
+    assert(both.count() === 600)
+    assert(both.filter(col("setm") =!= col("pakm")).count() === 0)
+    // the packed array is exactly ceil(m/64) words
+    assert(packed.select(size(col("filter"))).head.getInt(0) === m / 64)
+  }
+
   test("TextRank keywordRank matches a sequential reference, including " +
       "quantization") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",

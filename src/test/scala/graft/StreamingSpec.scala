@@ -77,14 +77,13 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.intakeWinnowMatches(
         StreamingOps.documentsStream(spark, sf())
           .filter(col("doc_id") % 3 =!= 0),
-        corpus, m = 131072, minHits = 5),
+        corpus, minHits = 5),
       "t_winnow_intake").orderBy("doc_id").collect().toSeq
     // the operator is pure DataFrame ops — running it in BATCH over the
     // same input must give the identical rows (the strongest statement
     // of statelessness: nothing depends on micro-batch boundaries)
     val batch = StreamingOps.intakeWinnowMatches(
-        docs.filter(col("doc_id") % 3 =!= 0), corpus,
-        m = 131072, minHits = 5)
+        docs.filter(col("doc_id") % 3 =!= 0), corpus, minHits = 5)
       .orderBy("doc_id").collect().toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty)
