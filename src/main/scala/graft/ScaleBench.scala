@@ -287,7 +287,34 @@ object ScaleBench {
           println(f"""{"query":"funnel_onepass_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           ("funnel_onepass_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
         }
-        queryRows :+ lshRow
+        // the w14 winnow-x-Bloom intake, batch form (the operator is pure
+        // DataFrame ops; StreamingSpec pins batch == stream). m scales
+        // with the corpus sketch per the operator's sizing contract
+        // (fill = 1-e^(-kn/m) under ~0.3) — a fixed m would re-saturate
+        // at the third decade, which is exactly the failure the r8 fix
+        // measured its way out of.
+        def winnowIntake(dir: String, m: Int): Double = {
+          val t0 = System.nanoTime()
+          try {
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            graft.streaming.StreamingOps.intakeWinnowMatches(
+                docs.filter(col("doc_id") % 3 =!= 0),
+                docs.filter(col("doc_id") % 3 === 0), m = m, minHits = 5)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] winnow_intake @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val intakeRow = {
+          val (s, b, h) = (winnowIntake(srcDir, 1 << 20),
+            winnowIntake(bigDir, 1 << 23), winnowIntake(hugeDir, 1 << 26))
+          println(f"""{"query":"winnow_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+          ("winnow_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+        }
+        queryRows ++ Seq(lshRow, intakeRow)
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

@@ -136,6 +136,52 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Native codegen'd Bloom-probe count over a winnow sketch — the w14
+  * intake hot loop.
+  *
+  * The HOF formulation (`size(filter(sketch, f -> forall(positions(f.h),
+  * p -> getbit(...))))`) evaluates INTERPRETED per sketch element, and
+  * each probe builds a concat + md5 + hex-parse expression tree — at the
+  * derived x100 corpus that interpreted chain was ~72 s of an 85 s query
+  * (probe count ~55M). This expression runs the identical probe loop in
+  * JVM code: per element, k md5 positions over the DECIMAL string of the
+  * 40-bit fingerprint (byte-compatible with [[graft.operators.Bloom
+  * .positions]]' `concat(cast(h as string), '#salt', i)` inputs), each
+  * bit-tested against the packed array<long> filter; counts elements
+  * whose k bits are all set. NULL sketch or filter gives NULL.
+  */
+case class BloomHitCount(left: Expression, right: Expression,
+    m: Int, k: Int, salt: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(s: org.apache.spark.sql.types.StructType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _))
+          if s.length == 2 && m >= 64 && k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_hits needs (array<struct<pos,h>>, array<long>) " +
+          s"and m >= 64, k >= 1; got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(sk: Any, ft: Any): Any =
+    TextExpressions.bloomHitsImpl(sk.asInstanceOf[ArrayData],
+      ft.asInstanceOf[ArrayData], m, k, salt)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, ft) =>
+      s"${ev.value} = graft.functions.expressions.TextExpressions" +
+        s""".bloomHitsImpl($sk, $ft, $m, $k, "$salt");""")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BloomHitCount = copy(left = l, right = r)
+}
+
 object TextExpressions {
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
@@ -211,6 +257,53 @@ object TextExpressions {
 
   def winnowSketch(text: Column, k: Int, w: Int): Column =
     eu.column(WinnowSketch(eu.expression(text), k, w))
+
+  def bloomHitCount(sketch: Column, filterCol: Column, m: Int, k: Int,
+      salt: String = "bloom"): Column =
+    eu.column(BloomHitCount(eu.expression(sketch), eu.expression(filterCol),
+      m, k, salt))
+
+  /** Count sketch entries whose k Bloom positions are all set in the
+    * packed filter; static so generated code calls it directly. The
+    * position family is EXACTLY [[graft.operators.Bloom.positions]]:
+    * md5 over the UTF-8 bytes of `<decimal h>#<salt><i>`, first 12 hex
+    * chars parsed base-16 (= the top 6 digest bytes big-endian), mod m.
+    */
+  def bloomHitsImpl(sketch: ArrayData, filterWords: ArrayData,
+      m: Int, k: Int, salt: String): Int = {
+    val md = Md5.get()
+    val saltBytes = ("#" + salt).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
+    val digest = new Array[Byte](16)
+    var hits = 0
+    val n = sketch.numElements()
+    var i = 0
+    while (i < n) {
+      val h = sketch.getStruct(i, 2).getLong(1)
+      val hBytes = java.lang.Long.toString(h).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+      var all = true
+      var j = 0
+      while (all && j < k) {
+        md.reset()
+        md.update(hBytes)
+        md.update(saltBytes)
+        md.update(java.lang.Integer.toString(j).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        md.digest(digest, 0, 16)
+        val h48 = ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+          ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+          ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+        val pos = h48 % m
+        all = (filterWords.getLong((pos >>> 6).toInt) &
+          (1L << (pos & 63))) != 0
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
 
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -257,11 +257,13 @@ object StreamingOps {
       .join(broadcast(filt), Seq("__g"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(size(col("__sk")), lit(0)).as("n_fp"),
+        // codegen'd probe loop (BloomHitCount): the HOF form's per-element
+        // interpreted md5 chain was ~72 s of an 85 s query at the x100
+        // corpus; the native loop runs at md5 speed
         when(col("filter").isNull, lit(0)).otherwise(
-          coalesce(size(filter(col("__sk"), f =>
-            Bloom.mightContainPacked(col("filter"),
-              Bloom.positions(f.getField("h").cast("string"), m, kHash)))),
-            lit(0))).as("n_hits"))
+          coalesce(graft.functions.expressions.TextExpressions
+            .bloomHitCount(col("__sk"), col("filter"), m, kHash), lit(0)))
+          .as("n_hits"))
       .withColumn("suspect", col("n_hits") >= minHits)
   }
 

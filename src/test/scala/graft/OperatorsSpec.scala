@@ -448,6 +448,43 @@ class OperatorsSpec extends SparkSpec {
     assert(packed.select(size(col("filter"))).head.getInt(0) === m / 64)
   }
 
+  test("native BloomHitCount equals the interpreted HOF probe on winnow " +
+      "sketches, probe by probe") {
+    import spark.implicits._
+    import graft.operators.Bloom
+    val m = 1 << 12; val kh = 3
+    val docs = Seq(
+      (1L, "abcdefghij" * 6),
+      (2L, "abcdefghij" * 3 + "zzzzzzzzyy" * 4),
+      (3L, "totally different content here, nothing shared at all"))
+      .toDF("doc_id", "text")
+    val corpusKeys = Winnow
+      .fingerprints(docs.filter(col("doc_id") === 1), "doc_id", "text", 5, 4)
+      .select(col("h").cast("string").as("hk")).withColumn("g", lit(1))
+    val filt = Bloom.buildPacked(corpusKeys, "hk", "g", m, kh)
+    val both = docs.select(col("doc_id"),
+        graft.functions.expressions.TextExpressions
+          .winnowSketch(col("text"), 5, 4).as("sk"))
+      .withColumn("g", lit(1)).join(broadcast(filt), "g")
+      .select(col("doc_id"),
+        size(filter(col("sk"), f => Bloom.mightContainPacked(col("filter"),
+          Bloom.positions(f.getField("h").cast("string"), m, kh))))
+          .as("hof"),
+        graft.functions.expressions.TextExpressions
+          .bloomHitCount(col("sk"), col("filter"), m, kh).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"probe mismatch: $r"))
+    // doc 1 probes its own corpus filter: every fingerprint must hit
+    val d1 = both.find(_.getLong(0) == 1L).get
+    assert(d1.getInt(2) > 0)
+    // doc 2 shares the repeated prefix with doc 1 -> some hits; doc 3
+    // shares nothing and the filter is sparse enough that zero hits is
+    // the overwhelmingly likely exact answer (checked against the HOF
+    // form above either way)
+    assert(both.find(_.getLong(0) == 2L).get.getInt(2) > 0)
+  }
+
   test("TextRank keywordRank matches a sequential reference, including " +
       "quantization") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",
