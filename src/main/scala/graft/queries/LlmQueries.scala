@@ -2337,6 +2337,63 @@ object LlmQueries {
         FROM p WHERE n_shared >= 2
         ORDER BY n_shared DESC, id_a, id_b LIMIT 10""")),
 
+    // ---- copy-ring clustering over winnow pairs ------------------------
+    // MOSS's other half: q102d ranks PAIRS by shared fingerprints; this
+    // clusters the copy GRAPH — documents transitively connected by
+    // >= 3 shared winnowed fingerprints form a "copy ring" (mirror sets,
+    // template families, licence rings). Same pair construction as
+    // q102d, fed through the min-label connected components the q52/q89
+    // cluster family already grades; the oracle replays the whole chain
+    // (winnow selection -> df-cap -> pair threshold -> RECURSIVE
+    // reachability -> min label). At 100 TB this runs on the PAIR
+    // subgraph (df-capped, sketch-sized), never the corpus.
+    "q102e_copy_rings" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{Dedup, Winnow}
+        val docs = t(s, dir, "documents")
+        val byDoc = Winnow.fingerprints(docs, "doc_id", "text",
+            k = 20, w = 8)
+          .select(col("id"), col("h")).distinct()
+        val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 20).select("h")
+        val m = byDoc.join(ok, "h")
+        val pairs = m.alias("a").join(m.alias("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(pairs)
+          .groupBy(col("label").as("ring_root"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("ring_root")
+      },
+      Some("""WITH RECURSIVE g AS (SELECT doc_id, i, len(text) AS n,
+          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
+            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
+            FROM documents WHERE len(text) >= 27)),
+        s AS (SELECT doc_id, i, n,
+            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+          FROM g),
+        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
+          FROM s WHERE i <= n - 26),
+        okh AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
+        m AS (SELECT doc_id, h FROM fp JOIN okh USING (h)),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+        nd AS (SELECT DISTINCT src AS id FROM e),
+        reach AS (SELECT id AS node, id AS root FROM nd
+          UNION SELECT e.dst AS node, r.root FROM reach r
+            JOIN e ON e.src = r.node),
+        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
+        SELECT label AS ring_root, COUNT(*) AS n_docs
+        FROM comp GROUP BY label ORDER BY ring_root""")),
+
     // ---- substring-level decontamination (winnow containment) ----------
     // q75's shingle-overlap decontamination catches word-level reuse; this
     // catches VERBATIM COPYING: asymmetric containment of a benchmark

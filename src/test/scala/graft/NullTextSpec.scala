@@ -48,7 +48,8 @@ class NullTextSpec extends SparkSpec {
     "q47_winnow_fingerprints", "q75_decontaminate",
     "q75b_winnow_decontaminate", "q101_lm_perplexity",
     "q102_repeated_spans", "q102b_span_strip", "q102c_span_recall",
-    "q102d_winnow_pairs", "q104_nb_source_classifier")
+    "q102d_winnow_pairs", "q102e_copy_rings",
+    "q104_nb_source_classifier")
 
   names.foreach { name =>
     test(s"$name completes over null/empty/whitespace texts") {
