@@ -534,7 +534,36 @@ object SeamfQueries {
           MIN(psd_dbm_per_hz) AS min_db, MAX(psd_dbm_per_hz) AS max_db,
           MAX(baseband_hz) AS max_hz
         FROM ${rp("psd")}
-        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- DataSource V2 surface: format("seamf") with optimizer-driven ----
+    // decode pruning (graft.sources.SeamfSource). The predicates below
+    // arrive at the scan via SupportsPushDownFilters and prune files from
+    // metadata alone (strict bounds exercise the successor/superset push
+    // rules); the aggregation shape mirrors s16 so a hash match proves the
+    // connector path decodes the same cells as the mapPartitions path the
+    // rest of the inventory rides on. Oracle replays over the decoded dump.
+    "s18_seamf_dsv2_scan" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s) // oracle reads the dump of the same fixture
+        s.read.format("seamf").load(fixture())
+          .filter(col("table") === "pvt" &&
+            col("datetime_us") > PruneCutUs && col("frequency") > 3.5e9)
+          .groupBy("frequency", "detector")
+          .agg(count(lit(1)).as("n_traces"),
+            sum(size(col("trace"))).as("n_points"),
+            max(array_max(col("trace"))).as("max_db"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"))
+          .orderBy("frequency", "detector")
+      },
+      Some(s"""SELECT frequency, detector,
+          COUNT(DISTINCT datetime_us) AS n_traces, COUNT(*) AS n_points,
+          MAX(power_dbm) AS max_db,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
+        FROM ${rp("pvt")}
+        WHERE datetime_us > $PruneCutUs AND frequency > 3.5e9
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

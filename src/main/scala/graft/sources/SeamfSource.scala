@@ -1,0 +1,384 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
+
+/** DataSource V2 seamf trace source: `spark.read.format("seamf").load(dir)`.
+  *
+  * The `mapPartitions` ingest ([[graft.seamf.SeamfReader]]) is the library
+  * surface; this source puts the SAME decode on Spark's connector API so the
+  * optimizer — not the caller — decides how much of each archive member to
+  * decode:
+  *
+  *   - '''Column pruning is decode pruning.''' The XZ payload exists only to
+  *     fill the `trace` column; when a projection drops `trace`, Catalyst's
+  *     `SupportsPushDownRequiredColumns` call tells the scan, and the reader
+  *     never decompresses the payload (the reference's `read_seamf_meta`
+  *     fast path, seamf.py:1073-1103, now chosen automatically by the
+  *     optimizer instead of by a caller flag).
+  *   - '''Filter pushdown is decode-time pruning.''' Range predicates on
+  *     `datetime_us` / `frequency` and equality/IN on `table` arrive via
+  *     `SupportsPushDownFilters` and become a [[SeamfReader.TracePrune]]: a
+  *     file none of whose (capture, slot) pairs match is rejected from its
+  *     metadata alone — its payload is never decompressed. Pushed pruning
+  *     may keep a SUPERSET on strict `double` bounds (no predecessor value
+  *     exists); every filter is also returned as residual, so Spark
+  *     re-evaluates and the result is exact regardless (the parquet-source
+  *     contract).
+  *   - '''Partition planning packs by bytes.''' Input splits are whole
+  *     members packed to `maxPartitionBytes` using Spark's open-cost
+  *     formula, so 2000 small sweeps do not become 2000 tasks (the
+  *     reference's `partition_size` knob, ziparchive.py:260-263, derived
+  *     from sizes instead of hand-tuned).
+  *   - '''Observability via DSv2 custom metrics.''' skipped / metadata-
+  *     pruned / decoded file counts surface as SQL metrics on the scan node
+  *     (exactly-once per SQL metric semantics — stronger than the
+  *     best-effort accumulators of `tracesPrunedCounted`).
+  *
+  * Options: `tz` (IANA zone for naive timestamps), `errors` ("log" skips
+  * undecodable members and counts them, "raise" fails the job — reference
+  * errors= semantics, ziparchive.py:381-440), `checkHash` ("true" treats a
+  * sha512 mismatch as a decode error; "false" tolerates it),
+  * `maxPartitionBytes` (split packing target override).
+  *
+  * 100 TB: listing reads only directory metadata (one `globStatus` per
+  * path — on an object store, one LIST per prefix); splits are planned on
+  * the driver from sizes alone; decode is embarrassingly parallel and
+  * CPU-bound on XZ exactly like the reference (seamf.py:1038-1040). The
+  * Hadoop `Configuration` rides to executors inside the factory (Writable
+  * round-trip), so credentials/filesystem settings survive serialization.
+  */
+class SeamfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "seamf"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeamfSource.TraceSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SeamfTable(properties)
+}
+
+object SeamfSource {
+  /** The trace table schema — identical to `Dataset[TraceRow]`'s. */
+  val TraceSchema: StructType =
+    org.apache.spark.sql.Encoders.product[SeamfReader.TraceRow].schema
+
+  /** Paths from DSv2 options: `.load(p)` sets "path"; `.load(p1, p2, ...)`
+    * sets "paths" as a JSON string array (Spark's encoding). Comma-splitting
+    * inside a single path mirrors [[SeamfReader]]'s multi-archive union.
+    */
+  private[sources] def paths(options: java.util.Map[String, String]): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "seamf source needs a path: .load(dir)")
+    all
+  }
+}
+
+private[sources] class SeamfTable(properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"seamf(${SeamfSource.paths(properties).mkString(",")})"
+  override def schema(): StructType = SeamfSource.TraceSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeamfScanBuilder(options)
+}
+
+private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = SeamfSource.TraceSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var prune = SeamfReader.TracePrune()
+
+  /** Fold one supported filter into the prune; None = not decode-prunable.
+    * Strict double bounds push their non-strict superset (exactness is the
+    * residual's job); strict long bounds push the exact successor value.
+    */
+  private def fold(f: Filter): Option[SeamfReader.TracePrune] = f match {
+    case EqualTo("table", v: String) =>
+      Some(prune.copy(tables = Some(prune.tables.getOrElse(Set(v)).intersect(Set(v)))))
+    case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
+      val s = vs.map(_.asInstanceOf[String]).toSet
+      Some(prune.copy(tables = Some(prune.tables.fold(s)(_.intersect(s)))))
+    case GreaterThanOrEqual("datetime_us", v: Long) =>
+      Some(prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v)(math.max(_, v)))))
+    case GreaterThan("datetime_us", v: Long) if v < Long.MaxValue =>
+      Some(prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v + 1)(math.max(_, v + 1)))))
+    case LessThanOrEqual("datetime_us", v: Long) =>
+      Some(prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v)(math.min(_, v)))))
+    case LessThan("datetime_us", v: Long) if v > Long.MinValue =>
+      Some(prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v - 1)(math.min(_, v - 1)))))
+    case GreaterThanOrEqual("frequency", v: Double) =>
+      Some(prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))))
+    case GreaterThan("frequency", v: Double) => // superset: >= v
+      Some(prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))))
+    case LessThanOrEqual("frequency", v: Double) =>
+      Some(prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))))
+    case LessThan("frequency", v: Double) => // superset: <= v
+      Some(prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))))
+    case IsNotNull("table" | "datetime_us" | "frequency") =>
+      Some(prune) // never-null columns: trivially satisfied, accept as pushed
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val acc = ArrayBuffer.empty[Filter]
+    filters.foreach { f =>
+      fold(f).foreach { p => prune = p; acc += f }
+    }
+    accepted = acc.toArray
+    filters // everything stays residual: pushed pruning skips work, the
+            // residual guarantees exactness (superset bounds above)
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SeamfScan(SeamfSource.paths(options).toIndexedSeq, prune, required, options)
+}
+
+private[sources] class SeamfScan(paths: Seq[String],
+    prune: SeamfReader.TracePrune, required: StructType,
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+
+  private val tz = Option(options.get("tz"))
+  private val raise = Option(options.get("errors")).getOrElse("log") == "raise"
+  private val checkHash =
+    Option(options.get("checkHash")).forall(_.toBoolean)
+  private val needPayload = required.fieldNames.contains("trace")
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val pr = Seq(
+      prune.tables.map(t => s"table IN ${t.toSeq.sorted.mkString("{", ",", "}")}"),
+      prune.minDatetimeUs.map(v => s"datetime_us >= $v"),
+      prune.maxDatetimeUs.map(v => s"datetime_us <= $v"),
+      prune.minFrequency.map(v => s"frequency >= $v"),
+      prune.maxFrequency.map(v => s"frequency <= $v")).flatten
+    s"SeamfScan DecodePrune: [${pr.mkString(", ")}], " +
+      s"PayloadDecode: ${if (needPayload) "full" else "metadata-only"}"
+  }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new SeamfDecodedFilesMetric, new SeamfMetaOnlyFilesMetric,
+    new SeamfPrunedFilesMetric, new SeamfSkippedFilesMetric)
+
+  /** Whole members packed to Spark's split-size formula:
+    * min(maxPartitionBytes, max(openCost, total/defaultParallelism)).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val files: Seq[FileStatus] = paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val glob =
+        if (fs.getFileStatus(path).isDirectory) new Path(path, "*.sigmf") else path
+      Option(fs.globStatus(glob)).toSeq.flatten.filter(_.isFile)
+    }.sortBy(_.getPath.toString)
+
+    val openCost = 4L * 1024 * 1024
+    val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
+      .getOrElse(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+    val total = files.map(f => f.getLen + openCost).sum
+    val target = math.min(confMax,
+      math.max(openCost, total / math.max(1, spark.sparkContext.defaultParallelism)))
+
+    val bins = ArrayBuffer.empty[ArrayBuffer[String]]
+    var binBytes = 0L
+    files.foreach { f =>
+      val cost = f.getLen + openCost
+      if (bins.isEmpty || binBytes + cost > target) {
+        bins += ArrayBuffer(f.getPath.toString); binBytes = cost
+      } else { bins.last += f.getPath.toString; binBytes += cost }
+    }
+    bins.map(b => SeamfInputPartition(b.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new SeamfReaderFactory(conf, prune, required, tz, raise, checkHash,
+      needPayload)
+  }
+
+}
+
+private[sources] case class SeamfInputPartition(files: Array[String])
+    extends InputPartition
+
+// one concrete zero-arg class per metric: Spark's SQL status listener
+// re-instantiates CustomMetric implementations reflectively when
+// aggregating, so a parameterized shared class breaks UI aggregation
+class SeamfDecodedFilesMetric extends CustomSumMetric {
+  override def name: String = "seamfDecodedFiles"
+  override def description: String = "decoded files (XZ payload)"
+}
+class SeamfMetaOnlyFilesMetric extends CustomSumMetric {
+  override def name: String = "seamfMetaOnlyFiles"
+  override def description: String = "metadata-only files (payload skipped)"
+}
+class SeamfPrunedFilesMetric extends CustomSumMetric {
+  override def name: String = "seamfPrunedFiles"
+  override def description: String = "files pruned before payload decode"
+}
+class SeamfSkippedFilesMetric extends CustomSumMetric {
+  override def name: String = "seamfSkippedFiles"
+  override def description: String = "undecodable files skipped"
+}
+
+private[sources] case class SeamfTaskMetric(name: String, value: Long)
+    extends CustomTaskMetric
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; it IS a Hadoop
+  * `Writable`, so round-trip it through its own `write`/`readFields`.
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit =
+    value.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
+    prune: SeamfReader.TracePrune, required: StructType, tz: Option[String],
+    raise: Boolean, checkHash: Boolean, needPayload: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SeamfPartitionReader(
+      partition.asInstanceOf[SeamfInputPartition].files, conf.value, prune,
+      required, tz, raise, checkHash, needPayload)
+}
+
+/** Decodes one packed bin of members; emits only the required columns.
+  * Decode order per member: tar unpack -> metadata parse -> sha512 flag ->
+  * metadata prune (skip payload if nothing survives) -> XZ decode only when
+  * the `trace` column is required -> per-slot row emit (SURVEY §3.1 steps
+  * 2-7 as one executor-side function).
+  */
+private[sources] class SeamfPartitionReader(files: Array[String],
+    conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
+    tz: Option[String], raise: Boolean, checkHash: Boolean,
+    needPayload: Boolean) extends PartitionReader[InternalRow] {
+
+  private var fileIdx = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+  private var nDecoded = 0L
+  private var nMetaOnly = 0L
+  private var nPruned = 0L
+  private var nSkipped = 0L
+
+  private def decodeNext(): Iterator[InternalRow] = {
+    val path = new Path(files(fileIdx))
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(path)
+    try in.readFully(0, bytes) finally in.close()
+
+    val raw = SeamfCodec.unpackTar(bytes)
+    val meta = SeamfMetadata.parse(raw.metaJson, tz)
+    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
+    if (checkHash && !shaOk)
+      throw new IllegalStateException(s"sha512 mismatch in $path")
+
+    val keep = meta.slots.filter { s =>
+      val cap = meta.captures(s.captureIdx)
+      prune.matchesTable(s.table) &&
+        prune.matchesCapture(cap.datetimeUs, cap.frequency)
+    }
+    if (keep.isEmpty) {
+      nPruned += 1
+      return Iterator.empty
+    }
+    val payload: Array[Float] =
+      if (!needPayload) { nMetaOnly += 1; null }
+      else {
+        nDecoded += 1
+        val p = HalfFloat.decodeVector(SeamfCodec.xzDecompress(raw.compressedPayload))
+        require(meta.requiredLength <= p.length,
+          s"payload length ${p.length} < offset table end ${meta.requiredLength}")
+        p
+      }
+    val pathStr = files(fileIdx)
+    keep.iterator.map { s =>
+      val cap = meta.captures(s.captureIdx)
+      val row = new GenericInternalRow(required.length)
+      var i = 0
+      while (i < required.length) {
+        row.update(i, required.fields(i).name match {
+          case "file" => UTF8String.fromString(pathStr)
+          case "datetime_us" => cap.datetimeUs
+          case "frequency" => cap.frequency
+          case "table" => UTF8String.fromString(s.table)
+          case "capture_statistic" => UTF8String.fromString(s.captureStatistic)
+          case "detector" => UTF8String.fromString(s.detector)
+          case "axis_start" => s.axisStart
+          case "axis_step" => s.axisStep
+          case "trace" => UnsafeArrayData.fromPrimitiveArray(
+            java.util.Arrays.copyOfRange(payload, s.start.toInt,
+              s.start.toInt + s.length))
+          case other => throw new IllegalArgumentException(
+            s"unknown required column $other")
+        })
+        i += 1
+      }
+      row: InternalRow
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && fileIdx < files.length) {
+      rows =
+        try decodeNext()
+        catch {
+          case e: Exception if !raise => nSkipped += 1; Iterator.empty
+        }
+      fileIdx += 1
+    }
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    SeamfTaskMetric("seamfDecodedFiles", nDecoded),
+    SeamfTaskMetric("seamfMetaOnlyFiles", nMetaOnly),
+    SeamfTaskMetric("seamfPrunedFiles", nPruned),
+    SeamfTaskMetric("seamfSkippedFiles", nSkipped))
+}

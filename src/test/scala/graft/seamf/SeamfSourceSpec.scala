@@ -1,0 +1,140 @@
+package graft.seamf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DataSource V2 seamf source ([[graft.sources.SeamfSource]]): scan parity
+  * with the library ingest, optimizer-driven decode pruning (column prune =
+  * payload skip, filter pushdown = metadata-time file prune), split packing,
+  * error modes, and the DSv2 custom metrics that make the pruning visible.
+  */
+class SeamfSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: String = SeamfFixtures.sharedArchive()
+
+  private def dsv2: DataFrame = spark.read.format("seamf").load(fixture)
+
+  /** Run the frame and return its (executed) BatchScanExec node, whose SQL
+    * metrics include the source's custom decode counters.
+    */
+  private def runAndScan(df: DataFrame): BatchScanExec = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n$plan")
+    scans.head
+  }
+
+  private def metric(scan: BatchScanExec, name: String): Long =
+    scan.metrics(name).value
+
+  // stable comparison shape: trace arrays reduced to (size, sum) so set
+  // equality is exact without float-array orderings in the hash
+  private def canon(df: DataFrame): DataFrame =
+    df.withColumn("trace_n", size(col("trace")))
+      .withColumn("trace_sum", round(aggregate(col("trace"),
+        lit(0.0), (a, x) => a + x.cast("double")), 3))
+      .drop("trace")
+
+  test("full DSv2 scan row-for-row equals SeamfReader.traces") {
+    val v2 = canon(dsv2)
+    val lib = canon(SeamfReader.traces(spark, fixture).toDF())
+    assert(v2.count() === lib.count())
+    assert(v2.exceptAll(lib).isEmpty && lib.exceptAll(v2).isEmpty)
+  }
+
+  test("dropping the trace column skips XZ payload decode entirely") {
+    val scan = runAndScan(
+      dsv2.select("file", "datetime_us", "frequency", "table"))
+    assert(metric(scan, "seamfMetaOnlyFiles") > 0)
+    assert(metric(scan, "seamfDecodedFiles") === 0)
+  }
+
+  test("selecting trace decodes payloads (and only then)") {
+    val scan = runAndScan(dsv2.select("table", "trace"))
+    assert(metric(scan, "seamfDecodedFiles") > 0)
+    assert(metric(scan, "seamfMetaOnlyFiles") === 0)
+  }
+
+  test("time/frequency/table filters push into the scan and prune files " +
+      "before payload decode") {
+    val cut = SeamfMetadata.isoToMicros("2023-09-21T00:05:00Z")
+    val filtered = dsv2
+      .filter(col("datetime_us") <= cut && col("frequency") <= 3.566e9 &&
+        col("table") === "psd")
+    // the pushdown is visible in the scan description
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("DecodePrune"), s"no decode prune in:\n$planStr")
+    assert(planStr.contains(s"datetime_us <= $cut"), planStr)
+    assert(planStr.contains("table IN {psd}"), planStr)
+    // ... and in the metrics: later files are rejected from metadata alone
+    val scan = runAndScan(filtered)
+    assert(metric(scan, "seamfPrunedFiles") > 0)
+    // exactness: identical to the unpushed filter over the full scan
+    val expected = canon(SeamfReader.traces(spark, fixture).toDF()
+      .filter(col("datetime_us") <= cut && col("frequency") <= 3.566e9 &&
+        col("table") === "psd"))
+    val got = canon(filtered)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("strict datetime bounds push exactly; strict double bounds push " +
+      "their non-strict superset with a residual") {
+    val cut = SeamfMetadata.isoToMicros("2023-09-21T00:03:00Z")
+    val df = dsv2.filter(col("datetime_us") > cut && col("frequency") < 3.6e9)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains(s"datetime_us >= ${cut + 1}"), planStr)
+    assert(planStr.contains("frequency <= 3.6E9"), planStr)
+    val expected = canon(SeamfReader.traces(spark, fixture).toDF()
+      .filter(col("datetime_us") > cut && col("frequency") < 3.6e9))
+    val got = canon(df)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("errors=log (default) skips the corrupt-sha member and counts it; " +
+      "checkHash=false keeps it") {
+    val strictScan = runAndScan(dsv2.select("file"))
+    assert(metric(strictScan, "seamfSkippedFiles") === 1)
+
+    val tolerant = spark.read.format("seamf")
+      .option("checkHash", "false").load(fixture)
+    val tolerantScan = runAndScan(tolerant.select("file"))
+    assert(metric(tolerantScan, "seamfSkippedFiles") === 0)
+    assert(tolerant.select("file").distinct().count() ===
+      dsv2.select("file").distinct().count() + 1)
+  }
+
+  test("errors=raise fails the job on the corrupt member") {
+    val df = spark.read.format("seamf").option("errors", "raise").load(fixture)
+    intercept[org.apache.spark.SparkException] { df.count() }
+  }
+
+  test("split packing: a small maxPartitionBytes fans files out, the " +
+      "default packs them") {
+    val spread = spark.read.format("seamf")
+      .option("maxPartitionBytes", "1").load(fixture)
+    // 8 members: one partition each when the target is tiny
+    assert(spread.rdd.getNumPartitions >= 7)
+    // default 128 MB target packs the whole kB-scale fixture into one bin
+    // (modulo the defaultParallelism floor)
+    assert(dsv2.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
+  }
+
+  test("short name registration: format(\"seamf\") resolves via " +
+      "DataSourceRegister") {
+    // would have thrown ClassNotFoundException in every test above if the
+    // META-INF/services registration were broken; pin the mapping anyway
+    val p = java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister])
+    import scala.jdk.CollectionConverters._
+    assert(p.iterator().asScala.exists(_.shortName() == "seamf"))
+  }
+}
