@@ -75,6 +75,21 @@ object Bench {
       wall
     }
 
+    // same 200-sweep full decode through the DataSource V2 connector
+    // (graft.sources.SeamfSource): measures the connector's overhead vs
+    // the fused mapPartitions path — same files, same decode kernel,
+    // rows materialized through InternalRow instead of the product encoder
+    lazy val ingestDsv2 = median3 {
+      val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
+      mx.reset()
+      val t0 = System.nanoTime()
+      spark.read.format("seamf").load(dir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      execs("seamf_dsv2_ingest_200_sweeps") = mx.snapshot("")
+      wall
+    }
+
     // 10x archive (2000 sweeps, same per-file shape): ingest throughput
     // past page-cache warm-up and task-scheduling overhead (VERDICT r5
     // #4). One measurement — the run is long enough that cold-start
@@ -149,6 +164,7 @@ object Bench {
       graft.operators.KMeans.unpersistAll()
       graft.operators.CurationFunnel.unpersistAll()
       graft.operators.SemDedup.unpersistAll()
+      graft.operators.LogReg.unpersistAll()
     }
     // variance guard (VERDICT r4 #3): fast queries report the MEDIAN of 3
     // cold-cache runs (first run still pays codegen, so the median lands
@@ -178,6 +194,7 @@ object Bench {
     settle()
     val results = queryResults ++ (if (only.nonEmpty) Seq() else
       Seq("seamf_ingest_200_sweeps" -> (ingest, 3),
+        "seamf_dsv2_ingest_200_sweeps" -> (ingestDsv2, 3),
         "seamf_ingest_2000_sweeps" -> (ingestLarge, 1),
         "seamf_capture_summary_200" -> (capSummary, 3),
         "seamf_lake_export_200" -> (lakeExport, 2)))

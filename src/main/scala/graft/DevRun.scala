@@ -41,6 +41,7 @@ object DevRun {
       graft.operators.KMeans.unpersistAll()
       graft.operators.CurationFunnel.unpersistAll()
       graft.operators.SemDedup.unpersistAll()
+      graft.operators.LogReg.unpersistAll()
     }
     spark.stop()
   }

@@ -53,7 +53,8 @@ object ScaleBench {
     "q106_length_bucketing", // length-bucketed batching (r7 point)
     "q102b_span_strip",     // span strip/reassembly (r8 point)
     "q107_drift_psi_categorical", // categorical PSI (r8 point)
-    "q102d_winnow_pairs")   // winnowing fingerprint pairs (r8)
+    "q102d_winnow_pairs",   // winnowing fingerprint pairs (r8)
+    "q108_logreg_classifier") // GD logistic regression (r8)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -76,7 +77,10 @@ object ScaleBench {
     // decade 2 only — all flat-to-linear by construction
     "q104_nb_source_classifier", "q105_drift_psi",
     "q106_length_bucketing", "q102b_span_strip",
-    "q107_drift_psi_categorical", "q102d_winnow_pairs")
+    "q107_drift_psi_categorical", "q102d_winnow_pairs",
+    // iters x one-pass decimal-gradient aggregations: linear by
+    // construction, now measured (the r7 #5 standard)
+    "q108_logreg_classifier")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -173,6 +177,7 @@ object ScaleBench {
       graft.operators.KMeans.unpersistAll()
       graft.operators.CurationFunnel.unpersistAll()
       graft.operators.SemDedup.unpersistAll()
+      graft.operators.LogReg.unpersistAll()
       spark.catalog.clearCache()
     }
     def runOnce(name: String, dir: String): Double = {

@@ -37,6 +37,7 @@ object Verify {
           graft.operators.KMeans.unpersistAll()
           graft.operators.CurationFunnel.unpersistAll()
       graft.operators.SemDedup.unpersistAll()
+      graft.operators.LogReg.unpersistAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -32,6 +32,43 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q108 oracle: the full 3-iteration logistic-regression training loop as
+    * a DuckDB CTE chain, GENERATED from the same (k, iters, lr, scale)
+    * parameters the Spark side uses so the arithmetic text cannot drift
+    * from `LogReg`'s column expressions (z is the identical left-associated
+    * sum, gradients the identical DECIMAL(38,18) casts, updates the
+    * identical floor(w * 1e6) grid).
+    */
+  private[queries] def logRegOracleSql: String = {
+    val k = 9; val iters = 3; val S = "1000000.0"; val lr = "0.5"
+    val z = (0 until k).map(j => s"wq_$j/$S*x$j").mkString(" + ")
+    val fCte = "f AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
+      (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
+        .mkString(", ") + " FROM embeddings)"
+    val w0 = "w0 AS (SELECT " +
+      (0 until k).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
+    val iterCtes = (1 to iters).flatMap { t =>
+      Seq(
+        s"g$t AS (SELECT COUNT(*) AS n, " +
+          (0 until k).map(j =>
+            s"SUM(CAST((1.0/(1.0+EXP(-($z))) - y)*x$j AS DECIMAL(38,18))) " +
+              s"AS g_$j").mkString(", ") + s" FROM f CROSS JOIN w${t - 1})",
+        s"w$t AS (SELECT " +
+          (0 until k).map(j =>
+            s"CAST(FLOOR((wq_$j/$S - $lr*CAST(g_$j AS DOUBLE)/n)*$S) " +
+              s"AS BIGINT) AS wq_$j").mkString(", ") +
+          s" FROM w${t - 1} CROSS JOIN g$t)",
+        s"a$t AS (SELECT COUNT(CASE WHEN (($z) >= 0.0) = (y = 1) THEN 1 END)" +
+          s" AS n_correct FROM f CROSS JOIN w$t)")
+    }
+    val selects = (1 to iters).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, " +
+        (0 until k).map(j => s"wq_$j").mkString(", ") +
+        s", n_correct FROM w$t CROSS JOIN a$t"
+    }.mkString(" UNION ALL ")
+    s"WITH ${(Seq(fCte, w0) ++ iterCtes).mkString(", ")} $selects ORDER BY iter"
+  }
+
   // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
   // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
   private[queries] val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
@@ -2050,6 +2087,30 @@ object LlmQueries {
         SELECT d.source, p.predicted, COUNT(*) AS n
         FROM pred p JOIN documents d USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Trainable linear classifier: logistic regression by GD ---------
+    // Full-batch gradient descent on 8 embedding dims + bias (y = label<5),
+    // three iterations, weights floor-quantized to 1e-6 longs after every
+    // step. The ENTIRE training loop is part of the graded surface: the
+    // oracle CTE chain recomputes every gradient (decimal-exact sums),
+    // every quantized update, and every iteration's training accuracy —
+    // the NaiveBayes/NgramLm oracle standard applied to an ITERATIVE fit.
+    // Fit is fully lazy (chained one-row broadcast aggregations — zero
+    // jobs until the action); see operators/LogReg.scala for the 100 TB
+    // plan shape (k+1 decimal cells per pass, broadcast model state).
+    "q108_logreg_classifier" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        LogReg.trainTrajectory(feats, (0 to 8).map(j => s"x$j"), "y",
+          lr = 0.5, iters = 3).orderBy("iter")
+      },
+      Some(logRegOracleSql)),
 
     // ---- CCNet-style n-gram LM perplexity filter ------------------------
     // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —

@@ -95,10 +95,18 @@ class EmptyInputSpec extends SparkSpec {
           assert(rows.length === 1 &&
             (0 to 4).forall(i => rows.head.getLong(i) == 0L) &&
             rows.head.getLong(5) == -1L)
+        // the GD trajectory exists independent of data: one row per
+        // iteration with NULL weights (gradient SUM over nothing stays
+        // NULL through the quantized update) and zero correct — exactly
+        // the oracle's CTE chain over an empty embeddings table
+        case "q108_logreg_classifier" =>
+          assert(rows.length === 3 && rows.forall(r =>
+            (1 to 9).forall(r.isNullAt) && r.getLong(10) == 0L))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
       graft.operators.Windowed.unpersistAll()
+      graft.operators.LogReg.unpersistAll()
     }
   }
 }

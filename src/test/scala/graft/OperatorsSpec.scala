@@ -892,4 +892,73 @@ class OperatorsSpec extends SparkSpec {
         s"expected only the barrier job after two fits, saw $jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  private def logRegFeats = {
+    import graft.operators.LogReg
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val x1 = rnd.nextDouble() * 2 - 1
+      val x2 = rnd.nextDouble() * 2 - 1
+      // separable-with-noise: y follows the sign of 2*x1 - x2 + noise
+      val y = if (2 * x1 - x2 + rnd.nextGaussian() * 0.3 > 0) 1 else 0
+      (y, 1.0, x1, x2)
+    }
+    (rows.toDF("y", "x0", "x1", "x2"), LogReg)
+  }
+
+  test("LogReg: GD trajectory is bit-identical under repartitioning " +
+      "(decimal gradient sums + quantized weights)") {
+    val (feats, lr) = logRegFeats
+    val xs = Seq("x0", "x1", "x2")
+    val base = lr.trainTrajectory(feats, xs, "y", 0.5, 3)
+    val reparted = lr.trainTrajectory(feats.repartition(7), xs, "y", 0.5, 3)
+    assert(base.exceptAll(reparted).isEmpty && reparted.exceptAll(base).isEmpty)
+    // training actually learns the separable concept (accuracy over the
+    // all-zero-weights 50% baseline and improving along the trajectory)
+    val acc = base.orderBy("iter").collect().map(_.getLong(4))
+    assert(acc.last >= acc.head && acc.last > 140, acc.toSeq)
+    lr.unpersistAll()
+  }
+
+  test("LogReg: score() with the final train() weights reproduces the " +
+      "trajectory's last accuracy") {
+    val (feats, lr) = logRegFeats
+    val xs = Seq("x0", "x1", "x2")
+    val traj = lr.trainTrajectory(feats, xs, "y", 0.5, 3)
+      .orderBy("iter").collect()
+    val w = lr.train(feats, xs, "y", 0.5, 3)
+    val nCorrect = lr.score(feats, w, xs)
+      .filter(col("pred") === col("y")).count()
+    assert(nCorrect === traj.last.getLong(4))
+    // and train()'s weights equal the trajectory's final row
+    val wRow = w.collect().head
+    assert((0 until 3).map(wRow.getLong) ===
+      (1 to 3).map(traj.last.getLong))
+    lr.unpersistAll()
+  }
+
+  test("LogReg.train is fully lazy: zero Spark jobs until an action") {
+    val (feats, lr) = logRegFeats
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    org.apache.spark.graft.ListenerBusHatch.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      lr.train(feats, Seq("x0", "x1", "x2"), "y", 0.5, 3)
+      lr.trainTrajectory(feats, Seq("x0", "x1", "x2"), "y", 0.5, 2)
+      spark.range(1).collect() // barrier (see the fit-is-lazy test above)
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(jobs === 1,
+        s"expected only the barrier job after two GD fits, saw $jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      lr.unpersistAll()
+    }
+  }
 }
