@@ -30,6 +30,9 @@ object DevRun {
         case "ingest" =>
           graft.seamf.SeamfReader.traces(spark, archiveDir)
             .write.format("noop").mode("overwrite").save()
+        case "ingest_dsv2" =>
+          spark.read.format("seamf").load(archiveDir)
+            .write.format("noop").mode("overwrite").save()
         case _ =>
           SparkEntry.queries(n)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()

@@ -49,6 +49,13 @@ import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
   *     pruned / decoded file counts surface as SQL metrics on the scan node
   *     (exactly-once per SQL metric semantics — stronger than the
   *     best-effort accumulators of `tracesPrunedCounted`).
+  *   - '''Partial limit pushdown.''' `SupportsPushDownLimit`: a pushed
+  *     LIMIT caps each partition's decode at `limit` surviving rows —
+  *     files after the cutoff in a packed bin are never opened. Spark
+  *     keeps the global limit above the scan, so semantics stay exact.
+  *   - '''Statistics.''' `SupportsReportStatistics` reports compressed
+  *     on-disk bytes (scaled down for metadata-only scans), so join
+  *     planning can broadcast a small pruned seamf side.
   *
   * Options: `tz` (IANA zone for naive timestamps), `errors` ("log" skips
   * undecodable members and counts them, "raise" fails the job — reference
@@ -110,11 +117,23 @@ private[sources] class SeamfTable(properties: java.util.Map[String, String])
 
 private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = SeamfSource.TraceSchema
   private var accepted: Array[Filter] = Array.empty
   private var prune = SeamfReader.TracePrune()
+  private var limit: Option[Int] = None
+
+  /** Partial limit: each partition stops decoding once it has emitted
+    * `limit` surviving rows — files after the cutoff in a packed bin are
+    * never opened, payloads never decompressed. Spark keeps a global
+    * LocalLimit above the scan (we return false = partial), so semantics
+    * are exact while the decode work shrinks to O(limit x partitions).
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // partial push: Spark still applies the global limit
+  }
 
   /** Fold one supported filter into the prune; None = not decode-prunable.
     * Strict double bounds push their non-strict superset (exactness is the
@@ -162,12 +181,14 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan =
-    new SeamfScan(SeamfSource.paths(options).toIndexedSeq, prune, required, options)
+    new SeamfScan(SeamfSource.paths(options).toIndexedSeq, prune, required,
+      limit, options)
 }
 
 private[sources] class SeamfScan(paths: Seq[String],
-    prune: SeamfReader.TracePrune, required: StructType,
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    prune: SeamfReader.TracePrune, required: StructType, limit: Option[Int],
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
 
   private val tz = Option(options.get("tz"))
   private val raise = Option(options.get("errors")).getOrElse("log") == "raise"
@@ -185,12 +206,41 @@ private[sources] class SeamfScan(paths: Seq[String],
       prune.minFrequency.map(v => s"frequency >= $v"),
       prune.maxFrequency.map(v => s"frequency <= $v")).flatten
     s"SeamfScan DecodePrune: [${pr.mkString(", ")}], " +
-      s"PayloadDecode: ${if (needPayload) "full" else "metadata-only"}"
+      s"PayloadDecode: ${if (needPayload) "full" else "metadata-only"}" +
+      limit.fold("")(l => s", PushedLimit: $l")
+  }
+
+  /** Compressed on-disk bytes as the size estimate (decoded float rows are
+    * LARGER than the XZ payload, so this under-estimate is conservative
+    * only in the safe direction for broadcast decisions when the scan is
+    * heavily pruned — and pruning is reflected: a metadata-only scan
+    * reports just the metadata fraction).
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bytes = listFiles(hadoopConf).map(_.getLen).sum
+    val est = if (needPayload) bytes else math.max(bytes / 8, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
     new SeamfDecodedFilesMetric, new SeamfMetaOnlyFilesMetric,
     new SeamfPrunedFilesMetric, new SeamfSkippedFilesMetric)
+
+  private def listFiles(hadoopConf: Configuration): Seq[FileStatus] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val glob =
+        if (fs.getFileStatus(path).isDirectory) new Path(path, "*.sigmf") else path
+      Option(fs.globStatus(glob)).toSeq.flatten.filter(_.isFile)
+    }.sortBy(_.getPath.toString)
 
   /** Whole members packed to Spark's split-size formula:
     * min(maxPartitionBytes, max(openCost, total/defaultParallelism)).
@@ -198,13 +248,7 @@ private[sources] class SeamfScan(paths: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val files: Seq[FileStatus] = paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(hadoopConf)
-      val glob =
-        if (fs.getFileStatus(path).isDirectory) new Path(path, "*.sigmf") else path
-      Option(fs.globStatus(glob)).toSeq.flatten.filter(_.isFile)
-    }.sortBy(_.getPath.toString)
+    val files: Seq[FileStatus] = listFiles(hadoopConf)
 
     val openCost = 4L * 1024 * 1024
     val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
@@ -229,7 +273,7 @@ private[sources] class SeamfScan(paths: Seq[String],
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new SeamfReaderFactory(conf, prune, required, tz, raise, checkHash,
-      needPayload)
+      needPayload, limit)
   }
 
 }
@@ -275,12 +319,12 @@ private[sources] final class SerializableHadoopConf(
 
 private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
     prune: SeamfReader.TracePrune, required: StructType, tz: Option[String],
-    raise: Boolean, checkHash: Boolean, needPayload: Boolean)
-    extends PartitionReaderFactory {
+    raise: Boolean, checkHash: Boolean, needPayload: Boolean,
+    limit: Option[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SeamfPartitionReader(
       partition.asInstanceOf[SeamfInputPartition].files, conf.value, prune,
-      required, tz, raise, checkHash, needPayload)
+      required, tz, raise, checkHash, needPayload, limit)
 }
 
 /** Decodes one packed bin of members; emits only the required columns.
@@ -292,9 +336,11 @@ private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
 private[sources] class SeamfPartitionReader(files: Array[String],
     conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
     tz: Option[String], raise: Boolean, checkHash: Boolean,
-    needPayload: Boolean) extends PartitionReader[InternalRow] {
+    needPayload: Boolean, limit: Option[Int])
+    extends PartitionReader[InternalRow] {
 
   private var fileIdx = 0
+  private var emitted = 0L
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
   private var nDecoded = 0L
@@ -362,6 +408,9 @@ private[sources] class SeamfPartitionReader(files: Array[String],
   }
 
   override def next(): Boolean = {
+    // pushed partial limit: this partition is done once it has emitted
+    // `limit` rows — remaining files in the bin are never opened
+    if (limit.exists(emitted >= _)) return false
     while (!rows.hasNext && fileIdx < files.length) {
       rows =
         try decodeNext()
@@ -370,7 +419,8 @@ private[sources] class SeamfPartitionReader(files: Array[String],
         }
       fileIdx += 1
     }
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (rows.hasNext) { current = rows.next(); emitted += 1; true }
+    else false
   }
 
   override def get(): InternalRow = current

@@ -128,6 +128,30 @@ class SeamfSourceSpec extends SparkSpec {
     assert(dsv2.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
   }
 
+  test("partial limit pushdown stops a partition's decode after the " +
+      "limit-th row") {
+    val limited = dsv2.select("file", "datetime_us", "table").limit(3)
+    val planStr = limited.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedLimit: 3"), planStr)
+    // all 8 members pack into one bin at this scale; the reader stops
+    // after 3 rows, so exactly one file is ever opened (metadata-only:
+    // trace column pruned away)
+    val scan = runAndScan(limited)
+    assert(limited.count() === 3)
+    assert(metric(scan, "seamfMetaOnlyFiles") === 1)
+    assert(metric(scan, "seamfDecodedFiles") === 0)
+  }
+
+  test("reported statistics: full scan sized at on-disk bytes, " +
+      "metadata-only projection scaled down") {
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = sizeOf(dsv2)
+    val metaOnly = sizeOf(dsv2.select("file", "datetime_us"))
+    assert(full > 0 && metaOnly > 0)
+    assert(metaOnly < full, s"meta-only $metaOnly !< full $full")
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
