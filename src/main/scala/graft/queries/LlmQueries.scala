@@ -69,6 +69,51 @@ object LlmQueries {
     s"WITH ${(Seq(fCte, w0) ++ iterCtes).mkString(", ")} $selects ORDER BY iter"
   }
 
+  /** q108b oracle: replay the q108 training chain (weights CTEs only), then
+    * score every example with the final weights, quantize z to 1e-9, and
+    * recompute the tie-corrected Mann-Whitney AUC exactly — DuckDB's
+    * window cumsum stands in for the engine's two-phase distributed rank
+    * (MlMetrics.rocAuc9). SUMs are cast back to BIGINT: DuckDB widens
+    * integer SUM to HUGEINT, which the compare harness reads as float.
+    */
+  private[queries] def logRegAucOracleSql: String = {
+    val k = 9; val iters = 3; val S = "1000000.0"; val lr = "0.5"
+    val z = (0 until k).map(j => s"wq_$j/$S*x$j").mkString(" + ")
+    val fCte = "f AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
+      (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
+        .mkString(", ") + " FROM embeddings)"
+    val w0 = "w0 AS (SELECT " +
+      (0 until k).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
+    val iterCtes = (1 to iters).flatMap { t =>
+      Seq(
+        s"g$t AS (SELECT COUNT(*) AS n, " +
+          (0 until k).map(j =>
+            s"SUM(CAST((1.0/(1.0+EXP(-($z))) - y)*x$j AS DECIMAL(38,18))) " +
+              s"AS g_$j").mkString(", ") + s" FROM f CROSS JOIN w${t - 1})",
+        s"w$t AS (SELECT " +
+          (0 until k).map(j =>
+            s"CAST(FLOOR((wq_$j/$S - $lr*CAST(g_$j AS DOUBLE)/n)*$S) " +
+              s"AS BIGINT) AS wq_$j").mkString(", ") +
+          s" FROM w${t - 1} CROSS JOIN g$t)")
+    }
+    val score = Seq(
+      s"sc AS (SELECT y, CAST(FLOOR(($z)*1000000000.0) AS BIGINT) AS z9" +
+        s" FROM f CROSS JOIN w$iters)",
+      "gr AS (SELECT z9, COUNT(*) AS cnt," +
+        " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
+      "rk AS (SELECT cnt, npos, CAST(SUM(cnt) OVER (ORDER BY z9) AS BIGINT)" +
+        " AS cum_end FROM gr)",
+      "ag AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS n_pos," +
+        " CAST(COALESCE(SUM(cnt - npos), 0) AS BIGINT) AS n_neg," +
+        " CAST(COALESCE(SUM(npos * (2*(cum_end - cnt) + cnt + 1)), 0)" +
+        " AS BIGINT) AS rank2_pos_sum FROM rk)")
+    s"WITH ${(Seq(fCte, w0) ++ iterCtes ++ score).mkString(", ")} " +
+      "SELECT n_pos, n_neg, rank2_pos_sum, " +
+      "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1 " +
+      "ELSE (rank2_pos_sum - n_pos*(n_pos+1)) * 1000000000 " +
+      "// (2*n_pos*n_neg) END AS auc9 FROM ag"
+  }
+
   // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
   // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
   private[queries] val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
@@ -2111,6 +2156,30 @@ object LlmQueries {
           lr = 0.5, iters = 3).orderBy("iter")
       },
       Some(logRegOracleSql)),
+
+    // ---- Exact distributed ROC-AUC of the trained classifier ------------
+    // Train (same config as q108), score every example, quantize z to
+    // 1e-9, and compute the tie-corrected Mann-Whitney AUC via the
+    // two-phase distributed rank (operators/MlMetrics.scala — the global
+    // sort never funnels through one task). The oracle replays training,
+    // scoring, the rank spans, and the integer AUC division; train +
+    // score + rank + grade is still ONE lazy plan.
+    "q108b_logreg_auc" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{LogReg, MlMetrics}
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
+        val scored = LogReg.score(feats, w, xs)
+          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
+        MlMetrics.rocAuc9(scored, "z9", "y")
+      },
+      Some(logRegAucOracleSql)),
 
     // ---- CCNet-style n-gram LM perplexity filter ------------------------
     // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —

@@ -102,6 +102,12 @@ class EmptyInputSpec extends SparkSpec {
         case "q108_logreg_classifier" =>
           assert(rows.length === 3 && rows.forall(r =>
             (1 to 9).forall(r.isNullAt) && r.getLong(10) == 0L))
+        // the AUC grader on nothing: zero positives/negatives and the
+        // undefined-AUC sentinel, matching the oracle's COALESCEd sums
+        case "q108b_logreg_auc" =>
+          assert(rows.length === 1 &&
+            (0 to 2).forall(i => rows.head.getLong(i) == 0L) &&
+            rows.head.getLong(3) == -1L)
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()

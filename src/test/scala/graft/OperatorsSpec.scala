@@ -937,6 +937,30 @@ class OperatorsSpec extends SparkSpec {
     lr.unpersistAll()
   }
 
+  test("MlMetrics.rocAuc9: tie-corrected Mann-Whitney AUC, exact and " +
+      "partition-invariant") {
+    import graft.operators.MlMetrics
+    // scores 5(neg) < {10(pos), 10(neg) tie, avg rank 2.5} < 20(pos):
+    // R+ = 2.5 + 4 = 6.5 -> AUC = (13 - 2*3) / (2*2*2) = 0.875
+    val df = Seq((10L, 1), (10L, 0), (20L, 1), (5L, 0)).toDF("z9", "y")
+    val got = MlMetrics.rocAuc9(df, "z9", "y").collect().head
+    assert(got.getLong(0) === 2L && got.getLong(1) === 2L)
+    assert(got.getLong(2) === 13L) // 2 * (2.5 + 4)
+    assert(got.getLong(3) === 875000000L)
+    val reparted = MlMetrics.rocAuc9(df.repartition(5), "z9", "y")
+      .collect().head
+    assert(reparted === got)
+    // degenerate single-class input: AUC undefined -> sentinel
+    val onlyPos = Seq((1L, 1), (2L, 1)).toDF("z9", "y")
+    assert(MlMetrics.rocAuc9(onlyPos, "z9", "y").collect().head.getLong(3)
+      === -1L)
+    // perfect separation -> AUC = 1.0
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("z9", "y")
+    assert(MlMetrics.rocAuc9(perfect, "z9", "y").collect().head.getLong(3)
+      === 1000000000L)
+    graft.operators.Windowed.unpersistAll()
+  }
+
   test("LogReg.train is fully lazy: zero Spark jobs until an action") {
     val (feats, lr) = logRegFeats
     @volatile var jobs = 0
