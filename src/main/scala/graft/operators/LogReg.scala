@@ -69,6 +69,16 @@ object LogReg {
 
   /** One gradient step: returns the post-update one-row quantized weight
     * frame. `features` must carry `xCols` (double) and `yCol` (0/1 int).
+    *
+    * The previous weights are carried THROUGH the gradient aggregation
+    * (`min(wq_j)` — constant on the broadcast-joined frame, so min is the
+    * value itself; NULL over an empty frame, which propagates the same
+    * NULL update as a NULL gradient would) instead of joining `w` a
+    * second time above `g`. That keeps each iteration's logical plan
+    * referencing its predecessor exactly ONCE — the double-reference
+    * shape (w crossJoin g(w)) doubles the analyzed tree per iteration,
+    * i.e. 2^T plan-analysis cost; measured at T=3 that was ~3x the whole
+    * query's wall time in driver-side analysis.
     */
   private def step(features: DataFrame, w: DataFrame, xCols: Seq[String],
       yCol: String, lr: Double): DataFrame = {
@@ -77,11 +87,13 @@ object LogReg {
     val grads = xCols.zipWithIndex.map { case (c, j) =>
       sum((resid * col(c)).cast(Dec)).as(s"g_$j")
     }
+    val carried = xCols.indices.map(j => min(col(s"wq_$j")).as(s"pw_$j"))
     val g = features.crossJoin(broadcast(w))
-      .agg(grads.head, grads.tail :+ count(lit(1)).as("n"): _*)
-    w.crossJoin(broadcast(g)).select(
+      .agg(grads.head,
+        grads.tail ++ carried :+ count(lit(1)).as("n"): _*)
+    g.select(
       xCols.indices.map { j =>
-        floor((col(s"wq_$j") / lit(Scale.toDouble) -
+        floor((col(s"pw_$j") / lit(Scale.toDouble) -
           lit(lr) * col(s"g_$j").cast("double") / col("n")) *
           lit(Scale.toDouble)).as(s"wq_$j")
       }: _*)
