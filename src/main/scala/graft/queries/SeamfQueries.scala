@@ -563,7 +563,30 @@ object SeamfQueries {
           MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
         FROM ${rp("pvt")}
         WHERE datetime_us > $PruneCutUs AND frequency > 3.5e9
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- DSv2 metadata-only path on the hash surface --------------------
+    // No trace column in the projection, so SupportsPushDownRequiredColumns
+    // turns the whole scan metadata-only: every XZ payload is skipped
+    // (SeamfSourceSpec pins the metric; here the RESULT is hash-graded).
+    // Capture inventory per channel from trace-slot metadata must agree
+    // with the independently decoded channel_metadata dump — including the
+    // corrupt-sha member being dropped on both paths.
+    "s19_seamf_dsv2_meta_scan" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        s.read.format("seamf").load(fixture())
+          .select("datetime_us", "frequency")
+          .groupBy("frequency")
+          .agg(countDistinct(col("datetime_us")).as("n_captures"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"))
+          .orderBy("frequency")
+      },
+      Some(s"""SELECT frequency, COUNT(DISTINCT datetime_us) AS n_captures,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
+        FROM ${rp("channel_metadata")}
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

@@ -593,4 +593,81 @@ class PropertySpec extends SparkSpec {
       a == refNbPredict(train, score) && a == got(l2)
     }, n = 10)
   }
+
+  /** Sequential reference for LogReg's quantized GD: same double
+    * arithmetic order, same HALF_UP decimal(38,18) per-term rounding,
+    * exact decimal sums, same floor(w * 1e6) grid.
+    */
+  private def refGdTrajectory(rows: Seq[(Int, Array[Double])], lr: Double,
+      iters: Int): Seq[(Seq[Long], Long)] = {
+    val k = rows.head._2.length
+    var wq = Array.fill(k)(0L)
+    def z(x: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < k) { s += (wq(j) / 1e6) * x(j); j += 1 }
+      s
+    }
+    (1 to iters).map { _ =>
+      val sums = Array.fill(k)(java.math.BigDecimal.ZERO)
+      rows.foreach { case (y, x) =>
+        val r = 1.0 / (1.0 + math.exp(-z(x))) - y
+        var j = 0
+        while (j < k) {
+          sums(j) = sums(j).add(java.math.BigDecimal.valueOf(r * x(j))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+      }
+      wq = Array.tabulate(k)(j => math.floor(
+        (wq(j) / 1e6 - lr * sums(j).doubleValue / rows.size) * 1e6).toLong)
+      val correct = rows.count { case (y, x) => (z(x) >= 0.0) == (y == 1) }
+      (wq.toSeq, correct.toLong)
+    }
+  }
+
+  test("LogReg trajectory matches the sequential quantized-GD reference " +
+      "under any input partitioning") {
+    import graft.operators.LogReg
+    val gen = for {
+      n <- Gen.chooseNum(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(0, 1),
+        Gen.listOfN(2, Gen.chooseNum(-3.0, 3.0))))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (rows.map { case (y, xs) => (y, Array(1.0) ++ xs) }, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }
+        .toDF("y", "x0", "x1", "x2").repartition(parts)
+      val got = LogReg.trainTrajectory(df, Seq("x0", "x1", "x2"), "y",
+          0.5, 2).orderBy("iter").collect()
+        .map(r => ((1 to 3).map(r.getLong), r.getLong(4))).toSeq
+      LogReg.unpersistAll()
+      got == refGdTrajectory(rows, 0.5, 2)
+    }, n = 15)
+  }
+
+  test("rocAuc9 equals brute-force pair counting (concordant + half-ties) " +
+      "for any score multiset") {
+    import graft.operators.MlMetrics
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(-5L, 5L), Gen.oneOf(0, 1)))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (rows, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val pos = rows.collect { case (s, 1) => s }
+      val neg = rows.collect { case (s, 0) => s }
+      val s2 = pos.map(p => neg.map(q =>
+        if (p > q) 2L else if (p == q) 1L else 0L).sum).sum
+      val expAuc9 =
+        if (pos.isEmpty || neg.isEmpty) -1L
+        else s2 * 1000000000L / (2L * pos.size * neg.size)
+      val got = MlMetrics.rocAuc9(
+        rows.toDF("z9", "y").repartition(parts), "z9", "y").collect().head
+      graft.operators.Windowed.unpersistAll()
+      got.getLong(0) == pos.size && got.getLong(1) == neg.size &&
+        // Mann-Whitney identity: 2R+ = s2 + nPos*(nPos+1)
+        got.getLong(2) == s2 + pos.size.toLong * (pos.size + 1) &&
+        got.getLong(3) == expAuc9
+    }, n = 30)
+  }
 }
