@@ -185,16 +185,92 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
       limit, options)
 }
 
-private[sources] class SeamfScan(paths: Seq[String],
+private[graft] class SeamfScan(paths: Seq[String],
     prune: SeamfReader.TracePrune, required: StructType, limit: Option[Int],
     options: CaseInsensitiveStringMap)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private val tz = Option(options.get("tz"))
   private val raise = Option(options.get("errors")).getOrElse("log") == "raise"
   private val checkHash =
     Option(options.get("checkHash")).forall(_.toBoolean)
   private val needPayload = required.fieldNames.contains("trace")
+
+  /** Runtime (DPP-style) pruning: when this scan probes a broadcast join
+    * keyed on a decode-prunable column, Spark hands the build side's key
+    * set here BEFORE partitions execute, and it tightens the decode prune
+    * the same way a static predicate would — an IN-set on `datetime_us`/
+    * `frequency` collapses to its [min, max] envelope (a SUPERSET, which
+    * runtime-filter semantics permit: the join re-filters), `table` keys
+    * intersect exactly. Files outside the envelope skip XZ decode, so a
+    * calibration-style join against a narrow dimension prunes the archive
+    * at runtime even though no static predicate existed in the query.
+    */
+  @volatile private var runtimePrune = SeamfReader.TracePrune()
+
+  // the factory is created at PLANNING time (supportsColumnar probes it)
+  // — before runtime filters arrive — so it carries this mutable box
+  // instead of a baked-in prune: filter() updates the box, and Java
+  // serialization snapshots its value when tasks are submitted, which is
+  // after BatchScanExec has delivered the runtime filters
+  private val pruneBox = new PruneBox(prune)
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("datetime_us", "frequency", "table")
+      .filter(required.fieldNames.contains) // must resolve against readSchema
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    var p = runtimePrune
+    filters.foreach {
+      case In("datetime_us", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        p = p.copy(
+          minDatetimeUs = Some(p.minDatetimeUs.fold(ls.min)(math.max(_, ls.min))),
+          maxDatetimeUs = Some(p.maxDatetimeUs.fold(ls.max)(math.min(_, ls.max))))
+      case EqualTo("datetime_us", v: Long) =>
+        p = p.copy(
+          minDatetimeUs = Some(p.minDatetimeUs.fold(v)(math.max(_, v))),
+          maxDatetimeUs = Some(p.maxDatetimeUs.fold(v)(math.min(_, v))))
+      case In("frequency", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Double]) =>
+        val ds = vs.map(_.asInstanceOf[Double])
+        p = p.copy(
+          minFrequency = Some(p.minFrequency.fold(ds.min)(math.max(_, ds.min))),
+          maxFrequency = Some(p.maxFrequency.fold(ds.max)(math.min(_, ds.max))))
+      case EqualTo("frequency", v: Double) =>
+        p = p.copy(
+          minFrequency = Some(p.minFrequency.fold(v)(math.max(_, v))),
+          maxFrequency = Some(p.maxFrequency.fold(v)(math.min(_, v))))
+      case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        p = p.copy(tables = Some(p.tables.fold(s)(_.intersect(s))))
+      case EqualTo("table", v: String) =>
+        p = p.copy(tables = Some(p.tables.fold(Set(v))(_.intersect(Set(v)))))
+      case _ => () // unsupported runtime filter: ignore (pruning is optional)
+    }
+    runtimePrune = p
+    pruneBox.value = effectivePrune
+  }
+
+  /** Static pushdown merged with whatever runtime filters have arrived. */
+  private def effectivePrune: SeamfReader.TracePrune = {
+    val r = runtimePrune
+    SeamfReader.TracePrune(
+      tables = (prune.tables, r.tables) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      },
+      minDatetimeUs =
+        Seq(prune.minDatetimeUs, r.minDatetimeUs).flatten.reduceOption(_ max _),
+      maxDatetimeUs =
+        Seq(prune.maxDatetimeUs, r.maxDatetimeUs).flatten.reduceOption(_ min _),
+      minFrequency =
+        Seq(prune.minFrequency, r.minFrequency).flatten.reduceOption(_ max _),
+      maxFrequency =
+        Seq(prune.maxFrequency, r.maxFrequency).flatten.reduceOption(_ min _))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -272,8 +348,8 @@ private[sources] class SeamfScan(paths: Seq[String],
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new SeamfReaderFactory(conf, prune, required, tz, raise, checkHash,
-      needPayload, limit)
+    new SeamfReaderFactory(conf, pruneBox, required, tz, raise,
+      checkHash, needPayload, limit)
   }
 
 }
@@ -317,14 +393,21 @@ private[sources] final class SerializableHadoopConf(
   }
 }
 
+/** Mutable decode-prune holder shared between the scan (which tightens it
+  * on runtime filters) and the reader factory (created earlier, at
+  * planning). Serialization snapshots the current value per task batch.
+  */
+private[graft] final class PruneBox(
+    @volatile var value: SeamfReader.TracePrune) extends Serializable
+
 private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
-    prune: SeamfReader.TracePrune, required: StructType, tz: Option[String],
+    pruneBox: PruneBox, required: StructType, tz: Option[String],
     raise: Boolean, checkHash: Boolean, needPayload: Boolean,
     limit: Option[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SeamfPartitionReader(
-      partition.asInstanceOf[SeamfInputPartition].files, conf.value, prune,
-      required, tz, raise, checkHash, needPayload, limit)
+      partition.asInstanceOf[SeamfInputPartition].files, conf.value,
+      pruneBox.value, required, tz, raise, checkHash, needPayload, limit)
 }
 
 /** Decodes one packed bin of members; emits only the required columns.

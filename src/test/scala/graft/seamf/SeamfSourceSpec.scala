@@ -20,16 +20,22 @@ class SeamfSourceSpec extends SparkSpec {
   private def dsv2: DataFrame = spark.read.format("seamf").load(fixture)
 
   /** Run the frame and return its (executed) BatchScanExec node, whose SQL
-    * metrics include the source's custom decode counters.
+    * metrics include the source's custom decode counters. Descends into
+    * AQE query stages (QueryStageExec keeps its plan out of `children`).
     */
   private def runAndScan(df: DataFrame): BatchScanExec = {
     df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect { case b: BatchScanExec => b }
-    assert(scans.nonEmpty, s"no BatchScanExec in:\n$plan")
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p match {
+        case b: BatchScanExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+        case other => other.children.flatMap(find)
+      }
+    val scans = find(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n" +
+      df.queryExecution.executedPlan)
     scans.head
   }
 
@@ -150,6 +156,39 @@ class SeamfSourceSpec extends SparkSpec {
     val metaOnly = sizeOf(dsv2.select("file", "datetime_us"))
     assert(full > 0 && metaOnly > 0)
     assert(metaOnly < full, s"meta-only $metaOnly !< full $full")
+  }
+
+  test("runtime filtering: a broadcast join's key set prunes decode at " +
+      "runtime (DPP on the connector)") {
+    // dimension keyed on capture time; the selective slice keeps only the
+    // two earliest captures, so at runtime the scan should decode the
+    // first file and prune the rest from metadata alone
+    val dts = dsv2.select("datetime_us").distinct()
+      .orderBy("datetime_us").collect().map(_.getLong(0))
+    val keep = dts.take(2).toSet
+    // the build side must be a real filtered SCAN (a LocalRelation's
+    // filter constant-folds away and DPP sees no selective predicate)
+    val dimPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_dpp_dim").toString
+    dts.toSeq.toDF("dt")
+      .withColumn("tag", when(col("dt").isInCollection(keep), "keep")
+        .otherwise("drop"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = dsv2.select("datetime_us", "table")
+      .join(broadcast(dim.filter(col("tag") === "keep")),
+        col("datetime_us") === col("dt"))
+    val scan = runAndScan(joined)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no runtime filter reached the scan:\n$planStr")
+    // the runtime envelope rejects every later file before payload decode
+    assert(metric(scan, "seamfPrunedFiles") > 0)
+    // correctness: same rows as the unfiltered join
+    val expected = SeamfReader.traces(spark, fixture).toDF()
+      .select("datetime_us", "table")
+      .filter(col("datetime_us").isInCollection(keep)).count()
+    assert(joined.count() === expected)
   }
 
   test("short name registration: format(\"seamf\") resolves via " +
