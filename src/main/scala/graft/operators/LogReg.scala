@@ -141,6 +141,34 @@ object LogReg {
     }.reduce(_ unionByName _)
   }
 
+  /** Z-score standardize `xCols` in-plan: ONE aggregation derives every
+    * column's decimal sum and sum-of-squares (exact in any order), the
+    * broadcast one-row stats frame feeds `(x - mean) / std` per row, and
+    * columns with variance <= eps fall back to std = 1 (constant columns
+    * — the bias — must not divide by ~0). Zero jobs: standardize + fit +
+    * score still execute as one action. Population variance in the fixed
+    * operation order `E[x^2] - E[x]^2` so the oracle replays the doubles
+    * verbatim.
+    */
+  def standardize(features: DataFrame, xCols: Seq[String],
+      eps: Double = 1e-12): DataFrame = {
+    val aggs = xCols.flatMap(c => Seq(
+      sum(col(c).cast(Dec)).as(s"__s_$c"),
+      sum((col(c) * col(c)).cast(Dec)).as(s"__q_$c"))) :+
+      count(lit(1)).as("__n")
+    val st = features.agg(aggs.head, aggs.tail: _*)
+    features.crossJoin(broadcast(st)).select(
+      features.columns.toSeq.map { c =>
+        if (!xCols.contains(c)) col(c)
+        else {
+          val m = col(s"__s_$c").cast("double") / col("__n")
+          val v = col(s"__q_$c").cast("double") / col("__n") - m * m
+          val s = when(v <= eps, lit(1.0)).otherwise(sqrt(v))
+          ((col(c) - m) / s).as(c)
+        }
+      }: _*)
+  }
+
   /** Score a frame with a trained weights frame: adds `z` (double linear
     * score) and `pred` (0/1 at the z >= 0 boundary). One broadcast join,
     * map-side only.

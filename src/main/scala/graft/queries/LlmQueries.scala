@@ -32,44 +32,85 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** q108 oracle: the full 3-iteration logistic-regression training loop as
-    * a DuckDB CTE chain, GENERATED from the same (k, iters, lr, scale)
-    * parameters the Spark side uses so the arithmetic text cannot drift
-    * from `LogReg`'s column expressions (z is the identical left-associated
-    * sum, gradients the identical DECIMAL(38,18) casts, updates the
-    * identical floor(w * 1e6) grid).
+  // ---- q108 family oracle builder ------------------------------------
+  // The quantized-GD training loop as a DuckDB CTE chain, GENERATED from
+  // the same (k, iters, lr, scale) parameters the Spark side uses so the
+  // arithmetic text cannot drift from LogReg's column expressions (z is
+  // the identical left-associated sum, gradients the identical
+  // DECIMAL(38,18) casts, updates the identical floor(w * 1e6) grid).
+  private val LrK = 9
+  private val LrIters = 3
+  private val LrScaleSql = "1000000.0"
+  private val LrRateSql = "0.5"
+  private def lrZ: String =
+    (0 until LrK).map(j => s"wq_$j/$LrScaleSql*x$j").mkString(" + ")
+
+  /** Training CTEs: feature CTE (optionally z-scored the way
+    * `LogReg.standardize` does it — decimal sums/sum-of-squares, double
+    * mean/variance in the same operation order, unit fallback below eps;
+    * bias x0 untouched), zero weights, and per-iteration gradient/update
+    * (+ accuracy when `withAccuracy`). The feature CTE in scope of g/a is
+    * always named `f`.
     */
-  private[queries] def logRegOracleSql: String = {
-    val k = 9; val iters = 3; val S = "1000000.0"; val lr = "0.5"
-    val z = (0 until k).map(j => s"wq_$j/$S*x$j").mkString(" + ")
-    val fCte = "f AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
+  private def logRegCtes(standardize: Boolean,
+      withAccuracy: Boolean): Seq[String] = {
+    val rawName = if (standardize) "f0" else "f"
+    val raw = s"$rawName AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
       (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
         .mkString(", ") + " FROM embeddings)"
+    val stdCtes = if (!standardize) Seq.empty else Seq(
+      "st AS (SELECT COUNT(*) AS sn, " +
+        (1 to 8).map(j =>
+          s"SUM(CAST(x$j AS DECIMAL(38,18))) AS s_$j, " +
+            s"SUM(CAST(x$j*x$j AS DECIMAL(38,18))) AS q_$j").mkString(", ") +
+        " FROM f0)",
+      "f AS (SELECT y, x0, " +
+        (1 to 8).map { j =>
+          val m = s"CAST(s_$j AS DOUBLE)/sn"
+          val v = s"CAST(q_$j AS DOUBLE)/sn - ($m)*($m)"
+          s"(x$j - $m) / (CASE WHEN ($v) <= 1e-12 THEN 1.0 " +
+            s"ELSE SQRT($v) END) AS x$j"
+        }.mkString(", ") + " FROM f0 CROSS JOIN st)")
     val w0 = "w0 AS (SELECT " +
-      (0 until k).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
-    val iterCtes = (1 to iters).flatMap { t =>
+      (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
+    val iterCtes = (1 to LrIters).flatMap { t =>
       Seq(
         s"g$t AS (SELECT COUNT(*) AS n, " +
-          (0 until k).map(j =>
-            s"SUM(CAST((1.0/(1.0+EXP(-($z))) - y)*x$j AS DECIMAL(38,18))) " +
+          (0 until LrK).map(j =>
+            s"SUM(CAST((1.0/(1.0+EXP(-($lrZ))) - y)*x$j AS DECIMAL(38,18))) " +
               s"AS g_$j").mkString(", ") + s" FROM f CROSS JOIN w${t - 1})",
         s"w$t AS (SELECT " +
-          (0 until k).map(j =>
-            s"CAST(FLOOR((wq_$j/$S - $lr*CAST(g_$j AS DOUBLE)/n)*$S) " +
+          (0 until LrK).map(j =>
+            s"CAST(FLOOR((wq_$j/$LrScaleSql - " +
+              s"$LrRateSql*CAST(g_$j AS DOUBLE)/n)*$LrScaleSql) " +
               s"AS BIGINT) AS wq_$j").mkString(", ") +
-          s" FROM w${t - 1} CROSS JOIN g$t)",
-        s"a$t AS (SELECT COUNT(CASE WHEN (($z) >= 0.0) = (y = 1) THEN 1 END)" +
-          s" AS n_correct FROM f CROSS JOIN w$t)")
+          s" FROM w${t - 1} CROSS JOIN g$t)") ++
+        (if (withAccuracy) Seq(
+          s"a$t AS (SELECT COUNT(CASE WHEN (($lrZ) >= 0.0) = (y = 1) " +
+            s"THEN 1 END) AS n_correct FROM f CROSS JOIN w$t)")
+         else Seq.empty)
     }
-    val selects = (1 to iters).map { t =>
-      s"SELECT CAST($t AS BIGINT) AS iter, " +
-        (0 until k).map(j => s"wq_$j").mkString(", ") +
-        s", n_correct FROM w$t CROSS JOIN a$t"
-    }.mkString(" UNION ALL ")
-    s"WITH ${(Seq(fCte, w0) ++ iterCtes).mkString(", ")} $selects ORDER BY iter"
+    Seq(raw) ++ stdCtes ++ Seq(w0) ++ iterCtes
   }
 
-  /** q108b oracle: replay the q108 training chain (weights CTEs only), then
+  private def lrTrajectorySelects: String =
+    (1 to LrIters).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, " +
+        (0 until LrK).map(j => s"wq_$j").mkString(", ") +
+        s", n_correct FROM w$t CROSS JOIN a$t"
+    }.mkString(" UNION ALL ")
+
+  /** q108 oracle: the trajectory (per-iteration weights + accuracy). */
+  private[queries] def logRegOracleSql: String =
+    s"WITH ${logRegCtes(standardize = false, withAccuracy = true)
+      .mkString(", ")} $lrTrajectorySelects ORDER BY iter"
+
+  /** q108c oracle: the same trajectory over z-scored features. */
+  private[queries] def logRegStdOracleSql: String =
+    s"WITH ${logRegCtes(standardize = true, withAccuracy = true)
+      .mkString(", ")} $lrTrajectorySelects ORDER BY iter"
+
+  /** q108b oracle: replay the training chain (weights CTEs only), then
     * score every example with the final weights, quantize z to 1e-9, and
     * recompute the tie-corrected Mann-Whitney AUC exactly — DuckDB's
     * window cumsum stands in for the engine's two-phase distributed rank
@@ -77,28 +118,9 @@ object LlmQueries {
     * integer SUM to HUGEINT, which the compare harness reads as float.
     */
   private[queries] def logRegAucOracleSql: String = {
-    val k = 9; val iters = 3; val S = "1000000.0"; val lr = "0.5"
-    val z = (0 until k).map(j => s"wq_$j/$S*x$j").mkString(" + ")
-    val fCte = "f AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
-      (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
-        .mkString(", ") + " FROM embeddings)"
-    val w0 = "w0 AS (SELECT " +
-      (0 until k).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
-    val iterCtes = (1 to iters).flatMap { t =>
-      Seq(
-        s"g$t AS (SELECT COUNT(*) AS n, " +
-          (0 until k).map(j =>
-            s"SUM(CAST((1.0/(1.0+EXP(-($z))) - y)*x$j AS DECIMAL(38,18))) " +
-              s"AS g_$j").mkString(", ") + s" FROM f CROSS JOIN w${t - 1})",
-        s"w$t AS (SELECT " +
-          (0 until k).map(j =>
-            s"CAST(FLOOR((wq_$j/$S - $lr*CAST(g_$j AS DOUBLE)/n)*$S) " +
-              s"AS BIGINT) AS wq_$j").mkString(", ") +
-          s" FROM w${t - 1} CROSS JOIN g$t)")
-    }
     val score = Seq(
-      s"sc AS (SELECT y, CAST(FLOOR(($z)*1000000000.0) AS BIGINT) AS z9" +
-        s" FROM f CROSS JOIN w$iters)",
+      s"sc AS (SELECT y, CAST(FLOOR(($lrZ)*1000000000.0) AS BIGINT) AS z9" +
+        s" FROM f CROSS JOIN w$LrIters)",
       "gr AS (SELECT z9, COUNT(*) AS cnt," +
         " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
       "rk AS (SELECT cnt, npos, CAST(SUM(cnt) OVER (ORDER BY z9) AS BIGINT)" +
@@ -107,7 +129,8 @@ object LlmQueries {
         " CAST(COALESCE(SUM(cnt - npos), 0) AS BIGINT) AS n_neg," +
         " CAST(COALESCE(SUM(npos * (2*(cum_end - cnt) + cnt + 1)), 0)" +
         " AS BIGINT) AS rank2_pos_sum FROM rk)")
-    s"WITH ${(Seq(fCte, w0) ++ iterCtes ++ score).mkString(", ")} " +
+    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++ score)
+      .mkString(", ")} " +
       "SELECT n_pos, n_neg, rank2_pos_sum, " +
       "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1 " +
       "ELSE (rank2_pos_sum - n_pos*(n_pos+1)) * 1000000000 " +
@@ -2180,6 +2203,30 @@ object LlmQueries {
         MlMetrics.rocAuc9(scored, "z9", "y")
       },
       Some(logRegAucOracleSql)),
+
+    // ---- Standardized-feature training (the production pipeline) -------
+    // Same GD config over z-scored features: LogReg.standardize derives
+    // per-feature mean/std from ONE decimal-sum aggregation in-plan (zero
+    // jobs — standardize + fit + grade is still one action), constant
+    // columns fall back to std = 1. The oracle replays the stats CTE, the
+    // per-row standardization doubles, and the full quantized trajectory.
+    // Standardization is what makes a fixed learning rate safe when raw
+    // feature scales differ — the engine-side prerequisite for running
+    // this classifier on arbitrary quality features at corpus scale.
+    "q108c_logreg_standardized" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
+        LogReg.trainTrajectory(std, (0 to 8).map(j => s"x$j"), "y",
+          lr = 0.5, iters = 3).orderBy("iter")
+      },
+      Some(logRegStdOracleSql)),
 
     // ---- CCNet-style n-gram LM perplexity filter ------------------------
     // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —

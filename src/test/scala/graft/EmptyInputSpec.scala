@@ -99,7 +99,7 @@ class EmptyInputSpec extends SparkSpec {
         // iteration with NULL weights (gradient SUM over nothing stays
         // NULL through the quantized update) and zero correct — exactly
         // the oracle's CTE chain over an empty embeddings table
-        case "q108_logreg_classifier" =>
+        case "q108_logreg_classifier" | "q108c_logreg_standardized" =>
           assert(rows.length === 3 && rows.forall(r =>
             (1 to 9).forall(r.isNullAt) && r.getLong(10) == 0L))
         // the AUC grader on nothing: zero positives/negatives and the
