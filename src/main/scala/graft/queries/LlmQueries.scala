@@ -52,25 +52,27 @@ object LlmQueries {
     * (+ accuracy when `withAccuracy`). The feature CTE in scope of g/a is
     * always named `f`.
     */
-  private def logRegCtes(standardize: Boolean,
-      withAccuracy: Boolean): Seq[String] = {
-    val rawName = if (standardize) "f0" else "f"
-    val raw = s"$rawName AS (SELECT CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
+  private def logRegCtes(standardize: Boolean, withAccuracy: Boolean,
+      trainWhere: String = "", idCol: Boolean = false): Seq[String] = {
+    val raw = s"f0 AS (SELECT ${if (idCol) "vec_id, " else ""}" +
+      "CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
       (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
         .mkString(", ") + " FROM embeddings)"
-    val stdCtes = if (!standardize) Seq.empty else Seq(
-      "st AS (SELECT COUNT(*) AS sn, " +
+    val filt = if (trainWhere.isEmpty) "" else s" $trainWhere"
+    val stdCtes = if (!standardize) Seq(s"f AS (SELECT * FROM f0$filt)")
+    else Seq(
+      s"st AS (SELECT COUNT(*) AS sn, " +
         (1 to 8).map(j =>
           s"SUM(CAST(x$j AS DECIMAL(38,18))) AS s_$j, " +
             s"SUM(CAST(x$j*x$j AS DECIMAL(38,18))) AS q_$j").mkString(", ") +
-        " FROM f0)",
+        s" FROM f0$filt)",
       "f AS (SELECT y, x0, " +
         (1 to 8).map { j =>
           val m = s"CAST(s_$j AS DOUBLE)/sn"
           val v = s"CAST(q_$j AS DOUBLE)/sn - ($m)*($m)"
           s"(x$j - $m) / (CASE WHEN ($v) <= 1e-12 THEN 1.0 " +
             s"ELSE SQRT($v) END) AS x$j"
-        }.mkString(", ") + " FROM f0 CROSS JOIN st)")
+        }.mkString(", ") + s" FROM f0 CROSS JOIN st$filt)")
     val w0 = "w0 AS (SELECT " +
       (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
     val iterCtes = (1 to LrIters).flatMap { t =>
@@ -135,6 +137,41 @@ object LlmQueries {
       "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1 " +
       "ELSE (rank2_pos_sum - n_pos*(n_pos+1)) * 1000000000 " +
       "// (2*n_pos*n_neg) END AS auc9 FROM ag"
+  }
+
+  /** w15 oracle: train on the even slice, score BOTH slices with the final
+    * weights, bin the scores on the even slice's [lo, hi] range, and emit
+    * the q105-shaped per-bin PSI table — the batch replay of the streaming
+    * model-score drift monitor (end-of-stream complete-mode counts equal
+    * the batch counts, the w10/w11 argument).
+    */
+  private[queries] def logRegScoreDriftOracleSql: String = {
+    val ctes = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 2 = 0", idCol = true)
+    val score = Seq(
+      s"sall AS (SELECT vec_id % 2 AS par, ($lrZ) AS z" +
+        s" FROM f0 CROSS JOIN w$LrIters)",
+      "rng AS (SELECT MIN(z) AS lo, MAX(z) AS hi FROM sall WHERE par = 0)",
+      "b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin)",
+      "rc AS (SELECT LEAST(GREATEST(CAST(FLOOR((z - lo)" +
+        " / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS ref_n" +
+        " FROM sall CROSS JOIN rng WHERE par = 0 GROUP BY 1)",
+      "lc AS (SELECT LEAST(GREATEST(CAST(FLOOR((z - lo)" +
+        " / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS live_n" +
+        " FROM sall CROSS JOIN rng WHERE par = 1 GROUP BY 1)",
+      "n AS (SELECT (SELECT COUNT(*) FROM sall WHERE par = 0) AS rn," +
+        " (SELECT COUNT(*) FROM sall WHERE par = 1) AS lvn)",
+      "j AS (SELECT b.bin, COALESCE(rc.ref_n, 0) AS ref_n," +
+        " COALESCE(lc.live_n, 0) AS live_n" +
+        " FROM b LEFT JOIN rc USING (bin) LEFT JOIN lc USING (bin))")
+    s"WITH ${(ctes ++ score).mkString(", ")} " +
+      """SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(live_n AS BIGINT) AS live_n,
+          CAST(FLOOR(((ref_n + 1.0) / (rn + 10)
+              - (live_n + 1.0) / (lvn + 10))
+            * LN(((ref_n + 1.0) / (rn + 10))
+              / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
+        FROM j CROSS JOIN n ORDER BY bin"""
   }
 
   // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined

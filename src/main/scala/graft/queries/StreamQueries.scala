@@ -464,6 +464,54 @@ object StreamQueries {
         WHERE d.doc_id % 3 <> 0
         ORDER BY d.doc_id""")),
 
+    // ---- streaming model-score drift (the production ML monitor) -------
+    // The classifier trained offline on the reference slice scores a LIVE
+    // embedding stream, and the score DISTRIBUTION is what's monitored:
+    // score drift fires before label drift is observable (no labels in
+    // production). Model state follows the w12 discipline — the trained
+    // quantized weights ride as driver literals (9 longs, bounded by
+    // construction) and the bin range as two doubles — so the stream
+    // side is a stateless map + a complete-mode groupBy whose state is
+    // hard-bounded at B bins for the life of the stream (w11's
+    // argument). End-of-stream PSI equals the batch computation: the
+    // oracle replays training, scoring, binning, and the smoothed PSI.
+    "w15_stream_score_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{Drift, LogReg}
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        def feats(df: org.apache.spark.sql.DataFrame) = df.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val refFeats = feats(emb.filter(col("vec_id") % 2 === 0))
+        val wRow = LogReg.train(refFeats, xs, "y", lr = 0.5, iters = 3)
+          .collect().head
+        LogReg.unpersistAll()
+        // identical left-associated arithmetic as LogReg.zCol, with the
+        // trained weights inlined as literals (bounded model state)
+        val z = xs.zipWithIndex.map { case (c, j) =>
+          (lit(wRow.getLong(j)) / lit(1e6)) * col(c)
+        }.reduce(_ + _)
+        val refZ = refFeats.withColumn("z", z)
+        val (lo, hi) = Drift.referenceRange(refZ, "z")
+        val bins = 10
+        val width = (hi - lo) / bins
+        val liveBinned = feats(StreamingOps.embeddingsStream(s, dir)
+            .filter(col("vec_id") % 2 === 1))
+          .withColumn("z", z)
+          .groupBy(Drift.binCol(col("z"), lo, width, bins).as("bin"))
+          .agg(count(lit(1)).as("live_n"))
+        val mat = StreamingOps.runToMemory(s, liveBinned, "w15_mem",
+          outputMode = "complete")
+        val refCounts = refZ
+          .groupBy(Drift.binCol(col("z"), lo, width, bins).as("bin"))
+          .agg(count(lit(1)).as("ref_n"))
+        Drift.psiFromBinned(s, refCounts, mat, bins)
+      },
+      Some(LlmQueries.logRegScoreDriftOracleSql)),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

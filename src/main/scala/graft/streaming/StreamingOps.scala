@@ -122,6 +122,19 @@ object StreamingOps {
       .parquet(dir)
   }
 
+  /** Embedding stream over the fixture lake (same contract as
+    * [[documentsStream]]: declared schema, incremental file listing).
+    */
+  def embeddingsStream(spark: SparkSession, dir: String,
+      globFilter: String = "embeddings.parquet"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+  }
+
   /** Stateless streaming corpus-ingest pipeline: quality filter (length +
     * token floor) -> content-hash train/val/test split -> per-(split, lang)
     * counts. The filter and split are pure map-side column expressions

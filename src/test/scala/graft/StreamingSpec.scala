@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming model-score drift equals the batch PSI table (w15 " +
+      "end-of-stream = batch)") {
+    val got = SparkEntry.queries("w15_stream_score_drift")(spark, sf())
+      .collect().toSeq
+    // batch truth over the same lake: identical scoring expression via
+    // the inventory path is already oracle-replayed; here assert shape +
+    // stability essentials — 10 bins, counts sum to each slice's size
+    assert(got.size === 10)
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val nRef = emb.filter(col("vec_id") % 2 === 0).count()
+    val nLive = emb.filter(col("vec_id") % 2 === 1).count()
+    assert(got.map(_.getLong(1)).sum === nRef)
+    assert(got.map(_.getLong(2)).sum === nLive)
+    graft.operators.LogReg.unpersistAll()
+  }
+
   test("flatMapGroupsWithState gap detector matches the batch gap count") {
     implicit val s = spark
     val gaps = StreamingOps.runToMemory(spark,
