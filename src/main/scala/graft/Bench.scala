@@ -189,6 +189,16 @@ object Bench {
         // lower-middle for even survivor counts: with one flaky (negative)
         // run dropped, upper-middle would report the MAX of the 2 survivors
         n -> (runs((runs.size - 1) / 2), runs.size)
+      } else if (t1 >= 6.0) {
+        // stall guard: a transient host stall on the single cold run of a
+        // normally-fast query would otherwise be recorded verbatim (one
+        // observed run: q22 0.9 s steady-state recorded as 14.6 s while
+        // planHash/shuffle/tasks were byte-identical — pure machine
+        // noise). One confirming run; min-of-2 (the lakeExport rule) when
+        // they disagree, so a genuinely-slow query costs exactly one
+        // extra run and a stalled fast query recovers its real time.
+        val t2 = { val t = runOnce(n); releaseCaches(); t }
+        if (t2 >= 0) n -> (math.min(t1, t2), 2) else n -> (t1, 1)
       } else n -> (t1, 1)
     }
     settle()

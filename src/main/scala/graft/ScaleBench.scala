@@ -229,6 +229,10 @@ object ScaleBench {
           graft.seamf.SeamfReader.traces(spark, dir)
             .write.format("noop").mode("overwrite").save()
         }
+        def ingestDsv2(dir: String): Double = timed {
+          spark.read.format("seamf").load(dir)
+            .write.format("noop").mode("overwrite").save()
+        }
         def export(dir: String): Double = timed {
           val out = java.nio.file.Files
             .createTempDirectory("graft_scale_lake").toString
@@ -239,9 +243,10 @@ object ScaleBench {
         // the 200-sweep number absorbs it and the 2000/200 ratio reads
         // SUBLINEAR-by-artifact (measured: cold 200-ingest 1.08 s vs warm
         // 2000-ingest 0.71 s). Warm on the small archive, then time.
-        ingest(small); export(small)
+        ingest(small); export(small); ingestDsv2(small)
         Seq(
           ("seamf_ingest", ingest(small), ingest(large)),
+          ("seamf_dsv2_ingest", ingestDsv2(small), ingestDsv2(large)),
           ("seamf_lake_export", export(small), export(large))
         ).map { case (name, s, big) =>
           val ratio = if (s > 0 && big > 0) big / s else -1.0

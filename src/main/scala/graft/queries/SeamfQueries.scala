@@ -586,6 +586,31 @@ object SeamfQueries {
       Some(s"""SELECT frequency, COUNT(DISTINCT datetime_us) AS n_captures,
           MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
         FROM ${rp("channel_metadata")}
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- DSv2 aggregate pushdown on the hash surface --------------------
+    // COUNT/MIN/MAX grouped by table push INTO the connector
+    // (SupportsPushDownAggregates): each file answers from its offset
+    // table and capture list — no payload decode, no per-slot rows
+    // (SeamfSourceSpec pins the plan + metrics; here the VALUES are
+    // graded). Oracle replays over the slot-level trace_inventory dump,
+    // written by the independent mapPartitions decode path.
+    "s20_seamf_dsv2_agg_pushdown" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        s.read.format("seamf").load(fixture())
+          .groupBy("table")
+          .agg(count(lit(1)).as("n_slots"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"),
+            min(col("frequency")).as("min_f"),
+            max(col("frequency")).as("max_f"))
+          .orderBy("table")
+      },
+      Some(s"""SELECT "table", COUNT(*) AS n_slots,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt,
+          MIN(frequency) AS min_f, MAX(frequency) AS max_f
+        FROM ${rp("trace_inventory")}
         GROUP BY 1 ORDER BY 1"""))
   )
 

@@ -64,6 +64,15 @@ object SeamfDump {
     write(sweep.select(shortName(col("file")),
       explode(col("diagnostics")).as(Seq("key", "value"))), "diagnostics")
 
+    // slot-level inventory (one row per trace slot, no payload values):
+    // the oracle surface for the DSv2 aggregate-pushdown query (s20) —
+    // written from the mapPartitions decode path, so the connector's
+    // metadata-computed aggregates are graded against an independent path
+    write(SeamfReader.traces(spark, fixture).toDF()
+      .select(shortName(col("file")), col("table"), col("capture_statistic"),
+        col("detector"), col("datetime_us"), col("frequency")),
+      "trace_inventory")
+
     // zip-archive scan results (S7): member-level trace inventory
     val zdir = SeamfFixtures.sharedZipArchive()
     write(SeamfReader.tracesFromZips(spark, zdir).toDF()

@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -35,11 +37,23 @@ import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
   *     `datetime_us` / `frequency` and equality/IN on `table` arrive via
   *     `SupportsPushDownFilters` and become a [[SeamfReader.TracePrune]]: a
   *     file none of whose (capture, slot) pairs match is rejected from its
-  *     metadata alone — its payload is never decompressed. Pushed pruning
-  *     may keep a SUPERSET on strict `double` bounds (no predecessor value
-  *     exists); every filter is also returned as residual, so Spark
-  *     re-evaluates and the result is exact regardless (the parquet-source
-  *     contract).
+  *     metadata alone — its payload is never decompressed. EXACT folds
+  *     (membership, inclusive bounds, strict long bounds via the successor
+  *     value) are fully consumed — that is what lets an aggregation push
+  *     below a filtered scan; strict `double` bounds push a non-strict
+  *     SUPERSET and stay residual, so Spark re-evaluates them.
+  *   - '''Aggregate pushdown never builds rows.''' COUNT(*) / COUNT(col) /
+  *     MIN / MAX over metadata columns, grouped by metadata columns
+  *     (`SupportsPushDownAggregates`, partial mode): each file contributes
+  *     one partial row per group straight from its offset table and
+  *     capture list — no payload, no per-slot row materialization; Spark
+  *     merges partials. Distinct counts and anything touching `trace`
+  *     decline the push.
+  *   - '''Runtime (DPP) filtering.''' `SupportsRuntimeFiltering`: a
+  *     broadcast join keyed on a decode-prunable column hands its key set
+  *     to the scan before tasks run; IN-sets collapse to their [min, max]
+  *     envelope (a permitted superset — the join re-filters) and tighten
+  *     the decode prune with no static predicate in the query.
   *   - '''Partition planning packs by bytes.''' Input splits are whole
   *     members packed to `maxPartitionBytes` using Spark's open-cost
   *     formula, so 2000 small sweeps do not become 2000 tasks (the
@@ -115,14 +129,79 @@ private[sources] class SeamfTable(properties: java.util.Map[String, String])
     new SeamfScanBuilder(options)
 }
 
+/** One pushed-down aggregate over decode metadata. Every supported
+  * function is answerable from the parsed metadata of each file alone —
+  * `n_per_group` slot counts, capture datetime/frequency extremes, axis
+  * parameters — so an aggregation query never decompresses a payload AND
+  * never materializes per-slot rows: each file contributes one partial
+  * row per group.
+  */
+private[graft] sealed trait SeamfAgg
+private[graft] case object AggCountStar extends SeamfAgg
+private[graft] final case class AggMin(col: String) extends SeamfAgg
+private[graft] final case class AggMax(col: String) extends SeamfAgg
+
 private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SeamfSource.TraceSchema
   private var accepted: Array[Filter] = Array.empty
   private var prune = SeamfReader.TracePrune()
   private var limit: Option[Int] = None
+  private var aggGroupCols: Seq[String] = Nil
+  private var aggFuncs: Seq[SeamfAgg] = Nil
+  private var aggPushed = false
+
+  // metadata-derivable columns: group-able (all) and min/max-able (numeric)
+  private val MetaCols = Set("file", "table", "capture_statistic", "detector",
+    "datetime_us", "frequency", "axis_start", "axis_step")
+  private val NumericMetaCols =
+    Set("datetime_us", "frequency", "axis_start", "axis_step")
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    false // partial: many partitions, Spark plans the final merge
+
+  /** Accept COUNT(*) / COUNT(col) (non-distinct, never-null metadata cols
+    * — equal to COUNT(*)) / MIN / MAX over numeric metadata columns,
+    * grouped by metadata columns. Anything touching `trace` or a distinct
+    * count stays un-pushed.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map(fieldName)
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCountStar)
+      case c: Count if !c.isDistinct => c.column match {
+        // count(col) over never-null metadata cols == count(*); so is
+        // count(<literal>) if the translation didn't fold it to CountStar
+        case f: NamedReference
+            if f.fieldNames.length == 1 && MetaCols(f.fieldNames.head) =>
+          Some(AggCountStar)
+        case _: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(AggCountStar)
+        case _ => None
+      }
+      case m: Min => fieldName(m.column)
+        .filter(NumericMetaCols.contains).map(AggMin)
+      case m: Max => fieldName(m.column)
+        .filter(NumericMetaCols.contains).map(AggMax)
+      case _ => None
+    }
+    if (groups.exists(g => g.isEmpty || !MetaCols.contains(g.get)) ||
+        funcs.exists(_.isEmpty) || funcs.isEmpty) return false
+    aggGroupCols = groups.map(_.get)
+    aggFuncs = funcs.map(_.get)
+    aggPushed = true
+    true
+  }
 
   /** Partial limit: each partition stops decoding once it has emitted
     * `limit` surviving rows — files after the cutoff in a packed bin are
@@ -131,49 +210,63 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     * are exact while the decode work shrinks to O(limit x partitions).
     */
   override def pushLimit(l: Int): Boolean = {
-    limit = Some(l)
+    // a limit over a pushed PARTIAL aggregation would truncate partial
+    // rows, not result rows — never combine the two
+    if (!aggPushed) limit = Some(l)
     false // partial push: Spark still applies the global limit
   }
 
   /** Fold one supported filter into the prune; None = not decode-prunable.
-    * Strict double bounds push their non-strict superset (exactness is the
-    * residual's job); strict long bounds push the exact successor value.
+    * The Boolean is EXACTNESS: the prune keeps precisely the filter's rows
+    * (table membership, inclusive bounds, strict long bounds via the
+    * successor value). Strict double bounds push a non-strict SUPERSET and
+    * are inexact — they must stay residual.
     */
-  private def fold(f: Filter): Option[SeamfReader.TracePrune] = f match {
-    case EqualTo("table", v: String) =>
-      Some(prune.copy(tables = Some(prune.tables.getOrElse(Set(v)).intersect(Set(v)))))
-    case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
-      val s = vs.map(_.asInstanceOf[String]).toSet
-      Some(prune.copy(tables = Some(prune.tables.fold(s)(_.intersect(s)))))
-    case GreaterThanOrEqual("datetime_us", v: Long) =>
-      Some(prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v)(math.max(_, v)))))
-    case GreaterThan("datetime_us", v: Long) if v < Long.MaxValue =>
-      Some(prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v + 1)(math.max(_, v + 1)))))
-    case LessThanOrEqual("datetime_us", v: Long) =>
-      Some(prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v)(math.min(_, v)))))
-    case LessThan("datetime_us", v: Long) if v > Long.MinValue =>
-      Some(prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v - 1)(math.min(_, v - 1)))))
-    case GreaterThanOrEqual("frequency", v: Double) =>
-      Some(prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))))
-    case GreaterThan("frequency", v: Double) => // superset: >= v
-      Some(prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))))
-    case LessThanOrEqual("frequency", v: Double) =>
-      Some(prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))))
-    case LessThan("frequency", v: Double) => // superset: <= v
-      Some(prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))))
-    case IsNotNull("table" | "datetime_us" | "frequency") =>
-      Some(prune) // never-null columns: trivially satisfied, accept as pushed
-    case _ => None
-  }
+  private def fold(f: Filter): Option[(SeamfReader.TracePrune, Boolean)] =
+    f match {
+      case EqualTo("table", v: String) =>
+        Some((prune.copy(tables = Some(prune.tables.getOrElse(Set(v)).intersect(Set(v)))), true))
+      case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        Some((prune.copy(tables = Some(prune.tables.fold(s)(_.intersect(s)))), true))
+      case GreaterThanOrEqual("datetime_us", v: Long) =>
+        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v)(math.max(_, v)))), true))
+      case GreaterThan("datetime_us", v: Long) if v < Long.MaxValue =>
+        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v + 1)(math.max(_, v + 1)))), true))
+      case LessThanOrEqual("datetime_us", v: Long) =>
+        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v)(math.min(_, v)))), true))
+      case LessThan("datetime_us", v: Long) if v > Long.MinValue =>
+        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v - 1)(math.min(_, v - 1)))), true))
+      case GreaterThanOrEqual("frequency", v: Double) =>
+        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), true))
+      case GreaterThan("frequency", v: Double) => // superset: >= v
+        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), false))
+      case LessThanOrEqual("frequency", v: Double) =>
+        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), true))
+      case LessThan("frequency", v: Double) => // superset: <= v
+        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), false))
+      case IsNotNull("table" | "datetime_us" | "frequency") =>
+        Some((prune, true)) // never-null columns: trivially satisfied
+      case _ => None
+    }
 
+  /** Exact folds are FULLY pushed (no residual) — that is what lets
+    * Catalyst push an aggregation below a filtered scan (the aggregate
+    * rule requires every filter consumed). Superset folds stay residual.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val acc = ArrayBuffer.empty[Filter]
+    val residual = ArrayBuffer.empty[Filter]
     filters.foreach { f =>
-      fold(f).foreach { p => prune = p; acc += f }
+      fold(f) match {
+        case Some((p, exact)) =>
+          prune = p; acc += f
+          if (!exact) residual += f
+        case None => residual += f
+      }
     }
     accepted = acc.toArray
-    filters // everything stays residual: pushed pruning skips work, the
-            // residual guarantees exactness (superset bounds above)
+    residual.toArray
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -182,12 +275,14 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan =
     new SeamfScan(SeamfSource.paths(options).toIndexedSeq, prune, required,
-      limit, options)
+      if (aggPushed) None else limit, options,
+      if (aggPushed) Some((aggGroupCols, aggFuncs)) else None)
 }
 
 private[graft] class SeamfScan(paths: Seq[String],
     prune: SeamfReader.TracePrune, required: StructType, limit: Option[Int],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pushedAgg: Option[(Seq[String], Seq[SeamfAgg])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -195,7 +290,30 @@ private[graft] class SeamfScan(paths: Seq[String],
   private val raise = Option(options.get("errors")).getOrElse("log") == "raise"
   private val checkHash =
     Option(options.get("checkHash")).forall(_.toBoolean)
-  private val needPayload = required.fieldNames.contains("trace")
+  private val needPayload =
+    pushedAgg.isEmpty && required.fieldNames.contains("trace")
+
+  /** Pushed-aggregation output schema: group columns (trace-schema types)
+    * then one column per aggregate (COUNT -> long, MIN/MAX -> the source
+    * column's type). Spark maps these POSITIONALLY onto its final-merge
+    * aggregation, so order must mirror the pushed Aggregation exactly.
+    */
+  private def aggSchema(groups: Seq[String], funcs: Seq[SeamfAgg]): StructType = {
+    val base = SeamfSource.TraceSchema
+    StructType(
+      groups.map(g => base(base.fieldIndex(g))) ++
+        funcs.zipWithIndex.map {
+          case (AggCountStar, i) =>
+            org.apache.spark.sql.types.StructField(s"agg_$i",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case (AggMin(c), i) =>
+            org.apache.spark.sql.types.StructField(s"agg_$i",
+              base(base.fieldIndex(c)).dataType, nullable = true)
+          case (AggMax(c), i) =>
+            org.apache.spark.sql.types.StructField(s"agg_$i",
+              base(base.fieldIndex(c)).dataType, nullable = true)
+        })
+  }
 
   /** Runtime (DPP-style) pruning: when this scan probes a broadcast join
     * keyed on a decode-prunable column, Spark hands the build side's key
@@ -272,7 +390,10 @@ private[graft] class SeamfScan(paths: Seq[String],
         Seq(prune.maxFrequency, r.maxFrequency).flatten.reduceOption(_ min _))
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = pushedAgg match {
+    case Some((groups, funcs)) => aggSchema(groups, funcs)
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val pr = Seq(
@@ -283,7 +404,11 @@ private[graft] class SeamfScan(paths: Seq[String],
       prune.maxFrequency.map(v => s"frequency <= $v")).flatten
     s"SeamfScan DecodePrune: [${pr.mkString(", ")}], " +
       s"PayloadDecode: ${if (needPayload) "full" else "metadata-only"}" +
-      limit.fold("")(l => s", PushedLimit: $l")
+      limit.fold("")(l => s", PushedLimit: $l") +
+      pushedAgg.fold("") { case (g, fs) =>
+        s", PushedAggregation: [${fs.mkString(", ")}]" +
+          (if (g.nonEmpty) s" GroupBy: [${g.mkString(", ")}]" else "")
+      }
   }
 
   /** Compressed on-disk bytes as the size estimate (decoded float rows are
@@ -349,7 +474,7 @@ private[graft] class SeamfScan(paths: Seq[String],
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new SeamfReaderFactory(conf, pruneBox, required, tz, raise,
-      checkHash, needPayload, limit)
+      checkHash, needPayload, limit, pushedAgg)
   }
 
 }
@@ -403,11 +528,125 @@ private[graft] final class PruneBox(
 private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
     pruneBox: PruneBox, required: StructType, tz: Option[String],
     raise: Boolean, checkHash: Boolean, needPayload: Boolean,
-    limit: Option[Int]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SeamfPartitionReader(
-      partition.asInstanceOf[SeamfInputPartition].files, conf.value,
-      pruneBox.value, required, tz, raise, checkHash, needPayload, limit)
+    limit: Option[Int], pushedAgg: Option[(Seq[String], Seq[SeamfAgg])])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[SeamfInputPartition].files
+    pushedAgg match {
+      case Some((groups, funcs)) =>
+        new SeamfAggPartitionReader(files, conf.value, pruneBox.value,
+          groups, funcs, tz, raise, checkHash)
+      case None =>
+        new SeamfPartitionReader(files, conf.value, pruneBox.value,
+          required, tz, raise, checkHash, needPayload, limit)
+    }
+  }
+}
+
+/** Pushed-aggregation reader: per file, parse metadata ONLY, apply the
+  * decode prune, group the surviving (capture, slot) pairs by the group
+  * key, and emit one partial row per group — COUNT/MIN/MAX computed from
+  * the offset table and capture list without decompressing anything or
+  * materializing per-slot rows. Spark's final aggregate merges partials
+  * across files/partitions.
+  */
+private[sources] class SeamfAggPartitionReader(files: Array[String],
+    conf: Configuration, prune: SeamfReader.TracePrune,
+    groups: Seq[String], funcs: Seq[SeamfAgg], tz: Option[String],
+    raise: Boolean, checkHash: Boolean) extends PartitionReader[InternalRow] {
+
+  private var fileIdx = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+  private var nMetaOnly = 0L
+  private var nPruned = 0L
+  private var nSkipped = 0L
+
+  private def decodeNext(): Iterator[InternalRow] = {
+    val pathStr = files(fileIdx)
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(path)
+    try in.readFully(0, bytes) finally in.close()
+
+    val raw = SeamfCodec.unpackTar(bytes)
+    val meta = SeamfMetadata.parse(raw.metaJson, tz)
+    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
+    if (checkHash && !shaOk)
+      throw new IllegalStateException(s"sha512 mismatch in $pathStr")
+
+    val keep = meta.slots.filter { s =>
+      val cap = meta.captures(s.captureIdx)
+      prune.matchesTable(s.table) &&
+        prune.matchesCapture(cap.datetimeUs, cap.frequency)
+    }
+    if (keep.isEmpty) { nPruned += 1; return Iterator.empty }
+    nMetaOnly += 1
+
+    def colVal(slot: SeamfMetadata.TraceSlot, c: String): Any = {
+      val cap = meta.captures(slot.captureIdx)
+      c match {
+        case "file" => pathStr
+        case "table" => slot.table
+        case "capture_statistic" => slot.captureStatistic
+        case "detector" => slot.detector
+        case "datetime_us" => cap.datetimeUs
+        case "frequency" => cap.frequency
+        case "axis_start" => slot.axisStart
+        case "axis_step" => slot.axisStep
+        case other =>
+          throw new IllegalArgumentException(s"unsupported agg column $other")
+      }
+    }
+    keep.groupBy(s => groups.map(colVal(s, _))).iterator.map {
+      case (key, slots) =>
+        val row = new GenericInternalRow(groups.length + funcs.length)
+        key.zipWithIndex.foreach { case (v, i) =>
+          row.update(i, v match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          })
+        }
+        funcs.zipWithIndex.foreach { case (f, i) =>
+          row.update(groups.length + i, f match {
+            case AggCountStar => slots.size.toLong
+            case AggMin(c) => slots.map(s => colVal(s, c)).min(AnyNumOrd)
+            case AggMax(c) => slots.map(s => colVal(s, c)).max(AnyNumOrd)
+          })
+        }
+        row: InternalRow
+    }
+  }
+
+  // numeric metadata columns are Long or Double, never mixed per column
+  private object AnyNumOrd extends Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case _ => throw new IllegalStateException(s"mixed agg types: $a, $b")
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && fileIdx < files.length) {
+      rows =
+        try decodeNext()
+        catch { case _: Exception if !raise => nSkipped += 1; Iterator.empty }
+      fileIdx += 1
+    }
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    SeamfTaskMetric("seamfDecodedFiles", 0L),
+    SeamfTaskMetric("seamfMetaOnlyFiles", nMetaOnly),
+    SeamfTaskMetric("seamfPrunedFiles", nPruned),
+    SeamfTaskMetric("seamfSkippedFiles", nSkipped))
 }
 
 /** Decodes one packed bin of members; emits only the required columns.

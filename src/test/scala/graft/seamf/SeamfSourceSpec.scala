@@ -191,6 +191,58 @@ class SeamfSourceSpec extends SparkSpec {
     assert(joined.count() === expected)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX grouped by table answer from " +
+      "metadata alone") {
+    val agg = dsv2.groupBy("table")
+      .agg(count(lit(1)).as("n"), min("datetime_us").as("min_dt"),
+        max("frequency").as("max_f"))
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregation"), planStr)
+    val scan = runAndScan(agg)
+    assert(metric(scan, "seamfDecodedFiles") === 0)
+    assert(metric(scan, "seamfMetaOnlyFiles") > 0)
+    val lib = SeamfReader.traces(spark, fixture).toDF().groupBy("table")
+      .agg(count(lit(1)).as("n"), min("datetime_us").as("min_dt"),
+        max("frequency").as("max_f"))
+    assert(agg.exceptAll(lib).isEmpty && lib.exceptAll(agg).isEmpty)
+  }
+
+  test("aggregate pushdown composes with fully-pushed (exact) filters") {
+    val cut = SeamfMetadata.isoToMicros("2023-09-21T00:05:00Z")
+    val agg = dsv2.filter(col("table") === "psd" && col("datetime_us") <= cut)
+      .groupBy("frequency").agg(count(lit(1)).as("n"))
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregation"), planStr)
+    assert(planStr.contains("table IN {psd}"), planStr)
+    val scan = runAndScan(agg)
+    assert(metric(scan, "seamfDecodedFiles") === 0)
+    assert(metric(scan, "seamfPrunedFiles") > 0) // post-cut files rejected
+    val lib = SeamfReader.traces(spark, fixture).toDF()
+      .filter(col("table") === "psd" && col("datetime_us") <= cut)
+      .groupBy("frequency").agg(count(lit(1)).as("n"))
+    assert(agg.exceptAll(lib).isEmpty && lib.exceptAll(agg).isEmpty)
+  }
+
+  test("aggregate pushdown declines the unsupported shapes (distinct " +
+      "counts, trace aggregates, superset-bound filters present)") {
+    // count distinct: not pushable -> plain scan, still correct
+    val cd = dsv2.groupBy("table")
+      .agg(countDistinct(col("datetime_us")).as("nd"))
+    assert(!cd.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    // a strict double bound keeps a residual filter, which blocks the
+    // aggregate push — correctness comes first
+    val withResidual = dsv2.filter(col("frequency") > 3.5e9)
+      .groupBy("table").agg(count(lit(1)).as("n"))
+    assert(!withResidual.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    val lib = SeamfReader.traces(spark, fixture).toDF()
+      .filter(col("frequency") > 3.5e9)
+      .groupBy("table").agg(count(lit(1)).as("n"))
+    assert(withResidual.exceptAll(lib).isEmpty &&
+      lib.exceptAll(withResidual).isEmpty)
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
