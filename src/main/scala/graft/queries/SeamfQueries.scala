@@ -611,6 +611,26 @@ object SeamfQueries {
           MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt,
           MIN(frequency) AS min_f, MAX(frequency) AS max_f
         FROM ${rp("trace_inventory")}
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- zip container through the connector (S7 on the DSv2 surface) --
+    // The reference's primary input is zip archives of sweeps; the
+    // connector enumerates central directories on the driver and scans at
+    // MEMBER granularity. COUNT per product pushes into the scan
+    // (metadata-only, per the s20 machinery) over the zip members; the
+    // oracle replays against the zip_traces dump written by the library's
+    // tracesFromZips path over the SAME archive — two independent decode
+    // paths, one hash.
+    "s21_seamf_dsv2_zip_scan" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        s.read.format("seamf").load(SeamfFixtures.sharedZipArchive())
+          .groupBy("table")
+          .agg(count(lit(1)).as("n_slots"))
+          .orderBy("table")
+      },
+      Some(s"""SELECT product AS "table", COUNT(*) AS n_slots
+        FROM ${rp("zip_traces")}
         GROUP BY 1 ORDER BY 1"""))
   )
 

@@ -438,10 +438,33 @@ private[graft] class SeamfScan(paths: Seq[String],
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(hadoopConf)
-      val glob =
-        if (fs.getFileStatus(path).isDirectory) new Path(path, "*.sigmf") else path
-      Option(fs.globStatus(glob)).toSeq.flatten.filter(_.isFile)
+      if (fs.getFileStatus(path).isDirectory)
+        Seq("*.sigmf", "*.zip").flatMap(g =>
+          Option(fs.globStatus(new Path(path, g))).toSeq.flatten)
+          .filter(_.isFile)
+      else Option(fs.globStatus(path)).toSeq.flatten.filter(_.isFile)
     }.sortBy(_.getPath.toString)
+
+  /** Scan entries: plain `.sigmf` files (member = "") and `.sigmf` members
+    * of `.zip` archives — the reference's primary container
+    * (ziparchive.py:365-447). Central directories are enumerated on the
+    * driver (the reference caches the same ZipInfo lists,
+    * ziparchive.py:126-146), so one big archive fans out across tasks at
+    * MEMBER granularity; costs use the compressed member size.
+    */
+  private def listEntries(hadoopConf: Configuration): Seq[(String, String, Long)] =
+    listFiles(hadoopConf).flatMap { f =>
+      val p = f.getPath.toString
+      if (p.endsWith(".zip")) {
+        import scala.jdk.CollectionConverters._
+        val zf = new java.util.zip.ZipFile(f.getPath.toUri.getPath)
+        try zf.entries().asScala
+          .filter(e => !e.isDirectory && e.getName.endsWith(".sigmf"))
+          .map(e => (p, e.getName, math.max(e.getCompressedSize, 0L)))
+          .toSeq.sortBy(_._2)
+        finally zf.close()
+      } else Seq((p, "", f.getLen))
+    }
 
   /** Whole members packed to Spark's split-size formula:
     * min(maxPartitionBytes, max(openCost, total/defaultParallelism)).
@@ -449,23 +472,23 @@ private[graft] class SeamfScan(paths: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val files: Seq[FileStatus] = listFiles(hadoopConf)
+    val entries = listEntries(hadoopConf)
 
     val openCost = 4L * 1024 * 1024
     val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
-    val total = files.map(f => f.getLen + openCost).sum
+    val total = entries.map(_._3 + openCost).sum
     val target = math.min(confMax,
       math.max(openCost, total / math.max(1, spark.sparkContext.defaultParallelism)))
 
-    val bins = ArrayBuffer.empty[ArrayBuffer[String]]
+    val bins = ArrayBuffer.empty[ArrayBuffer[(String, String)]]
     var binBytes = 0L
-    files.foreach { f =>
-      val cost = f.getLen + openCost
+    entries.foreach { case (p, member, len) =>
+      val cost = len + openCost
       if (bins.isEmpty || binBytes + cost > target) {
-        bins += ArrayBuffer(f.getPath.toString); binBytes = cost
-      } else { bins.last += f.getPath.toString; binBytes += cost }
+        bins += ArrayBuffer((p, member)); binBytes = cost
+      } else { bins.last += ((p, member)); binBytes += cost }
     }
     bins.map(b => SeamfInputPartition(b.toArray): InputPartition).toArray
   }
@@ -479,8 +502,47 @@ private[graft] class SeamfScan(paths: Seq[String],
 
 }
 
-private[sources] case class SeamfInputPartition(files: Array[String])
-    extends InputPartition
+/** One packed bin of scan entries: (path, "") = a plain `.sigmf` file,
+  * (zipPath, member) = a `.sigmf` member inside a zip archive.
+  */
+private[sources] case class SeamfInputPartition(
+    entries: Array[(String, String)]) extends InputPartition
+
+/** Entry byte fetch shared by the row and aggregate readers. Members of
+  * the same zip are adjacent in a bin (listing order), so one ZipFile
+  * stays open across consecutive members (random-access reads pull only
+  * this task's members — the reference's MultiProcessingZipFile reopen
+  * pattern, ziparchive.py:104-146). Zip access uses the local-path view
+  * of the URI, like the library's `tracesFromZips`.
+  */
+private[sources] final class SeamfEntryFetcher(conf: Configuration) {
+  private var cachedPath: String = _
+  private var cachedZip: java.util.zip.ZipFile = _
+
+  def fetch(entry: (String, String)): (String, Array[Byte]) = entry match {
+    case (p, "") =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val len = fs.getFileStatus(path).getLen
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(path)
+      try in.readFully(0, bytes) finally in.close()
+      (p, bytes)
+    case (zp, member) =>
+      if (cachedPath != zp) {
+        close()
+        cachedZip = new java.util.zip.ZipFile(new Path(zp).toUri.getPath)
+        cachedPath = zp
+      }
+      val in = cachedZip.getInputStream(cachedZip.getEntry(member))
+      try (s"$zp!$member", in.readAllBytes()) finally in.close()
+  }
+
+  def close(): Unit = {
+    if (cachedZip != null) { cachedZip.close(); cachedZip = null }
+    cachedPath = null
+  }
+}
 
 // one concrete zero-arg class per metric: Spark's SQL status listener
 // re-instantiates CustomMetric implementations reflectively when
@@ -531,13 +593,13 @@ private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
     limit: Option[Int], pushedAgg: Option[(Seq[String], Seq[SeamfAgg])])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[SeamfInputPartition].files
+    val entries = partition.asInstanceOf[SeamfInputPartition].entries
     pushedAgg match {
       case Some((groups, funcs)) =>
-        new SeamfAggPartitionReader(files, conf.value, pruneBox.value,
+        new SeamfAggPartitionReader(entries, conf.value, pruneBox.value,
           groups, funcs, tz, raise, checkHash)
       case None =>
-        new SeamfPartitionReader(files, conf.value, pruneBox.value,
+        new SeamfPartitionReader(entries, conf.value, pruneBox.value,
           required, tz, raise, checkHash, needPayload, limit)
     }
   }
@@ -550,7 +612,8 @@ private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
   * materializing per-slot rows. Spark's final aggregate merges partials
   * across files/partitions.
   */
-private[sources] class SeamfAggPartitionReader(files: Array[String],
+private[sources] class SeamfAggPartitionReader(
+    entries: Array[(String, String)],
     conf: Configuration, prune: SeamfReader.TracePrune,
     groups: Seq[String], funcs: Seq[SeamfAgg], tz: Option[String],
     raise: Boolean, checkHash: Boolean) extends PartitionReader[InternalRow] {
@@ -561,15 +624,10 @@ private[sources] class SeamfAggPartitionReader(files: Array[String],
   private var nMetaOnly = 0L
   private var nPruned = 0L
   private var nSkipped = 0L
+  private val fetcher = new SeamfEntryFetcher(conf)
 
   private def decodeNext(): Iterator[InternalRow] = {
-    val pathStr = files(fileIdx)
-    val path = new Path(pathStr)
-    val fs = path.getFileSystem(conf)
-    val len = fs.getFileStatus(path).getLen
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(path)
-    try in.readFully(0, bytes) finally in.close()
+    val (pathStr, bytes) = fetcher.fetch(entries(fileIdx))
 
     val raw = SeamfCodec.unpackTar(bytes)
     val meta = SeamfMetadata.parse(raw.metaJson, tz)
@@ -630,7 +688,7 @@ private[sources] class SeamfAggPartitionReader(files: Array[String],
   }
 
   override def next(): Boolean = {
-    while (!rows.hasNext && fileIdx < files.length) {
+    while (!rows.hasNext && fileIdx < entries.length) {
       rows =
         try decodeNext()
         catch { case _: Exception if !raise => nSkipped += 1; Iterator.empty }
@@ -640,7 +698,7 @@ private[sources] class SeamfAggPartitionReader(files: Array[String],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = fetcher.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     SeamfTaskMetric("seamfDecodedFiles", 0L),
@@ -655,7 +713,8 @@ private[sources] class SeamfAggPartitionReader(files: Array[String],
   * the `trace` column is required -> per-slot row emit (SURVEY §3.1 steps
   * 2-7 as one executor-side function).
   */
-private[sources] class SeamfPartitionReader(files: Array[String],
+private[sources] class SeamfPartitionReader(
+    entries: Array[(String, String)],
     conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
     tz: Option[String], raise: Boolean, checkHash: Boolean,
     needPayload: Boolean, limit: Option[Int])
@@ -669,20 +728,16 @@ private[sources] class SeamfPartitionReader(files: Array[String],
   private var nMetaOnly = 0L
   private var nPruned = 0L
   private var nSkipped = 0L
+  private val fetcher = new SeamfEntryFetcher(conf)
 
   private def decodeNext(): Iterator[InternalRow] = {
-    val path = new Path(files(fileIdx))
-    val fs = path.getFileSystem(conf)
-    val len = fs.getFileStatus(path).getLen
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(path)
-    try in.readFully(0, bytes) finally in.close()
+    val (pathStr, bytes) = fetcher.fetch(entries(fileIdx))
 
     val raw = SeamfCodec.unpackTar(bytes)
     val meta = SeamfMetadata.parse(raw.metaJson, tz)
     val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
     if (checkHash && !shaOk)
-      throw new IllegalStateException(s"sha512 mismatch in $path")
+      throw new IllegalStateException(s"sha512 mismatch in $pathStr")
 
     val keep = meta.slots.filter { s =>
       val cap = meta.captures(s.captureIdx)
@@ -702,7 +757,6 @@ private[sources] class SeamfPartitionReader(files: Array[String],
           s"payload length ${p.length} < offset table end ${meta.requiredLength}")
         p
       }
-    val pathStr = files(fileIdx)
     keep.iterator.map { s =>
       val cap = meta.captures(s.captureIdx)
       val row = new GenericInternalRow(required.length)
@@ -733,7 +787,7 @@ private[sources] class SeamfPartitionReader(files: Array[String],
     // pushed partial limit: this partition is done once it has emitted
     // `limit` rows — remaining files in the bin are never opened
     if (limit.exists(emitted >= _)) return false
-    while (!rows.hasNext && fileIdx < files.length) {
+    while (!rows.hasNext && fileIdx < entries.length) {
       rows =
         try decodeNext()
         catch {
@@ -746,7 +800,7 @@ private[sources] class SeamfPartitionReader(files: Array[String],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = fetcher.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     SeamfTaskMetric("seamfDecodedFiles", nDecoded),

@@ -243,6 +243,36 @@ class SeamfSourceSpec extends SparkSpec {
       lib.exceptAll(withResidual).isEmpty)
   }
 
+  test("zip archives scan through the connector with member-level " +
+      "entries, matching tracesFromZips") {
+    val zdir = SeamfFixtures.sharedZipArchive()
+    val v2 = canon(spark.read.format("seamf").load(zdir)).drop("file")
+    val lib = canon(SeamfReader.tracesFromZips(spark, zdir).toDF())
+      .drop("file")
+    assert(v2.count() === lib.count() && lib.count() > 0)
+    assert(v2.exceptAll(lib).isEmpty && lib.exceptAll(v2).isEmpty)
+    // member-granularity splits: a tiny packing target fans members out
+    val spread = spark.read.format("seamf")
+      .option("maxPartitionBytes", "1").load(zdir)
+    assert(spread.rdd.getNumPartitions >= 2)
+  }
+
+  test("aggregate pushdown partials merge correctly across many " +
+      "partitions (and over zip members)") {
+    val zdir = SeamfFixtures.sharedZipArchive()
+    val spread = spark.read.format("seamf")
+      .option("maxPartitionBytes", "1").load(zdir)
+    val agg = spread.groupBy("table")
+      .agg(count(lit(1)).as("n"), min("datetime_us").as("mn"),
+        max("datetime_us").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    val lib = SeamfReader.tracesFromZips(spark, zdir).toDF().groupBy("table")
+      .agg(count(lit(1)).as("n"), min("datetime_us").as("mn"),
+        max("datetime_us").as("mx"))
+    assert(agg.exceptAll(lib).isEmpty && lib.exceptAll(agg).isEmpty)
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
