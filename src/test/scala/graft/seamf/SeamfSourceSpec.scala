@@ -273,6 +273,24 @@ class SeamfSourceSpec extends SparkSpec {
     assert(agg.exceptAll(lib).isEmpty && lib.exceptAll(agg).isEmpty)
   }
 
+  test("an empty landing directory scans as an empty frame (a fresh lake " +
+      "is not an error)") {
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_seamf_empty").toString
+    val df = spark.read.format("seamf").load(empty)
+    assert(df.count() === 0)
+    assert(df.schema === graft.sources.SeamfSource.TraceSchema)
+  }
+
+  test("multi-path load unions plain-file and zip-archive sources") {
+    val both = spark.read.format("seamf")
+      .load(fixture, SeamfFixtures.sharedZipArchive())
+    val plain = SeamfReader.traces(spark, fixture).count()
+    val zipped = SeamfReader.tracesFromZips(spark,
+      SeamfFixtures.sharedZipArchive()).count()
+    assert(both.count() === plain + zipped)
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
