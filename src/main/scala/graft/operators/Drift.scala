@@ -178,4 +178,68 @@ object Drift {
         floor((p - q) * log(p / q) * 1e9).cast("long").as("psi9"))
       .orderBy("cat")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between a reference and
+    * a live table over an integral column — the bin-free complement to
+    * [[psiBins]]: PSI needs a bin grid and misses shape changes inside a
+    * bin; KS is the sup-distance between the two EMPIRICAL CDFs and needs
+    * no binning decision at all.
+    *
+    * Computation (all integer-exact, one row out):
+    *   1. group both sides by the value — the only frame downstream work
+    *      touches is one row per DISTINCT value;
+    *   2. BOTH running counts ride ONE distributed prefix sum
+    *      ([[Windowed.distributedCumsum]] — no single-partition window):
+    *      the per-value (ref, live) count pair packs into a single long
+    *      `ref * 2^31 + live` (exact while each side holds < 2^31 rows
+    *      per prefix, i.e. any corpus this side of 2 billion rows), and
+    *      the cumsum unpacks back with DIV / MOD;
+    *   3. per distinct value the quantized CDF gap is
+    *      |cum_ref*1e9 DIV n_ref - cum_live*1e9 DIV n_live| — each term
+    *      floors an exact integer ratio onto the 1e-9 grid, so ks9 is a
+    *      deterministic, engine-portable quantization of sup|F_r - F_l|
+    *      (within 2e-9 of the real-valued statistic); n_ref/n_live come
+    *      from the LAST cumsum row, not separate count() actions.
+    *
+    * Output: (n_ref, n_live, ks9); a side with zero rows emits the
+    * undefined-statistic sentinel ks9 = -1 (the q45/q108b convention).
+    *
+    * 100 TB: one partial-aggregable groupBy per side merged by value, a
+    * prefix sum over the distinct-value frame (bounded by value-grid
+    * cardinality, not row count), one global max. Doubles must be
+    * pre-quantized to longs by the caller (floor-scale — the engine's
+    * standard discipline), which is also what makes cross-engine tie
+    * structure exact.
+    */
+  def ks9(ref: DataFrame, live: DataFrame, valueCol: String): DataFrame = {
+    val vt = ref.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"ks9 needs an integral valueCol, got ${vt.simpleString} — " +
+        "floor-scale to integer units first")
+    val K = 1L << 31
+    val tagged = ref.select(col(valueCol).as("__v"), lit(1L).as("__r"),
+        lit(0L).as("__l"))
+      .unionByName(live.select(col(valueCol).as("__v"), lit(0L).as("__r"),
+        lit(1L).as("__l")))
+    val perValue = tagged.filter(col("__v").isNotNull)
+      .groupBy("__v")
+      .agg((sum("__r") * K + sum("__l")).as("__packed"))
+    val cum = Windowed.distributedCumsum(perValue, "__v", "__packed")
+      .withColumn("__cr", expr(s"cumsum DIV $K"))
+      .withColumn("__cl", expr(s"cumsum % $K"))
+    // totals = the largest cumsum row (every row's counts are included
+    // exactly once); gap floors AFTER the guard so an empty side never
+    // divides by zero in either engine
+    val totals = cum.agg(coalesce(max("cumsum"), lit(0L)).as("__t"))
+      .select(expr(s"__t DIV $K").as("__nr"), expr(s"__t % $K").as("__nl"))
+    cum.crossJoin(broadcast(totals))
+      .agg(coalesce(max(col("__nr")), lit(0L)).as("n_ref"),
+        coalesce(max(col("__nl")), lit(0L)).as("n_live"),
+        coalesce(max(when(col("__nr") > 0 && col("__nl") > 0,
+          abs(expr("__cr * 1000000000 DIV __nr") -
+            expr("__cl * 1000000000 DIV __nl")))), lit(-1L)).as("ks9"))
+      .select(col("n_ref"), col("n_live"),
+        when(col("n_ref") === 0 || col("n_live") === 0, lit(-1L))
+          .otherwise(col("ks9")).as("ks9"))
+  }
 }

@@ -1565,6 +1565,40 @@ object RelationalQueries {
               / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
         FROM j CROSS JOIN n ORDER BY bin""")),
 
+    // ---- distribution drift, bin-free (Kolmogorov-Smirnov) -------------
+    // The sup-distance between the two empirical CDFs of doc length —
+    // PSI's bin-free complement (no grid to choose, shape changes inside
+    // a bin still register). Both running counts ride ONE distributed
+    // prefix sum (packed ref*2^31 + live longs, unpacked with DIV/MOD);
+    // per distinct value the quantized CDF gap |cr*1e9 DIV nr - cl*1e9
+    // DIV nl| is an exact integer, so ks9 replays bit-for-bit. Totals
+    // come from the LAST cumsum row — no separate count() actions.
+    "q109_drift_ks" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Drift
+        val docs = t(s, dir, "documents")
+        Drift.ks9(docs.filter(col("doc_id") % 2 === 0).select("n_chars"),
+          docs.filter(col("doc_id") % 2 === 1).select("n_chars"), "n_chars")
+      },
+      Some("""WITH u AS (
+          SELECT n_chars AS v, 1 AS r, 0 AS l FROM documents
+            WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT n_chars AS v, 0 AS r, 1 AS l FROM documents
+            WHERE doc_id % 2 = 1),
+        pv AS (SELECT v, SUM(r) AS rc, SUM(l) AS lc FROM u
+          WHERE v IS NOT NULL GROUP BY v),
+        c AS (SELECT CAST(SUM(rc) OVER (ORDER BY v) AS BIGINT) AS cr,
+            CAST(SUM(lc) OVER (ORDER BY v) AS BIGINT) AS cl FROM pv),
+        n AS (SELECT CAST(COALESCE(MAX(cr), 0) AS BIGINT) AS nr,
+            CAST(COALESCE(MAX(cl), 0) AS BIGINT) AS nl FROM c),
+        m AS (SELECT COALESCE(MAX(CASE WHEN nr > 0 AND nl > 0 THEN
+              ABS(cr*1000000000//nr - cl*1000000000//nl) END), -1) AS g
+          FROM c CROSS JOIN n)
+        SELECT nr AS n_ref, nl AS n_live,
+          CASE WHEN nr = 0 OR nl = 0 THEN -1 ELSE g END AS ks9
+        FROM n CROSS JOIN m""")),
+
     // ---- categorical drift monitor (PSI over a domain mix) -------------
     // The categorical sibling of q105: PSI between the reference and live
     // slices over the `lang` mix — the "did my language/domain

@@ -102,6 +102,11 @@ class EmptyInputSpec extends SparkSpec {
         case "q108_logreg_classifier" | "q108c_logreg_standardized" =>
           assert(rows.length === 3 && rows.forall(r =>
             (1 to 9).forall(r.isNullAt) && r.getLong(10) == 0L))
+        // KS on nothing: zero rows per side, undefined-statistic sentinel
+        case "q109_drift_ks" =>
+          assert(rows.length === 1 &&
+            rows.head.getLong(0) == 0L && rows.head.getLong(1) == 0L &&
+            rows.head.getLong(2) == -1L)
         // the AUC grader on nothing: zero positives/negatives and the
         // undefined-AUC sentinel, matching the oracle's COALESCEd sums
         case "q108b_logreg_auc" =>

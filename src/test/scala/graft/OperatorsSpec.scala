@@ -961,6 +961,27 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.Windowed.unpersistAll()
   }
 
+  test("Drift.ks9: hand-checked CDF gap, partition invariance, and the " +
+      "empty-side sentinel") {
+    import graft.operators.Drift
+    // ref {1,2,3}, live {3,4}: F_r = 1/3, 2/3, 1, 1 and F_l = 0, 0, 1/2, 1
+    // -> D = 2/3 -> ks9 = 666666666 (each CDF floor-quantized at 1e-9)
+    val ref = Seq(1L, 2L, 3L).toDF("v")
+    val live = Seq(3L, 4L).toDF("v")
+    val got = Drift.ks9(ref, live, "v").collect().head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 2L)
+    assert(got.getLong(2) === 666666666L)
+    val reparted = Drift.ks9(ref.repartition(5), live.repartition(3), "v")
+      .collect().head
+    assert(reparted === got)
+    // identical distributions -> 0
+    assert(Drift.ks9(ref, ref, "v").collect().head.getLong(2) === 0L)
+    // an empty side -> sentinel
+    val none = Seq.empty[Long].toDF("v")
+    assert(Drift.ks9(ref, none, "v").collect().head.getLong(2) === -1L)
+    graft.operators.Windowed.unpersistAll()
+  }
+
   test("LogReg.train is fully lazy: zero Spark jobs until an action") {
     val (feats, lr) = logRegFeats
     @volatile var jobs = 0
