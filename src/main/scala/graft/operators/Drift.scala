@@ -203,6 +203,11 @@ object Drift {
     *
     * Output: (n_ref, n_live, ks9); a side with zero rows emits the
     * undefined-statistic sentinel ks9 = -1 (the q45/q108b convention).
+    * A side with >= 2^31 rows would corrupt the packed cumsum, so the
+    * TRUE per-side totals (plain long sums, exact to 2^63 rows) are
+    * carried alongside and ks9 emits the overflow sentinel -2 instead
+    * of a silently wrong statistic — n_ref/n_live stay correct either
+    * way, so the caller sees exactly why the statistic was refused.
     *
     * 100 TB: one partial-aggregable groupBy per side merged by value, a
     * prefix sum over the distinct-value frame (bounded by value-grid
@@ -211,19 +216,31 @@ object Drift {
     * standard discipline), which is also what makes cross-engine tie
     * structure exact.
     */
-  def ks9(ref: DataFrame, live: DataFrame, valueCol: String): DataFrame = {
+  def ks9(ref: DataFrame, live: DataFrame, valueCol: String): DataFrame =
+    ks9Impl(ref, live, valueCol, 1L << 31)
+
+  /** [[ks9]] with the pack base exposed so the overflow sentinel is
+    * testable without materializing 2^31 rows (OperatorsSpec runs it at a
+    * tiny base and asserts -2 fires while n_ref/n_live stay exact).
+    */
+  private[graft] def ks9Impl(ref: DataFrame, live: DataFrame,
+      valueCol: String, packK: Long): DataFrame = {
     val vt = ref.schema(valueCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
       s"ks9 needs an integral valueCol, got ${vt.simpleString} — " +
         "floor-scale to integer units first")
-    val K = 1L << 31
+    val K = packK
     val tagged = ref.select(col(valueCol).as("__v"), lit(1L).as("__r"),
         lit(0L).as("__l"))
       .unionByName(live.select(col(valueCol).as("__v"), lit(0L).as("__r"),
         lit(1L).as("__l")))
+    // __pr/__pl ride along un-packed: their plain-long sums are the TRUE
+    // per-side totals (exact far past 2^31), which both report n_ref /
+    // n_live and arm the pack-overflow guard below
     val perValue = tagged.filter(col("__v").isNotNull)
       .groupBy("__v")
-      .agg((sum("__r") * K + sum("__l")).as("__packed"))
+      .agg((sum("__r") * K + sum("__l")).as("__packed"),
+        sum("__r").as("__pr"), sum("__l").as("__pl"))
     val cum = Windowed.distributedCumsum(perValue, "__v", "__packed")
       .withColumn("__cr", expr(s"cumsum DIV $K"))
       .withColumn("__cl", expr(s"cumsum % $K"))
@@ -233,13 +250,16 @@ object Drift {
     val totals = cum.agg(coalesce(max("cumsum"), lit(0L)).as("__t"))
       .select(expr(s"__t DIV $K").as("__nr"), expr(s"__t % $K").as("__nl"))
     cum.crossJoin(broadcast(totals))
-      .agg(coalesce(max(col("__nr")), lit(0L)).as("n_ref"),
-        coalesce(max(col("__nl")), lit(0L)).as("n_live"),
+      .agg(coalesce(sum(col("__pr")), lit(0L)).as("n_ref"),
+        coalesce(sum(col("__pl")), lit(0L)).as("n_live"),
         coalesce(max(when(col("__nr") > 0 && col("__nl") > 0,
           abs(expr("__cr * 1000000000 DIV __nr") -
             expr("__cl * 1000000000 DIV __nl")))), lit(-1L)).as("ks9"))
       .select(col("n_ref"), col("n_live"),
         when(col("n_ref") === 0 || col("n_live") === 0, lit(-1L))
+          // packed-cumsum precondition: either side at K wraps into the
+          // other's lane — refuse loudly instead of unpacking garbage
+          .when(col("n_ref") >= K || col("n_live") >= K, lit(-2L))
           .otherwise(col("ks9")).as("ks9"))
   }
 }

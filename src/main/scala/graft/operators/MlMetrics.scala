@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *
   * Scores must arrive PRE-QUANTIZED to longs (floor(z * 1e9) — the
   * engine's floor-scale discipline): cross-engine tie structure is then
-  * exact, so the oracle replays rank spans bit-for-bit. All-long
-  * arithmetic; the reported `auc9` fits a long for n up to ~9.5e4 rows
-  * per grade (2R * 1e9 < 2^63), while `rank2_pos_sum` itself is exact to
-  * n ~ 2e9 — at larger n, grade on the raw integer triple and divide
-  * outside the hot path.
+  * exact, so the oracle replays rank spans bit-for-bit. The rank sums
+  * are all-long (exact to n ~ 2e9, the count-accumulation bound); the
+  * final `auc9` ratio is computed in DECIMAL(38,0) — `2R * 1e9` reaches
+  * ~4e27 at that n, past a long but far inside decimal-38 — and floors
+  * back to a long via integral division, so ONE code path serves the
+  * bench grade and a 100 TB corpus (no silent overflow past 9.5e4 rows,
+  * which the previous all-long form had).
   *
   * 100 TB: one hash aggregation (distinct scores), one prefix sum over
   * the DISTINCT-score frame (bounded by score-grid cardinality, not row
@@ -61,9 +63,12 @@ object MlMetrics {
           lit(0L)).as("rank2_pos_sum"))
       .select(col("n_pos"), col("n_neg"), col("rank2_pos_sum"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(-1L))
+          // DECIMAL(38,0) keeps 2R*1e9 exact to n ~ 2e9; `div` (integral
+          // divide) floors the exact quotient back to a long
           .otherwise(expr(
-            "(rank2_pos_sum - n_pos * (n_pos + 1)) * 1000000000 DIV " +
-              "(2 * n_pos * n_neg)"))
+            "(CAST(rank2_pos_sum AS DECIMAL(38,0)) - " +
+              "CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000000 " +
+              "DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"))
           .as("auc9"))
   }
 }

@@ -66,19 +66,23 @@ object Winnow {
     * reference); same DuckDB oracle replays both.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
+      k: Int, w: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
     // the sketch kernel is CPU-bound (one md5 per character position), so
     // a compact doc scan (one parquet split) would run the whole corpus on
-    // one core — spread the cheap PRE-sketch rows first, repartitioning UP
-    // only (an already well-partitioned 100 TB scan is untouched). This is
-    // a round-robin shuffle of document rows, ~gram-explosion/k the bytes
-    // the relational form's gram shuffle moves.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    spread.select(col(idCol).as("id"),
+    // one core — `spread` round-robins the cheap PRE-sketch rows across
+    // defaultParallelism first (~gram-explosion/k the bytes the relational
+    // form's gram shuffle moves). It is an explicit parameter, NOT a
+    // partition-count probe: probing `.rdd.getNumPartitions` would force
+    // physical planning of the upstream frame (through a DSv2 source,
+    // planning the scan just to ask). Pass spread = false when the input
+    // is already well-partitioned — e.g. any full-scale parquet scan.
+    val spreadDocs =
+      if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
+    spreadDocs.select(col(idCol).as("id"),
         explode(graft.functions.expressions.TextExpressions
           .winnowSketch(col(textCol), k, w)).as("f"))
       .select(col("id"), col("f.pos").as("pos"), col("f.h").as("h"))
@@ -92,15 +96,17 @@ object Winnow {
     * prefer [[fingerprints]] (map-side, shuffle-free).
     */
   def fingerprintsRelational(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, w: Int): DataFrame = {
+      textCol: String, k: Int, w: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
     // spread pre-explosion rows across cores (same rationale as
-    // SpanDedup.grams: the explode is ~len(text)-fold and CPU-bound)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val g = spread.filter(length(col(textCol)) >= k + w - 1)
+    // SpanDedup.grams: the explode is ~len(text)-fold and CPU-bound);
+    // explicit parameter, not a partition probe — see fingerprints()
+    val spreadDocs =
+      if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
+    val g = spreadDocs.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("id"), length(col(textCol)).as("__n"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
         col(textCol))

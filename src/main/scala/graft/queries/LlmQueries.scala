@@ -133,10 +133,13 @@ object LlmQueries {
         " AS BIGINT) AS rank2_pos_sum FROM rk)")
     s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++ score)
       .mkString(", ")} " +
+      // HUGEINT mirrors the engine's DECIMAL(38,0) widening: 2R*1e9 is
+      // exact wide-integer math in both engines, floored by // / DIV
       "SELECT n_pos, n_neg, rank2_pos_sum, " +
-      "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1 " +
-      "ELSE (rank2_pos_sum - n_pos*(n_pos+1)) * 1000000000 " +
-      "// (2*n_pos*n_neg) END AS auc9 FROM ag"
+      "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE CAST((CAST(rank2_pos_sum AS HUGEINT) - " +
+      "CAST(n_pos AS HUGEINT)*(n_pos+1)) * 1000000000 " +
+      "// (2*CAST(n_pos AS HUGEINT)*n_neg) AS BIGINT) END AS auc9 FROM ag"
   }
 
   /** w15 oracle: train on the even slice, score BOTH slices with the final

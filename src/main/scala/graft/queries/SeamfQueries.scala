@@ -62,6 +62,52 @@ object SeamfQueries {
 
   private def fixture(): String = SeamfFixtures.sharedArchive()
 
+  // Oracle SQL shared between a dump-path analytic and its DSv2-connector
+  // twin (s22-s24, VERDICT r8 #2): the SAME DuckDB replay grades both, so
+  // a hash match proves the connector path — with its optimizer-driven
+  // decode pruning — computes cell-for-cell what the library path does.
+  private val S01OracleSql =
+    s"""WITH b AS (SELECT frequency, capture_statistic, psd_dbm_per_hz,
+        MAX(psd_dbm_per_hz) OVER (PARTITION BY frequency, capture_statistic)
+          AS vmax FROM ${rp("psd")})
+        SELECT frequency, capture_statistic, COUNT(*) AS n,
+          ${sqlDbMean("psd_dbm_per_hz", "vmax")} AS db_mean,
+          MIN(psd_dbm_per_hz) AS db_min, MAX(psd_dbm_per_hz) AS db_max
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val S02OracleSql =
+    s"""WITH b AS (SELECT datetime_us, frequency, detector, power_dbm,
+        MAX(power_dbm) OVER (PARTITION BY datetime_us, frequency, detector)
+          AS vmax FROM ${rp("pvt")}),
+      a AS (SELECT datetime_us, frequency, detector,
+        MAX(power_dbm) AS peak_power,
+        ${sqlDbMean("power_dbm", "vmax")} AS mean_power
+        FROM b GROUP BY 1, 2, 3),
+      p AS (SELECT datetime_us, frequency,
+        MAX(peak_power) FILTER (WHERE detector = 'peak') AS peak_max,
+        MAX(mean_power) FILTER (WHERE detector = 'peak') AS peak_mean,
+        MAX(peak_power) FILTER (WHERE detector = 'rms') AS rms_max,
+        MAX(mean_power) FILTER (WHERE detector = 'rms') AS rms_mean
+        FROM a GROUP BY 1, 2)
+      SELECT p.datetime_us, p.frequency, p.peak_max, p.peak_mean, p.rms_max,
+        p.rms_mean, c.overload, c.cal_noise_figure_dB, c.cal_gain_dB,
+        c.cal_temperature_degC,
+        ROUND(10.0*LOG10((c.cal_temperature_degC + 273.15)*1.380649e-23)
+          + 30.0 + c.cal_noise_figure_dB, 6) AS noise_floor_dbm_per_hz,
+        CASE WHEN c.overload THEN -1 ELSE 1 END AS overload_sign
+      FROM p JOIN ${rp("channel_metadata")} c
+        ON p.datetime_us = c.datetime_us AND p.frequency = c.frequency
+      ORDER BY 1, 2"""
+
+  private val S16OracleSql =
+    s"""SELECT frequency, capture_statistic,
+          COUNT(DISTINCT datetime_us) AS n_traces, COUNT(*) AS n_points,
+          MAX(psd_dbm_per_hz) AS max_db,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
+        FROM ${rp("psd")}
+        WHERE datetime_us <= $PruneCutUs AND frequency <= $PruneMaxFreq
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- S1/S5/S6: full decode -> long PSD table + A1-style agg --------
@@ -78,13 +124,7 @@ object SeamfQueries {
             max(col("psd_dbm_per_hz")).as("db_max"))
           .orderBy("frequency", "capture_statistic")
       },
-      Some(s"""WITH b AS (SELECT frequency, capture_statistic, psd_dbm_per_hz,
-        MAX(psd_dbm_per_hz) OVER (PARTITION BY frequency, capture_statistic)
-          AS vmax FROM ${rp("psd")})
-        SELECT frequency, capture_statistic, COUNT(*) AS n,
-          ${sqlDbMean("psd_dbm_per_hz", "vmax")} AS db_mean,
-          MIN(psd_dbm_per_hz) AS db_min, MAX(psd_dbm_per_hz) AS db_max
-        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some(S01OracleSql)),
 
     // ---- A8/J1: capture_summary (dask_processing.ipynb cell 3) ---------
     // Includes F2 (kTB noise floor) and F8 (overload -> {-1, 1} categorical
@@ -114,28 +154,7 @@ object SeamfQueries {
           .withColumn("overload_sign", when(col("overload"), -1).otherwise(1))
           .orderBy("datetime_us", "frequency")
       },
-      Some(s"""WITH b AS (SELECT datetime_us, frequency, detector, power_dbm,
-        MAX(power_dbm) OVER (PARTITION BY datetime_us, frequency, detector)
-          AS vmax FROM ${rp("pvt")}),
-      a AS (SELECT datetime_us, frequency, detector,
-        MAX(power_dbm) AS peak_power,
-        ${sqlDbMean("power_dbm", "vmax")} AS mean_power
-        FROM b GROUP BY 1, 2, 3),
-      p AS (SELECT datetime_us, frequency,
-        MAX(peak_power) FILTER (WHERE detector = 'peak') AS peak_max,
-        MAX(mean_power) FILTER (WHERE detector = 'peak') AS peak_mean,
-        MAX(peak_power) FILTER (WHERE detector = 'rms') AS rms_max,
-        MAX(mean_power) FILTER (WHERE detector = 'rms') AS rms_mean
-        FROM a GROUP BY 1, 2)
-      SELECT p.datetime_us, p.frequency, p.peak_max, p.peak_mean, p.rms_max,
-        p.rms_mean, c.overload, c.cal_noise_figure_dB, c.cal_gain_dB,
-        c.cal_temperature_degC,
-        ROUND(10.0*LOG10((c.cal_temperature_degC + 273.15)*1.380649e-23)
-          + 30.0 + c.cal_noise_figure_dB, 6) AS noise_floor_dbm_per_hz,
-        CASE WHEN c.overload THEN -1 ELSE 1 END AS overload_sign
-      FROM p JOIN ${rp("channel_metadata")} c
-        ON p.datetime_us = c.datetime_us AND p.frequency = c.frequency
-      ORDER BY 1, 2""")),
+      Some(S02OracleSql)),
 
     // ---- S3: metadata-only scan ----------------------------------------
     "s03_seamf_sweep_metadata" -> QueryDef(
@@ -491,13 +510,7 @@ object SeamfQueries {
             max(col("datetime_us")).as("max_dt"))
           .orderBy("frequency", "capture_statistic")
       },
-      Some(s"""SELECT frequency, capture_statistic,
-          COUNT(DISTINCT datetime_us) AS n_traces, COUNT(*) AS n_points,
-          MAX(psd_dbm_per_hz) AS max_db,
-          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
-        FROM ${rp("psd")}
-        WHERE datetime_us <= $PruneCutUs AND frequency <= $PruneMaxFreq
-        GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some(S16OracleSql)),
 
     // ---- S12/S13 on the hash surface: lake export round trip ------------
     // exportAll decodes the fixture ONCE (persisted shared scan) and writes
@@ -631,7 +644,89 @@ object SeamfQueries {
       },
       Some(s"""SELECT product AS "table", COUNT(*) AS n_slots
         FROM ${rp("zip_traces")}
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- s01 THROUGH the connector (VERDICT r8 #2) ----------------------
+    // The full PSD summary analytic with format("seamf") as the scan: the
+    // `table = 'psd'` predicate pushes into the connector and prunes the
+    // non-psd slots at decode time (only psd payload ranges are sliced),
+    // the trace arrays explode to points engine-side, and the SAME DuckDB
+    // oracle as s01 grades the result — optimizer-driven decode pruning
+    // exercised by a real analytic, not a probe.
+    "s22_seamf_dsv2_psd_summary" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        val w = Window.partitionBy("frequency", "capture_statistic")
+        s.read.format("seamf").load(fixture())
+          .filter(col("table") === "psd")
+          .select(col("frequency"), col("capture_statistic"),
+            explode(col("trace")).as("psd_dbm_per_hz"))
+          .withColumn("__vmax", max(col("psd_dbm_per_hz")).over(w))
+          .withColumn("__lin", lin(col("psd_dbm_per_hz"), col("__vmax")))
+          .groupBy("frequency", "capture_statistic")
+          .agg(count(lit(1)).as("n"),
+            dbMeanAgg(col("__vmax"), col("__lin")).as("db_mean"),
+            min(col("psd_dbm_per_hz")).as("db_min"),
+            max(col("psd_dbm_per_hz")).as("db_max"))
+          .orderBy("frequency", "capture_statistic")
+      },
+      Some(S01OracleSql)),
+
+    // ---- s02 THROUGH the connector (VERDICT r8 #2) ----------------------
+    // capture_summary with the PVT decode on the connector path (pushed
+    // `table = 'pvt'` prune) joined to the independently decoded cal
+    // metadata dump; s02's oracle grades it cell-for-cell.
+    "s23_seamf_dsv2_capture_summary" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        val w = Window.partitionBy("datetime_us", "frequency", "detector")
+        val agg = s.read.format("seamf").load(fixture())
+          .filter(col("table") === "pvt")
+          .select(col("datetime_us"), col("frequency"), col("detector"),
+            explode(col("trace")).as("power_dbm"))
+          .withColumn("__vmax", max(col("power_dbm")).over(w))
+          .withColumn("__lin", lin(col("power_dbm"), col("__vmax")))
+          .groupBy("datetime_us", "frequency", "detector")
+          .agg(max(col("power_dbm")).as("peak_power"),
+            dbMeanAgg(col("__vmax"), col("__lin")).as("mean_power"))
+        val piv = agg.groupBy("datetime_us", "frequency")
+          .pivot("detector", Seq("peak", "rms"))
+          .agg(first(col("peak_power")).as("max"), first(col("mean_power")).as("mean"))
+        val cal = dump(s, "channel_metadata")
+          .select(col("datetime_us"), col("frequency"), col("overload"),
+            col("cal_noise_figure_dB"), col("cal_gain_dB"),
+            col("cal_temperature_degC"))
+        piv.join(cal, Seq("datetime_us", "frequency"))
+          .withColumn("noise_floor_dbm_per_hz",
+            round(graft.functions.DbMath.ktbNoiseFloorDbmPerHz(
+              col("cal_temperature_degC"), col("cal_noise_figure_dB")), 6))
+          .withColumn("overload_sign", when(col("overload"), -1).otherwise(1))
+          .orderBy("datetime_us", "frequency")
+      },
+      Some(S02OracleSql)),
+
+    // ---- s16 THROUGH the connector (VERDICT r8 #2) ----------------------
+    // The pruned-decode analytic where ALL THREE predicates push: `table`
+    // membership, the inclusive datetime bound, and the inclusive
+    // frequency bound fold exactly into the scan's TracePrune, so sweeps
+    // outside the window never decompress — and the s16 oracle proves
+    // pruned-decode ≡ decode-then-filter on the connector path too.
+    "s24_seamf_dsv2_pruned_decode" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        s.read.format("seamf").load(fixture())
+          .filter(col("table") === "psd" &&
+            col("datetime_us") <= PruneCutUs &&
+            col("frequency") <= PruneMaxFreq)
+          .groupBy("frequency", "capture_statistic")
+          .agg(count(lit(1)).as("n_traces"),
+            sum(size(col("trace"))).as("n_points"),
+            max(array_max(col("trace"))).as("max_db"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"))
+          .orderBy("frequency", "capture_statistic")
+      },
+      Some(S16OracleSql))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

@@ -335,10 +335,21 @@ private[graft] class SeamfScan(paths: Seq[String],
   private val pruneBox = new PruneBox(prune)
 
   override def filterAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // must resolve against readSchema(): under a pushed aggregation the
+    // scan's output is the agg schema (group cols + agg_i) — `required`
+    // still holds the full trace schema because Spark never calls
+    // pruneColumns on that path, and naming a column absent from the scan
+    // output makes V2ExpressionUtils.resolveRefs throw at planning time
+    // when this scan sits on the probe side of a DPP-eligible join
+    val visible: Set[String] = pushedAgg match {
+      case Some((groups, _)) => groups.toSet
+      case None => required.fieldNames.toSet
+    }
     Array("datetime_us", "frequency", "table")
-      .filter(required.fieldNames.contains) // must resolve against readSchema
+      .filter(visible)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     var p = runtimePrune
@@ -448,22 +459,26 @@ private[graft] class SeamfScan(paths: Seq[String],
   /** Scan entries: plain `.sigmf` files (member = "") and `.sigmf` members
     * of `.zip` archives — the reference's primary container
     * (ziparchive.py:365-447). Central directories are enumerated on the
-    * driver (the reference caches the same ZipInfo lists,
-    * ziparchive.py:126-146), so one big archive fans out across tasks at
-    * MEMBER granularity; costs use the compressed member size.
+    * driver through the Hadoop `FileSystem` API ([[HadoopZip]]: tail +
+    * CD block, two range reads per archive — the reference caches the
+    * same ZipInfo lists, ziparchive.py:126-146), so one big archive fans
+    * out across tasks at MEMBER granularity on ANY filesystem the
+    * `Configuration` can open, object stores included; costs use the
+    * compressed member size. Member coordinates (method, sizes, local-
+    * header offset) ride inside the split so executors never re-read a
+    * central directory.
     */
-  private def listEntries(hadoopConf: Configuration): Seq[(String, String, Long)] =
+  private def listEntries(hadoopConf: Configuration): Seq[SeamfScanEntry] =
     listFiles(hadoopConf).flatMap { f =>
       val p = f.getPath.toString
       if (p.endsWith(".zip")) {
-        import scala.jdk.CollectionConverters._
-        val zf = new java.util.zip.ZipFile(f.getPath.toUri.getPath)
-        try zf.entries().asScala
-          .filter(e => !e.isDirectory && e.getName.endsWith(".sigmf"))
-          .map(e => (p, e.getName, math.max(e.getCompressedSize, 0L)))
-          .toSeq.sortBy(_._2)
-        finally zf.close()
-      } else Seq((p, "", f.getLen))
+        val fs = f.getPath.getFileSystem(hadoopConf)
+        HadoopZip.listEntries(fs, f.getPath)
+          .filter(e => !e.name.endsWith("/") && e.name.endsWith(".sigmf"))
+          .map(e => SeamfScanEntry(p, e.name, e.method, e.compressedSize,
+            e.uncompressedSize, e.localHeaderOffset))
+          .sortBy(_.member)
+      } else Seq(SeamfScanEntry(p, "", -1, f.getLen, f.getLen, -1L))
     }
 
   /** Whole members packed to Spark's split-size formula:
@@ -478,17 +493,17 @@ private[graft] class SeamfScan(paths: Seq[String],
     val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
-    val total = entries.map(_._3 + openCost).sum
+    val total = entries.map(_.compressedSize + openCost).sum
     val target = math.min(confMax,
       math.max(openCost, total / math.max(1, spark.sparkContext.defaultParallelism)))
 
-    val bins = ArrayBuffer.empty[ArrayBuffer[(String, String)]]
+    val bins = ArrayBuffer.empty[ArrayBuffer[SeamfScanEntry]]
     var binBytes = 0L
-    entries.foreach { case (p, member, len) =>
-      val cost = len + openCost
+    entries.foreach { e =>
+      val cost = e.compressedSize + openCost
       if (bins.isEmpty || binBytes + cost > target) {
-        bins += ArrayBuffer((p, member)); binBytes = cost
-      } else { bins.last += ((p, member)); binBytes += cost }
+        bins += ArrayBuffer(e); binBytes = cost
+      } else { bins.last += e; binBytes += cost }
     }
     bins.map(b => SeamfInputPartition(b.toArray): InputPartition).toArray
   }
@@ -502,44 +517,58 @@ private[graft] class SeamfScan(paths: Seq[String],
 
 }
 
-/** One packed bin of scan entries: (path, "") = a plain `.sigmf` file,
-  * (zipPath, member) = a `.sigmf` member inside a zip archive.
+/** One scan entry: member = "" is a plain `.sigmf` file (sizes = file
+  * length, offset unused); otherwise a `.sigmf` member inside a zip
+  * archive with its central-directory coordinates, so executors fetch
+  * the member with positioned reads and never touch the directory.
   */
-private[sources] case class SeamfInputPartition(
-    entries: Array[(String, String)]) extends InputPartition
+private[sources] case class SeamfScanEntry(path: String, member: String,
+    method: Int, compressedSize: Long, uncompressedSize: Long,
+    localHeaderOffset: Long)
 
-/** Entry byte fetch shared by the row and aggregate readers. Members of
-  * the same zip are adjacent in a bin (listing order), so one ZipFile
-  * stays open across consecutive members (random-access reads pull only
-  * this task's members — the reference's MultiProcessingZipFile reopen
-  * pattern, ziparchive.py:104-146). Zip access uses the local-path view
-  * of the URI, like the library's `tracesFromZips`.
+/** One packed bin of scan entries. */
+private[sources] case class SeamfInputPartition(
+    entries: Array[SeamfScanEntry]) extends InputPartition
+
+/** Entry byte fetch shared by the row and aggregate readers — everything
+  * goes through the Hadoop `FileSystem` API, so object stores work the
+  * same as local disk. Members of the same zip are adjacent in a bin
+  * (listing order), so one `FSDataInputStream` stays open across
+  * consecutive members and each member costs exactly two positioned
+  * reads (local header + data; [[HadoopZip.readEntry]]) — the
+  * reference's MultiProcessingZipFile reopen pattern, ziparchive.py:
+  * 104-146, without the local-path restriction.
   */
 private[sources] final class SeamfEntryFetcher(conf: Configuration) {
   private var cachedPath: String = _
-  private var cachedZip: java.util.zip.ZipFile = _
+  private var cachedIn: org.apache.hadoop.fs.FSDataInputStream = _
 
-  def fetch(entry: (String, String)): (String, Array[Byte]) = entry match {
-    case (p, "") =>
-      val path = new Path(p)
+  def fetch(entry: SeamfScanEntry): (String, Array[Byte]) =
+    if (entry.member.isEmpty) {
+      val path = new Path(entry.path)
       val fs = path.getFileSystem(conf)
       val len = fs.getFileStatus(path).getLen
+      require(len <= Int.MaxValue,
+        s"seamf file too large to buffer: ${entry.path} ($len bytes)")
       val bytes = new Array[Byte](len.toInt)
       val in = fs.open(path)
       try in.readFully(0, bytes) finally in.close()
-      (p, bytes)
-    case (zp, member) =>
-      if (cachedPath != zp) {
+      (entry.path, bytes)
+    } else {
+      if (cachedPath != entry.path) {
         close()
-        cachedZip = new java.util.zip.ZipFile(new Path(zp).toUri.getPath)
-        cachedPath = zp
+        val path = new Path(entry.path)
+        cachedIn = path.getFileSystem(conf).open(path)
+        cachedPath = entry.path
       }
-      val in = cachedZip.getInputStream(cachedZip.getEntry(member))
-      try (s"$zp!$member", in.readAllBytes()) finally in.close()
-  }
+      val bytes = HadoopZip.readEntry(cachedIn,
+        HadoopZip.Entry(entry.member, entry.method, entry.compressedSize,
+          entry.uncompressedSize, entry.localHeaderOffset))
+      (s"${entry.path}!${entry.member}", bytes)
+    }
 
   def close(): Unit = {
-    if (cachedZip != null) { cachedZip.close(); cachedZip = null }
+    if (cachedIn != null) { cachedIn.close(); cachedIn = null }
     cachedPath = null
   }
 }
@@ -613,7 +642,7 @@ private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
   * across files/partitions.
   */
 private[sources] class SeamfAggPartitionReader(
-    entries: Array[(String, String)],
+    entries: Array[SeamfScanEntry],
     conf: Configuration, prune: SeamfReader.TracePrune,
     groups: Seq[String], funcs: Seq[SeamfAgg], tz: Option[String],
     raise: Boolean, checkHash: Boolean) extends PartitionReader[InternalRow] {
@@ -714,7 +743,7 @@ private[sources] class SeamfAggPartitionReader(
   * 2-7 as one executor-side function).
   */
 private[sources] class SeamfPartitionReader(
-    entries: Array[(String, String)],
+    entries: Array[SeamfScanEntry],
     conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
     tz: Option[String], raise: Boolean, checkHash: Boolean,
     needPayload: Boolean, limit: Option[Int])

@@ -982,6 +982,24 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.Windowed.unpersistAll()
   }
 
+  test("Drift.ks9 refuses (sentinel -2) when a side reaches the packed-" +
+      "cumsum bound, with true totals still reported (ADVICE r8)") {
+    import graft.operators.Drift
+    // run the SAME pipeline at a tiny pack base: 5 live rows >= K = 4
+    // would corrupt the packed CDFs, so the statistic must be refused —
+    // while n_ref/n_live (plain-long sums, never packed) stay exact
+    val ref = Seq(1L, 2L, 3L).toDF("v")
+    val live = Seq(1L, 1L, 2L, 3L, 4L).toDF("v")
+    val got = Drift.ks9Impl(ref, live, "v", packK = 4L).collect().head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 5L)
+    assert(got.getLong(2) === -2L)
+    // below the bound the same base computes normally
+    val ok = Drift.ks9Impl(ref, Seq(3L, 4L).toDF("v"), "v", packK = 1L << 31)
+      .collect().head
+    assert(ok.getLong(2) === 666666666L)
+    graft.operators.Windowed.unpersistAll()
+  }
+
   test("LogReg.train is fully lazy: zero Spark jobs until an action") {
     val (feats, lr) = logRegFeats
     @volatile var jobs = 0

@@ -323,4 +323,26 @@ class PlansSpec extends SparkSpec {
     assert(pr.contains("HashAggregate(keys=[id"),
       s"relational sketch distinct not keyed on (id, pos, h):\n$pr")
   }
+
+  test("Winnow spread is an explicit parameter: the pre-sketch round-robin " +
+      "exchange appears only when asked, never from an .rdd probe " +
+      "(VERDICT r8 #6)") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val pOn = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+      .queryExecution.executedPlan.toString
+    assert(pOn.toLowerCase.contains("roundrobin"),
+      s"spread=true (default) must round-robin the doc rows:\n$pOn")
+    val pOff = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 20, w = 8, spread = false)
+      .queryExecution.executedPlan.toString
+    assert(!pOff.contains("Exchange"),
+      s"spread=false must leave the input partitioning untouched:\n$pOff")
+    // both plans produce identical sketches
+    val a = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+    val b = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 20, w = 8, spread = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

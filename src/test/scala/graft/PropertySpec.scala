@@ -670,4 +670,20 @@ class PropertySpec extends SparkSpec {
         got.getLong(3) == expAuc9
     }, n = 30)
   }
+
+  test("rocAuc9 is exact past the old all-long bound: 200k rows where " +
+      "2R*1e9 overflows a long (VERDICT r8 #7 / ADVICE r8)") {
+    import graft.operators.MlMetrics
+    import org.apache.spark.sql.functions._
+    // 200k distinct scores, perfect separation: the pre-decimal formula's
+    // (2R - n(n+1)) * 1e9 = 2e10 * 1e9 = 2e19 > 2^63 silently wrapped;
+    // the DECIMAL(38,0) path must report exactly AUC = 1.0
+    val df = spark.range(200000).select(col("id").as("z9"),
+      (col("id") >= 100000).cast("int").as("y"))
+    val got = MlMetrics.rocAuc9(df, "z9", "y").collect().head
+    graft.operators.Windowed.unpersistAll()
+    assert(got.getLong(0) === 100000L && got.getLong(1) === 100000L)
+    assert(got.getLong(2) === 30000100000L) // 2 * sum(100001..200000)
+    assert(got.getLong(3) === 1000000000L)
+  }
 }

@@ -223,6 +223,25 @@ class SeamfSourceSpec extends SparkSpec {
     assert(agg.exceptAll(lib).isEmpty && lib.exceptAll(agg).isEmpty)
   }
 
+  test("a pushed aggregation joined to a filtered dimension plans and " +
+      "runs (ADVICE r8: filterAttributes vs agg readSchema)") {
+    // the scan's output under a pushed agg is (table, agg_0) — runtime-
+    // filter planning inspects filterAttributes against THAT schema, and
+    // naming datetime_us/frequency here used to throw AnalysisException
+    // in V2ExpressionUtils.resolveRefs at planning time
+    val agg = dsv2.groupBy("table").agg(count(lit(1)).as("n"))
+    val dim = Seq(("psd", "spectrum")).toDF("table", "kind")
+      .filter(col("kind") === "spectrum")
+    val joined = agg.join(broadcast(dim), Seq("table"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregation"), planStr)
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "psd")
+    val expected = SeamfReader.traces(spark, fixture).toDF()
+      .filter(col("table") === "psd").count()
+    assert(rows.head.getLong(1) === expected)
+  }
+
   test("aggregate pushdown declines the unsupported shapes (distinct " +
       "counts, trace aggregates, superset-bound filters present)") {
     // count distinct: not pushable -> plain scan, still correct
