@@ -726,7 +726,40 @@ object SeamfQueries {
             max(col("datetime_us")).as("max_dt"))
           .orderBy("frequency", "capture_statistic")
       },
-      Some(S16OracleSql))
+      Some(S16OracleSql)),
+
+    // ---- s15 THROUGH the connector (VERDICT r8 #4) ----------------------
+    // readStream.format("seamf"): the connector's MicroBatchStream treats
+    // the landing dir's file arrivals (90 s schedule cadence) as offsets —
+    // one long per checkpoint, zip members expanded per batch — feeding
+    // the same watermarked 1-minute capture summary as s15. The oracle
+    // recomputes the windows batch-side from the decoded dump, so this is
+    // streaming-vs-batch parity for the CONNECTOR ingest path.
+    "s25_seamf_dsv2_stream" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        val summary = s.readStream.format("seamf").load(fixture())
+          .filter(col("table") === "pvt")
+          .withColumn("datetime", timestamp_micros(col("datetime_us")))
+          .withWatermark("datetime", "10 minutes")
+          .groupBy(window(col("datetime"), "1 minute"), col("frequency"))
+          .agg(max(array_max(col("trace"))).as("peak_dbm"),
+            count(lit(1)).as("n_traces"))
+          .select(col("window.start").as("minute"), col("frequency"),
+            col("peak_dbm"), col("n_traces"))
+        graft.streaming.StreamingOps.runToMemory(s, summary,
+            "s25_mem", outputMode = "complete")
+          .select(unix_micros(col("minute")).as("minute_us"),
+            col("frequency"), col("peak_dbm"), col("n_traces"))
+          .orderBy("minute_us", "frequency")
+      },
+      Some(s"""SELECT
+          CAST(FLOOR(datetime_us / 60000000) AS BIGINT) * 60000000
+            AS minute_us,
+          frequency, MAX(power_dbm) AS peak_dbm,
+          COUNT(DISTINCT file_name || '#' || CAST(datetime_us AS VARCHAR)
+            || '#' || detector) AS n_traces
+        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

@@ -310,6 +310,36 @@ class SeamfSourceSpec extends SparkSpec {
     assert(both.count() === plain + zipped)
   }
 
+  test("readStream.format(\"seamf\"): file-arrival micro-batches decode " +
+      "incrementally, and the final table equals the batch scan " +
+      "(VERDICT r8 #4)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_landing").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 3).foreach(i => SeamfFixtures.writeSweep(
+      java.nio.file.Paths.get(dir), i, t0 + i * 90L * 1000000L,
+      nChannels = 2))
+
+    val q = spark.readStream.format("seamf").load(dir)
+      .writeStream.format("memory").queryName("dsv2_stream").start()
+    q.processAllAvailable()
+    val n3 = spark.table("dsv2_stream").count()
+    assert(n3 > 0)
+
+    // the 90 s cadence: one more sweep lands -> ONLY the increment decodes
+    SeamfFixtures.writeSweep(java.nio.file.Paths.get(dir), 3,
+      t0 + 3 * 90L * 1000000L, nChannels = 2)
+    q.processAllAvailable()
+    q.stop()
+    val n4 = spark.table("dsv2_stream").count()
+    assert(n4 === n3 / 3 * 4) // identical per-sweep shape
+    // end-of-stream content == batch connector scan of the same dir
+    val streamed = canon(spark.table("dsv2_stream"))
+    val batch = canon(spark.read.format("seamf").load(dir))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
