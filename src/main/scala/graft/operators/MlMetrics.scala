@@ -71,4 +71,93 @@ object MlMetrics {
               "DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"))
           .as("auc9"))
   }
+
+  /** Exact precision-recall curve — the standard companion grade to
+    * ROC-AUC for IMBALANCED corpus filtering, where AUC alone hides a
+    * collapsed positive class. One row per distinct quantized score
+    * `s9`, grading the classifier "predict positive when score >= s9":
+    * (s9, tp, fp, fn, precision9, recall9), all integer-exact
+    * (floor(ratio * 1e9) via integral division).
+    *
+    * Plan shape — the same two-phase prefix-sum discipline as [[rocAuc9]]
+    * / `Drift.ks9`: group by distinct score, pack each group's
+    * (n_pos, n) pair into one long `npos * 2^31 + cnt`, ONE distributed
+    * cumsum over the NEGATED score order (so the running sums accumulate
+    * from the best score down — exactly the threshold sweep), unpack
+    * with DIV / MOD. True totals ride un-packed alongside (plain long
+    * sums), so when total rows reach the 2^31 pack bound the ratios emit
+    * the loud -2 sentinel instead of unpacking garbage — the ks9
+    * convention; recall9 is -1 when there are no positives at all.
+    *
+    * 100 TB: one partial-aggregable groupBy, one prefix sum over the
+    * DISTINCT-score frame, no data-sized single-partition sort.
+    */
+  def prCurve9(df: DataFrame, score9Col: String, labelCol: String): DataFrame =
+    prCurve9Impl(df, score9Col, labelCol, 1L << 31)
+
+  /** [[prCurve9]] with the pack base exposed (testable overflow guard). */
+  private[graft] def prCurve9Impl(df: DataFrame, score9Col: String,
+      labelCol: String, packK: Long): DataFrame = {
+    val K = packK
+    val grouped = df.groupBy(col(score9Col).as("s9"))
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(col(labelCol) === 1, 1)).as("__npos"))
+      // cumulate from the TOP score down: the threshold sweep order
+      .withColumn("__negs", -col("s9"))
+      .withColumn("__packed", col("__npos") * K + col("__cnt"))
+    val cum = Windowed.distributedCumsum(grouped, "__negs", "__packed")
+      .withColumn("__tp", expr(s"cumsum DIV $K"))   // positives at >= s9
+      .withColumn("__pp", expr(s"cumsum % $K"))     // predicted positive
+    val totals = cum.agg(
+      coalesce(sum("__cnt"), lit(0L)).as("__tn"),       // true row total
+      coalesce(sum("__npos"), lit(0L)).as("__tpos"))    // true positives
+    cum.crossJoin(broadcast(totals))
+      .select(col("s9"), col("__tp").as("tp"),
+        (col("__pp") - col("__tp")).as("fp"),
+        (col("__tpos") - col("__tp")).as("fn"),
+        when(col("__tn") >= K, lit(-2L))
+          .otherwise(expr("__tp * 1000000000 DIV __pp")).as("precision9"),
+        when(col("__tn") >= K, lit(-2L))
+          .when(col("__tpos") === 0, lit(-1L))
+          .otherwise(expr("__tp * 1000000000 DIV __tpos")).as("recall9"))
+      .orderBy("s9")
+  }
+
+  /** Calibration (reliability) table for a LOGISTIC score: does the
+    * model's predicted probability match the observed positive rate?
+    * Bins are equal-width in PROBABILITY space ([i/B, (i+1)/B)), but a
+    * row's bin is decided by comparing its raw score `z` against the
+    * LOGIT of each boundary — constants computed once and compared with
+    * plain `>=`, so no exp() ever runs inside either engine (exp is the
+    * one libm call whose last-ulp differences would break cross-engine
+    * floor-quantized hashing; basic double arithmetic is IEEE-identical).
+    *
+    * Output per non-empty bin: (bin, p_lo9, p_hi9, n, n_pos, obs_rate9)
+    * with obs_rate9 = floor(n_pos/n * 1e9) exact in integers. A
+    * well-calibrated classifier has obs_rate9 inside [p_lo9, p_hi9].
+    *
+    * 100 TB: one map-side-partial groupBy over at most B groups.
+    */
+  def logitCalibration9(df: DataFrame, zCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 calibration bins, got $bins")
+    require(1000000000L % bins == 0,
+      s"bins must divide 1e9 for an exact probability grid, got $bins")
+    // logit boundaries: z >= ln(i/(B-i)) <=> sigmoid(z) >= i/B
+    val bounds = (1 until bins).map(i => math.log(i.toDouble / (bins - i)))
+    val bin = bounds.map(b => when(col(zCol) >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    df.groupBy(bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(labelCol) === 1, 1)).as("n_pos"))
+      .select(col("bin"),
+        (col("bin") * (1000000000L / bins)).as("p_lo9"),
+        ((col("bin") + 1) * (1000000000L / bins)).as("p_hi9"),
+        col("n"), col("n_pos"),
+        // decimal: a single bin can hold > 9.2e9 rows at corpus scale,
+        // where n_pos * 1e9 would wrap a long (the auc9 discipline)
+        expr("CAST(n_pos AS DECIMAL(38,0)) * 1000000000 DIV n")
+          .as("obs_rate9"))
+      .orderBy("bin")
+  }
 }

@@ -53,7 +53,8 @@ object LlmQueries {
     * always named `f`.
     */
   private def logRegCtes(standardize: Boolean, withAccuracy: Boolean,
-      trainWhere: String = "", idCol: Boolean = false): Seq[String] = {
+      trainWhere: String = "", idCol: Boolean = false,
+      iters: Int = LrIters, rateSql: String = LrRateSql): Seq[String] = {
     val raw = s"f0 AS (SELECT ${if (idCol) "vec_id, " else ""}" +
       "CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
       (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
@@ -75,7 +76,7 @@ object LlmQueries {
         }.mkString(", ") + s" FROM f0 CROSS JOIN st$filt)")
     val w0 = "w0 AS (SELECT " +
       (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
-    val iterCtes = (1 to LrIters).flatMap { t =>
+    val iterCtes = (1 to iters).flatMap { t =>
       Seq(
         s"g$t AS (SELECT COUNT(*) AS n, " +
           (0 until LrK).map(j =>
@@ -84,7 +85,7 @@ object LlmQueries {
         s"w$t AS (SELECT " +
           (0 until LrK).map(j =>
             s"CAST(FLOOR((wq_$j/$LrScaleSql - " +
-              s"$LrRateSql*CAST(g_$j AS DOUBLE)/n)*$LrScaleSql) " +
+              s"$rateSql*CAST(g_$j AS DOUBLE)/n)*$LrScaleSql) " +
               s"AS BIGINT) AS wq_$j").mkString(", ") +
           s" FROM w${t - 1} CROSS JOIN g$t)") ++
         (if (withAccuracy) Seq(
@@ -140,6 +141,58 @@ object LlmQueries {
       "ELSE CAST((CAST(rank2_pos_sum AS HUGEINT) - " +
       "CAST(n_pos AS HUGEINT)*(n_pos+1)) * 1000000000 " +
       "// (2*CAST(n_pos AS HUGEINT)*n_neg) AS BIGINT) END AS auc9 FROM ag"
+  }
+
+  /** q108d oracle: replay training + scoring (the q108b chain), then the
+    * threshold sweep as a DESC-ordered window cumsum — DuckDB's window
+    * stands in for the engine's packed two-phase prefix sum
+    * (MlMetrics.prCurve9). All ratios are integer floor-divisions.
+    */
+  private[queries] def logRegPrCurveOracleSql: String = {
+    val score = Seq(
+      s"sc AS (SELECT y, CAST(FLOOR(($lrZ)*1000000000.0) AS BIGINT) AS z9" +
+        s" FROM f CROSS JOIN w$LrIters)",
+      "gr AS (SELECT z9, COUNT(*) AS cnt," +
+        " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
+      "rk AS (SELECT z9," +
+        " CAST(SUM(npos) OVER (ORDER BY z9 DESC) AS BIGINT) AS tp," +
+        " CAST(SUM(cnt) OVER (ORDER BY z9 DESC) AS BIGINT) AS pp FROM gr)",
+      "tot AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS tpos" +
+        " FROM gr)")
+    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++ score)
+      .mkString(", ")} " +
+      "SELECT z9 AS s9, tp, pp - tp AS fp, tpos - tp AS fn, " +
+      "CAST(tp * 1000000000 // pp AS BIGINT) AS precision9, " +
+      "CASE WHEN tpos = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE CAST(tp * 1000000000 // tpos AS BIGINT) END AS recall9 " +
+      "FROM rk CROSS JOIN tot ORDER BY s9"
+  }
+
+  /** q108e oracle: score with the final weights and bin by comparing the
+    * RAW z against logit boundaries — literal doubles generated from the
+    * same math.log the engine operator uses, so no exp() runs in either
+    * engine and the bin decision is identical double arithmetic.
+    */
+  private[queries] def logRegCalibrationOracleSql: String = {
+    val bins = 10
+    val binExpr = (1 until bins)
+      .map(i => s"(CASE WHEN z >= ${math.log(i.toDouble / (bins - i))} " +
+        "THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    // standardized features + a longer/hotter fit (lr 4.0, 6 iters) so
+    // the score distribution actually SPANS the probability bins — the
+    // 3-iteration q108 config leaves every sigmoid within [0.49, 0.55]
+    // and a one-row reliability table grades nothing
+    s"WITH ${logRegCtes(standardize = true, withAccuracy = false,
+        iters = 6, rateSql = "4.0").mkString(", ")}, " +
+      s"scz AS (SELECT y, ($lrZ) AS z FROM f CROSS JOIN w6), " +
+      s"b AS (SELECT y, CAST($binExpr AS BIGINT) AS bin FROM scz) " +
+      s"SELECT bin, bin * ${1000000000L / bins} AS p_lo9, " +
+      s"(bin + 1) * ${1000000000L / bins} AS p_hi9, COUNT(*) AS n, " +
+      "COUNT(CASE WHEN y = 1 THEN 1 END) AS n_pos, " +
+      "CAST(CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS HUGEINT) " +
+      "* 1000000000 // COUNT(*) AS BIGINT) AS obs_rate9 " +
+      "FROM b GROUP BY bin ORDER BY bin"
   }
 
   /** w15 oracle: train on the even slice, score BOTH slices with the final
@@ -2243,6 +2296,57 @@ object LlmQueries {
         MlMetrics.rocAuc9(scored, "z9", "y")
       },
       Some(logRegAucOracleSql)),
+
+    // ---- Exact precision-recall curve of the trained classifier ---------
+    // The companion grade to q108b for imbalanced filtering: one row per
+    // distinct quantized score, grading "keep when score >= s9" with
+    // integer-exact tp/fp/fn and floor-quantized precision/recall. The
+    // threshold sweep rides ONE packed distributed prefix sum over the
+    // distinct-score frame (MlMetrics.prCurve9) — never a data-sized
+    // single-partition sort; the oracle replays it with a window cumsum.
+    "q108d_logreg_pr_curve" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{LogReg, MlMetrics}
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
+        val scored = LogReg.score(feats, w, xs)
+          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
+        MlMetrics.prCurve9(scored, "z9", "y")
+      },
+      Some(logRegPrCurveOracleSql)),
+
+    // ---- Calibration (reliability) table of the trained classifier ------
+    // Equal-width probability bins decided by comparing the RAW score z
+    // against precomputed logit boundaries — no exp() in either engine,
+    // so the floor-quantized observed rates hash-match exactly. A
+    // well-calibrated filter has obs_rate9 within [p_lo9, p_hi9); this is
+    // what turns a score threshold into a defensible keep-probability at
+    // corpus scale (one B-group map-side aggregation).
+    "q108e_logreg_calibration" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{LogReg, MlMetrics}
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        // standardized + lr 4.0 x 6 iters: spreads the sigmoid across
+        // the bins (see the oracle builder note) — 4 non-empty bins with
+        // a monotone observed rate at sf0.01
+        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
+        val w = LogReg.train(std, xs, "y", lr = 4.0, iters = 6)
+        MlMetrics.logitCalibration9(
+          LogReg.score(std, w, xs), "z", "y", bins = 10)
+      },
+      Some(logRegCalibrationOracleSql)),
 
     // ---- Standardized-feature training (the production pipeline) -------
     // Same GD config over z-scored features: LogReg.standardize derives

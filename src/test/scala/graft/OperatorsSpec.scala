@@ -961,6 +961,64 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.Windowed.unpersistAll()
   }
 
+  test("MlMetrics.prCurve9: hand-checked threshold sweep, partition " +
+      "invariance, and the pack-bound sentinel") {
+    import graft.operators.MlMetrics
+    // scores: 5(neg), 10(pos), 10(neg), 20(pos) — thresholds sweep top-down:
+    //   >= 20: tp=1 fp=0 fn=1  P=1.0   R=0.5
+    //   >= 10: tp=2 fp=1 fn=0  P=2/3   R=1.0
+    //   >= 5:  tp=2 fp=2 fn=0  P=0.5   R=1.0
+    val df = Seq((10L, 1), (10L, 0), (20L, 1), (5L, 0)).toDF("z9", "y")
+    val got = MlMetrics.prCurve9(df, "z9", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (5L, 2L, 2L, 0L, 500000000L, 1000000000L),
+      (10L, 2L, 1L, 0L, 666666666L, 1000000000L),
+      (20L, 1L, 0L, 1L, 1000000000L, 500000000L)))
+    val reparted = MlMetrics.prCurve9(df.repartition(5), "z9", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(reparted === got)
+    // no positives at all -> recall sentinel -1, precision still exact
+    val nopos = Seq((1L, 0), (2L, 0)).toDF("z9", "y")
+    assert(MlMetrics.prCurve9(nopos, "z9", "y").collect()
+      .forall(r => r.getLong(5) === -1L && r.getLong(1) === 0L))
+    // rows >= packK would corrupt the packed cumsum -> the ratio columns
+    // emit the loud -2 sentinel on EVERY row (the ks9 rule), marking the
+    // whole sweep invalid instead of unpacking garbage silently
+    val wide = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 0), (5L, 1))
+      .toDF("z9", "y")
+    val guarded = MlMetrics.prCurve9Impl(wide, "z9", "y", packK = 4L)
+      .collect()
+    assert(guarded.forall(r => r.getLong(4) === -2L && r.getLong(5) === -2L))
+    graft.operators.Windowed.unpersistAll()
+  }
+
+  test("MlMetrics.logitCalibration9: bin boundaries are logits (no exp), " +
+      "rates integer-exact") {
+    import graft.operators.MlMetrics
+    // sigmoid(z): z=-3 -> 0.047 (bin 0); z=0 -> 0.5 (bin 5);
+    // z=0.1 -> 0.525 (bin 5); z=3 -> 0.953 (bin 9)
+    val df = Seq((-3.0, 0), (0.0, 1), (0.1, 0), (3.0, 1)).toDF("z", "y")
+    val got = MlMetrics.logitCalibration9(df, "z", "y", bins = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (0L, 0L, 100000000L, 1L, 0L, 0L),
+      (5L, 500000000L, 600000000L, 2L, 1L, 500000000L),
+      (9L, 900000000L, 1000000000L, 1L, 1L, 1000000000L)))
+    // boundary exactness: z exactly AT a logit boundary joins the upper bin
+    val b6 = math.log(6.0 / 4.0) // logit(0.6)
+    val onEdge = Seq((b6, 1)).toDF("z", "y")
+    assert(MlMetrics.logitCalibration9(onEdge, "z", "y", bins = 10)
+      .collect().head.getLong(0) === 6L)
+    // a bin grid that doesn't divide 1e9 is refused
+    intercept[IllegalArgumentException] {
+      MlMetrics.logitCalibration9(df, "z", "y", bins = 7)
+    }
+  }
+
   test("Drift.ks9: hand-checked CDF gap, partition invariance, and the " +
       "empty-side sentinel") {
     import graft.operators.Drift
