@@ -54,7 +54,9 @@ object ScaleBench {
     "q102b_span_strip",     // span strip/reassembly (r8 point)
     "q107_drift_psi_categorical", // categorical PSI (r8 point)
     "q102d_winnow_pairs",   // winnowing fingerprint pairs (r8)
-    "q108_logreg_classifier") // GD logistic regression (r8)
+    "q108_logreg_classifier", // GD logistic regression (r8)
+    "q108b_logreg_auc",     // train + exact AUC prefix-sum grade (r9)
+    "q108d_logreg_pr_curve") // train + exact PR threshold sweep (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -80,7 +82,11 @@ object ScaleBench {
     "q107_drift_psi_categorical", "q102d_winnow_pairs",
     // iters x one-pass decimal-gradient aggregations: linear by
     // construction, now measured (the r7 #5 standard)
-    "q108_logreg_classifier")
+    "q108_logreg_classifier",
+    // r9 points: the packed-prefix-sum evaluation grades — linear in
+    // DISTINCT scores by construction, and the decimal auc9 widening
+    // means the same code path runs at every decade
+    "q108b_logreg_auc", "q108d_logreg_pr_curve")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

@@ -70,12 +70,25 @@ import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
   *   - '''Statistics.''' `SupportsReportStatistics` reports compressed
   *     on-disk bytes (scaled down for metadata-only scans), so join
   *     planning can broadcast a small pruned seamf side.
+  *   - '''Object-store zip access.''' Central directories and member
+  *     bytes are read through the Hadoop `FileSystem` API with range
+  *     reads ([[HadoopZip]], ZIP64 included) — never a local-path
+  *     `ZipFile` — so member-granularity scans work on HDFS/S3 the same
+  *     as local disk; member coordinates ride inside splits and each
+  *     member fetch is two positioned reads.
+  *   - '''Streaming.''' `MicroBatchStream`: file arrivals in the landing
+  *     directory are the offsets (one long per checkpoint, files in
+  *     (mtime, path) order under an append-only contract), so
+  *     `readStream.format("seamf")` rides the same decode and split
+  *     packing — the reference's 90 s schedule cadence as micro-batches.
   *
   * Options: `tz` (IANA zone for naive timestamps), `errors` ("log" skips
   * undecodable members and counts them, "raise" fails the job — reference
   * errors= semantics, ziparchive.py:381-440), `checkHash` ("true" treats a
   * sha512 mismatch as a decode error; "false" tolerates it),
-  * `maxPartitionBytes` (split packing target override).
+  * `maxPartitionBytes` (split packing target override),
+  * `maxFilesPerTrigger` (streaming admission control: cap each
+  * micro-batch at N files so a backlog drains in bounded batches).
   *
   * 100 TB: listing reads only directory metadata (one `globStatus` per
   * path — on an object store, one LIST per prefix); splits are planned on
@@ -286,6 +299,7 @@ private[graft] class SeamfScan(paths: Seq[String],
     pushedAgg: Option[(Seq[String], Seq[SeamfAgg])] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val tz = Option(options.get("tz"))
@@ -548,6 +562,35 @@ private[graft] class SeamfScan(paths: Seq[String],
       org.apache.spark.sql.connector.read.streaming.Offset = {
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
     SeamfOffset(streamFiles(hadoopConf).size.toLong)
+  }
+
+  // admission control: `maxFilesPerTrigger` caps each micro-batch at N
+  // files, so a backlogged landing dir (or the initial catch-up over a
+  // year of archives) drains in bounded batches instead of one giant
+  // first batch — the production knob every file stream needs at scale.
+  // With SupportsAdmissionControl, Spark calls THIS latestOffset.
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt) match {
+      case Some(n) => require(n > 0,
+        s"maxFilesPerTrigger must be positive, got $n"); ReadLimit.maxFiles(n)
+      case None => ReadLimit.allAvailable()
+    }
+  }
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val avail = streamFiles(hadoopConf).size.toLong
+    val s = start.asInstanceOf[SeamfOffset].files
+    limit match {
+      case m: ReadMaxFiles => SeamfOffset(math.min(avail, s + m.maxFiles()))
+      case _ => SeamfOffset(avail)
+    }
   }
 
   override def planInputPartitions(

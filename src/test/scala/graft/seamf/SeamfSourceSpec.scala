@@ -340,6 +340,28 @@ class SeamfSourceSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (admission control): " +
+      "a 4-file backlog drains in 4 one-file batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_throttle").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 4).foreach(i => SeamfFixtures.writeSweep(
+      java.nio.file.Paths.get(dir), i, t0 + i * 90L * 1000000L,
+      nChannels = 2))
+    val q = spark.readStream.format("seamf")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("dsv2_throttled").start()
+    q.processAllAvailable()
+    q.stop()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 4,
+      s"expected 4 bounded batches, got ${batches.length}: " +
+        batches.map(_.numInputRows).mkString(","))
+    // nothing lost to the throttling: same rows as the batch scan
+    assert(spark.table("dsv2_throttled").count() ===
+      spark.read.format("seamf").load(dir).count())
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the

@@ -93,6 +93,39 @@ class HadoopZipSpec extends AnyFunSuite {
     Files.delete(f)
   }
 
+  test("ZIP64 archives (> 65535 members) list and read through the " +
+      "64-bit EOCD path") {
+    // java.util.zip.ZipOutputStream switches to ZIP64 EOCD records when
+    // the entry count saturates the 16-bit field — the exact layout a
+    // 100 TB archive hits. 70k tiny stored members keep this fast.
+    val f = Files.createTempFile("graft_zip64", ".zip")
+    val out = new ZipOutputStream(Files.newOutputStream(f))
+    val n = 70000
+    try {
+      var i = 0
+      while (i < n) {
+        val e = new ZipEntry(f"m$i%06d")
+        out.putNextEntry(e)
+        out.write(i & 0xff); out.closeEntry()
+        i += 1
+      }
+    } finally out.close()
+    val p = new Path(f.toUri)
+    val entries = HadoopZip.listEntries(fs(f), p)
+    assert(entries.size === n)
+    assert(entries.head.name === "m000000")
+    assert(entries.last.name === f"m${n - 1}%06d")
+    val in = fs(f).open(p)
+    try {
+      // spot-read across the range, including past the 16-bit boundary
+      Seq(0, 1, 65534, 65535, 65536, n - 1).foreach { i =>
+        val bytes = HadoopZip.readEntry(in, entries(i))
+        assert(bytes.toSeq === Seq((i & 0xff).toByte), s"member $i")
+      }
+    } finally in.close()
+    Files.delete(f)
+  }
+
   test("a non-zip file is rejected loudly") {
     val f = Files.createTempFile("graft_notazip", ".zip")
     Files.write(f, Array.fill(100)(0x41.toByte))
