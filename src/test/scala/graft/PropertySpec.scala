@@ -671,6 +671,33 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("prCurve9 equals the brute-force threshold sweep for any score " +
+      "multiset") {
+    import graft.operators.MlMetrics
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(-5L, 5L), Gen.oneOf(0, 1)))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (rows, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val nPos = rows.count(_._2 == 1).toLong
+      val expected = rows.map(_._1).distinct.sorted.map { t =>
+        val kept = rows.filter(_._1 >= t)
+        val tp = kept.count(_._2 == 1).toLong
+        val pp = kept.size.toLong
+        (t, tp, pp - tp, nPos - tp,
+          tp * 1000000000L / pp,
+          if (nPos == 0) -1L else tp * 1000000000L / nPos)
+      }
+      val got = MlMetrics.prCurve9(
+          rows.toDF("z9", "y").repartition(parts), "z9", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      graft.operators.Windowed.unpersistAll()
+      got == expected
+    }, n = 30)
+  }
+
   test("rocAuc9 is exact past the old all-long bound: 200k rows where " +
       "2R*1e9 overflows a long (VERDICT r8 #7 / ADVICE r8)") {
     import graft.operators.MlMetrics
