@@ -93,11 +93,30 @@ object MlMetrics {
     * DISTINCT-score frame, no data-sized single-partition sort.
     */
   def prCurve9(df: DataFrame, score9Col: String, labelCol: String): DataFrame =
-    prCurve9Impl(df, score9Col, labelCol, 1L << 31)
+    prCurve9Impl(df, score9Col, labelCol, 1L << 31, None)
+
+  /** [[prCurve9]] downsampled to ~`maxPoints` operating points — the
+    * 100 TB configuration: a corpus whose quantized scores span millions
+    * of distinct values does not need (or want) a million-row curve.
+    * Selection is EXACT and deterministic, not sampled: coverage space
+    * [0, n) is cut into `maxPoints` equal buckets and the FIRST
+    * threshold whose cumulative row coverage enters each bucket is kept
+    * — i.e. thresholds at the quantiles of the score distribution, where
+    * the curve actually moves. Kept rows carry exactly the values the
+    * full curve has at those thresholds (the filter runs AFTER the
+    * prefix sum), so the downsampled curve is a subset, never an
+    * approximation.
+    */
+  def prCurvePoints9(df: DataFrame, score9Col: String, labelCol: String,
+      maxPoints: Int): DataFrame = {
+    require(maxPoints >= 2, s"need >= 2 operating points, got $maxPoints")
+    prCurve9Impl(df, score9Col, labelCol, 1L << 31, Some(maxPoints))
+  }
 
   /** [[prCurve9]] with the pack base exposed (testable overflow guard). */
   private[graft] def prCurve9Impl(df: DataFrame, score9Col: String,
-      labelCol: String, packK: Long): DataFrame = {
+      labelCol: String, packK: Long,
+      maxPoints: Option[Int] = None): DataFrame = {
     val K = packK
     val grouped = df.groupBy(col(score9Col).as("s9"))
       .agg(count(lit(1)).as("__cnt"),
@@ -111,7 +130,23 @@ object MlMetrics {
     val totals = cum.agg(
       coalesce(sum("__cnt"), lit(0L)).as("__tn"),       // true row total
       coalesce(sum("__npos"), lit(0L)).as("__tpos"))    // true positives
-    cum.crossJoin(broadcast(totals))
+    val joined = cum.crossJoin(broadcast(totals))
+    // operating-point downsampling: keep the first threshold entering
+    // each of `maxPoints` equal coverage buckets (step = ceil(n/points));
+    // a row covers rows (pp - cnt, pp], so it opens a bucket iff the
+    // bucket index of pp-1 differs from that of pp-cnt-1 (pp = cnt marks
+    // the first threshold, kept unconditionally — its predecessor index
+    // would be negative). Pure integer arithmetic, oracle-replayable.
+    val pointed = maxPoints match {
+      case None => joined
+      case Some(p) =>
+        joined.withColumn("__step",
+            greatest(expr(s"(__tn + ${p - 1}) DIV $p"), lit(1L)))
+          .filter(col("__pp") === col("__cnt") ||
+            expr("(__pp - 1) DIV __step") =!=
+              expr("(__pp - __cnt - 1) DIV __step"))
+    }
+    pointed
       .select(col("s9"), col("__tp").as("tp"),
         (col("__pp") - col("__tp")).as("fp"),
         (col("__tpos") - col("__tp")).as("fn"),

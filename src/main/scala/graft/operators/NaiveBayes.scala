@@ -83,7 +83,8 @@ object NaiveBayes {
     * class-count-bounded and always broadcasts.
     */
   def predict(model: Model, docs: DataFrame, idCol: String,
-      textCol: String, broadcastModel: Boolean = true): DataFrame = {
+      textCol: String, broadcastModel: Boolean = true,
+      spread: Boolean = true): DataFrame = {
     // per-class constants (prior, word total) + the global scalars in one
     // broadcast class-count-bounded frame that rides the cross join
     val priors = model.classCounts.crossJoin(model.stats)
@@ -92,11 +93,13 @@ object NaiveBayes {
           .cast("long").as("prior9"))
     // scoring fans each doc out |classes| x |words|-fold from a compact
     // scan — spread the pre-explosion rows across cores first (same
-    // repartition-UP-only discipline as SpanDedup.grams)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val docWords = spread
+    // explicit-parameter discipline as SpanDedup.grams: no partition
+    // probe, which would force physical planning of the upstream frame)
+    val spreadDocs =
+      if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
+    val docWords = spreadDocs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
     // every (doc word) x every class, so unseen (w, cls) pairs score the
     // smoothed floor ln(1/(n_words_c + V)) instead of silently dropping

@@ -37,18 +37,21 @@ object SpanDedup {
     * emit nothing.
     */
   def grams(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     // gram emission is CPU-bound (one md5 per character position) and
     // EXPLODES each input row ~len(text)-fold, so a compact doc scan (a
     // 2 MB parquet = 1 input split) would otherwise run the whole
-    // fan-out on one core. Spread the cheap pre-explosion rows across
-    // the cluster first — only ever repartitioning UP, so an already
-    // well-partitioned 100 TB scan is untouched.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    spread.filter(length(col(textCol)) >= k)
+    // fan-out on one core. `spread` round-robins the cheap pre-explosion
+    // rows across the cluster first. Explicit parameter, not a
+    // `.rdd.getNumPartitions` probe — probing would force physical
+    // planning of the upstream frame (the Winnow r9 rule); pass false
+    // when the input is already well-partitioned (any full-scale scan).
+    val spreadDocs =
+      if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
+    spreadDocs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
         col(textCol))
@@ -148,12 +151,14 @@ object SpanDedup {
     * and carry its measured recall from a corpus sample.
     */
   def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val g = spread.filter(length(col(textCol)) >= k)
+    // explicit spread parameter — see grams()
+    val spreadDocs =
+      if (spread)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
+    val g = spreadDocs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
         col(textCol))

@@ -148,24 +148,41 @@ object LlmQueries {
     * stands in for the engine's packed two-phase prefix sum
     * (MlMetrics.prCurve9). All ratios are integer floor-divisions.
     */
-  private[queries] def logRegPrCurveOracleSql: String = {
+  private[queries] def logRegPrCurveOracleSql: String =
+    logRegPrCurveOracleSqlAt(None)
+
+  /** With maxPoints set, replays prCurvePoints9's coverage-bucket filter
+    * (step = ceil(n/points), keep the first threshold entering each
+    * bucket) — integer arithmetic, so the kept set matches exactly.
+    */
+  private[queries] def logRegPrCurveOracleSqlAt(
+      maxPoints: Option[Int]): String = {
     val score = Seq(
       s"sc AS (SELECT y, CAST(FLOOR(($lrZ)*1000000000.0) AS BIGINT) AS z9" +
         s" FROM f CROSS JOIN w$LrIters)",
       "gr AS (SELECT z9, COUNT(*) AS cnt," +
         " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
-      "rk AS (SELECT z9," +
+      "rk AS (SELECT z9, cnt," +
         " CAST(SUM(npos) OVER (ORDER BY z9 DESC) AS BIGINT) AS tp," +
         " CAST(SUM(cnt) OVER (ORDER BY z9 DESC) AS BIGINT) AS pp FROM gr)",
-      "tot AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS tpos" +
-        " FROM gr)")
-    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++ score)
-      .mkString(", ")} " +
-      "SELECT z9 AS s9, tp, pp - tp AS fp, tpos - tp AS fn, " +
+      "tot AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS tpos," +
+        " CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tn FROM gr)")
+    // CTE chain gains stp/kept when downsampling; the final select then
+    // reads `kept` instead of `rk` (prCurvePoints9's exact filter)
+    val stpCte = maxPoints.fold(Seq.empty[String]) { p =>
+      Seq(s"stp AS (SELECT GREATEST((tn + ${p - 1}) // $p, 1) AS step" +
+        " FROM tot)",
+        "kept AS (SELECT rk.* FROM rk CROSS JOIN stp" +
+          " WHERE pp = cnt OR (pp - 1) // step <> (pp - cnt - 1) // step)")
+    }
+    val src = if (maxPoints.isEmpty) "rk" else "kept"
+    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++
+        score ++ stpCte).mkString(", ")} " +
+      s"SELECT z9 AS s9, tp, pp - tp AS fp, tpos - tp AS fn, " +
       "CAST(tp * 1000000000 // pp AS BIGINT) AS precision9, " +
       "CASE WHEN tpos = 0 THEN CAST(-1 AS BIGINT) " +
       "ELSE CAST(tp * 1000000000 // tpos AS BIGINT) END AS recall9 " +
-      "FROM rk CROSS JOIN tot ORDER BY s9"
+      s"FROM $src CROSS JOIN tot ORDER BY s9"
   }
 
   /** q108e oracle: score with the final weights and bin by comparing the
@@ -2320,6 +2337,31 @@ object LlmQueries {
         MlMetrics.prCurve9(scored, "z9", "y")
       },
       Some(logRegPrCurveOracleSql)),
+
+    // ---- Bounded operating points: the curve's 100 TB configuration ----
+    // A corpus with millions of distinct quantized scores doesn't want a
+    // million-row curve: prCurvePoints9 keeps the first threshold
+    // entering each of 25 equal COVERAGE buckets (quantile-spaced
+    // operating points, where the curve actually moves), selected AFTER
+    // the prefix sum so every kept row carries exactly the full curve's
+    // values — an exact subset, not an approximation. The oracle replays
+    // the same integer coverage-bucket filter.
+    "q108f_logreg_pr_points" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{LogReg, MlMetrics}
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
+        val scored = LogReg.score(feats, w, xs)
+          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
+        MlMetrics.prCurvePoints9(scored, "z9", "y", maxPoints = 25)
+      },
+      Some(logRegPrCurveOracleSqlAt(Some(25)))),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z

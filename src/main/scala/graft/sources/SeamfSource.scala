@@ -299,7 +299,7 @@ private[graft] class SeamfScan(paths: Seq[String],
     pushedAgg: Option[(Seq[String], Seq[SeamfAgg])] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val tz = Option(options.get("tz"))
@@ -584,13 +584,25 @@ private[graft] class SeamfScan(paths: Seq[String],
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
-    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    val avail = streamFiles(hadoopConf).size.toLong
+    val avail = availableNowTarget.getOrElse {
+      val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+      streamFiles(hadoopConf).size.toLong
+    }
     val s = start.asInstanceOf[SeamfOffset].files
     limit match {
       case m: ReadMaxFiles => SeamfOffset(math.min(avail, s + m.maxFiles()))
       case _ => SeamfOffset(avail)
     }
+  }
+
+  // Trigger.AvailableNow: snapshot the backlog ONCE at query start, drain
+  // to exactly that offset (respecting maxFilesPerTrigger batching), then
+  // let the query terminate — files arriving DURING the drain wait for
+  // the next run, which is the documented catch-up contract.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    availableNowTarget = Some(streamFiles(hadoopConf).size.toLong)
   }
 
   override def planInputPartitions(

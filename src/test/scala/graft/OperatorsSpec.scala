@@ -995,6 +995,31 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.Windowed.unpersistAll()
   }
 
+  test("MlMetrics.prCurvePoints9: the downsampled curve is an exact " +
+      "subset at quantile-spaced thresholds") {
+    import graft.operators.MlMetrics
+    // 100 distinct scores, one row each -> step = ceil(100/5) = 20:
+    // thresholds kept where coverage enters each 20-row bucket
+    val df = spark.range(100).selectExpr("id as z9", "cast(id % 2 as int) as y")
+    val full = MlMetrics.prCurve9(df, "z9", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    val pts = MlMetrics.prCurvePoints9(df, "z9", "y", maxPoints = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(pts.length === 5)
+    // every kept point carries exactly the full curve's values there
+    val fullBy = full.map(t => t._1 -> t).toMap
+    assert(pts.forall(t => fullBy(t._1) === t))
+    // coverage from the top: thresholds 99, 79, 59, 39, 19 open the
+    // 5 buckets (descending scores accumulate 20 rows per bucket)
+    assert(pts.map(_._1).sorted === Array(19L, 39L, 59L, 79L, 99L))
+    // maxPoints >= n_distinct degenerates to the full curve
+    val all = MlMetrics.prCurvePoints9(df, "z9", "y", maxPoints = 1000)
+      .collect().length
+    assert(all === full.length)
+    graft.operators.Windowed.unpersistAll()
+  }
+
   test("MlMetrics.logitCalibration9: bin boundaries are logits (no exp), " +
       "rates integer-exact") {
     import graft.operators.MlMetrics

@@ -362,6 +362,25 @@ class SeamfSourceSpec extends SparkSpec {
       spark.read.format("seamf").load(dir).count())
   }
 
+  test("Trigger.AvailableNow drains the backlog in throttled batches and " +
+      "terminates — the catch-up-then-stop production shape") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_availnow").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 3).foreach(i => SeamfFixtures.writeSweep(
+      java.nio.file.Paths.get(dir), i, t0 + i * 90L * 1000000L,
+      nChannels = 2))
+    val q = spark.readStream.format("seamf")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("dsv2_availnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3)
+    assert(spark.table("dsv2_availnow").count() ===
+      spark.read.format("seamf").load(dir).count())
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
