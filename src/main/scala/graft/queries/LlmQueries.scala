@@ -247,6 +247,34 @@ object LlmQueries {
         FROM j CROSS JOIN n ORDER BY bin"""
   }
 
+  /** w16 oracle: train on the even slice, score the odd slice with the
+    * final weights at the z >= 0 operating threshold (the q108 accuracy
+    * rule), and emit the one-row confusion + floor-quantized precision/
+    * recall — the batch replay of the streaming realized-quality monitor
+    * (end-of-stream complete-mode counts equal the batch counts).
+    */
+  private[queries] def logRegStreamPrOracleSql: String = {
+    val ctes = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 2 = 0", idCol = true)
+    val score = Seq(
+      s"sc AS (SELECT y, CASE WHEN ($lrZ) >= 0.0 THEN 1 ELSE 0 END AS pred" +
+        s" FROM f0 CROSS JOIN w$LrIters WHERE vec_id % 2 = 1)",
+      "cm AS (SELECT " +
+        "CAST(COUNT(CASE WHEN pred = 1 AND y = 1 THEN 1 END) AS BIGINT) AS tp, " +
+        "CAST(COUNT(CASE WHEN pred = 1 AND y = 0 THEN 1 END) AS BIGINT) AS fp, " +
+        "CAST(COUNT(CASE WHEN pred = 0 AND y = 1 THEN 1 END) AS BIGINT) AS fn, " +
+        "CAST(COUNT(CASE WHEN pred = 0 AND y = 0 THEN 1 END) AS BIGINT) AS tn" +
+        " FROM sc)")
+    s"WITH ${(ctes ++ score).mkString(", ")} " +
+      "SELECT tp, fp, fn, tn, " +
+      "CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT) ELSE " +
+      "CAST(CAST(tp AS HUGEINT) * 1000000000 // (tp + fp) AS BIGINT) END " +
+      "AS precision9, " +
+      "CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE " +
+      "CAST(CAST(tp AS HUGEINT) * 1000000000 // (tp + fn) AS BIGINT) END " +
+      "AS recall9 FROM cm"
+  }
+
   // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
   // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
   private[queries] val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex

@@ -512,6 +512,54 @@ object StreamQueries {
       },
       Some(LlmQueries.logRegScoreDriftOracleSql)),
 
+    // ---- streaming realized precision/recall (labels arrive late) ------
+    // w15 watches the SCORE distribution (no labels needed); this is the
+    // companion monitor for when delayed labels flow back: the offline-
+    // trained weights (driver literals, w15 discipline) score the live
+    // stream at the fixed z >= 0 operating threshold and a complete-mode
+    // GLOBAL aggregate maintains the confusion counts — state is ONE row
+    // of four longs for the life of the stream, the hardest possible
+    // state bound. Output: (tp, fp, fn, tn, precision9, recall9), the
+    // floor-quantized integer ratios of q108d's discipline; the oracle
+    // replays training, scoring, and the counts batch-side.
+    "w16_stream_precision_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        def feats(df: org.apache.spark.sql.DataFrame) = df.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val wRow = LogReg.train(feats(emb.filter(col("vec_id") % 2 === 0)),
+          xs, "y", lr = 0.5, iters = 3).collect().head
+        LogReg.unpersistAll()
+        val z = xs.zipWithIndex.map { case (c, j) =>
+          (lit(wRow.getLong(j)) / lit(1e6)) * col(c)
+        }.reduce(_ + _)
+        val counts = feats(StreamingOps.embeddingsStream(s, dir)
+            .filter(col("vec_id") % 2 === 1))
+          .withColumn("pred", (z >= 0.0).cast("int"))
+          .agg(
+            count(when(col("pred") === 1 && col("y") === 1, 1)).as("tp"),
+            count(when(col("pred") === 1 && col("y") === 0, 1)).as("fp"),
+            count(when(col("pred") === 0 && col("y") === 1, 1)).as("fn"),
+            count(when(col("pred") === 0 && col("y") === 0, 1)).as("tn"))
+        StreamingOps.runToMemory(s, counts, "w16_mem",
+            outputMode = "complete")
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            when(col("tp") + col("fp") === 0, lit(-1L))
+              .otherwise(expr(
+                "CAST(tp AS DECIMAL(38,0)) * 1000000000 DIV (tp + fp)"))
+              .as("precision9"),
+            when(col("tp") + col("fn") === 0, lit(-1L))
+              .otherwise(expr(
+                "CAST(tp AS DECIMAL(38,0)) * 1000000000 DIV (tp + fn)"))
+              .as("recall9"))
+      },
+      Some(LlmQueries.logRegStreamPrOracleSql)),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {
