@@ -178,6 +178,42 @@ object Bench {
       runs.min
     }
 
+    // streaming decode-pruning headline (SeamfStreamingPrune): the same
+    // 200-sweep archive drained with Trigger.AvailableNow through the
+    // connector's MicroBatchStream. The meta variant touches only
+    // metadata columns — the optimizer rule swaps in a prunedCopy and no
+    // XZ payload ever inflates; the full variant aggregates over `trace`
+    // and pays the whole decode. The pair puts a measured number on what
+    // the rule saves a metadata-only streaming monitor.
+    def streamOnce(name: String, full: Boolean): Double = {
+      val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.sources.SeamfStreamingPrune))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.sources.SeamfStreamingPrune
+      import org.apache.spark.sql.functions._
+      mx.reset()
+      val t0 = System.nanoTime()
+      val src = spark.readStream.format("seamf").load(dir)
+      val agg =
+        if (full) src.groupBy("table")
+          .agg(count(lit(1)).as("n"), max(array_max(col("trace"))).as("mx"))
+        else src.groupBy("table")
+          .agg(count(lit(1)).as("n"), max(col("datetime_us")).as("mx"))
+      val q = agg.writeStream.format("noop").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      execs(name) = mx.snapshot("")
+      wall
+    }
+    lazy val streamMeta = median3("seamf_stream_meta_200")(
+      streamOnce("seamf_stream_meta_200", full = false))
+    lazy val streamFull = median3("seamf_stream_full_200")(
+      streamOnce("seamf_stream_full_200", full = true))
+
     // run the inventory queries FIRST: the heavyweight archive metrics
     // (GC/page-cache churn from a 19M-row export) would otherwise pollute
     // adjacent query timings. Conversely, drop any leftover cached blocks
@@ -255,7 +291,9 @@ object Bench {
         "seamf_dsv2_ingest_200_sweeps" -> (ingestDsv2, 3),
         "seamf_ingest_2000_sweeps" -> (ingestLarge, 1),
         "seamf_capture_summary_200" -> (capSummary, 3),
-        "seamf_lake_export_200" -> (lakeExport, 2)))
+        "seamf_lake_export_200" -> (lakeExport, 2),
+        "seamf_stream_meta_200" -> (streamMeta, 3),
+        "seamf_stream_full_200" -> (streamFull, 3)))
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val rc = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }

@@ -107,4 +107,35 @@ object Sampling {
       when(h < cut, name).otherwise(rest)
     }
   }
+
+  /** Leakage-safe split: assign splits per DUPLICATE-CLUSTER, not per row.
+    *
+    * A per-row hash split puts two near-duplicates in different splits
+    * with probability 2·p·(1-p) each — at corpus scale the eval set is
+    * guaranteed to contain training data (the contamination Lee et al.
+    * 2021 measure). Here every document is keyed by its duplicate-cluster
+    * root (connected components over the supplied near-dup `pairs`;
+    * documents in no pair are their own root) and [[splitColumn]] hashes
+    * the ROOT — a near-dup group moves between splits as a unit and can
+    * never straddle, structurally.
+    *
+    * Returns the input plus `root`, `is_dup` (member of any near-dup
+    * pair) and `split`. 100 TB: `pairs` comes
+    * from the LSH candidate path (`Dedup.jaccardPairs`, bucket-bounded);
+    * components are the bounded-round min-label propagation shared with
+    * q52/q89; the root join is id-keyed; the split itself stays one
+    * map-side hash. Oracle-replayable end to end (q110).
+    */
+  def leakageSafeSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      pairs: org.apache.spark.sql.DataFrame,
+      fractions: Seq[(String, Double)], salt: String = "split")
+      : org.apache.spark.sql.DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("label").as("__dup_label"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("root", coalesce(col("__dup_label"), col(idCol)))
+      .withColumn("is_dup", col("__dup_label").isNotNull)
+      .drop("__dup_label")
+      .withColumn("split", splitColumn(col("root"), fractions, salt))
+  }
 }

@@ -72,6 +72,7 @@ object SimplifyDbRoundTrips extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifyDbRoundTrips)
+    e.injectOptimizerRule(_ => graft.sources.SeamfStreamingPrune)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

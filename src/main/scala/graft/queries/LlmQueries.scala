@@ -2013,6 +2013,65 @@ object LlmQueries {
           array_to_string(list_sort(list(node)), ',') AS doc_ids
         FROM comp GROUP BY label ORDER BY cluster_root""")),
 
+    // ---- leakage-safe train/val/test split ------------------------------
+    // The q51 hash split decides per DOCUMENT — two near-duplicates can
+    // land one in train, one in test, and the eval set silently contains
+    // the training data (the classic contamination bug; Lee et al. 2021
+    // "Deduplicating Training Data Makes Language Models Better" measures
+    // exactly this leak). The leakage-safe discipline splits per
+    // DUPLICATE-CLUSTER: hash the cluster ROOT (q52's connected
+    // components; singletons are their own root), so a near-dup group
+    // moves as a unit and can never straddle splits — structurally, not
+    // by filtering after the fact. `n_rescued_docs` counts the docs whose
+    // naive per-doc assignment differs from their cluster assignment:
+    // each one is a train/test leak this operator closed. 100 TB: the
+    // pair generation swaps to the q89 LSH path; the root join is
+    // id-keyed; the split stays one hash — no new shuffle shape.
+    "q110_leakage_safe_split" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
+            k = 3, minJaccard = 0.2, maxDf = 1000000)
+          .select("id_a", "id_b")
+        val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        Sampling.leakageSafeSplit(docs, "doc_id", pairs, fracs)
+          .withColumn("naive_split",
+            Sampling.splitColumn(col("doc_id"), fracs))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("root")).as("n_groups"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+              .as("n_rescued_docs"))
+          .orderBy("split")
+      },
+      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
+        $ComponentsCte,
+        rooted AS (SELECT d.doc_id,
+            COALESCE(c.label, d.doc_id) AS root,
+            (c.node IS NOT NULL) AS is_dup
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        hs AS (SELECT doc_id, root, is_dup,
+            CAST(('0x' || substr(md5(CAST(root AS VARCHAR) || '#split'),
+              1, 12)) AS BIGINT) % 1000000 AS hroot,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+              1, 12)) AS BIGINT) % 1000000 AS hdoc
+          FROM rooted),
+        a AS (SELECT doc_id, root, is_dup,
+            CASE WHEN hroot < 800000 THEN 'train'
+                 WHEN hroot < 900000 THEN 'val' ELSE 'test' END AS split,
+            CASE WHEN hdoc < 800000 THEN 'train'
+                 WHEN hdoc < 900000 THEN 'val' ELSE 'test' END AS naive_split
+          FROM hs)
+        SELECT split, COUNT(*) AS n_docs,
+          COUNT(DISTINCT root) AS n_groups,
+          CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_docs,
+          CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rescued_docs
+        FROM a GROUP BY 1 ORDER BY 1""")),
+
     // ---- duplicate clustering, scale path (LSH candidates) -------------
     // The 100 TB formulation: MinHash-LSH banding proposes candidate pairs
     // (bounded by bucket size, never all-pairs), exact Jaccard verifies

@@ -759,7 +759,56 @@ object SeamfQueries {
           frequency, MAX(power_dbm) AS peak_dbm,
           COUNT(DISTINCT file_name || '#' || CAST(datetime_us AS VARCHAR)
             || '#' || detector) AS n_traces
-        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM ${rp("pvt")} GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- streaming decode pruning (SeamfStreamingPrune) ----------------
+    // The same metadata inventory as s20, but STREAMED: Spark never runs
+    // V2ScanRelationPushDown for streaming scans, so without the graft
+    // optimizer rule this query would decompress every XZ payload just to
+    // read slot metadata. SeamfStreamingPrune swaps the relation's
+    // scan+stream for a pruned clone per micro-batch — `trace` never
+    // decodes, the `table` membership folds into the decode prune — and
+    // the oracle replays over the independently decoded trace_inventory
+    // dump, so the rewrite is hash-graded, not just plan-asserted
+    // (SeamfSourceSpec pins the plan shape).
+    "s26_seamf_dsv2_stream_pruned" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        val counts = s.readStream.format("seamf").load(fixture())
+          .filter(col("table").isin("psd", "pvt"))
+          .groupBy("table")
+          .agg(count(lit(1)).as("n_slots"),
+            min(col("datetime_us")).as("min_dt"),
+            max(col("datetime_us")).as("max_dt"))
+        graft.streaming.StreamingOps.runToMemory(s, counts, "s26_mem",
+            outputMode = "complete")
+          .orderBy("table")
+      },
+      Some(s"""SELECT "table", COUNT(*) AS n_slots,
+          MIN(datetime_us) AS min_dt, MAX(datetime_us) AS max_dt
+        FROM ${rp("trace_inventory")}
+        WHERE "table" IN ('psd', 'pvt') GROUP BY 1 ORDER BY 1""")),
+
+    // ---- the connector on the SQL surface (CREATE TABLE USING seamf) ---
+    // The full DDL story: a catalog table over the archive directory, so
+    // plain SQL users query sweeps with zero Scala — and every connector
+    // optimization still applies (this aggregation pushes into the scan
+    // exactly as s20's DataFrame form does; the EXPLAIN shape is pinned by
+    // SeamfSourceSpec). Oracle replays over the independently decoded
+    // slot inventory.
+    "s27_seamf_sql_table" -> QueryDef(
+      (s, _) => {
+        SeamfDump.ensure(s)
+        s.sql("DROP TABLE IF EXISTS seamf_sweeps")
+        s.sql(s"CREATE TABLE seamf_sweeps USING seamf " +
+          s"OPTIONS (path '${fixture()}')")
+        s.sql("""SELECT `table`, COUNT(*) AS n_slots,
+            MIN(frequency) AS min_f, MAX(frequency) AS max_f
+          FROM seamf_sweeps GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""SELECT "table", COUNT(*) AS n_slots,
+          MIN(frequency) AS min_f, MAX(frequency) AS max_f
+        FROM ${rp("trace_inventory")} GROUP BY 1 ORDER BY 1"""))
   )
 
   /** pfp rms/mean traces reconstructed from the decoded dump: one row per

@@ -99,14 +99,25 @@ import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
   */
 class SeamfSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "seamf"
-  override def supportsExternalMetadata(): Boolean = false
+
+  // `CREATE TABLE ... USING seamf` stores the inferred schema in the
+  // catalog and passes it back on every load — accepting "external"
+  // metadata is what puts the connector on the SQL DDL surface. The
+  // decode's schema is fixed, so anything other than the trace schema is
+  // a user error worth failing loudly at resolution time, not read time.
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SeamfSource.TraceSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == SeamfSource.TraceSchema,
+      s"seamf tables have a fixed trace schema; got: ${schema.simpleString}")
+    require(partitioning.isEmpty,
+      "seamf tables do not support PARTITIONED BY")
     new SeamfTable(properties)
+  }
 }
 
 object SeamfSource {
@@ -129,6 +140,45 @@ object SeamfSource {
     require(all.nonEmpty, "seamf source needs a path: .load(dir)")
     all
   }
+
+  /** Fold one supported filter into a decode prune; None = not
+    * decode-prunable. The Boolean is EXACTNESS: the prune keeps precisely
+    * the filter's rows (table membership, inclusive bounds, strict long
+    * bounds via the successor value). Strict double bounds push a
+    * non-strict SUPERSET and are inexact — they must stay residual.
+    * Shared by the batch `ScanBuilder` (where exact folds are fully
+    * consumed) and the streaming prune rule ([[SeamfStreamingPrune]],
+    * where every filter stays residual so only the superset property
+    * matters).
+    */
+  private[graft] def fold(prune: SeamfReader.TracePrune, f: Filter)
+      : Option[(SeamfReader.TracePrune, Boolean)] =
+    f match {
+      case EqualTo("table", v: String) =>
+        Some((prune.copy(tables = Some(prune.tables.getOrElse(Set(v)).intersect(Set(v)))), true))
+      case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        Some((prune.copy(tables = Some(prune.tables.fold(s)(_.intersect(s)))), true))
+      case GreaterThanOrEqual("datetime_us", v: Long) =>
+        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v)(math.max(_, v)))), true))
+      case GreaterThan("datetime_us", v: Long) if v < Long.MaxValue =>
+        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v + 1)(math.max(_, v + 1)))), true))
+      case LessThanOrEqual("datetime_us", v: Long) =>
+        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v)(math.min(_, v)))), true))
+      case LessThan("datetime_us", v: Long) if v > Long.MinValue =>
+        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v - 1)(math.min(_, v - 1)))), true))
+      case GreaterThanOrEqual("frequency", v: Double) =>
+        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), true))
+      case GreaterThan("frequency", v: Double) => // superset: >= v
+        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), false))
+      case LessThanOrEqual("frequency", v: Double) =>
+        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), true))
+      case LessThan("frequency", v: Double) => // superset: <= v
+        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), false))
+      case IsNotNull("table" | "datetime_us" | "frequency") =>
+        Some((prune, true)) // never-null columns: trivially satisfied
+      case _ => None
+    }
 }
 
 private[sources] class SeamfTable(properties: java.util.Map[String, String])
@@ -139,8 +189,15 @@ private[sources] class SeamfTable(properties: java.util.Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeamfScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog table (CREATE TABLE ... USING seamf OPTIONS (path ...))
+    // carries its options as TABLE properties; the per-read options map
+    // arrives separately (and empty, for plain SQL reads). Merge them,
+    // read-time options winning, so both surfaces hit one code path.
+    val merged = new java.util.HashMap[String, String](properties)
+    merged.putAll(options.asCaseSensitiveMap())
+    new SeamfScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
 }
 
 /** One pushed-down aggregate over decode metadata. Every supported
@@ -230,40 +287,6 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     false // partial push: Spark still applies the global limit
   }
 
-  /** Fold one supported filter into the prune; None = not decode-prunable.
-    * The Boolean is EXACTNESS: the prune keeps precisely the filter's rows
-    * (table membership, inclusive bounds, strict long bounds via the
-    * successor value). Strict double bounds push a non-strict SUPERSET and
-    * are inexact — they must stay residual.
-    */
-  private def fold(f: Filter): Option[(SeamfReader.TracePrune, Boolean)] =
-    f match {
-      case EqualTo("table", v: String) =>
-        Some((prune.copy(tables = Some(prune.tables.getOrElse(Set(v)).intersect(Set(v)))), true))
-      case In("table", vs) if vs.forall(_.isInstanceOf[String]) =>
-        val s = vs.map(_.asInstanceOf[String]).toSet
-        Some((prune.copy(tables = Some(prune.tables.fold(s)(_.intersect(s)))), true))
-      case GreaterThanOrEqual("datetime_us", v: Long) =>
-        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v)(math.max(_, v)))), true))
-      case GreaterThan("datetime_us", v: Long) if v < Long.MaxValue =>
-        Some((prune.copy(minDatetimeUs = Some(prune.minDatetimeUs.fold(v + 1)(math.max(_, v + 1)))), true))
-      case LessThanOrEqual("datetime_us", v: Long) =>
-        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v)(math.min(_, v)))), true))
-      case LessThan("datetime_us", v: Long) if v > Long.MinValue =>
-        Some((prune.copy(maxDatetimeUs = Some(prune.maxDatetimeUs.fold(v - 1)(math.min(_, v - 1)))), true))
-      case GreaterThanOrEqual("frequency", v: Double) =>
-        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), true))
-      case GreaterThan("frequency", v: Double) => // superset: >= v
-        Some((prune.copy(minFrequency = Some(prune.minFrequency.fold(v)(math.max(_, v)))), false))
-      case LessThanOrEqual("frequency", v: Double) =>
-        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), true))
-      case LessThan("frequency", v: Double) => // superset: <= v
-        Some((prune.copy(maxFrequency = Some(prune.maxFrequency.fold(v)(math.min(_, v)))), false))
-      case IsNotNull("table" | "datetime_us" | "frequency") =>
-        Some((prune, true)) // never-null columns: trivially satisfied
-      case _ => None
-    }
-
   /** Exact folds are FULLY pushed (no residual) — that is what lets
     * Catalyst push an aggregation below a filtered scan (the aggregate
     * rule requires every filter consumed). Superset folds stay residual.
@@ -272,7 +295,7 @@ private[sources] class SeamfScanBuilder(options: CaseInsensitiveStringMap)
     val acc = ArrayBuffer.empty[Filter]
     val residual = ArrayBuffer.empty[Filter]
     filters.foreach { f =>
-      fold(f) match {
+      SeamfSource.fold(prune, f) match {
         case Some((p, exact)) =>
           prune = p; acc += f
           if (!exact) residual += f
@@ -308,6 +331,25 @@ private[graft] class SeamfScan(paths: Seq[String],
     Option(options.get("checkHash")).forall(_.toBoolean)
   private val needPayload =
     pushedAgg.isEmpty && required.fieldNames.contains("trace")
+
+  // ---- streaming decode pruning (SeamfStreamingPrune) --------------------
+  // Spark never runs V2ScanRelationPushDown for streaming scans, so the
+  // builder's pruneColumns/pushFilters calls cannot reach this path on
+  // their own. The graft optimizer rule compensates per micro-batch: it
+  // clones this scan with a narrower required schema and a tightened
+  // decode prune and swaps BOTH the relation's `scan` and `stream` for the
+  // clone. That is sound because a SeamfScan is STATELESS given offsets —
+  // planInputPartitions(start, end) re-lists the landing dir and
+  // createReaderFactory() closes over constructor state only — while all
+  // offset/admission state (latestOffset bookkeeping, the AvailableNow
+  // target) lives on the ORIGINAL object, which MicroBatchExecution holds
+  // as the query's SparkDataStream and keeps calling directly.
+  private[graft] def requiredSchema: StructType = required
+  private[graft] def staticPrune: SeamfReader.TracePrune = prune
+  private[graft] def isAggPushed: Boolean = pushedAgg.nonEmpty
+  private[graft] def prunedCopy(newRequired: StructType,
+      newPrune: SeamfReader.TracePrune): SeamfScan =
+    new SeamfScan(paths, newPrune, newRequired, limit, options, pushedAgg)
 
   /** Pushed-aggregation output schema: group columns (trace-schema types)
     * then one column per aggregate (COUNT -> long, MIN/MAX -> the source
@@ -540,12 +582,15 @@ private[graft] class SeamfScan(paths: Seq[String],
   // kept anywhere — the offset is one long, so checkpoint recovery is
   // trivial and a 10^7-file landing dir costs one LIST per trigger.
   //
-  // Honest pushdown note: Spark builds streaming scans WITHOUT the
-  // V2ScanRelationPushDown pass, so column-prune/filter/agg pushdown do
-  // not reach this path — a streaming read decodes full rows and Spark
-  // filters above the scan (exactly what the file-source landing path in
-  // SeamfStream does). The connector stream's value is offset tracking +
-  // member-granularity splits through one code path.
+  // Pushdown note: Spark builds streaming scans WITHOUT the
+  // V2ScanRelationPushDown pass — the builder's pruneColumns/pushFilters
+  // are never called on this path. The engine compensates with a
+  // Spark-side optimizer rule ([[SeamfStreamingPrune]], registered via
+  // GraftExtensions / StreamingOps): per micro-batch it swaps the
+  // relation's scan+stream for a prunedCopy with the narrowed schema and
+  // folded decode prune, so metadata-only STREAMING queries skip XZ
+  // payloads exactly like batch ones (s26 hash-grades it; SeamfSourceSpec
+  // pins the plan). Aggregate pushdown stays batch-only by design.
 
   private def streamFiles(hadoopConf: Configuration): Seq[FileStatus] =
     listFiles(hadoopConf)

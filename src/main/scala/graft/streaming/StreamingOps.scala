@@ -355,6 +355,14 @@ object StreamingOps {
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
+    // streaming scans never see V2ScanRelationPushDown — the graft rule
+    // restores decode pruning for seamf streams (no-op for other sources);
+    // same ad-hoc-session registration pattern as AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.SeamfStreamingPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.SeamfStreamingPrune
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")

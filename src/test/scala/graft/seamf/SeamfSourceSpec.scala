@@ -381,6 +381,130 @@ class SeamfSourceSpec extends SparkSpec {
       spark.read.format("seamf").load(dir).count())
   }
 
+  test("streaming decode pruning (SeamfStreamingPrune): a metadata-only " +
+      "streaming aggregation never decodes payloads, and prunable " +
+      "predicates fold into the scan's decode prune") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_prune").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 3).foreach(i => SeamfFixtures.writeSweep(
+      java.nio.file.Paths.get(dir), i, t0 + i * 90L * 1000000L,
+      nChannels = 2))
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.SeamfStreamingPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.SeamfStreamingPrune
+
+    val q = spark.readStream.format("seamf").load(dir)
+      .filter(col("table") === "psd")
+      .groupBy("table")
+      .agg(count(lit(1)).as("n_slots"),
+        min(col("datetime_us")).as("min_dt"),
+        max(col("datetime_us")).as("max_dt"))
+      .writeStream.format("memory").queryName("dsv2_stream_pruned")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+
+    // the rule swapped scan AND stream for a pruned clone: required schema
+    // lost `trace` (payload never decompressed) and the table predicate
+    // folded into the decode prune
+    val exec = q.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution
+    val scans = exec.executedPlan.collect {
+      case m: org.apache.spark.sql.execution.datasources.v2
+          .MicroBatchScanExec => m
+    }
+    assert(scans.nonEmpty, s"no MicroBatchScanExec in:\n${exec.executedPlan}")
+    val scan = scans.head.scan.asInstanceOf[graft.sources.SeamfScan]
+    assert(!scan.requiredSchema.fieldNames.contains("trace"),
+      s"streaming scan still decodes payload: ${scan.requiredSchema}")
+    assert(scan.staticPrune.tables === Some(Set("psd")),
+      s"table predicate did not fold into the decode prune: " +
+        scan.staticPrune)
+    assert(scans.head.stream eq scan,
+      "stream must be the pruned clone — partitions/readers plan from it")
+    q.stop()
+
+    // pruning changed the WORK, not the answer: cell-for-cell parity with
+    // the batch connector path over the same landing dir
+    val streamed = spark.table("dsv2_stream_pruned")
+      .orderBy("table").collect().toSeq
+    val batch = spark.read.format("seamf").load(dir)
+      .filter(col("table") === "psd")
+      .groupBy("table")
+      .agg(count(lit(1)).as("n_slots"),
+        min(col("datetime_us")).as("min_dt"),
+        max(col("datetime_us")).as("max_dt"))
+      .orderBy("table").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("streaming decode pruning with a strict double bound: the superset " +
+      "fold skips files while the residual filter keeps semantics exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_prune_strict").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    (0 until 2).foreach(i => SeamfFixtures.writeSweep(
+      java.nio.file.Paths.get(dir), i, t0 + i * 90L * 1000000L,
+      nChannels = 3))
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.SeamfStreamingPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.SeamfStreamingPrune
+    // strict `>` on frequency folds as a non-strict SUPERSET prune; the
+    // filter stays above the scan, so boundary rows (frequency == cut)
+    // must still be dropped even though the prune admits their files.
+    // `trace` is selected, so this also pins that a full-decode streaming
+    // query keeps decoding payloads under the rule.
+    val cut = spark.read.format("seamf").load(dir)
+      .agg(min(col("frequency"))).head().getDouble(0)
+    val q = spark.readStream.format("seamf").load(dir)
+      .filter(col("frequency") > cut)
+      .select(col("frequency"), col("table"), size(col("trace")).as("n"))
+      .writeStream.format("memory").queryName("dsv2_stream_strict").start()
+    q.processAllAvailable()
+    val exec = q.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution
+    val scan = exec.executedPlan.collect {
+      case m: org.apache.spark.sql.execution.datasources.v2
+          .MicroBatchScanExec => m.scan.asInstanceOf[graft.sources.SeamfScan]
+    }.head
+    assert(scan.requiredSchema.fieldNames.contains("trace"))
+    assert(scan.staticPrune.minFrequency === Some(cut),
+      s"strict bound should fold as a >= superset: ${scan.staticPrune}")
+    q.stop()
+    val streamed = spark.table("dsv2_stream_strict")
+      .orderBy("frequency", "table").collect().toSeq
+    val batch = spark.read.format("seamf").load(dir)
+      .filter(col("frequency") > cut)
+      .select(col("frequency"), col("table"), size(col("trace")).as("n"))
+      .orderBy("frequency", "table").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.forall(_.getDouble(0) > cut))
+  }
+
+  test("CREATE TABLE USING seamf: the connector on the SQL DDL surface, " +
+      "with aggregate pushdown intact through the catalog table") {
+    spark.sql("DROP TABLE IF EXISTS seamf_ddl_t")
+    spark.sql(s"CREATE TABLE seamf_ddl_t USING seamf OPTIONS (path '$fixture')")
+    val sqlDf = spark.sql(
+      "SELECT `table`, COUNT(*) AS n FROM seamf_ddl_t GROUP BY 1 ORDER BY 1")
+    val expected = SeamfReader.traces(spark, fixture).toDF()
+      .groupBy("table").agg(count(lit(1)).as("n")).orderBy("table")
+    assert(sqlDf.collect().toSeq === expected.collect().toSeq)
+    // the catalog hop must not cost the pushdown: the scan description
+    // carries the pushed aggregation, so no per-slot rows materialize
+    val scan = runAndScan(
+      spark.sql("SELECT `table`, COUNT(*) AS n FROM seamf_ddl_t GROUP BY 1"))
+    assert(scan.scan.description().contains("PushedAggregation"),
+      scan.scan.description())
+    spark.sql("DROP TABLE seamf_ddl_t")
+  }
+
   test("short name registration: format(\"seamf\") resolves via " +
       "DataSourceRegister") {
     // would have thrown ClassNotFoundException in every test above if the
