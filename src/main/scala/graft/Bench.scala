@@ -185,8 +185,9 @@ object Bench {
     // XZ payload ever inflates; the full variant aggregates over `trace`
     // and pays the whole decode. The pair puts a measured number on what
     // the rule saves a metadata-only streaming monitor.
-    def streamOnce(name: String, full: Boolean): Double = {
-      val dir = graft.seamf.SeamfFixtures.sharedBenchArchive()
+    def streamOnce(name: String, full: Boolean,
+        dir: String = graft.seamf.SeamfFixtures.sharedBenchArchive())
+        : Double = {
       if (!spark.experimental.extraOptimizations
           .contains(graft.sources.SeamfStreamingPrune))
         spark.experimental.extraOptimizations =
@@ -213,6 +214,19 @@ object Bench {
       streamOnce("seamf_stream_meta_200", full = false))
     lazy val streamFull = median3("seamf_stream_full_200")(
       streamOnce("seamf_stream_full_200", full = true))
+    // the 10x archive in ONE AvailableNow drain: the decade point for the
+    // streaming path — meta must stay near-flat (listing + offsets only),
+    // full grows with the decode like the batch ingest does
+    lazy val streamMetaLarge = {
+      val t = streamOnce("seamf_stream_meta_2000", full = false,
+        dir = graft.seamf.SeamfFixtures.sharedBenchArchiveLarge())
+      record("seamf_stream_meta_2000", t); t
+    }
+    lazy val streamFullLarge = {
+      val t = streamOnce("seamf_stream_full_2000", full = true,
+        dir = graft.seamf.SeamfFixtures.sharedBenchArchiveLarge())
+      record("seamf_stream_full_2000", t); t
+    }
 
     // run the inventory queries FIRST: the heavyweight archive metrics
     // (GC/page-cache churn from a 19M-row export) would otherwise pollute
@@ -293,7 +307,9 @@ object Bench {
         "seamf_capture_summary_200" -> (capSummary, 3),
         "seamf_lake_export_200" -> (lakeExport, 2),
         "seamf_stream_meta_200" -> (streamMeta, 3),
-        "seamf_stream_full_200" -> (streamFull, 3)))
+        "seamf_stream_full_200" -> (streamFull, 3),
+        "seamf_stream_meta_2000" -> (streamMetaLarge, 1),
+        "seamf_stream_full_2000" -> (streamFullLarge, 1)))
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val rc = results.map { case (k, (_, r)) => "\"" + k + "\":" + r }

@@ -33,6 +33,35 @@ object DevRun {
         case "ingest_dsv2" =>
           spark.read.format("seamf").load(archiveDir)
             .write.format("noop").mode("overwrite").save()
+        case "ingest_dsv2_rows" =>
+          spark.read.format("seamf").option("columnar", "false")
+            .load(archiveDir)
+            .write.format("noop").mode("overwrite").save()
+        case "stream_meta" | "stream_full" | "stream_meta_noprune" =>
+          if (n == "stream_meta_noprune")
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations
+                .filterNot(_ == graft.sources.SeamfStreamingPrune)
+          else if (!spark.experimental.extraOptimizations
+              .contains(graft.sources.SeamfStreamingPrune))
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations :+
+                graft.sources.SeamfStreamingPrune
+          import org.apache.spark.sql.functions._
+          val src = spark.readStream.format("seamf").load(archiveDir)
+          val agg =
+            if (n == "stream_full") src.groupBy("table")
+              .agg(count(lit(1)).as("n"), max(array_max(col("trace"))).as("mx"))
+            else src.groupBy("table")
+              .agg(count(lit(1)).as("n"), max(col("datetime_us")).as("mx"))
+          val q = agg.writeStream.format("noop").outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.foreach { p =>
+            println(f"  batch ${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}")
+          }
         case _ =>
           SparkEntry.queries(n)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()

@@ -59,6 +59,15 @@ import graft.seamf.{HalfFloat, SeamfCodec, SeamfMetadata, SeamfReader}
   *     formula, so 2000 small sweeps do not become 2000 tasks (the
   *     reference's `partition_size` knob, ziparchive.py:260-263, derived
   *     from sizes instead of hand-tuned).
+  *   - '''Vectorized reads.''' The default read path emits one
+  *     `ColumnarBatch` per decoded file into reused `OnHeapColumnVector`s:
+  *     `trace` floats append straight from the decoded payload at each
+  *     slot's offset (no per-slot array copy, no per-row object), and the
+  *     row transition happens in whole-stage codegen's `ColumnarToRow` —
+  *     deleting the per-slot unsafe projection that made the row-based
+  *     connector ~29% slower than the fused `mapPartitions` ingest.
+  *     `columnar=false` forces the row reader (A/B); aggregate pushdown
+  *     always uses it (partial rows are few).
   *   - '''Observability via DSv2 custom metrics.''' skipped / metadata-
   *     pruned / decoded file counts surface as SQL metrics on the scan node
   *     (exactly-once per SQL metric semantics — stronger than the
@@ -687,8 +696,9 @@ private[graft] class SeamfScan(paths: Seq[String],
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
+    val columnar = Option(options.get("columnar")).forall(_.toBoolean)
     new SeamfReaderFactory(conf, pruneBox, required, tz, raise,
-      checkHash, needPayload, limit, pushedAgg)
+      checkHash, needPayload, limit, pushedAgg, columnar)
   }
 
 }
@@ -801,7 +811,8 @@ private[graft] final class PruneBox(
 private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
     pruneBox: PruneBox, required: StructType, tz: Option[String],
     raise: Boolean, checkHash: Boolean, needPayload: Boolean,
-    limit: Option[Int], pushedAgg: Option[(Seq[String], Seq[SeamfAgg])])
+    limit: Option[Int], pushedAgg: Option[(Seq[String], Seq[SeamfAgg])],
+    columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val entries = partition.asInstanceOf[SeamfInputPartition].entries
@@ -813,6 +824,18 @@ private[sources] class SeamfReaderFactory(conf: SerializableHadoopConf,
         new SeamfPartitionReader(entries, conf.value, pruneBox.value,
           required, tz, raise, checkHash, needPayload, limit)
     }
+  }
+
+  // vectorized by default: an aggregate push emits few partial rows (the
+  // row reader is right there), everything else hands Spark whole column
+  // vectors and skips the per-slot unsafe projection
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && pushedAgg.isEmpty
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val entries = partition.asInstanceOf[SeamfInputPartition].entries
+    new SeamfColumnarPartitionReader(entries, conf.value, pruneBox.value,
+      required, tz, raise, checkHash, needPayload, limit)
   }
 }
 
@@ -924,6 +947,49 @@ private[sources] class SeamfAggPartitionReader(
   * the `trace` column is required -> per-slot row emit (SURVEY §3.1 steps
   * 2-7 as one executor-side function).
   */
+/** Shared per-file decode prelude for the row and columnar readers:
+  * fetch -> untar -> metadata parse -> sha512 check -> decode-prune the
+  * slot list -> (only if some slot survives AND the schema needs `trace`)
+  * XZ-inflate the payload. Returns None when every slot was pruned — the
+  * payload of a fully-pruned file is never decompressed.
+  */
+private[sources] object SeamfFileDecode {
+  final case class Decoded(path: String, meta: SeamfMetadata.SeamfMeta,
+      keep: Seq[SeamfMetadata.TraceSlot], payload: Array[Float])
+
+  def decode(fetcher: SeamfEntryFetcher, entry: SeamfScanEntry,
+      tz: Option[String], checkHash: Boolean,
+      prune: SeamfReader.TracePrune, needPayload: Boolean)
+      : Option[Decoded] = {
+    val (pathStr, bytes) = fetcher.fetch(entry)
+    val raw = SeamfCodec.unpackTar(bytes)
+    val meta = SeamfMetadata.parse(raw.metaJson, tz)
+    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
+    if (checkHash && !shaOk)
+      throw new IllegalStateException(s"sha512 mismatch in $pathStr")
+
+    val keep = meta.slots.filter { s =>
+      val cap = meta.captures(s.captureIdx)
+      prune.matchesTable(s.table) &&
+        prune.matchesCapture(cap.datetimeUs, cap.frequency)
+    }
+    if (keep.isEmpty) None
+    else {
+      val payload: Array[Float] =
+        if (!needPayload) null
+        else {
+          val p = HalfFloat.decodeVector(
+            SeamfCodec.xzDecompress(raw.compressedPayload))
+          require(meta.requiredLength <= p.length,
+            s"payload length ${p.length} < offset table end " +
+              meta.requiredLength)
+          p
+        }
+      Some(Decoded(pathStr, meta, keep, payload))
+    }
+  }
+}
+
 private[sources] class SeamfPartitionReader(
     entries: Array[SeamfScanEntry],
     conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
@@ -942,33 +1008,17 @@ private[sources] class SeamfPartitionReader(
   private val fetcher = new SeamfEntryFetcher(conf)
 
   private def decodeNext(): Iterator[InternalRow] = {
-    val (pathStr, bytes) = fetcher.fetch(entries(fileIdx))
-
-    val raw = SeamfCodec.unpackTar(bytes)
-    val meta = SeamfMetadata.parse(raw.metaJson, tz)
-    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
-    if (checkHash && !shaOk)
-      throw new IllegalStateException(s"sha512 mismatch in $pathStr")
-
-    val keep = meta.slots.filter { s =>
-      val cap = meta.captures(s.captureIdx)
-      prune.matchesTable(s.table) &&
-        prune.matchesCapture(cap.datetimeUs, cap.frequency)
+    val d = SeamfFileDecode.decode(fetcher, entries(fileIdx), tz, checkHash,
+      prune, needPayload) match {
+      case None => nPruned += 1; return Iterator.empty
+      case Some(dd) =>
+        if (needPayload) nDecoded += 1 else nMetaOnly += 1
+        dd
     }
-    if (keep.isEmpty) {
-      nPruned += 1
-      return Iterator.empty
-    }
-    val payload: Array[Float] =
-      if (!needPayload) { nMetaOnly += 1; null }
-      else {
-        nDecoded += 1
-        val p = HalfFloat.decodeVector(SeamfCodec.xzDecompress(raw.compressedPayload))
-        require(meta.requiredLength <= p.length,
-          s"payload length ${p.length} < offset table end ${meta.requiredLength}")
-        p
-      }
-    keep.iterator.map { s =>
+    val pathStr = d.path
+    val meta = d.meta
+    val payload = d.payload
+    d.keep.iterator.map { s =>
       val cap = meta.captures(s.captureIdx)
       val row = new GenericInternalRow(required.length)
       var i = 0
@@ -1012,6 +1062,131 @@ private[sources] class SeamfPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = fetcher.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    SeamfTaskMetric("seamfDecodedFiles", nDecoded),
+    SeamfTaskMetric("seamfMetaOnlyFiles", nMetaOnly),
+    SeamfTaskMetric("seamfPrunedFiles", nPruned),
+    SeamfTaskMetric("seamfSkippedFiles", nSkipped))
+}
+
+/** Columnar read path (the default): one `ColumnarBatch` per decoded file,
+  * written append-style into reused `OnHeapColumnVector`s (the Parquet
+  * reader's pattern — allocate once, `reset()` per batch).
+  *
+  * Why it exists: a DSv2 ROW reader pays an `InternalRow -> UnsafeRow`
+  * projection per slot above the scan; the r8 bench measured that as the
+  * connector's +29% overhead over the fused `mapPartitions` ingest. The
+  * columnar path hands Spark whole vectors instead — `trace` floats are
+  * appended DIRECTLY from the decoded payload at the slot's offset
+  * (`appendFloats(len, payload, start)`: no per-slot `copyOfRange`, no
+  * per-row array object), and the downstream `ColumnarToRow` transition is
+  * whole-stage-codegen'd. Decode order per column (not per row) also keeps
+  * the payload slice loop tight. Rows-vs-columnar is decided per scan by
+  * `SeamfReaderFactory.supportColumnarReads`: aggregate pushdown keeps the
+  * row reader (partial rows are few), and `columnar=false` forces rows for
+  * A/B measurement. Same decode, same metrics, same prune — parity is
+  * pinned against the row path and the library ingest in SeamfSourceSpec.
+  */
+private[sources] class SeamfColumnarPartitionReader(
+    entries: Array[SeamfScanEntry],
+    conf: Configuration, prune: SeamfReader.TracePrune, required: StructType,
+    tz: Option[String], raise: Boolean, checkHash: Boolean,
+    needPayload: Boolean, limit: Option[Int])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private var fileIdx = 0
+  private var emitted = 0L
+  private var nDecoded = 0L
+  private var nMetaOnly = 0L
+  private var nPruned = 0L
+  private var nSkipped = 0L
+  private val fetcher = new SeamfEntryFetcher(conf)
+
+  private var vectors: Array[OnHeapColumnVector] = _
+  private var batch: ColumnarBatch = _
+  private var ready = false
+
+  private def buildBatch(d: SeamfFileDecode.Decoded): Unit = {
+    val n = d.keep.length
+    if (vectors == null) {
+      vectors = OnHeapColumnVector.allocateColumns(n, required)
+      batch = new ColumnarBatch(
+        vectors.map(v => v: ColumnVector).toArray[ColumnVector])
+    } else vectors.foreach(_.reset())
+    val pathBytes = d.path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var ci = 0
+    while (ci < required.length) {
+      val v = vectors(ci)
+      required.fields(ci).name match {
+        case "file" =>
+          var i = 0
+          while (i < n) { v.appendByteArray(pathBytes, 0, pathBytes.length); i += 1 }
+        case "datetime_us" =>
+          d.keep.foreach(s => v.appendLong(d.meta.captures(s.captureIdx).datetimeUs))
+        case "frequency" =>
+          d.keep.foreach(s => v.appendDouble(d.meta.captures(s.captureIdx).frequency))
+        case "table" =>
+          d.keep.foreach { s =>
+            val b = s.table.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            v.appendByteArray(b, 0, b.length)
+          }
+        case "capture_statistic" =>
+          d.keep.foreach { s =>
+            val b = s.captureStatistic.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            v.appendByteArray(b, 0, b.length)
+          }
+        case "detector" =>
+          d.keep.foreach { s =>
+            val b = s.detector.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            v.appendByteArray(b, 0, b.length)
+          }
+        case "axis_start" => d.keep.foreach(s => v.appendDouble(s.axisStart))
+        case "axis_step" => d.keep.foreach(s => v.appendDouble(s.axisStep))
+        case "trace" =>
+          d.keep.foreach { s =>
+            // appendArray records the child offset BEFORE the elements land
+            v.appendArray(s.length)
+            v.arrayData().appendFloats(s.length, d.payload, s.start.toInt)
+          }
+        case other => throw new IllegalArgumentException(
+          s"unknown required column $other")
+      }
+      ci += 1
+    }
+    batch.setNumRows(n)
+  }
+
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    ready = false
+    while (!ready && fileIdx < entries.length) {
+      try {
+        SeamfFileDecode.decode(fetcher, entries(fileIdx), tz, checkHash,
+            prune, needPayload) match {
+          case None => nPruned += 1
+          case Some(d) =>
+            if (needPayload) nDecoded += 1 else nMetaOnly += 1
+            buildBatch(d)
+            ready = true
+        }
+      } catch {
+        case e: Exception if !raise => nSkipped += 1
+      }
+      fileIdx += 1
+    }
+    if (ready) emitted += batch.numRows()
+    ready
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    fetcher.close()
+  }
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     SeamfTaskMetric("seamfDecodedFiles", nDecoded),
