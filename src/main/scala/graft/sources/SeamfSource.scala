@@ -964,8 +964,9 @@ private[sources] object SeamfFileDecode {
     val (pathStr, bytes) = fetcher.fetch(entry)
     val raw = SeamfCodec.unpackTar(bytes)
     val meta = SeamfMetadata.parse(raw.metaJson, tz)
-    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
-    if (checkHash && !shaOk)
+    // digest only when verification is on: sha512 over the compressed
+    // payload is the third-largest per-file cost after XZ and the fetch
+    if (checkHash && !SeamfCodec.checkSha512(meta, raw.compressedPayload))
       throw new IllegalStateException(s"sha512 mismatch in $pathStr")
 
     val keep = meta.slots.filter { s =>

@@ -52,6 +52,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * metadata-only decode is where the order-of-magnitude win lives (the
   * payload is ~8x the metadata bytes, plus the XZ inflate cost).
   *
+  * Known trade: `StreamingQueryProgress.numInputRows` reports 0 for a
+  * rewritten batch — ProgressReporter attributes rows by matching the
+  * executed leaf's stream instance against the query's registered sources,
+  * and the clone is not that instance. Row counts remain available on the
+  * scan's SQL metrics (and the DSv2 custom decode metrics); the rewrite
+  * never changes results. Accepting the blind spot is deliberate: the
+  * alternative (keeping the original stream in the relation) would plan
+  * reader factories from the UN-pruned scan and decode every payload.
+  *
   * Registered via [[graft.plans.GraftExtensions]] (production sessions) and
   * appended to `experimental.extraOptimizations` by
   * [[graft.streaming.StreamingOps]] (ad-hoc sessions), the same dual path as
