@@ -17,10 +17,12 @@ LOG="${1:-/tmp/sbt_test.log}"
 NQUERIES=$(grep -rhoE '"[a-z0-9_]+" -> QueryDef\(' src/main/scala/graft/queries/*.scala | sort -u | wc -l)
 sed -i -E "s/full [0-9]+-query inventory/full ${NQUERIES}-query inventory/" README.md
 
-# bench-metric count from the committed record (queries + archive metrics)
+# bench-metric count and total from the committed record
 if [[ -f BENCH_LOCAL.json ]]; then
   NMETRICS=$(python3 -c "import json; print(len(json.load(open('BENCH_LOCAL.json'))['queries']))")
   sed -i -E "s/\([0-9]+ bench metrics/(${NMETRICS} bench metrics/" README.md
+  TOTAL=$(python3 -c "import json; print(round(json.load(open('BENCH_LOCAL.json'))['value']))")
+  sed -i -E "s/[0-9]+ s total\. The record is self-defending/${TOTAL} s total. The record is self-defending/" README.md
 fi
 
 if [[ -f "$LOG" ]] && grep -qE 'Total number of tests run: [0-9]+' "$LOG"; then
