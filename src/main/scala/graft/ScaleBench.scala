@@ -56,7 +56,8 @@ object ScaleBench {
     "q102d_winnow_pairs",   // winnowing fingerprint pairs (r8)
     "q108_logreg_classifier", // GD logistic regression (r8)
     "q108b_logreg_auc",     // train + exact AUC prefix-sum grade (r9)
-    "q108d_logreg_pr_curve") // train + exact PR threshold sweep (r9)
+    "q108d_logreg_pr_curve", // train + exact PR threshold sweep (r9)
+    "q111_dsir_weights")    // DSIR hashed-bigram importance fit+score (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -86,7 +87,10 @@ object ScaleBench {
     // r9 points: the packed-prefix-sum evaluation grades — linear in
     // DISTINCT scores by construction, and the decimal auc9 widening
     // means the same code path runs at every decade
-    "q108b_logreg_auc", "q108d_logreg_pr_curve")
+    "q108b_logreg_auc", "q108d_logreg_pr_curve",
+    // linear in bigram occurrences by construction (two corpus passes +
+    // a 256-row broadcast); the decade slope verifies no hidden reshuffle
+    "q111_dsir_weights")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

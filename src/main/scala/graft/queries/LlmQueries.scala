@@ -1,7 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -3670,6 +3670,106 @@ object LlmQueries {
           CAST(SUM(CASE WHEN c = 256 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_full,
           CAST(MIN(nsrc) AS BIGINT) AS min_sources_per_batch
-        FROM b GROUP BY epoch ORDER BY epoch"""))
+        FROM b GROUP BY epoch ORDER BY epoch""")),
+
+    // ---- DSIR importance weights (Xie 2023, arXiv:2302.03169) ----------
+    // Hashed-bigram importance scoring of the raw pool against a target
+    // corpus: per-bucket floor-1e-9 log ratios of Laplace-smoothed
+    // distributions, per-doc weights as exact long sums. The oracle
+    // replays the whole fit cell-for-cell (portable md5 buckets, the
+    // q96/q101 floor-ln discipline).
+    "q111_dsir_weights" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Dsir
+        Dsir.importanceWeights9(t(s, dir, "documents"), "doc_id", "text",
+            DsirTargetPred, buckets = 256)
+          .orderBy(col("w9").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""$DsirCtes
+        SELECT p.doc_id AS doc_id,
+          CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9
+        FROM pool p LEFT JOIN wts w ON p.doc_id = w.doc_id
+        ORDER BY w9 DESC, doc_id LIMIT 20""")),
+
+    // ---- DSIR Gumbel-top-k resample -------------------------------------
+    // Sampling k docs without replacement with probability ~ exp(w9/1e9)
+    // via the Gumbel-max trick, DERANDOMIZED: the noise term comes from the
+    // same portable hash (u = (md5_48(doc_id:seed)+1)/(2^48+1),
+    // g = -ln(-ln(u)), floor-quantized), so the "random" resample is
+    // reproducible across engines, seeds, and cluster re-runs — and the
+    // selection is a per-partition top-k heap, never a global sort.
+    "q111b_dsir_resample" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Dsir
+        val w = Dsir.importanceWeights9(t(s, dir, "documents"), "doc_id",
+          "text", DsirTargetPred, buckets = 256)
+        Dsir.gumbelTopK(w.select("doc_id", "w9"), k = 25, seed = "ep0")
+      },
+      Some(s"""$DsirCtes,
+        ww AS (SELECT p.doc_id, CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9
+          FROM pool p LEFT JOIN wts w ON p.doc_id = w.doc_id),
+        gg AS (SELECT doc_id, w9,
+            CAST(FLOOR(-LN(-LN(
+              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep0'),
+                1, 12)) AS BIGINT) + 1.0) / 281474976710657.0)) * 1e9)
+              AS BIGINT) AS g9
+          FROM ww)
+        SELECT doc_id, w9, g9, w9 + g9 AS key9 FROM gg
+        ORDER BY key9 DESC, doc_id LIMIT 25"""))
   )
+
+  /** DSIR target corpus: the trusted slice the raw pool is scored against
+    * (Spark predicate + its verbatim SQL for the oracle CTEs). `def`s, not
+    * `val`s: `defs` above initializes eagerly and interpolates [[DsirCtes]]
+    * — a later-declared val would still be null at that point.
+    */
+  private[queries] def DsirTargetPred: Column =
+    col("lang") === "en" && col("source").isin("src1", "src2", "src3")
+  private def DsirTargetSql =
+    "lang = 'en' AND source IN ('src1', 'src2', 'src3')"
+
+  /** w17 oracle: the batch replay of the streaming DSIR intake — every
+    * raw-pool doc with its importance weight and the selection flag (the
+    * stream scores rows statelessly with the same fitted table, and long
+    * sums are order-independent, so end-of-stream equals batch exactly).
+    */
+  private[queries] def dsirIntakeOracleSql: String =
+    s"""$DsirCtes
+      SELECT d.doc_id AS doc_id, d.lang AS lang,
+        CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9,
+        COALESCE(w.w9, 0) >= 0 AS selected
+      FROM documents d LEFT JOIN wts w ON d.doc_id = w.doc_id
+      WHERE NOT ($DsirTargetSql)
+      ORDER BY d.doc_id"""
+
+  /** Shared CTE chain for the q111 family: bigram buckets, the smoothed
+    * per-bucket log ratios over a generated 256-bucket spine, per-doc
+    * weights, and the raw pool (zero-bigram docs included at w9 = 0).
+    */
+  private def DsirCtes: String =
+    s"""$WordsCte,
+      g AS (SELECT doc_id, lang, source,
+          CAST(unnest(range(1, len(ws))) AS INT) AS i, ws FROM w),
+      bg AS (SELECT doc_id, lang, source,
+          CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 12))
+            AS BIGINT) % 256 AS bucket FROM g),
+      tb AS (SELECT bucket FROM bg WHERE $DsirTargetSql),
+      rb AS (SELECT doc_id, bucket FROM bg WHERE NOT ($DsirTargetSql)),
+      spine AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS bucket),
+      tc AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
+      rc AS (SELECT bucket, COUNT(*) AS c FROM rb GROUP BY 1),
+      tn AS (SELECT COUNT(*) AS n FROM tb),
+      rn AS (SELECT COUNT(*) AS n FROM rb),
+      lam AS (SELECT s.bucket,
+          CAST(FLOOR(LN(((COALESCE(tc.c, 0) + 1.0) / (tn.n + 256.0)) /
+            ((COALESCE(rc.c, 0) + 1.0) / (rn.n + 256.0))) * 1e9) AS BIGINT)
+            AS lambda9
+        FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
+          LEFT JOIN rc ON s.bucket = rc.bucket CROSS JOIN tn CROSS JOIN rn),
+      wts AS (SELECT rb.doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(lam.lambda9) AS BIGINT) AS w9
+        FROM rb JOIN lam ON rb.bucket = lam.bucket GROUP BY 1),
+      pool AS (SELECT doc_id FROM documents WHERE NOT ($DsirTargetSql))"""
 }

@@ -560,6 +560,36 @@ object StreamQueries {
       },
       Some(LlmQueries.logRegStreamPrOracleSql)),
 
+    // ---- streaming DSIR intake selection (stateless) --------------------
+    // The production shape of q111: the importance model fits OFFLINE
+    // (target vs raw-pool snapshot), its 256-long ratio table rides into
+    // the stream as an inlined array literal (bounded model state, the
+    // w15 discipline), and every arriving document scores with a pure
+    // expression — Dsir.scoreCol9's long sum over its bigram buckets.
+    // ZERO streaming state, no shuffle below the sink: the intake filter
+    // a 100 TB/day pipeline runs at the door. Long addition is exactly
+    // associative, so end-of-stream parity with the batch scorer is
+    // bit-for-bit (the oracle replays fit + score batch-side).
+    "w17_stream_dsir_intake" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = graft.Tables.load(s, dir, "documents")
+        val lam9 = Dsir.collectRatios9(docs, "doc_id", "text",
+          LlmQueries.DsirTargetPred, buckets = 256)
+        val scored = StreamingOps.documentsStream(s, dir)
+          .filter(!LlmQueries.DsirTargetPred)
+          .select(col("doc_id"), col("lang"),
+            // NULL text scores as an empty doc (the oracle's no-rows path)
+            when(col("text").isNull, lit(0L)).otherwise(
+              size(graft.functions.TextOps.shingles(col("text"), 2))
+                .cast("long")).as("n_bigrams"),
+            coalesce(Dsir.scoreCol9(col("text"), lam9.toSeq, 256), lit(0L))
+              .as("w9"))
+          .withColumn("selected", col("w9") >= 0L)
+        StreamingOps.runToMemory(s, scored, "w17_mem").orderBy("doc_id")
+      },
+      Some(LlmQueries.dsirIntakeOracleSql)),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {
