@@ -41,6 +41,35 @@ object Bench {
     // re-run. The r8 final capture shipped 11 queries inflated 4-80x with
     // byte-identical plan hashes; this machinery makes that one diff.
     val ContaminationSpread = 3.0
+    // host-speed canary: the spread detector catches TRANSIENT stalls (one
+    // slow run among fast ones) but is blind to SUSTAINED contention —
+    // when every run of a capture is equally slow, spreads look clean and
+    // the record reads as "engine got slower" (the r9 capture taken beside
+    // a concurrent test JVM read 2-4x on several archive metrics with
+    // byte-identical plans). A fixed-work CPU canary timed at capture
+    // start and end makes host speed a recorded, round-over-round
+    // comparable fact: same canary + slower queries = engine; slower
+    // canary = machine. 1t = single-thread xorshift steps (~0.5 s on an
+    // idle host); mt = the same work on every core (contention-sensitive).
+    def canary1t(steps: Long = 400000000L): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryMt(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { _ =>
+        val t = new Thread(() => canary1t())
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart1t = canary1t()
+    val canaryStartMt = canaryMt()
     val allRuns = scala.collection.mutable.Map.empty[String, Vector[Double]]
     def record(name: String, t: Double): Unit =
       if (t >= 0) allRuns(name) = allRuns.getOrElse(name, Vector()) :+ t
@@ -358,8 +387,12 @@ object Bench {
     val contaminated = results.collect {
       case (k, _) if spreadOf(k) > ContaminationSpread => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    val canaryEnd1t = canary1t()
+    val canaryEndMt = canaryMt()
+    val canary =
+      f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f}"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"exec":$ex,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only the tail of the line, losing
     // per-query timings every round — persist the full JSON in-repo so
