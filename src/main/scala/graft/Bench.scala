@@ -75,13 +75,16 @@ object Bench {
       if (t >= 0) allRuns(name) = allRuns.getOrElse(name, Vector()) :+ t
     def spreadOf(name: String): Double = {
       val all = allRuns.getOrElse(name, Vector())
-      // the FIRST run legitimately pays whole-stage codegen (routinely
-      // 2-5x on window/join-heavy plans) — with 3+ runs recorded, spread
-      // is judged over the steady-state tail so cold-start cost doesn't
-      // read as host contention; a genuine mid-capture stall still shows
-      // (it inflates a NON-first run). The raw first run stays visible in
-      // "allRuns" either way.
-      val rs = if (all.size >= 3) all.drop(1) else all
+      // the FIRST run legitimately pays whole-stage codegen and GC debt
+      // from preceding heavyweights (routinely 2-5x on window/join-heavy
+      // plans) — spread is judged over the steady-state tail so cold-start
+      // cost doesn't read as host contention; a genuine mid-capture stall
+      // still shows on 3+-run metrics (it inflates a NON-first run). For
+      // min-of-2 metrics the tail is one run and spread is mute by design:
+      // the reported min is already stall-robust, and sustained contention
+      // is the canary's job, not spread's. The raw first run stays visible
+      // in "allRuns" either way.
+      val rs = if (all.size >= 2) all.drop(1) else all
       if (rs.size < 2 || rs.min <= 0) 1.0 else rs.max / rs.min
     }
 
@@ -200,15 +203,22 @@ object Bench {
       wall
     }
 
+    // min-of-2 for the heavyweight archive metrics: the first run in a JVM
+    // pays whole-stage codegen (and, for drains following the 19M-row
+    // export, its GC debt); the steady-state number is the one comparable
+    // to BASELINE.md's repeated-run timings. Both runs ship in "allRuns".
+    def minOf2(name: String)(body: => Double): Double = {
+      val runs = Seq(body, body)
+      runs.foreach(record(name, _))
+      runs.min
+    }
+
     // full lake export of the archive: decode once, write every product
     // date-partitioned (reference bulk export: 47.410 s for capture_summary
     // monthly + pfp weekly, dask_processing cell 8).
-    // min-of-2: the first export in a JVM pays whole-stage codegen for the
-    // widest plan in the bench (~2x); the steady-state number is the one
-    // comparable to BASELINE.md's repeated-run timings
     lazy val lakeExport = {
       val in = graft.seamf.SeamfFixtures.sharedBenchArchive()
-      def once(): Double = {
+      minOf2("seamf_lake_export_200") {
         val out = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
         mx.reset()
         val t0 = System.nanoTime()
@@ -217,9 +227,6 @@ object Bench {
         execs("seamf_lake_export_200") = mx.snapshot("")
         wall
       }
-      val runs = Seq(once(), once())
-      runs.foreach(record("seamf_lake_export_200", _))
-      runs.min
     }
 
     // streaming decode-pruning headline (SeamfStreamingPrune): the same
@@ -260,15 +267,9 @@ object Bench {
       streamOnce("seamf_stream_full_200", full = true))
     // the 10x archive in ONE AvailableNow drain: the decade point for the
     // streaming path — meta must stay near-flat (listing + offsets only),
-    // full grows with the decode like the batch ingest does
-    // min-of-2 like the lake export: a single drain occasionally eats a
-    // GC pause from the preceding 19M-row metrics, which reads as "meta
+    // full grows with the decode like the batch ingest does. min-of-2: a
+    // single drain occasionally eats a GC pause, which reads as "meta
     // slower than full" — a nonsense decade point
-    def minOf2(name: String)(body: => Double): Double = {
-      val runs = Seq(body, body)
-      runs.foreach(record(name, _))
-      runs.min
-    }
     lazy val streamMetaLarge = minOf2("seamf_stream_meta_2000")(
       streamOnce("seamf_stream_meta_2000", full = false,
         dir = graft.seamf.SeamfFixtures.sharedBenchArchiveLarge()))

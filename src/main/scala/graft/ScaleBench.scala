@@ -89,7 +89,11 @@ object ScaleBench {
     // means the same code path runs at every decade
     "q108b_logreg_auc", "q108d_logreg_pr_curve",
     // linear in bigram occurrences by construction (two corpus passes +
-    // a 256-row broadcast); the decade slope verifies no hidden reshuffle
+    // a 256-row broadcast). The inventory form keeps spread=true (the
+    // sf0.1 fixture is a single parquet split), so the measured slope
+    // ALSO carries three compact-doc repartitions — a conservative upper
+    // bound on the operator's own scaling; full-scale callers pass
+    // spread=false per the Dsir scaladoc
     "q111_dsir_weights")
 
   /** Build the derived 10x dir once (idempotent marker). */

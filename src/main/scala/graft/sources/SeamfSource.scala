@@ -865,8 +865,10 @@ private[sources] class SeamfAggPartitionReader(
 
     val raw = SeamfCodec.unpackTar(bytes)
     val meta = SeamfMetadata.parse(raw.metaJson, tz)
-    val shaOk = SeamfCodec.checkSha512(meta, raw.compressedPayload)
-    if (checkHash && !shaOk)
+    // digest only when verification is on (the SeamfFileDecode rule): on
+    // this metadata-only path the sha512 over the UNUSED compressed
+    // payload would otherwise be the dominant per-file cost
+    if (checkHash && !SeamfCodec.checkSha512(meta, raw.compressedPayload))
       throw new IllegalStateException(s"sha512 mismatch in $pathStr")
 
     val keep = meta.slots.filter { s =>

@@ -88,9 +88,8 @@ class DsirSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("scoring joins the ratio table broadcast") {
+  test("scoring joins the ratio table broadcast (hash, not nested-loop)") {
     val plan = weights.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
-      plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
