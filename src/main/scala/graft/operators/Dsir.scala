@@ -49,17 +49,14 @@ object Dsir {
     * `spread` (the Winnow convention): the bucket hash is CPU-bound (one
     * md5 per bigram), so a compact doc scan — one small parquet split —
     * would hash the whole corpus on one core; spreading round-robins the
-    * cheap PRE-explosion doc rows across defaultParallelism first. An
-    * explicit parameter, not a partition-count probe; pass spread = false
-    * when the input is already well-partitioned (any full-scale scan).
+    * cheap PRE-explosion doc rows across defaultParallelism first. The
+    * exchange is SIZE-GATED on logical plan statistics ([[Spread]]), so
+    * full-scale scans stay untouched even at the default; spread = false
+    * disables it unconditionally.
     */
   def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int, spread: Boolean = true): DataFrame = {
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
-    spreadDocs.select(col(idCol).as("doc_id"),
+    Spread(docs, spread).select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(col(textCol), 2)).as("bg"))
       .select(col("doc_id"),
         (Dedup.md5Hash48(col("bg")) % buckets).as("bucket"))

@@ -51,7 +51,11 @@ object MlMetrics {
     * @param labelCol  0/1 int column (1 = positive)
     */
   def rocAuc9(df: DataFrame, score9Col: String, labelCol: String): DataFrame = {
-    val grouped = df.groupBy(col(score9Col).as("__s9"))
+    // NULL scores are unrankable, not "lowest" (the ks9 convention): an
+    // unfiltered null group would sort first in the cumsum and corrupt
+    // every rank
+    val grouped = df.filter(col(score9Col).isNotNull)
+      .groupBy(col(score9Col).as("__s9"))
       .agg(count(lit(1)).as("__cnt"),
         count(when(col(labelCol) === 1, 1)).as("__npos"))
     val ranked = Windowed.distributedCumsum(grouped, "__s9", "__cnt")
@@ -118,7 +122,11 @@ object MlMetrics {
       labelCol: String, packK: Long,
       maxPoints: Option[Int] = None): DataFrame = {
     val K = packK
-    val grouped = df.groupBy(col(score9Col).as("s9"))
+    // NULL scores drop (the ks9/rocAuc9 convention): a null group would
+    // sort FIRST under __negs and its counts would pollute every
+    // threshold's cumulative tp/pp
+    val grouped = df.filter(col(score9Col).isNotNull)
+      .groupBy(col(score9Col).as("s9"))
       .agg(count(lit(1)).as("__cnt"),
         count(when(col(labelCol) === 1, 1)).as("__npos"))
       // cumulate from the TOP score down: the threshold sweep order
@@ -182,7 +190,9 @@ object MlMetrics {
     val bounds = (1 until bins).map(i => math.log(i.toDouble / (bins - i)))
     val bin = bounds.map(b => when(col(zCol) >= lit(b), 1).otherwise(0))
       .reduce(_ + _)
-    df.groupBy(bin.cast("long").as("bin"))
+    // NULL logits drop rather than silently landing in bin 0 (every
+    // boundary comparison is null -> otherwise(0)) — the ks9 convention
+    df.filter(col(zCol).isNotNull).groupBy(bin.cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
         count(when(col(labelCol) === 1, 1)).as("n_pos"))
       .select(col("bin"),

@@ -95,10 +95,7 @@ object NaiveBayes {
     // scan — spread the pre-explosion rows across cores first (same
     // explicit-parameter discipline as SpanDedup.grams: no partition
     // probe, which would force physical planning of the upstream frame)
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    val spreadDocs = Spread(docs, spread)
     val docWords = spreadDocs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("w"))
     // every (doc word) x every class, so unseen (w, cls) pairs score the

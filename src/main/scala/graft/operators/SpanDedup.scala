@@ -47,10 +47,7 @@ object SpanDedup {
     // `.rdd.getNumPartitions` probe — probing would force physical
     // planning of the upstream frame (the Winnow r9 rule); pass false
     // when the input is already well-partitioned (any full-scale scan).
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    val spreadDocs = Spread(docs, spread)
     spreadDocs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
@@ -154,10 +151,7 @@ object SpanDedup {
       k: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     // explicit spread parameter — see grams()
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    val spreadDocs = Spread(docs, spread)
     val g = spreadDocs.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),

@@ -73,15 +73,12 @@ object Winnow {
     // a compact doc scan (one parquet split) would run the whole corpus on
     // one core — `spread` round-robins the cheap PRE-sketch rows across
     // defaultParallelism first (~gram-explosion/k the bytes the relational
-    // form's gram shuffle moves). It is an explicit parameter, NOT a
-    // partition-count probe: probing `.rdd.getNumPartitions` would force
-    // physical planning of the upstream frame (through a DSv2 source,
-    // planning the scan just to ask). Pass spread = false when the input
-    // is already well-partitioned — e.g. any full-scale parquet scan.
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    // form's gram shuffle moves). The exchange is SIZE-GATED on logical
+    // plan statistics ([[Spread]]): full-scale scans are left untouched
+    // even at the default, so the flag never collapses a wide scan to one
+    // JVM's core count; no `.rdd` partition probe, no physical planning.
+    // Pass spread = false to disable the exchange unconditionally.
+    val spreadDocs = Spread(docs, spread)
     spreadDocs.select(col(idCol).as("id"),
         explode(graft.functions.expressions.TextExpressions
           .winnowSketch(col(textCol), k, w)).as("f"))
@@ -102,10 +99,7 @@ object Winnow {
     // spread pre-explosion rows across cores (same rationale as
     // SpanDedup.grams: the explode is ~len(text)-fold and CPU-bound);
     // explicit parameter, not a partition probe — see fingerprints()
-    val spreadDocs =
-      if (spread)
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    val spreadDocs = Spread(docs, spread)
     val g = spreadDocs.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("id"), length(col(textCol)).as("__n"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),

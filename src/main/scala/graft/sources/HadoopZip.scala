@@ -90,17 +90,23 @@ private[graft] object HadoopZip {
 
     if (nEntries == 0xffff || cdSize == 0xffffffffL ||
         cdOffset == 0xffffffffL) {
-      // ZIP64: locator directly precedes the EOCD
+      // ZIP64: locator directly precedes the EOCD. Per APPNOTE, a
+      // saturated 16/32-bit value only MAY indicate ZIP64 — Info-ZIP and
+      // Python's zipfile write ZIP64 records when a value EXCEEDS the
+      // field, so a valid archive with exactly 65535 members (or a CD
+      // landing at exactly 0xFFFFFFFF) carries no locator; when the
+      // locator is absent the saturated values are the true values.
       val loc = e - 20
-      require(loc >= 0 && u32(tail, loc) == Eocd64LocatorSig,
-        s"$label: saturated EOCD but no ZIP64 locator")
-      val eocd64Off = u64(tail, loc + 8)
-      val rec = new Array[Byte](56)
-      in.readFully(eocd64Off, rec)
-      require(u32(rec, 0) == Eocd64Sig, s"$label: bad ZIP64 EOCD signature")
-      nEntries = u64(rec, 32)
-      cdSize = u64(rec, 40)
-      cdOffset = u64(rec, 48)
+      if (loc >= 0 && u32(tail, loc) == Eocd64LocatorSig) {
+        val eocd64Off = u64(tail, loc + 8)
+        val rec = new Array[Byte](56)
+        in.readFully(eocd64Off, rec)
+        require(u32(rec, 0) == Eocd64Sig,
+          s"$label: bad ZIP64 EOCD signature")
+        nEntries = u64(rec, 32)
+        cdSize = u64(rec, 40)
+        cdOffset = u64(rec, 48)
+      }
     }
 
     require(cdSize <= Int.MaxValue,

@@ -536,17 +536,24 @@ private[graft] class SeamfScan(paths: Seq[String],
     * central directory.
     */
   private def listEntries(hadoopConf: Configuration): Seq[SeamfScanEntry] =
-    listFiles(hadoopConf).flatMap { f =>
-      val p = f.getPath.toString
-      if (p.endsWith(".zip")) {
-        val fs = f.getPath.getFileSystem(hadoopConf)
-        HadoopZip.listEntries(fs, f.getPath)
-          .filter(e => !e.name.endsWith("/") && e.name.endsWith(".sigmf"))
-          .map(e => SeamfScanEntry(p, e.name, e.method, e.compressedSize,
-            e.uncompressedSize, e.localHeaderOffset))
-          .sortBy(_.member)
-      } else Seq(SeamfScanEntry(p, "", -1, f.getLen, f.getLen, -1L))
-    }
+    listFiles(hadoopConf).flatMap(expand(_, hadoopConf))
+
+  /** One file's scan entries — zip archives fan out to member entries;
+    * SHARED by the batch listing and the streaming batch planner so the
+    * two paths can never diverge on which members decode.
+    */
+  private def expand(f: FileStatus,
+      hadoopConf: Configuration): Seq[SeamfScanEntry] = {
+    val p = f.getPath.toString
+    if (p.endsWith(".zip")) {
+      val fs = f.getPath.getFileSystem(hadoopConf)
+      HadoopZip.listEntries(fs, f.getPath)
+        .filter(e => !e.name.endsWith("/") && e.name.endsWith(".sigmf"))
+        .map(e => SeamfScanEntry(p, e.name, e.method, e.compressedSize,
+          e.uncompressedSize, e.localHeaderOffset))
+        .sortBy(_.member)
+    } else Seq(SeamfScanEntry(p, "", -1, f.getLen, f.getLen, -1L))
+  }
 
   /** Whole members packed to Spark's split-size formula:
     * min(maxPartitionBytes, max(openCost, total/defaultParallelism)).
@@ -581,15 +588,25 @@ private[graft] class SeamfScan(paths: Seq[String],
   //
   // The reference acquires one sweep archive per `schedule.interval` (90 s,
   // FIXTURES.md cadence) into a landing directory; the natural micro-batch
-  // is therefore FILE ARRIVAL. The offset is the number of files in
-  // (modificationTime, path) order — append-only landing contract: new
-  // files arrive with an mtime >= every already-committed file's (true of
-  // any writer that closes files in acquisition order; also how object
-  // stores surface uploads). A batch [start, end) decodes exactly the
-  // files in that slice, expanded to zip-member entries and packed by the
-  // SAME split formula as the batch scan. No per-file seen-set state is
-  // kept anywhere — the offset is one long, so checkpoint recovery is
-  // trivial and a 10^7-file landing dir costs one LIST per trigger.
+  // is therefore FILE ARRIVAL. The offset is a WATERMARK — the (mtime,
+  // path) key of the last admitted file plus a running count — under the
+  // append-only landing contract: new files arrive at a strictly later
+  // (mtime, path) position than every committed file (true of any writer
+  // that closes files in acquisition order; also how object stores
+  // surface uploads). A batch decodes exactly the files with start < key
+  // <= end, expanded to zip-member entries and packed by the SAME split
+  // formula as the batch scan. A bare count would misattribute files when
+  // a late arrival TIES a committed file's mtime with a smaller path
+  // (1-second mtime granularity + a burst): committed files would shift
+  // past the index and re-decode while the new file silently never
+  // processed. The watermark keys the range instead, so equal-mtime
+  // bursts that sort AFTER the watermark just work, and a file surfacing
+  // at-or-below the watermark (or inside an already-planned range) fails
+  // LOUDLY with the contract in the message — never silent duplication or
+  // loss; the count makes both violations detectable against the listing.
+  // No per-file seen-set state is kept anywhere — the offset is one small
+  // JSON record, so checkpoint recovery is trivial and a 10^7-file
+  // landing dir costs one LIST per trigger.
   //
   // Pushdown note: Spark builds streaming scans WITHOUT the
   // V2ScanRelationPushDown pass — the builder's pruneColumns/pushFilters
@@ -605,17 +622,64 @@ private[graft] class SeamfScan(paths: Seq[String],
     listFiles(hadoopConf)
       .sortBy(f => (f.getModificationTime, f.getPath.toString))
 
+  /** key(f) <= watermark in (mtime, path) order. */
+  private def atOrBelow(f: FileStatus, o: SeamfOffset): Boolean = {
+    val m = f.getModificationTime
+    m < o.mtime || (m == o.mtime && f.getPath.toString <= o.path)
+  }
+
+  /** `start` advanced past `admitted` (listing-order suffix). */
+  private def offsetAfter(start: SeamfOffset,
+      admitted: Seq[FileStatus]): SeamfOffset =
+    if (admitted.isEmpty) start
+    else SeamfOffset(start.files + admitted.size,
+      admitted.last.getModificationTime, admitted.last.getPath.toString)
+
+  /** The append-only contract, checked against a fresh listing: exactly
+    * the committed count may sit at-or-below the committed watermark.
+    * Runs at EVERY trigger (latestOffset) — not just when a batch plans —
+    * so a violation surfaces immediately even on an otherwise-idle
+    * stream, never as silent loss.
+    */
+  private def requireAppendOnly(files: Seq[FileStatus],
+      s: SeamfOffset): Unit = {
+    val below = files.count(atOrBelow(_, s))
+    require(below == s.files,
+      s"seamf stream: ${below - s.files} file(s) (re)appeared at or " +
+        s"below the committed watermark (mtime ${s.mtime}, ${s.path}) — " +
+        "the landing directory must be append-only: every new file needs " +
+        "a strictly later (mtime, path) position than all committed files")
+  }
+
   override def initialOffset():
-      org.apache.spark.sql.connector.read.streaming.Offset = SeamfOffset(0L)
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    SeamfOffset.Initial
 
   override def deserializeOffset(json: String):
-      org.apache.spark.sql.connector.read.streaming.Offset =
-    SeamfOffset(json.trim.toLong)
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val t = json.trim
+    if (t.startsWith("{")) SeamfOffset.fromJson(t)
+    else {
+      // legacy count-only offset (pre-watermark checkpoints): rebuild the
+      // watermark under the exact assumption that format relied on — the
+      // first n files in (mtime, path) order are the committed prefix
+      val n = t.toLong
+      if (n == 0L) SeamfOffset.Initial
+      else {
+        val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+        val files = streamFiles(hadoopConf)
+        require(files.size >= n, s"seamf stream: legacy offset $n but " +
+          s"only ${files.size} files remain — the landing directory " +
+          "must be append-only")
+        offsetAfter(SeamfOffset.Initial, files.take(n.toInt))
+      }
+    }
+  }
 
   override def latestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset = {
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    SeamfOffset(streamFiles(hadoopConf).size.toLong)
+    offsetAfter(SeamfOffset.Initial, streamFiles(hadoopConf))
   }
 
   // admission control: `maxFilesPerTrigger` caps each micro-batch at N
@@ -638,51 +702,46 @@ private[graft] class SeamfScan(paths: Seq[String],
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
-    val avail = availableNowTarget.getOrElse {
+    val s = start.asInstanceOf[SeamfOffset]
+    val all = availableNowSnapshot.getOrElse {
       val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-      streamFiles(hadoopConf).size.toLong
+      streamFiles(hadoopConf)
     }
-    val s = start.asInstanceOf[SeamfOffset].files
-    limit match {
-      case m: ReadMaxFiles => SeamfOffset(math.min(avail, s + m.maxFiles()))
-      case _ => SeamfOffset(avail)
+    requireAppendOnly(all, s)
+    val eligible = all.filter(f => !atOrBelow(f, s))
+    val admitted = limit match {
+      case m: ReadMaxFiles => eligible.take(m.maxFiles())
+      case _ => eligible
     }
+    offsetAfter(s, admitted)
   }
 
-  // Trigger.AvailableNow: snapshot the backlog ONCE at query start, drain
-  // to exactly that offset (respecting maxFilesPerTrigger batching), then
+  // Trigger.AvailableNow: snapshot the LISTING once at query start, drain
+  // exactly that file set (respecting maxFilesPerTrigger batching), then
   // let the query terminate — files arriving DURING the drain wait for
-  // the next run, which is the documented catch-up contract.
-  @volatile private var availableNowTarget: Option[Long] = None
+  // the next run, which is the documented catch-up contract. The snapshot
+  // also makes the per-batch append-only checks race-free within a drain.
+  @volatile private var availableNowSnapshot: Option[Seq[FileStatus]] = None
   override def prepareForTriggerAvailableNow(): Unit = {
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    availableNowTarget = Some(streamFiles(hadoopConf).size.toLong)
+    availableNowSnapshot = Some(streamFiles(hadoopConf))
   }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[SeamfOffset].files
-    val e = end.asInstanceOf[SeamfOffset].files
+    val s = start.asInstanceOf[SeamfOffset]
+    val e = end.asInstanceOf[SeamfOffset]
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    val files = streamFiles(hadoopConf)
-    require(files.size >= e,
-      s"seamf stream: committed offset $e but only ${files.size} files " +
-        "remain — the landing directory must be append-only")
-    val slice = files.slice(s.toInt, e.toInt)
-    val entries = slice.flatMap { f =>
-      val p = f.getPath.toString
-      if (p.endsWith(".zip")) {
-        val fs = f.getPath.getFileSystem(hadoopConf)
-        HadoopZip.listEntries(fs, f.getPath)
-          .filter(en => !en.name.endsWith("/") && en.name.endsWith(".sigmf"))
-          .map(en => SeamfScanEntry(p, en.name, en.method, en.compressedSize,
-            en.uncompressedSize, en.localHeaderOffset))
-          .sortBy(_.member)
-      } else Seq(SeamfScanEntry(p, "", -1, f.getLen, f.getLen, -1L))
-    }
-    pack(entries)
+    val files = availableNowSnapshot.getOrElse(streamFiles(hadoopConf))
+    requireAppendOnly(files, s)
+    val batch = files.filter(f => !atOrBelow(f, s) && atOrBelow(f, e))
+    require(batch.size == e.files - s.files,
+      s"seamf stream: offset range expected ${e.files - s.files} files " +
+        s"but the listing has ${batch.size} — a file appeared inside an " +
+        "already-planned range; the landing directory must be append-only")
+    pack(batch.flatMap(expand(_, hadoopConf)))
   }
 
   override def commit(
@@ -716,10 +775,35 @@ private[sources] case class SeamfScanEntry(path: String, member: String,
 private[sources] case class SeamfInputPartition(
     entries: Array[SeamfScanEntry]) extends InputPartition
 
-/** Micro-batch offset: files processed so far in (mtime, path) order. */
-private[sources] case class SeamfOffset(files: Long)
+/** Micro-batch offset: the watermark (mtime, path) of the last admitted
+  * file plus the running file count. The count is not used for slicing —
+  * the watermark keys the batch range — it exists to make BOTH
+  * append-only violations (a file surfacing at-or-below the watermark; a
+  * file surfacing inside a planned range) detectable against a fresh
+  * listing. Serialized as JSON via jackson so arbitrary path characters
+  * round-trip; legacy bare-count offsets upgrade in `deserializeOffset`.
+  */
+private[sources] case class SeamfOffset(files: Long, mtime: Long,
+    path: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.toString
+  override def json(): String = {
+    val node = SeamfOffset.mapper.createObjectNode()
+    node.put("n", files)
+    node.put("mtime", mtime)
+    node.put("path", path)
+    node.toString
+  }
+}
+
+private[sources] object SeamfOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Sorts strictly before every real file key (mtimes are >= 0). */
+  val Initial: SeamfOffset = SeamfOffset(0L, Long.MinValue, "")
+  def fromJson(s: String): SeamfOffset = {
+    val t = mapper.readTree(s)
+    SeamfOffset(t.get("n").asLong(), t.get("mtime").asLong(),
+      t.get("path").asText())
+  }
 }
 
 /** Entry byte fetch shared by the row and aggregate readers — everything

@@ -995,6 +995,24 @@ class OperatorsSpec extends SparkSpec {
     graft.operators.Windowed.unpersistAll()
   }
 
+  test("MlMetrics: NULL scores drop instead of ranking first (the ks9 " +
+      "NULL convention across rocAuc9 / prCurve9 / logitCalibration9)") {
+    import graft.operators.MlMetrics
+    val clean = Seq((10L, 1), (10L, 0), (20L, 1), (5L, 0)).toDF("z9", "y")
+    val dirty = clean.union(
+      Seq((Option.empty[Long], 1), (Option.empty[Long], 0)).toDF("z9", "y"))
+    assert(MlMetrics.rocAuc9(dirty, "z9", "y").collect().head ===
+      MlMetrics.rocAuc9(clean, "z9", "y").collect().head)
+    assert(MlMetrics.prCurve9(dirty, "z9", "y").collect().toSeq ===
+      MlMetrics.prCurve9(clean, "z9", "y").collect().toSeq)
+    val cleanZ = Seq((0.5, 1), (-0.5, 0)).toDF("z", "y")
+    val dirtyZ = cleanZ.union(
+      Seq((Option.empty[Double], 1)).toDF("z", "y"))
+    assert(MlMetrics.logitCalibration9(dirtyZ, "z", "y").collect().toSeq ===
+      MlMetrics.logitCalibration9(cleanZ, "z", "y").collect().toSeq)
+    graft.operators.Windowed.unpersistAll()
+  }
+
   test("MlMetrics.prCurvePoints9: the downsampled curve is an exact " +
       "subset at quantile-spaced thresholds") {
     import graft.operators.MlMetrics

@@ -345,4 +345,18 @@ class PlansSpec extends SparkSpec {
       .fingerprints(docs, "doc_id", "text", k = 20, w = 8, spread = false)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("spread is size-gated on plan statistics: a large input stays " +
+      "untouched even at the default (no repartition-DOWN of wide scans)") {
+    import graft.operators.Spread
+    // spark.range stats = 8 bytes/row -> ~1.6 GB estimated, over the cap;
+    // nothing materializes — the decision reads LOGICAL stats only
+    val big = spark.range(200000000L).toDF("doc_id")
+    assert(Spread(big, spread = true).queryExecution.executedPlan
+      .toString.indexOf("Exchange") < 0)
+    val small = spark.range(10L).toDF("doc_id")
+    assert(Spread(small, spread = true).queryExecution.executedPlan
+      .toString.toLowerCase.contains("roundrobin"))
+    assert(Spread(big, spread = false) eq big)
+  }
 }

@@ -465,7 +465,7 @@ class SeamfSourceSpec extends SparkSpec {
   }
 
   test("checkpoint recovery: a restarted stream resumes from the " +
-      "committed one-long offset and decodes only the new arrivals") {
+      "committed watermark offset and decodes only the new arrivals") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dsv2_stream_ckpt").toString
     val ckpt = java.nio.file.Files
@@ -510,6 +510,58 @@ class SeamfSourceSpec extends SparkSpec {
     val files = spark.read.parquet(out).select("file").distinct().count()
     assert(files === 4, s"expected 4 distinct source files, got $files")
     assert(perSweep > 0)
+  }
+
+  test("watermark offsets: an equal-mtime burst sorting after the " +
+      "watermark streams correctly; a late file below it fails LOUDLY " +
+      "(a count-based offset would silently re-decode and drop)") {
+    val dirP = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_tie")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_tie_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dsv2_stream_tie_out").toString
+    val t0 = SeamfMetadata.isoToMicros("2023-09-21T00:00:00Z")
+    val tie = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+
+    def drain(): Long = {
+      val q = spark.readStream.format("seamf").load(dirP.toString)
+        .select("file", "table", "datetime_us")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      q.stop()
+      spark.read.parquet(out).count()
+    }
+
+    val f1 = SeamfFixtures.writeSweep(dirP, 1, t0, nChannels = 1)
+    java.nio.file.Files.setLastModifiedTime(f1, tie)
+    val run1 = drain()
+    assert(run1 > 0)
+
+    // 1-second mtime granularity burst: same mtime as the committed
+    // watermark but a LATER path — must stream exactly once
+    val f2 = SeamfFixtures.writeSweep(dirP, 2, t0 + 90000000L, nChannels = 1)
+    java.nio.file.Files.setLastModifiedTime(f2, tie)
+    assert(drain() === 2 * run1,
+      "equal-mtime later-path arrival must decode exactly once")
+
+    // a file surfacing BELOW the watermark (same mtime, smaller path)
+    // would have shifted every count-based index: committed files
+    // re-decode, the new file never processes. The watermark design
+    // refuses the listing loudly instead.
+    val f0 = SeamfFixtures.writeSweep(dirP, 0, t0 + 180000000L, nChannels = 1)
+    java.nio.file.Files.setLastModifiedTime(f0, tie)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("append-only")),
+      s"expected the append-only contract in: ${messages(ex)}")
   }
 
   test("streaming decode pruning with a strict double bound: the superset " +

@@ -126,6 +126,61 @@ class HadoopZipSpec extends AnyFunSuite {
     Files.delete(f)
   }
 
+  test("an archive with EXACTLY 65535 members and no ZIP64 locator lists " +
+      "via the 16-bit values (saturation only MAY mean ZIP64)") {
+    // Info-ZIP / Python zipfile write ZIP64 records only when a value
+    // EXCEEDS its field, so nEntries == 0xFFFF with no locator is a valid
+    // archive. The JDK's writer emits ZIP64 at >= 0xFFFF, so this layout
+    // must be written by hand: 65535 empty stored members.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = 0xffff
+    val f = Files.createTempFile("graft_zip65535", ".zip")
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(f))
+    def le(bytes: Int): ByteBuffer =
+      ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val names = (0 until n).map(i => f"m$i%05d".getBytes("UTF-8"))
+    try {
+      var off = 0L
+      val lhos = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        lhos(i) = off
+        val b = le(30 + names(i).length)
+          .putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+          .putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
+          .putShort(names(i).length.toShort).putShort(0).put(names(i))
+        out.write(b.array()); off += 30 + names(i).length
+        i += 1
+      }
+      val cdOffset = off
+      i = 0
+      while (i < n) {
+        val b = le(46 + names(i).length)
+          .putInt(0x02014b50).putShort(20).putShort(20).putShort(0)
+          .putShort(0).putShort(0).putShort(0).putInt(0).putInt(0)
+          .putInt(0).putShort(names(i).length.toShort).putShort(0)
+          .putShort(0).putShort(0).putShort(0).putInt(0)
+          .putInt(lhos(i).toInt).put(names(i))
+        out.write(b.array()); off += 46 + names(i).length
+        i += 1
+      }
+      val eocd = le(22)
+        .putInt(0x06054b50).putShort(0).putShort(0)
+        .putShort(0xffff.toShort).putShort(0xffff.toShort)
+        .putInt((off - cdOffset).toInt).putInt(cdOffset.toInt).putShort(0)
+      out.write(eocd.array())
+    } finally out.close()
+    val p = new Path(f.toUri)
+    val entries = HadoopZip.listEntries(fs(f), p)
+    assert(entries.size === n)
+    assert(entries.head.name === "m00000")
+    assert(entries.last.name === f"m${n - 1}%05d")
+    val in = fs(f).open(p)
+    try assert(HadoopZip.readEntry(in, entries(n - 1)).isEmpty)
+    finally in.close()
+    Files.delete(f)
+  }
+
   test("a non-zip file is rejected loudly") {
     val f = Files.createTempFile("graft_notazip", ".zip")
     Files.write(f, Array.fill(100)(0x41.toByte))
