@@ -59,6 +59,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe,
+    * Karpukhin et al. 2020, arXiv:2004.04906): per query, the top-k corpus
+    * vectors whose cosine falls in `[loCos, hiCos)` — similar enough to be
+    * informative negatives, but below the positive/near-duplicate band so
+    * true matches are excluded by construction (pair a high `hiCos` with
+    * the embedding-dedup threshold used for positives).
+    *
+    * Exact form: same broadcast-queries map-side scoring as
+    * [[bruteForceTopK]], with the band predicate applied BEFORE the rank
+    * window so out-of-band pairs never reach the shuffle — at a corpus of
+    * N rows and Q queries the exchange carries only the in-band survivors,
+    * not N x Q scores. At 100 TB substitute [[lshTopK]]'s bucketed
+    * candidate generation in front of the same band filter + re-rank
+    * (multi-probe LSH recall concentrates at the TOP of the band, which is
+    * exactly the hard end mining wants).
+    *
+    * Output: query_id, neighbor_id, rank, cosine.
+    */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      loCos: Double, hiCos: Double): DataFrame = {
+    require(loCos < hiCos, s"empty band [$loCos, $hiCos)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorOps.l2Norm(col(vecCol)).as("__cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv"))
+        / (col("__qn") * col("__cn")))
+      .filter(col("cosine") >= loCos && col("cosine") < hiCos)
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-centroids: the `nCells` corpus vectors with the
     * lexicographically smallest md5(id) — stable, data-dependent, skew-free,
     * and reproducible in portable SQL (the q37 oracle re-derives the same

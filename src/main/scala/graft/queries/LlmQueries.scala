@@ -3716,7 +3716,81 @@ object LlmQueries {
               AS BIGINT) AS g9
           FROM ww)
         SELECT doc_id, w9, g9, w9 + g9 AS key9 FROM gg
-        ORDER BY key9 DESC, doc_id LIMIT 25"""))
+        ORDER BY key9 DESC, doc_id LIMIT 25""")),
+
+    // ---- UniMax epoch-capped budget allocation --------------------------
+    // (Chung 2023, arXiv:2304.09151) — the companion to q78's temperature
+    // mixture: water-fill a token budget (3900 per-mille of total tokens
+    // here) across sources with a hard 4-epoch repetition cap. The greedy
+    // collapses to one threshold (operators/Unimax.scala), so the whole
+    // allocation is a sort + prefix sum over the bounded per-source frame;
+    // at this fixture ~2/3 of the sources are cap-limited and the rest
+    // split the remainder at the water level, exercising both branches.
+    "q112_unimax_alloc" -> QueryDef(
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.regexTokens(col("text"))).as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        graft.operators.Unimax.allocate(counts, "source", "n_tokens",
+          budgetPerMille = 3900L, epochCap = 4)
+      },
+      Some("""WITH tk AS (SELECT source,
+          SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+            AS n_tokens FROM documents GROUP BY source),
+        c AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_tokens * 4 AS BIGINT) AS cap FROM tk),
+        o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
+            SUM(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+              AS pre,
+            COUNT(*) OVER () AS k, SUM(n_tokens) OVER () AS total FROM c),
+        b AS (SELECT *, (total * 3900) // 1000 AS budget FROM o),
+        tt AS (SELECT *, CAST(budget - (pre - cap) AS DOUBLE)
+            / CAST(k - rn + 1 AS DOUBLE) AS tcand FROM b),
+        f AS (SELECT MIN(rn) AS trn FROM tt
+          WHERE CAST(cap AS DOUBLE) > tcand),
+        tv AS (SELECT tt.rn AS trn, tt.tcand AS tval
+          FROM tt JOIN f ON tt.rn = f.trn),
+        a AS (SELECT source, n_tokens, cap,
+            CASE WHEN (SELECT trn FROM tv) IS NULL
+                OR rn < (SELECT trn FROM tv) THEN cap
+              ELSE CAST(FLOOR((SELECT tval FROM tv)) AS BIGINT) END
+              AS alloc_tokens
+          FROM tt)
+        SELECT source, n_tokens, cap, alloc_tokens,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE FLOOR(CAST(alloc_tokens AS DOUBLE)
+              / CAST(n_tokens AS DOUBLE) * 1e6) END AS BIGINT) AS epochs6
+        FROM a ORDER BY source""")),
+
+    // ---- hard-negative mining (contrastive pairs) -----------------------
+    // The DPR recipe (Karpukhin 2020, arXiv:2004.04906): per query, top-k
+    // neighbors in the cosine band [0.15, 0.35) — informative negatives
+    // below the positive/near-dup band. Band filter runs BEFORE the rank
+    // shuffle (Similarity.hardNegativeTopK); the LSH candidate generator
+    // composes in front of the same filter at corpus scale.
+    "q113_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegativeTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, loCos = 0.15, hiCos = 0.35)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+              AS cos
+          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM s WHERE cos >= 0.15 AND cos < 0.35)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   /** DSIR target corpus: the trusted slice the raw pool is scored against

@@ -1125,4 +1125,67 @@ class OperatorsSpec extends SparkSpec {
       lr.unpersistAll()
     }
   }
+
+  test("Unimax.allocate matches the sequential greedy water-filling") {
+    // reference implementation: the paper's sequential greedy, smallest
+    // cap first, floored at the end the way the operator floors
+    def greedy(ns: Seq[(String, Long)], budget: Long, e: Int)
+        : Map[String, Long] = {
+      var rem = budget.toDouble
+      var m = ns.size
+      ns.sortBy { case (s, n) => (n * e, s) }.map { case (s, n) =>
+        val q = math.min((n * e).toDouble, rem / m)
+        rem -= q; m -= 1
+        s -> math.floor(q).toLong
+      }.toMap
+    }
+    def run(ns: Seq[(String, Long)], pm: Long, e: Int): Unit = {
+      val got = Unimax.allocate(ns.toDF("source", "n_tokens"),
+          "source", "n_tokens", budgetPerMille = pm, epochCap = e)
+        .select("source", "n_tokens", "cap", "alloc_tokens", "epochs6")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      val budget = ns.map(_._2).sum * pm / 1000
+      val exp = greedy(ns, budget, e)
+      assert(got.map(_._1) === ns.map(_._1).sorted) // ordered by source
+      got.foreach { case (s, n, cap, alloc, ep6) =>
+        assert(cap === n * e, s)
+        assert(alloc === exp(s), s"$s: alloc $alloc != greedy ${exp(s)}")
+        if (n == 0) assert(ep6 === 0L, s)
+        else assert(ep6 === math.floor(alloc.toDouble / n * 1e6).toLong, s)
+        assert(ep6 <= e * 1000000L, s) // never exceeds the epoch cap
+      }
+      assert(got.map(_._4).sum <= budget) // never over-spends
+    }
+    // threshold at the last source only (budget 3900‰ of 530, cap 4x)
+    run(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 100L,
+      "e" -> 300L), 3900L, 4)
+    // threshold mid-list: b, c, d all land at the same water level
+    run(Seq("a" -> 10L, "b" -> 200L, "c" -> 210L, "d" -> 220L), 600L, 1)
+    // budget exceeds the cap sum: every source takes its full cap
+    run(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L), 5000L, 4)
+    // zero-token source: cap 0, alloc 0, epochs 0 (no NaN)
+    run(Seq("a" -> 0L, "b" -> 100L), 2000L, 4)
+  }
+
+  test("hardNegativeTopK keeps only in-band neighbors, self excluded") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 — positive band, excluded
+      (2L, Array(0.6f, 0.8f)),   // cos 0.60 — above hiCos, excluded
+      (3L, Array(0.3f, 0.954f)), // cos ~0.300
+      (4L, Array(0.25f, 0.968f)), // cos ~0.250
+      (5L, Array(-1.0f, 0.0f)))  // cos -1, excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegativeTopK(vs,
+        vs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 5, loCos = 0.15, hiCos = 0.55)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(3L, 4L)) // ranked by cosine desc inside the band
+    // k truncates inside the band too
+    val k1 = Similarity.hardNegativeTopK(vs,
+        vs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 1, loCos = 0.15, hiCos = 0.55)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(k1 === Seq(3L))
+  }
 }
