@@ -177,6 +177,18 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      nBits: Int = 8, nTables: Int = 4): DataFrame =
+    scoreCandidates(
+      lshCandidates(corpus, queries, idCol, vecCol, nBits, nTables),
+      corpus, queries, idCol, vecCol, k)
+
+  /** The bucketed candidate-generation stage of [[lshTopK]], reusable in
+    * front of any re-rank/filter: deduplicated (query_id, neighbor_id)
+    * pairs whose buckets collide (Hamming <= 1, multi-probe on the query
+    * side) in at least one of `nTables` hash tables.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
       nBits: Int = 8, nTables: Int = 4): DataFrame = {
     val dim = VectorOps.dimOf(corpus, vecCol)
     // ragged rows would null-pad the zip against the plane literal and
@@ -195,25 +207,49 @@ object Similarity {
       .select(col("query_id"), col("table"),
         explode(array(col("bucket") +: (0 until nBits).map(j =>
           col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
-    val cand = bucketed(corpus, "neighbor_id")
+    bucketed(corpus, "neighbor_id")
       .join(probedQueries, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The 100 TB form of [[hardNegativeTopK]]: LSH candidate generation
+    * ([[lshCandidates]]) in front of the same exact band filter + re-rank,
+    * so only bucket-colliding pairs are ever scored. Multi-probe recall
+    * concentrates at the top of the band — the hard end mining wants;
+    * q113b measures exactly how much of the exact band top-k survives the
+    * gate.
+    */
+  def hardNegativeTopKLsh(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      loCos: Double, hiCos: Double,
+      nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    require(loCos < hiCos, s"empty band [$loCos, $hiCos)")
+    scoreCandidates(
+      lshCandidates(corpus, queries, idCol, vecCol, nBits, nTables),
+      corpus, queries, idCol, vecCol, k, band = Some((loCos, hiCos)))
   }
 
   /** Exact re-rank of candidate id pairs: join vectors back (queries via
-    * broadcast — they are the small side), score, rank.
+    * broadcast — they are the small side), score, optionally band-filter
+    * (before the rank window, so out-of-band pairs never reach its
+    * shuffle), rank.
     */
   private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
-      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = cand
       .join(broadcast(q), "query_id")
       .join(c, "neighbor_id")
       .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
-    rankTopK(scored, k)
+    val banded = band match {
+      case Some((lo, hi)) =>
+        scored.filter(col("cosine") >= lo && col("cosine") < hi)
+      case None => scored
+    }
+    rankTopK(banded, k)
   }
 }

@@ -3790,7 +3790,88 @@ object LlmQueries {
           FROM s WHERE cos >= 0.15 AND cos < 0.35)
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
           ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- hard-negative gate recall (q45/q103d discipline) ---------------
+    // How much of the exact band top-k survives the LSH candidate gate —
+    // the gate's quality trade measured, not asserted. Both sides are
+    // hash-family-deterministic (q32's md5-seeded hyperplanes), so DuckDB
+    // replays the ENTIRE grade: exact denominators AND gated numerators.
+    "q113b_hard_negative_recall" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        // both sides consumed twice (count + semi-join): persist, release
+        val exact = Similarity.hardNegativeTopK(emb, qs, "vec_id",
+          "embedding", k = 5, loCos = 0.15, hiCos = 0.35)
+          .select("query_id", "neighbor_id").persist()
+        val gated = Similarity.hardNegativeTopKLsh(emb, qs, "vec_id",
+          "embedding", k = 5, loCos = 0.15, hiCos = 0.35,
+          nBits = 8, nTables = 4)
+          .select("query_id", "neighbor_id").persist()
+        try {
+          val nExact = exact.count()
+          val nFound = exact
+            .join(gated, Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+          val pct: java.lang.Double =
+            if (nExact == 0) null
+            else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
+          Seq(("lsh_band_topk", nExact, nFound, pct))
+            .toDF("method", "n_exact", "n_found", "recall_pct")
+        } finally {
+          exact.unpersist(blocking = false)
+          gated.unpersist(blocking = false)
+        }
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+              AS cos
+          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        xr AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s WHERE cos >= 0.15 AND cos < 0.35),
+        ex AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT e.vec_id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buck q JOIN buck c ON q.tbl = c.tbl
+            AND bit_count(xor(q.bucket, c.bucket)) <= 1
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        gsc AS (SELECT cand.query_id, cand.neighbor_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id),
+        gr AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM gsc WHERE cos >= 0.15 AND cos < 0.35),
+        ap AS (SELECT query_id, neighbor_id FROM gr WHERE rank <= 5),
+        fnd AS (SELECT ex.query_id FROM ex JOIN ap
+          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id)
+        SELECT 'lsh_band_topk' AS method,
+          (SELECT COUNT(*) FROM ex) AS n_exact,
+          (SELECT COUNT(*) FROM fnd) AS n_found,
+          CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN NULL
+            ELSE ROUND(CAST((SELECT COUNT(*) FROM fnd) AS DOUBLE)
+              / (SELECT COUNT(*) FROM ex) * 10000.0) / 100.0 END
+            AS recall_pct"""))
   )
 
   /** DSIR target corpus: the trusted slice the raw pool is scored against

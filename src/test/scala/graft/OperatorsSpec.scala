@@ -1188,4 +1188,26 @@ class OperatorsSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(k1 === Seq(3L))
   }
+
+  test("hardNegativeTopKLsh stays in-band and recovers exact top-k pairs") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.hardNegativeTopK(emb, qs, "vec_id", "embedding",
+      k = 5, loCos = 0.15, hiCos = 0.35)
+    val gated = Similarity.hardNegativeTopKLsh(emb, qs, "vec_id", "embedding",
+      k = 5, loCos = 0.15, hiCos = 0.35)
+    assert(gated.filter(col("cosine") < 0.15 || col("cosine") >= 0.35)
+      .count() === 0)
+    assert(gated.groupBy("query_id").count()
+      .filter(col("count") > 5).count() === 0)
+    val e = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val g = gated.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(e.nonEmpty)
+    // multi-probe recall concentrates at the TOP of the band; mid-band
+    // pairs are the LSH worst case, so the floor is deliberately modest
+    val recall = g.intersect(e).size.toDouble / e.size
+    assert(recall >= 0.15, s"recall $recall")
+  }
 }
