@@ -3871,7 +3871,22 @@ object LlmQueries {
           CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN NULL
             ELSE ROUND(CAST((SELECT COUNT(*) FROM fnd) AS DOUBLE)
               / (SELECT COUNT(*) FROM ex) * 10000.0) / 100.0 END
-            AS recall_pct"""))
+            AS recall_pct""")),
+
+    // ---- k-center greedy coreset (farthest-point sampling) --------------
+    // Gonzalez 1985 / Sener 2018 (arXiv:1708.00489): diversity selection
+    // for data pruning. k map-side passes (centers ride as array
+    // literals, zero shuffle) + k one-row TakeOrdereds; the oracle replays
+    // the whole greedy trajectory as a generated k-step CTE chain with the
+    // identical three-dot distance and tie-break (kCenterSql).
+    "q114_kcenter_coreset" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Coreset
+        Coreset.kCenterGreedy(t(s, dir, "embeddings"), "vec_id",
+            "embedding", k = 8)
+          .orderBy("step")
+      },
+      Some(kCenterSql(8)))
   )
 
   /** DSIR target corpus: the trusted slice the raw pool is scored against
@@ -3898,6 +3913,49 @@ object LlmQueries {
       FROM documents d LEFT JOIN wts w ON d.doc_id = w.doc_id
       WHERE NOT ($DsirTargetSql)
       ORDER BY d.doc_id"""
+
+  /** q114 oracle: the k-center greedy trajectory as a generated CTE chain
+    * (the q108 logRegCtes discipline — built from the SAME k the Spark
+    * side uses, so the arithmetic text cannot drift from
+    * `Coreset.kCenterGreedy`'s column expressions). Step i computes every
+    * unselected point's min squared distance to centers c1..c_{i-1} via
+    * the identical three-dot formula and LEAST chain, takes the argmax
+    * with the identical (dmin DESC, vec_id ASC) tie-break, and binds it
+    * as center c_i carrying its selection radius.
+    */
+  private def kCenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c1 AS (SELECT vec_id, v FROM e
+        WHERE vec_id = (SELECT MIN(vec_id) FROM e))"""
+    for (i <- 2 to k) {
+      val prior = (1 until i).map(j => s"c$j")
+      val dexpr = prior.map(cj =>
+        s"((list_dot_product(e.v, e.v) + list_dot_product($cj.v, $cj.v))" +
+          s" - 2.0 * list_dot_product(e.v, $cj.v))")
+      val least =
+        if (dexpr.size == 1) dexpr.head
+        else s"LEAST(${dexpr.mkString(", ")})"
+      val crossJ = prior.map(cj => s"CROSS JOIN $cj").mkString(" ")
+      val notIn = prior.map(cj => s"SELECT vec_id FROM $cj")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+      d$i AS (SELECT e.vec_id, $least AS dmin FROM e $crossJ
+        WHERE e.vec_id NOT IN ($notIn)),
+      p$i AS (SELECT vec_id, dmin FROM d$i
+        ORDER BY dmin DESC, vec_id LIMIT 1),
+      c$i AS (SELECT e.vec_id, e.v, p$i.dmin FROM e
+        JOIN p$i ON e.vec_id = p$i.vec_id)"""
+    }
+    val branches =
+      "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius_sq FROM c1" +:
+        (2 to k).map(i =>
+          s"SELECT $i AS step, vec_id, dmin AS radius_sq FROM c$i")
+    sb ++= "\n      " + branches.mkString("\n      UNION ALL ") +
+      "\n      ORDER BY step"
+    sb.toString
+  }
 
   /** Shared CTE chain for the q111 family: bigram buckets, the smoothed
     * per-bucket log ratios over a generated 256-bucket spine, per-doc

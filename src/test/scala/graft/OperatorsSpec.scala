@@ -1210,4 +1210,29 @@ class OperatorsSpec extends SparkSpec {
     val recall = g.intersect(e).size.toDouble / e.size
     assert(recall >= 0.15, s"recall $recall")
   }
+
+  test("kCenterGreedy follows the farthest-point trajectory") {
+    // hand-checkable 2-D geometry: seed 0 at origin, then farthest-first
+    //   d^2 to 0:      1:100  2:36  3:25  4:82   -> pick 1, radius 100
+    //   dmin after 1:  2:36   3:25  4:2          -> pick 2, radius 36
+    //   dmin after 2:  3:25   4:2                -> pick 3, radius 25
+    //   dmin after 3:  4:2                       -> pick 4, radius 2
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.0f, 6.0f)), (3L, Array(5.0f, 0.0f)),
+      (4L, Array(9.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Coreset.kCenterGreedy(pts, "vec_id", "embedding", k = 5)
+      .select("step", "vec_id", "radius_sq")
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1, 0L, None), (2, 1L, Some(100.0)),
+      (3, 2L, Some(36.0)), (4, 3L, Some(25.0)), (5, 4L, Some(2.0))))
+    // k beyond the corpus: stops at n rows instead of repeating picks
+    val short = Coreset.kCenterGreedy(pts, "vec_id", "embedding", k = 9)
+    assert(short.count() === 5)
+    // empty corpus: empty result, same schema
+    val empty = Coreset.kCenterGreedy(pts.limit(0), "vec_id", "embedding", 3)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("step", "vec_id", "radius_sq"))
+  }
 }
