@@ -143,6 +143,21 @@ object LlmQueries {
       "// (2*CAST(n_pos AS HUGEINT)*n_neg) AS BIGINT) END AS auc9 FROM ag"
   }
 
+  /** q108g oracle: replay the training chain, then score every example
+    * and rank by the floor-quantized EL2N error norm |sigmoid(z) - y| —
+    * the identical double op sequence the Spark column computes.
+    */
+  private[queries] def logRegEl2nOracleSql: String = {
+    val score = Seq(
+      s"sc AS (SELECT vec_id, y, " +
+        s"ABS(1.0/(1.0+EXP(-($lrZ))) - y) AS e" +
+        s" FROM f CROSS JOIN w$LrIters)")
+    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false,
+        idCol = true) ++ score).mkString(", ")} " +
+      "SELECT vec_id, y, CAST(FLOOR(e*1000000000.0) AS BIGINT) AS el2n9 " +
+      "FROM sc ORDER BY el2n9 DESC, vec_id LIMIT 20"
+  }
+
   /** q108d oracle: replay training + scoring (the q108b chain), then the
     * threshold sweep as a DESC-ordered window cumsum — DuckDB's window
     * stands in for the engine's packed two-phase prefix sum
@@ -2449,6 +2464,37 @@ object LlmQueries {
         MlMetrics.prCurvePoints9(scored, "z9", "y", maxPoints = 25)
       },
       Some(logRegPrCurveOracleSqlAt(Some(25)))),
+
+    // ---- EL2N data-pruning scores from the trained classifier -----------
+    // Paul 2021 (arXiv:2107.07075, "Deep Learning on a Data Diet"): rank
+    // examples by error norm |sigmoid(z) - y| — for a binary classifier
+    // the EL2N score exactly. High scorers are the hard/noisy candidates a
+    // pruning pass drops or audits first. Train + score + rank is one lazy
+    // plan (zero extra passes beyond q108's fit); the top-k is a
+    // per-partition heap (TakeOrdered), ordered on the 1e-9-quantized
+    // score so the trajectory replays cross-engine.
+    "q108g_el2n_prune" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          col("vec_id") +:
+            (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
+        LogReg.score(feats, w, xs)
+          .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+          .withColumn("el2n9",
+            floor(abs(col("p") - col("y").cast("double")) * 1e9)
+              .cast("long"))
+          .select("vec_id", "y", "el2n9")
+          .orderBy(col("el2n9").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(logRegEl2nOracleSql)),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z
