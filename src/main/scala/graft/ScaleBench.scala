@@ -57,7 +57,9 @@ object ScaleBench {
     "q108_logreg_classifier", // GD logistic regression (r8)
     "q108b_logreg_auc",     // train + exact AUC prefix-sum grade (r9)
     "q108d_logreg_pr_curve", // train + exact PR threshold sweep (r9)
-    "q111_dsir_weights")    // DSIR hashed-bigram importance fit+score (r9)
+    "q111_dsir_weights",    // DSIR hashed-bigram importance fit+score (r9)
+    "q112_unimax_alloc",    // UniMax water-filling over per-source frame (r9)
+    "q114_kcenter_coreset") // k-center greedy, k map-side passes (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -94,7 +96,13 @@ object ScaleBench {
     // ALSO carries three compact-doc repartitions — a conservative upper
     // bound on the operator's own scaling; full-scale callers pass
     // spread=false per the Dsir scaladoc
-    "q111_dsir_weights")
+    "q111_dsir_weights",
+    // r9 points: UniMax is a linear token count feeding a per-source
+    // bounded frame; k-center is k map-side passes + k one-row
+    // TakeOrdereds (q113b is NOT here — its exact denominator is a
+    // deliberate quadratic grading shape; the gated production path is
+    // timed separately as hard_negatives_lsh below)
+    "q112_unimax_alloc", "q114_kcenter_coreset")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -338,7 +346,33 @@ object ScaleBench {
           println(f"""{"query":"winnow_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           ("winnow_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
         }
-        queryRows ++ Seq(lshRow, intakeRow)
+        // hard-negative mining, production (LSH-gated) path: q113b's
+        // inventory form carries the exact brute-force truth denominator
+        // by design (the grade IS the point there), so the decade curve
+        // times the gate alone — fixed 10-query set against the growing
+        // corpus, the realistic mining shape
+        def hardNegLsh(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try {
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+            graft.operators.Similarity.hardNegativeTopKLsh(
+                emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+                k = 5, loCos = 0.15, hiCos = 0.35)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] hard_negatives_lsh @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val hardNegRow = {
+          val (s, b, h) = (hardNegLsh(srcDir), hardNegLsh(bigDir),
+            hardNegLsh(hugeDir))
+          println(f"""{"query":"hard_negatives_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+          ("hard_negatives_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+        }
+        queryRows ++ Seq(lshRow, intakeRow, hardNegRow)
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)
