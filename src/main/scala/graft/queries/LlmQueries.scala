@@ -3919,6 +3919,79 @@ object LlmQueries {
               / (SELECT COUNT(*) FROM ex) * 10000.0) / 100.0 END
             AS recall_pct""")),
 
+    // ---- Gopher quality-rule bundle -------------------------------------
+    // The named rule set from Rae 2021 (arXiv:2112.11446, Gopher) in the
+    // subset meaningful on newline-free fixtures: word-count bounds, mean
+    // word length in [3, 10], >= 2 stopword hits, >= 80% alphabetic
+    // words, symbol(#/ellipsis)-to-word ratio <= 0.1. Output is per-rule
+    // INDEPENDENT failure counts plus the all-rules pass count — the
+    // attribution a curation audit needs (which rule kills what) — folded
+    // into ONE conditional aggregation (the q97b discipline: no per-rule
+    // passes, no actions). Ratio rules guard nw > 0 so empty docs fail
+    // only the word-count rule (FALSE AND NULL = FALSE in both engines).
+    "q115_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "data")
+        val ws = TextOps.words(col("text"))
+        val flags = t(s, dir, "documents")
+          .select(
+            size(ws).as("nw"),
+            aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("wchars"),
+            size(filter(ws, w => lower(w).isInCollection(stop)))
+              .as("stop_hits"),
+            size(filter(ws, w => w.rlike("[A-Za-z]"))).as("alpha_words"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[#…]", "")))
+              .as("sym_chars"))
+          .select(
+            (col("nw") < 30 || col("nw") > 100000).as("f_wc"),
+            (col("nw") > 0 &&
+              (col("wchars").cast("double") / col("nw") < 3.0 ||
+                col("wchars").cast("double") / col("nw") > 10.0)).as("f_mwl"),
+            (col("stop_hits") < 2).as("f_stop"),
+            (col("nw") > 0 &&
+              col("alpha_words").cast("double") / col("nw") < 0.8)
+              .as("f_alpha"),
+            (col("nw") > 0 &&
+              col("sym_chars").cast("double") / col("nw") > 0.1).as("f_sym"))
+        flags.agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("f_wc"), 1)).as("fail_word_count"),
+          count(when(col("f_mwl"), 1)).as("fail_mean_word_len"),
+          count(when(col("f_stop"), 1)).as("fail_stopwords"),
+          count(when(col("f_alpha"), 1)).as("fail_alpha_ratio"),
+          count(when(col("f_sym"), 1)).as("fail_symbol_ratio"),
+          count(when(!col("f_wc") && !col("f_mwl") && !col("f_stop") &&
+            !col("f_alpha") && !col("f_sym"), 1)).as("n_pass_all"))
+      },
+      Some(s"""$WordsCte,
+        m AS (SELECT len(ws) AS nw,
+            list_sum(list_transform(ws, x -> len(x))) AS wchars,
+            len(list_filter(ws, x -> lower(x) IN
+              ('the','a','and','of','to','in','is','data'))) AS stop_hits,
+            len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+              AS alpha_words,
+            len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
+              AS sym_chars
+          FROM w),
+        f AS (SELECT
+            (nw < 30 OR nw > 100000) AS f_wc,
+            (nw > 0 AND (CAST(wchars AS DOUBLE)/nw < 3.0
+              OR CAST(wchars AS DOUBLE)/nw > 10.0)) AS f_mwl,
+            (stop_hits < 2) AS f_stop,
+            (nw > 0 AND CAST(alpha_words AS DOUBLE)/nw < 0.8) AS f_alpha,
+            (nw > 0 AND CAST(sym_chars AS DOUBLE)/nw > 0.1) AS f_sym
+          FROM m)
+        SELECT COUNT(*) AS n_docs,
+          COUNT(CASE WHEN f_wc THEN 1 END) AS fail_word_count,
+          COUNT(CASE WHEN f_mwl THEN 1 END) AS fail_mean_word_len,
+          COUNT(CASE WHEN f_stop THEN 1 END) AS fail_stopwords,
+          COUNT(CASE WHEN f_alpha THEN 1 END) AS fail_alpha_ratio,
+          COUNT(CASE WHEN f_sym THEN 1 END) AS fail_symbol_ratio,
+          COUNT(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
+            AND NOT f_alpha AND NOT f_sym THEN 1 END) AS n_pass_all
+        FROM f""")),
+
     // ---- k-center greedy coreset (farthest-point sampling) --------------
     // Gonzalez 1985 / Sener 2018 (arXiv:1708.00489): diversity selection
     // for data pruning. k map-side passes (centers ride as array

@@ -713,4 +713,40 @@ class PropertySpec extends SparkSpec {
     assert(got.getLong(2) === 30000100000L) // 2 * sum(100001..200000)
     assert(got.getLong(3) === 1000000000L)
   }
+
+  test("Unimax matches the closed-form water level on random inputs") {
+    import graft.operators.Unimax
+    val gen = for {
+      k <- Gen.chooseNum(1, 12)
+      ns <- Gen.listOfN(k, Gen.chooseNum(0L, 5000L))
+      pm <- Gen.chooseNum(100L, 6000L)
+      e <- Gen.chooseNum(1, 6)
+    } yield (ns.zipWithIndex.map { case (n, i) => (f"s$i%02d", n) }, pm, e)
+    check(Prop.forAll(gen) { case (ns, pm, e) =>
+      val got = Unimax.allocate(ns.toDF("source", "n_tokens"), "source",
+          "n_tokens", budgetPerMille = pm, epochCap = e)
+        .select("source", "n_tokens", "cap", "alloc_tokens")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val budget = ns.map(_._2).sum * pm / 1000
+      // faithful mirror of the operator's closed form: ascending caps;
+      // rows BEFORE the first overflow take their full cap, the rest take
+      // the water level = the first overflowing candidate, with overflow
+      // decided by the SAME double compare the operator (and oracle) use
+      val caps = ns.map { case (s, n) => (s, n * e) }
+        .sortBy { case (s, c) => (c, s) }
+      var pre = 0L
+      var thr = Double.NaN // NaN = no overflow anywhere
+      val exp = caps.zipWithIndex.map { case ((s, c), i) =>
+        val tcand = (budget - pre).toDouble / (caps.size - i)
+        if (thr.isNaN && c.toDouble > tcand) thr = tcand
+        pre += c
+        s -> (if (thr.isNaN) c else math.floor(thr).toLong)
+      }.toMap
+      val allocs = got.map { case (s, (_, _, _, a)) => s -> a }
+      // exact agreement + independent invariants (never over cap/budget)
+      val underCap = got.values.forall { case (_, _, cap, a) => a <= cap }
+      allocs == exp && underCap && allocs.values.sum <= budget
+    }, n = 15)
+  }
 }
