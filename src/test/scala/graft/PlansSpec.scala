@@ -359,4 +359,62 @@ class PlansSpec extends SparkSpec {
       .toString.toLowerCase.contains("roundrobin"))
     assert(Spread(big, spread = false) eq big)
   }
+
+  test("q113: the hard-negative band filter sits BELOW the rank window " +
+      "(out-of-band pairs never reach the exchange) and queries broadcast") {
+    val p = plan("q113_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"queries side must broadcast:\n$p")
+    // plans print top-down: the Window is above (earlier than) the band
+    // predicate, so the filter runs on the scan side of the rank shuffle
+    val iWin = p.indexOf("Window")
+    val iBand = p.indexOf("0.35")
+    assert(iWin >= 0 && iBand > iWin,
+      s"band filter must be below the rank window:\n$p")
+  }
+
+  test("q112: the UniMax token count partially aggregates; the window " +
+      "runs over the per-source frame only") {
+    val p = plan("q112_unimax_alloc")
+    assert(p.contains("partial_sum"),
+      s"token counting must map-side combine:\n$p")
+    // the unpartitioned windows sit ABOVE the per-source aggregate (the
+    // bounded frame), never over raw documents: top-down print order puts
+    // Window before the HashAggregate pair that builds the source counts
+    val iWin = p.indexOf("Window")
+    val iAgg = p.indexOf("HashAggregate")
+    assert(iWin >= 0 && iAgg >= 0 && iWin < iAgg,
+      s"window must consume the aggregated per-source frame:\n$p")
+  }
+
+  test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        stages.addAndGet(js.stageInfos.size)
+      }
+    }
+    org.apache.spark.graft.ListenerBusHatch.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Coreset.kCenterGreedy(emb, "vec_id", "embedding", 6)
+        .collect()
+      spark.range(1).collect() // barrier: flush listener events
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs.get < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      // 6 selection jobs (1 seed + 5 picks) + the barrier; a shuffle
+      // anywhere in a round would make stages > jobs
+      assert(jobs.get >= 6, s"expected >= 6 jobs, saw ${jobs.get}")
+      assert(stages.get === jobs.get,
+        s"every round must be a single stage (no shuffle): " +
+          s"${stages.get} stages over ${jobs.get} jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
