@@ -107,6 +107,19 @@ class EmptyInputSpec extends SparkSpec {
           assert(rows.length === 1 &&
             rows.head.getLong(0) == 0L && rows.head.getLong(1) == 0L &&
             rows.head.getLong(2) == -1L)
+        // the hard-negative gate grader on nothing: one labeled row with
+        // zero exact/found pairs and NULL recall (the oracle's
+        // CASE WHEN n_exact = 0 THEN NULL — 0/0 is undefined)
+        case "q113b_hard_negative_recall" =>
+          assert(rows.length === 1 &&
+            rows.head.getString(0) == "lsh_band_topk" &&
+            rows.head.getLong(1) == 0L && rows.head.getLong(2) == 0L &&
+            rows.head.isNullAt(3))
+        // the rule-bundle audit on nothing: one all-zero aggregate row
+        // (every COUNT over nothing) — zero docs fail, zero docs pass
+        case "q115_gopher_rules" =>
+          assert(rows.length === 1 &&
+            (0 to 6).forall(i => rows.head.getLong(i) == 0L))
         // the AUC grader on nothing: zero positives/negatives and the
         // undefined-AUC sentinel, matching the oracle's COALESCEd sums
         case "q108b_logreg_auc" =>
