@@ -113,6 +113,23 @@ object LogReg {
     (1 to iters).foldLeft(w0)((w, _) => step(f, w, xCols, yCol, lr))
   }
 
+  /** Per-iteration weight frames w_1 .. w_iters (each one row of quantized
+    * `wq_j` longs, lazy). The q118 forgetting-event audit needs every
+    * intermediate model, not just the final one — this is [[train]]'s
+    * foldLeft kept as a scanLeft. Plan cost is identical to [[train]]:
+    * frame t references frame t-1 exactly once.
+    */
+  def weightTrajectory(features: DataFrame, xCols: Seq[String], yCol: String,
+      lr: Double, iters: Int): Seq[DataFrame] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val f = features.persist()
+    cachedFrames.add(f)
+    val w0 = f.sparkSession.range(1)
+      .select(xCols.indices.map(j => lit(0L).as(s"wq_$j")): _*)
+    (1 to iters).scanLeft(w0)((w, _) =>
+      step(f, w, xCols, yCol, lr)).drop(1)
+  }
+
   /** Graded training trajectory: one row per iteration with the
     * post-update quantized weights and their training accuracy (decision
     * rule z >= 0, i.e. p >= 0.5). Output:
@@ -122,13 +139,8 @@ object LogReg {
     */
   def trainTrajectory(features: DataFrame, xCols: Seq[String], yCol: String,
       lr: Double, iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val f = features.persist()
-    cachedFrames.add(f)
-    val w0 = f.sparkSession.range(1)
-      .select(xCols.indices.map(j => lit(0L).as(s"wq_$j")): _*)
-    val traj = (1 to iters).scanLeft(w0)((w, _) =>
-      step(f, w, xCols, yCol, lr)).drop(1)
+    val f = features
+    val traj = weightTrajectory(features, xCols, yCol, lr, iters)
     traj.zipWithIndex.map { case (w, i) =>
       // count(non-null) rather than sum: DuckDB's COUNT returns BIGINT
       // where SUM over integers returns HUGEINT (type-mismatch in compare)

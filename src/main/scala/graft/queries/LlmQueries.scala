@@ -42,8 +42,13 @@ object LlmQueries {
   private val LrIters = 3
   private val LrScaleSql = "1000000.0"
   private val LrRateSql = "0.5"
-  private def lrZ: String =
-    (0 until LrK).map(j => s"wq_$j/$LrScaleSql*x$j").mkString(" + ")
+  private def lrZ: String = lrZAt("")
+
+  /** The linear score with the weight columns under a CTE-chain prefix
+    * (two-model oracles — q116 — run two training chains in one query).
+    */
+  private def lrZAt(p: String): String =
+    (0 until LrK).map(j => s"${p}wq_$j/$LrScaleSql*x$j").mkString(" + ")
 
   /** Training CTEs: feature CTE (optionally z-scored the way
     * `LogReg.standardize` does it — decimal sums/sum-of-squares, double
@@ -54,43 +59,50 @@ object LlmQueries {
     */
   private def logRegCtes(standardize: Boolean, withAccuracy: Boolean,
       trainWhere: String = "", idCol: Boolean = false,
-      iters: Int = LrIters, rateSql: String = LrRateSql): Seq[String] = {
-    val raw = s"f0 AS (SELECT ${if (idCol) "vec_id, " else ""}" +
+      iters: Int = LrIters, rateSql: String = LrRateSql,
+      prefix: String = ""): Seq[String] = {
+    val p = prefix // prefixes every CTE name AND the wq_j/g_j columns, so
+    // two chains (q116's pool + holdout models) compose in one query
+    val raw = s"${p}f0 AS (SELECT ${if (idCol) "vec_id, " else ""}" +
       "CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
       (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
         .mkString(", ") + " FROM embeddings)"
     val filt = if (trainWhere.isEmpty) "" else s" $trainWhere"
-    val stdCtes = if (!standardize) Seq(s"f AS (SELECT * FROM f0$filt)")
+    val stdCtes = if (!standardize) Seq(s"${p}f AS (SELECT * FROM ${p}f0$filt)")
     else Seq(
-      s"st AS (SELECT COUNT(*) AS sn, " +
+      s"${p}st AS (SELECT COUNT(*) AS sn, " +
         (1 to 8).map(j =>
           s"SUM(CAST(x$j AS DECIMAL(38,18))) AS s_$j, " +
             s"SUM(CAST(x$j*x$j AS DECIMAL(38,18))) AS q_$j").mkString(", ") +
-        s" FROM f0$filt)",
-      "f AS (SELECT y, x0, " +
+        s" FROM ${p}f0$filt)",
+      s"${p}f AS (SELECT y, x0, " +
         (1 to 8).map { j =>
           val m = s"CAST(s_$j AS DOUBLE)/sn"
           val v = s"CAST(q_$j AS DOUBLE)/sn - ($m)*($m)"
           s"(x$j - $m) / (CASE WHEN ($v) <= 1e-12 THEN 1.0 " +
             s"ELSE SQRT($v) END) AS x$j"
-        }.mkString(", ") + s" FROM f0 CROSS JOIN st$filt)")
-    val w0 = "w0 AS (SELECT " +
-      (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS wq_$j").mkString(", ") + ")"
+        }.mkString(", ") + s" FROM ${p}f0 CROSS JOIN ${p}st$filt)")
+    val w0 = s"${p}w0 AS (SELECT " +
+      (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS ${p}wq_$j")
+        .mkString(", ") + ")"
     val iterCtes = (1 to iters).flatMap { t =>
       Seq(
-        s"g$t AS (SELECT COUNT(*) AS n, " +
+        s"${p}g$t AS (SELECT COUNT(*) AS n, " +
           (0 until LrK).map(j =>
-            s"SUM(CAST((1.0/(1.0+EXP(-($lrZ))) - y)*x$j AS DECIMAL(38,18))) " +
-              s"AS g_$j").mkString(", ") + s" FROM f CROSS JOIN w${t - 1})",
-        s"w$t AS (SELECT " +
+            s"SUM(CAST((1.0/(1.0+EXP(-(${lrZAt(p)}))) - y)*x$j " +
+              s"AS DECIMAL(38,18))) " +
+              s"AS ${p}g_$j").mkString(", ") +
+          s" FROM ${p}f CROSS JOIN ${p}w${t - 1})",
+        s"${p}w$t AS (SELECT " +
           (0 until LrK).map(j =>
-            s"CAST(FLOOR((wq_$j/$LrScaleSql - " +
-              s"$rateSql*CAST(g_$j AS DOUBLE)/n)*$LrScaleSql) " +
-              s"AS BIGINT) AS wq_$j").mkString(", ") +
-          s" FROM w${t - 1} CROSS JOIN g$t)") ++
+            s"CAST(FLOOR((${p}wq_$j/$LrScaleSql - " +
+              s"$rateSql*CAST(${p}g_$j AS DOUBLE)/n)*$LrScaleSql) " +
+              s"AS BIGINT) AS ${p}wq_$j").mkString(", ") +
+          s" FROM ${p}w${t - 1} CROSS JOIN ${p}g$t)") ++
         (if (withAccuracy) Seq(
-          s"a$t AS (SELECT COUNT(CASE WHEN (($lrZ) >= 0.0) = (y = 1) " +
-            s"THEN 1 END) AS n_correct FROM f CROSS JOIN w$t)")
+          s"${p}a$t AS (SELECT COUNT(CASE WHEN ((${lrZAt(p)}) >= 0.0) " +
+            s"= (y = 1) " +
+            s"THEN 1 END) AS n_correct FROM ${p}f CROSS JOIN ${p}w$t)")
          else Seq.empty)
     }
     Seq(raw) ++ stdCtes ++ Seq(w0) ++ iterCtes
@@ -156,6 +168,82 @@ object LlmQueries {
         idCol = true) ++ score).mkString(", ")} " +
       "SELECT vec_id, y, CAST(FLOOR(e*1000000000.0) AS BIGINT) AS el2n9 " +
       "FROM sc ORDER BY el2n9 DESC, vec_id LIMIT 20"
+  }
+
+  /** q116 oracle: TWO training chains in one query — the pool model
+    * (vec_id % 4 <> 0, unprefixed CTEs) and the held-out irreducible-loss
+    * model (vec_id % 4 = 0, `h_`-prefixed CTEs) — then every pool example
+    * scored by both and ranked on the floor-quantized excess error.
+    */
+  private[queries] def logRegRhoOracleSql: String = {
+    val pool = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
+    val hold = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 4 = 0", idCol = true, prefix = "h_")
+    val score = Seq(
+      s"sc AS (SELECT vec_id, y, " +
+        s"ABS(1.0/(1.0+EXP(-(${lrZAt("")}))) - y) - " +
+        s"ABS(1.0/(1.0+EXP(-(${lrZAt("h_")}))) - y) AS e " +
+        s"FROM f CROSS JOIN w$LrIters CROSS JOIN h_w$LrIters)")
+    s"WITH ${(pool ++ hold ++ score).mkString(", ")} " +
+      "SELECT vec_id, y, CAST(FLOOR(e*1000000000.0) AS BIGINT) AS rho9 " +
+      "FROM sc ORDER BY rho9 DESC, vec_id LIMIT 20"
+  }
+
+  /** q117 oracle: replay the pool-model chain, derive the validation-mean
+    * gradient over the held-out slice (decimal sums, final weights), and
+    * score every pool example by the gradient dot product — the identical
+    * left-associated double arithmetic the Spark columns compute.
+    */
+  private[queries] def logRegTracinOracleSql: String = {
+    val ctes = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
+    val gval = s"gv AS (SELECT COUNT(*) AS nv, " +
+      (0 until LrK).map(j =>
+        s"SUM(CAST((1.0/(1.0+EXP(-($lrZ))) - y)*x$j AS DECIMAL(38,18))) " +
+          s"AS v_$j").mkString(", ") +
+      s" FROM f0 CROSS JOIN w$LrIters WHERE vec_id % 4 = 0)"
+    val dot = (0 until LrK)
+      .map(j => s"x$j*(CAST(v_$j AS DOUBLE)/nv)").mkString(" + ")
+    val infl = s"sc AS (SELECT vec_id, y, " +
+      s"(1.0/(1.0+EXP(-($lrZ))) - y) * ($dot) AS infl " +
+      s"FROM f CROSS JOIN w$LrIters CROSS JOIN gv)"
+    s"WITH ${(ctes ++ Seq(gval, infl)).mkString(", ")} " +
+      "SELECT vec_id, y, CAST(FLOOR(infl*1000000000.0) AS BIGINT) AS infl9 " +
+      "FROM sc ORDER BY infl9 DESC, vec_id LIMIT 20"
+  }
+
+  /** q118 oracle: replay the full-corpus chain, score every example with
+    * EACH iteration's weights (w1..w3 aliased per-iteration so the three
+    * one-row frames compose in one FROM), and fold the per-iteration
+    * correctness flags into the forgetting-event histogram.
+    */
+  private[queries] def logRegForgetOracleSql: String = {
+    // the q108e training config (standardized, lr 4.0, 6 iters): the hot
+    // learning rate makes the decision boundary actually OSCILLATE, so
+    // forgetting events exist to histogram — the cool q108 fit learns
+    // monotonically and grades a degenerate two-row table
+    val iters = 6
+    val ctes = logRegCtes(standardize = true, withAccuracy = false,
+      iters = iters, rateSql = "4.0")
+    val aliased = (1 to iters).map { t =>
+      s"(SELECT " + (0 until LrK)
+        .map(j => s"wq_$j AS w${t}q_$j").mkString(", ") + s" FROM w$t) t$t"
+    }.mkString(" CROSS JOIN ")
+    def z(t: Int): String =
+      (0 until LrK).map(j => s"w${t}q_$j/$LrScaleSql*x$j").mkString(" + ")
+    def c(t: Int): String = s"((${z(t)}) >= 0.0) = (y = 1)"
+    def ci(t: Int): String = s"CASE WHEN ${c(t)} THEN 1 ELSE 0 END"
+    val forgets = (1 until iters)
+      .map(t => s"CASE WHEN ${c(t)} AND NOT (${c(t + 1)}) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val flags = s"fl AS (SELECT CAST(${(1 to iters).map(ci).mkString(" + ")}" +
+      s" AS BIGINT) AS n_correct_iters, CAST($forgets AS BIGINT) AS n_forget," +
+      s" CAST(${ci(iters)} AS BIGINT) AS final_correct" +
+      s" FROM f CROSS JOIN $aliased)"
+    s"WITH ${(ctes :+ flags).mkString(", ")} " +
+      "SELECT n_correct_iters, n_forget, final_correct, " +
+      "COUNT(*) AS n_examples FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
   }
 
   /** q108d oracle: replay training + scoring (the q108b chain), then the
@@ -2495,6 +2583,138 @@ object LlmQueries {
           .limit(20)
       },
       Some(logRegEl2nOracleSql)),
+
+    // ---- RHO-loss-style learnability selection (two models) ------------
+    // Mindermann 2022 (arXiv:2206.07137, "Prioritized training on points
+    // that are learnable, worth learning, and not yet learnt"): rank pool
+    // examples by EXCESS error — current-model error minus the error of an
+    // irreducible-loss model trained on a held-out slice. High excess =
+    // learnable but not yet learnt (the keepers); deeply negative = likely
+    // label noise. EL2N-form errors |sigmoid(z) - y| stand in for log-loss
+    // (same selection family, no ln() in the cross-engine replay). Two
+    // independent GD fits + both scorings are still ONE lazy plan: each
+    // model is a one-row broadcast frame, so the double scoring is
+    // map-side — zero extra shuffles over q108g.
+    "q116_rho_learnability" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          col("vec_id") +:
+            (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val pool = feats.filter(col("vec_id") % 4 =!= 0)
+        val hold = feats.filter(col("vec_id") % 4 === 0)
+        val wCur = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
+        val wIl = LogReg.train(hold, xs, "y", lr = 0.5, iters = 3)
+        val s1 = LogReg.score(pool, wCur, xs)
+          .drop("pred").withColumnRenamed("z", "z_cur")
+        val s2 = LogReg.score(s1, wIl, xs)
+          .drop("pred").withColumnRenamed("z", "z_il")
+        val yd = col("y").cast("double")
+        s2.withColumn("e",
+            abs(lit(1.0) / (lit(1.0) + exp(-col("z_cur"))) - yd) -
+              abs(lit(1.0) / (lit(1.0) + exp(-col("z_il"))) - yd))
+          .select(col("vec_id"), col("y"),
+            floor(col("e") * lit(1e9)).cast("long").as("rho9"))
+          .orderBy(col("rho9").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(logRegRhoOracleSql)),
+
+    // ---- TracIn-style gradient-dot influence scores --------------------
+    // Pruthi 2020 (arXiv:2002.08484, "Estimating training data influence
+    // by tracing gradient descent"), first-checkpoint form: influence of
+    // pool example i on held-out loss ~ grad_i . mean(grad_val), which for
+    // logistic regression is (p_i - y_i) * (x_i . g_val) — closed-form
+    // per-example gradients, no backprop machinery. g_val is ONE decimal
+    // aggregation over the held-out slice with the final weights
+    // (broadcast one-row frame); scoring is map-side. Top of the DESC
+    // ranking = opponents (training on them pushes held-out loss up — the
+    // prune/audit list); the bottom = strongest proponents.
+    "q117_tracin_influence" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          col("vec_id") +:
+            (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val pool = feats.filter(col("vec_id") % 4 =!= 0)
+        val valSlice = feats.filter(col("vec_id") % 4 === 0)
+        val w = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
+        def resid: Column =
+          lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y").cast("double")
+        val gvAggs = xs.zipWithIndex.map { case (c, j) =>
+          sum((resid * col(c)).cast(DecimalType(38, 18))).as(s"v_$j")
+        }
+        val gv = LogReg.score(valSlice, w, xs)
+          .agg(count(lit(1)).as("nv"), gvAggs: _*)
+        val dot = xs.zipWithIndex.map { case (c, j) =>
+          col(c) * (col(s"v_$j").cast("double") / col("nv"))
+        }.reduce(_ + _)
+        LogReg.score(pool, w, xs).crossJoin(broadcast(gv))
+          .withColumn("infl", resid * dot)
+          .select(col("vec_id"), col("y"),
+            floor(col("infl") * lit(1e9)).cast("long").as("infl9"))
+          .orderBy(col("infl9").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(logRegTracinOracleSql)),
+
+    // ---- Forgetting-event histogram over the GD trajectory -------------
+    // Toneva 2019 (arXiv:1812.05159, "An empirical study of example
+    // forgetting"): an example is FORGOTTEN when it flips correct ->
+    // incorrect between consecutive training steps; never-learnt and
+    // frequently-forgotten examples are the classic prune/audit
+    // candidates. Scoring every example against EVERY iteration's weights
+    // costs nothing extra here: the per-iteration models (weightTrajectory)
+    // are one-row broadcast frames, so all T correctness flags fold in one
+    // map-side pass, then a B-cell histogram aggregation (grid is at most
+    // (T+1) x T x 2 rows). The corpus-shape summary, not a per-row dump —
+    // the per-example form is q108g/q116's top-k shape. Trained with the
+    // q108e config (standardized, lr 4.0, 6 iters): the hot rate makes the
+    // boundary oscillate, so forgetting events exist to count.
+    "q118_forgetting_events" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val iters = 6
+        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
+        val ws = LogReg.weightTrajectory(std, xs, "y", lr = 4.0, iters = iters)
+        val joined = ws.zipWithIndex.foldLeft(std) { case (d, (w, i)) =>
+          d.crossJoin(broadcast(w.select(
+            xs.indices.map(j => col(s"wq_$j").as(s"w${i + 1}q_$j")): _*)))
+        }
+        def zt(t: Int): Column = xs.zipWithIndex.map { case (c, j) =>
+          (col(s"w${t}q_$j") / lit(LogReg.Scale.toDouble)) * col(c)
+        }.reduce(_ + _)
+        def ct(t: Int): Column = (zt(t) >= 0.0) === (col("y") === 1)
+        def ci(t: Int): Column = when(ct(t), 1).otherwise(0)
+        val forgets = (1 until iters)
+          .map(t => when(ct(t) && !ct(t + 1), 1).otherwise(0)).reduce(_ + _)
+        joined.select(
+            (1 to iters).map(ci).reduce(_ + _).cast("long")
+              .as("n_correct_iters"),
+            forgets.cast("long").as("n_forget"),
+            ci(iters).cast("long").as("final_correct"))
+          .groupBy("n_correct_iters", "n_forget", "final_correct")
+          .agg(count(lit(1)).as("n_examples"))
+          .orderBy("n_correct_iters", "n_forget", "final_correct")
+      },
+      Some(logRegForgetOracleSql)),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z

@@ -387,6 +387,28 @@ class PlansSpec extends SparkSpec {
       s"window must consume the aggregated per-source frame:\n$p")
   }
 
+  test("q116/q117: influence scoring is map-side — every model frame " +
+      "joins broadcast, the top-k never globally sorts") {
+    Seq("q116_rho_learnability", "q117_tracin_influence").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"),
+        s"$n shuffles a scoring join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$n must broadcast the one-row model/gradient frames:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n top-20 must be a per-partition heap, not a global sort:\n$p")
+    }
+  }
+
+  test("q118: all per-iteration weight frames broadcast and the " +
+      "forgetting histogram partially aggregates") {
+    val p = plan("q118_forgetting_events")
+    assert(!p.contains("SortMergeJoin"),
+      s"weight-frame joins must not shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"histogram must map-side combine:\n$p")
+  }
+
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val stages = new java.util.concurrent.atomic.AtomicInteger
