@@ -59,7 +59,10 @@ object ScaleBench {
     "q108d_logreg_pr_curve", // train + exact PR threshold sweep (r9)
     "q111_dsir_weights",    // DSIR hashed-bigram importance fit+score (r9)
     "q112_unimax_alloc",    // UniMax water-filling over per-source frame (r9)
-    "q114_kcenter_coreset") // k-center greedy, k map-side passes (r9)
+    "q114_kcenter_coreset", // k-center greedy, k map-side passes (r9)
+    "q116_rho_learnability", // two-model excess-error selection (r9)
+    "q117_tracin_influence", // gradient-dot influence scores (r9)
+    "q118_forgetting_events") // per-iteration forgetting histogram (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -102,7 +105,12 @@ object ScaleBench {
     // TakeOrdereds (q113b is NOT here — its exact denominator is a
     // deliberate quadratic grading shape; the gated production path is
     // timed separately as hard_negatives_lsh below)
-    "q112_unimax_alloc", "q114_kcenter_coreset")
+    "q112_unimax_alloc", "q114_kcenter_coreset",
+    // r9 points: the influence/selection grades are all iters x one-pass
+    // decimal aggregations (one-row broadcast models) + a map-side score
+    // — the q108 signature, linear by construction, now measured
+    "q116_rho_learnability", "q117_tracin_influence",
+    "q118_forgetting_events")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

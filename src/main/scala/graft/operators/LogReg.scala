@@ -113,43 +113,75 @@ object LogReg {
     (1 to iters).foldLeft(w0)((w, _) => step(f, w, xCols, yCol, lr))
   }
 
-  /** Per-iteration weight frames w_1 .. w_iters (each one row of quantized
-    * `wq_j` longs, lazy). The q118 forgetting-event audit needs every
-    * intermediate model, not just the final one — this is [[train]]'s
-    * foldLeft kept as a scanLeft. Plan cost is identical to [[train]]:
-    * frame t references frame t-1 exactly once.
+  /** Linear score at trajectory step `t` with the `w{t}q_j` columns in
+    * scope (see [[weightTrajectoryWide]]) — the same fixed left-associated
+    * order as [[zCol]] so every engine replays the doubles verbatim.
     */
-  def weightTrajectory(features: DataFrame, xCols: Seq[String], yCol: String,
-      lr: Double, iters: Int): Seq[DataFrame] = {
+  private def zColAt(t: Int, xCols: Seq[String]): Column =
+    xCols.zipWithIndex.map { case (c, j) =>
+      (col(s"w${t}q_$j") / lit(Scale.toDouble)) * col(c)
+    }.reduce(_ + _)
+
+  /** EVERY iteration's quantized weights in ONE one-row frame, columns
+    * `w{t}q_j` for t = 1..iters. This is [[train]]'s chain with each
+    * step's output APPENDED (carried through the next gradient aggregation
+    * the same way the previous step's weights already are) instead of
+    * replaced — so auditing all T models (q118's forgetting events, the
+    * q108 trajectory grade) is one broadcast join and the gradient passes
+    * stay linear in T. Materializing [[train]]'s per-step frames
+    * side-by-side would instead replay every prefix chain: T(T+1)/2
+    * gradient aggregations (measured ~3x wall time at T=6).
+    */
+  def weightTrajectoryWide(features: DataFrame, xCols: Seq[String],
+      yCol: String, lr: Double, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val f = features.persist()
     cachedFrames.add(f)
     val w0 = f.sparkSession.range(1)
-      .select(xCols.indices.map(j => lit(0L).as(s"wq_$j")): _*)
-    (1 to iters).scanLeft(w0)((w, _) =>
-      step(f, w, xCols, yCol, lr)).drop(1)
+      .select(xCols.indices.map(j => lit(0L).as(s"w0q_$j")): _*)
+    val wide = (1 to iters).foldLeft(w0) { (cum, t) =>
+      val p = lit(1.0) / (lit(1.0) + exp(-zColAt(t - 1, xCols)))
+      val resid = p - col(yCol).cast("double")
+      val grads = xCols.zipWithIndex.map { case (c, j) =>
+        sum((resid * col(c)).cast(Dec)).as(s"g_$j")
+      }
+      val carriedNames = cum.columns.toSeq
+      val carried = carriedNames.map(c => min(col(c)).as(c))
+      val g = f.crossJoin(broadcast(cum))
+        .agg(grads.head,
+          grads.tail ++ carried :+ count(lit(1)).as("n"): _*)
+      g.select(carriedNames.map(col) ++ xCols.indices.map { j =>
+        floor((col(s"w${t - 1}q_$j") / lit(Scale.toDouble) -
+          lit(lr) * col(s"g_$j").cast("double") / col("n")) *
+          lit(Scale.toDouble)).as(s"w${t}q_$j")
+      }: _*)
+    }
+    wide.drop(xCols.indices.map(j => s"w0q_$j"): _*)
   }
 
   /** Graded training trajectory: one row per iteration with the
     * post-update quantized weights and their training accuracy (decision
     * rule z >= 0, i.e. p >= 0.5). Output:
-    * (iter, wq_0..wq_{k-1}, n_correct). Each accuracy is one extra pass
-    * over the persisted features — the oracle form; production training
-    * uses [[train]] (no accuracy passes).
+    * (iter, wq_0..wq_{k-1}, n_correct). All T accuracies fold in ONE
+    * extra pass over the persisted features (T count-when cells against
+    * the broadcast wide-trajectory frame) — the oracle form; production
+    * training uses [[train]] (no accuracy passes).
     */
   def trainTrajectory(features: DataFrame, xCols: Seq[String], yCol: String,
       lr: Double, iters: Int): DataFrame = {
-    val f = features
-    val traj = weightTrajectory(features, xCols, yCol, lr, iters)
-    traj.zipWithIndex.map { case (w, i) =>
-      // count(non-null) rather than sum: DuckDB's COUNT returns BIGINT
-      // where SUM over integers returns HUGEINT (type-mismatch in compare)
-      val correct = f.crossJoin(broadcast(w))
-        .agg(count(when((zCol(xCols) >= 0.0) === (col(yCol) === 1), 1))
-          .as("n_correct"))
-      w.crossJoin(broadcast(correct))
-        .select(lit(i + 1L).as("iter") +:
-          xCols.indices.map(j => col(s"wq_$j")) :+ col("n_correct"): _*)
+    val wide = weightTrajectoryWide(features, xCols, yCol, lr, iters)
+    // count(non-null) rather than sum: DuckDB's COUNT returns BIGINT
+    // where SUM over integers returns HUGEINT (type-mismatch in compare)
+    val accAggs = (1 to iters).map(t =>
+      count(when((zColAt(t, xCols) >= 0.0) === (col(yCol) === 1), 1))
+        .as(s"n_correct_$t"))
+    val acc = features.crossJoin(broadcast(wide))
+      .agg(accAggs.head, accAggs.tail: _*)
+    val all = wide.crossJoin(broadcast(acc))
+    (1 to iters).map { t =>
+      all.select(lit(t.toLong).as("iter") +:
+        xCols.indices.map(j => col(s"w${t}q_$j").as(s"wq_$j")) :+
+        col(s"n_correct_$t").as("n_correct"): _*)
     }.reduce(_ unionByName _)
   }
 

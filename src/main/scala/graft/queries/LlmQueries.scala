@@ -2674,9 +2674,11 @@ object LlmQueries {
     // incorrect between consecutive training steps; never-learnt and
     // frequently-forgotten examples are the classic prune/audit
     // candidates. Scoring every example against EVERY iteration's weights
-    // costs nothing extra here: the per-iteration models (weightTrajectory)
-    // are one-row broadcast frames, so all T correctness flags fold in one
-    // map-side pass, then a B-cell histogram aggregation (grid is at most
+    // costs nothing extra here: the whole trajectory rides ONE one-row
+    // broadcast frame (weightTrajectoryWide — gradient passes linear in
+    // T, not the T(T+1)/2 of joining per-step frames), so all T
+    // correctness flags fold in one map-side pass, then a B-cell histogram
+    // aggregation (grid is at most
     // (T+1) x T x 2 rows). The corpus-shape summary, not a per-row dump —
     // the per-example form is q108g/q116's top-k shape. Trained with the
     // q108e config (standardized, lr 4.0, 6 iters): the hot rate makes the
@@ -2693,11 +2695,9 @@ object LlmQueries {
         val xs = (0 to 8).map(j => s"x$j")
         val iters = 6
         val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
-        val ws = LogReg.weightTrajectory(std, xs, "y", lr = 4.0, iters = iters)
-        val joined = ws.zipWithIndex.foldLeft(std) { case (d, (w, i)) =>
-          d.crossJoin(broadcast(w.select(
-            xs.indices.map(j => col(s"wq_$j").as(s"w${i + 1}q_$j")): _*)))
-        }
+        val ws =
+          LogReg.weightTrajectoryWide(std, xs, "y", lr = 4.0, iters = iters)
+        val joined = std.crossJoin(broadcast(ws))
         def zt(t: Int): Column = xs.zipWithIndex.map { case (c, j) =>
           (col(s"w${t}q_$j") / lit(LogReg.Scale.toDouble)) * col(c)
         }.reduce(_ + _)
