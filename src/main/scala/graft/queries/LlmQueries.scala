@@ -75,7 +75,7 @@ object LlmQueries {
           s"SUM(CAST(x$j AS DECIMAL(38,18))) AS s_$j, " +
             s"SUM(CAST(x$j*x$j AS DECIMAL(38,18))) AS q_$j").mkString(", ") +
         s" FROM ${p}f0$filt)",
-      s"${p}f AS (SELECT y, x0, " +
+      s"${p}f AS (SELECT ${if (idCol) "vec_id, " else ""}y, x0, " +
         (1 to 8).map { j =>
           val m = s"CAST(s_$j AS DOUBLE)/sn"
           val v = s"CAST(q_$j AS DOUBLE)/sn - ($m)*($m)"
@@ -244,6 +244,68 @@ object LlmQueries {
     s"WITH ${(ctes :+ flags).mkString(", ")} " +
       "SELECT n_correct_iters, n_forget, final_correct, " +
       "COUNT(*) AS n_examples FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+  }
+
+  /** q119 oracle: replay the q118 chain (standardized, hot rate), score
+    * every example's TRUE-class probability with each iteration's weights,
+    * and derive cartography confidence (mean) and variability (population
+    * std, `E[p^2] - E[p]^2` in the fixed order the engine computes).
+    */
+  private[queries] def logRegCartographyOracleSql: String = {
+    val iters = 6
+    val ctes = logRegCtes(standardize = true, withAccuracy = false,
+      iters = iters, rateSql = "4.0", idCol = true)
+    val aliased = (1 to iters).map { t =>
+      s"(SELECT " + (0 until LrK)
+        .map(j => s"wq_$j AS w${t}q_$j").mkString(", ") + s" FROM w$t) t$t"
+    }.mkString(" CROSS JOIN ")
+    def z(t: Int): String =
+      (0 until LrK).map(j => s"w${t}q_$j/$LrScaleSql*x$j").mkString(" + ")
+    def pt(t: Int): String =
+      s"(CASE WHEN y = 1 THEN 1.0/(1.0+EXP(-(${z(t)}))) " +
+        s"ELSE 1.0 - 1.0/(1.0+EXP(-(${z(t)}))) END)"
+    val s1 = (1 to iters).map(pt).mkString(" + ")
+    val s2 = (1 to iters).map(t => s"${pt(t)} * ${pt(t)}").mkString(" + ")
+    val sc = s"sc AS (SELECT vec_id, y, ($s1) AS s1, ($s2) AS s2 " +
+      s"FROM f CROSS JOIN $aliased)"
+    val vExpr = s"(s2/$iters.0 - (s1/$iters.0)*(s1/$iters.0))"
+    s"WITH ${(ctes :+ sc).mkString(", ")} " +
+      "SELECT vec_id, y, " +
+      s"CAST(FLOOR((s1/$iters.0)*1000000000.0) AS BIGINT) AS conf9, " +
+      s"CAST(FLOOR(SQRT(CASE WHEN $vExpr < 0.0 THEN 0.0 ELSE $vExpr END)" +
+      "*1000000000.0) AS BIGINT) AS var9 " +
+      "FROM sc ORDER BY var9 DESC, vec_id LIMIT 20"
+  }
+
+  /** q120 oracle: replay BOTH q116 chains (pool + held-out reference),
+    * then per-domain mean losses as decimal sums (partitioning-invariant),
+    * the excess-loss softmax with its denominator ALSO a decimal sum (the
+    * 10-row total must not depend on reduction order), and floor-quantized
+    * weights. Domains come from re-joining embeddings on vec_id.
+    */
+  private[queries] def logRegDoremiOracleSql: String = {
+    val pool = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
+    val hold = logRegCtes(standardize = false, withAccuracy = false,
+      trainWhere = "WHERE vec_id % 4 = 0", idCol = true, prefix = "h_")
+    val body = Seq(
+      s"sc AS (SELECT e.label AS domain, " +
+        s"ABS(1.0/(1.0+EXP(-(${lrZAt("")}))) - y) AS lp, " +
+        s"ABS(1.0/(1.0+EXP(-(${lrZAt("h_")}))) - y) AS lh " +
+        s"FROM f JOIN embeddings e ON f.vec_id = e.vec_id " +
+        s"CROSS JOIN w$LrIters CROSS JOIN h_w$LrIters)",
+      "d AS (SELECT domain, COUNT(*) AS n, " +
+        "SUM(CAST(lp AS DECIMAL(38,18))) AS sp, " +
+        "SUM(CAST(lh AS DECIMAL(38,18))) AS sh FROM sc GROUP BY domain)",
+      "e2 AS (SELECT domain, CAST(sp AS DOUBLE)/n - CAST(sh AS DOUBLE)/n " +
+        "AS excess FROM d)",
+      "ew AS (SELECT domain, excess, EXP(10.0*excess) AS expw FROM e2)",
+      "tt AS (SELECT SUM(CAST(expw AS DECIMAL(38,18))) AS tot FROM ew)")
+    s"WITH ${(pool ++ hold ++ body).mkString(", ")} " +
+      "SELECT domain, " +
+      "CAST(FLOOR(excess*1000000000.0) AS BIGINT) AS excess9, " +
+      "CAST(FLOOR(expw/CAST(tot AS DOUBLE)*1000000000.0) AS BIGINT) " +
+      "AS weight9 FROM ew CROSS JOIN tt ORDER BY domain"
   }
 
   /** q108d oracle: replay training + scoring (the q108b chain), then the
@@ -2715,6 +2777,101 @@ object LlmQueries {
           .orderBy("n_correct_iters", "n_forget", "final_correct")
       },
       Some(logRegForgetOracleSql)),
+
+    // ---- Dataset-cartography coordinates over the GD trajectory --------
+    // Swayamdipta 2020 (arXiv:2009.10795, "Dataset cartography"):
+    // CONFIDENCE = mean true-class probability across training steps,
+    // VARIABILITY = its population std. High-variability ("ambiguous")
+    // examples are the most valuable to keep; low-confidence
+    // low-variability ones are the mislabel/audit candidates. Rides the
+    // same one-row wide-trajectory broadcast as q118 (q108e config so the
+    // boundary oscillates and variability is non-degenerate): all T
+    // probabilities fold map-side, the top-k is a per-partition heap.
+    "q119_dataset_cartography" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          col("vec_id") +:
+            (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val iters = 6
+        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
+        val ws =
+          LogReg.weightTrajectoryWide(std, xs, "y", lr = 4.0, iters = iters)
+        val joined = std.crossJoin(broadcast(ws))
+        def zt(tt: Int): Column = xs.zipWithIndex.map { case (c, j) =>
+          (col(s"w${tt}q_$j") / lit(LogReg.Scale.toDouble)) * col(c)
+        }.reduce(_ + _)
+        def pt(tt: Int): Column = {
+          val p = lit(1.0) / (lit(1.0) + exp(-zt(tt)))
+          when(col("y") === 1, p).otherwise(lit(1.0) - p)
+        }
+        val sc = joined.select(col("vec_id"), col("y"),
+          (1 to iters).map(pt).reduce(_ + _).as("s1"),
+          (1 to iters).map(tt => pt(tt) * pt(tt)).reduce(_ + _).as("s2"))
+        val conf = col("s1") / lit(iters.toDouble)
+        val v = col("s2") / lit(iters.toDouble) - conf * conf
+        sc.select(col("vec_id"), col("y"),
+            floor(conf * lit(1e9)).cast("long").as("conf9"),
+            floor(sqrt(when(v < 0.0, lit(0.0)).otherwise(v)) * lit(1e9))
+              .cast("long").as("var9"))
+          .orderBy(col("var9").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(logRegCartographyOracleSql)),
+
+    // ---- DoReMi-style domain reweighting on excess loss -----------------
+    // Xie 2023 (arXiv:2305.10429, "DoReMi"): upweight domains where the
+    // proxy model's loss exceeds a reference model's — here the q116 pair
+    // (pool fit vs held-out irreducible-loss fit) scores the pool once,
+    // per-domain mean losses aggregate as DECIMAL sums (partitioning-
+    // invariant), and the exponentiated-excess softmax normalizes over a
+    // decimal total so the 10-row reduction order can't leak into the
+    // quantized weights. Output is the mixture table a sampler consumes.
+    "q120_doremi_weights" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.LogReg
+        val emb = t(s, dir, "embeddings")
+        val feats = emb.select(
+          col("vec_id") +: col("label").as("domain") +:
+            (col("label") < 5).cast("int").as("y") +:
+            lit(1.0).as("x0") +:
+            (1 to 8).map(j =>
+              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
+        val xs = (0 to 8).map(j => s"x$j")
+        val pool = feats.filter(col("vec_id") % 4 =!= 0)
+        val hold = feats.filter(col("vec_id") % 4 === 0)
+        val wP = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
+        val wH = LogReg.train(hold, xs, "y", lr = 0.5, iters = 3)
+        val s1f = LogReg.score(pool, wP, xs)
+          .drop("pred").withColumnRenamed("z", "z_p")
+        val s2f = LogReg.score(s1f, wH, xs)
+          .drop("pred").withColumnRenamed("z", "z_h")
+        val yd = col("y").cast("double")
+        val sc = s2f.select(col("domain"),
+          abs(lit(1.0) / (lit(1.0) + exp(-col("z_p"))) - yd).as("lp"),
+          abs(lit(1.0) / (lit(1.0) + exp(-col("z_h"))) - yd).as("lh"))
+        val d = sc.groupBy("domain").agg(
+          count(lit(1)).as("n"),
+          sum(col("lp").cast(DecimalType(38, 18))).as("sp"),
+          sum(col("lh").cast(DecimalType(38, 18))).as("sh"))
+        val e2 = d.select(col("domain"),
+          (col("sp").cast("double") / col("n") -
+            col("sh").cast("double") / col("n")).as("excess"))
+        val ew = e2.withColumn("expw", exp(lit(10.0) * col("excess")))
+        val tt = ew.agg(sum(col("expw").cast(DecimalType(38, 18))).as("tot"))
+        ew.crossJoin(broadcast(tt))
+          .select(col("domain"),
+            floor(col("excess") * lit(1e9)).cast("long").as("excess9"),
+            floor(col("expw") / col("tot").cast("double") * lit(1e9))
+              .cast("long").as("weight9"))
+          .orderBy("domain")
+      },
+      Some(logRegDoremiOracleSql)),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z

@@ -409,6 +409,28 @@ class PlansSpec extends SparkSpec {
       s"histogram must map-side combine:\n$p")
   }
 
+  test("q119: the whole trajectory rides one broadcast frame and the " +
+      "ambiguity top-k is a per-partition heap") {
+    val p = plan("q119_dataset_cartography")
+    assert(!p.contains("SortMergeJoin"),
+      s"trajectory scoring must not shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the wide weight frame must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a per-partition heap, not a global sort:\n$p")
+  }
+
+  test("q120: per-domain losses partially aggregate; the softmax total " +
+      "joins broadcast, never a shuffle join") {
+    val p = plan("q120_doremi_weights")
+    assert(!p.contains("SortMergeJoin"),
+      s"model/total joins must not shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"domain losses must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row exp-sum total must broadcast:\n$p")
+  }
+
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val stages = new java.util.concurrent.atomic.AtomicInteger
