@@ -62,7 +62,9 @@ object ScaleBench {
     "q114_kcenter_coreset", // k-center greedy, k map-side passes (r9)
     "q116_rho_learnability", // two-model excess-error selection (r9)
     "q117_tracin_influence", // gradient-dot influence scores (r9)
-    "q118_forgetting_events") // per-iteration forgetting histogram (r9)
+    "q118_forgetting_events", // per-iteration forgetting histogram (r9)
+    "q119_dataset_cartography", // confidence/variability over the trajectory (r9)
+    "q120_doremi_weights")  // excess-loss softmax domain mixture (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -110,7 +112,8 @@ object ScaleBench {
     // decimal aggregations (one-row broadcast models) + a map-side score
     // — the q108 signature, linear by construction, now measured
     "q116_rho_learnability", "q117_tracin_influence",
-    "q118_forgetting_events")
+    "q118_forgetting_events", "q119_dataset_cartography",
+    "q120_doremi_weights")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
