@@ -937,6 +937,23 @@ class OperatorsSpec extends SparkSpec {
     lr.unpersistAll()
   }
 
+  test("LogReg: weightTrajectoryWide's w{t}q columns equal train()'s " +
+      "weights at every step, under repartitioning too") {
+    val (feats, lr) = logRegFeats
+    val xs = Seq("x0", "x1", "x2")
+    val wide = lr.weightTrajectoryWide(feats, xs, "y", 0.5, 3).collect().head
+    val wideRep = lr.weightTrajectoryWide(feats.repartition(7), xs, "y",
+      0.5, 3).collect().head
+    assert(wide.toSeq === wideRep.toSeq)
+    (1 to 3).foreach { t =>
+      val wT = lr.train(feats, xs, "y", 0.5, t).collect().head
+      val cols = xs.indices.map(j => wide.getAs[Long](s"w${t}q_$j"))
+      assert(cols === xs.indices.map(wT.getLong),
+        s"step $t wide-frame weights diverge from train()")
+    }
+    lr.unpersistAll()
+  }
+
   test("MlMetrics.rocAuc9: tie-corrected Mann-Whitney AUC, exact and " +
       "partition-invariant") {
     import graft.operators.MlMetrics
