@@ -300,12 +300,16 @@ object LlmQueries {
       "e2 AS (SELECT domain, CAST(sp AS DOUBLE)/n - CAST(sh AS DOUBLE)/n " +
         "AS excess FROM d)",
       "ew AS (SELECT domain, excess, EXP(10.0*excess) AS expw FROM e2)",
-      "tt AS (SELECT SUM(CAST(expw AS DECIMAL(38,18))) AS tot FROM ew)")
+      // the softmax total as an UNPARTITIONED window over the bounded
+      // per-domain frame (<= |domains| rows) — one pass over the lineage;
+      // an agg + re-join would evaluate the whole two-fit chain twice
+      "wt AS (SELECT domain, excess, expw, " +
+        "SUM(CAST(expw AS DECIMAL(38,18))) OVER () AS tot FROM ew)")
     s"WITH ${(pool ++ hold ++ body).mkString(", ")} " +
       "SELECT domain, " +
       "CAST(FLOOR(excess*1000000000.0) AS BIGINT) AS excess9, " +
       "CAST(FLOOR(expw/CAST(tot AS DOUBLE)*1000000000.0) AS BIGINT) " +
-      "AS weight9 FROM ew CROSS JOIN tt ORDER BY domain"
+      "AS weight9 FROM wt ORDER BY domain"
   }
 
   /** q108d oracle: replay training + scoring (the q108b chain), then the
@@ -2831,7 +2835,11 @@ object LlmQueries {
     // per-domain mean losses aggregate as DECIMAL sums (partitioning-
     // invariant), and the exponentiated-excess softmax normalizes over a
     // decimal total so the 10-row reduction order can't leak into the
-    // quantized weights. Output is the mixture table a sampler consumes.
+    // quantized weights. The total rides an UNPARTITIONED window over the
+    // bounded per-domain frame (one of the documented <=B-row spines) —
+    // an agg + re-join would reference the frame's lineage twice and
+    // re-run BOTH fits and the corpus scoring (measured 2x wall time).
+    // Output is the mixture table a sampler consumes.
     "q120_doremi_weights" -> QueryDef(
       (s, dir) => {
         import graft.operators.LogReg
@@ -2863,8 +2871,9 @@ object LlmQueries {
           (col("sp").cast("double") / col("n") -
             col("sh").cast("double") / col("n")).as("excess"))
         val ew = e2.withColumn("expw", exp(lit(10.0) * col("excess")))
-        val tt = ew.agg(sum(col("expw").cast(DecimalType(38, 18))).as("tot"))
-        ew.crossJoin(broadcast(tt))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        ew.withColumn("tot",
+            sum(col("expw").cast(DecimalType(38, 18))).over(w))
           .select(col("domain"),
             floor(col("excess") * lit(1e9)).cast("long").as("excess9"),
             floor(col("expw") / col("tot").cast("double") * lit(1e9))

@@ -421,14 +421,20 @@ class PlansSpec extends SparkSpec {
   }
 
   test("q120: per-domain losses partially aggregate; the softmax total " +
-      "joins broadcast, never a shuffle join") {
+      "is one windowed pass, not a re-join that replays both fits") {
     val p = plan("q120_doremi_weights")
     assert(!p.contains("SortMergeJoin"),
-      s"model/total joins must not shuffle:\n$p")
+      s"model joins must not shuffle:\n$p")
     assert(p.contains("partial_count"),
       s"domain losses must map-side combine:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the one-row exp-sum total must broadcast:\n$p")
+      s"the one-row model frames must broadcast:\n$p")
+    assert(p.contains("Window"),
+      s"the softmax total must ride the bounded-frame window:\n$p")
+    // the domain groupBy shuffles exactly once: an agg + re-join for the
+    // softmax total would duplicate the whole two-fit lineage
+    val spine = "hashpartitioning\\(domain".r.findAllIn(p).size
+    assert(spine <= 1, s"domain spine evaluated $spine times:\n$p")
   }
 
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
