@@ -645,6 +645,27 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("weightTrajectoryWide matches the sequential reference at EVERY " +
+      "step under any input partitioning") {
+    import graft.operators.LogReg
+    val gen = for {
+      n <- Gen.chooseNum(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(0, 1),
+        Gen.listOfN(2, Gen.chooseNum(-3.0, 3.0))))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (rows.map { case (y, xs) => (y, Array(1.0) ++ xs) }, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }
+        .toDF("y", "x0", "x1", "x2").repartition(parts)
+      val wide = LogReg.weightTrajectoryWide(df, Seq("x0", "x1", "x2"), "y",
+        0.5, 2).collect().head
+      LogReg.unpersistAll()
+      val ref = refGdTrajectory(rows, 0.5, 2)
+      (1 to 2).forall(t =>
+        (0 until 3).map(j => wide.getAs[Long](s"w${t}q_$j")) == ref(t - 1)._1)
+    }, n = 15)
+  }
+
   test("rocAuc9 equals brute-force pair counting (concordant + half-ties) " +
       "for any score multiset") {
     import graft.operators.MlMetrics
