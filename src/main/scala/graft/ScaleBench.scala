@@ -64,7 +64,8 @@ object ScaleBench {
     "q117_tracin_influence", // gradient-dot influence scores (r9)
     "q118_forgetting_events", // per-iteration forgetting histogram (r9)
     "q119_dataset_cartography", // confidence/variability over the trajectory (r9)
-    "q120_doremi_weights")  // excess-loss softmax domain mixture (r9)
+    "q120_doremi_weights",  // excess-loss softmax domain mixture (r9)
+    "q121_prototype_pruning") // within-cluster hardness keep-cut (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -113,7 +114,12 @@ object ScaleBench {
     // — the q108 signature, linear by construction, now measured
     "q116_rho_learnability", "q117_tracin_influence",
     "q118_forgetting_events", "q119_dataset_cartography",
-    "q120_doremi_weights")
+    "q120_doremi_weights",
+    /* q121 shares q57's fit; the window/cut adds one per-cluster pass.
+     * NOTE the fixed k=8 caveat from q103 applies at the third decade —
+     * the measured point times the inventory configuration, k growing
+     * with the corpus is the production contract */
+    "q121_prototype_pruning")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,

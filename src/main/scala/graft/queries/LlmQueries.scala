@@ -566,6 +566,23 @@ object LlmQueries {
 
   private val KMeansA2Cte: String = kmeansA2Cte("8")
 
+  /** q121 oracle: the shared k-means replay, then within-cluster hardness
+    * ranking (dist9 DESC, id tiebreak) and the integral 50%-keep cut —
+    * COUNT/ROW_NUMBER windows and `//` mirror the engine's long
+    * arithmetic exactly.
+    */
+  private[queries] def kmeansPrototypePruneOracleSql: String =
+    s"""WITH $KMeansA2Cte,
+      rk AS (SELECT cid, id, dist9,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
+            AS rk,
+          COUNT(*) OVER (PARTITION BY cid) AS n
+        FROM a2)
+      SELECT cid AS cluster, MAX(n) AS n, COUNT(*) AS n_kept,
+        MIN(dist9) AS cut_dist9
+      FROM rk WHERE rk <= (n * 50) // 100
+      GROUP BY cid ORDER BY cluster"""
+
   // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
   // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
   // the post-merge weighted symbol total tot{k}. Mirrors Bpe.applyMerge
@@ -2881,6 +2898,36 @@ object LlmQueries {
           .orderBy("domain")
       },
       Some(logRegDoremiOracleSql)),
+
+    // ---- Prototypicality pruning over the k-means fit -------------------
+    // Sorscher 2022 (arXiv:2206.14486, "Beyond neural scaling laws"):
+    // with abundant data, prune the EASY examples — rank each cluster by
+    // distance to its prototype (centroid) and keep the hardest fraction.
+    // The fit IS q57's graded fit (shared KMeansA2Cte oracle chain); the
+    // rank + count ride one per-cluster window shuffle (cluster sizes are
+    // ~n/k and k grows with the corpus per the SemDedup contract), the
+    // 50% cut is integral division, and the output is the per-cluster
+    // audit table: size, kept count, and the hardness threshold at the
+    // cut (ties broken by id in both engines).
+    "q121_prototype_pruning" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.KMeans
+        import org.apache.spark.sql.expressions.Window
+        val a2 = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        val byCluster = Window.partitionBy("cid")
+        val hardestFirst =
+          byCluster.orderBy(col("dist9").desc, col("id").asc)
+        a2.withColumn("n", count(lit(1)).over(byCluster))
+          .withColumn("rk", row_number().over(hardestFirst))
+          .filter(col("rk") <= expr("n * 50 div 100"))
+          .groupBy(col("cid").as("cluster"))
+          .agg(max(col("n")).as("n"),
+            count(lit(1)).as("n_kept"),
+            min(col("dist9")).as("cut_dist9"))
+          .orderBy("cluster")
+      },
+      Some(kmeansPrototypePruneOracleSql)),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z

@@ -437,6 +437,17 @@ class PlansSpec extends SparkSpec {
     assert(spine <= 1, s"domain spine evaluated $spine times:\n$p")
   }
 
+  test("q121: hardness rank + keep-cut ride per-cluster windows and the " +
+      "audit table partially aggregates; no joins shuffle") {
+    val p = plan("q121_prototype_pruning")
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid joins must broadcast, not shuffle:\n$p")
+    assert(p.contains("Window"),
+      s"the rank/count must be per-cluster windows:\n$p")
+    assert(p.contains("partial_count"),
+      s"the audit table must map-side combine:\n$p")
+  }
+
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val stages = new java.util.concurrent.atomic.AtomicInteger
