@@ -65,7 +65,8 @@ object ScaleBench {
     "q118_forgetting_events", // per-iteration forgetting histogram (r9)
     "q119_dataset_cartography", // confidence/variability over the trajectory (r9)
     "q120_doremi_weights",  // excess-loss softmax domain mixture (r9)
-    "q121_prototype_pruning") // within-cluster hardness keep-cut (r9)
+    "q121_prototype_pruning", // within-cluster hardness keep-cut (r9)
+    "q122_d4_pipeline")     // SemDeDup + prototype pruning, one fit (r9)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -119,6 +120,10 @@ object ScaleBench {
      * NOTE the fixed k=8 caveat from q103 applies at the third decade —
      * the measured point times the inventory configuration, k growing
      * with the corpus is the production contract */
+    /* q121 is here, q122 is NOT: q122 composes q103's within-cluster
+     * dedup (fixed k=8 at the inventory point), and the q103 third-decade
+     * exclusion applies identically — a fixed-k quadratic on 500k rows
+     * would time a misconfigured workload, not the operator. */
     "q121_prototype_pruning")
 
   /** Build the derived 10x dir once (idempotent marker). */

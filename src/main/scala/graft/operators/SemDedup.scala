@@ -97,6 +97,40 @@ object SemDedup {
       .select(col("id").as(idCol))
   }
 
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM pretraining via
+    * document de-duplication and diversification"): SemDeDup, then
+    * prototypicality pruning (Sorscher 2022) on the SAME clustering —
+    * remove within-cluster near-dups, then keep only the hardest
+    * `keepPct`% of each cluster's survivors by distance to the cluster
+    * prototype. One fit serves both stages (the paper's design); the
+    * rank + size ride per-cluster windows on the persisted assignment,
+    * and the keep-cut is integral division. Output: one audit row per
+    * cluster with surviving rows —
+    * (cluster, n, n_dedup, n_kept, cut_dist9).
+    */
+  def d4Stats(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, minCosine: Double, keepPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = persisted(KMeans.fit(emb, idCol, vecCol, k, iters))
+    val surv = a.join(
+      removals(emb, idCol, vecCol, a, minCosine).select("id"),
+      Seq("id"), "left_anti")
+    val byCluster = Window.partitionBy("cid")
+    val hardestFirst = byCluster.orderBy(col("dist9").desc, col("id").asc)
+    val ranked = surv
+      .withColumn("nd", count(lit(1)).over(byCluster))
+      .withColumn("rk", row_number().over(hardestFirst))
+    val total = a.groupBy("cid").agg(count(lit(1)).as("n"))
+    ranked.filter(col("rk") <= expr(s"nd * $keepPct div 100"))
+      .groupBy("cid")
+      .agg(max(col("nd")).as("n_dedup"), count(lit(1)).as("n_kept"),
+        min(col("dist9")).as("cut_dist9"))
+      .join(total, Seq("cid"))
+      .select(col("cid").as("cluster"), col("n"), col("n_dedup"),
+        col("n_kept"), col("cut_dist9"))
+      .orderBy("cluster")
+  }
+
   /** The scale contract, executable: k = ceil(n / targetClusterSize),
     * clamped to >= 1 — so per-cluster size stays bounded BY CONSTRUCTION
     * as the corpus grows, instead of being asserted in prose. ONE bounded

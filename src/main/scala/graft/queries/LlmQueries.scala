@@ -2929,6 +2929,42 @@ object LlmQueries {
       },
       Some(kmeansPrototypePruneOracleSql)),
 
+    // ---- D4: SemDeDup then prototypicality pruning, one clustering ------
+    // Tirumala 2023 (arXiv:2308.12284, "D4"): the two famous pruning
+    // passes COMPOSED the way the paper runs them — q103's within-cluster
+    // near-dup removal, then q121's hardest-fraction keep-cut on the
+    // SURVIVORS, both over the same k-means fit (one persisted
+    // assignment serves the dedup self-join, the survivor ranking, and
+    // the size spine). The audit row per cluster carries the funnel:
+    // n -> n_dedup -> n_kept, plus the hardness threshold at the cut.
+    "q122_d4_pipeline" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        SemDedup.d4Stats(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2, minCosine = 0.45, keepPct = 50)
+      },
+      Some(s"""WITH $KMeansA2Cte,
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        rem AS (SELECT DISTINCT b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        surv AS (SELECT * FROM a2
+          WHERE id NOT IN (SELECT id FROM rem)),
+        rk AS (SELECT cid, id, dist9,
+            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
+              AS rk,
+            COUNT(*) OVER (PARTITION BY cid) AS nd
+          FROM surv),
+        kp AS (SELECT cid, MAX(nd) AS n_dedup, COUNT(*) AS n_kept,
+            MIN(dist9) AS cut_dist9
+          FROM rk WHERE rk <= (nd * 50) // 100 GROUP BY cid),
+        nc AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid)
+        SELECT kp.cid AS cluster, nc.n, kp.n_dedup, kp.n_kept,
+          kp.cut_dist9
+        FROM kp JOIN nc ON nc.cid = kp.cid ORDER BY cluster""")),
+
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z
     // against precomputed logit boundaries — no exp() in either engine,

@@ -448,6 +448,17 @@ class PlansSpec extends SparkSpec {
       s"the audit table must map-side combine:\n$p")
   }
 
+  test("q122: one persisted k-means fit serves the dedup self-join, the " +
+      "survivor ranking, and the size spine") {
+    val p = plan("q122_d4_pipeline")
+    assert(p.contains("InMemoryTableScan"),
+      s"the assignment must be persisted and reused, not refit per stage:\n$p")
+    assert(p.contains("Window"),
+      s"the survivor rank/count must be per-cluster windows:\n$p")
+    assert(p.contains("partial_count"),
+      s"the audit table must map-side combine:\n$p")
+  }
+
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val stages = new java.util.concurrent.atomic.AtomicInteger
