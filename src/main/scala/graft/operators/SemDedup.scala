@@ -99,18 +99,26 @@ object SemDedup {
 
   /** D4 (Tirumala et al. 2023, "D4: Improving LLM pretraining via
     * document de-duplication and diversification"): SemDeDup, then
-    * prototypicality pruning (Sorscher 2022) on the SAME clustering —
-    * remove within-cluster near-dups, then keep only the hardest
-    * `keepPct`% of each cluster's survivors by distance to the cluster
-    * prototype. One fit serves both stages (the paper's design); the
-    * rank + size ride per-cluster windows on the persisted assignment,
-    * and the keep-cut is integral division. Output: one audit row per
-    * cluster with surviving rows —
+    * prototypicality pruning (Sorscher 2022) — remove within-cluster
+    * near-dups, then keep only the hardest `keepPct`% of each cluster's
+    * survivors by distance to the cluster prototype. NOTE: the paper
+    * RE-CLUSTERS the deduplicated corpus before the pruning stage;
+    * reusing the SemDeDup clustering here is a deliberate cost-saving
+    * approximation (one fit instead of two — the second fit would re-scan
+    * the survivors k more times for centroids the dedup pass already
+    * computed). [[d4ProductionKept]] is the two-fit form that follows the
+    * paper's recipe over the derived-k/gated dedup path. The rank + size
+    * ride per-cluster windows on the persisted assignment, and the
+    * keep-cut is integral division. Output: one audit row per cluster —
+    * EVERY cluster of the fit, including those dedup emptied or whose
+    * keep-cut rounded to zero (n_kept 0, cut_dist9 NULL) —
     * (cluster, n, n_dedup, n_kept, cut_dist9).
     */
   def d4Stats(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, minCosine: Double, keepPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(keepPct >= 0 && keepPct <= 100,
+      s"keepPct must be in [0, 100], got $keepPct")
     val a = persisted(KMeans.fit(emb, idCol, vecCol, k, iters))
     val surv = a.join(
       removals(emb, idCol, vecCol, a, minCosine).select("id"),
@@ -121,11 +129,17 @@ object SemDedup {
       .withColumn("nd", count(lit(1)).over(byCluster))
       .withColumn("rk", row_number().over(hardestFirst))
     val total = a.groupBy("cid").agg(count(lit(1)).as("n"))
-    ranked.filter(col("rk") <= expr(s"nd * $keepPct div 100"))
+    val survCounts = surv.groupBy("cid")
+      .agg(count(lit(1)).as("n_dedup"))
+    val kept = ranked.filter(col("rk") <= expr(s"nd * $keepPct div 100"))
       .groupBy("cid")
-      .agg(max(col("nd")).as("n_dedup"), count(lit(1)).as("n_kept"),
-        min(col("dist9")).as("cut_dist9"))
-      .join(total, Seq("cid"))
+      .agg(count(lit(1)).as("n_kept"), min(col("dist9")).as("cut_dist9"))
+    // left joins from the size spine: a cluster dedup emptied or whose
+    // keep-cut rounded to zero still gets its audit row (ADVICE r9)
+    total.join(survCounts, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_dedup"))
+      .join(kept, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_kept"))
       .select(col("cid").as("cluster"), col("n"), col("n_dedup"),
         col("n_kept"), col("cut_dist9"))
       .orderBy("cluster")
@@ -223,13 +237,26 @@ object SemDedup {
       64 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, n / targetClusterSize) - 1)))
 
+  /** `knownN` / `knownDim`: caller-supplied corpus size and embedding
+    * width. The k/bit-depth derivation needs n as a LITERAL (the k-means
+    * seed ranking and the oracle-pinned plane count are both
+    * parameterized by it) and the hash planes need the vector dimension;
+    * deriving them here costs an eager `emb.count()` plus a max-size
+    * aggregation — free at bench scale, but at 100 TB two extra corpus
+    * passes scheduled before any useful work (VERDICT r9 #1). A pipeline
+    * that just wrote or profiled the corpus already has both; passing
+    * them makes the gate path schedule ZERO jobs before the terminal
+    * action (PlansSpec pins this).
+    */
   def survivorsAuto(emb: DataFrame, idCol: String, vecCol: String,
       targetClusterSize: Int, iters: Int, minCosine: Double,
       maxClusterFactor: Int = 8, maxExactK: Int = 1024,
-      pinnedBits: Option[Int] = None): DataFrame = {
+      pinnedBits: Option[Int] = None,
+      knownN: Option[Long] = None,
+      knownDim: Option[Int] = None): DataFrame = {
     require(targetClusterSize >= 1,
       s"targetClusterSize must be >= 1, got $targetClusterSize")
-    val n = emb.count()
+    val n = knownN.getOrElse(emb.count())
     val k = math.max(1L,
       (n + targetClusterSize - 1) / targetClusterSize).toInt
     if (k > maxExactK) {
@@ -245,7 +272,7 @@ object SemDedup {
           s"target=$targetClusterSize — regenerate the oracle plane count"))
       val base = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v"))
-      val dim = VectorOps.dimOf(base, "__v")
+      val dim = knownDim.getOrElse(VectorOps.dimOf(base, "__v"))
       val clean = base.filter(size(col("__v")) === dim)
       val bucketed = clean.select(col("id"),
           explode(array((0 until nTables).map { t =>
@@ -273,6 +300,87 @@ object SemDedup {
       targetClusterSize.toLong).min(Int.MaxValue).toInt
     a.select("id").except(
       removalsGuarded(emb, idCol, vecCol, a, minCosine, cap).select("id"))
+      .select(col("id").as(idCol))
+  }
+
+  /** Paper-faithful D4 production form (Tirumala 2023): SemDeDup on the
+    * derived-k/gated path ([[survivorsAuto]]), then a SECOND clustering
+    * of the SURVIVORS feeds the prototypicality keep-cut — the paper
+    * re-clusters the deduplicated corpus before pruning ([[d4Stats]]'s
+    * shared fit is the one-fit cost-saving approximation). Returns the
+    * kept ids.
+    *
+    * Both stages share one `maxExactK` gate. Below it, the prune stage
+    * is a fresh [[KMeans.fit]] over the survivors at the same derived
+    * k = ceil(n/target) (survivors <= n, so expected cell size stays
+    * bounded). Past it — where exact Lloyd assignment would be the
+    * Θ(n·k) quadratic the gate exists to avoid — the prune stage swaps
+    * k-means cells for the table-0 hyperplane cells at [[gateBits]]
+    * depth: the cell PROTOTYPE is the per-cell mean vector (one decimal
+    * aggregation keyed (cell, dim) — the exact centroid of the cell,
+    * just not Lloyd-refined), hardness is the same floor-scaled squared
+    * distance long, and the keep-cut rides a per-cell rank window whose
+    * partitions stay ~target-sized in expectation by the bit-depth
+    * construction. Every stage — planes, cell means, distances, rank,
+    * integral cut — replays in DuckDB (q122b exact form, q122c gate
+    * recall grade).
+    */
+  def d4ProductionKept(emb: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int, iters: Int, minCosine: Double, keepPct: Int,
+      maxClusterFactor: Int = 8, maxExactK: Int = 1024,
+      pinnedBits: Option[Int] = None, knownN: Option[Long] = None,
+      knownDim: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(keepPct >= 0 && keepPct <= 100,
+      s"keepPct must be in [0, 100], got $keepPct")
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1, got $targetClusterSize")
+    val n = knownN.getOrElse(emb.count())
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val surv = survivorsAuto(emb, idCol, vecCol, targetClusterSize, iters,
+      minCosine, maxClusterFactor, maxExactK, pinnedBits, Some(n), knownDim)
+    // persisted: the prune fit scans the survivors several times (seeds +
+    // per-iteration assignment); unpersisted, every scan would recompute
+    // the whole dedup stage including its pairwise self-join. Released
+    // via [[unpersistAll]].
+    val survEmb = persisted(emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(surv.select(col(idCol).as("id")), "id"))
+    // (id, cell, dist9): the survivors' own clustering, per the paper
+    val cells =
+      if (k <= maxExactK)
+        KMeans.fit(survEmb, "id", "__v", k, iters)
+          .select(col("id"), col("cid").as("cell"), col("dist9"))
+      else {
+        val bits = gateBits(n, targetClusterSize)
+        val dim = knownDim.getOrElse(VectorOps.dimOf(survEmb, "__v"))
+        val clean = survEmb.filter(size(col("__v")) === dim)
+        val pts = clean
+          .select(col("id"),
+            VectorOps.hyperplaneBucket(col("__v"), bits, 0, dim).as("cell"),
+            posexplode(col("__v")).as(Seq("pos", "xf")))
+          .select(col("id"), col("cell"), (col("pos") + 1).as("dim"),
+            col("xf").cast("double").as("x"))
+        // per-cell mean prototype: decimal per-term sums (KMeans's
+        // centroid discipline) so the prototype replays across engines
+        val means = pts.groupBy("cell", "dim")
+          .agg((sum(col("x").cast(DecimalType(24, 15))).cast("double") /
+            count(lit(1))).as("c"))
+        pts.join(means, Seq("cell", "dim"))
+          .withColumn("t9",
+            floor((col("x") - col("c")) * (col("x") - col("c")) * 1e9)
+              .cast("long"))
+          .groupBy("id", "cell")
+          .agg(sum(col("t9")).as("dist9"))
+      }
+    val byCell = Window.partitionBy("cell")
+    val hardestFirst = byCell.orderBy(col("dist9").desc, col("id").asc)
+    cells
+      .withColumn("nd", count(lit(1)).over(byCell))
+      .withColumn("rk", row_number().over(hardestFirst))
+      .filter(col("rk") <= expr(s"nd * $keepPct div 100"))
       .select(col("id").as(idCol))
   }
 }

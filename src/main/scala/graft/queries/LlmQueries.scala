@@ -539,30 +539,39 @@ object LlmQueries {
           FROM embeddings),
         idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
           AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
-        px AS (SELECT id, dim, v[dim] AS x FROM e, idxs),
-        sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
+        ${kmeansChainCte("", "e", kSql)}"""
+
+  // The same Lloyd chain over an ARBITRARY source CTE `src`(id, v) with a
+  // CTE-name prefix — the re-clustering building block the two-fit D4
+  // oracles need (fit #2 runs over fit #1's survivors, so its seed
+  // ranking and centroid sums must scan `surv`, not `e`). Expects the
+  // global `idxs` CTE already bound; yields {p}a2(id, cid, dist9). With
+  // an empty prefix over `e` this IS kmeansA2Cte's chain.
+  private def kmeansChainCte(p: String, src: String, kSql: String): String =
+    s"""${p}px AS (SELECT id, dim, v[dim] AS x FROM $src, idxs),
+        ${p}sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
             (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
-          FROM e),
-        c0 AS (SELECT cid, dim, v[dim] AS c FROM sr, idxs
+          FROM $src),
+        ${p}c0 AS (SELECT cid, dim, v[dim] AS c FROM ${p}sr, idxs
           WHERE cid < ($kSql)),
-        d1 AS (SELECT id, cid,
+        ${p}d1 AS (SELECT id, cid,
             CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
               AS BIGINT) AS dist9
-          FROM px JOIN c0 USING (dim) GROUP BY id, cid),
-        a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
+          FROM ${p}px JOIN ${p}c0 USING (dim) GROUP BY id, cid),
+        ${p}a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
           FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
-            FROM d1 GROUP BY id)),
-        c1 AS (SELECT cid, dim,
+            FROM ${p}d1 GROUP BY id)),
+        ${p}c1 AS (SELECT cid, dim,
             CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
-          FROM px JOIN a1 USING (id) GROUP BY cid, dim),
-        d2 AS (SELECT id, cid,
+          FROM ${p}px JOIN ${p}a1 USING (id) GROUP BY cid, dim),
+        ${p}d2 AS (SELECT id, cid,
             CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
               AS BIGINT) AS dist9
-          FROM px JOIN c1 USING (dim) GROUP BY id, cid),
-        a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
+          FROM ${p}px JOIN ${p}c1 USING (dim) GROUP BY id, cid),
+        ${p}a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
             struct_extract(m, 'dist9') AS dist9
           FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
-            FROM d2 GROUP BY id))"""
+            FROM ${p}d2 GROUP BY id))"""
 
   private val KMeansA2Cte: String = kmeansA2Cte("8")
 
@@ -2930,13 +2939,17 @@ object LlmQueries {
       Some(kmeansPrototypePruneOracleSql)),
 
     // ---- D4: SemDeDup then prototypicality pruning, one clustering ------
-    // Tirumala 2023 (arXiv:2308.12284, "D4"): the two famous pruning
-    // passes COMPOSED the way the paper runs them — q103's within-cluster
+    // Tirumala 2023 (arXiv:2308.12284, "D4"): q103's within-cluster
     // near-dup removal, then q121's hardest-fraction keep-cut on the
-    // SURVIVORS, both over the same k-means fit (one persisted
+    // SURVIVORS. The paper re-clusters the deduplicated corpus before
+    // pruning; this inventory form deliberately reuses the ONE k-means
+    // fit for both stages as a cost-saving approximation (one persisted
     // assignment serves the dedup self-join, the survivor ranking, and
-    // the size spine). The audit row per cluster carries the funnel:
-    // n -> n_dedup -> n_kept, plus the hardness threshold at the cut.
+    // the size spine) — the paper-faithful two-fit production form is
+    // q122b. The audit row per cluster carries the funnel:
+    // n -> n_dedup -> n_kept, plus the hardness threshold at the cut;
+    // clusters dedup emptied or whose keep-cut rounds to zero still
+    // report (n_kept 0, cut_dist9 NULL) so the funnel audit is total.
     "q122_d4_pipeline" -> QueryDef(
       (s, dir) => {
         import graft.operators.SemDedup
@@ -2952,18 +2965,172 @@ object LlmQueries {
                * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
         surv AS (SELECT * FROM a2
           WHERE id NOT IN (SELECT id FROM rem)),
+        sc AS (SELECT cid, COUNT(*) AS n_dedup FROM surv GROUP BY cid),
         rk AS (SELECT cid, id, dist9,
             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
               AS rk,
             COUNT(*) OVER (PARTITION BY cid) AS nd
           FROM surv),
-        kp AS (SELECT cid, MAX(nd) AS n_dedup, COUNT(*) AS n_kept,
+        kp AS (SELECT cid, COUNT(*) AS n_kept,
             MIN(dist9) AS cut_dist9
           FROM rk WHERE rk <= (nd * 50) // 100 GROUP BY cid),
         nc AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid)
-        SELECT kp.cid AS cluster, nc.n, kp.n_dedup, kp.n_kept,
+        SELECT nc.cid AS cluster, nc.n,
+          CAST(COALESCE(sc.n_dedup, 0) AS BIGINT) AS n_dedup,
+          CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
           kp.cut_dist9
-        FROM kp JOIN nc ON nc.cid = kp.cid ORDER BY cluster""")),
+        FROM nc LEFT JOIN sc ON sc.cid = nc.cid
+        LEFT JOIN kp ON kp.cid = nc.cid ORDER BY cluster""")),
+
+    // ---- D4 production form: two fits, derived k, gated (VERDICT r9 #1) -
+    // The paper-faithful composition at production parameters: derived-k
+    // SemDeDup (q103b's configuration — k = ceil(n/50) grows with the
+    // corpus), then prototypicality pruning over a SECOND k-means fit of
+    // the SURVIVORS (Tirumala 2023 re-clusters the deduplicated corpus
+    // before pruning; q122's shared fit is the one-fit approximation).
+    // Grades the final KEPT id set itself. At this SF the derived k stays
+    // under the exact gate, so the oracle replays two full Lloyd chains —
+    // the second seeded and fitted over fit #1's survivors via the
+    // prefixed CTE builder. Past the gate (forced in q122c, automatic at
+    // the x100 decade) both stages swap k-means cells for hyperplane
+    // cells and the pipeline stays linear.
+    "q122b_d4_production" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        SemDedup.d4ProductionKept(t(s, dir, "embeddings"), "vec_id",
+            "embedding", targetClusterSize = 50, iters = 2,
+            minCosine = 0.45, keepPct = 50)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${kmeansA2Cte(
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        rem AS (SELECT DISTINCT b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        surv AS (SELECT id, v FROM e
+          WHERE id NOT IN (SELECT id FROM rem)),
+        ${kmeansChainCte("p", "surv",
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        prk AS (SELECT id,
+            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
+              AS rk,
+            COUNT(*) OVER (PARTITION BY cid) AS nd
+          FROM pa2)
+        SELECT id AS vec_id FROM prk WHERE rk <= (nd * 50) // 100
+        ORDER BY vec_id""")),
+
+    // ---- D4 production gate-path recall grade (q103d discipline) --------
+    // What the past-the-gate configuration trades away, measured END TO
+    // END on the COMPOSED pipeline: kept-set agreement between the exact
+    // two-fit path (q122b config) and the fully gated path (maxExactK=1:
+    // representative-anchored LSH dedup, then hyperplane-cell mean
+    // prototypes for the keep-cut). recall9 = floor(n_agree * 1e9 /
+    // n_exact_kept) — integer arithmetic, so the agreement metric itself
+    // replays exactly. Both paths hash-replay in the oracle (two Lloyd
+    // chains + the md5-derived plane chain + the decimal cell means).
+    // READING the number: the DEDUP halves agree almost entirely (q103d
+    // grades that stage alone) and the two paths keep near-identical
+    // COUNTS (the per-cell keep fraction is the same integral rule), but
+    // kept-set IDENTITY agreement is dominated by the prune stage's
+    // cell-relative hardness — "farthest from its prototype" depends on
+    // the cell partition, so Lloyd cells and hyperplane cells rank
+    // different members hardest (measured 0.45e9 at sf0.1 on the
+    // near-uniform synthetic embeddings, where the hardest-half cut is
+    // noise-sensitive by construction). That sensitivity is a property
+    // of prototype pruning itself (Sorscher 2022 report the analogous
+    // self-supervised-vs-supervised prototype disagreement), and this
+    // grade is what makes it measurable instead of asserted.
+    "q122c_d4_gate_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SemDedup
+        val emb = t(s, dir, "embeddings")
+        val exact = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50)
+        val gate = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50,
+          maxExactK = 1, pinnedBits = Some(8))
+        val ex = exact.select(col("vec_id"), lit(1L).as("__ex"))
+        val ga = gate.select(col("vec_id"), lit(1L).as("__ga"))
+        ex.join(ga, Seq("vec_id"), "full")
+          .na.fill(0L, Seq("__ex", "__ga"))
+          .agg(coalesce(sum("__ex"), lit(0L)).as("n_exact_kept"),
+            coalesce(sum("__ga"), lit(0L)).as("n_gate_kept"),
+            coalesce(sum(col("__ex") * col("__ga")), lit(0L)).as("n_agree"))
+          .select(col("n_exact_kept"), col("n_gate_kept"), col("n_agree"),
+            when(col("n_exact_kept") === 0, lit(-1L))
+              .otherwise(expr("n_agree * 1000000000 DIV n_exact_kept"))
+              .as("recall9"))
+      },
+      Some(s"""WITH ${kmeansA2Cte(
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
+        rem AS (SELECT DISTINCT b.id
+          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        surv AS (SELECT id, v FROM e
+          WHERE id NOT IN (SELECT id FROM rem)),
+        ${kmeansChainCte("p", "surv",
+          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
+        prk AS (SELECT id,
+            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
+              AS rk,
+            COUNT(*) OVER (PARTITION BY cid) AS nd
+          FROM pa2),
+        keptx AS (SELECT id FROM prk WHERE rk <= (nd * 50) // 100),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
+        buck AS (SELECT e.id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        reps AS (SELECT tbl, bucket, MIN(id) AS id_a
+          FROM buck GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT r.id_a, k.id AS id_b
+          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
+          WHERE k.id > r.id_a),
+        reml AS (SELECT DISTINCT id_b AS id FROM cand
+          JOIN e a ON a.id = cand.id_a
+          JOIN e b ON b.id = cand.id_b
+          WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+        survl AS (SELECT id, v FROM e
+          WHERE id NOT IN (SELECT id FROM reml)),
+        gcell AS (SELECT s.id, b.bucket AS cell, s.v
+          FROM survl s JOIN buck b ON b.id = s.id AND b.tbl = 0),
+        gpx AS (SELECT id, cell, dim, v[dim] AS x FROM gcell, idxs),
+        gmean AS (SELECT cell, dim,
+            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
+          FROM gpx GROUP BY cell, dim),
+        gd AS (SELECT id, cell,
+            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
+              AS BIGINT) AS dist9
+          FROM gpx JOIN gmean USING (cell, dim) GROUP BY id, cell),
+        grk AS (SELECT id,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist9 DESC, id)
+              AS rk,
+            COUNT(*) OVER (PARTITION BY cell) AS nd
+          FROM gd),
+        keptl AS (SELECT id FROM grk WHERE rk <= (nd * 50) // 100),
+        st AS (SELECT (SELECT COUNT(*) FROM keptx) AS nx,
+            (SELECT COUNT(*) FROM keptl) AS nl,
+            (SELECT COUNT(*) FROM keptx JOIN keptl USING (id)) AS na)
+        SELECT CAST(nx AS BIGINT) AS n_exact_kept,
+          CAST(nl AS BIGINT) AS n_gate_kept,
+          CAST(na AS BIGINT) AS n_agree,
+          CAST(CASE WHEN nx = 0 THEN -1
+            ELSE na * 1000000000 // nx END AS BIGINT) AS recall9
+        FROM st""")),
 
     // ---- Calibration (reliability) table of the trained classifier ------
     // Equal-width probability bins decided by comparing the RAW score z

@@ -703,6 +703,67 @@ class OperatorsSpec extends SparkSpec {
       s"LSH-gated survivors wrong: $gated")
   }
 
+  test("SemDedup.d4Stats audits EVERY cluster (zero-kept rows included) " +
+      "and rejects out-of-range keepPct") {
+    // 3 orthogonal singletons, k=3: every cluster has nd=1, so the 50%
+    // keep-cut rounds to zero — each cluster must still report its audit
+    // row with n_kept=0 and a NULL threshold (ADVICE r9)
+    val dirs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f))
+    val emb = dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.SemDedup
+      .d4Stats(emb, "vec_id", "embedding", k = 3, iters = 2,
+        minCosine = 0.95, keepPct = 50)
+      .orderBy("cluster").collect()
+    assert(rows.length === 3, s"expected an audit row per cluster: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 1L, // n, n_dedup
+        s"singleton cluster mis-audited: $r")
+      assert(r.getLong(3) === 0L, s"zero-cut cluster must report n_kept=0: $r")
+      assert(r.isNullAt(4), s"cut_dist9 must be NULL when nothing is kept: $r")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SemDedup.d4Stats(emb, "vec_id", "embedding", 3, 2,
+        0.95, keepPct = 101)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SemDedup.d4Stats(emb, "vec_id", "embedding", 3, 2,
+        0.95, keepPct = -1)
+    }
+  }
+
+  test("SemDedup.d4ProductionKept: keepPct=100 keeps exactly the dedup " +
+      "survivors on both the exact and the gated path; keepPct=50 keeps " +
+      "a per-cell half that is a subset of the survivors") {
+    val dirs = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f),
+      Seq(0f, 0f, 0f, 1f), Seq(1f, 1f, 0f, 0f), Seq(0f, 1f, 1f, 0f),
+      Seq(0f, 0f, 1f, 1f), Seq(1f, 0f, 0f, 1f))
+    val emb = (dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((10L, dirs(3)), (11L, dirs(7)))).toDF("vec_id", "embedding")
+    def kept(keepPct: Int, gated: Boolean): Set[Long] =
+      graft.operators.SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
+          targetClusterSize = 5, iters = 2, minCosine = 0.95,
+          keepPct = keepPct,
+          maxExactK = if (gated) 1 else 1024)
+        .as[Long].collect().toSet
+    // keepPct=100: the prune stage is the identity, so the composed
+    // pipeline returns the dedup survivors exactly on BOTH paths
+    assert(kept(100, gated = false) === (0L to 7L).toSet)
+    assert(kept(100, gated = true) === (0L to 7L).toSet)
+    // keepPct=50: integral per-cell halves, always a survivor subset
+    val half = kept(50, gated = false)
+    assert(half.subsetOf((0L to 7L).toSet) && half.nonEmpty &&
+      half.size <= 4, s"per-cell half out of bounds: $half")
+    // knownN/knownDim short-circuit must not change the result
+    val pinned = graft.operators.SemDedup.d4ProductionKept(emb, "vec_id",
+        "embedding", targetClusterSize = 5, iters = 2, minCosine = 0.95,
+        keepPct = 50, knownN = Some(10L), knownDim = Some(4))
+      .as[Long].collect().toSet
+    assert(pinned === half, s"knownN/knownDim changed the result: $pinned")
+  }
+
   test("SpanDedup recovers exact repeated-span boundaries and merges " +
       "overlapping grams into maximal islands") {
     // the 24-char block is shared at position 6 of docs 1 and 2; doc 3 is

@@ -459,6 +459,32 @@ class PlansSpec extends SparkSpec {
       s"the audit table must map-side combine:\n$p")
   }
 
+  test("survivorsAuto gate path with knownN/knownDim schedules ZERO jobs " +
+      "before the terminal action (VERDICT r9 #1)") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    emb.schema // force relation resolution outside the counted region
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.graft.ListenerBusHatch.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.SemDedup.survivorsAuto(emb, "vec_id",
+        "embedding", targetClusterSize = 50, iters = 2, minCosine = 0.45,
+        maxExactK = 1, knownN = Some(500L), knownDim = Some(64))
+      df.queryExecution.executedPlan // plan fully, still no action
+      org.apache.spark.graft.ListenerBusHatch.drain(spark.sparkContext)
+      assert(jobs.get === 0,
+        s"gate path ran ${jobs.get} eager jobs before the action")
+      assert(df.count() > 0) // and the lazy plan is actually runnable
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("kCenterGreedy rounds are shuffle-free: every job is one stage") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val stages = new java.util.concurrent.atomic.AtomicInteger
