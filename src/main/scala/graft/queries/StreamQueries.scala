@@ -237,7 +237,7 @@ object StreamQueries {
             '\\s+'), x -> len(x) > 0) AS ws FROM documents),
         tok AS (SELECT unnest(ws) AS w FROM w),
         cnt AS (SELECT w, COUNT(*) AS c0 FROM tok GROUP BY w),
-        f AS (SELECT * FROM (VALUES ${LlmQueries.MinHashCoeffSql}) t(d, a, b)
+        f AS (SELECT * FROM (VALUES ${LlmOracleSql.MinHashCoeffSql}) t(d, a, b)
           WHERE d < 4),
         x AS (SELECT w, c0,
             CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 2147483647 AS x
@@ -510,7 +510,7 @@ object StreamQueries {
           .agg(count(lit(1)).as("ref_n"))
         Drift.psiFromBinned(s, refCounts, mat, bins)
       },
-      Some(LlmQueries.logRegScoreDriftOracleSql)),
+      Some(LlmOracleSql.logRegScoreDriftOracleSql)),
 
     // ---- streaming realized precision/recall (labels arrive late) ------
     // w15 watches the SCORE distribution (no labels needed); this is the
@@ -558,7 +558,7 @@ object StreamQueries {
                 "CAST(tp AS DECIMAL(38,0)) * 1000000000 DIV (tp + fn)"))
               .as("recall9"))
       },
-      Some(LlmQueries.logRegStreamPrOracleSql)),
+      Some(LlmOracleSql.logRegStreamPrOracleSql)),
 
     // ---- streaming DSIR intake selection (stateless) --------------------
     // The production shape of q111: the importance model fits OFFLINE
@@ -575,9 +575,9 @@ object StreamQueries {
         import graft.operators.Dsir
         val docs = graft.Tables.load(s, dir, "documents")
         val lam9 = Dsir.collectRatios9(docs, "doc_id", "text",
-          LlmQueries.DsirTargetPred, buckets = 256)
+          LlmOracleSql.DsirTargetPred, buckets = 256)
         val scored = StreamingOps.documentsStream(s, dir)
-          .filter(!LlmQueries.DsirTargetPred)
+          .filter(!LlmOracleSql.DsirTargetPred)
           .select(col("doc_id"), col("lang"),
             // NULL text scores as an empty doc (the oracle's no-rows path)
             when(col("text").isNull, lit(0L)).otherwise(
@@ -588,7 +588,7 @@ object StreamQueries {
           .withColumn("selected", col("w9") >= 0L)
         StreamingOps.runToMemory(s, scored, "w17_mem").orderBy("doc_id")
       },
-      Some(LlmQueries.dsirIntakeOracleSql)),
+      Some(LlmOracleSql.dsirIntakeOracleSql)),
 
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
