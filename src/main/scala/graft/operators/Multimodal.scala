@@ -326,6 +326,101 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(media_id: Long, phash: Long,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** dHash-style 64-bit perceptual hash over the DECODED red channel —
+    * the LAION / CommonCrawl-images near-dup key: average-pool the image
+    * to an 8x8 grid of INTEGER block sums (for the 16x16 fixtures each
+    * cell is an exact 2x2 pixel sum — no float resize enters the hash),
+    * then bit(r,c) = pool(r,c) > pool(r,(c+1) mod 8), the wrap-around
+    * horizontal gradient sign. Integer-exact end to end, so a SQL oracle
+    * replays every bit from the decoded pixels.
+    *
+    * `b0..b3` are the four 16-bit quarters of the hash (bit idx = r*8+c,
+    * band = idx/16) — emitted separately because they are BOTH the LSH
+    * banding key (Hamming distance <= 3 guarantees >= 1 untouched band by
+    * pigeonhole, so band-equality candidate generation has recall 1.0 at
+    * that radius) and the portable compare surface (a packed 64-bit long
+    * needs a `1 << 63` no engine-checked SQL arithmetic can replay).
+    * Undecodable payloads emit nothing — census them with
+    * [[extractFeatures]]'s sentinel rows first.
+    */
+  /** Decode the first frame and compute (packed hash, 4 band ints); None
+    * for undecodable payloads or images smaller than the 8x8 pool grid.
+    */
+  private def pHashOf(m: MediaRow): Option[(Long, Array[Int])] = {
+    if (m.meta.format == "wav") return None
+    val img0 =
+      if (m.meta.format == "gif") decodeGifFrames(m.content).headOption
+      else decodeImage(m.content)
+    img0.flatMap { img =>
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 8 || h < 8) None
+      else {
+        val pool = Array.ofDim[Long](8, 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pool(y * 8 / h)(x * 8 / w) += (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        var ph = 0L
+        val bands = new Array[Int](4)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (pool(r)(c) > pool(r)((c + 1) % 8)) {
+              val idx = r * 8 + c
+              ph |= 1L << idx
+              bands(idx / 16) |= 1 << (idx % 16)
+            }
+            c += 1
+          }
+          r += 1
+        }
+        Some((ph, bands))
+      }
+    }
+  }
+
+  def imagePHash(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        pHashOf(m).iterator.map { case (ph, b) =>
+          PHashRow(m.media_id, ph, b(0), b(1), b(2), b(3))
+        }
+      }
+    }
+  }
+
+  final case class PHashCensusRow(media_id: Long, decode_ok: Boolean,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** [[imagePHash]] with corrupt-payload sentinels: an undecodable (or
+    * sub-8x8) payload emits decode_ok = false with zero bands instead of
+    * disappearing — the per-row census a streaming intake needs (a batch
+    * pipeline can afford a separate [[extractFeatures]] pass; a stream
+    * scores each arrival exactly once).
+    */
+  def imagePHashCensus(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[PHashCensusRow] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        pHashOf(m).fold(PHashCensusRow(m.media_id, false, 0, 0, 0, 0)) {
+          case (_, b) => PHashCensusRow(m.media_id, true, b(0), b(1), b(2), b(3))
+        }
+      }
+    }
+  }
+
   final case class FrameDeltaRow(media_id: Long, frame_idx: Int,
       delta_sum: Long)
 
@@ -428,7 +523,6 @@ object Multimodal {
     */
   def syntheticMediaTable(spark: SparkSession, sfDir: String,
       format: Option[String] = None): Dataset[MediaRow] = {
-    import spark.implicits._
     val residue = format.map {
       case "png" => 0L
       case "wav" => 1L
@@ -438,7 +532,20 @@ object Multimodal {
     }
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    residue.fold(base)(r => base.filter(col("doc_id") % 4 === r))
+    encodeMediaRows(
+      residue.fold(base)(r => base.filter(col("doc_id") % 4 === r)))(spark)
+  }
+
+  /** The fixture encode map over an ARBITRARY `(doc_id, n_chars)` frame —
+    * batch or STREAMING (the map is stateless, so a file-source documents
+    * stream rides the same real codecs; w18 uses exactly this). Callers
+    * filter the frame BEFORE encoding for the same Catalyst-opacity
+    * reason as [[syntheticMediaTable]]'s `format` parameter.
+    */
+  def encodeMediaRows(base: org.apache.spark.sql.DataFrame)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    base.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, nChars) =>

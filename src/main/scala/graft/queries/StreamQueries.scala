@@ -590,6 +590,111 @@ object StreamQueries {
       },
       Some(LlmOracleSql.dsirIntakeOracleSql)),
 
+    // ---- streaming media intake: real decode + pHash x corpus Bloom ----
+    // w14's zero-state intake pattern on the MULTIMODAL axis (VERDICT r9
+    // #4): images arrive on the stream, each one REALLY encodes+decodes
+    // (in-JDK codecs ride the stateless stream map), deterministic
+    // corruption (every doc_id % 5 == 3 payload truncated to 7 bytes)
+    // exercises the sentinel path — decode failures degrade to
+    // decode_ok = false rows, never a stream-killing exception — and
+    // every clean image's four perceptual-hash bands probe the corpus's
+    // broadcast band Bloom filter (m06's candidate rule: a band hit means
+    // the arrival would be an m06 candidate, with guaranteed recall at
+    // Hamming <= 3). State: ZERO; the filter is bounded model state.
+    // The oracle replays pixels -> pooling -> bands -> md5 Bloom
+    // positions -> probes batch-side, corrupt rows included.
+    "w18_stream_media_intake" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.operators.Multimodal
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0))
+        val stream0 = Multimodal.encodeMediaRows(
+          StreamingOps.documentsStream(s, dir)
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0))
+        val stream = stream0.map(m =>
+          if (m.media_id % 5 == 3) m.copy(content = m.content.take(7)) else m)
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeImagePHashMatches(stream, corpus), "w18_mem")
+          .orderBy("media_id")
+      },
+      Some("""WITH cpx AS (SELECT doc_id, tx.x, ty.y,
+          (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
+            AS red
+          FROM documents, range(16) tx(x), range(16) ty(y)
+          WHERE doc_id % 12 = 0),
+        cpool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(red) AS s
+          FROM cpx GROUP BY 1, 2, 3),
+        cbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM cpool a JOIN cpool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        cph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM cpx) d
+          LEFT JOIN cbits USING (doc_id) GROUP BY d.doc_id),
+        ck AS (SELECT DISTINCT k FROM (
+          SELECT '0:' || CAST(b0 AS VARCHAR) AS k FROM cph
+          UNION ALL SELECT '1:' || CAST(b1 AS VARCHAR) FROM cph
+          UNION ALL SELECT '2:' || CAST(b2 AS VARCHAR) FROM cph
+          UNION ALL SELECT '3:' || CAST(b3 AS VARCHAR) FROM cph)),
+        bpos AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(k || '#bloom'
+              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+            AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        spx AS (SELECT doc_id, tx.x, ty.y,
+          (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
+            AS red
+          FROM documents, range(16) tx(x), range(16) ty(y)
+          WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3),
+        spool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(red) AS s
+          FROM spx GROUP BY 1, 2, 3),
+        sbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM spool a JOIN spool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        sph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM spx) d
+          LEFT JOIN sbits USING (doc_id) GROUP BY d.doc_id),
+        sk AS (SELECT doc_id, k FROM (
+          SELECT doc_id, '0:' || CAST(b0 AS VARCHAR) AS k FROM sph
+          UNION ALL SELECT doc_id, '1:' || CAST(b1 AS VARCHAR) FROM sph
+          UNION ALL SELECT doc_id, '2:' || CAST(b2 AS VARCHAR) FROM sph
+          UNION ALL SELECT doc_id, '3:' || CAST(b3 AS VARCHAR) FROM sph)),
+        skp AS (SELECT doc_id, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(md5(k || '#bloom'
+                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM sk CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY doc_id, k),
+        agg AS (SELECT doc_id, CAST(SUM(ok) AS INT) AS n
+          FROM skp GROUP BY doc_id)
+        SELECT d.doc_id AS media_id,
+          d.doc_id % 5 <> 3 AS decode_ok,
+          CAST(CASE WHEN d.doc_id % 5 = 3 THEN 0
+            ELSE COALESCE(a.n, 0) END AS INT) AS n_band_hits,
+          (d.doc_id % 5 <> 3 AND COALESCE(a.n, 0) >= 1) AS suspect
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        WHERE d.doc_id % 4 = 0 AND d.doc_id % 3 <> 0
+        ORDER BY media_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

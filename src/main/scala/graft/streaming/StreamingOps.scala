@@ -280,6 +280,44 @@ object StreamingOps {
       .withColumn("suspect", col("n_hits") >= minHits)
   }
 
+  /** Stateless streaming image near-dup intake (w18): every arriving
+    * image REALLY decodes ([[graft.operators.Multimodal.imagePHashCensus]]
+    * — corrupt payloads degrade to decode_ok = false sentinels, never a
+    * stream-killing exception), its four 16-bit perceptual-hash bands
+    * probe a broadcast Bloom filter of the corpus's band keys, and
+    * `suspect` fires at `minBandHits` band membership hits. Band equality
+    * is m06's candidate rule, so a hit means "would be an m06 candidate
+    * against some corpus image" — recall 1.0 for any corpus near-dup
+    * within Hamming 3 (the pigeonhole guarantee), before a byte of that
+    * corpus is consulted. ZERO streaming state (w14's discipline): the
+    * filter is fixed model state broadcast per batch, positions are
+    * md5-derived, so even false positives replay bit-for-bit in SQL.
+    */
+  def intakeImagePHashMatches(
+      streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      corpusMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      m: Int = 1 << 20, kHash: Int = 3, minBandHits: Int = 1)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.operators.{Bloom, Multimodal}
+    def bandKey(b: Int) = concat(lit(s"$b:"), col(s"b$b").cast("string"))
+    val corpusKeys = Multimodal.imagePHash(corpusMedia).toDF()
+      .select(explode(array((0 to 3).map(bandKey): _*)).as("bk"))
+      .withColumn("__g", lit(1))
+    // BitmapOr dedups by idempotence — no distinct needed before the build
+    val filt = Bloom.buildPacked(corpusKeys, "bk", "__g", m, kHash)
+    val hits = (0 to 3).map(b =>
+      Bloom.mightContainPacked(col("filter"),
+        Bloom.positions(bandKey(b), m, kHash)).cast("int")).reduce(_ + _)
+    Multimodal.imagePHashCensus(streamMedia).toDF()
+      .withColumn("__g", lit(1))
+      .join(broadcast(filt), Seq("__g"), "left")
+      .select(col("media_id"), col("decode_ok"),
+        when(!col("decode_ok") || col("filter").isNull, lit(0))
+          .otherwise(hits).as("n_band_hits"))
+      .withColumn("suspect",
+        col("decode_ok") && col("n_band_hits") >= minBandHits)
+  }
+
   final case class AsOfEvent(user_id: Long, event_id: Long, ts_us: Long,
       is_right: Boolean, value: Double)
   final case class AsOfState(rtsUs: Long, rvalue: Double)

@@ -703,6 +703,60 @@ class OperatorsSpec extends SparkSpec {
       s"LSH-gated survivors wrong: $gated")
   }
 
+  test("Multimodal.imagePHash: identical decoded images hash identically " +
+      "(real PNG round trips), corrupt payloads sentinel in the census " +
+      "and vanish from the hash stream") {
+    implicit val sp = spark
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("png"))
+    val ph = Multimodal.imagePHash(media).toDF()
+      .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    // the pixel formula has period 256 in id: ids 0 and 256 encode
+    // IDENTICAL images through two independent PNG round trips
+    assert(ph(0L) === ph(256L))
+    assert(ph(4L) !== ph(8L)) // distinct images hash apart
+    val corrupt = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("png", 16, 16, 1)),
+      Multimodal.MediaRow(2L, Array.emptyByteArray,
+        Multimodal.MediaMeta("png", 16, 16, 1))).toDS()
+    assert(Multimodal.imagePHash(corrupt).count() === 0)
+    val census = Multimodal.imagePHashCensus(corrupt)
+      .collect().map(r => (r.media_id, r.decode_ok)).toSeq.sorted
+    assert(census === Seq((1L, false), (2L, false)))
+  }
+
+  test("UrlOps.canonicalizeUrl: case folding, www strip, default-port " +
+      "drop, tracking-param removal, param sort, fragment removal") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Sub.Example.COM:443/a/1?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com:8080"),
+      (3L, "https://one.two.three.org/p?ref=z"))
+      .toDF("id", "url")
+    val got = urls.select(col("id"),
+        UrlOps.canonicalizeUrl(col("url")).as("c"),
+        UrlOps.registeredDomain(col("url")).as("d"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "https://sub.example.com/a/1?a=1&b=2", "example.com"),
+      (2L, "http://example.com:8080/", "example.com"),
+      (3L, "https://one.two.three.org/p", "three.org")))
+  }
+
+  test("UrlOps.domainCapKept keeps the cap smallest ids per domain with " +
+      "bounded per-domain state") {
+    val df = Seq((3L, "a.com"), (1L, "a.com"), (2L, "a.com"), (10L, "b.com"))
+      .toDF("id", "domain")
+    val kept = UrlOps.domainCapKept(df, "id", "domain", cap = 2)
+      .orderBy("domain", "keep_rank")
+      .select("domain", "id", "keep_rank")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(kept === Seq(("a.com", 1L, 1), ("a.com", 2L, 2), ("b.com", 10L, 1)))
+    intercept[IllegalArgumentException] {
+      UrlOps.domainCapKept(df, "id", "domain", cap = 0)
+    }
+  }
+
   test("SemDedup.d4Stats audits EVERY cluster (zero-kept rows included) " +
       "and rejects out-of-range keepPct") {
     // 3 orthogonal singletons, k=3: every cluster has nd=1, so the 50%
