@@ -68,6 +68,16 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // host load average at capture start/end (VERDICT r9 stretch): a third
+    // party can adjudicate a contaminated capture from the artifact alone —
+    // a drifting canary WITH an elevated loadavg is host contention; a
+    // drifting canary on an idle host would be the canary itself.
+    def loadavg(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadStart = loadavg()
     val canaryStart1t = canary1t()
     val canaryStartMt = canaryMt()
     val allRuns = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -390,8 +400,9 @@ object Bench {
     }.mkString("[", ",", "]")
     val canaryEnd1t = canary1t()
     val canaryEndMt = canaryMt()
+    val loadEnd = loadavg()
     val canary =
-      f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f}"""
+      f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
     println(json)

@@ -66,7 +66,10 @@ object ScaleBench {
     "q119_dataset_cartography", // confidence/variability over the trajectory (r9)
     "q120_doremi_weights",  // excess-loss softmax domain mixture (r9)
     "q121_prototype_pruning", // within-cluster hardness keep-cut (r9)
-    "q122_d4_pipeline")     // SemDeDup + prototype pruning, one fit (r9)
+    "q122_d4_pipeline",     // SemDeDup + prototype pruning, one fit (r9)
+    "q122b_d4_production",  // two-fit D4, derived-k/gated (r10)
+    "q123_url_domain_cap",  // URL canonicalization + domain caps (r10)
+    "m06_image_phash_dedup") // perceptual-hash image dedup (r10)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -123,8 +126,24 @@ object ScaleBench {
     /* q121 is here, q122 is NOT: q122 composes q103's within-cluster
      * dedup (fixed k=8 at the inventory point), and the q103 third-decade
      * exclusion applies identically — a fixed-k quadratic on 500k rows
-     * would time a misconfigured workload, not the operator. */
-    "q121_prototype_pruning")
+     * would time a misconfigured workload, not the operator. q122b IS
+     * here (VERDICT r9 #1): the D4 production composition derives k, so
+     * at the third decade (200k embeddings, k = 4000 > maxExactK) BOTH
+     * stages cross the gate automatically — the measured point is the
+     * hyperplane-cell pipeline, linear by construction. q122c (the
+     * recall GRADE) is excluded from ScaleBench entirely: it pins the
+     * oracle's 8-bit plane grid, which the bit-depth derivation
+     * deliberately outgrows past 12,800 embeddings (the pin exists to
+     * fail loudly exactly there).
+     * m06 is in HeadlineQueries (decades 1-2) but NOT here: media derive
+     * from doc_id, and the scaled corpus preserves doc_id mod 256 (1e8
+     * mod 256 = 0), so the third decade turns the 64 distinct fixture
+     * images into ~2000-member cliques — a banding pathology the
+     * df-capped bucket discipline (Dedup.capBuckets) handles in
+     * production but which would time a fixture artifact here, the q52
+     * argument again. */
+    "q121_prototype_pruning",
+    "q122b_d4_production", "q123_url_domain_cap")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -368,6 +387,38 @@ object ScaleBench {
           println(f"""{"query":"winnow_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           ("winnow_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
         }
+        // the w18 image-intake, batch form (the operator is stateless
+        // DataFrame ops, so stream == batch by the w14 argument): real
+        // PNG decode + band-Bloom probes — linear in images however
+        // cliquey the corpus gets, because the probe never materializes
+        // candidates (this is m06's scale path past the clique caveat
+        // above). Bloom m scales with the corpus band-key count per the
+        // w14 sizing contract.
+        def phashIntake(dir: String, m: Int): Double = {
+          val t0 = System.nanoTime()
+          try {
+            implicit val sp = spark
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            val corpus = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0))
+            val stream = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0))
+            graft.streaming.StreamingOps
+              .intakeImagePHashMatches(stream, corpus, m = m)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] phash_intake @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val phashRow = {
+          val (s, b, h) = (phashIntake(srcDir, 1 << 20),
+            phashIntake(bigDir, 1 << 20), phashIntake(hugeDir, 1 << 22))
+          println(f"""{"query":"phash_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+          ("phash_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+        }
         // hard-negative mining, production (LSH-gated) path: q113b's
         // inventory form carries the exact brute-force truth denominator
         // by design (the grade IS the point there), so the decade curve
@@ -394,7 +445,7 @@ object ScaleBench {
           println(f"""{"query":"hard_negatives_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           ("hard_negatives_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
         }
-        queryRows ++ Seq(lshRow, intakeRow, hardNegRow)
+        queryRows ++ Seq(lshRow, intakeRow, phashRow, hardNegRow)
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

@@ -588,11 +588,15 @@ object LlmSamplingQueries {
         val canon = t(s, dir, "documents").select(col("doc_id"),
           UrlOps.canonicalizeUrl(url).as("curl"),
           UrlOps.registeredDomain(url).as("domain"))
+        // checksums widen to DECIMAL(38,0) (the auc9 discipline): 2^48-scale
+        // terms overflow a long sum past ~30k rows — caught by the x100
+        // decade run, one code path must serve every corpus size
         val base = canon.agg(
           count(lit(1)).as("n_docs"),
           countDistinct(col("curl")).as("n_canonical"),
-          coalesce(sum(Dedup.md5Hash48(col("curl"))), lit(0L))
-            .as("canon_sum48"))
+          coalesce(sum(Dedup.md5Hash48(col("curl"))
+              .cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).as("canon_sum48"))
         val dom = canon.groupBy("domain").agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("n_domains"),
             coalesce(sum((col("n") > cap).cast("long")), lit(0L))
@@ -602,8 +606,16 @@ object LlmSamplingQueries {
             coalesce(sum(col("n") - least(col("n"), lit(cap.toLong))),
               lit(0L)).as("n_dropped_docs"))
         val kept = UrlOps.domainCapKept(canon, "doc_id", "domain", cap)
-          .agg(coalesce(sum(col("doc_id")), lit(0L)).as("kept_id_sum"))
+          .agg(coalesce(sum(col("doc_id").cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).as("kept_id_sum"))
+        // the decimal sums are exact at any corpus size; the COMPARE
+        // surface folds them to bounded longs with an exact integer mod
+        // (a raw DECIMAL(38,0) round-trips as float on the oracle side)
         base.crossJoin(dom).crossJoin(kept)
+          .withColumn("canon_sum48",
+            expr("CAST(canon_sum48 % 1000000000000000000 AS BIGINT)"))
+          .withColumn("kept_id_sum",
+            expr("CAST(kept_id_sum % 1000000000000000000 AS BIGINT)"))
       },
       Some("""WITH u0 AS (SELECT doc_id, source,
           CASE WHEN doc_id % 4 < 2 THEN 'bighost'
@@ -658,8 +670,8 @@ object LlmSamplingQueries {
             || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS curl
           FROM p2),
         b AS (SELECT COUNT(*) AS n_docs, COUNT(DISTINCT curl) AS n_canonical,
-            COALESCE(SUM(CAST(('0x' || substr(md5(curl), 1, 12)) AS BIGINT)),
-              0) AS canon_sum48
+            COALESCE(SUM(CAST(CAST(('0x' || substr(md5(curl), 1, 12))
+              AS BIGINT) AS DECIMAL(38,0))), 0) AS canon_sum48
           FROM canon),
         dc AS (SELECT domain, COUNT(*) AS n FROM canon GROUP BY domain),
         dm AS (SELECT COUNT(*) AS n_domains,
@@ -668,18 +680,21 @@ object LlmSamplingQueries {
             COALESCE(SUM(LEAST(n, 20)), 0) AS n_kept_docs,
             COALESCE(SUM(n - LEAST(n, 20)), 0) AS n_dropped_docs
           FROM dc),
-        kp AS (SELECT COALESCE(SUM(doc_id), 0) AS kept_id_sum
+        kp AS (SELECT COALESCE(SUM(CAST(doc_id AS DECIMAL(38,0))), 0)
+            AS kept_id_sum
           FROM (SELECT doc_id, ROW_NUMBER() OVER
               (PARTITION BY domain ORDER BY doc_id) AS rn FROM canon)
           WHERE rn <= 20)
         SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
           CAST(b.n_canonical AS BIGINT) AS n_canonical,
-          CAST(b.canon_sum48 AS BIGINT) AS canon_sum48,
+          CAST(b.canon_sum48 % 1000000000000000000 AS BIGINT)
+            AS canon_sum48,
           CAST(dm.n_domains AS BIGINT) AS n_domains,
           CAST(dm.n_capped_domains AS BIGINT) AS n_capped_domains,
           CAST(dm.n_kept_docs AS BIGINT) AS n_kept_docs,
           CAST(dm.n_dropped_docs AS BIGINT) AS n_dropped_docs,
-          CAST(kp.kept_id_sum AS BIGINT) AS kept_id_sum
+          CAST(kp.kept_id_sum % 1000000000000000000 AS BIGINT)
+            AS kept_id_sum
         FROM b, dm, kp"""))
   )
 }
