@@ -126,6 +126,17 @@ class EmptyInputSpec extends SparkSpec {
           assert(rows.length === 1 &&
             (0 to 2).forall(i => rows.head.getLong(i) == 0L) &&
             rows.head.getLong(3) == -1L)
+        // the composed D4 gate grader on nothing: zero kept on both
+        // paths, undefined-recall sentinel (the q103d shape)
+        case "q122c_d4_gate_recall" =>
+          assert(rows.length === 1 &&
+            (0 to 2).forall(i => rows.head.getLong(i) == 0L) &&
+            rows.head.getLong(3) == -1L)
+        // the URL-cap audit on nothing: one all-zero funnel row (every
+        // count/checksum COALESCEs to 0 in both engines)
+        case "q123_url_domain_cap" =>
+          assert(rows.length === 1 &&
+            (0 to 7).forall(i => rows.head.getLong(i) == 0L))
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
