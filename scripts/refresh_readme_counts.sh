@@ -14,7 +14,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/sbt_test.log}"
 
-NQUERIES=$(grep -rhoE '"[a-z0-9_]+" -> QueryDef\(' src/main/scala/graft/queries/*.scala | sort -u | wc -l)
+# recursive over the queries tree — the per-family files live in
+# queries/llm/ since the r10 split
+NQUERIES=$(grep -rhoE '"[a-z0-9_]+" -> QueryDef\(' src/main/scala/graft/queries/ | sort -u | wc -l)
 sed -i -E "s/full [0-9]+-query inventory/full ${NQUERIES}-query inventory/" README.md
 
 # bench-metric count and total from the committed record

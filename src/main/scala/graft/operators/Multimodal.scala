@@ -400,6 +400,36 @@ object Multimodal {
     }
   }
 
+  /** Band-equality candidate pairs over an [[imagePHash]] frame
+    * (media_id, b0..b3), df-capped: band buckets larger than `maxBucket`
+    * are EXCLUDED from candidate generation — the
+    * [[Dedup.simHashCandidates]] bucket discipline applied to images.
+    * Uncapped, a mass-duplicated image corpus (the LAION/CommonCrawl
+    * reality: one logo crawled millions of times) makes band buckets
+    * quadratic; the cap bounds every bucket's self-join at maxBucket²,
+    * and the mass it drops is by construction hash-equal (or
+    * band-colliding) cliques that the cheap exact-hash `groupBy(b0..b3)`
+    * pass collapses without pair enumeration. Candidates only — callers
+    * verify by exact Hamming over the bands.
+    */
+  def phashCandidatePairs(ph: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = 200): org.apache.spark.sql.DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val banded = ph.select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "v")))
+      .withColumn("__bsize",
+        count(lit(1)).over(Window.partitionBy("band", "v")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+  }
+
   final case class PHashCensusRow(media_id: Long, decode_ok: Boolean,
       b0: Int, b1: Int, b2: Int, b3: Int)
 

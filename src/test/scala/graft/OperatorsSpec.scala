@@ -726,6 +726,21 @@ class OperatorsSpec extends SparkSpec {
     assert(census === Seq((1L, false), (2L, false)))
   }
 
+  test("Multimodal.phashCandidatePairs df-cap: over-cap band buckets are " +
+      "excluded; within-cap candidates are exactly the band-equality rule") {
+    // 6 hash-identical images: every band bucket has 6 members
+    val ph = (0L to 5L).map(i => (i, 7, 11, 13, 17))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    // cap below the clique size: every bucket drops, no candidates
+    assert(Multimodal.phashCandidatePairs(ph, maxBucket = 5).count() === 0)
+    // cap at the clique size: all 15 unordered pairs, once each (distinct
+    // across the 4 agreeing bands)
+    assert(Multimodal.phashCandidatePairs(ph, maxBucket = 6).count() === 15)
+    intercept[IllegalArgumentException] {
+      Multimodal.phashCandidatePairs(ph, maxBucket = 0)
+    }
+  }
+
   test("UrlOps.canonicalizeUrl: case folding, www strip, default-port " +
       "drop, tracking-param removal, param sort, fragment removal") {
     val urls = Seq(

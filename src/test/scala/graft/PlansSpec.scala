@@ -459,6 +459,27 @@ class PlansSpec extends SparkSpec {
       s"the audit table must map-side combine:\n$p")
   }
 
+  test("q123: canonicalization is map-side and the domain cap rides the " +
+      "bounded heap — no rank window, no sort-merge join anywhere") {
+    val p = plan("q123_url_domain_cap")
+    assert(!p.contains("Window"),
+      s"the domain cap must not sort a per-domain window (giant-host " +
+        s"skew):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the one-row audit joins must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the bounded min-k heap must aggregate, not window:\n$p")
+  }
+
+  test("m06: one persisted hash table serves banding, both verify joins, " +
+      "and the output spine; verify is the codegen'd bit_count") {
+    val p = plan("m06_image_phash_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"the pHash frame must be persisted, not re-decoded per consumer:\n$p")
+    assert(p.contains("bit_count"),
+      s"Hamming verify must be the native bit_count, not a UDF:\n$p")
+  }
+
   test("survivorsAuto gate path with knownN/knownDim schedules ZERO jobs " +
       "before the terminal action (VERDICT r9 #1)") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")

@@ -89,6 +89,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateless image-pHash intake: streamed rows equal the identical " +
+      "batch computation row for row, corrupt sentinels included") {
+    implicit val sp = spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0))
+    def withCorruption(m: Multimodal.MediaRow): Multimodal.MediaRow =
+      if (m.media_id % 5 == 3) m.copy(content = m.content.take(7)) else m
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.intakeImagePHashMatches(
+        Multimodal.encodeMediaRows(
+          StreamingOps.documentsStream(spark, sf())
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0))
+          .map(withCorruption), corpus),
+      "t_phash_intake").orderBy("media_id").collect().toSeq
+    val batch = StreamingOps.intakeImagePHashMatches(
+        Multimodal.encodeMediaRows(
+          docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0))
+          .map(withCorruption), corpus)
+      .orderBy("media_id").collect().toSeq
+    assert(streamed === batch)
+    // the fixture must exercise all three row kinds
+    assert(streamed.exists(!_.getBoolean(1)))                  // corrupt
+    assert(streamed.exists(r => r.getBoolean(1) && r.getBoolean(3))) // hit
+    assert(streamed.exists(r => r.getBoolean(1) && !r.getBoolean(3))) // clean miss
+  }
+
   test("streaming model-score drift equals the batch PSI table (w15 " +
       "end-of-stream = batch)") {
     val got = SparkEntry.queries("w15_stream_score_drift")(spark, sf())
