@@ -695,6 +695,39 @@ object StreamQueries {
         WHERE d.doc_id % 4 = 0 AND d.doc_id % 3 <> 0
         ORDER BY media_id""")),
 
+    // ---- streaming per-domain quota admission (bounded per-key state) --
+    // q123's domain cap as ADMISSION CONTROL: arriving documents run the
+    // same canonicalize -> registeredDomain pipeline (the shared messy-URL
+    // fixture), and a flatMapGroupsWithState operator admits each domain's
+    // first 20 arrivals, then closes the domain for the life of the
+    // stream. State is ONE counter per domain (the w13 one-row-per-key
+    // cost model); within a batch arrivals process in doc_id order, so
+    // end-of-stream equals the batch rank rule and q123's kept-set
+    // oracle logic replays every admission decision and rank verbatim.
+    "w19_stream_domain_quota" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import graft.operators.UrlOps
+        val urls = StreamingOps.documentsStream(s, dir)
+          .select(col("doc_id"), LlmOracleSql.messyUrlCol.as("url"))
+          .select(col("doc_id"),
+            UrlOps.registeredDomain(col("url")).as("domain"))
+        StreamingOps.runToMemory(s,
+            StreamingOps.streamingDomainQuota(urls, "domain", cap = 20)
+              .toDF(),
+            "w19_mem")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + LlmOracleSql.MessyUrlCte + ",\n        " +
+        LlmOracleSql.UrlDomainCte + """,
+        r AS (SELECT doc_id, domain,
+            ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+          FROM dom)
+        SELECT doc_id, domain, rn <= 20 AS admitted,
+          CAST(CASE WHEN rn <= 20 THEN rn ELSE -1 END AS BIGINT)
+            AS admit_rank
+        FROM r ORDER BY doc_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

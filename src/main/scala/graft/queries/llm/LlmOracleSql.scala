@@ -658,6 +658,75 @@ object LlmOracleSql {
     * `val`s: `defs` above initializes eagerly and interpolates [[DsirCtes]]
     * — a later-declared val would still be null at that point.
     */
+  /** q123/w19 shared messy-URL fixture: one deterministic crawl URL per
+    * document, deliberately exercising every canonicalization rule
+    * (mixed-case scheme/host, www., default and non-default ports,
+    * shuffled tracking params, fragments, empty paths) over a SKEWED
+    * host-size distribution (one bighost with half the corpus, three mid
+    * hosts, a small-host tail) — skew is what domain caps exist for.
+    * The Spark expression and the SQL CTE are kept adjacent so they
+    * cannot drift; [[UrlDomainCte]] is the registered-domain replay
+    * (UrlOps.registeredDomain verbatim).
+    */
+  private[queries] def messyUrlCol: Column = {
+    val d = col("doc_id")
+    val site = when(d % 4 < 2, lit("bighost"))
+      .when(d % 4 === 2, concat(lit("mid"), (d % 3).cast("string")))
+      .otherwise(concat(lit("tail"), (d % 25).cast("string")))
+    concat(
+      when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("."),
+      when(d % 2 === 0, upper(site)).otherwise(site), lit(".COM"),
+      when(d % 4 === 0, lit(":443"))
+        .when(d % 8 === 1, lit(":8080")).otherwise(lit("")),
+      when(d % 6 === 0, lit(""))
+        .otherwise(concat(lit("/a/"), (d % 40).cast("string"))),
+      when(d % 2 === 0, concat(lit("?utm_source=feed&page="),
+          (d % 3).cast("string"), lit("&b=2")))
+        .otherwise(concat(lit("?page="), (d % 3).cast("string"),
+          lit("&utm_campaign=x&b=2"))),
+      when(d % 5 === 0, concat(lit("#Sec"), d.cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** SQL replay of [[messyUrlCol]]: binds u(doc_id, url) over documents. */
+  private[queries] val MessyUrlCte: String =
+    """u0 AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 4 < 2 THEN 'bighost'
+               WHEN doc_id % 4 = 2 THEN 'mid' || CAST(doc_id % 3 AS VARCHAR)
+               ELSE 'tail' || CAST(doc_id % 25 AS VARCHAR) END AS site
+          FROM documents),
+        u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+            || '://'
+            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+            || source || '.'
+            || (CASE WHEN doc_id % 2 = 0 THEN upper(site) ELSE site END)
+            || '.COM'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                     WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END)
+            || (CASE WHEN doc_id % 6 = 0 THEN ''
+                     ELSE '/a/' || CAST(doc_id % 40 AS VARCHAR) END)
+            || (CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&b=2'
+                  ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&utm_campaign=x&b=2' END)
+            || (CASE WHEN doc_id % 5 = 0
+                  THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+          FROM u0)"""
+
+  /** SQL replay of UrlOps.registeredDomain over `u`: binds
+    * dom(doc_id, domain).
+    */
+  private[queries] val UrlDomainCte: String =
+    """dom AS (SELECT doc_id,
+          regexp_extract(regexp_replace(lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''),
+          '([^.]+\.[^.]+)$', 1) AS domain FROM u)"""
+
   private[queries] def DsirTargetPred: Column =
     col("lang") === "en" && col("source").isin("src1", "src2", "src3")
   private[queries] def DsirTargetSql =

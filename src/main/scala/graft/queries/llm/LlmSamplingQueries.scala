@@ -564,26 +564,7 @@ object LlmSamplingQueries {
     "q123_url_domain_cap" -> QueryDef(
       (s, dir) => {
         import graft.operators.UrlOps
-        val d = col("doc_id")
-        val site = when(d % 4 < 2, lit("bighost"))
-          .when(d % 4 === 2, concat(lit("mid"), (d % 3).cast("string")))
-          .otherwise(concat(lit("tail"), (d % 25).cast("string")))
-        val url = concat(
-          when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
-          lit("://"),
-          when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
-          col("source"), lit("."),
-          when(d % 2 === 0, upper(site)).otherwise(site), lit(".COM"),
-          when(d % 4 === 0, lit(":443"))
-            .when(d % 8 === 1, lit(":8080")).otherwise(lit("")),
-          when(d % 6 === 0, lit(""))
-            .otherwise(concat(lit("/a/"), (d % 40).cast("string"))),
-          when(d % 2 === 0, concat(lit("?utm_source=feed&page="),
-              (d % 3).cast("string"), lit("&b=2")))
-            .otherwise(concat(lit("?page="), (d % 3).cast("string"),
-              lit("&utm_campaign=x&b=2"))),
-          when(d % 5 === 0, concat(lit("#Sec"), d.cast("string")))
-            .otherwise(lit("")))
+        val url = messyUrlCol // the shared q123/w19 fixture (LlmOracleSql)
         val cap = 20
         val canon = t(s, dir, "documents").select(col("doc_id"),
           UrlOps.canonicalizeUrl(url).as("curl"),
@@ -617,30 +598,7 @@ object LlmSamplingQueries {
           .withColumn("kept_id_sum",
             expr("CAST(kept_id_sum % 1000000000000000000 AS BIGINT)"))
       },
-      Some("""WITH u0 AS (SELECT doc_id, source,
-          CASE WHEN doc_id % 4 < 2 THEN 'bighost'
-               WHEN doc_id % 4 = 2 THEN 'mid' || CAST(doc_id % 3 AS VARCHAR)
-               ELSE 'tail' || CAST(doc_id % 25 AS VARCHAR) END AS site
-          FROM documents),
-        u AS (SELECT doc_id,
-            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
-            || '://'
-            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-            || source || '.'
-            || (CASE WHEN doc_id % 2 = 0 THEN upper(site) ELSE site END)
-            || '.COM'
-            || (CASE WHEN doc_id % 4 = 0 THEN ':443'
-                     WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END)
-            || (CASE WHEN doc_id % 6 = 0 THEN ''
-                     ELSE '/a/' || CAST(doc_id % 40 AS VARCHAR) END)
-            || (CASE WHEN doc_id % 2 = 0
-                  THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
-                    || '&b=2'
-                  ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR)
-                    || '&utm_campaign=x&b=2' END)
-            || (CASE WHEN doc_id % 5 = 0
-                  THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
-          FROM u0),
+      Some("WITH " + MessyUrlCte + """,
         p AS (SELECT doc_id,
             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
               AS scheme,

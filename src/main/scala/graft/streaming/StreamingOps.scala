@@ -228,6 +228,56 @@ object StreamingOps {
       })
   }
 
+  final case class QuotaDoc(doc_id: Long, domain: String)
+  final case class QuotaRow(doc_id: Long, domain: String,
+      admitted: Boolean, admit_rank: Long)
+
+  /** Streaming per-domain quota admission (w19) — the INCREMENTAL form of
+    * q123's per-domain cap: each arriving document is admitted while its
+    * domain's running count is under `cap`, after which the domain is
+    * closed for the life of the stream. The crawl-frontier politeness /
+    * anti-template-flood control a pipeline runs at the door, where the
+    * batch cap (q123) runs after landing.
+    *
+    * State is ONE long counter per domain — bounded by the number of
+    * distinct domains, not by arrivals (the w13 one-row-per-key cost
+    * model), and the counter stops mattering once it passes `cap`.
+    *
+    * Determinism/oracle contract (the w13 ordering argument): within a
+    * micro-batch a domain's arrivals are processed in `doc_id` order, so
+    * any in-batch arrival order yields the same admissions; ACROSS
+    * batches earlier batches are admitted first — end-of-stream equals
+    * the batch rank rule (ROW_NUMBER per domain ordered by doc_id <= cap)
+    * exactly when the source delivers in id order, which the fixture lake
+    * does and which a production deployment gets from ingest-time file
+    * naming. A late arrival past a closed quota is REJECTED either way —
+    * the failure mode is over-rejection of stragglers, never quota
+    * overrun (the invariant that matters: admitted <= cap per domain,
+    * unconditionally).
+    */
+  def streamingDomainQuota(docs: DataFrame, domainCol: String, cap: Int)(
+      implicit spark: SparkSession): Dataset[QuotaRow] = {
+    import spark.implicits._
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("domain"))
+      .as[QuotaDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)((domain: String,
+          rows: Iterator[QuotaDoc], state: GroupState[Long]) => {
+        val sorted = rows.toSeq.sortBy(_.doc_id)
+        var n = state.getOption.getOrElse(0L)
+        val out = sorted.map { d =>
+          n += 1
+          QuotaRow(d.doc_id, domain, n <= cap, if (n <= cap) n else -1L)
+        }
+        state.update(n)
+        out.iterator
+      })
+  }
+
   /** Stateless streaming NEAR-COPY intake: each incoming document's
     * winnowed fingerprint sketch (computed MAP-SIDE by the codegen'd
     * WinnowSketch kernel) probes a Bloom filter of the existing corpus's

@@ -118,6 +118,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r.getBoolean(1) && !r.getBoolean(3))) // clean miss
   }
 
+  test("streamingDomainQuota: per-domain counters persist across " +
+      "micro-batches and admitted <= cap holds unconditionally") {
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDomainQuota(
+        mem.toDF().toDF("doc_id", "domain"), "domain", cap = 2).toDF()
+      .writeStream.format("memory").queryName("t_quota")
+      .outputMode("append").start()
+    try {
+      // batch 1 fills domain a's quota exactly; out-of-order in-batch
+      // arrivals must process in doc_id order
+      mem.addData((2L, "a"), (1L, "a"))
+      q.processAllAvailable()
+      // batch 2: domain a is CLOSED (state survived the batch boundary);
+      // domain b opens fresh
+      mem.addData((3L, "a"), (4L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_quota").orderBy("doc_id")
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "a", true, 1L), (2L, "a", true, 2L),
+      (3L, "a", false, -1L), (4L, "b", true, 1L)))
+  }
+
   test("streaming model-score drift equals the batch PSI table (w15 " +
       "end-of-stream = batch)") {
     val got = SparkEntry.queries("w15_stream_score_drift")(spark, sf())
