@@ -334,6 +334,83 @@ object MultimodalQueries {
           CAST(np.n_partners AS BIGINT) AS n_partners
         FROM ph p JOIN comp c ON c.node = p.doc_id
         JOIN np ON np.media_id = p.doc_id
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ---- image benchmark decontamination (the q75/q80 shape on pixels) -
+    // Eval-image leakage: a training image whose perceptual hash lands
+    // within Hamming 3 of ANY held-out benchmark image is flagged — the
+    // LAION-style "did an eval image leak into pretraining" check, on
+    // REAL decodes. The benchmark side is small by definition, so its
+    // banded hash table BROADCASTS and the candidate join is map-side
+    // against the corpus (the q75 broadcast-benchmark discipline); band
+    // recall is guaranteed at the verify radius (m06's pigeonhole
+    // argument), so a clean output is a PROOF of no near-dup leak, not a
+    // probabilistic maybe. The pixel formula's mod-256 period plants
+    // true cross-set leaks (corpus id = benchmark id + 256). One row per
+    // contaminated image: match count + closest benchmark distance.
+    "m07_image_decontaminate" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("png"))
+        val ph = Multimodal.imagePHash(media).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bench = ph.filter(col("media_id") % 20 === 0)
+        val corpus = ph.filter(col("media_id") % 20 =!= 0)
+        def banded(df: org.apache.spark.sql.DataFrame, idAs: String) =
+          df.select(col("media_id").as(idAs),
+            posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+              .as(Seq("band", "v")))
+        val cand = banded(corpus, "cid")
+          .join(broadcast(banded(bench, "bid")), Seq("band", "v"))
+          .select("cid", "bid").distinct()
+        val ham = (0 to 3).map(i =>
+          bit_count(col(s"c$i").bitwiseXOR(col(s"e$i")))).reduce(_ + _)
+        cand
+          .join(corpus.select(col("media_id").as("cid"),
+            col("b0").as("c0"), col("b1").as("c1"),
+            col("b2").as("c2"), col("b3").as("c3")), "cid")
+          .join(broadcast(bench.select(col("media_id").as("bid"),
+            col("b0").as("e0"), col("b1").as("e1"),
+            col("b2").as("e2"), col("b3").as("e3"))), "bid")
+          .withColumn("ham", ham)
+          .filter(col("ham") <= 3)
+          .groupBy(col("cid").as("media_id"))
+          .agg(count(lit(1)).as("n_benchmark_matches"),
+            min(col("ham")).cast("long").as("min_hamming"))
+          .orderBy("media_id")
+      },
+      Some("""WITH px AS (SELECT doc_id, tx.x, ty.y,
+          (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
+            AS red
+          FROM documents, range(16) tx(x), range(16) ty(y)
+          WHERE doc_id % 4 = 0),
+        pool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(red) AS s
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM pool a JOIN pool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        ph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM px) d
+          LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        pr AS (SELECT c.doc_id AS cid,
+            bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
+            + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3)) AS ham
+          FROM ph c JOIN ph b
+            ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+            AND (c.b0 = b.b0 OR c.b1 = b.b1 OR c.b2 = b.b2 OR c.b3 = b.b3))
+        SELECT cid AS media_id, CAST(COUNT(*) AS BIGINT)
+            AS n_benchmark_matches,
+          CAST(MIN(ham) AS BIGINT) AS min_hamming
+        FROM pr WHERE ham <= 3
+        GROUP BY cid ORDER BY media_id"""))
   )
 }
