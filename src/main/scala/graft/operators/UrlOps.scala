@@ -52,8 +52,12 @@ object UrlOps {
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val keptQ = array_join(array_sort(filter(split(query, "&"),
       x => x =!= "" && !x.rlike(TrackingParamRe))), "&")
-    concat(scheme, lit("://"), host, portC, path,
-      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+    // not an absolute URL (no scheme://host) -> NULL, never a junk
+    // assembly of empty extracts; crawl frontiers route these to a
+    // relative-URL resolver, not the canonicalizer
+    when(scheme === "" || host === "", lit(null: String))
+      .otherwise(concat(scheme, lit("://"), host, portC, path,
+        when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
   }
 
   /** Registered domain as the last two host labels (port stripped, case
@@ -64,7 +68,8 @@ object UrlOps {
   def registeredDomain(url: Column): Column = {
     val hostport = lower(regexp_extract(url, HostportRe, 1))
     val host = regexp_replace(hostport, ":[0-9]+$", "")
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(dom === "", lit(null: String)).otherwise(dom)
   }
 
   /** The `cap` SMALLEST ids per domain: (domain, id, keep_rank). Selection

@@ -756,6 +756,17 @@ class OperatorsSpec extends SparkSpec {
       (1L, "https://sub.example.com/a/1?a=1&b=2", "example.com"),
       (2L, "http://example.com:8080/", "example.com"),
       (3L, "https://one.two.three.org/p", "three.org")))
+    // non-absolute inputs degrade to NULL, never junk assemblies
+    val bad = Seq((1L, "not a url"), (2L, "/relative/path?x=1"),
+      (3L, "mailto:someone"), (4L, "https://singlelabel/p"))
+      .toDF("id", "url")
+      .select(col("id"), UrlOps.canonicalizeUrl(col("url")).as("c"),
+        UrlOps.registeredDomain(col("url")).as("d"))
+      .orderBy("id").collect()
+    bad.take(3).foreach(r =>
+      assert(r.isNullAt(1) && r.isNullAt(2), s"junk not nulled: $r"))
+    assert(!bad(3).isNullAt(1) && bad(3).isNullAt(2),
+      s"single-label host has no registered domain: ${bad(3)}")
   }
 
   test("UrlOps.domainCapKept keeps the cap smallest ids per domain with " +
