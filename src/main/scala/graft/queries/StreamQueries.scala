@@ -417,52 +417,7 @@ object StreamQueries {
               minHits = 5), "w14_mem")
           .orderBy("doc_id")
       },
-      Some("""WITH gc AS (SELECT doc_id, i, len(text) AS n,
-          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
-            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
-            FROM documents WHERE len(text) >= 27 AND doc_id % 3 = 0)),
-        sc AS (SELECT doc_id, i, n,
-            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
-          FROM gc),
-        cfp AS (SELECT DISTINCT sel // 8388608 AS h
-          FROM sc WHERE i <= n - 26),
-        bpos AS (SELECT DISTINCT CAST(CAST(('0x'
-              || substr(md5(CAST(h AS VARCHAR) || '#bloom'
-                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
-            AS p
-          FROM cfp CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
-        gs AS (SELECT doc_id, i, len(text) AS n,
-          CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), 20)),
-            1, 10)) AS BIGINT) * 8388608 + (8388607 - i) AS comb
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - 18)) AS i
-            FROM documents WHERE len(text) >= 27 AND doc_id % 3 <> 0)),
-        ss AS (SELECT doc_id, i, n,
-            MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
-          FROM gs),
-        sfp AS (SELECT DISTINCT doc_id, 8388607 - (sel % 8388608) AS pos,
-            sel // 8388608 AS h
-          FROM ss WHERE i <= n - 26),
-        sp AS (SELECT doc_id, pos, h,
-            CAST(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '#bloom'
-              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
-            AS bp
-          FROM sfp CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
-        hit AS (SELECT doc_id, pos, h,
-            MIN(CASE WHEN bp IN (SELECT p FROM bpos) THEN 1 ELSE 0 END)
-              AS ok
-          FROM sp GROUP BY 1, 2, 3),
-        agg AS (SELECT doc_id, COUNT(*) AS n_fp, SUM(ok) AS n_hits
-          FROM hit GROUP BY 1)
-        SELECT d.doc_id, d.lang,
-          CAST(COALESCE(a.n_fp, 0) AS INT) AS n_fp,
-          CAST(COALESCE(a.n_hits, 0) AS INT) AS n_hits,
-          COALESCE(a.n_hits, 0) >= 5 AS suspect
-        FROM documents d LEFT JOIN agg a USING (doc_id)
-        WHERE d.doc_id % 3 <> 0
-        ORDER BY d.doc_id""")),
+      Some(LlmOracleSql.winnowIntakeOracleSql)),
 
     // ---- streaming model-score drift (the production ML monitor) -------
     // The classifier trained offline on the reference slice scores a LIVE

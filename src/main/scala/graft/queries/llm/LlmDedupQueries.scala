@@ -1258,6 +1258,33 @@ object LlmDedupQueries {
           CAST(SUM(chars_clean) AS BIGINT) AS chars_clean,
           CAST(SUM(CASE WHEN chars_clean < chars_norm THEN 1 ELSE 0 END)
             AS BIGINT) AS n_modified
-        FROM d GROUP BY source ORDER BY source"""))
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- persisted dedup index round trip (operational shape) -----------
+    // A daily intake job does NOT re-sketch the whole corpus per run: the
+    // corpus winnow-Bloom (StreamingOps.buildWinnowIndex — one row,
+    // m/8 bytes) is written once per corpus version as a parquet ARTIFACT
+    // and every subsequent intake probes the RELOADED index. This query
+    // grades the round trip end to end: build -> write -> read -> probe,
+    // compared against w14's oracle VERBATIM (shared winnowIntakeOracleSql)
+    // — the persistence layer must be invisible in every bit, including
+    // the md5-replayable false positives. (k, w, m, kHash) are the
+    // artifact's identity; probing with mismatched parameters is a
+    // documented contract violation, not a silent wrong answer the
+    // Bloom's no-false-negative guarantee could mask.
+    "q124_persisted_dedup_index" -> QueryDef(
+      (s, dir) => {
+        import graft.streaming.StreamingOps
+        val docs = t(s, dir, "documents")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_winnow_idx").toString
+        StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0))
+          .write.mode("overwrite").parquet(idxDir)
+        StreamingOps.intakeWinnowMatchesWith(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            s.read.parquet(idxDir), minHits = 5)
+          .orderBy("doc_id")
+      },
+      Some(winnowIntakeOracleSql))
   )
 }

@@ -302,17 +302,43 @@ object StreamingOps {
     */
   def intakeWinnowMatches(docs: DataFrame, corpus: DataFrame,
       k: Int = 20, w: Int = 8, m: Int = 1 << 20, kHash: Int = 3,
-      minHits: Int = 2): DataFrame = {
+      minHits: Int = 2): DataFrame =
+    intakeWinnowMatchesWith(docs, buildWinnowIndex(corpus, k, w, m, kHash),
+      k, w, m, kHash, minHits)
+
+  /** The corpus fingerprint index as a PERSISTABLE ARTIFACT: one row
+    * (__g, filter array<long>) — the packed winnow-sketch Bloom filter.
+    * A daily intake job writes this once per corpus version (it is a
+    * plain one-row parquet table, m/8 bytes) and every subsequent run
+    * probes the RELOADED index instead of re-sketching the whole corpus
+    * (q124 grades the round trip: intake against the reloaded artifact
+    * equals the in-memory build bit-for-bit, because the filter IS the
+    * operator's only corpus-derived state). (k, w, m, kHash) are part of
+    * the artifact's identity — probe with the parameters it was built
+    * with.
+    *
+    * PACKED bitmap, not the positions-set form: the probe runs per
+    * sketch element per streamed doc, and array_contains over a
+    * corpus-sized position set is O(|set|) per probe — measured 700+ s
+    * at sf0.1 before this switch (SCALE.md). element_at+getbit is O(1),
+    * and the m/8-byte bitmap broadcasts at a fixed 128 KiB.
+    */
+  def buildWinnowIndex(corpus: DataFrame, k: Int = 20, w: Int = 8,
+      m: Int = 1 << 20, kHash: Int = 3): DataFrame = {
     import graft.operators.{Bloom, Winnow}
     val corpusKeys = Winnow.fingerprints(corpus, "doc_id", "text", k, w)
       .select(col("h").cast("string").as("hk")).distinct()
       .withColumn("__g", lit(1))
-    // PACKED bitmap, not the positions-set form: the probe below runs
-    // per sketch element per streamed doc, and array_contains over a
-    // corpus-sized position set is O(|set|) per probe — measured 700+ s
-    // at sf0.1 before this switch (SCALE.md). element_at+getbit is O(1),
-    // and the m/8-byte bitmap broadcasts at a fixed 128 KiB.
-    val filt = Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
+    Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
+  }
+
+  /** [[intakeWinnowMatches]] against a prebuilt [[buildWinnowIndex]]
+    * artifact (in-memory or reloaded from its parquet form).
+    */
+  def intakeWinnowMatchesWith(docs: DataFrame, index: DataFrame,
+      k: Int = 20, w: Int = 8, m: Int = 1 << 20, kHash: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    val filt = index
     docs.select(col("doc_id"), col("lang"),
         graft.functions.expressions.TextExpressions
           .winnowSketch(col("text"), k, w).as("__sk"))

@@ -16,6 +16,32 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("URL canonicalization is IDEMPOTENT over the messy-component grid: " +
+      "canonicalize(canonicalize(u)) === canonicalize(u)") {
+    // the defining canonicalizer property: its output is itself a URL
+    // already in canonical form. Exhaustive over the component grid
+    // (4*4*4*4*5*3 = 3840 urls) rather than sampled — it's one Spark job.
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("WWW.Example.COM", "sub.Site.org", "www.a.b.news.io",
+      "HOST.net")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/a/b", "/x%20y")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x",
+      "?utm_a=1&z=9&ref=t&a=2", "?a=1&a=1")
+    val frags = Seq("", "#f", "#Sec-9")
+    val urls = (for {
+      s0 <- schemes; h <- hosts; p <- ports; pa <- paths; q <- queries
+      f <- frags
+    } yield s0 + "://" + h + p + pa + q + f).toDF("url")
+    val bad = urls
+      .select(graft.operators.UrlOps.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"),
+        graft.operators.UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+      .filter(!(col("c1") <=> col("c2")))
+    assert(bad.count() === 0,
+      s"non-idempotent canonicalizations: ${bad.take(3).mkString(", ")}")
+  }
+
   test("dB <-> linear power round-trips within 1e-12 relative") {
     check(Prop.forAll(Gen.chooseNum(-180.0, 100.0)) { db =>
       val rt = 10.0 * math.log10(math.pow(10.0, db / 10.0))
