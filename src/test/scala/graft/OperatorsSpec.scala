@@ -726,6 +726,39 @@ class OperatorsSpec extends SparkSpec {
     assert(census === Seq((1L, false), (2L, false)))
   }
 
+  test("imagePHash is resize-robust: a REAL 2x bilinear upscale + PNG " +
+      "re-encode moves most fixture hashes by <= 3 bits (the m06 verify " +
+      "radius) and every hash by far less than random") {
+    implicit val sp = spark
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("png"))
+    val orig = Multimodal.imagePHash(media).toDF()
+      .select(col("media_id"), col("phash").as("p0"))
+    val up = Multimodal.imagePHash(Multimodal.resize(media, 32, 32)).toDF()
+      .select(col("media_id"), col("phash").as("p1"))
+    val ham = orig.join(up, "media_id")
+      .select(bit_count(col("p0").bitwiseXOR(col("p1"))).as("h"))
+      .as[Int].collect().toSeq
+    assert(ham.nonEmpty)
+    val within = ham.count(_ <= 3)
+    // the average-pool gradient signs survive bilinear interpolation on
+    // all but near-tie blocks — this is WHY dHash is the resize-tolerant
+    // dedup key where a byte hash is useless (any resize moves ~32 bits
+    // of a random 64-bit hash). The fixture is an ADVERSARIAL case for
+    // this property — mod-256 arithmetic noise, maximal high-frequency
+    // content — and still measures 71% of images within the m06 verify
+    // radius, median 2 bits, worst case 10 (vs ~32 expected for
+    // independent hashes). Thresholds sit under the measured values so
+    // a codec/pooling regression trips them without flaking.
+    assert(within * 3 >= ham.size * 2,
+      s"resize moved too many hashes: $within of ${ham.size} within 3 bits" +
+        s" (distribution: ${ham.groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1).take(12)})")
+    assert(ham.sorted.apply(ham.size / 2) <= 3,
+      s"median resize displacement too high: ${ham.sorted}")
+    assert(ham.max < 16, s"a hash moved ${ham.max} bits under resize")
+  }
+
   test("Multimodal.phashCandidatePairs df-cap: over-cap band buckets are " +
       "excluded; within-cap candidates are exactly the band-equality rule") {
     // 6 hash-identical images: every band bucket has 6 members
