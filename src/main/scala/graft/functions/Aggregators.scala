@@ -141,6 +141,31 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** [[BoundedMinKByValue]] specialized to LONG ids ordered by their own
+    * value — the exact smallest-k-ids-per-group rule
+    * ([[graft.operators.UrlOps.domainCapKept]]) with no double-precision
+    * round trip: ids above 2^53 would collide or reorder through a
+    * Double key, diverging from the oracle's ROW_NUMBER-by-id rule
+    * (ADVICE r10). Same never-more-than-k buffer and map-side combine.
+    */
+  final case class BoundedMinKLong(k: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: List[Long] = Nil
+    def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
+    def merge(b1: List[Long], b2: List[Long]): List[Long] =
+      b2.foldLeft(b1)(insert)
+    def finish(b: List[Long]): Seq[Long] = b
+    private def insert(b: List[Long], a: Long) = {
+      if (b.lengthCompare(k) >= 0 && a >= b.last) b
+      else ((a :: b).sorted).take(k)
+    }
+    def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Dense-bitmap OR over bit positions — the [[graft.operators.Bloom
     * .buildPacked]] assembly. The relational assembly (per-word bit_or +
     * map_from_entries + a sequence/element_at expansion) pays an O(words)

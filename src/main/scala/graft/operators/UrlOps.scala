@@ -19,27 +19,50 @@ import org.apache.spark.sql.functions._
   * expressions, no UDF, map-side only.
   *
   * Canonicalization rules (each a real crawl-dedup failure mode):
+  *   - fragment removed FIRST (client-side only, never distinguishes
+  *     content) — so a '?' that first appears inside the fragment (SPA
+  *     hash-route URLs like `/p#/route?tab=1`) is never parsed as a
+  *     query (ADVICE r10)
+  *   - userinfo dropped (`user:pass@host` → `host`): credentials must
+  *     never survive into a canonical URL, and two URLs differing only
+  *     in userinfo are the same page (ADVICE r10)
   *   - scheme and host lowercase; a leading `www.` stripped
   *   - default ports dropped (`:443` for https, `:80` for http);
   *     non-default ports preserved
-  *   - fragment removed (client-side only, never distinguishes content)
-  *   - tracking query params removed ([[TrackingParamRe]]), remaining
-  *     params sorted byte-wise, empty query dropped
+  *   - tracking query params removed ([[TrackingParamRe]], value-less
+  *     forms like a bare `fbclid` included), remaining params sorted
+  *     byte-wise, empty query dropped
   *   - empty path normalized to `/`
   */
 object UrlOps {
 
-  /** Query params dropped during canonicalization (RE2-portable). */
-  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)="
+  /** Query params dropped during canonicalization (RE2-portable). The
+    * trailing `(=|$)` matches both `utm_source=x` and a bare value-less
+    * `fbclid` while leaving e.g. `referrer=x` alone.
+    */
+  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostportRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
+  /** url with its fragment removed — every other extract runs on this
+    * prefix so fragment content can never masquerade as query/path.
+    */
+  private def fragmentFree(url: Column): Column =
+    regexp_extract(url, "^[^#]*", 0)
+
+  /** lowercased authority with userinfo dropped (RFC 3986: userinfo may
+    * not contain an unencoded '@', so the first '@' ends it).
+    */
+  private def cleanHostport(pre: Column): Column =
+    regexp_replace(lower(regexp_extract(pre, HostportRe, 1)), "^[^@]*@", "")
+
   /** The canonical form of a (possibly messy) absolute http(s) URL. */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, SchemeRe, 1))
-    val hostport = lower(regexp_extract(url, HostportRe, 1))
+    val pre = fragmentFree(url)
+    val scheme = lower(regexp_extract(pre, SchemeRe, 1))
+    val hostport = cleanHostport(pre)
     val host = regexp_replace(
       regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
@@ -47,9 +70,9 @@ object UrlOps {
         (scheme === "https" && port === "443") ||
         (scheme === "http" && port === "80"), lit(""))
       .otherwise(concat(lit(":"), port))
-    val path0 = regexp_extract(url, PathRe, 1)
+    val path0 = regexp_extract(pre, PathRe, 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val query = regexp_extract(pre, "\\?(.*)$", 1)
     val keptQ = array_join(array_sort(filter(split(query, "&"),
       x => x =!= "" && !x.rlike(TrackingParamRe))), "&")
     // not an absolute URL (no scheme://host) -> NULL, never a junk
@@ -60,37 +83,119 @@ object UrlOps {
         when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
   }
 
-  /** Registered domain as the last two host labels (port stripped, case
-    * folded). A public-suffix list is DATA that slots into this same
-    * expression shape (a broadcast map lookup); the two-label heuristic
-    * keeps the operator self-contained and oracle-replayable.
+  /** Curated multi-label public suffixes (publicsuffix.org): the
+    * second-level ccTLD registries where "last two labels" would
+    * collapse every publisher in a country into one domain (VERDICT r10
+    * — `*.co.uk` must NOT all throttle as `co.uk`), plus the major
+    * PRIVATE-section registries where each user site is its own
+    * publisher (`github.io`, `blogspot.com`, ...). This is data, not
+    * code: extend the seq and both the Spark expression and the
+    * generated oracle SQL ([[registeredDomainSql]]) pick it up — they
+    * are built from the SAME seq so they cannot drift. Single-label
+    * TLDs are the default rule (registered = last two labels) and need
+    * no entry.
+    */
+  val TwoLabelPublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "gen.in",
+    "firm.in", "ind.in",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "geek.nz",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "ac.th", "go.th", "or.th", "in.th",
+    "co.ke", "com.eg", "com.sa", "com.pk", "com.bd", "com.ng",
+    // PSL PRIVATE section: per-user hosting registries
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "appspot.com", "pages.dev", "workers.dev", "repl.co", "neocities.org")
+
+  /** Three-label public suffixes (same contract as
+    * [[TwoLabelPublicSuffixes]]; checked first — longest suffix wins).
+    */
+  val ThreeLabelPublicSuffixes: Seq[String] = Seq(
+    "s3.amazonaws.com", "compute-1.amazonaws.com")
+
+  private val Lbl = "[^.]+"
+  private def lastN(host: Column, n: Int): Column =
+    regexp_extract(host, "(" + Seq.fill(n)(Lbl).mkString("\\.") + ")$", 1)
+
+  /** Registered domain under the curated public-suffix list: the host's
+    * longest matching public suffix plus one label; hosts that ARE a
+    * public suffix (or have fewer than two labels) have no registrable
+    * domain and return NULL. Userinfo and port are stripped, case
+    * folded; `www.` is NOT stripped (it is an ordinary label — the
+    * default rule already lands `www.example.com` on `example.com`).
+    * Pure literal expression — the suffix table compiles into an `In`
+    * hash probe per row, no join, no broadcast, map-side only.
     */
   def registeredDomain(url: Column): Column = {
-    val hostport = lower(regexp_extract(url, HostportRe, 1))
-    val host = regexp_replace(hostport, ":[0-9]+$", "")
-    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val host = regexp_replace(cleanHostport(fragmentFree(url)),
+      ":[0-9]+$", "")
+    val dom = when(lastN(host, 3).isin(ThreeLabelPublicSuffixes: _*),
+        lastN(host, 4))
+      .when(lastN(host, 2).isin(TwoLabelPublicSuffixes: _*), lastN(host, 3))
+      .otherwise(lastN(host, 2))
     when(dom === "", lit(null: String)).otherwise(dom)
   }
 
+  /** DuckDB replay of [[registeredDomain]]'s suffix rule over a host SQL
+    * expression (already userinfo- and port-stripped, lowercased) —
+    * GENERATED from the same suffix seqs as the Spark expression, so the
+    * oracle and the engine cannot drift.
+    */
+  def registeredDomainSql(host: String): String = {
+    def inList(xs: Seq[String]) =
+      xs.map("'" + _ + "'").mkString("(", ", ", ")")
+    def lastNSql(n: Int) =
+      s"regexp_extract($host, '(" +
+        Seq.fill(n)(Lbl).mkString("\\.") + s")$$', 1)"
+    s"""(CASE WHEN ${lastNSql(3)} IN ${inList(ThreeLabelPublicSuffixes)}
+              THEN nullif(${lastNSql(4)}, '')
+            WHEN ${lastNSql(2)} IN ${inList(TwoLabelPublicSuffixes)}
+              THEN nullif(${lastNSql(3)}, '')
+            ELSE nullif(${lastNSql(2)}, '') END)"""
+  }
+
   /** The `cap` SMALLEST ids per domain: (domain, id, keep_rank). Selection
-    * rides [[graft.functions.Aggregators.BoundedMinKByValue]] — per-domain
+    * rides [[graft.functions.Aggregators.BoundedMinKLong]] — per-domain
     * aggregation state is capped at `cap` entries however large the
-    * domain grows, and map-side combine ships at most `cap` pairs per
+    * domain grows, and map-side combine ships at most `cap` ids per
     * domain per partition. A rank window would instead sort a giant
     * host's whole partition on one reducer — per-domain doc counts are
     * the MOST skewed distribution in crawl data, so the heap form is the
-    * only shape that survives it (q56b's argument, reapplied).
+    * only shape that survives it (q56b's argument, reapplied). Ids stay
+    * LONG end to end (ADVICE r10): a Double-keyed heap would collide ids
+    * above 2^53 and diverge from the exact smallest-ids rule.
     */
   def domainCapKept(df: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val enc = org.apache.spark.sql.catalyst.encoders
-      .ExpressionEncoder[(Double, Long)]()
-    val topk = udaf(graft.functions.Aggregators.BoundedMinKByValue(cap), enc)
+      .ExpressionEncoder[Long]()
+    val topk = udaf(graft.functions.Aggregators.BoundedMinKLong(cap), enc)
     df.select(col(domainCol).as("domain"),
         col(idCol).cast("long").as("__k"))
       .groupBy("domain")
-      .agg(topk(col("__k").cast("double"), col("__k")).as("__kept"))
+      .agg(topk(col("__k")).as("__kept"))
       .select(col("domain"), posexplode(col("__kept")).as(Seq("__pos", "id")))
       .select(col("domain"), col("id").as(idCol),
         (col("__pos") + 1).as("keep_rank"))

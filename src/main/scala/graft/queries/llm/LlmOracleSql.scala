@@ -660,25 +660,33 @@ object LlmOracleSql {
     */
   /** q123/w19 shared messy-URL fixture: one deterministic crawl URL per
     * document, deliberately exercising every canonicalization rule
-    * (mixed-case scheme/host, www., default and non-default ports,
-    * shuffled tracking params, fragments, empty paths) over a SKEWED
-    * host-size distribution (one bighost with half the corpus, three mid
-    * hosts, a small-host tail) — skew is what domain caps exist for.
-    * The Spark expression and the SQL CTE are kept adjacent so they
-    * cannot drift; [[UrlDomainCte]] is the registered-domain replay
-    * (UrlOps.registeredDomain verbatim).
+    * (mixed-case scheme/host, userinfo credentials, www., default and
+    * non-default ports, shuffled and VALUE-LESS tracking params,
+    * fragments — including fragments containing '?', the SPA hash-route
+    * shape — empty paths, and multi-label public-suffix TLDs:
+    * `.co.uk` / `.github.io` hosts must register as distinct publishers,
+    * not collapse into one `co.uk` domain) over a SKEWED host-size
+    * distribution (one bighost with half the corpus, three mid hosts, a
+    * small-host tail) — skew is what domain caps exist for. The Spark
+    * expression and the SQL CTE are kept adjacent so they cannot drift;
+    * [[UrlDomainCte]] is the registered-domain replay (generated from
+    * UrlOps' own suffix table via registeredDomainSql).
     */
   private[queries] def messyUrlCol: Column = {
     val d = col("doc_id")
     val site = when(d % 4 < 2, lit("bighost"))
       .when(d % 4 === 2, concat(lit("mid"), (d % 3).cast("string")))
       .otherwise(concat(lit("tail"), (d % 25).cast("string")))
+    val tld = when(d % 7 === 3, lit(".co.uk"))
+      .when(d % 7 === 5, lit(".github.io"))
+      .otherwise(lit(".COM"))
     concat(
       when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
       lit("://"),
+      when(d % 11 === 7, lit("u:pw@")).otherwise(lit("")),
       when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
       col("source"), lit("."),
-      when(d % 2 === 0, upper(site)).otherwise(site), lit(".COM"),
+      when(d % 2 === 0, upper(site)).otherwise(site), tld,
       when(d % 4 === 0, lit(":443"))
         .when(d % 8 === 1, lit(":8080")).otherwise(lit("")),
       when(d % 6 === 0, lit(""))
@@ -687,7 +695,9 @@ object LlmOracleSql {
           (d % 3).cast("string"), lit("&b=2")))
         .otherwise(concat(lit("?page="), (d % 3).cast("string"),
           lit("&utm_campaign=x&b=2"))),
-      when(d % 5 === 0, concat(lit("#Sec"), d.cast("string")))
+      when(d % 9 === 2, lit("&fbclid")).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit("#Sec"), d.cast("string"),
+          when(d % 10 === 0, lit("?x=1")).otherwise(lit(""))))
         .otherwise(lit("")))
   }
 
@@ -696,15 +706,19 @@ object LlmOracleSql {
     """u0 AS (SELECT doc_id, source,
           CASE WHEN doc_id % 4 < 2 THEN 'bighost'
                WHEN doc_id % 4 = 2 THEN 'mid' || CAST(doc_id % 3 AS VARCHAR)
-               ELSE 'tail' || CAST(doc_id % 25 AS VARCHAR) END AS site
+               ELSE 'tail' || CAST(doc_id % 25 AS VARCHAR) END AS site,
+          CASE WHEN doc_id % 7 = 3 THEN '.co.uk'
+               WHEN doc_id % 7 = 5 THEN '.github.io'
+               ELSE '.COM' END AS tld
           FROM documents),
         u AS (SELECT doc_id,
             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
             || '://'
+            || (CASE WHEN doc_id % 11 = 7 THEN 'u:pw@' ELSE '' END)
             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
             || source || '.'
             || (CASE WHEN doc_id % 2 = 0 THEN upper(site) ELSE site END)
-            || '.COM'
+            || tld
             || (CASE WHEN doc_id % 4 = 0 THEN ':443'
                      WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END)
             || (CASE WHEN doc_id % 6 = 0 THEN ''
@@ -714,18 +728,26 @@ object LlmOracleSql {
                     || '&b=2'
                   ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR)
                     || '&utm_campaign=x&b=2' END)
+            || (CASE WHEN doc_id % 9 = 2 THEN '&fbclid' ELSE '' END)
             || (CASE WHEN doc_id % 5 = 0
-                  THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+                  THEN '#Sec' || CAST(doc_id AS VARCHAR)
+                    || (CASE WHEN doc_id % 10 = 0 THEN '?x=1' ELSE '' END)
+                  ELSE '' END) AS url
           FROM u0)"""
 
   /** SQL replay of UrlOps.registeredDomain over `u`: binds
-    * dom(doc_id, domain).
+    * dom(doc_id, domain). The host normalization (userinfo strip, port
+    * strip, case fold) is spelled here; the public-suffix CASE is
+    * GENERATED from UrlOps' own suffix table.
     */
   private[queries] val UrlDomainCte: String =
-    """dom AS (SELECT doc_id,
-          regexp_extract(regexp_replace(lower(regexp_extract(url,
-            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''),
-          '([^.]+\.[^.]+)$', 1) AS domain FROM u)"""
+    """dom AS (SELECT doc_id, """ +
+      graft.operators.UrlOps.registeredDomainSql("host") +
+      """ AS domain FROM
+          (SELECT doc_id, regexp_replace(regexp_replace(lower(
+              regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^[^@]*@', ''), ':[0-9]+$', '') AS host FROM u))"""
 
   /** w14/q124 shared oracle: the winnow-sketch x Bloom intake replay
     * (corpus = doc_id % 3 == 0, stream = the rest, minHits = 5). q124

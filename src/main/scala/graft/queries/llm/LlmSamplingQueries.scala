@@ -600,14 +600,16 @@ object LlmSamplingQueries {
       },
       Some("WITH " + MessyUrlCte + """,
         p AS (SELECT doc_id,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
               AS scheme,
-            lower(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
-            regexp_extract(url,
+            regexp_replace(lower(regexp_extract(pre,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^[^@]*@', '') AS hostport,
+            regexp_extract(pre,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-            regexp_extract(url, '\?([^#]*)', 1) AS q
-          FROM u),
+            regexp_extract(pre, '\?(.*)$', 1) AS q
+          FROM (SELECT doc_id, regexp_extract(url, '^[^#]*', 0) AS pre
+                FROM u)),
         p2 AS (SELECT doc_id, scheme,
             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
               '^www\.', '') AS host,
@@ -615,9 +617,9 @@ object LlmSamplingQueries {
             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
             array_to_string(list_sort(list_filter(string_split(q, '&'),
               x -> x <> '' AND NOT regexp_matches(x,
-                '^(utm_[^=]*|ref|fbclid|gclid)='))), '&') AS kq,
-            regexp_extract(regexp_replace(hostport, ':[0-9]+$', ''),
-              '([^.]+\.[^.]+)$', 1) AS domain
+                '^(utm_[^=]*|ref|fbclid|gclid)(=|$)'))), '&') AS kq,
+            """ + graft.operators.UrlOps.registeredDomainSql(
+              "regexp_replace(hostport, ':[0-9]+$', '')") + """ AS domain
           FROM p),
         canon AS (SELECT doc_id, domain,
             scheme || '://' || host

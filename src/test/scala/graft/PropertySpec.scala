@@ -20,19 +20,22 @@ class PropertySpec extends SparkSpec {
       "canonicalize(canonicalize(u)) === canonicalize(u)") {
     // the defining canonicalizer property: its output is itself a URL
     // already in canonical form. Exhaustive over the component grid
-    // (4*4*4*4*5*3 = 3840 urls) rather than sampled — it's one Spark job.
+    // (4*2*6*4*4*6*4 = 18432 urls — userinfo, PSL hosts, value-less
+    // tracking tokens and '?'-bearing fragments included, ADVICE r10)
+    // rather than sampled — it's one Spark job.
     val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val users = Seq("", "u:Pw@")
     val hosts = Seq("WWW.Example.COM", "sub.Site.org", "www.a.b.news.io",
-      "HOST.net")
+      "HOST.net", "pub.CO.UK", "me.github.io")
     val ports = Seq("", ":80", ":443", ":8080")
     val paths = Seq("", "/", "/a/b", "/x%20y")
     val queries = Seq("", "?b=2&a=1", "?utm_source=x",
-      "?utm_a=1&z=9&ref=t&a=2", "?a=1&a=1")
-    val frags = Seq("", "#f", "#Sec-9")
+      "?utm_a=1&z=9&ref=t&a=2", "?a=1&a=1", "?fbclid&keep=1&utm_x")
+    val frags = Seq("", "#f", "#Sec-9", "#f?x=1&utm_q=2")
     val urls = (for {
-      s0 <- schemes; h <- hosts; p <- ports; pa <- paths; q <- queries
-      f <- frags
-    } yield s0 + "://" + h + p + pa + q + f).toDF("url")
+      s0 <- schemes; u <- users; h <- hosts; p <- ports; pa <- paths
+      q <- queries; f <- frags
+    } yield s0 + "://" + u + h + p + pa + q + f).toDF("url")
     val bad = urls
       .select(graft.operators.UrlOps.canonicalizeUrl(col("url")).as("c1"))
       .select(col("c1"),
