@@ -507,15 +507,24 @@ object Dedup {
     * `maxBucket` members per band. Oversized buckets are non-discriminative
     * (they pair near-everything with near-everything) and are the quadratic
     * blowup risk at scale; dropping them trades recall for a hard bound on
-    * join fan-out. One window shuffle on the bucket key.
+    * join fan-out.
+    *
+    * Aggregation-based, NOT a window over the bucket key (VERDICT r10 #2):
+    * a `count().over(partitionBy(band, key))` funnels the giant bucket —
+    * exactly the mass the cap exists to drop — through ONE window task
+    * before discarding it. The groupBy's partial aggregation collapses the
+    * hottest key map-side to one count per partition; the over-cap key set
+    * is tiny by construction (it is the skew tail), so it broadcasts and
+    * the anti-join never materializes a skewed shuffle partition.
     */
   private def capBuckets(banded: DataFrame, bucketCol: String,
-      maxBucket: Int): DataFrame =
-    banded
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", bucketCol)))
-      .filter(col("__bsize") <= maxBucket)
-      .drop("__bsize")
+      maxBucket: Int): DataFrame = {
+    val over = banded.groupBy("band", bucketCol)
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucket)
+      .select(col("band"), col(bucketCol))
+    banded.join(broadcast(over), Seq("band", bucketCol), "left_anti")
+  }
 
   def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {

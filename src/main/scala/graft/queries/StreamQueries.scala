@@ -575,12 +575,15 @@ object StreamQueries {
             StreamingOps.intakeImagePHashMatches(stream, corpus), "w18_mem")
           .orderBy("media_id")
       },
-      Some("""WITH cpx AS (SELECT doc_id, tx.x, ty.y,
-          (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
-            AS red
-          FROM documents, range(16) tx(x), range(16) ty(y)
-          WHERE doc_id % 12 = 0),
-        cpool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(red) AS s
+      Some("""WITH cpx AS (SELECT doc_id, x, y,
+          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
+            AS lum
+          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
+              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
+                AS b
+            FROM documents, range(16) tx(x), range(16) ty(y)
+            WHERE doc_id % 12 = 0)),
+        cpool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
           FROM cpx GROUP BY 1, 2, 3),
         cbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
           FROM cpool a JOIN cpool b ON b.doc_id = a.doc_id AND b.r = a.r
@@ -606,12 +609,15 @@ object StreamQueries {
               || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
             AS p
           FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
-        spx AS (SELECT doc_id, tx.x, ty.y,
-          (doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)) % 256
-            AS red
-          FROM documents, range(16) tx(x), range(16) ty(y)
-          WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3),
-        spool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(red) AS s
+        spx AS (SELECT doc_id, x, y,
+          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
+            AS lum
+          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
+              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
+                AS b
+            FROM documents, range(16) tx(x), range(16) ty(y)
+            WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3)),
+        spool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
           FROM spx GROUP BY 1, 2, 3),
         sbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
           FROM spool a JOIN spool b ON b.doc_id = a.doc_id AND b.r = a.r

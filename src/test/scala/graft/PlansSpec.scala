@@ -478,6 +478,22 @@ class PlansSpec extends SparkSpec {
       s"the pHash frame must be persisted, not re-decoded per consumer:\n$p")
     assert(p.contains("bit_count"),
       s"Hamming verify must be the native bit_count, not a UDF:\n$p")
+    // VERDICT r10 #2: bucket capping is groupBy-count + broadcast
+    // anti-join — the giant bucket must never serialize through one
+    // window task before being dropped
+    assert(!p.contains("Window"),
+      s"candidate generation must not window over the bucket key:\n$p")
+  }
+
+  test("m06b: the mass-dup collapse is aggregation-shaped end to end — " +
+      "no window anywhere, clique roots partially aggregate") {
+    val p = plan("m06b_image_phash_massdup")
+    assert(!p.contains("Window"),
+      s"over-cap buckets (the mass duplicates) must be counted by " +
+        s"groupBy, not a window over the hottest key:\n$p")
+    assert(p.contains("partial_min"),
+      s"clique roots must map-side combine (one key per clique, " +
+        s"no pair enumeration):\n$p")
   }
 
   test("survivorsAuto gate path with knownN/knownDim schedules ZERO jobs " +
