@@ -326,6 +326,61 @@ object Multimodal {
     }
   }
 
+  final case class AudioFpRow(media_id: Long, fp: Long,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** 64-bit audio fingerprint over the DECODED PCM — the dHash idea on
+    * the time axis (the Shazam/Chromaprint family reduced to its
+    * oracle-replayable core): slice the first `nFrames`*`frameLen`
+    * samples into fixed frames, take each frame's energy (exact long
+    * sum of squared signed samples — no sqrt, no float), and set
+    * bit f iff energy(f) > energy((f+1) mod nFrames) — the wrap-around
+    * temporal energy-gradient sign, integer-exact end to end. Robust to
+    * gain-linear and offset noise the way dHash is to brightness (the
+    * comparison is ordinal, not absolute). `b0..b3` are the four 16-bit
+    * quarters, serving as the LSH banding key with m06's pigeonhole
+    * guarantee (recall 1.0 at Hamming <= 3) and as the portable compare
+    * surface. Non-audio, undecodable, and shorter-than-window clips emit
+    * nothing — census them with [[extractFeatures]] first.
+    */
+  def audioFingerprint(media: Dataset[MediaRow], frameLen: Int = 3,
+      nFrames: Int = 64)(
+      implicit spark: SparkSession): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(nFrames == 64, s"the packed form is 64 bits, got $nFrames")
+    media.mapPartitions { batch =>
+      batch.filter(_.meta.format == "wav").flatMap { m =>
+        decodeWavU16(m.content).iterator
+          .filter(_.length >= frameLen * nFrames).map { u =>
+            val e = new Array[Long](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var sq = 0L; var j = 0
+              while (j < frameLen) {
+                val s = u(f * frameLen + j) - 32768
+                sq += s.toLong * s
+                j += 1
+              }
+              e(f) = sq; f += 1
+            }
+            var fp = 0L
+            val bands = new Array[Int](4)
+            var i = 0
+            while (i < nFrames) {
+              if (e(i) > e((i + 1) % nFrames)) {
+                fp |= 1L << i
+                bands(i / 16) |= 1 << (i % 16)
+              }
+              i += 1
+            }
+            AudioFpRow(m.media_id, fp, bands(0), bands(1), bands(2),
+              bands(3))
+          }
+      }
+    }
+  }
+
   final case class PHashRow(media_id: Long, phash: Long,
       b0: Int, b1: Int, b2: Int, b3: Int)
 

@@ -515,6 +515,86 @@ object MultimodalQueries {
             AS n_benchmark_matches,
           CAST(MIN(ham) AS BIGINT) AS min_hamming
         FROM pr WHERE ham <= 3
-        GROUP BY cid ORDER BY media_id"""))
+        GROUP BY cid ORDER BY media_id""")),
+
+    // ---- audio fingerprint near-dup (m06's discipline on PCM) ----------
+    // The multimodal dedup story extended to audio, end to end on REAL
+    // WAV decodes: every clip's 64-bit temporal energy-gradient
+    // fingerprint (Multimodal.audioFingerprint — exact long sums of
+    // squared samples, no float), banded into 4x16-bit LSH keys
+    // (pigeonhole recall 1.0 at Hamming <= 3), verified at exact
+    // Hamming. True duplicates are PLANTED as re-keyed byte copies
+    // (media_id + 1e9, same payload — the re-upload scenario), so every
+    // clip pairs with its copy at Hamming 0 through two independent
+    // decode passes; any chance band collision within the radius is
+    // md5-free integer arithmetic the oracle replays exactly. One row
+    // per verified pair.
+    "m08_audio_fp_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("wav"))
+        val doubled = media.union(
+          media.map(m => m.copy(media_id = m.media_id + 1000000000L)))
+        val fp = Multimodal.audioFingerprint(doubled).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = Multimodal.phashCandidatePairs(fp, maxBucket = 200)
+        val ham = (0 to 3).map(i =>
+          bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _)
+        cand
+          .join(fp.select(col("media_id").as("id_a"),
+            col("b0").as("a0"), col("b1").as("a1"),
+            col("b2").as("a2"), col("b3").as("a3")), "id_a")
+          .join(fp.select(col("media_id").as("id_b"),
+            col("b0").as("c0"), col("b1").as("c1"),
+            col("b2").as("c2"), col("b3").as("c3")), "id_b")
+          .withColumn("hamming", ham.cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH w AS (SELECT doc_id AS mid, doc_id AS cid
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL SELECT doc_id + 1000000000, doc_id
+          FROM documents WHERE doc_id % 4 = 1),
+        sq AS (SELECT mid, i // 3 AS f, SUM(s * s) AS e
+          FROM (SELECT mid, ti.i AS i,
+              ((cid + 1) * 2654435761 + ti.i * 40503) % 65536 - 32768 AS s
+            FROM w, range(192) ti(i))
+          GROUP BY 1, 2),
+        bits AS (SELECT a.mid, CAST(a.f AS INT) AS idx
+          FROM sq a JOIN sq b ON b.mid = a.mid AND b.f = (a.f + 1) % 64
+          WHERE a.e > b.e),
+        fp AS (SELECT m.mid,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT mid FROM w) m
+          LEFT JOIN bits USING (mid) GROUP BY m.mid),
+        bnd AS (SELECT mid, 0 AS band, b0 AS v FROM fp
+          UNION ALL SELECT mid, 1, b1 FROM fp
+          UNION ALL SELECT mid, 2, b2 FROM fp
+          UNION ALL SELECT mid, 3, b3 FROM fp),
+        keep AS (SELECT bnd.mid, bnd.band, bnd.v FROM bnd
+          JOIN (SELECT band, v, COUNT(*) AS n FROM bnd GROUP BY 1, 2) z
+            ON z.band = bnd.band AND z.v = bnd.v
+          WHERE z.n <= 200),
+        pr AS (SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+          FROM keep a JOIN keep b ON a.band = b.band AND a.v = b.v
+            AND a.mid < b.mid)
+        SELECT pr.id_a, pr.id_b,
+          CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+            + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+            AS BIGINT) AS hamming
+        FROM pr JOIN fp pa ON pa.mid = pr.id_a
+        JOIN fp pb ON pb.mid = pr.id_b
+        WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 3
+        ORDER BY pr.id_a, pr.id_b"""))
   )
 }

@@ -802,6 +802,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!edges.exists(e => e._1 == 20L || e._2 == 20L))
   }
 
+  test("Multimodal.audioFingerprint: byte-identical copies fingerprint " +
+      "identically through independent decodes; non-audio and corrupt " +
+      "payloads emit nothing") {
+    implicit val sp = spark
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("wav"))
+    val copies = media.map(m => m.copy(media_id = m.media_id + 1000L))
+    val fp = Multimodal.audioFingerprint(media).toDF()
+      .select(col("media_id"), col("fp"))
+    val fpc = Multimodal.audioFingerprint(copies).toDF()
+      .select((col("media_id") - 1000L).as("media_id"), col("fp").as("fpc"))
+    val joined = fp.join(fpc, "media_id")
+    assert(joined.count() === media.count())
+    assert(joined.filter(col("fp") =!= col("fpc")).count() === 0)
+    // fingerprints discriminate: distinct clips are not all equal
+    assert(fp.select(countDistinct(col("fp"))).as[Long].head() > 1L)
+    // corrupt payloads (truncated WAV) and non-audio rows emit nothing
+    val junk = media.map(m => m.copy(content = m.content.take(9)))
+    assert(Multimodal.audioFingerprint(junk).isEmpty)
+    val png = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("png"))
+    assert(Multimodal.audioFingerprint(png).isEmpty)
+  }
+
   test("m06 graded-SF coupling fails loudly: no band bucket of the fixture " +
       "pHash table exceeds the m06 cap (ADVICE r10)") {
     // m06's oracle replays the UNCAPPED band rule, which is only valid
