@@ -14,6 +14,19 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/sbt_test.log}"
 
+# a capture taken on a loaded host self-flags (Bench.scala's start-load
+# gate, VERDICT r10 #4) — refuse BEFORE touching anything
+if [[ -f BENCH_LOCAL.json ]] && python3 - <<'EOF'
+import json, sys
+sys.exit(0 if json.load(open('BENCH_LOCAL.json')).get('invalid_capture') else 1)
+EOF
+then
+  echo "ERROR: BENCH_LOCAL.json carries invalid_capture:true (loaded host" >&2
+  echo "at capture start) — discard it (git checkout BENCH_LOCAL.json) and" >&2
+  echo "re-capture in a quiet window." >&2
+  exit 1
+fi
+
 # recursive over the queries tree — the per-family files live in
 # queries/llm/ since the r10 split
 NQUERIES=$(grep -rhoE '"[a-z0-9_]+" -> QueryDef\(' src/main/scala/graft/queries/ | sort -u | wc -l)
