@@ -69,7 +69,10 @@ object ScaleBench {
     "q122_d4_pipeline",     // SemDeDup + prototype pruning, one fit (r9)
     "q122b_d4_production",  // two-fit D4, derived-k/gated (r10)
     "q123_url_domain_cap",  // URL canonicalization + domain caps (r10)
-    "m06_image_phash_dedup") // perceptual-hash image dedup (r10)
+    "q125_dedup_index_merge", // incremental winnow-index merge (r11)
+    "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
+    "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
+    "m08_audio_fp_dedup")   // audio fingerprint near-dup (r11)
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -141,9 +144,18 @@ object ScaleBench {
      * images into ~2000-member cliques — a banding pathology the
      * df-capped bucket discipline (Dedup.capBuckets) handles in
      * production but which would time a fixture artifact here, the q52
-     * argument again. */
+     * argument again. m06b IS here (r11): giant hash-equal cliques are
+     * its DESIGN POINT — the cap drops their band buckets and the
+     * exact-hash clique stars collapse them with one aggregation, so the
+     * third decade times the production mass-dup path (~780-member
+     * cliques), not a pathology. m08 stays at decades 1-2: the scaled
+     * id span aliases the WAV phase constant (id+1)*M mod 2^16, which
+     * manufactures fixture-artifact near-clique structure unrelated to
+     * the operator (the m06 mod-256 argument on the time axis); its
+     * scale path is the same capped banding m06b times. */
     "q121_prototype_pruning",
-    "q122b_d4_production", "q123_url_domain_cap")
+    "q122b_d4_production", "q123_url_domain_cap",
+    "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
