@@ -11,15 +11,20 @@ import org.apache.spark.sql.SparkSession
   * be: AQE on, shuffle partitions = cores (not 200), UTC.
   *
   * Capture self-defense (manual validation, r11): with a deliberately
-  * loaded host (load_start 1.37) a filtered run printed the start-load
-  * warning and shipped `invalid_capture:true`, and with a doctored prior
-  * record (q122c at 0.1 s, matching exec signature) the same run flagged
+  * loaded host a filtered run printed the start-contention warning and
+  * shipped `invalid_capture:true`, and with a doctored prior record
+  * (q122c at 0.1 s, matching exec signature) the same run flagged
   * `contaminated:["q122c_d4_gate_recall"]` — both gates fire from the
   * artifact alone, and `scripts/refresh_readme_counts.sh` exits 1 on a
   * flagged record before touching the README. Note the exec-signature
   * equality (shuffle bytes + tasks) is the cross-session-stable "same
   * work" witness; plan hashes churn for multi-step persisted plans
-  * (RDD cache ids), which is why the cross-check accepts either.
+  * (RDD cache ids), which is why the cross-check accepts either. The
+  * contention signal is the /proc/stat EXTERNAL busy fraction, not the
+  * 1-minute loadavg: a full capture on a genuinely idle host measured
+  * loadavg 1.41 at start (the bench's own sbt/JVM boot decaying) while
+  * its canary and totals were the round's fastest — loadavg ships as
+  * context, the gate rides the probe that cannot see our own sleep.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,23 +93,47 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // external-CPU probe: /proc/stat busy fraction across a 3 s sleep.
+    // THIS process is asleep for the window, so the busy delta measures
+    // OTHER processes only — unlike the 1-minute loadavg, which our own
+    // sbt/JVM startup inflates for a minute (measured: loadavg read 1.41
+    // on a host whose canary and totals were the round's fastest; the
+    // load figure was the bench's own boot decaying). loadavg stays in
+    // the artifact as context; the GATE rides the probe.
+    def externalBusyFrac(sleepMs: Long = 3000): Double = {
+      def cpu(): (Long, Long) = try {
+        val f = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+        // busy = user+nice+system+irq+softirq+steal; total adds idle+iowait
+        val busy = f(0) + f(1) + f(2) + f(5) + f(6) + f(7)
+        (busy, busy + f(3) + f(4))
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+      val (b0, t0) = cpu(); Thread.sleep(sleepMs); val (b1, t1) = cpu()
+      if (b0 < 0 || b1 < 0 || t1 <= t0) -1.0
+      else (b1 - b0).toDouble / (t1 - t0)
+    }
     val loadStart = loadavg()
+    val busyStart = externalBusyFrac()
     val canaryStart1t = canary1t()
     val canaryStartMt = canaryMt()
     val benchOut =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     // ---- capture self-defense (VERDICT r10 #4) -------------------------
-    // (a) start-load gate: a capture that BEGINS on a loaded host is
-    // suspect however clean its per-metric spreads look — min-of-2
-    // metrics have a one-run tail where spread is mute by design, which
-    // is exactly where the r10 contaminated capture hid (q108d/e 8x/4x
-    // with byte-identical exec metrics). The flag rides the artifact;
+    // (a) start-contention gate: a capture that BEGINS beside other CPU
+    // consumers is suspect however clean its per-metric spreads look —
+    // min-of-2 metrics have a one-run tail where spread is mute by
+    // design, which is exactly where the r10 contaminated capture hid
+    // (q108d/e 8x/4x with byte-identical exec metrics, a concurrent JVM
+    // on the host). Gate: >10% of the machine busy in OTHER processes
+    // while we sleep. The flag rides the artifact;
     // scripts/refresh_readme_counts.sh refuses to bless a flagged record.
-    val invalidCapture = loadStart > 0.5
+    val invalidCapture = busyStart > 0.10
     if (invalidCapture)
-      System.err.println(f"[bench] load_start $loadStart%.2f > 0.5 — " +
-        "host is not idle; capture will carry invalid_capture:true. " +
-        "Discard and re-run in a quiet window.")
+      System.err.println(f"[bench] external busy fraction " +
+        f"$busyStart%.2f > 0.10 (loadavg $loadStart%.2f) — host is not " +
+        "idle; capture will carry invalid_capture:true. Discard and " +
+        "re-run in a quiet window.")
     // (b) prior-record cross-check: the previous record's per-query
     // times + execution footprints are a second, host-independent
     // defense — a metric that slowed >3x while doing IDENTICAL work
@@ -478,8 +507,9 @@ object Bench {
     val canaryEnd1t = canary1t()
     val canaryEndMt = canaryMt()
     val loadEnd = loadavg()
+    val busyEnd = externalBusyFrac()
     val canary =
-      f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f}"""
+      f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"busy_start":$busyStart%.3f,"busy_end":$busyEnd%.3f}"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"invalid_capture":$invalidCapture,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
     println(json)
