@@ -496,6 +496,30 @@ class PlansSpec extends SparkSpec {
         s"no pair enumeration):\n$p")
   }
 
+  test("m08: one persisted fingerprint table serves banding and both " +
+      "verify joins; verify is codegen'd bit_count; no window in " +
+      "candidate generation") {
+    val p = plan("m08_audio_fp_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"the fingerprint frame must be persisted, not re-decoded per " +
+        s"consumer:\n$p")
+    assert(p.contains("bit_count"),
+      s"Hamming verify must be the native bit_count, not a UDF:\n$p")
+    assert(!p.contains("Window"),
+      s"bucket capping must aggregate, not window over the bucket key:\n$p")
+  }
+
+  test("q125: the merged index rides broadcast one-row joins — no " +
+      "sort-merge join, no window, and the bitmap OR is a zip_with " +
+      "expression, not an aggregation over re-exploded positions") {
+    val p = plan("q125_dedup_index_merge")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row index frames must broadcast:\n$p")
+    assert(!p.contains("Window"), s"nothing here needs a window:\n$p")
+    assert(p.contains("zip_with"),
+      s"the merge must be the O(m) word-wise OR expression:\n$p")
+  }
+
   test("survivorsAuto gate path with knownN/knownDim schedules ZERO jobs " +
       "before the terminal action (VERDICT r9 #1)") {
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
