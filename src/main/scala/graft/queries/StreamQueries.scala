@@ -689,6 +689,45 @@ object StreamQueries {
             AS admit_rank
         FROM r ORDER BY doc_id""")),
 
+    // ---- windowed domain quota: cap per event-time window (w20) --------
+    // w19's quota with RE-ADMISSION per tumbling window — the daily-
+    // budget politeness policy. Each document carries a derived event
+    // time (2024-01-01 + doc_id seconds, replayable arithmetic), windows
+    // are 240 s, and every (domain, window) admits its first 5 arrivals.
+    // Unlike w19's one-counter-forever, the per-(domain, window) state
+    // EXPIRES via EventTimeTimeout once the watermark passes the window
+    // end — state is bounded by domains per open window, and the expiry
+    // is graded as a state-store metric in StreamingSpec (the oracle
+    // grades the admission semantics; expiry must be output-invisible).
+    "w20_stream_domain_quota_windowed" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import graft.operators.UrlOps
+        val urls = StreamingOps.documentsStream(s, dir)
+          .select(col("doc_id"), LlmOracleSql.messyUrlCol.as("url"))
+          .select(col("doc_id"),
+            UrlOps.registeredDomain(col("url")).as("domain"),
+            timestamp_micros(lit(1704067200000000L) +
+              col("doc_id") * 1000000L).as("ts"))
+        StreamingOps.runToMemory(s,
+            StreamingOps.streamingDomainQuotaWindowed(urls, "domain", "ts",
+              cap = 5, windowSec = 240).toDF(),
+            "w20_mem")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + LlmOracleSql.MessyUrlCte + ",\n        " +
+        LlmOracleSql.UrlDomainCte + """,
+        r AS (SELECT doc_id, domain,
+            (1704067200000000 + doc_id * 1000000) // 240000000 * 240000000
+              AS window_start_us,
+            ROW_NUMBER() OVER (PARTITION BY domain, doc_id // 240
+              ORDER BY doc_id) AS rn
+          FROM dom)
+        SELECT doc_id, domain, window_start_us, rn <= 5 AS admitted,
+          CAST(CASE WHEN rn <= 5 THEN rn ELSE -1 END AS BIGINT)
+            AS admit_rank
+        FROM r ORDER BY doc_id""")),
+
     // ---- custom stateful gap operator (flatMapGroupsWithState) ---------
     "w03_stream_gaps" -> QueryDef(
       (s, dir) => {

@@ -278,6 +278,79 @@ object StreamingOps {
       })
   }
 
+  // __ts stays a TIMESTAMP through the typed boundary: the watermark is
+  // metadata ON that attribute, and projecting it into a derived long
+  // before the stateful operator strips it (the analyzer then rejects
+  // the event-time timeout as "no watermark")
+  final case class WQuotaDoc(doc_id: Long, domain: String,
+      __ts: java.sql.Timestamp)
+  final case class WQuotaRow(doc_id: Long, domain: String,
+      window_start_us: Long, admitted: Boolean, admit_rank: Long)
+
+  /** Windowed per-domain quota admission (w20) — [[streamingDomainQuota]]
+    * with RE-ADMISSION per event-time window: each domain gets `cap`
+    * admissions per `windowSec` tumbling window (the daily-budget
+    * politeness policy), and the per-(domain, window) counter EXPIRES
+    * once the watermark passes the window end. This is the explicit
+    * "cap per window" semantics SCALE.md distinguishes from w19's
+    * cap-forever: here state is bounded by domains seen per OPEN window
+    * (not domains ever), and expiry is a declared part of the contract
+    * rather than a silent quota re-open.
+    *
+    * State lifecycle: one long per (domain, window); an
+    * `EventTimeTimeout` fires when the watermark passes the window end
+    * (no event-time older than the watermark can arrive, so the counter
+    * is dead weight), and the handler removes it — the state store's
+    * steady size is domains-per-window x windows-in-flight, independent
+    * of stream lifetime. Ordering/oracle contract inherited from w19:
+    * within a batch, doc_id order; end-of-stream equals ROW_NUMBER per
+    * (domain, window) <= cap when the source delivers in id order.
+    */
+  def streamingDomainQuotaWindowed(docs: DataFrame, domainCol: String,
+      tsCol: String, cap: Int, windowSec: Long,
+      watermarkDelaySec: Long = 0L)(
+      implicit spark: SparkSession): Dataset[WQuotaRow] = {
+    import spark.implicits._
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val winUs = windowSec * 1000000L
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    docs
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", s"$watermarkDelaySec seconds")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("domain"), col("__ts"))
+      .as[WQuotaDoc]
+      .groupByKey(d => (d.domain, us(d.__ts) / winUs * winUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key: (String, Long),
+          rows: Iterator[WQuotaDoc], state: GroupState[Long]) => {
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val (domain, wstart) = key
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var n = state.getOption.getOrElse(0L)
+          val out = sorted.map { d =>
+            n += 1
+            WQuotaRow(d.doc_id, domain, wstart, n <= cap,
+              if (n <= cap) n else -1L)
+          }
+          state.update(n)
+          // expire at window end (must stay above the current watermark
+          // — a straggler batch older than the watermark can otherwise
+          // compute a timeout in the past, which the API rejects)
+          state.setTimeoutTimestamp(math.max((wstart + winUs) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+        }
+      })
+  }
+
   /** Stateless streaming NEAR-COPY intake: each incoming document's
     * winnowed fingerprint sketch (computed MAP-SIDE by the codegen'd
     * WinnowSketch kernel) probes a Bloom filter of the existing corpus's

@@ -169,6 +169,52 @@ class StreamingSpec extends SparkSpec {
       (3L, "a", false, -1L), (4L, "b", true, 1L)))
   }
 
+  test("windowed domain quota (w20): re-admission per event-time window " +
+      "across batches, and expired-window state is REMOVED by the " +
+      "watermark timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = StreamingOps.streamingDomainQuotaWindowed(
+        mem.toDF().toDF("doc_id", "domain", "ts0")
+          .withColumn("ts", timestamp_micros(col("ts0"))),
+        "domain", "ts", cap = 1, windowSec = 60).toDF()
+      .writeStream.format("memory").queryName("t_wquota")
+      .outputMode("append").start()
+    try {
+      // batch 1, window 0: cap 1 — doc 1 admitted, doc 2 rejected
+      mem.addData((1L, "a", base + 1000000L), (2L, "a", base + 2000000L))
+      q.processAllAvailable()
+      // batch 2 jumps two windows ahead: the SAME domain re-admits (the
+      // whole point vs w19), and the watermark now passes window 0's end
+      mem.addData((3L, "a", base + 130000000L))
+      q.processAllAvailable()
+      // batch 3 lets the window-0 timeout fire (timeouts are evaluated
+      // against the watermark established by the PREVIOUS batch)
+      mem.addData((4L, "a", base + 190000000L))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        s"expired (domain, window) state was never removed; progress: " +
+          s"${q.recentProgress.map(_.stateOperators.map(o =>
+            s"rows=${o.numRowsTotal} removed=${o.numRowsRemoved}")
+            .mkString(",")).mkString(" | ")}")
+    } finally q.stop()
+    val rows = spark.table("t_wquota").orderBy("doc_id")
+      .as[(Long, String, Long, Boolean, Long)].collect().toSeq
+    val w = 60000000L
+    assert(rows === Seq(
+      (1L, "a", base / w * w, true, 1L),
+      (2L, "a", base / w * w, false, -1L),
+      (3L, "a", (base + 130000000L) / w * w, true, 1L),
+      (4L, "a", (base + 190000000L) / w * w, true, 1L)))
+  }
+
   test("streaming model-score drift equals the batch PSI table (w15 " +
       "end-of-stream = batch)") {
     val got = SparkEntry.queries("w15_stream_score_drift")(spark, sf())
