@@ -402,7 +402,39 @@ object StreamingOps {
     val corpusKeys = Winnow.fingerprints(corpus, "doc_id", "text", k, w)
       .select(col("h").cast("string").as("hk")).distinct()
       .withColumn("__g", lit(1))
+    // the artifact is SELF-DESCRIBING (r11): (k, w, m, kHash) are its
+    // identity and ride IN the row, so a probe or merge with mismatched
+    // parameters fails loudly at runtime instead of silently returning
+    // wrong hit counts the Bloom's no-false-negative guarantee could
+    // mask. `version` starts at 1; merges bump it.
     Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
+      .withColumn("k", lit(k)).withColumn("w", lit(w))
+      .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+      .withColumn("version", lit(1L))
+  }
+
+  private val IndexParamCols = Seq("k", "w", "m", "kHash")
+
+  /** Wrap `filter` so that reading it EVALUATES an assert_true over the
+    * artifact's embedded parameters — the check lives in the row the
+    * consumer already reads, so it cannot be pruned away and costs one
+    * predicate on a one-row frame. Artifacts from before the params rode
+    * along (no such columns) pass through unchecked.
+    */
+  private def checkedFilter(index: DataFrame, k: Int, w: Int, m: Int,
+      kHash: Int): DataFrame = {
+    if (!IndexParamCols.forall(index.columns.contains)) index
+    else {
+      val want = Seq("k" -> k, "w" -> w, "m" -> m, "kHash" -> kHash)
+      val eq = want.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      val msg = concat(lit("winnow-index parameter mismatch: artifact ("),
+        concat_ws(",", IndexParamCols.map(c =>
+          concat(lit(s"$c="), col(c).cast("string"))): _*),
+        lit(") vs probe ("),
+        lit(want.map { case (c, v) => s"$c=$v" }.mkString(",")), lit(")"))
+      index.withColumn("filter",
+        when(assert_true(eq, msg).isNull, col("filter")))
+    }
   }
 
   /** Incremental corpus growth WITHOUT re-sketching history (VERDICT r10
@@ -415,17 +447,44 @@ object StreamingOps {
     * bit-for-bit in StreamingSpec and end-to-end by q125 sharing
     * q124/w14's oracle verbatim). Cost: the daily delta's sketch + one
     * m/8-byte zip_with — corpus history is never touched. (k, w, m,
-    * kHash) remain the artifact's identity; merging indexes built with
-    * different parameters is a contract violation (the fill-ratio
-    * budget in [[intakeWinnowMatches]]'s scaladoc still applies to the
-    * UNION's key count).
+    * kHash) remain the artifact's identity and since r11 ride IN the
+    * artifact row: merging indexes built with different parameters
+    * throws at runtime (assert_true in the merged filter column), and
+    * the merged row carries the params plus `version` = max(inputs) + 1
+    * (the fill-ratio budget in [[intakeWinnowMatches]]'s scaladoc still
+    * applies to the UNION's key count).
     */
-  def mergeWinnowIndex(prior: DataFrame, delta: DataFrame): DataFrame =
-    prior.select(col("__g"), col("filter").as("__fa"))
-      .join(delta.select(col("__g"), col("filter").as("__fb")), Seq("__g"))
-      .select(col("__g"),
-        zip_with(col("__fa"), col("__fb"), (a, b) => a.bitwiseOR(b))
-          .as("filter"))
+  def mergeWinnowIndex(prior: DataFrame, delta: DataFrame): DataFrame = {
+    val hasP = (IndexParamCols :+ "version").forall(c =>
+      prior.columns.contains(c) && delta.columns.contains(c))
+    val a = prior.select(col("__g") +: col("filter").as("__fa") +:
+      (if (hasP) IndexParamCols.map(col) :+ col("version").as("__va")
+       else Seq.empty): _*)
+    val b = delta.select(col("__g") +: col("filter").as("__fb") +:
+      (if (hasP) IndexParamCols.map(c => col(c).as(s"__d$c")) :+
+        col("version").as("__vb")
+       else Seq.empty): _*)
+    val j = a.join(b, Seq("__g"))
+    val or = zip_with(col("__fa"), col("__fb"), (x, y) => x.bitwiseOR(y))
+    if (!hasP) j.select(col("__g"), or.as("filter"))
+    else {
+      // merging indexes built with different parameters is NOT a union
+      // of the same key space — refuse at runtime, in the row itself
+      val eq = IndexParamCols.map(c => col(c) === col(s"__d$c"))
+        .reduce(_ && _)
+      val msg = concat(lit("winnow-index parameter mismatch: prior ("),
+        concat_ws(",", IndexParamCols.map(c =>
+          concat(lit(s"$c="), col(c).cast("string"))): _*),
+        lit(") vs delta ("),
+        concat_ws(",", IndexParamCols.map(c =>
+          concat(lit(s"$c="), col(s"__d$c").cast("string"))): _*),
+        lit(")"))
+      j.select(col("__g") +:
+        when(assert_true(eq, msg).isNull, or).as("filter") +:
+        (IndexParamCols.map(col) :+
+          (greatest(col("__va"), col("__vb")) + 1L).as("version")): _*)
+    }
+  }
 
   /** [[intakeWinnowMatches]] against a prebuilt [[buildWinnowIndex]]
     * artifact (in-memory or reloaded from its parquet form).
@@ -433,7 +492,10 @@ object StreamingOps {
   def intakeWinnowMatchesWith(docs: DataFrame, index: DataFrame,
       k: Int = 20, w: Int = 8, m: Int = 1 << 20, kHash: Int = 3,
       minHits: Int = 2): DataFrame = {
-    val filt = index
+    // probing with parameters other than the artifact's own fails loudly
+    // (assert_true evaluated in the filter column itself) — r11, closing
+    // the "documented contract violation" into an enforced one
+    val filt = checkedFilter(index, k, w, m, kHash)
     docs.select(col("doc_id"), col("lang"),
         graft.functions.expressions.TextExpressions
           .winnowSketch(col("text"), k, w).as("__sk"))

@@ -110,6 +110,42 @@ class StreamingSpec extends SparkSpec {
     val priorBits = prior.select("filter").as[Seq[Long]].head()
     assert(merged.zip(priorBits).forall { case (m, p) => (m & p) == p })
     assert(merged !== priorBits)
+    // the artifact is self-describing: params ride along and the merge
+    // bumps version = max(inputs) + 1
+    val meta = StreamingOps.mergeWinnowIndex(prior, delta)
+      .select("k", "w", "m", "kHash", "version")
+      .as[(Int, Int, Int, Int, Long)].head()
+    assert(meta === ((20, 8, 1 << 20, 3, 2L)))
+  }
+
+  test("self-describing winnow index: probing or merging with mismatched " +
+      "parameters FAILS LOUDLY instead of silently mis-counting hits") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val idx = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 3 === 0))
+    // probe with the artifact's own parameters: fine
+    assert(StreamingOps.intakeWinnowMatchesWith(
+      docs.filter(col("doc_id") % 3 =!= 0), idx, minHits = 5).count() > 0)
+    // probe with a different m: the Bloom positions would be computed in
+    // the wrong space — must throw, not return wrong suspects
+    val probeEx = intercept[Exception] {
+      StreamingOps.intakeWinnowMatchesWith(
+        docs.filter(col("doc_id") % 3 =!= 0), idx,
+        m = 1 << 16, minHits = 5).collect()
+    }
+    assert(probeEx.getMessage != null)
+    // merge with a different k: different key space — must throw
+    val other = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 3 === 1), k = 10)
+    val mergeEx = intercept[Exception] {
+      StreamingOps.mergeWinnowIndex(idx, other).collect()
+    }
+    assert(mergeEx.getMessage != null)
+    // a pre-r11 artifact (no param columns) still probes unchecked
+    val legacy = idx.select("__g", "filter")
+    assert(StreamingOps.intakeWinnowMatchesWith(
+      docs.filter(col("doc_id") % 3 =!= 0), legacy, minHits = 5)
+      .count() > 0)
   }
 
   test("stateless image-pHash intake: streamed rows equal the identical " +
