@@ -413,39 +413,69 @@ object Multimodal {
     val img0 =
       if (m.meta.format == "gif") decodeGifFrames(m.content).headOption
       else decodeImage(m.content)
-    img0.flatMap { img =>
-      val w = img.getWidth; val h = img.getHeight
-      if (w < 8 || h < 8) None
-      else {
-        val pool = Array.ofDim[Long](8, 8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
-              + 29 * (rgb & 0xff)) >> 8
-            pool(y * 8 / h)(x * 8 / w) += luma
-            x += 1
-          }
-          y += 1
+    img0.flatMap(pHashOfImage)
+  }
+
+  /** The dHash kernel over one decoded frame (shared by [[imagePHash]]
+    * and the per-frame [[gifFramePHashes]]).
+    */
+  private def pHashOfImage(img: BufferedImage): Option[(Long, Array[Int])] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) None
+    else {
+      val pool = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+            + 29 * (rgb & 0xff)) >> 8
+          pool(y * 8 / h)(x * 8 / w) += luma
+          x += 1
         }
-        var ph = 0L
-        val bands = new Array[Int](4)
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (pool(r)(c) > pool(r)((c + 1) % 8)) {
-              val idx = r * 8 + c
-              ph |= 1L << idx
-              bands(idx / 16) |= 1 << (idx % 16)
-            }
-            c += 1
+        y += 1
+      }
+      var ph = 0L
+      val bands = new Array[Int](4)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (pool(r)(c) > pool(r)((c + 1) % 8)) {
+            val idx = r * 8 + c
+            ph |= 1L << idx
+            bands(idx / 16) |= 1 << (idx % 16)
           }
-          r += 1
+          c += 1
         }
-        Some((ph, bands))
+        r += 1
+      }
+      Some((ph, bands))
+    }
+  }
+
+  final case class FramePHashRow(media_id: Long, frame_idx: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Per-FRAME perceptual hashes over real multi-frame decodes — the
+    * video near-dup key: every decoded GIF frame gets its own
+    * [[pHashOfImage]] dHash (the m06 kernel, luma = the gray level on
+    * the indexed-grayscale fixture frames), so two videos can be
+    * compared frame-position-wise (m09: candidates by per-frame band
+    * equality, verified by per-frame Hamming, scored by the matching-
+    * frame count). Undecodable payloads and non-gif rows emit nothing.
+    */
+  def gifFramePHashes(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[FramePHashRow] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.meta.format == "gif").flatMap { m =>
+        decodeGifFrames(m.content).iterator.zipWithIndex.flatMap {
+          case (img, f) => pHashOfImage(img).map { case (_, b) =>
+            FramePHashRow(m.media_id, f, b(0), b(1), b(2), b(3))
+          }
+        }
       }
     }
   }

@@ -595,6 +595,118 @@ object MultimodalQueries {
         JOIN fp pb ON pb.mid = pr.id_b
         WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
           + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 3
-        ORDER BY pr.id_a, pr.id_b"""))
+        ORDER BY pr.id_a, pr.id_b""")),
+
+    // ---- video (multi-frame) near-dup dedup ----------------------------
+    // m06 hashes a FRAME; videos need frame-position-wise comparison:
+    // every decoded GIF frame gets its own dHash
+    // (Multimodal.gifFramePHashes — the m06 kernel per frame; the
+    // indexed-grayscale fixture makes luma exactly the gray level, so
+    // the oracle replays every frame's bits from the closed-form gray),
+    // candidates come from per-(frame, band) equality (df-capped — the
+    // m06 bucket discipline keyed by frame position too), each common
+    // frame position verifies at exact Hamming <= 3, and a pair is a
+    // near-dup when at least HALF the shorter video's frames match.
+    // The fixture plants true variable-length near-dups: the gray
+    // formula has period 256 in id (id and id+256 render identical
+    // frames) while n_frames derives from n_chars — so planted pairs
+    // share frame CONTENT but not necessarily frame COUNT, exactly the
+    // re-encoded/truncated-video reality. One row per matched pair with
+    // both frame counts and the matching-frame count.
+    "m09_video_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("gif"))
+        val fph = Multimodal.gifFramePHashes(media).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nf = fph.groupBy("media_id").agg(count(lit(1)).as("nf"))
+        val banded0 = fph.select(col("media_id"), col("frame_idx"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band", "v")))
+        val over = banded0.groupBy("frame_idx", "band", "v")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 200)
+          .select("frame_idx", "band", "v")
+        val banded = banded0.join(broadcast(over),
+          Seq("frame_idx", "band", "v"), "left_anti")
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.frame_idx") === col("b.frame_idx") &&
+              col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .distinct()
+        val fa = fph.select(col("media_id").as("id_a"), col("frame_idx"),
+          col("b0").as("a0"), col("b1").as("a1"),
+          col("b2").as("a2"), col("b3").as("a3"))
+        val fb = fph.select(col("media_id").as("id_b"), col("frame_idx"),
+          col("b0").as("c0"), col("b1").as("c1"),
+          col("b2").as("c2"), col("b3").as("c3"))
+        val ham = (0 to 3).map(i =>
+          bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _)
+        val ms = cand.join(fa, "id_a").join(fb, Seq("id_b", "frame_idx"))
+          .withColumn("__mt", (ham <= 3).cast("long"))
+          .groupBy("id_a", "id_b")
+          .agg(sum(col("__mt")).as("n_matching_frames"))
+        ms.join(nf.select(col("media_id").as("id_a"),
+            col("nf").as("nf_a")), "id_a")
+          .join(nf.select(col("media_id").as("id_b"),
+            col("nf").as("nf_b")), "id_b")
+          .filter(col("n_matching_frames") * 2 >=
+            least(col("nf_a"), col("nf_b")))
+          .select("id_a", "id_b", "nf_a", "nf_b", "n_matching_frames")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH gifn AS (SELECT doc_id,
+          least(greatest(n_chars // 100, 1), 8) AS nf
+          FROM documents WHERE doc_id % 4 = 2),
+        fr AS (SELECT doc_id, nf, CAST(tf.f AS INT) AS f
+          FROM gifn, LATERAL (SELECT unnest(range(nf)) AS f) tf),
+        g AS (SELECT fr.doc_id, fr.f, tx.x, ty.y,
+            (fr.doc_id*17 + fr.f*29 + tx.x*5 + ty.y*11) % 256 AS gray
+          FROM fr, range(8) tx(x), range(8) ty(y)),
+        bits AS (SELECT a.doc_id, a.f, CAST(a.y*8 + a.x AS INT) AS idx
+          FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+            AND b.y = a.y AND b.x = (a.x + 1) % 8
+          WHERE a.gray > b.gray),
+        fph AS (SELECT fr.doc_id, fr.f,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM fr LEFT JOIN bits ON bits.doc_id = fr.doc_id
+            AND bits.f = fr.f
+          GROUP BY fr.doc_id, fr.f),
+        bnd AS (SELECT doc_id, f, 0 AS band, b0 AS v FROM fph
+          UNION ALL SELECT doc_id, f, 1, b1 FROM fph
+          UNION ALL SELECT doc_id, f, 2, b2 FROM fph
+          UNION ALL SELECT doc_id, f, 3, b3 FROM fph),
+        keep AS (SELECT bnd.doc_id, bnd.f, bnd.band, bnd.v FROM bnd
+          JOIN (SELECT f, band, v, COUNT(*) AS n FROM bnd
+            GROUP BY 1, 2, 3) z
+            ON z.f = bnd.f AND z.band = bnd.band AND z.v = bnd.v
+          WHERE z.n <= 200),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM keep a JOIN keep b ON a.f = b.f AND a.band = b.band
+            AND a.v = b.v AND a.doc_id < b.doc_id),
+        pf AS (SELECT c.id_a, c.id_b,
+            CASE WHEN bit_count(xor(fa.b0, fb.b0))
+              + bit_count(xor(fa.b1, fb.b1))
+              + bit_count(xor(fa.b2, fb.b2))
+              + bit_count(xor(fa.b3, fb.b3)) <= 3 THEN 1 ELSE 0 END AS mt
+          FROM cand c
+          JOIN fph fa ON fa.doc_id = c.id_a
+          JOIN fph fb ON fb.doc_id = c.id_b AND fb.f = fa.f),
+        ms AS (SELECT id_a, id_b, SUM(mt) AS n_matching_frames
+          FROM pf GROUP BY 1, 2)
+        SELECT ms.id_a, ms.id_b,
+          CAST(na.nf AS BIGINT) AS nf_a, CAST(nb.nf AS BIGINT) AS nf_b,
+          CAST(ms.n_matching_frames AS BIGINT) AS n_matching_frames
+        FROM ms JOIN gifn na ON na.doc_id = ms.id_a
+        JOIN gifn nb ON nb.doc_id = ms.id_b
+        WHERE ms.n_matching_frames * 2 >= least(na.nf, nb.nf)
+        ORDER BY ms.id_a, ms.id_b"""))
   )
 }

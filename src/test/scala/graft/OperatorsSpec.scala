@@ -826,6 +826,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(png).isEmpty)
   }
 
+  test("Multimodal.gifFramePHashes: one hash row per decoded frame, and a " +
+      "content-identical video with a different frame count matches on " +
+      "every common position (the variable-length near-dup)") {
+    implicit val sp = spark
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("gif"))
+    val fph = Multimodal.gifFramePHashes(media).toDF()
+    // one row per decoded frame: totals match the real frame sampler
+    val nFrames = Multimodal.sampleFrames(media, stride = 1).count()
+    assert(fph.count() === nFrames && nFrames > 0)
+    // the fixture's mod-256 period plants content-identical videos at
+    // id and id+256 with INDEPENDENT frame counts — every common frame
+    // position must hash identically through two real encode->decode
+    // round trips
+    val a = fph.filter(col("media_id") === 2L)
+      .select("frame_idx", "b0", "b1", "b2", "b3")
+    val b = fph.filter(col("media_id") === 258L)
+      .select(col("frame_idx"), col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3"))
+    val common = a.join(b, "frame_idx")
+    assert(common.count() > 0)
+    assert(common.filter(col("b0") =!= col("c0") ||
+      col("b1") =!= col("c1") || col("b2") =!= col("c2") ||
+      col("b3") =!= col("c3")).count() === 0)
+  }
+
   test("m06 graded-SF coupling fails loudly: no band bucket of the fixture " +
       "pHash table exceeds the m06 cap (ADVICE r10)") {
     // m06's oracle replays the UNCAPPED band rule, which is only valid
