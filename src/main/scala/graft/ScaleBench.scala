@@ -72,7 +72,10 @@ object ScaleBench {
     "q125_dedup_index_merge", // incremental winnow-index merge (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
-    "m08_audio_fp_dedup")   // audio fingerprint near-dup (r11)
+    "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
+    "m09_video_phash_dedup") // per-frame video near-dup (r11; decades
+                             // 1-2 — m06's mod-256 x100 caveat applies
+                             // to the gif formula identically
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
