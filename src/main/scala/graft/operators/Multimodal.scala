@@ -343,6 +343,36 @@ object Multimodal {
     * surface. Non-audio, undecodable, and shorter-than-window clips emit
     * nothing — census them with [[extractFeatures]] first.
     */
+  /** The fingerprint kernel over decoded unsigned-16 samples: (packed
+    * 64-bit signature, 4 band ints); shared by [[audioFingerprint]] and
+    * [[audioFingerprintCensus]].
+    */
+  private def audioFpOf(u: Array[Int], frameLen: Int,
+      nFrames: Int): (Long, Array[Int]) = {
+    val e = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sq = 0L; var j = 0
+      while (j < frameLen) {
+        val s = u(f * frameLen + j) - 32768
+        sq += s.toLong * s
+        j += 1
+      }
+      e(f) = sq; f += 1
+    }
+    var fp = 0L
+    val bands = new Array[Int](4)
+    var i = 0
+    while (i < nFrames) {
+      if (e(i) > e((i + 1) % nFrames)) {
+        fp |= 1L << i
+        bands(i / 16) |= 1 << (i % 16)
+      }
+      i += 1
+    }
+    (fp, bands)
+  }
+
   def audioFingerprint(media: Dataset[MediaRow], frameLen: Int = 3,
       nFrames: Int = 64)(
       implicit spark: SparkSession): Dataset[AudioFpRow] = {
@@ -353,30 +383,37 @@ object Multimodal {
       batch.filter(_.meta.format == "wav").flatMap { m =>
         decodeWavU16(m.content).iterator
           .filter(_.length >= frameLen * nFrames).map { u =>
-            val e = new Array[Long](nFrames)
-            var f = 0
-            while (f < nFrames) {
-              var sq = 0L; var j = 0
-              while (j < frameLen) {
-                val s = u(f * frameLen + j) - 32768
-                sq += s.toLong * s
-                j += 1
-              }
-              e(f) = sq; f += 1
-            }
-            var fp = 0L
-            val bands = new Array[Int](4)
-            var i = 0
-            while (i < nFrames) {
-              if (e(i) > e((i + 1) % nFrames)) {
-                fp |= 1L << i
-                bands(i / 16) |= 1 << (i % 16)
-              }
-              i += 1
-            }
-            AudioFpRow(m.media_id, fp, bands(0), bands(1), bands(2),
-              bands(3))
+            val (fp, b) = audioFpOf(u, frameLen, nFrames)
+            AudioFpRow(m.media_id, fp, b(0), b(1), b(2), b(3))
           }
+      }
+    }
+  }
+
+  final case class AudioFpCensusRow(media_id: Long, decode_ok: Boolean,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** [[audioFingerprint]] with corrupt-payload sentinels (the
+    * [[imagePHashCensus]] discipline on audio): a non-wav, undecodable,
+    * or shorter-than-window payload emits decode_ok = false with zero
+    * bands instead of disappearing — the per-row census a streaming
+    * intake needs.
+    */
+  def audioFingerprintCensus(media: Dataset[MediaRow], frameLen: Int = 3,
+      nFrames: Int = 64)(
+      implicit spark: SparkSession): Dataset[AudioFpCensusRow] = {
+    import spark.implicits._
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(nFrames == 64, s"the packed form is 64 bits, got $nFrames")
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val fp =
+          if (m.meta.format != "wav") None
+          else decodeWavU16(m.content)
+            .filter(_.length >= frameLen * nFrames)
+            .map(u => audioFpOf(u, frameLen, nFrames)._2)
+        fp.fold(AudioFpCensusRow(m.media_id, false, 0, 0, 0, 0))(b =>
+          AudioFpCensusRow(m.media_id, true, b(0), b(1), b(2), b(3)))
       }
     }
   }

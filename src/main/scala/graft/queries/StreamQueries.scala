@@ -689,6 +689,103 @@ object StreamQueries {
             AS admit_rank
         FROM r ORDER BY doc_id""")),
 
+    // ---- streaming audio intake: fingerprint x corpus band Bloom (w21) -
+    // w18's stateless media intake on the time axis: arriving WAV clips
+    // really decode (corrupt payloads — one in five, truncated bytes —
+    // degrade to decode_ok=false sentinels), their four energy-gradient
+    // fingerprint bands (m08's key) probe the corpus's broadcast band
+    // Bloom, and suspect fires on any band hit (guaranteed recall at
+    // Hamming <= 3 by m08's pigeonhole argument). Zero streaming state;
+    // the oracle replays samples -> frame energies -> gradient bands ->
+    // md5 Bloom positions -> probes batch-side, sentinels included.
+    "w21_stream_audio_intake" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.operators.Multimodal
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+        val stream0 = Multimodal.encodeMediaRows(
+          StreamingOps.documentsStream(s, dir)
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 =!= 0))
+        val stream = stream0.map(m =>
+          if (m.media_id % 5 == 3) m.copy(content = m.content.take(7)) else m)
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeAudioFpMatches(stream, corpus), "w21_mem")
+          .orderBy("media_id")
+      },
+      Some("""WITH cw AS (SELECT doc_id AS mid FROM documents
+          WHERE doc_id % 12 = 9),
+        csq AS (SELECT mid, i // 3 AS f, SUM(s * s) AS e
+          FROM (SELECT mid, ti.i AS i,
+              ((mid + 1) * 2654435761 + ti.i * 40503) % 65536 - 32768 AS s
+            FROM cw, range(192) ti(i))
+          GROUP BY 1, 2),
+        cbits AS (SELECT a.mid, CAST(a.f AS INT) AS idx
+          FROM csq a JOIN csq b ON b.mid = a.mid AND b.f = (a.f + 1) % 64
+          WHERE a.e > b.e),
+        cfp AS (SELECT cw.mid,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM cw LEFT JOIN cbits USING (mid) GROUP BY cw.mid),
+        ck AS (SELECT DISTINCT k FROM (
+          SELECT '0:' || CAST(b0 AS VARCHAR) AS k FROM cfp
+          UNION ALL SELECT '1:' || CAST(b1 AS VARCHAR) FROM cfp
+          UNION ALL SELECT '2:' || CAST(b2 AS VARCHAR) FROM cfp
+          UNION ALL SELECT '3:' || CAST(b3 AS VARCHAR) FROM cfp)),
+        bpos AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(k || '#bloom'
+              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+            AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        sw AS (SELECT doc_id AS mid FROM documents
+          WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3),
+        ssq AS (SELECT mid, i // 3 AS f, SUM(s * s) AS e
+          FROM (SELECT mid, ti.i AS i,
+              ((mid + 1) * 2654435761 + ti.i * 40503) % 65536 - 32768 AS s
+            FROM sw, range(192) ti(i))
+          GROUP BY 1, 2),
+        sbits AS (SELECT a.mid, CAST(a.f AS INT) AS idx
+          FROM ssq a JOIN ssq b ON b.mid = a.mid AND b.f = (a.f + 1) % 64
+          WHERE a.e > b.e),
+        sfp AS (SELECT sw.mid,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM sw LEFT JOIN sbits USING (mid) GROUP BY sw.mid),
+        sk AS (SELECT mid, k FROM (
+          SELECT mid, '0:' || CAST(b0 AS VARCHAR) AS k FROM sfp
+          UNION ALL SELECT mid, '1:' || CAST(b1 AS VARCHAR) FROM sfp
+          UNION ALL SELECT mid, '2:' || CAST(b2 AS VARCHAR) FROM sfp
+          UNION ALL SELECT mid, '3:' || CAST(b3 AS VARCHAR) FROM sfp)),
+        skp AS (SELECT mid, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(md5(k || '#bloom'
+                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM sk CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY mid, k),
+        agg AS (SELECT mid, CAST(SUM(ok) AS INT) AS n
+          FROM skp GROUP BY mid)
+        SELECT d.doc_id AS media_id,
+          d.doc_id % 5 <> 3 AS decode_ok,
+          CAST(CASE WHEN d.doc_id % 5 = 3 THEN 0
+            ELSE COALESCE(a.n, 0) END AS INT) AS n_band_hits,
+          (d.doc_id % 5 <> 3 AND COALESCE(a.n, 0) >= 1) AS suspect
+        FROM documents d LEFT JOIN agg a ON a.mid = d.doc_id
+        WHERE d.doc_id % 4 = 1 AND d.doc_id % 3 <> 0
+        ORDER BY media_id""")),
+
     // ---- windowed domain quota: cap per event-time window (w20) --------
     // w19's quota with RE-ADMISSION per tumbling window — the daily-
     // budget politeness policy. Each document carries a derived event

@@ -551,6 +551,42 @@ object StreamingOps {
         col("decode_ok") && col("n_band_hits") >= minBandHits)
   }
 
+  /** Stateless streaming AUDIO near-dup intake (w21) — the w18 shape on
+    * the time axis: every arriving clip REALLY decodes
+    * ([[graft.operators.Multimodal.audioFingerprintCensus]] — corrupt
+    * payloads degrade to decode_ok = false sentinels), its four 16-bit
+    * energy-gradient fingerprint bands probe a broadcast Bloom filter of
+    * the corpus's band keys, and `suspect` fires at `minBandHits` band
+    * hits. Band equality is m08's candidate rule, so a hit means "would
+    * be an m08 candidate against some corpus clip" — recall 1.0 for any
+    * corpus near-dup within Hamming 3 (pigeonhole), before a byte of the
+    * corpus is consulted. ZERO streaming state; md5-derived positions,
+    * so even false positives replay bit-for-bit in SQL.
+    */
+  def intakeAudioFpMatches(
+      streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      corpusMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      m: Int = 1 << 20, kHash: Int = 3, minBandHits: Int = 1)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.operators.{Bloom, Multimodal}
+    def bandKey(b: Int) = concat(lit(s"$b:"), col(s"b$b").cast("string"))
+    val corpusKeys = Multimodal.audioFingerprint(corpusMedia).toDF()
+      .select(explode(array((0 to 3).map(bandKey): _*)).as("bk"))
+      .withColumn("__g", lit(1))
+    val filt = Bloom.buildPacked(corpusKeys, "bk", "__g", m, kHash)
+    val hits = (0 to 3).map(b =>
+      Bloom.mightContainPacked(col("filter"),
+        Bloom.positions(bandKey(b), m, kHash)).cast("int")).reduce(_ + _)
+    Multimodal.audioFingerprintCensus(streamMedia).toDF()
+      .withColumn("__g", lit(1))
+      .join(broadcast(filt), Seq("__g"), "left")
+      .select(col("media_id"), col("decode_ok"),
+        when(!col("decode_ok") || col("filter").isNull, lit(0))
+          .otherwise(hits).as("n_band_hits"))
+      .withColumn("suspect",
+        col("decode_ok") && col("n_band_hits") >= minBandHits)
+  }
+
   final case class AsOfEvent(user_id: Long, event_id: Long, ts_us: Long,
       is_right: Boolean, value: Double)
   final case class AsOfState(rtsUs: Long, rvalue: Double)

@@ -177,6 +177,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r.getBoolean(1) && !r.getBoolean(3))) // clean miss
   }
 
+  test("stateless audio-fingerprint intake (w21): streamed rows equal the " +
+      "identical batch computation, corrupt sentinels included") {
+    implicit val sp = spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    def withCorruption(m: Multimodal.MediaRow): Multimodal.MediaRow =
+      if (m.media_id % 5 == 3) m.copy(content = m.content.take(7)) else m
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.intakeAudioFpMatches(
+        Multimodal.encodeMediaRows(
+          StreamingOps.documentsStream(spark, sf())
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 =!= 0))
+          .map(withCorruption), corpus),
+      "t_audio_intake").orderBy("media_id").collect().toSeq
+    val batch = StreamingOps.intakeAudioFpMatches(
+        Multimodal.encodeMediaRows(
+          docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 =!= 0))
+          .map(withCorruption), corpus)
+      .orderBy("media_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(!_.getBoolean(1)))                  // corrupt
+    assert(streamed.exists(r => r.getBoolean(1) && !r.getBoolean(3))) // miss
+  }
+
   test("streamingDomainQuota: per-domain counters persist across " +
       "micro-batches and admitted <= cap holds unconditionally") {
     implicit val sp = spark
