@@ -70,6 +70,8 @@ object ScaleBench {
     "q122b_d4_production",  // two-fit D4, derived-k/gated (r10)
     "q123_url_domain_cap",  // URL canonicalization + domain caps (r10)
     "q125_dedup_index_merge", // incremental winnow-index merge (r11)
+    "q126_edit_distance_dedup", // thresholded-Levenshtein fuzzy dedup (r11)
+    "q127_corpus_overlap_sketch", // bottom-k KMV corpus-overlap matrix (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -158,6 +160,12 @@ object ScaleBench {
      * scale path is the same capped banding m06b times. */
     "q121_prototype_pruning",
     "q122b_d4_production", "q123_url_domain_cap",
+    // r11 points: q126's anchors are per-copy disjoint under the bijective
+    // rename (renamed words change every chunk), so candidates scale
+    // linearly and the df-cap bounds any Zipf-heavy anchor bucket; q127 is
+    // one KMV pass per corpus (reject-fast after saturation) + a 190-row
+    // broadcast loop — linear in shingle occurrences by construction
+    "q126_edit_distance_dedup", "q127_corpus_overlap_sketch",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

@@ -166,6 +166,42 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** [[BoundedMinKLong]] with SET semantics — the bottom-k (KMV) sketch
+    * buffer ([[graft.operators.CorpusOverlap]]): keeps the k smallest
+    * DISTINCT values seen, so the finished buffer is exactly the k
+    * minimum values of the input's value SET (the K-Minimum-Values
+    * sketch of Bar-Yossef et al. 2002 / Beyer et al. 2007's unbiased
+    * distinct-and-Jaccard estimator family). Distinctness must live in
+    * the aggregator — a KMV sketch over a multiset is a sketch of the
+    * multiset's set, and pushing a `.distinct()` upstream would cost the
+    * full-cardinality shuffle the sketch exists to avoid.
+    *
+    * Cost shape: once the buffer saturates at k values, an arriving
+    * value >= the current k-th minimum rejects in O(1) — by the KMV
+    * growth bound only ~k·ln(n/k) of n arrivals ever pass that test, so
+    * the per-partition cost is one comparison per row plus a vanishing
+    * number of O(k) inserts. Map-side combinable: each partition ships
+    * at most k longs per group, and `merge` is the sketch union.
+    */
+  final case class BoundedMinKDistinctLong(k: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: List[Long] = Nil
+    def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
+    def merge(b1: List[Long], b2: List[Long]): List[Long] =
+      b2.foldLeft(b1)(insert)
+    def finish(b: List[Long]): Seq[Long] = b
+    private def insert(b: List[Long], a: Long) = {
+      if (b.lengthCompare(k) >= 0 && a >= b.last) b
+      else if (b.contains(a)) b
+      else ((a :: b).sorted).take(k)
+    }
+    def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Dense-bitmap OR over bit positions — the [[graft.operators.Bloom
     * .buildPacked]] assembly. The relational assembly (per-word bit_or +
     * map_from_entries + a sequence/element_at expansion) pays an O(words)

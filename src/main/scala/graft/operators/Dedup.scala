@@ -570,4 +570,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
       .distinct()
   }
+
+  /** Edit-distance near-dup pairs — the fuzzy-dedup family (RETSim /
+    * typo-and-OCR-noise duplicates) the token-set methods miss: two docs
+    * can share every shingle-set bucket yet differ by scattered character
+    * edits, or differ in ONE word and break every 3-shingle around it.
+    * Verifies TRUE Levenshtein distance over the full text; candidates
+    * come from chunked prefix anchors.
+    *
+    * Candidate scheme (the PassJoin partition-signature idea, Li et al.
+    * 2011, reduced to its fixed-anchor core): the first `prefixLen` chars
+    * split into `chunks` equal chunks; docs sharing any (chunk index,
+    * chunk text) pair are candidates. Recall is pigeonhole-GUARANTEED for
+    * pairs whose prefixes differ by < `chunks` SUBSTITUTIONS (at most
+    * chunks-1 touched chunks leave >= 1 equal chunk at the same index —
+    * the m06 band argument on characters); an insertion/deletion inside
+    * the prefix shifts alignment and voids the guarantee (PassJoin's
+    * position-tolerant multi-match signatures are the exact extension —
+    * same plan shape, more anchor rows). Anchors are df-capped with the
+    * aggregation-based discipline (no window over the skewed key).
+    *
+    * Verify: `levenshtein(a, b, threshold)` — Spark's banded DP is
+    * O(len·maxEdit), not O(len²), and a cheap |len(a)-len(b)| <= maxEdit
+    * lower-bound filter runs first so the DP only prices plausible pairs.
+    * 100 TB: anchor buckets bound the candidate fan-out (df-cap), the
+    * verify is per-pair CPU with no shuffle beyond the two id joins, and
+    * nothing is ever collected.
+    *
+    * Output: (id_a, id_b, edit_distance) for pairs at distance <= maxEdit.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 48, chunks: Int = 4, maxEdit: Int = 8,
+      maxBucket: Int = 200): DataFrame = {
+    require(chunks >= 1 && prefixLen % chunks == 0,
+      s"prefixLen ($prefixLen) must be a positive multiple of chunks ($chunks)")
+    require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
+    val w = prefixLen / chunks
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val anchors = base.select(col("doc_id"),
+      posexplode(array((0 until chunks).map(i =>
+        substring(col("__text"), i * w + 1, w)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    // df-cap via groupBy-count + broadcast anti-join (the capBuckets
+    // discipline): the giant anchor bucket collapses map-side, never
+    // funnels through one task
+    val over = anchors.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select("chunk_idx", "chunk")
+    val kept = anchors.join(broadcast(over), Seq("chunk_idx", "chunk"),
+      "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ta = base.select(col("doc_id").as("id_a"), col("__text").as("__ta"))
+    val tb = base.select(col("doc_id").as("id_b"), col("__text").as("__tb"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      // Levenshtein lower bound: |len diff| — prices out pairs before the DP
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxEdit)
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxEdit).cast("long"))
+      // thresholded levenshtein returns -1 above maxEdit
+      .filter(col("edit_distance").between(0, maxEdit))
+      .select("id_a", "id_b", "edit_distance")
+  }
 }

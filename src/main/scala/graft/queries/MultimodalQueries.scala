@@ -707,6 +707,129 @@ object MultimodalQueries {
         FROM ms JOIN gifn na ON na.doc_id = ms.id_a
         JOIN gifn nb ON nb.doc_id = ms.id_b
         WHERE ms.n_matching_frames * 2 >= least(na.nf, nb.nf)
-        ORDER BY ms.id_a, ms.id_b"""))
+        ORDER BY ms.id_a, ms.id_b""")),
+
+    // ---- cross-modal caption audit: same image, different caption -------
+    // The LAION-style pair-integrity check a text-image corpus needs
+    // BEFORE training: for every image near-dup pair (the m06 rule —
+    // real PNG decodes, banded candidates, exact Hamming <= 3), compare
+    // the two CAPTIONS by 3-shingle Jaccard and flag pairs below 0.5 as
+    // caption mismatches — one visual asset circulating under unrelated
+    // text (watermark/template/spam), the class you drop or re-caption
+    // rather than merely dedup. The fixture plants exactly this: doc_id
+    // and doc_id+256 encode IDENTICAL pixels through independent
+    // encode->decode round trips while their word-salad captions are
+    // unrelated. Scale shape: the pair set is tiny (near-dup output), so
+    // it BROADCASTS to anchor both caption-shingle joins — shingles are
+    // never self-joined; the flag derives from the UNROUNDED ratio with
+    // the same arithmetic in both engines.
+    "m10_crossmodal_caption_audit" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.TextOps
+        val docs = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0)
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("png"))
+        val ph = Multimodal.imagePHash(media).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = Multimodal.phashCandidatePairs(ph, maxBucket = 200)
+        val ham = (0 to 3).map(i =>
+          bit_count(col(s"__a$i").bitwiseXOR(col(s"__c$i")))).reduce(_ + _)
+        val pairs = cand
+          .join(ph.select(col("media_id").as("id_a"),
+            col("b0").as("__a0"), col("b1").as("__a1"),
+            col("b2").as("__a2"), col("b3").as("__a3")), "id_a")
+          .join(ph.select(col("media_id").as("id_b"),
+            col("b0").as("__c0"), col("b1").as("__c1"),
+            col("b2").as("__c2"), col("b3").as("__c3")), "id_b")
+          .withColumn("hamming", ham.cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("id_a", "id_b", "hamming")
+        val sh = docs.select(col("doc_id"),
+          explode(TextOps.shingleSet(col("text"), 3)).as("sg"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+        val shared = broadcast(pairs.select("id_a", "id_b"))
+          .join(sh.select(col("doc_id").as("id_a"), col("sg")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sg")),
+            Seq("id_b", "sg"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        val jac = col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared"))
+        // the pair-side accumulator stays broadcast through both set-size
+        // joins: pairs are the near-dup output (bounded small), sz is one
+        // row per IMAGE (corpus-sized at 100 TB) — a sort-merge here
+        // would shuffle the big side for a tiny probe
+        broadcast(broadcast(pairs
+            .join(broadcast(shared), Seq("id_a", "id_b"), "left")
+            .na.fill(0L, Seq("shared")))
+          .join(sz.select(col("doc_id").as("id_a"),
+            col("set_size").as("size_a")), "id_a"))
+          .join(sz.select(col("doc_id").as("id_b"),
+            col("set_size").as("size_b")), "id_b")
+          .select(col("id_a"), col("id_b"), col("hamming"), col("shared"),
+            col("size_a"), col("size_b"),
+            round(jac, 6).as("jaccard"),
+            (jac < 0.5).as("caption_mismatch"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH px AS (SELECT doc_id, x, y,
+          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
+            AS lum
+          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
+              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
+                AS b
+            FROM documents, range(16) tx(x), range(16) ty(y)
+            WHERE doc_id % 4 = 0)),
+        pool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM pool a JOIN pool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        ph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM px) d
+          LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS BIGINT) AS hamming
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        w AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+              AS ws
+          FROM documents WHERE doc_id % 4 = 0),
+        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        shg AS (SELECT DISTINCT doc_id,
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sg FROM g),
+        sz AS (SELECT doc_id, COUNT(*) AS set_size FROM shg GROUP BY 1),
+        sc AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS shared
+          FROM pr JOIN shg a ON a.doc_id = pr.id_a
+          JOIN shg b ON b.doc_id = pr.id_b AND b.sg = a.sg
+          GROUP BY 1, 2)
+        SELECT pr.id_a, pr.id_b, pr.hamming,
+          CAST(COALESCE(sc.shared, 0) AS BIGINT) AS shared,
+          CAST(sa.set_size AS BIGINT) AS size_a,
+          CAST(sb.set_size AS BIGINT) AS size_b,
+          ROUND(CAST(COALESCE(sc.shared, 0) AS DOUBLE)
+            / (sa.set_size + sb.set_size - COALESCE(sc.shared, 0)), 6)
+            AS jaccard,
+          (CAST(COALESCE(sc.shared, 0) AS DOUBLE)
+            / (sa.set_size + sb.set_size - COALESCE(sc.shared, 0)) < 0.5)
+            AS caption_mismatch
+        FROM pr LEFT JOIN sc ON sc.id_a = pr.id_a AND sc.id_b = pr.id_b
+        JOIN sz sa ON sa.doc_id = pr.id_a
+        JOIN sz sb ON sb.doc_id = pr.id_b
+        ORDER BY pr.id_a, pr.id_b"""))
   )
 }

@@ -846,6 +846,55 @@ object StreamQueries {
           CAST(ts_us - prev_ts_us AS DOUBLE)/1e6 AS gap_sec
         FROM l WHERE prev_ts_us IS NOT NULL
           AND CAST(ts_us - prev_ts_us AS DOUBLE)/1e6 > 1800.0
-        ORDER BY user_id, ts_us"""))
+        ORDER BY user_id, ts_us""")),
+
+    // ---- streaming corpus-overlap monitor: KMV sketch state (w22) -------
+    // The live form of q127: the arriving corpus's bottom-256 KMV sketch
+    // accumulates as streaming state (ONE global group, buffer hard-bounded
+    // at 256 longs for the life of the stream — the w16 complete-mode
+    // discipline) and is compared each batch against the existing corpus's
+    // sketch, which rides in as an inlined array literal (bounded model
+    // state, the w15/w17 discipline). KMV insertion is set-min — order-
+    // independent — so end-of-stream parity with the batch operator is
+    // bit-for-bit regardless of micro-batch boundaries (pinned across a
+    // 2-batch MemoryStream in StreamingSpec). The oracle replays BOTH
+    // sketches (ORDER BY hash LIMIT k), the merged union-sample, and both
+    // counters batch-side.
+    "w22_stream_corpus_overlap" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.CorpusOverlap
+        val docs = graft.Tables.load(s, dir, "documents")
+        val ref = CorpusOverlap.sketches(
+            docs.filter(col("doc_id") % 2 === 0).withColumn("__c", lit("ref")),
+            "__c", "text", k = 256)
+          .head().getSeq[Long](1)
+        val stream = StreamingOps.documentsStream(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+        StreamingOps.runToMemory(s,
+          StreamingOps.streamingOverlapSketch(stream, ref, k = 256),
+          "w22_mem", outputMode = "complete")
+      },
+      Some(s"""${LlmOracleSql.WordsCte},
+        g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT DISTINCT
+            CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'stream' END AS c,
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
+        h AS (SELECT DISTINCT c,
+            CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        sk AS (SELECT c, h FROM (SELECT c, h,
+            ROW_NUMBER() OVER (PARTITION BY c ORDER BY h) AS rn FROM h)
+          WHERE rn <= 256),
+        mg AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= 256),
+        st AS (SELECT
+            (SELECT COUNT(*) FROM sk WHERE c = 'stream') AS stream_k,
+            (SELECT COUNT(*) FROM mg) AS m,
+            (SELECT COUNT(*) FROM mg
+              JOIN sk sa ON sa.c = 'ref' AND sa.h = mg.h
+              JOIN sk sb ON sb.c = 'stream' AND sb.h = mg.h) AS n_common)
+        SELECT CAST(stream_k AS BIGINT) AS stream_k, CAST(m AS BIGINT) AS m,
+          CAST(n_common AS BIGINT) AS n_common,
+          ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
+        FROM st"""))
   )
 }

@@ -1320,6 +1320,88 @@ object LlmDedupQueries {
             StreamingOps.mergeWinnowIndex(prior, delta), minHits = 5)
           .orderBy("doc_id")
       },
-      Some(winnowIntakeOracleSql))
+      Some(winnowIntakeOracleSql)),
+
+    // ---- edit-distance near-dup pairs (fuzzy dedup) ---------------------
+    // The character-noise dedup family the token-set methods miss: true
+    // Levenshtein <= 8 over the FULL text, candidates from chunked
+    // 48-char prefix anchors (12-char chunks x 4; pigeonhole recall for
+    // prefixes within 3 substitutions — the planted fixture near-dups
+    // share their prefix exactly), df-capped with the aggregation-based
+    // discipline. The verify is Spark's thresholded banded-DP
+    // levenshtein (O(len*maxEdit)); the oracle replays chunks ->
+    // candidates -> length lower bound -> exact levenshtein in DuckDB.
+    "q126_edit_distance_dedup" -> QueryDef(
+      (s, dir) => {
+        Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+            prefixLen = 48, chunks = 4, maxEdit = 8, maxBucket = 200)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+        an AS (SELECT doc_id, CAST(t.ci AS INT) AS ci,
+            substr(text, CAST(t.ci AS INT) * 12 + 1, 12) AS chunk
+          FROM d, range(4) t(ci)),
+        keep AS (SELECT an.doc_id, an.ci, an.chunk FROM an
+          JOIN (SELECT ci, chunk, COUNT(*) AS n FROM an GROUP BY 1, 2) z
+            ON z.ci = an.ci AND z.chunk = an.chunk
+          WHERE z.n <= 200),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM keep a JOIN keep b ON a.ci = b.ci AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+          CAST(levenshtein(pa.text, pb.text) AS BIGINT) AS edit_distance
+        FROM cand c JOIN d pa ON pa.doc_id = c.id_a
+        JOIN d pb ON pb.doc_id = c.id_b
+        WHERE abs(length(pa.text) - length(pb.text)) <= 8
+          AND levenshtein(pa.text, pb.text) <= 8
+        ORDER BY id_a, id_b""")),
+
+    // ---- corpus-overlap matrix via bottom-k (KMV) sketches --------------
+    // "How much does snapshot B repeat snapshot A" across every source
+    // pair, WITHOUT a shingle-level join: each source collapses map-side
+    // to its 256 smallest distinct md5-shingle hashes (a uniform sample
+    // of its shingle set under the hash order), and the fraction of the
+    // merged union-sample present in both sketches estimates Jaccard.
+    // The only shuffle is |sources| rows of <=256 longs; the pairwise
+    // matrix is a self-join of that one-row-per-source frame with pure
+    // array expressions inside. The oracle replays every sketch value
+    // (ORDER BY hash LIMIT k) and both counters exactly.
+    "q127_corpus_overlap_sketch" -> QueryDef(
+      (s, dir) => {
+        graft.operators.CorpusOverlap.overlapMatrix(
+            t(s, dir, "documents"), "source", "text", k = 256, shingleK = 3)
+          .orderBy("corpus_a", "corpus_b")
+      },
+      Some(s"""$WordsCte,
+        g AS (SELECT source, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+        sh AS (SELECT DISTINCT source,
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
+        h AS (SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        sk AS (SELECT source, h FROM (SELECT source, h,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+          WHERE rn <= 256),
+        pairs AS (SELECT a.source AS corpus_a, b.source AS corpus_b
+          FROM (SELECT DISTINCT source FROM h) a
+          JOIN (SELECT DISTINCT source FROM h) b ON a.source < b.source),
+        u AS (SELECT p.corpus_a, p.corpus_b, s.h FROM pairs p
+            JOIN sk s ON s.source = p.corpus_a
+          UNION SELECT p.corpus_a, p.corpus_b, s.h FROM pairs p
+            JOIN sk s ON s.source = p.corpus_b),
+        mg AS (SELECT corpus_a, corpus_b, h FROM (SELECT corpus_a, corpus_b,
+            h, ROW_NUMBER() OVER (PARTITION BY corpus_a, corpus_b
+              ORDER BY h) AS rn FROM u)
+          WHERE rn <= 256),
+        st AS (SELECT mg.corpus_a, mg.corpus_b, COUNT(*) AS m,
+            SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+              THEN 1 ELSE 0 END) AS n_common
+          FROM mg
+          LEFT JOIN sk sa ON sa.source = mg.corpus_a AND sa.h = mg.h
+          LEFT JOIN sk sb ON sb.source = mg.corpus_b AND sb.h = mg.h
+          GROUP BY 1, 2)
+        SELECT corpus_a, corpus_b, CAST(m AS BIGINT) AS m,
+          CAST(n_common AS BIGINT) AS n_common,
+          ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
+        FROM st ORDER BY corpus_a, corpus_b"""))
   )
 }

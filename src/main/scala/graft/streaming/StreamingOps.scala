@@ -648,6 +648,48 @@ object StreamingOps {
       })
   }
 
+  /** Streaming corpus-overlap monitor (w22): a KMV bottom-k sketch of the
+    * ARRIVING corpus accumulates as streaming state and is compared each
+    * batch against a static reference-corpus sketch — the live form of
+    * [[graft.operators.CorpusOverlap.overlapMatrix]], answering "how much
+    * of today's intake repeats the existing corpus" while the intake is
+    * still flowing, without ever materializing a shingle join.
+    *
+    * State: ONE global group whose buffer is the <=`k`-long
+    * [[graft.functions.Aggregators.BoundedMinKDistinctLong]] sketch —
+    * hard-bounded at k longs for the life of the stream (the w16
+    * complete-mode discipline), no watermark needed. The reference
+    * corpus's sketch rides in as an inlined array literal (bounded model
+    * state, the w15/w17 discipline). KMV insertion is order-independent
+    * (set-min), so end-of-stream parity with the batch operator is
+    * bit-for-bit regardless of micro-batch boundaries.
+    *
+    * Emits one complete-mode row: the stream sketch size, the merged
+    * union-sample size `m`, the both-sketches count `n_common`, and the
+    * Jaccard estimate n_common/m.
+    */
+  def streamingOverlapSketch(docs: DataFrame, corpusSketch: Seq[Long],
+      k: Int = 256, shingleK: Int = 3): DataFrame = {
+    require(corpusSketch.nonEmpty, "reference corpus sketch is empty")
+    val minK = udaf(graft.functions.Aggregators.BoundedMinKDistinctLong(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val skStatic = array(corpusSketch.map(lit): _*)
+    docs
+      .select(explode(graft.functions.TextOps.shingleSet(col("text"),
+        shingleK)).as("s"))
+      .select(graft.operators.CorpusOverlap.shingleHash(col("s")).as("h"))
+      .groupBy()
+      .agg(minK(col("h")).as("sketch"))
+      .withColumn("__merged",
+        slice(array_sort(array_union(col("sketch"), skStatic)), 1, k))
+      .select(size(col("sketch")).cast("long").as("stream_k"),
+        size(col("__merged")).cast("long").as("m"),
+        size(array_intersect(array_intersect(col("__merged"), col("sketch")),
+          skStatic)).cast("long").as("n_common"))
+      .withColumn("jaccard_est",
+        round(col("n_common").cast("double") / col("m"), 6))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/demo harness: a batch of files
     * drives the stream synchronously).

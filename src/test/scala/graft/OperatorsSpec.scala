@@ -1570,4 +1570,79 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.count() === 0)
     assert(empty.columns.toSeq === Seq("step", "vec_id", "radius_sq"))
   }
+
+  test("editDistancePairs: substitution near-dups verify at true " +
+      "Levenshtein, the length lower bound prices out long tails, and " +
+      "a leading insertion documents the anchor-recall caveat") {
+    val pre = "abcdefghijkl" * 4 // 48 chars = 4 exact 12-char chunks
+    val docs = Seq(
+      (1L, pre + " tail one"),
+      (2L, pre + " tail one"),                    // exact dup: d = 0
+      (3L, pre.dropRight(1) + "X" + " tail oXe"), // 2 substitutions: d = 2
+      (4L, "z" * 48 + " unrelated"),              // no shared chunk
+      (5L, pre + " a completely different continuation exceeding budget"),
+      (6L, "Q" + pre + " tail one")               // 1 INSERTION at front
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (1,5): chunks match but |len diff| > 8 -> priced out by the bound;
+    // (x,6): the front insertion shifts every chunk -> no anchor, the
+    // documented recall caveat for indels inside the prefix
+    assert(got === Seq((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("editDistancePairs df-cap drops over-cap anchor buckets (exact " +
+      "dups beyond the cap fall to exact-hash dedup, the m06 discipline)") {
+    val docs = (1L to 6L).map(i => (i, "samechunksame" * 4 + s" tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxBucket = 5).count() === 0)
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxBucket = 200).count() === 15) // all C(6,2) pairs at d = 0
+  }
+
+  test("BoundedMinKDistinctLong keeps the k smallest DISTINCT values and " +
+      "merges order-independently") {
+    val agg = graft.functions.Aggregators.BoundedMinKDistinctLong(3)
+    val vals = Seq(5L, 1L, 5L, 9L, 2L, 1L, 7L, 0L, 0L)
+    assert(agg.finish(vals.foldLeft(agg.zero)(agg.reduce)) === Seq(0L, 1L, 2L))
+    // merge of split buffers = sketch union, any split point
+    (1 until vals.length).foreach { cut =>
+      val (l, r) = vals.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === Seq(0L, 1L, 2L), s"cut=$cut")
+    }
+  }
+
+  test("CorpusOverlap.overlapMatrix is EXACT when k covers the union") {
+    // corpus A shingles: {w1 w2 w3, w2 w3 w4}; B: {w1 w2 w3, w2 w3 w5}
+    // union = 3, common = 1 -> jaccard 1/3 with no sketch error
+    val docs = Seq(("A", "w1 w2 w3 w4"), ("B", "w1 w2 w3 w5"))
+      .toDF("source", "text")
+    val got = CorpusOverlap.overlapMatrix(docs, "source", "text", k = 256)
+      .select("corpus_a", "corpus_b", "m", "n_common", "jaccard_est")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", 3L, 1L, 0.333333)))
+  }
+
+  test("CorpusOverlap sketches are capped at k, distinct, ascending, and " +
+      "the k=small estimate uses the merged union-sample") {
+    val docs = Seq(
+      ("A", "a b c d e f g h i j k l"),
+      ("A", "a b c d e f g h i j k l"),           // duplicate doc: no effect
+      ("B", "a b c d e f x y z q r s")).toDF("source", "text")
+    val sk = CorpusOverlap.sketches(docs, "source", "text", k = 4)
+      .orderBy("corpus").as[(String, Seq[Long])].collect().toSeq
+    assert(sk.map(_._1) === Seq("A", "B"))
+    sk.foreach { case (_, v) =>
+      assert(v.length === 4)
+      assert(v === v.distinct.sorted)
+    }
+    val est = CorpusOverlap.overlapMatrix(docs, "source", "text", k = 4)
+      .select("m", "n_common").as[(Long, Long)].head()
+    assert(est._1 === 4L)          // merged union-sample is k deep
+    assert(est._2 >= 0L && est._2 <= 4L)
+  }
 }

@@ -509,6 +509,52 @@ class PlansSpec extends SparkSpec {
       s"bucket capping must aggregate, not window over the bucket key:\n$p")
   }
 
+  test("q126: anchor capping and both text joins broadcast; the verify " +
+      "is the codegen'd thresholded levenshtein; no window, no " +
+      "sort-merge join") {
+    val p = plan("q126_edit_distance_dedup")
+    assert(!p.contains("Window"),
+      s"anchor capping must aggregate, not window over the bucket key:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the cap anti-join and text joins must broadcast:\n$p")
+    assert(p.contains("levenshtein") && p.contains("Some(8)"),
+      s"the verify must be the native THRESHOLDED levenshtein (banded " +
+        s"O(len*k) DP, not the full O(len^2)):\n$p")
+    assert(p.contains("LeftAnti"),
+      s"over-cap anchors must drop via broadcast anti-join:\n$p")
+  }
+
+  test("q127: each corpus collapses to its KMV sketch via a partial-" +
+      "aggregable ObjectHashAggregate; the pair matrix is a broadcast " +
+      "loop over one-row-per-corpus sketches — no shingle-level join, " +
+      "no window") {
+    val p = plan("q127_corpus_overlap_sketch")
+    assert(p.contains("boundedminkdistinctlong"),
+      s"the sketch must be the bounded KMV aggregator:\n$p")
+    assert(p.contains("partial_boundedminkdistinctlong"),
+      s"the sketch must partially aggregate (map-side <=k longs per " +
+        s"corpus per partition):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the pairwise matrix must be a broadcast loop over the tiny " +
+        s"sketch frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no shingle-level join or window may appear:\n$p")
+  }
+
+  test("m10: the persisted hash table feeds candidates and verify; the " +
+      "tiny pair set broadcasts through every caption join — no window, " +
+      "no sort-merge join, native bit_count verify") {
+    val p = plan("m10_crossmodal_caption_audit")
+    assert(p.contains("InMemoryTableScan"),
+      s"the pHash frame must be persisted, not re-decoded per consumer:\n$p")
+    assert(p.contains("bit_count"),
+      s"Hamming verify must be the native bit_count:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"the near-dup pair set is bounded small and must broadcast " +
+        s"through the shingle/set-size joins (sz is corpus-sized at " +
+        s"scale):\n$p")
+  }
+
   test("q125: the merged index rides broadcast one-row joins — no " +
       "sort-merge join, no window, and the bitmap OR is a zip_with " +
       "expression, not an aggregation over re-exploded positions") {

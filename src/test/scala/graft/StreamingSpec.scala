@@ -304,4 +304,48 @@ class StreamingSpec extends SparkSpec {
     assert(gaps.count() === batchGaps)
     assert(gaps.filter(col("gap_sec") <= 1800.0).count() === 0)
   }
+
+  test("streamingOverlapSketch (w22): KMV state accumulates across " +
+      "micro-batches and the final row matches the batch operator " +
+      "bit-for-bit") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.CorpusOverlap
+    val refDocs = Seq(("r", "alpha beta gamma delta epsilon zeta eta"),
+      ("r", "one two three four five six seven eight"))
+      .toDF("source", "text")
+    val ref = CorpusOverlap.sketches(refDocs, "source", "text", k = 8)
+      .head().getSeq[Long](1)
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "nine ten eleven twelve thirteen"))
+    val b2 = Seq((3L, "one two three four five"),
+      (4L, "alpha beta gamma delta epsilon")) // pure repeat: set-min no-op
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingOverlapSketch(
+        mem.toDF().toDF("doc_id", "text"), ref, k = 8)
+      .writeStream.format("memory").queryName("t_overlap")
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_overlap")
+      .select("stream_k", "m", "n_common", "jaccard_est")
+      .as[(Long, Long, Long, Double)].head()
+    // batch replay over the union of both micro-batches
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+      .withColumn("source", lit("stream"))
+    val sk = CorpusOverlap.sketches(all, "source", "text", k = 8)
+      .head().getSeq[Long](1)
+    val want = CorpusOverlap.overlapMatrix(
+        refDocs.select(lit("a_ref").as("source"), col("text"))
+          .union(all.select(lit("b_stream").as("source"), col("text"))),
+        "source", "text", k = 8)
+      .select("m", "n_common", "jaccard_est")
+      .as[(Long, Long, Double)].head()
+    assert(got._1 === sk.length.toLong)
+    assert((got._2, got._3, got._4) === want)
+  }
 }
