@@ -71,13 +71,17 @@ object ScaleBench {
     "q123_url_domain_cap",  // URL canonicalization + domain caps (r10)
     "q125_dedup_index_merge", // incremental winnow-index merge (r11)
     "q126_edit_distance_dedup", // thresholded-Levenshtein fuzzy dedup (r11)
+    "q126b_edit_distance_indel", // PassJoin indel-proof anchors (r11)
     "q127_corpus_overlap_sketch", // bottom-k KMV corpus-overlap matrix (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
-    "m09_video_phash_dedup") // per-frame video near-dup (r11; decades
+    "m09_video_phash_dedup", // per-frame video near-dup (r11; decades
                              // 1-2 — m06's mod-256 x100 caveat applies
                              // to the gif formula identically
+    "m10_crossmodal_caption_audit") // image-dup x caption Jaccard (r11;
+                             // decades 1-2 — composes m06's pair rule,
+                             // so the mod-256 x100 caveat applies
 
   /** Third-decade subset (the "x100" mode): production-shape families only
     * — the exhaustive-pairs grading configurations (q52, q97) are
@@ -165,7 +169,8 @@ object ScaleBench {
     // linearly and the df-cap bounds any Zipf-heavy anchor bucket; q127 is
     // one KMV pass per corpus (reject-fast after saturation) + a 190-row
     // broadcast loop — linear in shingle occurrences by construction
-    "q126_edit_distance_dedup", "q127_corpus_overlap_sketch",
+    "q126_edit_distance_dedup", "q126b_edit_distance_indel",
+    "q127_corpus_overlap_sketch",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

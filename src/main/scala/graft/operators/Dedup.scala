@@ -637,4 +637,78 @@ object Dedup {
       .filter(col("edit_distance").between(0, maxEdit))
       .select("id_a", "id_b", "edit_distance")
   }
+
+  /** [[editDistancePairs]] with POSITION-TOLERANT anchors — the PassJoin
+    * (Li et al. 2011) substring-selection step that closes the fixed-
+    * anchor scheme's insertion/deletion blind spot: one side contributes
+    * its exact prefix chunks (the probe), the other side contributes
+    * every length-`w` substring starting within ±(chunks-1) of each
+    * chunk's home position (the window index). If two prefixes are
+    * within `chunks`-1 edits of each other — ANY mix of substitutions,
+    * insertions, deletions — then at least one of the probe's chunks is
+    * untouched by the edit script and appears verbatim in the other
+    * string shifted by at most the net indel count <= chunks-1, so the
+    * window join finds the pair: recall 1.0 at prefix edit distance
+    * <= chunks-1, GUARANTEED. (Full PassJoin partitions with k+1 chunks
+    * for a k-edit guarantee; this keeps q126's chunk geometry and states
+    * the radius that geometry actually guarantees.)
+    *
+    * Cost: the window side carries up to chunks·(2·chunks-1) anchor rows
+    * per doc (25 at the defaults) instead of `chunks` — a constant
+    * factor on the anchor build, same join shape, same aggregation-based
+    * df-cap (applied to the window side's buckets, the denser side, and
+    * mirrored onto the probes so both sides drop the same keys). Verify
+    * is identical to [[editDistancePairs]]: length lower bound, then the
+    * thresholded banded-DP levenshtein over the FULL text at `maxEdit`
+    * (pairs between the anchor-guaranteed radius and maxEdit still
+    * verify when found — the guarantee is one-sided, never a filter).
+    */
+  def editDistancePairsPositional(docs: DataFrame, idCol: String,
+      textCol: String, prefixLen: Int = 48, chunks: Int = 4,
+      maxEdit: Int = 8, maxBucket: Int = 200): DataFrame = {
+    require(chunks >= 2 && prefixLen % chunks == 0,
+      s"prefixLen ($prefixLen) must be a positive multiple of chunks ($chunks)")
+    require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
+    val w = prefixLen / chunks
+    val tol = chunks - 1
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val probes = base.select(col("doc_id"),
+      posexplode(array((0 until chunks).map(i =>
+        substring(col("__text"), i * w + 1, w)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val windowAnchors = base.select(col("doc_id"),
+      explode(array((for {
+        i <- 0 until chunks
+        d <- -tol to tol
+        if i * w + d >= 0
+      } yield struct(lit(i).as("ci"),
+        substring(col("__text"), i * w + d + 1, w).as("ch"))): _*))
+        .as("a"))
+      .select(col("doc_id"), col("a.ci").as("chunk_idx"),
+        col("a.ch").as("chunk"))
+      .distinct()
+    val over = windowAnchors.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select("chunk_idx", "chunk")
+    val keptW = windowAnchors.join(broadcast(over),
+      Seq("chunk_idx", "chunk"), "left_anti")
+    val keptP = probes.join(broadcast(over),
+      Seq("chunk_idx", "chunk"), "left_anti")
+    val cand = keptP.as("a").join(keptW.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val ta = base.select(col("doc_id").as("id_a"), col("__text").as("__ta"))
+    val tb = base.select(col("doc_id").as("id_b"), col("__text").as("__tb"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxEdit)
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxEdit).cast("long"))
+      .filter(col("edit_distance").between(0, maxEdit))
+      .select("id_a", "id_b", "edit_distance")
+  }
 }

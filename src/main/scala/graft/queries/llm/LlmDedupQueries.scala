@@ -1356,6 +1356,51 @@ object LlmDedupQueries {
           AND levenshtein(pa.text, pb.text) <= 8
         ORDER BY id_a, id_b""")),
 
+    // ---- edit-distance dedup, indel-proof anchors (PassJoin) ------------
+    // q126's fixed anchors miss pairs whose prefix edits include an
+    // insertion/deletion (the alignment shifts every chunk). This is the
+    // PassJoin substring-selection fix: the probe side keeps its exact
+    // chunks, the window side contributes every length-12 substring
+    // within ±3 of each chunk's home position — recall 1.0 GUARANTEED
+    // for prefixes within 3 edits of each other, any mix of edit kinds
+    // (one chunk always survives the edit script and appears shifted by
+    // at most the net indel count). Verify is unchanged: thresholded
+    // Levenshtein <= 8 over the full text.
+    "q126b_edit_distance_indel" -> QueryDef(
+      (s, dir) => {
+        Dedup.editDistancePairsPositional(t(s, dir, "documents"),
+            "doc_id", "text", prefixLen = 48, chunks = 4, maxEdit = 8,
+            maxBucket = 200)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+        pr AS (SELECT doc_id, CAST(t.ci AS INT) AS ci,
+            substr(text, CAST(t.ci AS INT) * 12 + 1, 12) AS chunk
+          FROM d, range(4) t(ci)),
+        wn AS (SELECT DISTINCT doc_id, CAST(t.ci AS INT) AS ci,
+            substr(text,
+              CAST(t.ci AS INT) * 12 + CAST(s.d AS INT) + 1, 12) AS chunk
+          FROM d, range(4) t(ci), range(-3, 4) s(d)
+          WHERE CAST(t.ci AS INT) * 12 + CAST(s.d AS INT) >= 0),
+        cnt AS (SELECT ci, chunk, COUNT(*) AS n FROM wn GROUP BY 1, 2),
+        kw AS (SELECT wn.doc_id, wn.ci, wn.chunk FROM wn
+          JOIN cnt ON cnt.ci = wn.ci AND cnt.chunk = wn.chunk
+          WHERE cnt.n <= 200),
+        kp AS (SELECT pr.doc_id, pr.ci, pr.chunk FROM pr
+          JOIN cnt ON cnt.ci = pr.ci AND cnt.chunk = pr.chunk
+          WHERE cnt.n <= 200),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+            greatest(a.doc_id, b.doc_id) AS id_b
+          FROM kp a JOIN kw b ON a.ci = b.ci AND a.chunk = b.chunk
+            AND a.doc_id <> b.doc_id)
+        SELECT c.id_a, c.id_b,
+          CAST(levenshtein(pa.text, pb.text) AS BIGINT) AS edit_distance
+        FROM cand c JOIN d pa ON pa.doc_id = c.id_a
+        JOIN d pb ON pb.doc_id = c.id_b
+        WHERE abs(length(pa.text) - length(pb.text)) <= 8
+          AND levenshtein(pa.text, pb.text) <= 8
+        ORDER BY id_a, id_b""")),
+
     // ---- corpus-overlap matrix via bottom-k (KMV) sketches --------------
     // "How much does snapshot B repeat snapshot A" across every source
     // pair, WITHOUT a shingle-level join: each source collapses map-side

@@ -1592,6 +1592,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
   }
 
+  test("editDistancePairsPositional: the PassJoin window anchors recover " +
+      "the leading-insertion pair the fixed anchors miss, and everything " +
+      "the fixed scheme found is still found") {
+    val pre = "abcdefghijkl" * 4
+    val docs = Seq(
+      (1L, pre + " tail one"),
+      (2L, pre + " tail one"),
+      (3L, pre.dropRight(1) + "X" + " tail oXe"),
+      (4L, "z" * 48 + " unrelated"),
+      (5L, pre + " a completely different continuation exceeding budget"),
+      (6L, "Q" + pre + " tail one") // 1 insertion: NOW guaranteed found
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsPositional(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L), (1L, 3L, 2L), (1L, 6L, 1L),
+      (2L, 3L, 2L), (2L, 6L, 1L), (3L, 6L, 3L)))
+    // the guarantee is one-sided: the cap still bounds fan-out
+    val capped = (1L to 6L).map(i => (i, "samechunksame" * 4 + " tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairsPositional(capped, "doc_id", "text",
+      maxBucket = 5).count() === 0)
+  }
+
   test("editDistancePairs df-cap drops over-cap anchor buckets (exact " +
       "dups beyond the cap fall to exact-hash dedup, the m06 discipline)") {
     val docs = (1L to 6L).map(i => (i, "samechunksame" * 4 + s" tail"))

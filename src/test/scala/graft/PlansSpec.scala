@@ -524,6 +524,18 @@ class PlansSpec extends SparkSpec {
       s"over-cap anchors must drop via broadcast anti-join:\n$p")
   }
 
+  test("q126b: the positional (PassJoin) variant keeps q126's shape — " +
+      "window anchors explode map-side, cap anti-joins broadcast, " +
+      "thresholded levenshtein verify, no window, no sort-merge join") {
+    val p = plan("q126b_edit_distance_indel")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"the indel-proof anchors must not change the join discipline:\n$p")
+    assert(p.contains("levenshtein") && p.contains("Some(8)"),
+      s"the verify must stay the thresholded banded DP:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"over-cap anchors must drop via broadcast anti-join:\n$p")
+  }
+
   test("q127: each corpus collapses to its KMV sketch via a partial-" +
       "aggregable ObjectHashAggregate; the pair matrix is a broadcast " +
       "loop over one-row-per-corpus sketches — no shingle-level join, " +
