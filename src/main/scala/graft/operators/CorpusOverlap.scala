@@ -57,15 +57,23 @@ object CorpusOverlap {
       .agg(minK(col("h")).as("sketch"))
   }
 
-  /** Pairwise overlap matrix over the corpora of `corpusCol`: one row per
-    * unordered corpus pair (corpus_a < corpus_b) with the merged-sample
-    * size `m` (= min(k, |union sketch values|)), the number of merged
-    * values present in both sketches `n_common`, and the Jaccard estimate
-    * n_common / m rounded to 6 places (the q25 ratio discipline).
+  /** EXACT KMV sketch merge: the k smallest distinct values of A ∪ B are
+    * entirely determined by the k smallest of each side, so merging two
+    * sketches IS re-sketching the combined input — bit-for-bit, no
+    * approximation stacking (pinned in OperatorsSpec). This is what makes
+    * per-shard / per-day sketches roll up into corpus versions without
+    * ever touching raw text again (the q125 corpus-versioning discipline
+    * on the overlap axis).
     */
-  def overlapMatrix(docs: DataFrame, corpusCol: String, textCol: String,
-      k: Int = 256, shingleK: Int = 3): DataFrame = {
-    val sk = sketches(docs, corpusCol, textCol, k, shingleK)
+  def mergeSketches(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Pairwise overlap matrix over a PREBUILT one-row-per-corpus sketch
+    * frame `(corpus, sketch)` — the artifact-consuming half (sketches may
+    * arrive from [[sketches]], a reloaded parquet artifact, or a
+    * [[mergeSketches]] roll-up; the math cannot tell, which is the point).
+    */
+  def overlapMatrixOf(sk: DataFrame, k: Int = 256): DataFrame = {
     val a = sk.select(col("corpus").as("corpus_a"), col("sketch").as("ska"))
     val b = sk.select(col("corpus").as("corpus_b"), col("sketch").as("skb"))
     a.join(b, col("corpus_a") < col("corpus_b"))
@@ -78,4 +86,14 @@ object CorpusOverlap {
       .withColumn("jaccard_est",
         round(col("n_common").cast("double") / col("m"), 6))
   }
+
+  /** Pairwise overlap matrix over the corpora of `corpusCol`: one row per
+    * unordered corpus pair (corpus_a < corpus_b) with the merged-sample
+    * size `m` (= min(k, |union sketch values|)), the number of merged
+    * values present in both sketches `n_common`, and the Jaccard estimate
+    * n_common / m rounded to 6 places (the q25 ratio discipline).
+    */
+  def overlapMatrix(docs: DataFrame, corpusCol: String, textCol: String,
+      k: Int = 256, shingleK: Int = 3): DataFrame =
+    overlapMatrixOf(sketches(docs, corpusCol, textCol, k, shingleK), k)
 }

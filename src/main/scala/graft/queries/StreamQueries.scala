@@ -895,6 +895,59 @@ object StreamQueries {
         SELECT CAST(stream_k AS BIGINT) AS stream_k, CAST(m AS BIGINT) AS m,
           CAST(n_common AS BIGINT) AS n_common,
           ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
-        FROM st"""))
+        FROM st""")),
+
+    // ---- streaming fuzzy-dedup intake: edit distance vs corpus (w23) ----
+    // The intake family's fuzzy axis: arriving docs probe the corpus's
+    // PassJoin window-anchor index (per-(slot, chunk) id lists, built
+    // once per corpus version) via stream-static left joins, the hit
+    // lists dedup with array expressions INSIDE the row (zero streaming
+    // state — no streaming distinct, no store), and every candidate
+    // verifies at true Levenshtein <= 8 against the corpus text. Docs
+    // with no candidate emit cand_id = -1 sentinels — one census row per
+    // (arrival, candidate). Recall 1.0 guaranteed for arrivals within 3
+    // prefix edits of a corpus doc (q126b's argument); the oracle
+    // replays anchors -> cap -> candidates -> verify batch-side.
+    "w23_stream_fuzzy_intake" -> QueryDef(
+      (s, dir) => {
+        val corpus = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+        val stream = StreamingOps.documentsStream(s, dir)
+          .filter(col("doc_id") % 3 =!= 0)
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeEditDistanceMatches(stream, corpus),
+            "w23_mem")
+          .orderBy("doc_id", "cand_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+        c AS (SELECT doc_id AS cid, text AS ct FROM d WHERE doc_id % 3 = 0),
+        s AS (SELECT doc_id, text FROM d WHERE doc_id % 3 <> 0),
+        wn AS (SELECT DISTINCT cid, CAST(t.ci AS INT) AS ci,
+            substr(ct, CAST(t.ci AS INT) * 12 + CAST(u.dd AS INT) + 1, 12)
+              AS ch
+          FROM c, range(4) t(ci), range(-3, 4) u(dd)
+          WHERE CAST(t.ci AS INT) * 12 + CAST(u.dd AS INT) >= 0),
+        cnt AS (SELECT ci, ch, COUNT(*) AS n FROM wn GROUP BY 1, 2),
+        kw AS (SELECT wn.cid, wn.ci, wn.ch FROM wn
+          JOIN cnt ON cnt.ci = wn.ci AND cnt.ch = wn.ch
+          WHERE cnt.n <= 200),
+        pc AS (SELECT doc_id, CAST(t.ci AS INT) AS ci,
+            substr(text, CAST(t.ci AS INT) * 12 + 1, 12) AS ch
+          FROM s, range(4) t(ci)),
+        cand AS (SELECT DISTINCT pc.doc_id, kw.cid FROM pc
+          JOIN kw ON kw.ci = pc.ci AND kw.ch = pc.ch),
+        r AS (SELECT s.doc_id, cand.cid, c.ct, s.text FROM s
+          LEFT JOIN cand ON cand.doc_id = s.doc_id
+          LEFT JOIN c ON c.cid = cand.cid),
+        v AS (SELECT doc_id, COALESCE(cid, -1) AS cand_id,
+            CASE WHEN cid IS NULL THEN -1
+                 WHEN abs(length(text) - length(ct)) > 8 THEN -1
+                 WHEN levenshtein(text, ct) > 8 THEN -1
+                 ELSE levenshtein(text, ct) END AS edit_distance
+          FROM r)
+        SELECT doc_id, CAST(cand_id AS BIGINT) AS cand_id,
+          CAST(edit_distance AS BIGINT) AS edit_distance,
+          (edit_distance >= 0) AS matched
+        FROM v ORDER BY doc_id, cand_id"""))
   )
 }

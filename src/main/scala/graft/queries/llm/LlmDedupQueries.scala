@@ -1417,7 +1417,52 @@ object LlmDedupQueries {
             t(s, dir, "documents"), "source", "text", k = 256, shingleK = 3)
           .orderBy("corpus_a", "corpus_b")
       },
-      Some(s"""$WordsCte,
+      Some(corpusOverlapOracleSql)),
+
+    // ---- persisted overlap-sketch artifact + exact incremental merge ----
+    // The q124/q125 corpus-versioning discipline on the overlap axis:
+    // each source's "prior" half (doc_id % 2 = 0) and "delta" half
+    // (doc_id % 2 = 1) sketch SEPARATELY, the two sketches merge with
+    // the pure array expression (KMV merge is EXACT — the k smallest of
+    // the union are determined by the k smallest of each side), the
+    // merged artifact round-trips through parquet (self-describing: k,
+    // shingle_k, version ride in the row), and the overlap matrix
+    // computes from the RELOADED artifact. The oracle is q127's
+    // from-scratch full-corpus SQL VERBATIM (shared constant, cannot
+    // drift) — any bit the merge or the round trip loses fails the hash.
+    "q127b_overlap_sketch_artifact" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.CorpusOverlap
+        val docs = t(s, dir, "documents")
+        val k = 256
+        val empty = lit(Array.empty[Long])
+        val prior = CorpusOverlap.sketches(
+          docs.filter(col("doc_id") % 2 === 0), "source", "text", k)
+        val delta = CorpusOverlap.sketches(
+            docs.filter(col("doc_id") % 2 === 1), "source", "text", k)
+          .select(col("corpus"), col("sketch").as("__delta"))
+        val merged = prior.join(delta, Seq("corpus"), "full_outer")
+          .select(col("corpus"),
+            CorpusOverlap.mergeSketches(coalesce(col("sketch"), empty),
+              coalesce(col("__delta"), empty), k).as("sketch"),
+            lit(k).as("k"), lit(3).as("shingle_k"), lit(2L).as("version"))
+        // fixed per-corpus path + overwrite (the q124 artifact contract)
+        val skDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_overlap_sketch_" +
+            java.lang.Integer.toHexString(dir.hashCode)).toString
+        merged.write.mode("overwrite").parquet(skDir)
+        CorpusOverlap.overlapMatrixOf(
+            s.read.parquet(skDir).select("corpus", "sketch"), k)
+          .orderBy("corpus_a", "corpus_b")
+      },
+      Some(corpusOverlapOracleSql))
+  )
+
+  // q127 and q127b share ONE oracle (the from-scratch full-corpus bottom-k
+  // replay): q127b's split-sketch-merge-roundtrip must be invisible
+  // against it, which is exactly the grade.
+  private def corpusOverlapOracleSql: String =
+    s"""$WordsCte,
         g AS (SELECT source, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
         sh AS (SELECT DISTINCT source,
             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
@@ -1447,6 +1492,5 @@ object LlmDedupQueries {
         SELECT corpus_a, corpus_b, CAST(m AS BIGINT) AS m,
           CAST(n_common AS BIGINT) AS n_common,
           ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
-        FROM st ORDER BY corpus_a, corpus_b"""))
-  )
+        FROM st ORDER BY corpus_a, corpus_b"""
 }

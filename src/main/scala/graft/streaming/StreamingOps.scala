@@ -690,6 +690,75 @@ object StreamingOps {
         round(col("n_common").cast("double") / col("m"), 6))
   }
 
+  /** Streaming fuzzy-dedup intake (w23): every arriving document is
+    * checked for EDIT-DISTANCE near-copies of the existing corpus — the
+    * incremental form of [[graft.operators.Dedup.editDistancePairsPositional]],
+    * completing the intake family (w09 exact, w14 winnow, w18 image, w21
+    * audio, w22 overlap) on the fuzzy axis.
+    *
+    * The corpus side is indexed ONCE per version: PassJoin window anchors
+    * (every length-w substring within ±(chunks-1) of each chunk slot),
+    * df-capped with the aggregation discipline, grouped into a
+    * per-(slot, chunk) sorted id list — so recall 1.0 is guaranteed for
+    * arrivals whose prefix is within chunks-1 edits of a corpus doc's
+    * (any edit mix, the q126b argument). The STREAM side is stateless:
+    * each arrival contributes its `chunks` exact prefix chunks, looks
+    * them up via `chunks` stream-static left equi-joins, dedups the
+    * union of hit id-lists with pure array expressions INSIDE the row
+    * (no streaming distinct, hence no state store), explodes, and
+    * verifies against the corpus text with the thresholded banded-DP
+    * levenshtein. Docs with no candidate emit a sentinel row
+    * (cand_id = -1) — the per-arrival census the intake needs.
+    *
+    * Output: one row per (arrival, candidate): doc_id, cand_id,
+    * edit_distance (-1 when unverified or no candidate), matched.
+    */
+  def intakeEditDistanceMatches(docs: DataFrame, corpus: DataFrame,
+      prefixLen: Int = 48, chunks: Int = 4, maxEdit: Int = 8,
+      maxBucket: Int = 200): DataFrame = {
+    require(chunks >= 2 && prefixLen % chunks == 0,
+      s"prefixLen ($prefixLen) must be a positive multiple of chunks ($chunks)")
+    val w = prefixLen / chunks
+    val tol = chunks - 1
+    val base = corpus.select(col("doc_id").as("cid"), col("text").as("__ct"))
+    val wn = base.select(col("cid"),
+      explode(array((for {
+        i <- 0 until chunks
+        d <- -tol to tol
+        if i * w + d >= 0
+      } yield struct(lit(i).as("ci"),
+        substring(col("__ct"), i * w + d + 1, w).as("ch"))): _*)).as("a"))
+      .select(col("cid"), col("a.ci").as("ci"), col("a.ch").as("ch"))
+      .distinct()
+    val over = wn.groupBy("ci", "ch").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("ci", "ch")
+    val buckets = wn.join(broadcast(over), Seq("ci", "ch"), "left_anti")
+      .groupBy("ci", "ch").agg(sort_array(collect_list(col("cid"))).as("ids"))
+    val emptyIds = lit(Array.empty[Long])
+    var probed = docs.select(col("doc_id"), col("text"))
+    for (i <- 0 until chunks) {
+      val b = buckets.filter(col("ci") === i)
+        .select(col("ch").as(s"__ch$i"), col("ids").as(s"__ids$i"))
+      probed = probed.join(b,
+        substring(col("text"), i * w + 1, w) === col(s"__ch$i"), "left")
+        .drop(s"__ch$i")
+    }
+    val cands = array_distinct(concat((0 until chunks).map(i =>
+      coalesce(col(s"__ids$i"), emptyIds)): _*))
+    probed
+      .select(col("doc_id"), col("text"), explode_outer(cands).as("cid"))
+      .join(base, Seq("cid"), "left")
+      .withColumn("edit_distance",
+        when(col("cid").isNull, lit(-1L))
+          .when(abs(length(col("text")) - length(col("__ct"))) > maxEdit,
+            lit(-1L))
+          .otherwise(coalesce(
+            levenshtein(col("text"), col("__ct"), maxEdit).cast("long"),
+            lit(-1L))))
+      .select(col("doc_id"), coalesce(col("cid"), lit(-1L)).as("cand_id"),
+        col("edit_distance"), (col("edit_distance") >= 0).as("matched"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/demo harness: a batch of files
     * drives the stream synchronously).

@@ -1651,6 +1651,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq(("A", "B", 3L, 1L, 0.333333)))
   }
 
+  test("CorpusOverlap.mergeSketches is EXACT: merged halves equal the " +
+      "from-scratch sketch over the union, truncation included") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text").withColumn("source", lit("c"))
+    val k = 8 // union far exceeds k, so the slice truncation is exercised
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      CorpusOverlap.sketches(df, "source", "text", k)
+        .head().getSeq[Long](1)
+    val full = sk(docs)
+    val merged = Seq((sk(docs.filter(col("doc_id") % 2 === 0)),
+        sk(docs.filter(col("doc_id") % 2 === 1))))
+      .toDF("a", "b")
+      .select(CorpusOverlap.mergeSketches(col("a"), col("b"), k))
+      .head().getSeq[Long](0)
+    assert(full.length === k)
+    assert(merged === full)
+  }
+
   test("CorpusOverlap sketches are capped at k, distinct, ascending, and " +
       "the k=small estimate uses the merged union-sample") {
     val docs = Seq(

@@ -305,6 +305,40 @@ class StreamingSpec extends SparkSpec {
     assert(gaps.filter(col("gap_sec") <= 1800.0).count() === 0)
   }
 
+  test("intakeEditDistanceMatches (w23): stateless fuzzy intake — " +
+      "insertion-shifted near-copies match via the window index, clean " +
+      "docs emit sentinels, and batch == stream") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pre = "abcdefghijkl" * 4
+    val corpus = Seq((100L, pre + " tail one"), (101L, "z" * 60))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, "Q" + pre + " tail one"), // 1 leading insertion -> must match
+      (2L, "totally unrelated text that matches nothing at all here"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.intakeEditDistanceMatches(
+        mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("t_fuzzy")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.head); q.processAllAvailable()
+      mem.addData(arrivals(1)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_fuzzy").orderBy("doc_id", "cand_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(streamed === Seq(
+      (1L, 100L, 1L, true),   // the indel near-copy, found + verified
+      (2L, -1L, -1L, false))) // clean arrival: sentinel row
+    val batch = StreamingOps.intakeEditDistanceMatches(
+        arrivals.toDF("doc_id", "text"), corpus)
+      .orderBy("doc_id", "cand_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(batch === streamed)
+  }
+
   test("streamingOverlapSketch (w22): KMV state accumulates across " +
       "micro-batches and the final row matches the batch operator " +
       "bit-for-bit") {
