@@ -73,6 +73,7 @@ object ScaleBench {
     "q126_edit_distance_dedup", // thresholded-Levenshtein fuzzy dedup (r11)
     "q126b_edit_distance_indel", // PassJoin indel-proof anchors (r11)
     "q127_corpus_overlap_sketch", // bottom-k KMV corpus-overlap matrix (r11)
+    "q127b_overlap_sketch_artifact", // persisted sketch + exact merge (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -170,7 +171,7 @@ object ScaleBench {
     // one KMV pass per corpus (reject-fast after saturation) + a 190-row
     // broadcast loop — linear in shingle occurrences by construction
     "q126_edit_distance_dedup", "q126b_edit_distance_indel",
-    "q127_corpus_overlap_sketch",
+    "q127_corpus_overlap_sketch", "q127b_overlap_sketch_artifact",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

@@ -567,6 +567,23 @@ class PlansSpec extends SparkSpec {
         s"scale):\n$p")
   }
 
+  test("q127b: the reloaded artifact drives the matrix — a parquet scan " +
+      "of the sketch table feeds the broadcast pair loop; no shingle " +
+      "re-pass on the consume side, no window") {
+    val p = plan("q127b_overlap_sketch_artifact")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the pairwise matrix must be a broadcast loop over the reloaded " +
+        s"sketch frame:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"consuming the artifact must not re-aggregate or window:\n$p")
+    // the consume-side plan reads the artifact, not the corpus: exactly
+    // one parquet location and it is the sketch table
+    assert(p.contains("graft_overlap_sketch_"),
+      s"the matrix must compute from the RELOADED artifact:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the consume side must not re-shingle the corpus:\n$p")
+  }
+
   test("q125: the merged index rides broadcast one-row joins — no " +
       "sort-merge join, no window, and the bitmap OR is a zip_with " +
       "expression, not an aggregation over re-exploded positions") {

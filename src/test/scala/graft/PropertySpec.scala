@@ -799,4 +799,22 @@ class PropertySpec extends SparkSpec {
       allocs == exp && underCap && allocs.values.sum <= budget
     }, n = 15)
   }
+
+  test("BoundedMinKDistinctLong === sorted(distinct).take(k) under any " +
+      "reduce/merge interleaving (the KMV sketch contract)") {
+    val agg = graft.functions.Aggregators.BoundedMinKDistinctLong(16)
+    val gen = for {
+      vals <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      dups <- Gen.someOf(vals) // force real duplicates into the stream
+      cut <- Gen.chooseNum(0, vals.length + dups.length)
+    } yield (vals ++ dups, cut)
+    check(Prop.forAll(gen) { case (all, cut) =>
+      val want = all.distinct.sorted.take(16)
+      val (l, r) = all.splitAt(cut)
+      val direct = agg.finish(all.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      direct == want && merged == want
+    })
+  }
 }
