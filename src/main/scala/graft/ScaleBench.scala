@@ -74,6 +74,7 @@ object ScaleBench {
     "q126b_edit_distance_indel", // PassJoin indel-proof anchors (r11)
     "q127_corpus_overlap_sketch", // bottom-k KMV corpus-overlap matrix (r11)
     "q127b_overlap_sketch_artifact", // persisted sketch + exact merge (r11)
+    "q128_pca_power_iteration", // quantized power iteration (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -172,6 +173,9 @@ object ScaleBench {
     // broadcast loop — linear in shingle occurrences by construction
     "q126_edit_distance_dedup", "q126b_edit_distance_indel",
     "q127_corpus_overlap_sketch", "q127b_overlap_sketch_artifact",
+    // iters x one-pass decimal aggregations with a one-row collect per
+    // round — the q108 signature, linear by construction
+    "q128_pca_power_iteration",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

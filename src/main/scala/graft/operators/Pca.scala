@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Top principal component by QUANTIZED power iteration — the spectral /
+  * dimensionality-reduction family (PCA whitening before ANN, embedding
+  * drift axes, spectral outlier scores) expressed so a SQL oracle replays
+  * every bit, the [[LogReg]] quantized-GD discipline on the Gram matrix:
+  *
+  *   s_r     = Σ_j x_rj · v_j          (per-row projection, double,
+  *                                      left-associated — generated
+  *                                      identically in both engines)
+  *   w_j     = Σ_r DECIMAL(38,18)(x_rj · s_r)   (exact decimal sums —
+  *                                      order-independent, so the shuffle
+  *                                      cannot perturb the fixpoint)
+  *   norm    = sqrt(Σ_j w_j²)          (double, left-associated)
+  *   v'_j    = floor(w_j / norm · 1e6) / 1e6    (the 1e-6 grid snap that
+  *                                      makes the iterate portable)
+  *
+  * Each iteration is ONE distributed aggregation (64 decimal sums with
+  * map-side combine); the iterate itself is bounded model state — one row
+  * of `dim` decimals collected per iteration (the [[Coreset]]/[[LogReg]]
+  * one-row-per-round discipline) and re-inlined as literals, so the next
+  * pass is again pure map-side expression work. iters×one-pass, linear in
+  * rows by construction — the q108 scaling signature.
+  *
+  * Start vector is e_0 (deterministic; no RNG enters the operator). On an
+  * EMPTY input every decimal sum is NULL and the NULL propagates through
+  * norm and quantization — the emitted component is all-NULL rows,
+  * matching the oracle's CTE chain over an empty table verbatim.
+  */
+object Pca {
+
+  /** Per-iteration quantized iterates: (iter 1..iters, v or null). */
+  def powerIterates(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 3): Seq[(Int, Option[Array[Double]])] = {
+    require(dim >= 1 && iters >= 1, s"dim=$dim iters=$iters")
+    var v: Option[Array[Double]] =
+      Some(Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0))
+    val out = Seq.newBuilder[(Int, Option[Array[Double]])]
+    for (t <- 1 to iters) {
+      v = v match {
+        case None => None
+        case Some(cur) =>
+          val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
+          val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
+          // materialize the projection once per row: the aggregation then
+          // codegens dim small sums instead of a dim x dim-term tree
+          // (measured: the fused form spent seconds per iteration in
+          // whole-stage codegen COMPILATION at dim = 64, not in data)
+          val projected = emb.select(
+            (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
+          val aggs = (0 until dim).map(j =>
+            sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
+              .as(s"w$j"))
+          val row = projected.agg(aggs.head, aggs.tail: _*).head()
+          if (row.isNullAt(0)) None
+          else {
+            val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
+            val norm = math.sqrt(w.map(d => d * d).reduceLeft(_ + _))
+            Some(w.map(d => math.floor(d / norm * 1e6) / 1e6))
+          }
+      }
+      out += ((t, v.map(_.clone())))
+    }
+    out.result()
+  }
+
+  /** The iterate table: one row per (iter, dim index j, component v) —
+    * the driver-comparable long form.
+    */
+  def powerIterationDF(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 3)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    powerIterates(emb, vecCol, dim, iters).flatMap { case (t, ov) =>
+      (0 until dim).map(j => (t, j, ov.map(_(j))))
+    }.toDF("iter", "j", "v")
+  }
+
+  /** The DuckDB oracle for [[powerIterationDF]], GENERATED from the same
+    * (dim, iters) so the arithmetic text cannot drift (the logRegCtes
+    * discipline): per iteration a per-row projection CTE, `dim` exact
+    * DECIMAL(38,18) sums, the double norm, and the 1e-6 floor snap.
+    * `fromSql` supplies the source relation (table or filtered subquery)
+    * with the vector column named `embedding`.
+    */
+  def oracleSql(dim: Int, iters: Int, fromSql: String): String = {
+    val xs = (0 until dim).map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT $xs FROM $fromSql)")
+    var prevV: Int => String = j => if (j == 0) "1.0" else "0.0"
+    for (t <- 1 to iters) {
+      val s = (0 until dim).map(j => s"x$j*${prevV(j)}").mkString(" + ")
+      sb.append(s",\n p$t AS (SELECT e.*, ($s) AS s FROM e")
+      if (t > 1) sb.append(s" CROSS JOIN v${t - 1}")
+      sb.append(")")
+      val sums = (0 until dim).map(j =>
+        s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
+      sb.append(s",\n a$t AS (SELECT $sums FROM p$t)")
+      val nrm = (0 until dim).map(j =>
+        s"CAST(w$j AS DOUBLE)*CAST(w$j AS DOUBLE)").mkString(" + ")
+      sb.append(s",\n n$t AS (SELECT sqrt($nrm) AS nrm FROM a$t)")
+      val vs = (0 until dim).map(j =>
+        s"floor(CAST(w$j AS DOUBLE)/nrm*1000000.0)/1000000.0 AS v$j")
+        .mkString(", ")
+      sb.append(s",\n v$t AS (SELECT $vs FROM a$t CROSS JOIN n$t)")
+      prevV = j => s"v$j"
+    }
+    val rows = (1 to iters).flatMap(t => (0 until dim).map(j =>
+      s"SELECT $t AS iter, $j AS j, v$j AS v FROM v$t"))
+    sb.append("\n" + rows.mkString("\nUNION ALL "))
+    sb.append("\nORDER BY iter, j")
+    sb.toString
+  }
+}

@@ -419,6 +419,29 @@ object LlmVectorQueries {
         SELECT w AS word, CAST(n_exact AS BIGINT) AS n_exact,
           CAST(cms_estimate AS BIGINT) AS cms_estimate,
           cms_estimate >= n_exact AS no_underestimate
-        FROM est ORDER BY n_exact DESC, word"""))
+        FROM est ORDER BY n_exact DESC, word""")),
+
+    // ---- top principal component: quantized power iteration -------------
+    // The spectral/dimensionality-reduction family (PCA whitening before
+    // ANN, embedding drift axes), bit-replayable: per-row projections in
+    // generated left-associated double arithmetic, per-dimension
+    // DECIMAL(38,18) sums (exact, order-independent — the shuffle cannot
+    // perturb the fixpoint), double norm, 1e-6 floor snap per iteration —
+    // the q108 quantized-GD discipline on the Gram matrix. The iterate is
+    // bounded model state (one 64-decimal row per iteration, re-inlined
+    // as literals); iters x one-pass, linear in rows. BOTH the Spark plan
+    // and the oracle SQL generate from the same (dim, iters) in
+    // graft.operators.Pca, so the arithmetic text cannot drift. dim = 64
+    // is the fixture embedding width (TESTDATA contract); a mismatch
+    // NULLs the sums and fails the hash loudly.
+    "q128_pca_power_iteration" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        graft.operators.Pca.powerIterationDF(
+            t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3)
+          .orderBy("iter", "j")
+      },
+      Some(graft.operators.Pca.oracleSql(dim = 64, iters = 3,
+        fromSql = "embeddings")))
   )
 }

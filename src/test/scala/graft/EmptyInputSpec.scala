@@ -132,6 +132,12 @@ class EmptyInputSpec extends SparkSpec {
           assert(rows.length === 1 &&
             (0 to 2).forall(i => rows.head.getLong(i) == 0L) &&
             rows.head.getLong(3) == -1L)
+        // the power-iteration trajectory exists independent of data (the
+        // q108 GD-trajectory shape): 3 iters x 64 dims with NULL
+        // components — the decimal sums over nothing stay NULL through
+        // norm and quantization in both engines
+        case "q128_pca_power_iteration" =>
+          assert(rows.length === 192 && rows.forall(_.isNullAt(2)))
         // the URL-cap audit on nothing: one all-zero funnel row (every
         // count/checksum COALESCEs to 0 in both engines)
         case "q123_url_domain_cap" =>

@@ -1651,6 +1651,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq(("A", "B", 3L, 1L, 0.333333)))
   }
 
+  test("Pca.powerIterates converges to the dominant axis of an " +
+      "anisotropic cloud and is invariant to input partitioning") {
+    implicit val sp = spark
+    // variance 100x larger along axis 2 than any other: the top
+    // component must align with e_2 after 3 iterations
+    val rows = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == 2) sign * 10.0 else math.sin(i * (j + 1)) * 0.1).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val its = Pca.powerIterates(emb, "embedding", dim = 8, iters = 3)
+    val v = its.last._2.get
+    assert(math.abs(v(2)) > 0.99, s"not aligned with e_2: ${v.toSeq}")
+    assert((0 until 8).filter(_ != 2).forall(j => math.abs(v(j)) < 0.1))
+    // decimal sums are order-independent: a different partitioning must
+    // produce the SAME quantized iterates bit-for-bit
+    val repart = Pca.powerIterates(emb.repartition(7), "embedding", 8, 3)
+    assert(its.map(_._2.map(_.toSeq)) === repart.map(_._2.map(_.toSeq)))
+    // empty input: all-null iterates, never a crash
+    val empty = Pca.powerIterates(emb.limit(0), "embedding", 8, 3)
+    assert(empty.forall(_._2.isEmpty))
+  }
+
   test("CorpusOverlap.mergeSketches is EXACT: merged halves equal the " +
       "from-scratch sketch over the union, truncation included") {
     val docs = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
