@@ -75,6 +75,7 @@ object ScaleBench {
     "q127_corpus_overlap_sketch", // bottom-k KMV corpus-overlap matrix (r11)
     "q127b_overlap_sketch_artifact", // persisted sketch + exact merge (r11)
     "q128_pca_power_iteration", // quantized power iteration (r11)
+    "q128b_spectral_outliers", // residual-energy outlier top-k (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -174,8 +175,9 @@ object ScaleBench {
     "q126_edit_distance_dedup", "q126b_edit_distance_indel",
     "q127_corpus_overlap_sketch", "q127b_overlap_sketch_artifact",
     // iters x one-pass decimal aggregations with a one-row collect per
-    // round — the q108 signature, linear by construction
-    "q128_pca_power_iteration",
+    // round — the q108 signature, linear by construction; q128b adds one
+    // map-side score scan + a global TakeOrdered(20)
+    "q128_pca_power_iteration", "q128b_spectral_outliers",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

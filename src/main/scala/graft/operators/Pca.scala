@@ -79,18 +79,57 @@ object Pca {
     }.toDF("iter", "j", "v")
   }
 
-  /** The DuckDB oracle for [[powerIterationDF]], GENERATED from the same
-    * (dim, iters) so the arithmetic text cannot drift (the logRegCtes
-    * discipline): per iteration a per-row projection CTE, `dim` exact
-    * DECIMAL(38,18) sums, the double norm, and the 1e-6 floor snap.
-    * `fromSql` supplies the source relation (table or filtered subquery)
-    * with the vector column named `embedding`.
+  /** Spectral outlier scores: residual energy off the top principal axis,
+    * score_r = ||x_r||² − (x_r·v)² with `v` the final [[powerIterates]]
+    * iterate — the "embedding doesn't live on the corpus's dominant
+    * structure" signal a curation pipeline uses to drop mis-embedded or
+    * off-distribution rows before clustering/dedup. The component is
+    * bounded model state (inlined literals), the score is one generated
+    * left-associated double expression per row (map-side, no shuffle
+    * before the top-k), and the top `k` rows come back ordered by
+    * (score DESC, id ASC). Empty corpus → no component → empty result.
     */
-  def oracleSql(dim: Int, iters: Int, fromSql: String): String = {
+  def spectralOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 3, topK: Int = 20)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    powerIterates(emb, vecCol, dim, iters).last._2 match {
+      case None =>
+        Seq.empty[(Long, Double)].toDF(idCol, "score")
+      case Some(v) =>
+        val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
+        val s = (0 until dim).map(j => x(j) * lit(v(j))).reduce(_ + _)
+        val n2 = (0 until dim).map(j => x(j) * x(j)).reduce(_ + _)
+        emb.select(col(idCol), (n2 - s * s).as("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(topK)
+    }
+  }
+
+  /** The DuckDB oracle for [[spectralOutliers]] — the [[oracleSql]] CTE
+    * chain plus the per-row residual-energy score and the (score DESC,
+    * id ASC) top-k, generated from the same parameters.
+    */
+  def outlierOracleSql(dim: Int, iters: Int, fromSql: String,
+      idCol: String, topK: Int): String = {
     val xs = (0 until dim).map(j =>
       s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
+    val chain = iterateCtes(dim, iters)
+    val s = (0 until dim).map(j => s"x$j*v$j").mkString(" + ")
+    val n2 = (0 until dim).map(j => s"x$j*x$j").mkString(" + ")
+    s"""WITH e AS (SELECT $idCol, $xs FROM $fromSql)$chain,
+ sc AS (SELECT $idCol, ($n2) - ($s)*($s) AS score
+   FROM e CROSS JOIN v$iters)
+SELECT $idCol, score FROM sc ORDER BY score DESC, $idCol LIMIT $topK"""
+  }
+
+  /** The iteration CTE chain shared by [[oracleSql]] and
+    * [[outlierOracleSql]] (appended after an `e` CTE that carries
+    * x0..x{dim-1}): p_t (projection), a_t (decimal sums), n_t (norm),
+    * v_t (quantized iterate).
+    */
+  private def iterateCtes(dim: Int, iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH e AS (SELECT $xs FROM $fromSql)")
     var prevV: Int => String = j => if (j == 0) "1.0" else "0.0"
     for (t <- 1 to iters) {
       val s = (0 until dim).map(j => s"x$j*${prevV(j)}").mkString(" + ")
@@ -109,10 +148,22 @@ object Pca {
       sb.append(s",\n v$t AS (SELECT $vs FROM a$t CROSS JOIN n$t)")
       prevV = j => s"v$j"
     }
+    sb.toString
+  }
+
+  /** The DuckDB oracle for [[powerIterationDF]], GENERATED from the same
+    * (dim, iters) so the arithmetic text cannot drift (the logRegCtes
+    * discipline): per iteration a per-row projection CTE, `dim` exact
+    * DECIMAL(38,18) sums, the double norm, and the 1e-6 floor snap.
+    * `fromSql` supplies the source relation (table or filtered subquery)
+    * with the vector column named `embedding`.
+    */
+  def oracleSql(dim: Int, iters: Int, fromSql: String): String = {
+    val xs = (0 until dim).map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
     val rows = (1 to iters).flatMap(t => (0 until dim).map(j =>
       s"SELECT $t AS iter, $j AS j, v$j AS v FROM v$t"))
-    sb.append("\n" + rows.mkString("\nUNION ALL "))
-    sb.append("\nORDER BY iter, j")
-    sb.toString
+    s"WITH e AS (SELECT $xs FROM $fromSql)" + iterateCtes(dim, iters) +
+      "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY iter, j"
   }
 }

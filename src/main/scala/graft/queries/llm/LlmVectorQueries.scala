@@ -442,6 +442,26 @@ object LlmVectorQueries {
           .orderBy("iter", "j")
       },
       Some(graft.operators.Pca.oracleSql(dim = 64, iters = 3,
-        fromSql = "embeddings")))
+        fromSql = "embeddings"))),
+
+    // ---- spectral outlier scores off the top principal axis -------------
+    // The actionable form of q128: residual energy ||x||^2 - (x.v)^2
+    // flags rows that don't live on the corpus's dominant structure
+    // (mis-embedded / off-distribution vectors a curation pipeline drops
+    // before clustering or dedup). The component is bounded model state
+    // (inlined literals from the q128 iterate); the score is one
+    // generated left-associated double expression per row — map-side,
+    // deterministic, so the UNROUNDED doubles hash-match (the q128
+    // argument); top-20 by (score DESC, vec_id). Engine and oracle
+    // generate from the same (dim, iters, topK) in Pca.
+    "q128b_spectral_outliers" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        graft.operators.Pca.spectralOutliers(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 3, topK = 20)
+      },
+      Some(graft.operators.Pca.outlierOracleSql(dim = 64, iters = 3,
+        fromSql = "embeddings", idCol = "vec_id", topK = 20)))
   )
 }

@@ -1675,6 +1675,27 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.forall(_._2.isEmpty))
   }
 
+  test("Pca.spectralOutliers ranks the planted off-axis vector first") {
+    implicit val sp = spark
+    // 30 vectors hugging axis 0 (the dominant structure) + one large
+    // vector on axis 5: maximal residual energy off the top component
+    val rows = (0 until 30).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == 0) sign * 5.0 else 0.01 * (i % 3)).toFloat))
+    } :+ (99L, Array.tabulate(8)(j => if (j == 5) 6.0f else 0.0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Pca.spectralOutliers(emb, "vec_id", "embedding", dim = 8,
+      iters = 3, topK = 3).as[(Long, Double)].collect().toSeq
+    assert(top.head._1 === 99L)
+    assert(top.head._2 > 30.0) // ~36 = 6^2, nearly all of it residual
+    // empty corpus: empty result, stable schema
+    val empty = Pca.spectralOutliers(emb.limit(0), "vec_id", "embedding",
+      dim = 8)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("vec_id", "score"))
+  }
+
   test("CorpusOverlap.mergeSketches is EXACT: merged halves equal the " +
       "from-scratch sketch over the union, truncation included") {
     val docs = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
