@@ -864,10 +864,13 @@ object StreamQueries {
       (s, dir) => {
         import graft.operators.CorpusOverlap
         val docs = graft.Tables.load(s, dir, "documents")
+        // take(1): an empty reference corpus yields no sketch row, and
+        // the monitor then starts with the empty-sketch degenerate
+        // instead of a driver-side head() crash
         val ref = CorpusOverlap.sketches(
             docs.filter(col("doc_id") % 2 === 0).withColumn("__c", lit("ref")),
             "__c", "text", k = 256)
-          .head().getSeq[Long](1)
+          .take(1).headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty)
         val stream = StreamingOps.documentsStream(s, dir)
           .filter(col("doc_id") % 2 === 1)
         StreamingOps.runToMemory(s,

@@ -670,10 +670,15 @@ object StreamingOps {
     */
   def streamingOverlapSketch(docs: DataFrame, corpusSketch: Seq[Long],
       k: Int = 256, shingleK: Int = 3): DataFrame = {
-    require(corpusSketch.nonEmpty, "reference corpus sketch is empty")
+    // an EMPTY reference sketch (fresh corpus version) is a meaningful
+    // degenerate: the merged sample is the stream sketch alone and
+    // n_common = 0 — the monitor reports zero overlap rather than
+    // refusing to start
     val minK = udaf(graft.functions.Aggregators.BoundedMinKDistinctLong(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
-    val skStatic = array(corpusSketch.map(lit): _*)
+    val skStatic =
+      if (corpusSketch.isEmpty) lit(Array.empty[Long])
+      else array(corpusSketch.map(lit): _*)
     docs
       .select(explode(graft.functions.TextOps.shingleSet(col("text"),
         shingleK)).as("s"))

@@ -305,6 +305,26 @@ class StreamingSpec extends SparkSpec {
     assert(gaps.filter(col("gap_sec") <= 1800.0).count() === 0)
   }
 
+  test("streamingOverlapSketch: an EMPTY reference sketch (fresh corpus " +
+      "version) reports zero overlap instead of refusing to start") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingOverlapSketch(
+        mem.toDF().toDF("doc_id", "text"), Seq.empty, k = 8)
+      .writeStream.format("memory").queryName("t_overlap_empty")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta")); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_overlap_empty")
+      .select("stream_k", "m", "n_common", "jaccard_est")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 === 2L && got._2 === 2L && got._3 === 0L && got._4 === 0.0)
+  }
+
   test("intakeEditDistanceMatches (w23): stateless fuzzy intake — " +
       "insertion-shifted near-copies match via the window index, clean " +
       "docs emit sentinels, and batch == stream") {
