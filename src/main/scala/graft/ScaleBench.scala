@@ -76,6 +76,7 @@ object ScaleBench {
     "q127b_overlap_sketch_artifact", // persisted sketch + exact merge (r11)
     "q128_pca_power_iteration", // quantized power iteration (r11)
     "q128b_spectral_outliers", // residual-energy outlier top-k (r11)
+    "q129_pca_second_component", // deflated power iteration (r11)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -178,6 +179,7 @@ object ScaleBench {
     // round — the q108 signature, linear by construction; q128b adds one
     // map-side score scan + a global TakeOrdered(20)
     "q128_pca_power_iteration", "q128b_spectral_outliers",
+    "q129_pca_second_component",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */

@@ -79,6 +79,109 @@ object Pca {
     }.toDF("iter", "j", "v")
   }
 
+  /** Second principal component by DEFLATED quantized power iteration:
+    * the same per-iteration machinery as [[powerIterates]], but after the
+    * decimal Gram product w = AᵀA·u the component along the (quantized)
+    * top axis v₁ is subtracted — w′_j = w_j − (Σ_i w_i·v₁_i)·v₁_j, all
+    * generated left-associated double arithmetic — before the norm and
+    * the 1e-6 snap. Start vector is e₁. With v₁ held at its quantized
+    * value the whole trajectory stays bit-replayable; the residual
+    * non-orthogonality is O(quantization) and spec-graded, not assumed.
+    * `v1 = None` (empty corpus) propagates to all-NULL iterates.
+    */
+  def powerIteratesDeflated(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, v1: Option[Array[Double]])
+      : Seq[(Int, Option[Array[Double]])] = {
+    require(dim >= 2 && iters >= 1, s"dim=$dim iters=$iters")
+    var v: Option[Array[Double]] =
+      v1.map(_ => Array.tabulate(dim)(j => if (j == 1) 1.0 else 0.0))
+    val out = Seq.newBuilder[(Int, Option[Array[Double]])]
+    for (t <- 1 to iters) {
+      v = (v, v1) match {
+        case (Some(cur), Some(top)) =>
+          val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
+          val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
+          val projected = emb.select(
+            (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
+          val aggs = (0 until dim).map(j =>
+            sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
+              .as(s"w$j"))
+          val row = projected.agg(aggs.head, aggs.tail: _*).head()
+          if (row.isNullAt(0)) None
+          else {
+            val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
+            val dot = (0 until dim).map(j => w(j) * top(j)).reduceLeft(_ + _)
+            val wp = Array.tabulate(dim)(j => w(j) - dot * top(j))
+            val norm = math.sqrt(wp.map(d => d * d).reduceLeft(_ + _))
+            Some(wp.map(d => math.floor(d / norm * 1e6) / 1e6))
+          }
+        case _ => None
+      }
+      out += ((t, v.map(_.clone())))
+    }
+    out.result()
+  }
+
+  /** The two-component trajectory table: component 1 iterates (from
+    * [[powerIterates]]) then component 2 iterates (deflated against
+    * component 1's final snap) — one row per (component, iter, j, v).
+    */
+  def twoComponentDF(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 3)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val first = powerIterates(emb, vecCol, dim, iters)
+    val second = powerIteratesDeflated(emb, vecCol, dim, iters,
+      first.last._2)
+    (first.map { case (t, ov) => (1, t, ov) } ++
+      second.map { case (t, ov) => (2, t, ov) })
+      .flatMap { case (c, t, ov) =>
+        (0 until dim).map(j => (c, t, j, ov.map(_(j))))
+      }.toDF("component", "iter", "j", "v")
+  }
+
+  /** The DuckDB oracle for [[twoComponentDF]] — the [[oracleSql]] chain
+    * for component 1 plus a deflated chain (u-prefixed columns so the two
+    * iterates can cross-join without collision), generated from the same
+    * (dim, iters).
+    */
+  def twoComponentOracleSql(dim: Int, iters: Int, fromSql: String): String = {
+    val xs = (0 until dim).map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT $xs FROM $fromSql)")
+    sb.append(iterateCtes(dim, iters))
+    // deflated chain: iterate columns u0..; v1 = v{iters}'s v0.. columns
+    var prevU: Int => String = j => if (j == 1) "1.0" else "0.0"
+    for (t <- 1 to iters) {
+      val s = (0 until dim).map(j => s"x$j*${prevU(j)}").mkString(" + ")
+      sb.append(s",\n q$t AS (SELECT e.*, ($s) AS s FROM e")
+      if (t > 1) sb.append(s" CROSS JOIN u${t - 1}")
+      sb.append(")")
+      val sums = (0 until dim).map(j =>
+        s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
+      sb.append(s",\n b$t AS (SELECT $sums FROM q$t)")
+      val dot = (0 until dim).map(j =>
+        s"CAST(w$j AS DOUBLE)*v$j").mkString(" + ")
+      val wps = (0 until dim).map(j =>
+        s"CAST(w$j AS DOUBLE) - ($dot)*v$j AS wp$j").mkString(", ")
+      sb.append(s",\n d$t AS (SELECT $wps FROM b$t CROSS JOIN v$iters)")
+      val nrm = (0 until dim).map(j => s"wp$j*wp$j").mkString(" + ")
+      sb.append(s",\n m$t AS (SELECT sqrt($nrm) AS nrm FROM d$t)")
+      val us = (0 until dim).map(j =>
+        s"floor(wp$j/nrm*1000000.0)/1000000.0 AS u$j").mkString(", ")
+      sb.append(s",\n u$t AS (SELECT $us FROM d$t CROSS JOIN m$t)")
+      prevU = j => s"u$j"
+    }
+    val rows =
+      (1 to iters).map(t => unpivot(s"v$t", "v", dim,
+        s"1 AS component, $t AS iter")) ++
+      (1 to iters).map(t => unpivot(s"u$t", "u", dim,
+        s"2 AS component, $t AS iter"))
+    sb.append("\n" + rows.mkString("\nUNION ALL "))
+    sb.append("\nORDER BY component, iter, j")
+    sb.toString
+  }
+
   /** Spectral outlier scores: residual energy off the top principal axis,
     * score_r = ||x_r||² − (x_r·v)² with `v` the final [[powerIterates]]
     * iterate — the "embedding doesn't live on the corpus's dominant
@@ -161,9 +264,25 @@ SELECT $idCol, score FROM sc ORDER BY score DESC, $idCol LIMIT $topK"""
   def oracleSql(dim: Int, iters: Int, fromSql: String): String = {
     val xs = (0 until dim).map(j =>
       s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
-    val rows = (1 to iters).flatMap(t => (0 until dim).map(j =>
-      s"SELECT $t AS iter, $j AS j, v$j AS v FROM v$t"))
+    // one CASE-unpivot per iterate, NOT one UNION branch per cell: DuckDB
+    // re-evaluates a CTE per reference, so dim x iters branches re-ran
+    // the whole chain per output cell (measured: file-handle exhaustion
+    // at dim=64 x two chains); this shape references each v_t exactly once
+    val rows = (1 to iters).map(t => unpivot(s"v$t", "v", dim,
+      s"$t AS iter"))
     s"WITH e AS (SELECT $xs FROM $fromSql)" + iterateCtes(dim, iters) +
       "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY iter, j"
+  }
+
+  /** One 64-row unpivot of a one-row iterate CTE: CROSS JOIN range(dim)
+    * + a CASE over the `p`-prefixed columns — the single-reference shape
+    * [[oracleSql]]/[[twoComponentOracleSql]] need.
+    */
+  private def unpivot(cte: String, p: String, dim: Int,
+      extraCols: String): String = {
+    val cases = (0 until dim).map(j => s"WHEN $j THEN $p$j").mkString(" ")
+    s"""SELECT $extraCols, CAST(r.j AS INT) AS j,
+ CASE CAST(r.j AS INT) $cases END AS v
+ FROM $cte CROSS JOIN range($dim) r(j)"""
   }
 }

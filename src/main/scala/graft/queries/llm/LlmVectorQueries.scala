@@ -462,6 +462,25 @@ object LlmVectorQueries {
           dim = 64, iters = 3, topK = 20)
       },
       Some(graft.operators.Pca.outlierOracleSql(dim = 64, iters = 3,
-        fromSql = "embeddings", idCol = "vec_id", topK = 20)))
+        fromSql = "embeddings", idCol = "vec_id", topK = 20))),
+
+    // ---- second principal component: deflated power iteration -----------
+    // q128 generalized: after each decimal Gram product the component
+    // along the quantized TOP axis is subtracted (w' = w - (w.v1)v1,
+    // generated left-associated double arithmetic) before the norm and
+    // the 1e-6 snap — classic deflation, bit-replayable because v1 is
+    // held at its quantized value. Output is the full two-component
+    // trajectory (component, iter, j, v); orthogonality of the two snaps
+    // is spec-graded in OperatorsSpec (O(1e-6), the quantization floor),
+    // not assumed.
+    "q129_pca_second_component" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        graft.operators.Pca.twoComponentDF(
+            t(s, dir, "embeddings"), "embedding", dim = 64, iters = 3)
+          .orderBy("component", "iter", "j")
+      },
+      Some(graft.operators.Pca.twoComponentOracleSql(dim = 64, iters = 3,
+        fromSql = "embeddings")))
   )
 }

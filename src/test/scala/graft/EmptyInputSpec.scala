@@ -138,6 +138,9 @@ class EmptyInputSpec extends SparkSpec {
         // norm and quantization in both engines
         case "q128_pca_power_iteration" =>
           assert(rows.length === 192 && rows.forall(_.isNullAt(2)))
+        // the two-component trajectory likewise: 2 x 3 x 64 NULL rows
+        case "q129_pca_second_component" =>
+          assert(rows.length === 384 && rows.forall(_.isNullAt(3)))
         // the URL-cap audit on nothing: one all-zero funnel row (every
         // count/checksum COALESCEs to 0 in both engines)
         case "q123_url_domain_cap" =>

@@ -1675,6 +1675,31 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.forall(_._2.isEmpty))
   }
 
+  test("Pca deflation: the second component finds the SECOND dominant " +
+      "axis, near-orthogonal to the first (O(1e-6), the quantization " +
+      "floor), partitioning-invariant") {
+    implicit val sp = spark
+    // axis 2 dominates (amp 10), axis 5 second (amp 4), noise elsewhere
+    val rows = (0 until 60).map { i =>
+      val s2 = if (i % 2 == 0) 1.0 else -1.0
+      val s5 = if (i % 3 == 0) 1.0 else -1.0
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == 2) s2 * 10.0 else if (j == 5) s5 * 4.0
+         else math.sin(i * (j + 1)) * 0.05).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val v1 = Pca.powerIterates(emb, "embedding", 8, 3).last._2.get
+    val v2 = Pca.powerIteratesDeflated(emb, "embedding", 8, 3, Some(v1))
+      .last._2.get
+    assert(math.abs(v1(2)) > 0.99, s"v1 not on axis 2: ${v1.toSeq}")
+    assert(math.abs(v2(5)) > 0.99, s"v2 not on axis 5: ${v2.toSeq}")
+    val dot = (0 until 8).map(j => v1(j) * v2(j)).sum
+    assert(math.abs(dot) < 1e-4, s"components not orthogonal: $dot")
+    val v2r = Pca.powerIteratesDeflated(emb.repartition(5), "embedding",
+      8, 3, Some(v1)).last._2.get
+    assert(v2.toSeq === v2r.toSeq)
+  }
+
   test("Pca.spectralOutliers ranks the planted off-axis vector first") {
     implicit val sp = spark
     // 30 vectors hugging axis 0 (the dominant structure) + one large
