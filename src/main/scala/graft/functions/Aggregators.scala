@@ -148,20 +148,36 @@ object Aggregators {
     * Double key, diverging from the oracle's ROW_NUMBER-by-id rule
     * (ADVICE r10). Same never-more-than-k buffer and map-side combine.
     */
+  /** Buffer for the bounded min-k long aggregators: the kept values
+    * ascending, plus their COUNT and the current k-th minimum carried
+    * alongside — so the saturated-reject test is genuinely two scalar
+    * compares, never a list traversal (ADVICE r11: lengthCompare +
+    * `.last` were O(k) pointer chases per arriving row on the hot
+    * sketch path). `thr` is Long.MaxValue until the buffer saturates.
+    */
+  final case class MinKBuf(n: Int, thr: Long, asc: List[Long])
+
   final case class BoundedMinKLong(k: Int)
-      extends Aggregator[Long, List[Long], Seq[Long]] {
+      extends Aggregator[Long, MinKBuf, Seq[Long]] {
     require(k >= 1, s"k must be >= 1, got $k")
-    def zero: List[Long] = Nil
-    def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
-    def merge(b1: List[Long], b2: List[Long]): List[Long] =
-      b2.foldLeft(b1)(insert)
-    def finish(b: List[Long]): Seq[Long] = b
-    private def insert(b: List[Long], a: Long) = {
-      if (b.lengthCompare(k) >= 0 && a >= b.last) b
-      else ((a :: b).sorted).take(k)
+    def zero: MinKBuf = MinKBuf(0, Long.MaxValue, Nil)
+    def reduce(b: MinKBuf, a: Long): MinKBuf = insert(b, a)
+    def merge(b1: MinKBuf, b2: MinKBuf): MinKBuf =
+      b2.asc.foldLeft(b1)(insert)
+    def finish(b: MinKBuf): Seq[Long] = b.asc
+    private def insert(b: MinKBuf, a: Long): MinKBuf = {
+      // O(1) saturated reject: once n == k, an arrival >= the k-th
+      // minimum cannot enter (ties reject correctly — inserting an
+      // equal value and dropping the last leaves the multiset unchanged)
+      if (b.n >= k && a >= b.thr) b
+      else {
+        val asc = ((a :: b.asc).sorted).take(k)
+        val n = math.min(b.n + 1, k)
+        MinKBuf(n, if (n >= k) asc.last else Long.MaxValue, asc)
+      }
     }
-    def bufferEncoder: Encoder[List[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    def bufferEncoder: Encoder[MinKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MinKBuf]()
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -177,27 +193,34 @@ object Aggregators {
     * full-cardinality shuffle the sketch exists to avoid.
     *
     * Cost shape: once the buffer saturates at k values, an arriving
-    * value >= the current k-th minimum rejects in O(1) — by the KMV
+    * value >= the current k-th minimum rejects in O(1) — two scalar
+    * compares against the [[MinKBuf]]-carried count and threshold
+    * (ADVICE r11: the reject path never touches the list). By the KMV
     * growth bound only ~k·ln(n/k) of n arrivals ever pass that test, so
     * the per-partition cost is one comparison per row plus a vanishing
-    * number of O(k) inserts. Map-side combinable: each partition ships
-    * at most k longs per group, and `merge` is the sketch union.
+    * number of O(k) distinct-check-and-inserts. Map-side combinable:
+    * each partition ships at most k longs per group, and `merge` is the
+    * sketch union.
     */
   final case class BoundedMinKDistinctLong(k: Int)
-      extends Aggregator[Long, List[Long], Seq[Long]] {
+      extends Aggregator[Long, MinKBuf, Seq[Long]] {
     require(k >= 1, s"k must be >= 1, got $k")
-    def zero: List[Long] = Nil
-    def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
-    def merge(b1: List[Long], b2: List[Long]): List[Long] =
-      b2.foldLeft(b1)(insert)
-    def finish(b: List[Long]): Seq[Long] = b
-    private def insert(b: List[Long], a: Long) = {
-      if (b.lengthCompare(k) >= 0 && a >= b.last) b
-      else if (b.contains(a)) b
-      else ((a :: b).sorted).take(k)
+    def zero: MinKBuf = MinKBuf(0, Long.MaxValue, Nil)
+    def reduce(b: MinKBuf, a: Long): MinKBuf = insert(b, a)
+    def merge(b1: MinKBuf, b2: MinKBuf): MinKBuf =
+      b2.asc.foldLeft(b1)(insert)
+    def finish(b: MinKBuf): Seq[Long] = b.asc
+    private def insert(b: MinKBuf, a: Long): MinKBuf = {
+      if (b.n >= k && a >= b.thr) b
+      else if (b.asc.contains(a)) b
+      else {
+        val asc = ((a :: b.asc).sorted).take(k)
+        val n = math.min(b.n + 1, k)
+        MinKBuf(n, if (n >= k) asc.last else Long.MaxValue, asc)
+      }
     }
-    def bufferEncoder: Encoder[List[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    def bufferEncoder: Encoder[MinKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MinKBuf]()
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

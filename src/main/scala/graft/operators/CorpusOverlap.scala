@@ -83,8 +83,13 @@ object CorpusOverlap {
         size(col("__merged")).cast("long").as("m"),
         size(array_intersect(array_intersect(col("__merged"), col("ska")),
           col("skb"))).cast("long").as("n_common"))
+      // m == 0 is unreachable from [[sketches]] (a shingle-less corpus
+      // emits no sketch row) but reachable through a hand-built artifact
+      // with two empty sketches: NULL like the oracle's NULLIF division,
+      // never a 0/0 NaN (ADVICE r11)
       .withColumn("jaccard_est",
-        round(col("n_common").cast("double") / col("m"), 6))
+        when(col("m") === 0, lit(null: java.lang.Double))
+          .otherwise(round(col("n_common").cast("double") / col("m"), 6)))
   }
 
   /** Pairwise overlap matrix over the corpora of `corpusCol`: one row per

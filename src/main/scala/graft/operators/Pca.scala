@@ -33,6 +33,29 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
+  /** ONE power-iteration Gram pass as a DataFrame: the per-row projection
+    * s = Σ_j x_j·cur_j materialized once, then `dim` exact decimal sums
+    * w_j = Σ x_j·s. This IS the operator's per-iteration plan (pinned by
+    * PlansSpec against this very frame, so a refactor of the internals
+    * cannot silently revert to the fused dim×dim-term form the comment
+    * below warns about — ADVICE r11).
+    */
+  private[graft] def gramAggregate(emb: DataFrame, vecCol: String,
+      dim: Int, cur: Array[Double]): DataFrame = {
+    val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
+    val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
+    // materialize the projection once per row: the aggregation then
+    // codegens dim small sums instead of a dim x dim-term tree
+    // (measured: the fused form spent seconds per iteration in
+    // whole-stage codegen COMPILATION at dim = 64, not in data)
+    val projected = emb.select(
+      (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
+    val aggs = (0 until dim).map(j =>
+      sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
+        .as(s"w$j"))
+    projected.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-iteration quantized iterates: (iter 1..iters, v or null). */
   def powerIterates(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int = 3): Seq[(Int, Option[Array[Double]])] = {
@@ -44,23 +67,19 @@ object Pca {
       v = v match {
         case None => None
         case Some(cur) =>
-          val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
-          val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
-          // materialize the projection once per row: the aggregation then
-          // codegens dim small sums instead of a dim x dim-term tree
-          // (measured: the fused form spent seconds per iteration in
-          // whole-stage codegen COMPILATION at dim = 64, not in data)
-          val projected = emb.select(
-            (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
-          val aggs = (0 until dim).map(j =>
-            sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
-              .as(s"w$j"))
-          val row = projected.agg(aggs.head, aggs.tail: _*).head()
+          val row = gramAggregate(emb, vecCol, dim, cur).head()
           if (row.isNullAt(0)) None
           else {
             val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
             val norm = math.sqrt(w.map(d => d * d).reduceLeft(_ + _))
-            Some(w.map(d => math.floor(d / norm * 1e6) / 1e6))
+            // norm == 0 (all-zero embeddings, or a corpus exactly
+            // orthogonal to the start axis) is the empty case, not a NaN:
+            // the oracle's w/0 division yields NULL in DuckDB, so the
+            // engine emits NULL too — and a NaN here would flip the
+            // spectralOutliers sort (Spark sorts NaN first DESC, DuckDB
+            // sorts NULL last). ADVICE r11.
+            if (norm == 0) None
+            else Some(w.map(d => math.floor(d / norm * 1e6) / 1e6))
           }
       }
       out += ((t, v.map(_.clone())))
@@ -99,21 +118,17 @@ object Pca {
     for (t <- 1 to iters) {
       v = (v, v1) match {
         case (Some(cur), Some(top)) =>
-          val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
-          val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
-          val projected = emb.select(
-            (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
-          val aggs = (0 until dim).map(j =>
-            sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
-              .as(s"w$j"))
-          val row = projected.agg(aggs.head, aggs.tail: _*).head()
+          val row = gramAggregate(emb, vecCol, dim, cur).head()
           if (row.isNullAt(0)) None
           else {
             val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
             val dot = (0 until dim).map(j => w(j) * top(j)).reduceLeft(_ + _)
             val wp = Array.tabulate(dim)(j => w(j) - dot * top(j))
             val norm = math.sqrt(wp.map(d => d * d).reduceLeft(_ + _))
-            Some(wp.map(d => math.floor(d / norm * 1e6) / 1e6))
+            // rank-deficient data (the deflated Gram product vanishes):
+            // NULL like the oracle, never NaN iterates (ADVICE r11)
+            if (norm == 0) None
+            else Some(wp.map(d => math.floor(d / norm * 1e6) / 1e6))
           }
         case _ => None
       }

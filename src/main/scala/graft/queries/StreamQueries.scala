@@ -897,7 +897,7 @@ object StreamQueries {
               JOIN sk sb ON sb.c = 'stream' AND sb.h = mg.h) AS n_common)
         SELECT CAST(stream_k AS BIGINT) AS stream_k, CAST(m AS BIGINT) AS m,
           CAST(n_common AS BIGINT) AS n_common,
-          ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
+          ROUND(CAST(n_common AS DOUBLE) / NULLIF(m, 0), 6) AS jaccard_est
         FROM st""")),
 
     // ---- streaming fuzzy-dedup intake: edit distance vs corpus (w23) ----

@@ -17,6 +17,18 @@ import graft.queries.LlmOracleSql._
   * and [[LlmOracleSql]].
   */
 object LlmDedupQueries {
+
+  /** Filesystem-safe artifact key for a dataset dir: the FULL path with
+    * non-portable characters folded to '_' — injective enough that two
+    * different dataset dirs can never share an artifact (ADVICE r11:
+    * the former Int hashCode could collide and silently cross-
+    * contaminate; the sanitization only conflates paths differing in
+    * punctuation AT the same position, which real sf-dir layouts never
+    * do).
+    */
+  private[queries] def artifactKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- exact dedup (hash-groupBy) ------------------------------------
@@ -1281,10 +1293,12 @@ object LlmDedupQueries {
         // times per capture — a createTempDirectory here leaked one
         // parquet-bearing directory per run for the life of the host);
         // "one artifact per corpus version, overwritten on rebuild" is
-        // also the operational contract the query models
+        // also the operational contract the query models. Keyed by the
+        // FULL sanitized dir, not its Int hashCode (ADVICE r11: hashCode
+        // collisions between dataset dirs would silently cross-
+        // contaminate artifacts).
         val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_winnow_idx_" +
-            java.lang.Integer.toHexString(dir.hashCode)).toString
+          "graft_winnow_idx_" + artifactKey(dir)).toString
         StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0))
           .write.mode("overwrite").parquet(idxDir)
         StreamingOps.intakeWinnowMatchesWith(
@@ -1446,10 +1460,10 @@ object LlmDedupQueries {
             CorpusOverlap.mergeSketches(coalesce(col("sketch"), empty),
               coalesce(col("__delta"), empty), k).as("sketch"),
             lit(k).as("k"), lit(3).as("shingle_k"), lit(2L).as("version"))
-        // fixed per-corpus path + overwrite (the q124 artifact contract)
+        // fixed per-corpus path + overwrite (the q124 artifact contract),
+        // keyed by the full sanitized dir (ADVICE r11)
         val skDir = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_overlap_sketch_" +
-            java.lang.Integer.toHexString(dir.hashCode)).toString
+          "graft_overlap_sketch_" + artifactKey(dir)).toString
         merged.write.mode("overwrite").parquet(skDir)
         CorpusOverlap.overlapMatrixOf(
             s.read.parquet(skDir).select("corpus", "sketch"), k)
@@ -1491,6 +1505,6 @@ object LlmDedupQueries {
           GROUP BY 1, 2)
         SELECT corpus_a, corpus_b, CAST(m AS BIGINT) AS m,
           CAST(n_common AS BIGINT) AS n_common,
-          ROUND(CAST(n_common AS DOUBLE) / m, 6) AS jaccard_est
+          ROUND(CAST(n_common AS DOUBLE) / NULLIF(m, 0), 6) AS jaccard_est
         FROM st ORDER BY corpus_a, corpus_b"""
 }

@@ -691,8 +691,11 @@ object StreamingOps {
         size(col("__merged")).cast("long").as("m"),
         size(array_intersect(array_intersect(col("__merged"), col("sketch")),
           skStatic)).cast("long").as("n_common"))
+      // m == 0 (empty batch AND empty reference): NULL like the oracle's
+      // NULLIF(m, 0) division, never a 0/0 NaN (ADVICE r11)
       .withColumn("jaccard_est",
-        round(col("n_common").cast("double") / col("m"), 6))
+        when(col("m") === 0, lit(null: java.lang.Double))
+          .otherwise(round(col("n_common").cast("double") / col("m"), 6)))
   }
 
   /** Streaming fuzzy-dedup intake (w23): every arriving document is

@@ -587,20 +587,13 @@ class PlansSpec extends SparkSpec {
   test("q128: each power iteration is one partial+final decimal " +
       "aggregation over the embedding scan — no join, no window, no " +
       "shuffle beyond the 64-sum combine") {
-    // the per-iteration aggregation plan, in the operator's shipped shape
-    // (projection materialized once per row, then dim small decimal
-    // sums — the output DF itself is a driver-assembled literal table,
-    // so pin the aggregation directly)
+    // the per-iteration aggregation plan AS SHIPPED: Pca.gramAggregate is
+    // the frame powerIterates/powerIteratesDeflated actually execute
+    // (ADVICE r11 — an inline rebuild here would not fail if a refactor
+    // reverted the operator to the fused dim x dim-term form)
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
-    val x = (j: Int) =>
-      element_at(col("embedding"), j + 1).cast("double")
-    val s = (0 until 64).map(j => x(j) * lit(if (j == 0) 1.0 else 0.0))
-      .reduce(_ + _)
-    val projected = emb.select(
-      (0 until 64).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
-    val aggs = (0 until 64).map(j => sum((col(s"__x$j") * col("__s"))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 18))).as(s"w$j"))
-    val p = projected.agg(aggs.head, aggs.tail: _*)
+    val e0 = Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+    val p = graft.operators.Pca.gramAggregate(emb, "embedding", 64, e0)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"),
       s"the 64 decimal sums must map-side combine:\n$p")
