@@ -77,6 +77,11 @@ object ScaleBench {
     "q128_pca_power_iteration", // quantized power iteration (r11)
     "q128b_spectral_outliers", // residual-energy outlier top-k (r11)
     "q129_pca_second_component", // deflated power iteration (r11)
+    "q130_cluster_artifact_merge", // persisted clusters + delta merge (r12;
+                             // decades 1-2 only — it composes q52's
+                             // exhaustive oracle-baseline pair shape; the
+                             // production merge is timed separately as
+                             // cluster_merge_delta in the x100 block)
     "m06_image_phash_dedup", // perceptual-hash image dedup (r10)
     "m06b_image_phash_massdup", // cap-tripping mass-dup regime (r11)
     "m08_audio_fp_dedup",   // audio fingerprint near-dup (r11)
@@ -374,6 +379,11 @@ object ScaleBench {
           println(f"""{"query":"$name","sf100_sec":$t%.3f}""")
           (name, t, t, if (t > 0) 1.0 else -1.0)
         }
+        // custom (non-inventory) decade metrics run on a bare "x100" or
+        // when named explicitly — so the dev loop can time ONE of them
+        // without paying for the rest
+        def customOn(n: String): Boolean =
+          args.length <= 1 || args.contains(n)
         // the funnel's ACTUAL 100 TB configuration (MinHash-LSH candidates
         // instead of the oracle-replayable exhaustive Jaccard) is not on
         // the query surface — q97b must match q97's oracle — so time it
@@ -392,10 +402,10 @@ object ScaleBench {
               -1.0
           } finally releaseCaches()
         }
-        val lshRow = {
+        val lshRow = if (!customOn("funnel_onepass_lsh")) Seq.empty else {
           val (s, b, h) = (funnelLsh(srcDir), funnelLsh(bigDir), funnelLsh(hugeDir))
           println(f"""{"query":"funnel_onepass_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
-          ("funnel_onepass_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+          Seq(("funnel_onepass_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
         // the w14 winnow-x-Bloom intake, batch form (the operator is pure
         // DataFrame ops; StreamingSpec pins batch == stream). m scales
@@ -418,11 +428,11 @@ object ScaleBench {
               -1.0
           } finally releaseCaches()
         }
-        val intakeRow = {
+        val intakeRow = if (!customOn("winnow_intake_batch")) Seq.empty else {
           val (s, b, h) = (winnowIntake(srcDir, 1 << 20),
             winnowIntake(bigDir, 1 << 23), winnowIntake(hugeDir, 1 << 26))
           println(f"""{"query":"winnow_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
-          ("winnow_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+          Seq(("winnow_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
         // the w18 image-intake, batch form (the operator is stateless
         // DataFrame ops, so stream == batch by the w14 argument): real
@@ -450,11 +460,11 @@ object ScaleBench {
               -1.0
           } finally releaseCaches()
         }
-        val phashRow = {
+        val phashRow = if (!customOn("phash_intake_batch")) Seq.empty else {
           val (s, b, h) = (phashIntake(srcDir, 1 << 20),
             phashIntake(bigDir, 1 << 20), phashIntake(hugeDir, 1 << 22))
           println(f"""{"query":"phash_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
-          ("phash_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+          Seq(("phash_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
         // hard-negative mining, production (LSH-gated) path: q113b's
         // inventory form carries the exact brute-force truth denominator
@@ -476,13 +486,68 @@ object ScaleBench {
               -1.0
           } finally releaseCaches()
         }
-        val hardNegRow = {
+        val hardNegRow = if (!customOn("hard_negatives_lsh")) Seq.empty else {
           val (s, b, h) = (hardNegLsh(srcDir), hardNegLsh(bigDir),
             hardNegLsh(hugeDir))
           println(f"""{"query":"hard_negatives_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
-          ("hard_negatives_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0)
+          Seq(("hard_negatives_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
-        queryRows ++ Seq(lshRow, intakeRow, phashRow, hardNegRow)
+        // incremental cluster maintenance (r12): a FIXED-size daily delta
+        // (10 copy-0 docs' pairs) merges against the prior cluster
+        // artifact at each decade. The timed region is pure clustering
+        // work (pairs / prior artifact / delta edges are eagerly
+        // localCheckpointed beforehand): from-scratch CC over the full
+        // pair set grows with the corpus's dup subgraph, the merge's
+        // iterative work is bounded by the touched components — the
+        // artifact's whole point (VERDICT r11 #1).
+        def clusterMerge(dir: String): (Double, Double) = {
+          try {
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            // pair source: LSH candidates at the signature-agreement
+            // threshold — the clustering input's realistic shape without
+            // the exact-verify shingle join (which is q89's own metric;
+            // materializing 500k shingle arrays at the third decade OOMs
+            // a timing harness that only needs the EDGES)
+            val pairs = graft.operators.Dedup.minHashCandidates(docs,
+                "doc_id", "text", k = 3, bands = 32, rowsPerBand = 2)
+              .filter(col("est_jaccard") >= 0.2)
+              .select("id_a", "id_b").localCheckpoint(true)
+            def isDelta(c: org.apache.spark.sql.Column) =
+              c % 500 === 3 && c < 100000000L
+            val delta = pairs.filter(isDelta(col("id_a")) ||
+              isDelta(col("id_b"))).localCheckpoint(true)
+            val priorPairs = pairs.filter(!isDelta(col("id_a")) &&
+              !isDelta(col("id_b")))
+            val prior = graft.operators.Dedup.clusterArtifact(
+                graft.operators.Dedup.connectedComponents(priorPairs))
+              .localCheckpoint(true)
+            releaseCaches()
+            val t0 = System.nanoTime()
+            graft.operators.Dedup.connectedComponents(pairs)
+              .write.format("noop").mode("overwrite").save()
+            val tScratch = (System.nanoTime() - t0) / 1e9
+            releaseCaches()
+            val t1 = System.nanoTime()
+            graft.operators.Dedup.mergeClusterArtifact(prior, delta)
+              .write.format("noop").mode("overwrite").save()
+            val tMerge = (System.nanoTime() - t1) / 1e9
+            (tScratch, tMerge)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] cluster_merge @ $dir failed: ${e.getMessage}")
+              (-1.0, -1.0)
+          } finally releaseCaches()
+        }
+        val clusterRow = if (!customOn("cluster_merge_delta")) Seq.empty else {
+          val (s1, m1) = clusterMerge(srcDir)
+          val (s2, m2) = clusterMerge(bigDir)
+          val (s3, m3) = clusterMerge(hugeDir)
+          println(f"""{"query":"cluster_cc_scratch","sf01_sec":$s1%.3f,"sf10_sec":$s2%.3f,"sf100_sec":$s3%.3f}""")
+          println(f"""{"query":"cluster_merge_delta","sf01_sec":$m1%.3f,"sf10_sec":$m2%.3f,"sf100_sec":$m3%.3f}""")
+          Seq(("cluster_merge_delta", m1, m3, if (m1 > 0 && m3 > 0) 1.0 else -1.0))
+        }
+        queryRows ++ lshRow ++ intakeRow ++ phashRow ++ hardNegRow ++
+          clusterRow
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

@@ -83,6 +83,37 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** [[psiFromBinned]] with one INDEPENDENT monitor per key (w24: one
+    * PSI per principal component): the spine is keys × bins, the totals
+    * window partitions by the key, the formula is per-key otherwise
+    * identical. Keys are driver literals (bounded model state — the
+    * components of a reloaded axes artifact), so the spine needs no
+    * scan.
+    */
+  def psiFromBinnedGrouped(spark: SparkSession, keys: Seq[Int],
+      refCounts: DataFrame, liveCounts: DataFrame, bins: Int,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    val spine = keys.flatMap(kk => (0 until bins).map(b => (kk, b)))
+      .toDF(keyCol, "bin")
+    val joined = spine
+      .join(refCounts, Seq(keyCol, "bin"), "left")
+      .join(liveCounts, Seq(keyCol, "bin"), "left")
+      .na.fill(0L, Seq("ref_n", "live_n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTotals = joined
+      .withColumn("__ref_total", sum(col("ref_n")).over(all))
+      .withColumn("__live_total", sum(col("live_n")).over(all))
+    val p = (col("ref_n") + 1.0) /
+      (col("__ref_total").cast("double") + lit(bins.toDouble))
+    val q = (col("live_n") + 1.0) /
+      (col("__live_total").cast("double") + lit(bins.toDouble))
+    withTotals.select(col(keyCol), col("bin"), col("ref_n"), col("live_n"),
+        floor((p - q) * log(p / q) * 1e9).cast("long").as("psi9"))
+      .orderBy(keyCol, "bin")
+  }
+
   /** Per-bin PSI table between two batch frames; sum(psi9)/1e9 is the
     * headline PSI. Rows whose value is NULL are filtered out BEFORE
     * binning and are therefore excluded from both the histogram and the

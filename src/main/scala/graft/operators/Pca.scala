@@ -110,31 +110,94 @@ object Pca {
     */
   def powerIteratesDeflated(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int, v1: Option[Array[Double]])
+      : Seq[(Int, Option[Array[Double]])] =
+    powerIteratesDeflatedSeq(emb, vecCol, dim, iters, v1.map(Seq(_)))
+
+  /** [[powerIteratesDeflated]] generalized to SEQUENTIAL deflation
+    * against an ORDERED list of prior quantized axes (modified
+    * Gram-Schmidt): after each decimal Gram product, for every prior p
+    * in order, dot_p = Σ_i w_i·v_p_i and w ← w − dot_p·v_p — all
+    * left-associated double arithmetic, mirrored term-for-term by the
+    * generated oracle. Start vector is e_{|priors|}; one prior IS the
+    * q129 arithmetic exactly. `priors = None` (an earlier component
+    * already collapsed to NULL) propagates to all-NULL iterates.
+    */
+  def powerIteratesDeflatedSeq(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, priors: Option[Seq[Array[Double]]])
       : Seq[(Int, Option[Array[Double]])] = {
-    require(dim >= 2 && iters >= 1, s"dim=$dim iters=$iters")
-    var v: Option[Array[Double]] =
-      v1.map(_ => Array.tabulate(dim)(j => if (j == 1) 1.0 else 0.0))
+    require(dim >= 1 && iters >= 1, s"dim=$dim iters=$iters")
+    require(priors.forall(_.size < dim),
+      s"cannot extract component ${priors.map(_.size + 1).getOrElse(1)} " +
+        s"from dim=$dim")
+    var v: Option[Array[Double]] = priors.map(ps =>
+      Array.tabulate(dim)(j => if (j == ps.size) 1.0 else 0.0))
     val out = Seq.newBuilder[(Int, Option[Array[Double]])]
     for (t <- 1 to iters) {
-      v = (v, v1) match {
-        case (Some(cur), Some(top)) =>
+      v = (v, priors) match {
+        case (Some(cur), Some(ps)) =>
           val row = gramAggregate(emb, vecCol, dim, cur).head()
           if (row.isNullAt(0)) None
           else {
-            val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
-            val dot = (0 until dim).map(j => w(j) * top(j)).reduceLeft(_ + _)
-            val wp = Array.tabulate(dim)(j => w(j) - dot * top(j))
-            val norm = math.sqrt(wp.map(d => d * d).reduceLeft(_ + _))
+            var w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
+            for (top <- ps) {
+              val dot = (0 until dim).map(j => w(j) * top(j))
+                .reduceLeft(_ + _)
+              w = Array.tabulate(dim)(j => w(j) - dot * top(j))
+            }
+            val norm = math.sqrt(w.map(d => d * d).reduceLeft(_ + _))
             // rank-deficient data (the deflated Gram product vanishes):
             // NULL like the oracle, never NaN iterates (ADVICE r11)
             if (norm == 0) None
-            else Some(wp.map(d => math.floor(d / norm * 1e6) / 1e6))
+            else Some(w.map(d => math.floor(d / norm * 1e6) / 1e6))
           }
         case _ => None
       }
       out += ((t, v.map(_.clone())))
     }
     out.result()
+  }
+
+  /** Final quantized axes for components 1..k: component c runs
+    * [[powerIteratesDeflatedSeq]] against components 1..c-1's finals.
+    * A component collapsing to NULL (empty/rank-deficient corpus)
+    * propagates NULL to every later component — the oracle's NULL
+    * arithmetic does the same.
+    */
+  def kComponentFinals(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, k: Int): Seq[(Int, Option[Array[Double]])] = {
+    require(k >= 1 && k <= dim, s"k=$k dim=$dim")
+    val out = Seq.newBuilder[(Int, Option[Array[Double]])]
+    var priors: Option[Seq[Array[Double]]] = Some(Seq.empty)
+    for (c <- 1 to k) {
+      val fin = priors match {
+        case None => None
+        case Some(ps) =>
+          powerIteratesDeflatedSeq(emb, vecCol, dim, iters, Some(ps))
+            .last._2
+      }
+      out += ((c, fin))
+      priors = (priors, fin) match {
+        case (Some(ps), Some(v)) => Some(ps :+ v)
+        case _ => None
+      }
+    }
+    out.result()
+  }
+
+  /** The k final axes as a SELF-DESCRIBING PERSISTABLE ARTIFACT
+    * (VERDICT r11 #3, the q124 parameter discipline): one
+    * (component, j, v) row per axis cell with (dim, iters, k, version)
+    * riding in every row — a whitening/projection job reloads this
+    * instead of re-running the k·iters Gram passes, and a consumer
+    * built for different parameters sees them immediately.
+    */
+  def axesArtifact(finals: Seq[(Int, Option[Array[Double]])], dim: Int,
+      iters: Int, k: Int, version: Long = 1L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    finals.flatMap { case (c, ov) =>
+      (0 until dim).map(j => (c, j, ov.map(_(j)), dim, iters, k, version))
+    }.toDF("component", "j", "v", "dim", "iters", "k", "version")
   }
 
   /** The two-component trajectory table: component 1 iterates (from
@@ -195,6 +258,90 @@ object Pca {
     sb.append("\n" + rows.mkString("\nUNION ALL "))
     sb.append("\nORDER BY component, iter, j")
     sb.toString
+  }
+
+  /** The k-component deflated CTE chain appended after an `e` CTE
+    * carrying x0..x{dim-1}: component 1 is [[iterateCtes]] verbatim
+    * (CTEs p_t/a_t/n_t/v_t, columns v0..); component c >= 2 gets CTEs
+    * q{c}_t (projection), b{c}_t (decimal sums), d{c}_t_p (sequential
+    * deflation against prior p's final), m{c}_t (norm), u{c}_t (snap,
+    * columns u{c}_0..) — the SQL mirror of
+    * [[powerIteratesDeflatedSeq]]'s arithmetic, term for term.
+    */
+  private[graft] def kAxesChainCtes(dim: Int, iters: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(iterateCtes(dim, iters))
+    for (c <- 2 to k) {
+      var prev: Int => String = j => if (j == c - 1) "1.0" else "0.0"
+      for (t <- 1 to iters) {
+        val s = (0 until dim).map(j => s"x$j*${prev(j)}").mkString(" + ")
+        sb.append(s",\n q${c}_$t AS (SELECT e.*, ($s) AS s FROM e")
+        if (t > 1) sb.append(s" CROSS JOIN u${c}_${t - 1}")
+        sb.append(")")
+        val sums = (0 until dim).map(j =>
+          s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
+        sb.append(s",\n b${c}_$t AS (SELECT $sums FROM q${c}_$t)")
+        // sequential deflation: prior 1's final is v{iters} (cols v_j),
+        // prior p >= 2's is u{p}_{iters} (cols u{p}_j); the first step
+        // reads the decimal sums as double, later steps chain wp columns
+        var curCol: Int => String = j => s"CAST(w$j AS DOUBLE)"
+        var curCte = s"b${c}_$t"
+        for (p <- 1 until c) {
+          val (pCte, pCol): (String, Int => String) =
+            if (p == 1) (s"v$iters", j => s"v$j")
+            else (s"u${p}_$iters", j => s"u${p}_$j")
+          val dot = (0 until dim).map(j => s"${curCol(j)}*${pCol(j)}")
+            .mkString(" + ")
+          val wps = (0 until dim).map(j =>
+            s"${curCol(j)} - ($dot)*${pCol(j)} AS wp${p}_$j").mkString(", ")
+          sb.append(s",\n d${c}_${t}_$p AS (SELECT $wps FROM $curCte" +
+            s" CROSS JOIN $pCte)")
+          curCol = j => s"wp${p}_$j"
+          curCte = s"d${c}_${t}_$p"
+        }
+        val nrm = (0 until dim).map(j =>
+          s"${curCol(j)}*${curCol(j)}").mkString(" + ")
+        sb.append(s",\n m${c}_$t AS (SELECT sqrt($nrm) AS nrm FROM $curCte)")
+        val us = (0 until dim).map(j =>
+          s"floor(${curCol(j)}/nrm*1000000.0)/1000000.0 AS u${c}_$j")
+          .mkString(", ")
+        sb.append(s",\n u${c}_$t AS (SELECT $us FROM $curCte" +
+          s" CROSS JOIN m${c}_$t)")
+        prev = j => s"u${c}_$j"
+      }
+    }
+    sb.toString
+  }
+
+  /** (final CTE name, column prefix) per component 1..k — the score
+    * hooks the w24 oracle builds its projections from.
+    */
+  private[graft] def axesFinalRefs(iters: Int, k: Int)
+      : Seq[(Int, String, String)] =
+    (1 to k).map { c =>
+      if (c == 1) (c, s"v$iters", "v") else (c, s"u${c}_$iters", s"u${c}_")
+    }
+
+  /** The DuckDB oracle for the q131 axes artifact: the k-component chain
+    * generated from the same (dim, iters, k), each final unpivoted to
+    * (component, j, v) with the artifact's self-description literals.
+    */
+  def kAxesOracleSql(dim: Int, iters: Int, k: Int, fromSql: String,
+      version: Long): String = {
+    val xs = (0 until dim).map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
+    val rows = axesFinalRefs(iters, k).map { case (c, cte, p) =>
+      val cases = (0 until dim).map(j => s"WHEN $j THEN $p$j")
+        .mkString(" ")
+      s"""SELECT $c AS component, CAST(r.j AS INT) AS j,
+ CASE CAST(r.j AS INT) $cases END AS v,
+ $dim AS dim, $iters AS iters, $k AS k,
+ CAST($version AS BIGINT) AS version
+ FROM $cte CROSS JOIN range($dim) r(j)"""
+    }
+    s"WITH e AS (SELECT $xs FROM $fromSql)" +
+      kAxesChainCtes(dim, iters, k) +
+      "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY component, j"
   }
 
   /** Spectral outlier scores: residual energy off the top principal axis,

@@ -134,33 +134,77 @@ object UrlOps {
   val ThreeLabelPublicSuffixes: Seq[String] = Seq(
     "s3.amazonaws.com", "compute-1.amazonaws.com")
 
+  /** PSL WILDCARD rules (`*.<base>` — VERDICT r11 #4): every DIRECT
+    * child of <base> is itself a public suffix, so the registrable
+    * domain is base + TWO labels — under `*.ck`, `foo.ck` is a public
+    * suffix, `a.foo.ck` is the registration, and `b.a.foo.ck` lands on
+    * `a.foo.ck`. These are the real PSL's ICANN wildcard entries this
+    * literal-probe shape could not express before: the ccTLDs whose
+    * registries live one level down, plus the Japanese city domains.
+    * Same data-not-code contract: extend the seq and the Spark
+    * expression AND the generated oracle SQL pick it up together.
+    */
+  val WildcardSuffixBases: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** PSL EXCEPTION rules (`!<host>`): hosts registrable DESPITE a
+    * covering wildcard — these beat every other rule (the PSL
+    * algorithm's exception-first step). A host equal to, or under, an
+    * exception registers as the exception itself.
+    */
+  val PslExceptions: Seq[String] = Seq(
+    "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
   private val Lbl = "[^.]+"
   private def lastN(host: Column, n: Int): Column =
     regexp_extract(host, "(" + Seq.fill(n)(Lbl).mkString("\\.") + ")$", 1)
 
-  /** Registered domain under the curated public-suffix list: the host's
-    * longest matching public suffix plus one label; hosts that ARE a
-    * public suffix (or have fewer than two labels) have no registrable
-    * domain and return NULL. Userinfo and port are stripped, case
-    * folded; `www.` is NOT stripped (it is an ordinary label — the
-    * default rule already lands `www.example.com` on `example.com`).
-    * Pure literal expression — the suffix table compiles into an `In`
-    * hash probe per row, no join, no broadcast, map-side only.
+  private def labels(rule: String): Int = rule.count(_ == '.') + 1
+  private def ofLen(xs: Seq[String], n: Int): Seq[String] =
+    xs.filter(labels(_) == n)
+
+  /** Registered domain under the curated public-suffix list with FULL
+    * PSL rule semantics (normal + wildcard + exception rules, longest
+    * match wins, exceptions beat everything): the host's matching
+    * public suffix plus one label; hosts that ARE a public suffix (or
+    * have fewer than two labels) have no registrable domain and return
+    * NULL. Userinfo and port are stripped, case folded; `www.` is NOT
+    * stripped (an ordinary label — the default rule already lands
+    * `www.example.com` on `example.com`). Pure literal expression — the
+    * rule tables compile into `In` hash probes per row, no join, no
+    * broadcast, map-side only. Rule priority (mirrored verbatim by
+    * [[registeredDomainSql]]): exception (3- then 2-label), wildcard
+    * with 2-label base (3-label suffix), 3-label literal, wildcard with
+    * 1-label base (2-label suffix), 2-label literal, default last-two.
+    * A wildcard applies only when the host is DEEPER than the base
+    * (`kawasaki.jp` itself registers under the plain `jp` rule).
     */
   def registeredDomain(url: Column): Column = {
     val host = regexp_replace(cleanHostport(fragmentFree(url)),
       ":[0-9]+$", "")
-    val dom = when(lastN(host, 3).isin(ThreeLabelPublicSuffixes: _*),
+    val dom = when(lastN(host, 3).isin(ofLen(PslExceptions, 3): _*),
+        lastN(host, 3))
+      .when(lastN(host, 2).isin(ofLen(PslExceptions, 2): _*),
+        lastN(host, 2))
+      .when(lastN(host, 2).isin(ofLen(WildcardSuffixBases, 2): _*) &&
+        lastN(host, 3) =!= "", lastN(host, 4))
+      .when(lastN(host, 3).isin(ThreeLabelPublicSuffixes: _*),
         lastN(host, 4))
+      .when(lastN(host, 1).isin(ofLen(WildcardSuffixBases, 1): _*) &&
+        lastN(host, 2) =!= "", lastN(host, 3))
       .when(lastN(host, 2).isin(TwoLabelPublicSuffixes: _*), lastN(host, 3))
       .otherwise(lastN(host, 2))
     when(dom === "", lit(null: String)).otherwise(dom)
   }
 
-  /** DuckDB replay of [[registeredDomain]]'s suffix rule over a host SQL
+  /** DuckDB replay of [[registeredDomain]]'s rule chain over a host SQL
     * expression (already userinfo- and port-stripped, lowercased) —
-    * GENERATED from the same suffix seqs as the Spark expression, so the
-    * oracle and the engine cannot drift.
+    * GENERATED from the same rule seqs as the Spark expression, same
+    * priority order, so the oracle and the engine cannot drift.
     */
   def registeredDomainSql(host: String): String = {
     def inList(xs: Seq[String]) =
@@ -168,8 +212,18 @@ object UrlOps {
     def lastNSql(n: Int) =
       s"regexp_extract($host, '(" +
         Seq.fill(n)(Lbl).mkString("\\.") + s")$$', 1)"
-    s"""(CASE WHEN ${lastNSql(3)} IN ${inList(ThreeLabelPublicSuffixes)}
+    s"""(CASE WHEN ${lastNSql(3)} IN ${inList(ofLen(PslExceptions, 3))}
+              THEN nullif(${lastNSql(3)}, '')
+            WHEN ${lastNSql(2)} IN ${inList(ofLen(PslExceptions, 2))}
+              THEN nullif(${lastNSql(2)}, '')
+            WHEN ${lastNSql(2)} IN ${inList(ofLen(WildcardSuffixBases, 2))}
+                AND ${lastNSql(3)} <> ''
               THEN nullif(${lastNSql(4)}, '')
+            WHEN ${lastNSql(3)} IN ${inList(ThreeLabelPublicSuffixes)}
+              THEN nullif(${lastNSql(4)}, '')
+            WHEN ${lastNSql(1)} IN ${inList(ofLen(WildcardSuffixBases, 1))}
+                AND ${lastNSql(2)} <> ''
+              THEN nullif(${lastNSql(3)}, '')
             WHEN ${lastNSql(2)} IN ${inList(TwoLabelPublicSuffixes)}
               THEN nullif(${lastNSql(3)}, '')
             ELSE nullif(${lastNSql(2)}, '') END)"""

@@ -951,6 +951,134 @@ object StreamQueries {
         SELECT doc_id, CAST(cand_id AS BIGINT) AS cand_id,
           CAST(edit_distance AS BIGINT) AS edit_distance,
           (edit_distance >= 0) AS matched
-        FROM v ORDER BY doc_id, cand_id"""))
+        FROM v ORDER BY doc_id, cand_id""")),
+
+    // ---- streaming spectral drift: projections onto reloaded axes (w24) -
+    // The w15 score-drift discipline on the SPECTRAL axes (VERDICT r11
+    // #3): the reference corpus's k = 3 principal axes fit offline
+    // (q131's machinery), persist as the self-describing artifact, and
+    // the RELOADED axis cells ride into the stream as inlined literals
+    // (bounded model state — 192 doubles). Every arriving embedding
+    // projects onto each axis (pure left-associated expressions), and a
+    // complete-mode groupBy over (component, bin) — state hard-bounded
+    // at k x 10 rows for the stream's life — feeds one independent PSI
+    // monitor per component: "the corpus is drifting ALONG ITS DOMINANT
+    // DIRECTIONS" fires even when no single feature drifts. The oracle
+    // replays the 3 deflated Gram chains, the projections, binning, and
+    // the smoothed PSI batch-side, bit for bit.
+    "w24_stream_spectral_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{Drift, Pca}
+        implicit val sp = s
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val ref = emb.filter(col("vec_id") % 2 === 0)
+        val finals = Pca.kComponentFinals(ref, "embedding",
+          dim = 64, iters = 3, k = 3)
+        val axDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_pca_axes_w24_" + LlmDedupQueries.artifactKey(dir)).toString
+        Pca.axesArtifact(finals, dim = 64, iters = 3, k = 3, version = 1L)
+          .write.mode("overwrite").parquet(axDir)
+        // reload: k x dim rows of bounded model state; a component that
+        // collapsed to NULL axes (empty/rank-deficient reference) drops
+        // out of the monitored set rather than projecting onto garbage
+        val axes: Map[Int, Array[Double]] = s.read.parquet(axDir)
+          .filter(col("v").isNotNull)
+          .select("component", "j", "v").collect()
+          .groupBy(_.getInt(0)).map { case (c, rs) =>
+            val a = new Array[Double](64)
+            rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+            c -> a
+          }
+        val comps = axes.keys.toSeq.sorted
+        if (comps.isEmpty) {
+          import s.implicits._
+          Seq.empty[(Int, Int, Long, Long, Long)]
+            .toDF("component", "bin", "ref_n", "live_n", "psi9")
+        } else {
+          def zc(c: Int) = (0 until 64).map(j =>
+            element_at(col("embedding"), j + 1).cast("double") *
+              lit(axes(c)(j))).reduce(_ + _)
+          val bins = 10
+          val ranges = comps.map { c =>
+            val (lo, hi) = Drift.referenceRange(ref.withColumn("z", zc(c)),
+              "z")
+            c -> ((lo, (hi - lo) / bins))
+          }.toMap
+          def binned(df: org.apache.spark.sql.DataFrame) = df.select(
+            explode(array(comps.map { c =>
+              val (lo, w) = ranges(c)
+              struct(lit(c).as("component"),
+                Drift.binCol(zc(c), lo, w, bins).as("bin"))
+            }: _*)).as("cb"))
+            .select(col("cb.component").as("component"),
+              col("cb.bin").as("bin"))
+          val live = binned(StreamingOps.embeddingsStream(s, dir)
+              .filter(col("vec_id") % 2 === 1))
+            .groupBy("component", "bin").agg(count(lit(1)).as("live_n"))
+          val mat = StreamingOps.runToMemory(s, live, "w24_mem",
+            outputMode = "complete")
+          val refCounts = binned(ref).groupBy("component", "bin")
+            .agg(count(lit(1)).as("ref_n"))
+          Drift.psiFromBinnedGrouped(s, comps, refCounts, mat, bins,
+            "component")
+        }
+      },
+      Some(spectralDriftOracleSql))
   )
+
+  /** w24 oracle: the k = 3 deflated Gram chains GENERATED from the same
+    * (dim, iters, k) as the engine (graft.operators.Pca — the chain text
+    * cannot drift), projections of BOTH halves onto each final axis,
+    * per-component reference-range binning, and the smoothed PSI — the
+    * w15 tail shape with a component key. `sall` is MATERIALIZED: DuckDB
+    * re-evaluates a plain CTE per reference, and sall is referenced four
+    * times (rng/rc/lc/n) with three full Gram chains inside — the
+    * re-evaluation tree exhausted file handles before this hint (the
+    * q128 oracle-pitfall lesson at one more level of nesting).
+    */
+  private def spectralDriftOracleSql: String = {
+    val dim = 64; val iters = 3; val k = 3
+    val xsAll = (0 until dim).map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
+    val xsOnly = (0 until dim).map(j => s"x$j").mkString(", ")
+    val branches = graft.operators.Pca.axesFinalRefs(iters, k).map {
+      case (c, cte, p) =>
+        val z = (0 until dim).map(j => s"x$j*$p$j").mkString(" + ")
+        s"SELECT par, $c AS component, ($z) AS z FROM f CROSS JOIN $cte"
+    }
+    s"""WITH f AS (SELECT vec_id % 2 AS par, $xsAll FROM embeddings),
+ e AS (SELECT $xsOnly FROM f WHERE par = 0)""" +
+      graft.operators.Pca.kAxesChainCtes(dim, iters, k) + s""",
+ sall AS MATERIALIZED (${branches.mkString("\n UNION ALL ")}),
+ rng AS (SELECT component, MIN(z) AS lo, MAX(z) AS hi FROM sall
+   WHERE par = 0 GROUP BY 1),
+ bsp AS (SELECT r.component, CAST(unnest(range(0, 10)) AS INT) AS bin
+   FROM (SELECT DISTINCT component FROM rng) r),
+ rc AS (SELECT s.component,
+     LEAST(GREATEST(CAST(FLOOR((z - lo) / ((hi - lo) / 10)) AS INT),
+       0), 9) AS bin, COUNT(*) AS ref_n
+   FROM sall s JOIN rng ON rng.component = s.component
+   WHERE par = 0 GROUP BY 1, 2),
+ lc AS (SELECT s.component,
+     LEAST(GREATEST(CAST(FLOOR((z - lo) / ((hi - lo) / 10)) AS INT),
+       0), 9) AS bin, COUNT(*) AS live_n
+   FROM sall s JOIN rng ON rng.component = s.component
+   WHERE par = 1 GROUP BY 1, 2),
+ n AS (SELECT component,
+     SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS rn,
+     SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS lvn
+   FROM sall GROUP BY 1),
+ jj AS (SELECT bsp.component, bsp.bin,
+     COALESCE(rc.ref_n, 0) AS ref_n, COALESCE(lc.live_n, 0) AS live_n
+   FROM bsp LEFT JOIN rc ON rc.component = bsp.component
+     AND rc.bin = bsp.bin
+   LEFT JOIN lc ON lc.component = bsp.component AND lc.bin = bsp.bin)
+SELECT jj.component, jj.bin, CAST(ref_n AS BIGINT) AS ref_n,
+  CAST(live_n AS BIGINT) AS live_n,
+  CAST(FLOOR(((ref_n + 1.0) / (rn + 10) - (live_n + 1.0) / (lvn + 10))
+    * LN(((ref_n + 1.0) / (rn + 10)) / ((live_n + 1.0) / (lvn + 10)))
+    * 1e9) AS BIGINT) AS psi9
+FROM jj JOIN n ON n.component = jj.component
+ORDER BY jj.component, jj.bin"""
+  }
 }

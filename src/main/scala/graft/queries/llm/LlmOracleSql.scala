@@ -677,8 +677,15 @@ object LlmOracleSql {
     val site = when(d % 4 < 2, lit("bighost"))
       .when(d % 4 === 2, concat(lit("mid"), (d % 3).cast("string")))
       .otherwise(concat(lit("tail"), (d % 25).cast("string")))
+    // .foo.ck exercises the PSL WILDCARD rule (*.ck: foo.ck is a public
+    // suffix, so each site registers as <site>.foo.ck — distinct
+    // publishers, not one ck bucket); .www.ck exercises the EXCEPTION
+    // rule (!www.ck beats the wildcard: every such host collapses onto
+    // the single registrable domain www.ck — cap pressure by design)
     val tld = when(d % 7 === 3, lit(".co.uk"))
       .when(d % 7 === 5, lit(".github.io"))
+      .when(d % 7 === 1, lit(".foo.ck"))
+      .when(d % 7 === 6, lit(".www.ck"))
       .otherwise(lit(".COM"))
     concat(
       when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
@@ -709,6 +716,8 @@ object LlmOracleSql {
                ELSE 'tail' || CAST(doc_id % 25 AS VARCHAR) END AS site,
           CASE WHEN doc_id % 7 = 3 THEN '.co.uk'
                WHEN doc_id % 7 = 5 THEN '.github.io'
+               WHEN doc_id % 7 = 1 THEN '.foo.ck'
+               WHEN doc_id % 7 = 6 THEN '.www.ck'
                ELSE '.COM' END AS tld
           FROM documents),
         u AS (SELECT doc_id,

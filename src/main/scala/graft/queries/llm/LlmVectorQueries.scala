@@ -481,6 +481,32 @@ object LlmVectorQueries {
           .orderBy("component", "iter", "j")
       },
       Some(graft.operators.Pca.twoComponentOracleSql(dim = 64, iters = 3,
-        fromSql = "embeddings")))
+        fromSql = "embeddings"))),
+
+    // ---- k-component axes as a persisted self-describing artifact -------
+    // VERDICT r11 #3: the q129 deflation machinery generalized to k
+    // components (sequential modified Gram-Schmidt against every prior
+    // quantized axis), persisted as the (component, j, v) artifact with
+    // (dim, iters, k, version) riding in each row — the q124 parameter
+    // discipline on the spectral axis. The query grades the FULL round
+    // trip: k Gram chains -> artifact write -> reload -> emit, against
+    // an oracle generated from the same (dim, iters, k, version) in
+    // graft.operators.Pca (the persistence layer must be invisible in
+    // every bit). w24 consumes the same artifact shape for its
+    // streaming projection monitor.
+    "q131_pca_axes_artifact" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import graft.operators.Pca
+        val finals = Pca.kComponentFinals(t(s, dir, "embeddings"),
+          "embedding", dim = 64, iters = 3, k = 3)
+        val axDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_pca_axes_" + LlmDedupQueries.artifactKey(dir)).toString
+        Pca.axesArtifact(finals, dim = 64, iters = 3, k = 3, version = 1L)
+          .write.mode("overwrite").parquet(axDir)
+        s.read.parquet(axDir).orderBy("component", "j")
+      },
+      Some(graft.operators.Pca.kAxesOracleSql(dim = 64, iters = 3, k = 3,
+        fromSql = "embeddings", version = 1L)))
   )
 }

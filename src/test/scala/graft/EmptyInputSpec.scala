@@ -141,6 +141,17 @@ class EmptyInputSpec extends SparkSpec {
         // the two-component trajectory likewise: 2 x 3 x 64 NULL rows
         case "q129_pca_second_component" =>
           assert(rows.length === 384 && rows.forall(_.isNullAt(3)))
+        // the axes artifact round-trips its 3 x 64 shape with NULL axis
+        // cells (every Gram sum is NULL on nothing) and its
+        // self-description intact
+        case "q131_pca_axes_artifact" =>
+          assert(rows.length === 192 && rows.forall(r =>
+            r.isNullAt(2) && r.getInt(3) == 64 && r.getLong(6) == 1L))
+        // the full-radius recall grader on nothing: zero truth, zero
+        // found, sentinel recall9 = -1 (0/0 undefined, the q103d shape)
+        case "q126c_edit_distance_recall" =>
+          assert(rows.length === 1 && rows.head.getLong(0) == 0L &&
+            rows.head.getLong(1) == 0L && rows.head.getLong(2) == -1L)
         // the URL-cap audit on nothing: one all-zero funnel row (every
         // count/checksum COALESCEs to 0 in both engines)
         case "q123_url_domain_cap" =>
