@@ -25,6 +25,18 @@ import org.apache.spark.sql.SparkSession
   * loadavg 1.41 at start (the bench's own sbt/JVM boot decaying) while
   * its canary and totals were the round's fastest — loadavg ships as
   * context, the gate rides the probe that cannot see our own sleep.
+  *
+  * Multi-capture medians (VERDICT r11 #8): identical code measured
+  * 230-271 s total across five clean captures — pure cross-WINDOW host
+  * drift that no in-capture defense can see. The blessed record is
+  * therefore the per-metric LOWER MEDIAN across >= 2 clean captures,
+  * produced by `scripts/bench_median.py CAP1.json CAP2.json [...]`
+  * (each capture taken by this main with SPARK_GRAFT_BENCH_OUT set to a
+  * distinct file); the merged record carries `captures: N`, every
+  * input's total, the cross-window per-metric spread, and refuses
+  * invalid_capture inputs up front. Single captures remain valid
+  * dev-loop artifacts; the committed BENCH_LOCAL.json should be a
+  * median-of->=2 record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -492,6 +492,51 @@ object ScaleBench {
           println(f"""{"query":"hard_negatives_lsh","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           Seq(("hard_negatives_lsh", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
+        // ANN recall at decade scale (r12, VERDICT r11 #7): q32/q37 grade
+        // LSH/IVF top-k recall against the exact brute force at sf0.01
+        // only; these rows measure the recall CURVE at the inventory
+        // configurations across all three decades — candidate generation
+        // has to carry a measured recall number at scale, not a fixed-sf
+        // grade. Truth = exact brute-force top-5 for the 10 fixed
+        // queries (linear in the corpus — fine as a grading pass).
+        def annRecall(dir: String): Seq[(String, Double, Double)] = {
+          try {
+            import graft.operators.Similarity
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+            val queries = emb.filter(col("vec_id") < 10)
+            def pairs(df: DataFrame): Set[(Long, Long)] =
+              df.select(col("query_id").cast("long"),
+                  col("neighbor_id").cast("long"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            val truth = pairs(Similarity.bruteForceTopK(emb, queries,
+              "vec_id", "embedding", k = 5))
+            def grade(name: String, body: => DataFrame) = {
+              val t0 = System.nanoTime()
+              val got = pairs(body)
+              val sec = (System.nanoTime() - t0) / 1e9
+              (name, sec, got.intersect(truth).size.toDouble / truth.size)
+            }
+            Seq(
+              grade("ann_lsh", Similarity.lshTopK(emb, queries, "vec_id",
+                "embedding", k = 5, nBits = 8, nTables = 4)),
+              grade("ann_ivf", Similarity.ivfTopK(emb, queries, "vec_id",
+                "embedding", k = 5, nCells = 16, nProbe = 4)))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] ann_recall @ $dir failed: ${e.getMessage}")
+              Seq.empty
+          } finally releaseCaches()
+        }
+        val annRows = if (!customOn("ann_recall")) Seq.empty else {
+          val byDecade = Seq(srcDir, bigDir, hugeDir).map(annRecall)
+          Seq("ann_lsh", "ann_ivf").flatMap { name =>
+            val pts = byDecade.map(_.find(_._1 == name)
+              .getOrElse((name, -1.0, -1.0)))
+            println(f"""{"query":"${name}_recall","sf01_sec":${pts(0)._2}%.3f,"sf01_recall":${pts(0)._3}%.4f,"sf10_sec":${pts(1)._2}%.3f,"sf10_recall":${pts(1)._3}%.4f,"sf100_sec":${pts(2)._2}%.3f,"sf100_recall":${pts(2)._3}%.4f}""")
+            Seq((s"${name}_recall", pts(0)._2, pts(2)._2,
+              if (pts(0)._2 > 0 && pts(2)._2 > 0) 1.0 else -1.0))
+          }
+        }
         // incremental cluster maintenance (r12): a FIXED-size daily delta
         // (10 copy-0 docs' pairs) merges against the prior cluster
         // artifact at each decade. The timed region is pure clustering
@@ -547,7 +592,7 @@ object ScaleBench {
           Seq(("cluster_merge_delta", m1, m3, if (m1 > 0 && m3 > 0) 1.0 else -1.0))
         }
         queryRows ++ lshRow ++ intakeRow ++ phashRow ++ hardNegRow ++
-          clusterRow
+          annRows ++ clusterRow
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

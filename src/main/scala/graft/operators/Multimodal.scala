@@ -336,8 +336,15 @@ object Multimodal {
     * sum of squared signed samples — no sqrt, no float), and set
     * bit f iff energy(f) > energy((f+1) mod nFrames) — the wrap-around
     * temporal energy-gradient sign, integer-exact end to end. Robust to
-    * gain-linear and offset noise the way dHash is to brightness (the
-    * comparison is ordinal, not absolute). `b0..b3` are the four 16-bit
+    * gain-linear noise the way dHash is to brightness (the comparison is
+    * ordinal, not absolute) — MEASURED, not assumed (VERDICT r11 #5,
+    * OperatorsSpec, worst-case noise fixtures): non-clipping gain x0.5 /
+    * x1.5 moves 0-1 of 64 bits; clipping gain, sub-frame time shift, and
+    * 2x resample move ~28-43 bits (at or past the 32-bit independent
+    * baseline). The stated claim is therefore byte-copy and
+    * gain-transcode dedup; alignment-changing transcodes need a spectral
+    * (Haitsma-Kalker) signature — an extension, not this operator's
+    * contract. `b0..b3` are the four 16-bit
     * quarters, serving as the LSH banding key with m06's pigeonhole
     * guarantee (recall 1.0 at Hamming <= 3) and as the portable compare
     * surface. Non-audio, undecodable, and shorter-than-window clips emit

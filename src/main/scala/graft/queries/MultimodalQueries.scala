@@ -830,6 +830,50 @@ object MultimodalQueries {
         FROM pr LEFT JOIN sc ON sc.id_a = pr.id_a AND sc.id_b = pr.id_b
         JOIN sz sa ON sa.doc_id = pr.id_a
         JOIN sz sb ON sb.doc_id = pr.id_b
-        ORDER BY pr.id_a, pr.id_b"""))
+        ORDER BY pr.id_a, pr.id_b""")),
+
+    // ---- persisted media-dedup index artifact + incremental merge -------
+    // VERDICT r11 #6: m07/w18/w21 rebuilt the corpus band-Bloom per run;
+    // this is the q124/q125 corpus-versioning discipline on the MEDIA
+    // axis. The corpus's images split into a "prior" half (media_id % 2
+    // = 0) and a "delta" half, each REALLY decodes into its own
+    // band-Bloom artifact, the two OR-merge (exact for Bloom membership
+    // — each band key sets the same md5 positions whichever build it
+    // entered), the merged self-describing row (filter, m, kHash,
+    // version) round-trips through parquet, and the SAME intake probes
+    // the RELOADED artifact against w18's oracle VERBATIM (shared
+    // constant, cannot drift) — any bit the merge or round trip loses
+    // fails the hash, md5-replayable false positives included. The same
+    // machinery serves the audio axis (intakeAudioFpMatchesWith) — the
+    // build cannot tell bands apart, pinned in StreamingSpec.
+    "m11_media_index_merge" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.streaming.StreamingOps
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0))
+        // corpus ids are multiples of 12 (all even): the version split is
+        // on %24 so both halves really contribute keys
+        val prior = StreamingOps.buildBandIndex(
+          Multimodal.imagePHash(corpus.filter(_.media_id % 24 == 0)).toDF())
+        val delta = StreamingOps.buildBandIndex(
+          Multimodal.imagePHash(corpus.filter(_.media_id % 24 != 0)).toDF())
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_media_idx_" + LlmDedupQueries.artifactKey(dir)).toString
+        StreamingOps.mergeBandIndex(prior, delta)
+          .write.mode("overwrite").parquet(idxDir)
+        val stream0 = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0))
+        val stream = stream0.map(m =>
+          if (m.media_id % 5 == 3) m.copy(content = m.content.take(7))
+          else m)
+        StreamingOps.intakeImagePHashMatchesWith(stream,
+            s.read.parquet(idxDir))
+          .orderBy("media_id")
+      },
+      Some(StreamQueries.ImageIntakeOracleSql))
   )
 }

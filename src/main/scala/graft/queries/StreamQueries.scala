@@ -575,86 +575,7 @@ object StreamQueries {
             StreamingOps.intakeImagePHashMatches(stream, corpus), "w18_mem")
           .orderBy("media_id")
       },
-      Some("""WITH cpx AS (SELECT doc_id, x, y,
-          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
-            AS lum
-          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
-              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
-                AS b
-            FROM documents, range(16) tx(x), range(16) ty(y)
-            WHERE doc_id % 12 = 0)),
-        cpool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
-          FROM cpx GROUP BY 1, 2, 3),
-        cbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
-          FROM cpool a JOIN cpool b ON b.doc_id = a.doc_id AND b.r = a.r
-            AND b.c = (a.c + 1) % 8
-          WHERE a.s > b.s),
-        cph AS (SELECT d.doc_id,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
-          FROM (SELECT DISTINCT doc_id FROM cpx) d
-          LEFT JOIN cbits USING (doc_id) GROUP BY d.doc_id),
-        ck AS (SELECT DISTINCT k FROM (
-          SELECT '0:' || CAST(b0 AS VARCHAR) AS k FROM cph
-          UNION ALL SELECT '1:' || CAST(b1 AS VARCHAR) FROM cph
-          UNION ALL SELECT '2:' || CAST(b2 AS VARCHAR) FROM cph
-          UNION ALL SELECT '3:' || CAST(b3 AS VARCHAR) FROM cph)),
-        bpos AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(k || '#bloom'
-              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
-            AS p
-          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
-        spx AS (SELECT doc_id, x, y,
-          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
-            AS lum
-          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
-              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
-                AS b
-            FROM documents, range(16) tx(x), range(16) ty(y)
-            WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3)),
-        spool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
-          FROM spx GROUP BY 1, 2, 3),
-        sbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
-          FROM spool a JOIN spool b ON b.doc_id = a.doc_id AND b.r = a.r
-            AND b.c = (a.c + 1) % 8
-          WHERE a.s > b.s),
-        sph AS (SELECT d.doc_id,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
-            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
-              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
-          FROM (SELECT DISTINCT doc_id FROM spx) d
-          LEFT JOIN sbits USING (doc_id) GROUP BY d.doc_id),
-        sk AS (SELECT doc_id, k FROM (
-          SELECT doc_id, '0:' || CAST(b0 AS VARCHAR) AS k FROM sph
-          UNION ALL SELECT doc_id, '1:' || CAST(b1 AS VARCHAR) FROM sph
-          UNION ALL SELECT doc_id, '2:' || CAST(b2 AS VARCHAR) FROM sph
-          UNION ALL SELECT doc_id, '3:' || CAST(b3 AS VARCHAR) FROM sph)),
-        skp AS (SELECT doc_id, k,
-            MIN(CASE WHEN CAST(CAST(('0x' || substr(md5(k || '#bloom'
-                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
-              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
-          FROM sk CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
-          GROUP BY doc_id, k),
-        agg AS (SELECT doc_id, CAST(SUM(ok) AS INT) AS n
-          FROM skp GROUP BY doc_id)
-        SELECT d.doc_id AS media_id,
-          d.doc_id % 5 <> 3 AS decode_ok,
-          CAST(CASE WHEN d.doc_id % 5 = 3 THEN 0
-            ELSE COALESCE(a.n, 0) END AS INT) AS n_band_hits,
-          (d.doc_id % 5 <> 3 AND COALESCE(a.n, 0) >= 1) AS suspect
-        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        WHERE d.doc_id % 4 = 0 AND d.doc_id % 3 <> 0
-        ORDER BY media_id""")),
+      Some(ImageIntakeOracleSql)),
 
     // ---- streaming per-domain quota admission (bounded per-key state) --
     // q123's domain cap as ADMISSION CONTROL: arriving documents run the
@@ -1025,6 +946,95 @@ object StreamQueries {
       },
       Some(spectralDriftOracleSql))
   )
+
+  /** w18/m11 SHARED oracle (the q124/q125 discipline: m11's
+    * split-build-merge-roundtrip must be INVISIBLE against the
+    * from-scratch replay): pixels -> luma pooling -> dHash bands ->
+    * md5 Bloom positions -> probes, corrupt rows included.
+    */
+  // a def, not a val: defs above initializes eagerly and w18 references
+  // this — a later-declared val would still be null at that point
+  private[queries] def ImageIntakeOracleSql: String =
+    """WITH cpx AS (SELECT doc_id, x, y,
+          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
+            AS lum
+          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
+              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
+                AS b
+            FROM documents, range(16) tx(x), range(16) ty(y)
+            WHERE doc_id % 12 = 0)),
+        cpool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
+          FROM cpx GROUP BY 1, 2, 3),
+        cbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM cpool a JOIN cpool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        cph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM cpx) d
+          LEFT JOIN cbits USING (doc_id) GROUP BY d.doc_id),
+        ck AS (SELECT DISTINCT k FROM (
+          SELECT '0:' || CAST(b0 AS VARCHAR) AS k FROM cph
+          UNION ALL SELECT '1:' || CAST(b1 AS VARCHAR) FROM cph
+          UNION ALL SELECT '2:' || CAST(b2 AS VARCHAR) FROM cph
+          UNION ALL SELECT '3:' || CAST(b3 AS VARCHAR) FROM cph)),
+        bpos AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(k || '#bloom'
+              || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+            AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        spx AS (SELECT doc_id, x, y,
+          (77*(b % 256) + 150*((b+101) % 256) + 29*((b+202) % 256)) // 256
+            AS lum
+          FROM (SELECT doc_id, tx.x AS x, ty.y AS y,
+              doc_id*31 + tx.x*7 + ty.y*13 + tx.x*ty.y*(1 + doc_id % 16)
+                AS b
+            FROM documents, range(16) tx(x), range(16) ty(y)
+            WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 3)),
+        spool AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(lum) AS s
+          FROM spx GROUP BY 1, 2, 3),
+        sbits AS (SELECT a.doc_id, CAST(a.r*8 + a.c AS INT) AS idx
+          FROM spool a JOIN spool b ON b.doc_id = a.doc_id AND b.r = a.r
+            AND b.c = (a.c + 1) % 8
+          WHERE a.s > b.s),
+        sph AS (SELECT d.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 0
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 1
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 2
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN idx // 16 = 3
+              THEN (1 << (idx % 16)) END), 0) AS INT) AS b3
+          FROM (SELECT DISTINCT doc_id FROM spx) d
+          LEFT JOIN sbits USING (doc_id) GROUP BY d.doc_id),
+        sk AS (SELECT doc_id, k FROM (
+          SELECT doc_id, '0:' || CAST(b0 AS VARCHAR) AS k FROM sph
+          UNION ALL SELECT doc_id, '1:' || CAST(b1 AS VARCHAR) FROM sph
+          UNION ALL SELECT doc_id, '2:' || CAST(b2 AS VARCHAR) FROM sph
+          UNION ALL SELECT doc_id, '3:' || CAST(b3 AS VARCHAR) FROM sph)),
+        skp AS (SELECT doc_id, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(md5(k || '#bloom'
+                || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM sk CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY doc_id, k),
+        agg AS (SELECT doc_id, CAST(SUM(ok) AS INT) AS n
+          FROM skp GROUP BY doc_id)
+        SELECT d.doc_id AS media_id,
+          d.doc_id % 5 <> 3 AS decode_ok,
+          CAST(CASE WHEN d.doc_id % 5 = 3 THEN 0
+            ELSE COALESCE(a.n, 0) END AS INT) AS n_band_hits,
+          (d.doc_id % 5 <> 3 AND COALESCE(a.n, 0) >= 1) AS suspect
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        WHERE d.doc_id % 4 = 0 AND d.doc_id % 3 <> 0
+        ORDER BY media_id"""
 
   /** w24 oracle: the k = 3 deflated Gram chains GENERATED from the same
     * (dim, iters, k) as the engine (graft.operators.Pca — the chain text
