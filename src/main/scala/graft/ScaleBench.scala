@@ -77,6 +77,11 @@ object ScaleBench {
     "q128_pca_power_iteration", // quantized power iteration (r11)
     "q128b_spectral_outliers", // residual-energy outlier top-k (r11)
     "q129_pca_second_component", // deflated power iteration (r11)
+    "q131_pca_axes_artifact", // k-component axes artifact roundtrip (r12)
+    /* q126c is deliberately NOT measured at any decade: its truth
+     * denominator is the exhaustive thresholded-DP pair set — a
+     * quadratic GRADING shape (the q113b/q122c precedent); the
+     * candidate path it grades is q126b/q126, both measured. */
     "q130_cluster_artifact_merge", // persisted clusters + delta merge (r12;
                              // decades 1-2 only — it composes q52's
                              // exhaustive oracle-baseline pair shape; the
@@ -185,6 +190,9 @@ object ScaleBench {
     // map-side score scan + a global TakeOrdered(20)
     "q128_pca_power_iteration", "q128b_spectral_outliers",
     "q129_pca_second_component",
+    // r12: 3 deflated chains x 3 iters = 9 one-pass decimal aggregations
+    // + a parquet roundtrip of 192 rows — the q128 signature
+    "q131_pca_axes_artifact",
     "m06b_image_phash_massdup")
 
   /** Build the derived 10x dir once (idempotent marker). */
@@ -538,14 +546,16 @@ object ScaleBench {
           }
         }
         // incremental cluster maintenance (r12): a FIXED-size daily delta
-        // (10 copy-0 docs' pairs) merges against the prior cluster
+        // (100 copy-0 docs' pairs) merges against the prior cluster
         // artifact at each decade. The timed region is pure clustering
         // work (pairs / prior artifact / delta edges are eagerly
-        // localCheckpointed beforehand): from-scratch CC over the full
-        // pair set grows with the corpus's dup subgraph, the merge's
-        // iterative work is bounded by the touched components — the
-        // artifact's whole point (VERDICT r11 #1).
-        def clusterMerge(dir: String): (Double, Double) = {
+        // localCheckpointed beforehand), MEDIAN-of-3 per decade — both
+        // paths are second-scale, where a single post-annRecall GC pause
+        // on the 48g heap once read as a 10x merge regression.
+        // From-scratch CC grows with the corpus's dup subgraph; the
+        // merge's iterative work is bounded by the touched components —
+        // the artifact's whole point (VERDICT r11 #1).
+        def clusterMerge(dir: String): (Double, Double, Long, Long) = {
           try {
             val docs = spark.read.parquet(s"$dir/documents.parquet")
             // pair source: LSH candidates at the signature-agreement
@@ -558,7 +568,7 @@ object ScaleBench {
               .filter(col("est_jaccard") >= 0.2)
               .select("id_a", "id_b").localCheckpoint(true)
             def isDelta(c: org.apache.spark.sql.Column) =
-              c % 500 === 3 && c < 100000000L
+              c % 50 === 3 && c < 100000000L
             val delta = pairs.filter(isDelta(col("id_a")) ||
               isDelta(col("id_b"))).localCheckpoint(true)
             val priorPairs = pairs.filter(!isDelta(col("id_a")) &&
@@ -566,29 +576,49 @@ object ScaleBench {
             val prior = graft.operators.Dedup.clusterArtifact(
                 graft.operators.Dedup.connectedComponents(priorPairs))
               .localCheckpoint(true)
-            releaseCaches()
-            val t0 = System.nanoTime()
-            graft.operators.Dedup.connectedComponents(pairs)
-              .write.format("noop").mode("overwrite").save()
-            val tScratch = (System.nanoTime() - t0) / 1e9
-            releaseCaches()
-            val t1 = System.nanoTime()
-            graft.operators.Dedup.mergeClusterArtifact(prior, delta)
-              .write.format("noop").mode("overwrite").save()
-            val tMerge = (System.nanoTime() - t1) / 1e9
-            (tScratch, tMerge)
+            def med3(body: => Unit): Double = {
+              val runs = Seq.fill(3) {
+                releaseCaches()
+                val t0 = System.nanoTime()
+                body
+                (System.nanoTime() - t0) / 1e9
+              }
+              runs.sorted.apply(1)
+            }
+            val tScratch = med3 {
+              graft.operators.Dedup.connectedComponents(pairs)
+                .write.format("noop").mode("overwrite").save()
+            }
+            val tMerge = med3 {
+              graft.operators.Dedup.mergeClusterArtifact(prior, delta)
+                .write.format("noop").mode("overwrite").save()
+            }
+            // the structural claim, quantified: the iterative work's input
+            // sizes — scratch re-clusters the ALL-TIME pair graph; the
+            // merge re-clusters only the touched components' star edges
+            // plus the delta (wall times at harness scale are round-trip
+            // dominated and near-flat for both, so the edge counts carry
+            // the decade story)
+            val scratchEdges = pairs.count()
+            val deltaNodes = delta.select(col("id_a").as("member"))
+              .unionByName(delta.select(col("id_b").as("member"))).distinct()
+            val touched = prior.join(deltaNodes, "member")
+              .select("root").distinct()
+            val mergeEdges = prior.join(touched, Seq("root"), "left_semi")
+              .filter(col("member") =!= col("root")).count() + delta.count()
+            (tScratch, tMerge, scratchEdges, mergeEdges)
           } catch {
             case e: Throwable =>
               System.err.println(s"[scale] cluster_merge @ $dir failed: ${e.getMessage}")
-              (-1.0, -1.0)
+              (-1.0, -1.0, -1L, -1L)
           } finally releaseCaches()
         }
         val clusterRow = if (!customOn("cluster_merge_delta")) Seq.empty else {
-          val (s1, m1) = clusterMerge(srcDir)
-          val (s2, m2) = clusterMerge(bigDir)
-          val (s3, m3) = clusterMerge(hugeDir)
-          println(f"""{"query":"cluster_cc_scratch","sf01_sec":$s1%.3f,"sf10_sec":$s2%.3f,"sf100_sec":$s3%.3f}""")
-          println(f"""{"query":"cluster_merge_delta","sf01_sec":$m1%.3f,"sf10_sec":$m2%.3f,"sf100_sec":$m3%.3f}""")
+          val (s1, m1, se1, me1) = clusterMerge(srcDir)
+          val (s2, m2, se2, me2) = clusterMerge(bigDir)
+          val (s3, m3, se3, me3) = clusterMerge(hugeDir)
+          println(f"""{"query":"cluster_cc_scratch","sf01_sec":$s1%.3f,"sf10_sec":$s2%.3f,"sf100_sec":$s3%.3f,"sf01_edges":$se1,"sf10_edges":$se2,"sf100_edges":$se3}""")
+          println(f"""{"query":"cluster_merge_delta","sf01_sec":$m1%.3f,"sf10_sec":$m2%.3f,"sf100_sec":$m3%.3f,"sf01_edges":$me1,"sf10_edges":$me2,"sf100_edges":$me3}""")
           Seq(("cluster_merge_delta", m1, m3, if (m1 > 0 && m3 > 0) 1.0 else -1.0))
         }
         queryRows ++ lshRow ++ intakeRow ++ phashRow ++ hardNegRow ++

@@ -536,6 +536,67 @@ class PlansSpec extends SparkSpec {
       s"over-cap anchors must drop via broadcast anti-join:\n$p")
   }
 
+  test("q126c: the full-radius recall grade keeps the anchor discipline " +
+      "(aggregation df-cap via broadcast anti-join, thresholded " +
+      "levenshtein, no window) and its exhaustive truth side is the " +
+      "length-filtered broadcast loop, not a shuffled cross join") {
+    val p = plan("q126c_edit_distance_recall")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"no window / sort-merge join anywhere in the grade:\n$p")
+    assert(p.contains("levenshtein") && p.contains("Some(8)"),
+      s"both sides must verify with the thresholded banded DP:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"over-cap anchors must drop via broadcast anti-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the exhaustive truth must be a broadcast loop at grading scale:\n$p")
+  }
+
+  test("q130: the merged clustering consumes the RELOADED cluster " +
+      "artifact; the touched-root set and delta probes ride broadcast " +
+      "joins (delta-sized), never a window or corpus-wide sort-merge") {
+    val p = plan("q130_cluster_artifact_merge")
+    assert(p.contains("graft_cluster_art_"),
+      s"the merge must read the persisted artifact, not recompute:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"untouched rows must carry over via broadcast anti-join:\n$p")
+    assert(!p.contains("Window"),
+      s"nothing here needs a window:\n$p")
+  }
+
+  test("q131: the emitted frame is the RELOADED axes artifact alone — " +
+      "no embedding scan below the consumer (the k Gram chains ran at " +
+      "build time, the artifact IS the model)") {
+    val p = plan("q131_pca_axes_artifact")
+    assert(p.contains("graft_pca_axes_"),
+      s"the output must read the persisted artifact:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"the consume side must not re-run the Gram chains:\n$p")
+  }
+
+  test("m11: the intake probes the RELOADED media band-Bloom via a " +
+      "broadcast one-row join — no corpus re-decode, no shuffle beyond " +
+      "the probe") {
+    val p = plan("m11_media_index_merge")
+    assert(p.contains("graft_media_idx_"),
+      s"the probe must read the persisted artifact:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the one-row filter frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no corpus-wide shuffle may appear on the probe side:\n$p")
+  }
+
+  test("w24: the per-component PSI tail joins the 30-row spine with " +
+      "broadcast joins; the only window is the per-component totals " +
+      "window over 30 post-aggregation rows (the reloaded axis cells " +
+      "are literals, so no artifact or embedding rescans ride the tail)") {
+    val p = plan("w24_stream_spectral_drift")
+    assert(!p.contains("SortMergeJoin"),
+      s"spine joins over 30 rows must broadcast:\n$p")
+    assert(p.contains("Window"),
+      s"the per-component totals window must partition by component:\n$p")
+  }
+
   test("q127: each corpus collapses to its KMV sketch via a partial-" +
       "aggregable ObjectHashAggregate; the pair matrix is a broadcast " +
       "loop over one-row-per-corpus sketches — no shingle-level join, " +
