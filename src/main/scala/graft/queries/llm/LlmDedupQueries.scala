@@ -1434,56 +1434,62 @@ object LlmDedupQueries {
           col("text").as("__ta"), length(col("text")).as("__na"))
         val b = docs.select(col("doc_id").as("id_b"),
           col("text").as("__tb"), length(col("text")).as("__nb"))
+        // ONE join condition with the cheap guards FIRST: a separate
+        // .filter(levenshtein) gets merged into the join as the LEADING
+        // conjunct (CombineFilters prepends it), running the banded DP on
+        // all n^2/2 ordered pairs — measured 44 s at sf0.1 vs ~a quarter
+        // with the length bound short-circuiting the And chain
         val truth = a.join(b,
             col("id_a") < col("id_b") &&
-              abs(col("__na") - col("__nb")) <= 8)
-          .filter(levenshtein(col("__ta"), col("__tb"), 8).between(0, 8))
+              abs(col("__na") - col("__nb")) <= 8 &&
+              levenshtein(col("__ta"), col("__tb"), 8).between(0, 8))
           .select("id_a", "id_b")
         val found = Dedup.editDistancePairsFullRadius(docs, "doc_id",
             "text", maxEdit = 8, maxBucket = 200)
-          .select("id_a", "id_b")
-        val tr = truth.agg(count(lit(1)).as("n_true"))
-        val fd = truth.join(found, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_found"))
-        tr.crossJoin(fd).select(col("n_true"), col("n_found"),
-          when(col("n_true") === 0, lit(-1L))
-            .otherwise(expr(
-              "CAST(n_found AS DECIMAL(38,0)) * 1000000000 DIV n_true"))
-            .as("recall9"))
+          .select("id_a", "id_b").withColumn("__f", lit(1))
+        // ONE pass over the truth side (a separate semi-joined count would
+        // run the quadratic truth join twice): left-join the found marker
+        // — broadcast, the verified pair set is dup-sized — and count
+        // both in the same aggregation
+        truth.join(broadcast(found), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_true"), count(col("__f")).as("n_found"))
+          .select(col("n_true"), col("n_found"),
+            when(col("n_true") === 0, lit(-1L))
+              .otherwise(expr(
+                "CAST(n_found AS DECIMAL(38,0)) * 1000000000 DIV n_true"))
+              .as("recall9"))
       },
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
           FROM documents),
         tru AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 8
           WHERE levenshtein(a.text, b.text) <= 8),
-        pr AS (SELECT doc_id, CAST(floor(n/9.0) AS INT) AS w,
-            CAST(t.ci AS INT) AS ci,
-            substr(text, CAST(t.ci AS INT)*CAST(floor(n/9.0) AS INT) + 1,
-              CAST(floor(n/9.0) AS INT)) AS chunk
+        pr AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(floor(n/9.0) AS INT) || ':' ||
+              CAST(t.ci AS INT) || ':' ||
+              substr(text, CAST(t.ci AS INT)*CAST(floor(n/9.0) AS INT) + 1,
+                CAST(floor(n/9.0) AS INT))), 1, 12)) AS BIGINT) AS akey
           FROM d, range(9) t(ci) WHERE floor(n/9.0) >= 1),
         ww AS (SELECT doc_id, text, n, CAST(unnest(range(
             greatest(CAST(floor((n - 8)/9.0) AS BIGINT), 1),
             CAST(floor((n + 8)/9.0) AS BIGINT) + 1)) AS INT) AS w
           FROM d WHERE floor((n + 8)/9.0) >= 1),
-        wn AS (SELECT DISTINCT doc_id, w, CAST(t.ci AS INT) AS ci,
-            substr(text, CAST(t.ci AS INT)*w + CAST(u.dd AS INT) + 1, w)
-              AS chunk
+        wn AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(w || ':' || CAST(t.ci AS INT) || ':' ||
+              substr(text, CAST(t.ci AS INT)*w + CAST(u.dd AS INT) + 1, w)),
+              1, 12)) AS BIGINT) AS akey
           FROM ww, range(9) t(ci), range(-8, 9) u(dd)
           WHERE CAST(t.ci AS INT)*w + CAST(u.dd AS INT) >= 0
             AND CAST(t.ci AS INT)*w + CAST(u.dd AS INT) + w <= n),
-        cnt AS (SELECT w, ci, chunk, COUNT(*) AS c FROM wn GROUP BY 1,2,3),
-        kw AS (SELECT wn.doc_id, wn.w, wn.ci, wn.chunk FROM wn
-          JOIN cnt ON cnt.w = wn.w AND cnt.ci = wn.ci
-            AND cnt.chunk = wn.chunk
-          WHERE cnt.c <= 200),
-        kp AS (SELECT pr.doc_id, pr.w, pr.ci, pr.chunk FROM pr
-          JOIN cnt ON cnt.w = pr.w AND cnt.ci = pr.ci
-            AND cnt.chunk = pr.chunk
-          WHERE cnt.c <= 200),
+        cnt AS (SELECT akey, COUNT(*) AS c FROM wn GROUP BY 1),
+        kw AS (SELECT wn.doc_id, wn.akey FROM wn
+          JOIN cnt ON cnt.akey = wn.akey WHERE cnt.c <= 200),
+        kp AS (SELECT pr.doc_id, pr.akey FROM pr
+          JOIN cnt ON cnt.akey = pr.akey WHERE cnt.c <= 200),
         cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
             greatest(a.doc_id, b.doc_id) AS id_b
-          FROM kp a JOIN kw b ON a.w = b.w AND a.ci = b.ci
-            AND a.chunk = b.chunk AND a.doc_id <> b.doc_id),
+          FROM kp a JOIN kw b ON a.akey = b.akey
+            AND a.doc_id <> b.doc_id),
         fnd AS (SELECT c.id_a, c.id_b FROM cand c
           JOIN d pa ON pa.doc_id = c.id_a
           JOIN d pb ON pb.doc_id = c.id_b
