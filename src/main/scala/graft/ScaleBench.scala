@@ -93,6 +93,10 @@ object ScaleBench {
     "m09_video_phash_dedup", // per-frame video near-dup (r11; decades
                              // 1-2 — m06's mod-256 x100 caveat applies
                              // to the gif formula identically
+    "m11_media_index_merge", // persisted media band-Bloom artifact (r12;
+                             // decades 1-2 — the probe itself is the
+                             // phash_intake_batch x100 row; m06's mod-256
+                             // clique caveat applies to the decode here)
     "m10_crossmodal_caption_audit") // image-dup x caption Jaccard (r11;
                              // decades 1-2 — composes m06's pair rule,
                              // so the mod-256 x100 caveat applies

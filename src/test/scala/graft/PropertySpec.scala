@@ -800,6 +800,75 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("mergeClusterArtifact === from-scratch connectedComponents over " +
+      "the union for RANDOM edge sets and RANDOM prior/delta splits " +
+      "(the q130 exactness claim, adversarially sampled)") {
+    val gen = for {
+      nEdges <- Gen.chooseNum(1, 25)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, 18L); b <- Gen.chooseNum(0L, 18L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      // delta membership per edge — ANY split, not just node-predicate
+      // splits (a delta can re-link two prior components, attach new
+      // nodes, or duplicate a prior edge)
+      mask <- Gen.listOfN(edges.length, Gen.oneOf(true, false))
+    } yield (edges, mask)
+    check(Prop.forAll(gen) { case (edges, mask) =>
+      val all = edges.toDF("id_a", "id_b")
+      val priorPairs = edges.zip(mask).collect { case (e, false) => e }
+      val deltaPairs = edges.zip(mask).collect { case (e, true) => e }
+      val scratch = graft.operators.Dedup.connectedComponents(all)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val merged =
+        if (deltaPairs.isEmpty) scratch // nothing arrived; vacuous round
+        else {
+          val prior = graft.operators.Dedup.clusterArtifact(
+            graft.operators.Dedup.connectedComponents(
+              priorPairs.toDF("id_a", "id_b")))
+          graft.operators.Dedup.mergeClusterArtifact(prior,
+              deltaPairs.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toSeq.sorted
+        }
+      merged == scratch
+    }, n = 8)
+  }
+
+  test("editDistancePairsFullRadius finds a planted pair under ANY " +
+      "random edit script of <= 8 operations (the q126c full-radius " +
+      "guarantee, adversarially sampled)") {
+    val alpha = Gen.oneOf(('a' to 'f') :+ ' ')
+    val gen = for {
+      len <- Gen.chooseNum(60, 240)
+      base <- Gen.listOfN(len, alpha).map(_.mkString)
+      nEdits <- Gen.chooseNum(1, 8)
+      ops <- Gen.listOfN(nEdits, for {
+        kind <- Gen.chooseNum(0, 2) // 0=sub, 1=ins, 2=del
+        pos <- Gen.chooseNum(0, len - 1)
+        ch <- alpha
+      } yield (kind, pos, ch))
+    } yield (base, ops)
+    check(Prop.forAll(gen) { case (base, ops) =>
+      // apply edits right-to-left so positions stay valid
+      val edited = ops.sortBy(-_._2).foldLeft(base) {
+        case (s, (0, p, c)) if p < s.length => s.updated(p, c)
+        case (s, (1, p, c)) if p <= s.length =>
+          s.substring(0, p) + c + s.substring(p)
+        case (s, (2, p, _)) if p < s.length =>
+          s.substring(0, p) + s.substring(p + 1)
+        case (s, _) => s
+      }
+      val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .editDistancePairsFullRadius(docs, "doc_id", "text", maxEdit = 8)
+        .as[(Long, Long, Long)].collect().toSeq
+      graft.operators.Dedup.unpersistAll()
+      // the true distance may undercut the script length (edits can
+      // cancel); the guarantee is presence at distance <= 8
+      base == edited || got.exists(p => p._1 == 0L && p._2 == 1L)
+    }, n = 20)
+  }
+
   test("BoundedMinKDistinctLong === sorted(distinct).take(k) under any " +
       "reduce/merge interleaving (the KMV sketch contract)") {
     val agg = graft.functions.Aggregators.BoundedMinKDistinctLong(16)
