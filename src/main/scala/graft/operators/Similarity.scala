@@ -236,6 +236,58 @@ object Similarity {
     * (before the rank window, so out-of-band pairs never reach its
     * shuffle), rank.
     */
+  /** The IVF centroid model as a PERSISTABLE, SELF-DESCRIBING ARTIFACT
+    * (r12 — the q124/q130/q131 corpus-versioning discipline on the ANN
+    * axis): one (cell, centroid, n_cells, version) row per cell. The
+    * centroid fit runs once per index version (a periodic batch job);
+    * arrivals assign incrementally against the RELOADED model (pure
+    * map-side — [[assignCells]] is one projection), and the inverted
+    * file grows by UNION — exact by construction, since assignment is
+    * per-row against fixed centroids. Graded end to end by q132 against
+    * q37's from-scratch oracle verbatim.
+    */
+  def centroidArtifact(cents: Seq[(Int, Seq[Float])], version: Long = 1L)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cell, v) => (cell, v, cents.size, version) }
+      .toDF("cell", "centroid", "n_cells", "version")
+  }
+
+  /** Reload the centroid model from its artifact (bounded model state:
+    * n_cells x dim floats; float arrays round-trip parquet exactly).
+    */
+  def centroidsFromArtifact(df: DataFrame): Seq[(Int, Seq[Float])] =
+    df.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+
+  /** [[ivfTopK]]'s probe half against a PREBUILT inverted file
+    * `(cell, neighbor_id)` and a reloaded centroid model — the
+    * artifact-consuming path: queries assign their `nProbe` cells
+    * map-side, join the inverted file on cell id, and re-rank exactly.
+    */
+  def ivfTopKWith(invFile: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Seq[(Int, Seq[Float])], nProbe: Int = 4): DataFrame = {
+    if (cents.isEmpty) {
+      // no model (empty corpus version): empty result of the ivfTopK
+      // shape — the centroid array literal would otherwise be typeless
+      return queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"))
+        .withColumn("rank", lit(1))
+        .withColumn("cosine", lit(0.0))
+        .limit(0)
+    }
+    val queryCells = assignCells(queries, idCol, vecCol, cents, nProbe,
+      "query_id", "qv")
+    val cand = invFile.select("cell", "neighbor_id")
+      .join(queryCells.select("cell", "query_id"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       band: Option[(Double, Double)] = None): DataFrame = {

@@ -103,39 +103,7 @@ object LlmVectorQueries {
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        cents AS (SELECT CAST(ROW_NUMBER() OVER
-              (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell, v
-          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
-        sc AS (SELECT e.vec_id, c.cell,
-            -(list_dot_product(e.v, c.v) /
-              (sqrt(list_dot_product(e.v, e.v)) *
-               sqrt(list_dot_product(c.v, c.v)))) AS neg
-          FROM e CROSS JOIN cents c),
-        ranked AS (SELECT vec_id, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY neg, cell) AS rk
-          FROM sc),
-        corpus_cells AS (SELECT vec_id AS neighbor_id, cell
-          FROM ranked WHERE rk = 1),
-        query_cells AS (SELECT vec_id AS query_id, cell
-          FROM ranked WHERE rk <= 4 AND vec_id < 10),
-        cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
-          FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
-          WHERE q.query_id <> c.neighbor_id),
-        scored AS (SELECT cand.query_id, cand.neighbor_id,
-            list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) AS cos
-          FROM cand JOIN e a ON a.vec_id = cand.query_id
-            JOIN e b ON b.vec_id = cand.neighbor_id),
-        r AS (SELECT query_id, neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank, cos
-          FROM scored)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-          ROUND(cos, 4) AS cosine
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(ivfOracleSql)),
 
     // ---- int8 embedding quantization quality ---------------------------
     // Symmetric per-vector int8 quantization (4x storage vs float32) with
@@ -507,6 +475,90 @@ object LlmVectorQueries {
         s.read.parquet(axDir).orderBy("component", "j")
       },
       Some(graft.operators.Pca.kAxesOracleSql(dim = 64, iters = 3, k = 3,
-        fromSql = "embeddings", version = 1L)))
+        fromSql = "embeddings", version = 1L))),
+
+    // ---- persisted IVF index artifact + incremental inverted file -------
+    // The q124/q130/q131 corpus-versioning discipline on the ANN axis:
+    // q37 recomputes centroids and the inverted file per run; here the
+    // centroid model persists as a self-describing artifact, the two
+    // corpus halves assign SEPARATELY against the RELOADED model (pure
+    // map-side — the incremental intake shape: arrivals never touch
+    // history), the inverted file is their UNION (exact by construction:
+    // assignment is per-row against fixed centroids), both round-trip
+    // through parquet, and the probe runs against the RELOADED inverted
+    // file. Graded against q37's from-scratch oracle VERBATIM (shared
+    // constant, cannot drift) — any bit the artifacts or the merge lose
+    // fails the hash.
+    "q132_ann_index_artifact" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.centroidsOf(emb, "vec_id", "embedding", 16)
+        val centDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_ivf_cents_" + LlmDedupQueries.artifactKey(dir)).toString
+        Similarity.centroidArtifact(cents)
+          .write.mode("overwrite").parquet(centDir)
+        val model = Similarity.centroidsFromArtifact(s.read.parquet(centDir))
+        if (model.isEmpty) {
+          // empty corpus: no centroid model, empty q37-shaped result
+          emb.select(col("vec_id").as("query_id"),
+              col("vec_id").as("neighbor_id"))
+            .withColumn("rank", lit(1))
+            .withColumn("cosine", lit(0.0)).limit(0)
+        } else {
+          def assign(half: org.apache.spark.sql.DataFrame) =
+            Similarity.assignCells(half, "vec_id", "embedding", model, 1,
+              "neighbor_id", "cv").select("cell", "neighbor_id")
+          val invDir = new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_ivf_inv_" + LlmDedupQueries.artifactKey(dir)).toString
+          assign(emb.filter(col("vec_id") % 2 === 0))
+            .unionByName(assign(emb.filter(col("vec_id") % 2 =!= 0)))
+            .write.mode("overwrite").parquet(invDir)
+          Similarity.ivfTopKWith(s.read.parquet(invDir), emb,
+              emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+              cents = model, nProbe = 4)
+            .withColumn("cosine", round(col("cosine"), 4))
+            .orderBy("query_id", "rank")
+        }
+      },
+      Some(ivfOracleSql))
   )
+
+  // q37 and q132 share ONE oracle (the from-scratch IVF replay): q132's
+  // centroid-artifact + split-assign-union-roundtrip must be invisible
+  // against it, which is exactly the grade.
+  private def ivfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        cents AS (SELECT CAST(ROW_NUMBER() OVER
+              (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell, v
+          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        sc AS (SELECT e.vec_id, c.cell,
+            -(list_dot_product(e.v, c.v) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.v, c.v)))) AS neg
+          FROM e CROSS JOIN cents c),
+        ranked AS (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY neg, cell) AS rk
+          FROM sc),
+        corpus_cells AS (SELECT vec_id AS neighbor_id, cell
+          FROM ranked WHERE rk = 1),
+        query_cells AS (SELECT vec_id AS query_id, cell
+          FROM ranked WHERE rk <= 4 AND vec_id < 10),
+        cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+          FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
+          WHERE q.query_id <> c.neighbor_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 }

@@ -597,6 +597,19 @@ class PlansSpec extends SparkSpec {
       s"the per-component totals window must partition by component:\n$p")
   }
 
+  test("q132: the probe consumes the RELOADED inverted file (never " +
+      "re-assigns the corpus), query-cell assignment is a map-side " +
+      "projection of the broadcast model literal, and the only window " +
+      "is the final per-query top-k rank") {
+    val p = plan("q132_ann_index_artifact")
+    assert(p.contains("graft_ivf_inv_"),
+      s"the probe must read the persisted inverted file:\n$p")
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"exactly one window exec node (the top-k rank) may appear:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing here may cross-join:\n$p")
+  }
+
   test("q127: each corpus collapses to its KMV sketch via a partial-" +
       "aggregable ObjectHashAggregate; the pair matrix is a broadcast " +
       "loop over one-row-per-corpus sketches — no shingle-level join, " +
