@@ -54,7 +54,12 @@ def main(paths):
     queries, runs, exec_, all_runs, spread = {}, {}, {}, {}, {}
     for k in sorted(keys):
         vals = [c["queries"][k] for c in caps]
-        med = lower_median(vals)
+        # median over CLEAN values only: a -1 failure sentinel in half the
+        # captures must not outvote a clean measurement (with [-1, 231.4]
+        # the raw lower median is -1 — a metric blessed as failed even
+        # though it ran). All-failed stays -1. ADVICE r12.
+        clean = [v for v in vals if v > 0]
+        med = lower_median(clean) if clean else -1.0
         src = caps[vals.index(med)]
         queries[k] = med
         runs[k] = src.get("runs", {}).get(k)

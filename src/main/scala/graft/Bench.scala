@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every inventory query on
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` and prints the full JSON record, then a compact
+  * summary line LAST (the driver keeps only a ~2 KB stdout tail — a
+  * 59 KB single-line record was truncated mid-object and parsed as null
+  * in rounds 11–12; the final line must fit the tail window whole).
   *
   * Each query is forced through a `noop` sink (full materialization of every
   * output column — `count()` would let Parquet-backed plans skip column
@@ -494,11 +497,15 @@ object Bench {
       allRuns.get(k).filter(_.size >= 2).map(_ =>
         "\"" + k + "\":" + f"${spreadOf(k)}%.2f") }
       .mkString("{", ",", "}")
-    // cross-check: min-of-2 metrics (tail of one run — spread mute) that
-    // slowed >3x against the prior record AT EQUAL PLAN HASH are host
-    // contamination, not engine drift
+    // cross-check: metrics that slowed >3x against the prior record AT
+    // EQUAL PLAN HASH (or equal exec signature) are host contamination,
+    // not engine drift. Applies to EVERY run count, not just min-of-2
+    // tails: q38 shipped a 7.2x median-of-3 with a byte-identical plan
+    // hash in r12 and the old `r <= 2` guard let it through (VERDICT
+    // r12 #3) — a wholly-contaminated capture inflates all three runs,
+    // which no in-capture spread can see.
     val crosschecked = results.collect {
-      case (k, (v, r)) if r <= 2 && v > 0 && prior.get(k).exists { pr =>
+      case (k, (v, _)) if v > 0 && prior.get(k).exists { pr =>
         pr.time > 0 && v > 3.0 * pr.time && execs.get(k).exists { e =>
           (pr.planHash.nonEmpty && e.planHash == pr.planHash) ||
             (pr.tasks >= 0 && e.shuffleRead == pr.shuffleRead &&
@@ -512,9 +519,24 @@ object Bench {
         "work (equal plan/exec signature) — flagged contaminated " +
         "(host, not engine)")
     }
-    val contaminated = (results.collect {
+    // intra-capture monotone drift (VERDICT r12 #3): runs that rise
+    // monotonically >3x end-to-end are accumulating state, and the spread
+    // gate is blind to them because it drops the first run
+    val monotone = results.collect {
+      case (k, _) if allRuns.get(k)
+        .exists(rs => BenchMetrics.monotoneDrift(rs, ContaminationSpread))
+        => k
+    }
+    monotone.foreach { k =>
+      System.err.println(s"[bench] $k runs " +
+        allRuns(k).map(t => f"$t%.2f").mkString(" -> ") +
+        " rise monotonically >3x — accumulating state, flagged " +
+        "contaminated")
+    }
+    val contaminatedList = (results.collect {
       case (k, _) if spreadOf(k) > ContaminationSpread => k
-    } ++ crosschecked).distinct.map("\"" + _ + "\"")
+    } ++ crosschecked ++ monotone).distinct
+    val contaminated = contaminatedList.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val canaryEnd1t = canary1t()
     val canaryEndMt = canaryMt()
@@ -525,10 +547,9 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"invalid_capture":$invalidCapture,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
     println(json)
-    // the driver's stdout capture keeps only the tail of the line, losing
-    // per-query timings every round — persist the full JSON in-repo so
-    // round-over-round diffs don't need a judge re-run (unfiltered runs
-    // only; a dev-loop subset would clobber the full record)
+    // persist the full JSON in-repo so round-over-round diffs don't need a
+    // judge re-run (unfiltered runs only; a dev-loop subset would clobber
+    // the full record)
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchOut),
@@ -536,6 +557,27 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
       }
+    // the driver's stdout capture keeps only a ~2 KB TAIL: the full record
+    // above is 59 KB on one line, so the driver truncated it mid-object and
+    // recorded parsed:null for two rounds (VERDICT r12 #2). The LAST line
+    // must therefore be a complete JSON object small enough to survive the
+    // tail window (budget ~1.5 KB after sbt's "[success] ..." trailer):
+    // total + the headline seamf workloads (the BASELINE.md comparison
+    // set) + the capture-validity verdicts + a sha of the full record so
+    // the committed BENCH_LOCAL.json is verifiably the same capture.
+    val headline = results.collect {
+      case (k, (v, _)) if k.startsWith("seamf_") => "\"" + k + f"\":$v%.3f"
+    }.mkString("{", ",", "}")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val nContaminated = contaminatedList.size
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_metrics":${results.size},"n_contaminated":$nContaminated,"invalid_capture":$invalidCapture,"canary":$canary,"full_sha256_16":"$sha","full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    if (compact.length > 1500)
+      System.err.println(s"[bench] compact summary ${compact.length} B " +
+        "exceeds the 1.5 KB tail budget — driver may truncate it")
+    println(compact)
     spark.stop()
   }
 }

@@ -61,6 +61,22 @@ object BenchMetrics {
         s""""spill":$spill,"tasks":$tasks,"planHash":"$planHash"}"""
   }
 
+  /** Intra-capture monotone-drift gate (VERDICT r12 #3): a metric whose
+    * runs rise MONOTONICALLY by more than `factor` end-to-end is
+    * accumulating state (JVM heap, page-cache eviction, un-GC'd shuffle
+    * files), not suffering a transient stall — and it escapes the spread
+    * gate by construction, because spread drops the first run (q38 read
+    * 1.48 → 9.57 → 15.37 s with a tail spread of only 1.6). Monotone
+    * means every successive run is at least as slow as the one before;
+    * a single fast run anywhere breaks the pattern (that is the
+    * transient-stall shape the spread/median machinery already owns).
+    */
+  def monotoneDrift(runs: Seq[Double], factor: Double = 3.0): Boolean =
+    runs.size >= 3 && runs.head > 0 &&
+      runs.iterator.zip(runs.iterator.drop(1)).forall {
+        case (a, b) => b >= a } &&
+      runs.last / runs.head > factor
+
   /** Fingerprint of the canonicalized (exprId-normalized) physical plan.
     * Temp-dir paths (seamf fixture archives are created under java.io.tmpdir
     * with a random suffix each bench run) are masked so the hash is stable

@@ -719,9 +719,14 @@ object Dedup {
     * (pairs between the anchor-guaranteed radius and maxEdit still
     * verify when found — the guarantee is one-sided, never a filter).
     */
-  /** FULL PassJoin (Li et al. 2011) — recall 1.0 GUARANTEED at the FULL
-    * verify radius (VERDICT r11 #1 closing the q126b gap): each document
-    * is partitioned into `maxEdit`+1 chunks of ITS OWN width
+  /** FULL PassJoin (Li et al. 2011) — candidate recall 1.0 at the FULL
+    * verify radius PRE-df-cap (VERDICT r11 #1 closing the q126b gap; the
+    * guarantee is the partition lemma's, and like q126b's it holds
+    * BEFORE the maxBucket cap: a pair whose only untouched chunk lands
+    * in a capped bucket — or whose anchor 48-bit hash collides into an
+    * over-cap key — is lost, which q126c MEASURES rather than assumes).
+    * Each document is partitioned into `maxEdit`+1 chunks of ITS OWN
+    * width
     * w = floor(len/(maxEdit+1)) covering (maxEdit+1)·w of the string, so
     * by the PassJoin partition lemma an edit script of <= maxEdit
     * operations leaves at least one chunk untouched — that chunk appears
@@ -745,9 +750,11 @@ object Dedup {
     * df-capped with the aggregation discipline on (width, slot, chunk);
     * verify is unchanged (length lower bound, thresholded banded-DP
     * levenshtein over the full text). Documents shorter than maxEdit+1
-    * characters have width 0 and emit no anchors (at that length the
-    * radius covers near-everything; route them to a tiny-doc exact
-    * comparer if they matter).
+    * characters have width 0 and emit no probe anchors; tiny-tiny pairs
+    * go through the exact broadcast comparer below (every such pair is
+    * within radius by length alone), tiny-big pairs ride the window
+    * side as usual — the r12 blind spot, closed and fixture-graded by
+    * q126c's planted tiny docs.
     *
     * Output: (id_a, id_b, edit_distance) for pairs at distance <= maxEdit.
     */
@@ -818,12 +825,31 @@ object Dedup {
       .distinct()
     val ta = base.select(col("doc_id").as("id_a"), col("__text").as("__ta"))
     val tb = base.select(col("doc_id").as("id_b"), col("__text").as("__tb"))
-    cand.join(ta, "id_a").join(tb, "id_b")
+    val anchored = cand.join(ta, "id_a").join(tb, "id_b")
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxEdit)
       .withColumn("edit_distance",
         levenshtein(col("__ta"), col("__tb"), maxEdit).cast("long"))
       .filter(col("edit_distance").between(0, maxEdit))
       .select("id_a", "id_b", "edit_distance")
+    // tiny-doc exact path (VERDICT r12 #4): a doc shorter than maxEdit+1
+    // chars has width 0 and emits NO probe anchors, so a tiny-tiny pair
+    // never reaches the candidate join (tiny-BIG pairs are covered: the
+    // big side probes and the tiny side's window enumerates the big
+    // side's width). At that length the radius covers everything —
+    // levenshtein(a, b) <= max(len) <= maxEdit — so EVERY tiny-tiny pair
+    // is a true pair, and the exact comparer is the full broadcast cross
+    // of the tiny set. That quadratic is inherent to the semantics (the
+    // radius exceeds the strings), not a shortcut: at 100 TB the tiny
+    // set is the pathology to cap upstream, not here.
+    val tiny = base.filter(col("__n") < chunks)
+    val tinyPairs = tiny.as("a")
+      .join(broadcast(tiny.select(col("doc_id"), col("__text")).as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.__text"), col("b.__text"), maxEdit).cast("long")
+          .as("edit_distance"))
+      .filter(col("edit_distance").between(0, maxEdit))
+    anchored.unionAll(tinyPairs)
   }
 
   def editDistancePairsPositional(docs: DataFrame, idCol: String,

@@ -226,28 +226,29 @@ object Pca {
     val xs = (0 until dim).map(j =>
       s"CAST(embedding[${j + 1}] AS DOUBLE) AS x$j").mkString(", ")
     val sb = new StringBuilder
-    sb.append(s"WITH e AS (SELECT $xs FROM $fromSql)")
+    sb.append(s"WITH e AS MATERIALIZED (SELECT $xs FROM $fromSql)")
     sb.append(iterateCtes(dim, iters))
     // deflated chain: iterate columns u0..; v1 = v{iters}'s v0.. columns
     var prevU: Int => String = j => if (j == 1) "1.0" else "0.0"
     for (t <- 1 to iters) {
       val s = (0 until dim).map(j => s"x$j*${prevU(j)}").mkString(" + ")
-      sb.append(s",\n q$t AS (SELECT e.*, ($s) AS s FROM e")
+      sb.append(s",\n q$t AS MATERIALIZED (SELECT e.*, ($s) AS s FROM e")
       if (t > 1) sb.append(s" CROSS JOIN u${t - 1}")
       sb.append(")")
       val sums = (0 until dim).map(j =>
         s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
-      sb.append(s",\n b$t AS (SELECT $sums FROM q$t)")
+      sb.append(s",\n b$t AS MATERIALIZED (SELECT $sums FROM q$t)")
       val dot = (0 until dim).map(j =>
         s"CAST(w$j AS DOUBLE)*v$j").mkString(" + ")
       val wps = (0 until dim).map(j =>
         s"CAST(w$j AS DOUBLE) - ($dot)*v$j AS wp$j").mkString(", ")
-      sb.append(s",\n d$t AS (SELECT $wps FROM b$t CROSS JOIN v$iters)")
+      sb.append(s",\n d$t AS MATERIALIZED " +
+        s"(SELECT $wps FROM b$t CROSS JOIN v$iters)")
       val nrm = (0 until dim).map(j => s"wp$j*wp$j").mkString(" + ")
-      sb.append(s",\n m$t AS (SELECT sqrt($nrm) AS nrm FROM d$t)")
+      sb.append(s",\n m$t AS MATERIALIZED (SELECT sqrt($nrm) AS nrm FROM d$t)")
       val us = (0 until dim).map(j =>
         s"floor(wp$j/nrm*1000000.0)/1000000.0 AS u$j").mkString(", ")
-      sb.append(s",\n u$t AS (SELECT $us FROM d$t CROSS JOIN m$t)")
+      sb.append(s",\n u$t AS MATERIALIZED (SELECT $us FROM d$t CROSS JOIN m$t)")
       prevU = j => s"u$j"
     }
     val rows =
@@ -275,12 +276,14 @@ object Pca {
       var prev: Int => String = j => if (j == c - 1) "1.0" else "0.0"
       for (t <- 1 to iters) {
         val s = (0 until dim).map(j => s"x$j*${prev(j)}").mkString(" + ")
-        sb.append(s",\n q${c}_$t AS (SELECT e.*, ($s) AS s FROM e")
+        sb.append(
+          s",\n q${c}_$t AS MATERIALIZED (SELECT e.*, ($s) AS s FROM e")
         if (t > 1) sb.append(s" CROSS JOIN u${c}_${t - 1}")
         sb.append(")")
         val sums = (0 until dim).map(j =>
           s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
-        sb.append(s",\n b${c}_$t AS (SELECT $sums FROM q${c}_$t)")
+        sb.append(
+          s",\n b${c}_$t AS MATERIALIZED (SELECT $sums FROM q${c}_$t)")
         // sequential deflation: prior 1's final is v{iters} (cols v_j),
         // prior p >= 2's is u{p}_{iters} (cols u{p}_j); the first step
         // reads the decimal sums as double, later steps chain wp columns
@@ -294,18 +297,20 @@ object Pca {
             .mkString(" + ")
           val wps = (0 until dim).map(j =>
             s"${curCol(j)} - ($dot)*${pCol(j)} AS wp${p}_$j").mkString(", ")
-          sb.append(s",\n d${c}_${t}_$p AS (SELECT $wps FROM $curCte" +
-            s" CROSS JOIN $pCte)")
+          sb.append(
+            s",\n d${c}_${t}_$p AS MATERIALIZED (SELECT $wps FROM $curCte" +
+              s" CROSS JOIN $pCte)")
           curCol = j => s"wp${p}_$j"
           curCte = s"d${c}_${t}_$p"
         }
         val nrm = (0 until dim).map(j =>
           s"${curCol(j)}*${curCol(j)}").mkString(" + ")
-        sb.append(s",\n m${c}_$t AS (SELECT sqrt($nrm) AS nrm FROM $curCte)")
+        sb.append(s",\n m${c}_$t AS MATERIALIZED " +
+          s"(SELECT sqrt($nrm) AS nrm FROM $curCte)")
         val us = (0 until dim).map(j =>
           s"floor(${curCol(j)}/nrm*1000000.0)/1000000.0 AS u${c}_$j")
           .mkString(", ")
-        sb.append(s",\n u${c}_$t AS (SELECT $us FROM $curCte" +
+        sb.append(s",\n u${c}_$t AS MATERIALIZED (SELECT $us FROM $curCte" +
           s" CROSS JOIN m${c}_$t)")
         prev = j => s"u${c}_$j"
       }
@@ -339,7 +344,7 @@ object Pca {
  CAST($version AS BIGINT) AS version
  FROM $cte CROSS JOIN range($dim) r(j)"""
     }
-    s"WITH e AS (SELECT $xs FROM $fromSql)" +
+    s"WITH e AS MATERIALIZED (SELECT $xs FROM $fromSql)" +
       kAxesChainCtes(dim, iters, k) +
       "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY component, j"
   }
@@ -382,7 +387,7 @@ object Pca {
     val chain = iterateCtes(dim, iters)
     val s = (0 until dim).map(j => s"x$j*v$j").mkString(" + ")
     val n2 = (0 until dim).map(j => s"x$j*x$j").mkString(" + ")
-    s"""WITH e AS (SELECT $idCol, $xs FROM $fromSql)$chain,
+    s"""WITH e AS MATERIALIZED (SELECT $idCol, $xs FROM $fromSql)$chain,
  sc AS (SELECT $idCol, ($n2) - ($s)*($s) AS score
    FROM e CROSS JOIN v$iters)
 SELECT $idCol, score FROM sc ORDER BY score DESC, $idCol LIMIT $topK"""
@@ -398,19 +403,21 @@ SELECT $idCol, score FROM sc ORDER BY score DESC, $idCol LIMIT $topK"""
     var prevV: Int => String = j => if (j == 0) "1.0" else "0.0"
     for (t <- 1 to iters) {
       val s = (0 until dim).map(j => s"x$j*${prevV(j)}").mkString(" + ")
-      sb.append(s",\n p$t AS (SELECT e.*, ($s) AS s FROM e")
+      sb.append(s",\n p$t AS MATERIALIZED (SELECT e.*, ($s) AS s FROM e")
       if (t > 1) sb.append(s" CROSS JOIN v${t - 1}")
       sb.append(")")
       val sums = (0 until dim).map(j =>
         s"SUM(CAST(x$j*s AS DECIMAL(38,18))) AS w$j").mkString(", ")
-      sb.append(s",\n a$t AS (SELECT $sums FROM p$t)")
+      sb.append(s",\n a$t AS MATERIALIZED (SELECT $sums FROM p$t)")
       val nrm = (0 until dim).map(j =>
         s"CAST(w$j AS DOUBLE)*CAST(w$j AS DOUBLE)").mkString(" + ")
-      sb.append(s",\n n$t AS (SELECT sqrt($nrm) AS nrm FROM a$t)")
+      sb.append(
+        s",\n n$t AS MATERIALIZED (SELECT sqrt($nrm) AS nrm FROM a$t)")
       val vs = (0 until dim).map(j =>
         s"floor(CAST(w$j AS DOUBLE)/nrm*1000000.0)/1000000.0 AS v$j")
         .mkString(", ")
-      sb.append(s",\n v$t AS (SELECT $vs FROM a$t CROSS JOIN n$t)")
+      sb.append(
+        s",\n v$t AS MATERIALIZED (SELECT $vs FROM a$t CROSS JOIN n$t)")
       prevV = j => s"v$j"
     }
     sb.toString
@@ -432,7 +439,7 @@ SELECT $idCol, score FROM sc ORDER BY score DESC, $idCol LIMIT $topK"""
     // at dim=64 x two chains); this shape references each v_t exactly once
     val rows = (1 to iters).map(t => unpivot(s"v$t", "v", dim,
       s"$t AS iter"))
-    s"WITH e AS (SELECT $xs FROM $fromSql)" + iterateCtes(dim, iters) +
+    s"WITH e AS MATERIALIZED (SELECT $xs FROM $fromSql)" + iterateCtes(dim, iters) +
       "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY iter, j"
   }
 

@@ -466,6 +466,16 @@ object StreamingOps {
     * [[mergeBandIndex]]: identical `paramCols` identities required (the
     * assert rides IN the merged filter column), bitmap zip_with OR,
     * version = max(inputs) + 1.
+    *
+    * The join is FULL OUTER on __g: [[buildWinnowIndex]]/
+    * [[buildBandIndex]] emit ZERO ROWS over an input with no keys (e.g.
+    * a delta day where no media decoded), and an inner join would then
+    * silently produce an EMPTY merged index — every downstream probe
+    * filter-NULLs and reports zero hits, total silent index loss
+    * (ADVICE r12). With absent-side coalesce, OR with the empty set is
+    * the identity it should be: merge(prior, empty) == prior's bitmap
+    * (version still bumps — a merge DID happen in the lineage), and
+    * merge(empty, delta) bootstraps from the delta.
     */
   private def mergePackedIndex(prior: DataFrame, delta: DataFrame,
       paramCols: Seq[String], what: String): DataFrame = {
@@ -478,13 +488,20 @@ object StreamingOps {
       (if (hasP) paramCols.map(c => col(c).as(s"__d$c")) :+
         col("version").as("__vb")
        else Seq.empty): _*)
-    val j = a.join(b, Seq("__g"))
-    val or = zip_with(col("__fa"), col("__fb"), (x, y) => x.bitwiseOR(y))
+    val j = a.join(b, Seq("__g"), "full_outer")
+    // absent side = identity for OR: coalesce before the zip so a
+    // one-sided row keeps the present bitmap verbatim
+    val or = when(col("__fa").isNull, col("__fb"))
+      .when(col("__fb").isNull, col("__fa"))
+      .otherwise(zip_with(col("__fa"), col("__fb"),
+        (x, y) => x.bitwiseOR(y)))
     if (!hasP) j.select(col("__g"), or.as("filter"))
     else {
       // merging indexes built with different parameters is NOT a union
       // of the same key space — refuse at runtime, in the row itself
-      val eq = paramCols.map(c => col(c) === col(s"__d$c"))
+      // (an absent side has NULL params and nothing to conflict with)
+      val eq = paramCols.map(c => col(c).isNull ||
+        col(s"__d$c").isNull || col(c) === col(s"__d$c"))
         .reduce(_ && _)
       val msg = concat(lit(s"$what parameter mismatch: prior ("),
         concat_ws(",", paramCols.map(c =>
@@ -495,8 +512,9 @@ object StreamingOps {
         lit(")"))
       j.select(col("__g") +:
         when(assert_true(eq, msg).isNull, or).as("filter") +:
-        (paramCols.map(col) :+
-          (greatest(col("__va"), col("__vb")) + 1L).as("version")): _*)
+        (paramCols.map(c => coalesce(col(c), col(s"__d$c")).as(c)) :+
+          (greatest(coalesce(col("__va"), lit(0L)),
+            coalesce(col("__vb"), lit(0L))) + 1L).as("version")): _*)
     }
   }
 

@@ -30,6 +30,22 @@ class BenchMetricsSpec extends SparkSpec {
     assert(BenchMetrics.planHash(a) !== BenchMetrics.planHash(b))
   }
 
+  test("monotoneDrift flags rising runs and spares transient stalls") {
+    // the q38 r12 shape: monotone rise, >3x end-to-end, spread-gate-blind
+    // (tail spread 15.37/9.57 = 1.6)
+    assert(BenchMetrics.monotoneDrift(Seq(1.48, 9.57, 15.37)))
+    // transient mid-capture stall: not monotone, the median machinery owns it
+    assert(!BenchMetrics.monotoneDrift(Seq(1.5, 14.0, 1.6)))
+    // steady state: monotone but under the factor
+    assert(!BenchMetrics.monotoneDrift(Seq(1.5, 1.6, 1.7)))
+    // monotone but only two runs: min-of-2 tails are the crosscheck's job
+    assert(!BenchMetrics.monotoneDrift(Seq(1.0, 9.0)))
+    // a stalled FIRST run recovering is the cold-start shape, not drift
+    assert(!BenchMetrics.monotoneDrift(Seq(9.0, 1.1, 1.2)))
+    // failure sentinel first: never divide by a non-positive run
+    assert(!BenchMetrics.monotoneDrift(Seq(-1.0, 1.0, 9.0)))
+  }
+
   test("listener attributes tasks/shuffle to the reset..snapshot window") {
     val mx = new BenchMetrics(spark.sparkContext)
     // work BEFORE reset must not leak into the window

@@ -118,6 +118,44 @@ class StreamingSpec extends SparkSpec {
     assert(meta === ((20, 8, 1 << 20, 3, 2L)))
   }
 
+  test("mergePackedIndex: an EMPTY side is the OR identity, not silent " +
+      "index loss (ADVICE r12)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    val prior = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 3 === 0))
+    // a delta day where nothing arrived: buildWinnowIndex over zero docs
+    // emits ZERO ROWS — the old inner join made the merge empty too,
+    // and every downstream probe then reported n_hits = 0 forever
+    val emptyDelta = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") < 0))
+    assert(emptyDelta.count() === 0)
+    val merged = StreamingOps.mergeWinnowIndex(prior, emptyDelta)
+    assert(merged.count() === 1)
+    assert(merged.select("filter").as[Seq[Long]].head() ===
+      prior.select("filter").as[Seq[Long]].head())
+    // params survive from the present side; version still bumps (a merge
+    // happened in the lineage even if the day was empty)
+    assert(merged.select("k", "w", "m", "kHash", "version")
+      .as[(Int, Int, Int, Int, Long)].head() === ((20, 8, 1 << 20, 3, 2L)))
+    // bootstrap direction: empty prior, real delta
+    val boot = StreamingOps.mergeWinnowIndex(emptyDelta, prior)
+    assert(boot.select("filter").as[Seq[Long]].head() ===
+      prior.select("filter").as[Seq[Long]].head())
+    // both sides empty: nothing to index, zero rows — not a fabricated row
+    assert(StreamingOps.mergeWinnowIndex(emptyDelta, emptyDelta)
+      .count() === 0)
+    // band-index path through the same core
+    val bPrior = StreamingOps.buildBandIndex(
+      Seq((1L, 11, 22, 33, 44)).toDF("media_id", "b0", "b1", "b2", "b3"))
+    val bEmpty = StreamingOps.buildBandIndex(
+      Seq.empty[(Long, Int, Int, Int, Int)]
+        .toDF("media_id", "b0", "b1", "b2", "b3"))
+    assert(StreamingOps.mergeBandIndex(bPrior, bEmpty)
+      .select("filter").as[Seq[Long]].head() ===
+      bPrior.select("filter").as[Seq[Long]].head())
+  }
+
   test("mergeBandIndex: image AND audio band-Bloom artifacts OR-merge to " +
       "the from-scratch build over the union, bit for bit; mismatched " +
       "(m, kHash) merges and probes fail loudly (VERDICT r11 #6)") {
