@@ -24,6 +24,7 @@ final class BenchMetrics(sc: SparkContext) extends SparkListener {
   private val shuffleWrite = new AtomicLong
   private val spill = new AtomicLong
   private val tasks = new AtomicLong
+  private var gcMs0 = 0L
 
   sc.addSparkListener(this)
 
@@ -37,16 +38,31 @@ final class BenchMetrics(sc: SparkContext) extends SparkListener {
     }
   }
 
+  /** Total JVM GC wall-time so far (all collectors), for the per-query
+    * gcMs delta: a metric whose wall inflates while its gcMs tracks the
+    * inflation 1:1 is a heap-pressure casualty, not an engine change —
+    * the q38 r12 drift signature (1.5 → 9.6 → 15.4 s at identical plan
+    * hash) needed exactly this attribution in the artifact.
+    */
+  private def gcTimeMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def reset(): Unit = {
     org.apache.spark.graft.ListenerBusHatch.drain(sc)
     shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); tasks.set(0)
+    gcMs0 = gcTimeMs()
   }
 
   /** Drain the bus, then read the counters accumulated since `reset()`. */
   def snapshot(planHash: String): BenchMetrics.Exec = {
     org.apache.spark.graft.ListenerBusHatch.drain(sc)
+    val rt = Runtime.getRuntime
     BenchMetrics.Exec(shuffleRead.get, shuffleWrite.get, spill.get,
-      tasks.get, planHash)
+      tasks.get, planHash, gcTimeMs() - gcMs0,
+      (rt.totalMemory() - rt.freeMemory()) >> 20)
   }
 }
 
@@ -55,10 +71,11 @@ object BenchMetrics {
     * archive metrics that have no single plan to fingerprint.
     */
   final case class Exec(shuffleRead: Long, shuffleWrite: Long, spill: Long,
-      tasks: Long, planHash: String) {
+      tasks: Long, planHash: String, gcMs: Long = -1L, heapMB: Long = -1L) {
     def toJson: String =
       s"""{"shuffleRead":$shuffleRead,"shuffleWrite":$shuffleWrite,""" +
-        s""""spill":$spill,"tasks":$tasks,"planHash":"$planHash"}"""
+        s""""spill":$spill,"tasks":$tasks,"planHash":"$planHash",""" +
+        s""""gcMs":$gcMs,"heapMB":$heapMB}"""
   }
 
   /** Intra-capture monotone-drift gate (VERDICT r12 #3): a metric whose

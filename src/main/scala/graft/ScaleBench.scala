@@ -528,11 +528,26 @@ object ScaleBench {
               val sec = (System.nanoTime() - t0) / 1e9
               (name, sec, got.intersect(truth).size.toDouble / truth.size)
             }
+            // derived configs (VERDICT r12 #5): the per-bucket population
+            // the derivation promises to hold constant, logged per decade
+            // so the recall curve reads against it
+            val n = emb.count()
+            val bits = graft.operators.SemDedup.gateBits(n, 4)
+            val cells = Similarity.derivedCells(n, 125)
+            System.err.println(f"[scale] ann derived config @ $dir: n=$n " +
+              f"bits=$bits (exp bucket pop ${n.toDouble / (1L << bits)}%.1f/" +
+              f"table) cells=$cells (cell pop ${n.toDouble / cells}%.1f)")
             Seq(
               grade("ann_lsh", Similarity.lshTopK(emb, queries, "vec_id",
                 "embedding", k = 5, nBits = 8, nTables = 4)),
               grade("ann_ivf", Similarity.ivfTopK(emb, queries, "vec_id",
-                "embedding", k = 5, nCells = 16, nProbe = 4)))
+                "embedding", k = 5, nCells = 16, nProbe = 4)),
+              grade("ann_lsh_derived", Similarity.lshTopKAuto(emb, queries,
+                "vec_id", "embedding", k = 5, targetBucketSize = 4,
+                nTables = 4, knownN = Some(n))),
+              grade("ann_ivf_derived", Similarity.ivfTopKAuto(emb, queries,
+                "vec_id", "embedding", k = 5, targetCellSize = 125,
+                nProbe = 2, knownN = Some(n))))
           } catch {
             case e: Throwable =>
               System.err.println(s"[scale] ann_recall @ $dir failed: ${e.getMessage}")
@@ -541,7 +556,8 @@ object ScaleBench {
         }
         val annRows = if (!customOn("ann_recall")) Seq.empty else {
           val byDecade = Seq(srcDir, bigDir, hugeDir).map(annRecall)
-          Seq("ann_lsh", "ann_ivf").flatMap { name =>
+          Seq("ann_lsh", "ann_ivf", "ann_lsh_derived", "ann_ivf_derived")
+            .flatMap { name =>
             val pts = byDecade.map(_.find(_._1 == name)
               .getOrElse((name, -1.0, -1.0)))
             println(f"""{"query":"${name}_recall","sf01_sec":${pts(0)._2}%.3f,"sf01_recall":${pts(0)._3}%.4f,"sf10_sec":${pts(1)._2}%.3f,"sf10_recall":${pts(1)._3}%.4f,"sf100_sec":${pts(2)._2}%.3f,"sf100_recall":${pts(2)._3}%.4f}""")

@@ -166,6 +166,52 @@ object Similarity {
     scoreCandidates(cand, corpus, queries, idCol, vecCol, k)
   }
 
+  /** nCells derived from corpus size — the q103b derived-k discipline on
+    * the IVF axis (VERDICT r12 #5): nCells = ceil(n / targetCellSize),
+    * clamped >= 1, so expected per-cell population stays ~targetCellSize
+    * BY CONSTRUCTION as the corpus grows, instead of a manual knob that
+    * silently degrades recall at 10x the data (probe work per query is
+    * nProbe cells x ~targetCellSize candidates at every scale).
+    */
+  def derivedCells(n: Long, targetCellSize: Int): Int = {
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
+  /** [[ivfTopK]] with [[derivedCells]]: `knownN` skips the sizing count
+    * for a pipeline that already profiled the corpus (the survivorsAuto
+    * argument — at 100 TB an extra full pass scheduled before any useful
+    * work is real money; at bench scale it is one bounded aggregation).
+    */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, targetCellSize: Int,
+      nProbe: Int = 4, knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(corpus.count())
+    ivfTopK(corpus, queries, idCol, vecCol, k,
+      derivedCells(n, targetCellSize), nProbe)
+  }
+
+  /** [[lshTopK]] with the hyperplane bit depth derived from corpus size:
+    * 2^bits ~ n / targetBucketSize (SemDedup.gateBits — ONE derivation
+    * shared across the gate and ANN axes, clamp [8, 20]), so expected
+    * bucket occupancy stays ~targetBucketSize as the corpus grows and
+    * the candidate set per query stays O(nTables·(nBits+1)·target)
+    * instead of growing linearly with n. `pinnedBits` is the q103c
+    * loud-failure hook for oracle replays that hard-code a plane count.
+    */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, targetBucketSize: Int,
+      nTables: Int = 4, pinnedBits: Option[Int] = None,
+      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(corpus.count())
+    val bits = SemDedup.gateBits(n, targetBucketSize)
+    pinnedBits.foreach(pb => require(bits == pb,
+      s"derived LSH bit depth $bits != oracle-pinned $pb at n=$n, " +
+        s"target=$targetBucketSize — regenerate the oracle plane count"))
+    lshTopK(corpus, queries, idCol, vecCol, k, bits, nTables)
+  }
+
   /** LSH-bucketed approximate top-k cosine neighbors.
     * `nTables` independent hash tables of `nBits` hyperplane bits each;
     * multi-probe on the QUERY side (queries are the small side by
@@ -253,13 +299,28 @@ object Similarity {
       .toDF("cell", "centroid", "n_cells", "version")
   }
 
+  /** Hard ceiling on artifact reloads: a centroid model is bounded model
+    * state by CONTRACT, so a frame past this is a mis-written artifact
+    * (e.g. an inverted file pointed at the model path) — refuse before
+    * the driver collects it, not after the OOM (VERDICT r12 minor).
+    */
+  private val MaxArtifactRows = 1 << 16
+
   /** Reload the centroid model from its artifact (bounded model state:
     * n_cells x dim floats; float arrays round-trip parquet exactly).
+    * The collect is LIMIT-guarded: one row past [[MaxArtifactRows]]
+    * proves the overflow without materializing the rest.
     */
-  def centroidsFromArtifact(df: DataFrame): Seq[(Int, Seq[Float])] =
-    df.select("cell", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+  def centroidsFromArtifact(df: DataFrame): Seq[(Int, Seq[Float])] = {
+    val rows = df.select("cell", "centroid")
+      .limit(MaxArtifactRows + 1).collect()
+    require(rows.length <= MaxArtifactRows,
+      s"centroid artifact exceeds $MaxArtifactRows rows — not a bounded " +
+        "model (wrong path, or an inverted file written over the model?); " +
+        "refusing to collect it onto the driver")
+    rows.map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
+  }
 
   /** [[ivfTopK]]'s probe half against a PREBUILT inverted file
     * `(cell, neighbor_id)` and a reloaded centroid model — the

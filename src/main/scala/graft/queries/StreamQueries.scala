@@ -902,9 +902,16 @@ object StreamQueries {
         // reload: k x dim rows of bounded model state; a component that
         // collapsed to NULL axes (empty/rank-deficient reference) drops
         // out of the monitored set rather than projecting onto garbage
-        val axes: Map[Int, Array[Double]] = s.read.parquet(axDir)
+        // LIMIT-guarded reload (VERDICT r12 minor): the artifact is k x dim
+        // = 192 rows by contract; one row more proves a mis-written
+        // artifact without collecting it onto the driver
+        val axRows = s.read.parquet(axDir)
           .filter(col("v").isNotNull)
-          .select("component", "j", "v").collect()
+          .select("component", "j", "v").limit(3 * 64 + 1).collect()
+        require(axRows.length <= 3 * 64,
+          s"axes artifact exceeds ${3 * 64} rows — not the bounded q131 " +
+            "model; refusing to collect it onto the driver")
+        val axes: Map[Int, Array[Double]] = axRows
           .groupBy(_.getInt(0)).map { case (c, rs) =>
             val a = new Array[Double](64)
             rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))

@@ -105,6 +105,76 @@ object LlmVectorQueries {
       },
       Some(ivfOracleSql)),
 
+    // ---- IVF with DERIVED cell count (VERDICT r12 #5) --------------------
+    // nCells = ceil(n / 125) instead of a manual knob: 4 cells at the
+    // 500-row gate SF, 16 at sf0.1, per-cell population ~125 at EVERY
+    // scale. The oracle re-derives the cell count with the same ceil
+    // integer division, so the config itself is hash-graded — a
+    // derivation drift (not just a result drift) fails the compare.
+    // Decade-measured in ScaleBench (recall + per-cell population).
+    "q37b_ann_ivf_derived" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopKAuto(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, targetCellSize = 125, nProbe = 2)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfOracleSqlFor("SELECT (COUNT(*) + 124) // 125 FROM e", 2))),
+
+    // ---- LSH with DERIVED bit depth (VERDICT r12 #5) ---------------------
+    // 2^bits ~ n / targetBucketSize via SemDedup.gateBits (ONE derivation
+    // across the gate and ANN axes): 8 bits at the 500-row gate SF
+    // (clamp floor), 9 at sf0.1 (500 buckets/table for 2000 rows) — the
+    // oracle re-derives bits with an exact integer power-of-two probe
+    // (MIN b WITH 2^b >= n // target == 64 - clz(x - 1), no float log2
+    // rounding), so crossing a depth threshold regenerates BOTH sides in
+    // lockstep instead of failing a pin.
+    "q32b_ann_lsh_derived" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, targetBucketSize = 4,
+            nTables = 4)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        nb AS (SELECT CAST(LEAST(20, GREATEST(8, (SELECT MIN(CAST(b AS INT))
+            FROM range(0, 63) r(b)
+            WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) >=
+              GREATEST(1, (SELECT COUNT(*) // 4 FROM e))))) AS INT) AS bits),
+        planes AS (SELECT t, b, list_transform(
+            range(0, (SELECT MAX(len(v)) FROM e)),
+            i -> (CAST(('0x' || substr(md5(CAST(t*1000+b AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) / 1e6 - 0.5)
+            AS pv
+          FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS t) tt
+          CROSS JOIN (SELECT CAST(unnest(range(0,
+            (SELECT bits FROM nb))) AS INT) AS b) bb),
+        buck AS (SELECT e.vec_id, p.t AS tbl,
+            SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buck q JOIN buck c ON q.tbl = c.tbl
+            AND bit_count(xor(q.bucket, c.bucket)) <= 1
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank, cos
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          ROUND(cos, 4) AS cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- int8 embedding quantization quality ---------------------------
     // Symmetric per-vector int8 quantization (4x storage vs float32) with
     // reconstruction metrics per label: mean cosine(original, dequantized)
@@ -521,18 +591,81 @@ object LlmVectorQueries {
             .orderBy("query_id", "rank")
         }
       },
-      Some(ivfOracleSql))
+      Some(ivfOracleSql)),
+
+    // ---- IVF model VERSION BUMP (VERDICT r12 #6) -------------------------
+    // The one artifact-lifecycle edge q132 leaves ungraded: the index is
+    // REBUILT, not merged. v1 centroids fit over the day-one half and
+    // persist; the corpus grows; the model re-fits over the full corpus
+    // and OVERWRITES the artifact as v2; history re-assigns wholesale
+    // against the RELOADED v2 model (a rebuild invalidates the old
+    // inverted file — the q130 merge discipline explicitly does NOT
+    // apply); the probe runs against the reloaded v2 inverted file and
+    // is graded against the from-scratch q37 oracle VERBATIM, with the
+    // reloaded artifact's version pinned in the output row — if the
+    // reload had served the stale v1 model, both the version column and
+    // the neighbor sets would fail the hash.
+    "q132b_ann_index_rebuild" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        val emb = t(s, dir, "embeddings")
+        val centDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_ivf_cents_v2_" + LlmDedupQueries.artifactKey(dir)).toString
+        // v1: day-one half-corpus fit (the artifact a production index
+        // would already have on disk when the rebuild job runs)
+        Similarity.centroidArtifact(
+            Similarity.centroidsOf(emb.filter(col("vec_id") % 2 === 0),
+              "vec_id", "embedding", 16), version = 1L)
+          .write.mode("overwrite").parquet(centDir)
+        // rebuild: re-fit over the FULL corpus, overwrite as v2
+        Similarity.centroidArtifact(
+            Similarity.centroidsOf(emb, "vec_id", "embedding", 16),
+            version = 2L)
+          .write.mode("overwrite").parquet(centDir)
+        val art = s.read.parquet(centDir)
+        val model = Similarity.centroidsFromArtifact(art)
+        if (model.isEmpty) {
+          emb.select(col("vec_id").as("query_id"),
+              col("vec_id").as("neighbor_id"))
+            .withColumn("rank", lit(1))
+            .withColumn("cosine", lit(0.0))
+            .withColumn("model_version", lit(0L)).limit(0)
+        } else {
+          val ver = art.agg(max(col("version"))).head().getLong(0)
+          val invDir = new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_ivf_inv_v2_" + LlmDedupQueries.artifactKey(dir)).toString
+          Similarity.assignCells(emb, "vec_id", "embedding", model, 1,
+              "neighbor_id", "cv")
+            .select("cell", "neighbor_id")
+            .write.mode("overwrite").parquet(invDir)
+          Similarity.ivfTopKWith(s.read.parquet(invDir), emb,
+              emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+              cents = model, nProbe = 4)
+            .withColumn("cosine", round(col("cosine"), 4))
+            .withColumn("model_version", lit(ver))
+            .orderBy("query_id", "rank")
+        }
+      },
+      Some(ivfOracleSqlFor("16", 4,
+        extraCols = ",\n          CAST(2 AS BIGINT) AS model_version")))
   )
 
-  // q37 and q132 share ONE oracle (the from-scratch IVF replay): q132's
-  // centroid-artifact + split-assign-union-roundtrip must be invisible
-  // against it, which is exactly the grade.
-  private def ivfOracleSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  // q37, q37b, q132, and q132b share ONE oracle text (the from-scratch
+  // IVF replay, GENERATED from the same parameters): q132's
+  // centroid-artifact + split-assign-union-roundtrip and q132b's
+  // v1->v2 rebuild must be invisible against it, which is exactly the
+  // grade. `nCellsSql` is either a literal or the SQL derivation of
+  // Similarity.derivedCells (ceil integer division, so the two engines
+  // cannot round apart); `extraCols` lets a lifecycle grade append
+  // pinned artifact metadata (q132b's model_version).
+  private def ivfOracleSqlFor(nCellsSql: String, nProbe: Int,
+      extraCols: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
-        cents AS (SELECT CAST(ROW_NUMBER() OVER
+        cents AS (SELECT cell, v FROM (
+          SELECT CAST(ROW_NUMBER() OVER
               (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell, v
-          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+          FROM e) WHERE cell < ($nCellsSql)),
         sc AS (SELECT e.vec_id, c.cell,
             -(list_dot_product(e.v, c.v) /
               (sqrt(list_dot_product(e.v, e.v)) *
@@ -544,7 +677,7 @@ object LlmVectorQueries {
         corpus_cells AS (SELECT vec_id AS neighbor_id, cell
           FROM ranked WHERE rk = 1),
         query_cells AS (SELECT vec_id AS query_id, cell
-          FROM ranked WHERE rk <= 4 AND vec_id < 10),
+          FROM ranked WHERE rk <= $nProbe AND vec_id < 10),
         cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
           FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
           WHERE q.query_id <> c.neighbor_id),
@@ -559,6 +692,8 @@ object LlmVectorQueries {
               ORDER BY cos DESC, neighbor_id) AS rank, cos
           FROM scored)
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-          ROUND(cos, 4) AS cosine
+          ROUND(cos, 4) AS cosine$extraCols
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private def ivfOracleSql: String = ivfOracleSqlFor("16", 4)
 }

@@ -263,6 +263,41 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("derived ANN configs equal their explicit-parameter twins " +
+      "(VERDICT r12 #5)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count()
+    // ceil division boundaries
+    assert(Similarity.derivedCells(0L, 125) === 1)
+    assert(Similarity.derivedCells(125L, 125) === 1)
+    assert(Similarity.derivedCells(126L, 125) === 2)
+    assert(Similarity.derivedCells(2000L, 125) === 16)
+    // the auto path IS ivfTopK at the derived count — same rows
+    val auto = Similarity.ivfTopKAuto(emb, q, "vec_id", "embedding",
+        k = 5, targetCellSize = 125, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val explicitTwin = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCells = Similarity.derivedCells(n, 125), nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(auto === explicitTwin)
+    // LSH: derived depth = SemDedup.gateBits (ONE derivation), pin check
+    // fails loudly on drift
+    val bits = SemDedup.gateBits(n, 4)
+    val lshAuto = Similarity.lshTopKAuto(emb, q, "vec_id", "embedding",
+        k = 5, targetBucketSize = 4, nTables = 4,
+        pinnedBits = Some(bits))
+      .orderBy("query_id", "rank").collect().toSeq
+    val lshTwin = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 5, nBits = bits, nTables = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(lshAuto === lshTwin)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshTopKAuto(emb, q, "vec_id", "embedding", k = 5,
+        targetBucketSize = 4, pinnedBits = Some(bits + 1))
+    }.getMessage.contains("oracle-pinned"))
+  }
+
   test("TddSync recovers a known circular shift") {
     val n = 112
     val tpl = TddSync.defaultTemplates(n).head
