@@ -874,6 +874,85 @@ object MultimodalQueries {
             s.read.parquet(idxDir))
           .orderBy("media_id")
       },
-      Some(StreamQueries.ImageIntakeOracleSql))
+      Some(StreamQueries.ImageIntakeOracleSql)),
+
+    // ---- ALIGNMENT-ROBUST audio dedup (the named m08 extension) ---------
+    // m08's gradient-sign ring measures 28-43 moved bits under any
+    // alignment-changing transcode — its documented non-claim. Landmark
+    // keys close it: frame-energy LOCAL MAXIMA are content anchors that
+    // move WITH the signal, and the keys carry only landmark GAPS (+
+    // ordinal energy bits), so a time shift cancels in the deltas. The
+    // fixture plants byte copies AND 8-sample time-shifted re-encodes
+    // (real decode -> drop -> re-encode, the re-uploaded trimmed-clip
+    // scenario): a shifted clip's landmark set is the original's minus
+    // <= 2 boundary landmarks, so its key set is a SUBSET of the
+    // original's and containment vs the smaller side is EXACTLY 1e9 —
+    // planted pairs are found with certainty, not probability. Every
+    // stage (closed-form PCM, energies, strict-local-max landmarks via
+    // window MAX, triple keys via LAG, df-cap, containment) replays in
+    // SQL bit for bit.
+    "m12_audio_landmark_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("wav"))
+        val copies = media.map(m =>
+          m.copy(media_id = m.media_id + 1000000000L))
+        val shifted = media.flatMap(m =>
+          Multimodal.shiftWav(m.content, 8).map(b =>
+            m.copy(media_id = m.media_id + 2000000000L, content = b)))
+        val keys = Multimodal.audioLandmarkKeys(
+          media.union(copies).union(shifted)).toDF()
+        Multimodal.audioLandmarkPairs(keys)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH w AS (SELECT doc_id AS mid, doc_id AS cid, 0 AS off
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL SELECT doc_id + 1000000000, doc_id, 0
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL SELECT doc_id + 2000000000, doc_id, 8
+          FROM documents WHERE doc_id % 4 = 1),
+        prm AS (SELECT mid, cid, off,
+            (200 + cid % 100 - off) // 4 AS nf FROM w),
+        sq AS (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT prm.mid, ti.i AS i,
+              ((cid + 1) * 2654435761 + (ti.i + off) * 40503) % 65536
+                - 32768 AS s
+            FROM prm, range(296) ti(i) WHERE ti.i < nf * 4)
+          GROUP BY 1, 2),
+        lm AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM sq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        tri AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM lm WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        ks AS (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM tri WHERE f1 IS NOT NULL),
+        nk AS (SELECT mid, COUNT(*) AS nkeys FROM ks GROUP BY 1),
+        cnt AS (SELECT k, COUNT(*) AS c FROM ks GROUP BY 1),
+        keep AS (SELECT ks.mid, ks.k FROM ks JOIN cnt USING (k)
+          WHERE c <= 200),
+        pr AS (SELECT a.mid AS id_a, b.mid AS id_b, COUNT(*) AS shared
+          FROM keep a JOIN keep b ON a.k = b.k AND a.mid < b.mid
+          GROUP BY 1, 2)
+        SELECT pr.id_a, pr.id_b, CAST(shared AS BIGINT) AS shared,
+          CAST(shared * 1000000000 // LEAST(na.nkeys, nb.nkeys) AS BIGINT)
+            AS containment9
+        FROM pr JOIN nk na ON na.mid = pr.id_a
+        JOIN nk nb ON nb.mid = pr.id_b
+        WHERE shared * 1000000000 // LEAST(na.nkeys, nb.nkeys)
+          >= 600000000
+        ORDER BY pr.id_a, pr.id_b"""))
   )
 }

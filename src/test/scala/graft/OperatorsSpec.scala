@@ -948,6 +948,82 @@ class OperatorsSpec extends SparkSpec {
       f"resample mean=${resample.sum.toDouble / resample.size}%.1f")
   }
 
+  test("audioLandmarkKeys alignment robustness is MEASURED (the named " +
+      "m08 extension): whole-frame trims and exact gain preserve keys, " +
+      "phases=4 closes ARBITRARY sub-frame trims exactly, and the " +
+      "single-phase sub-frame loss is quantified, not hidden") {
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def samples(id: Long): Array[Int] = Array.tabulate(240 + (id % 60).toInt)(
+      i => (((id + 1) * 2654435761L + i.toLong * 40503L) % 65536L).toInt
+        - 32768)
+    def wavOf(s: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](s.length * 2)
+      s.indices.foreach { i =>
+        pcm(2 * i) = (s(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def rows(f: Array[Int] => Array[Int]): org.apache.spark.sql.Dataset[MediaRow] =
+      spark.createDataset((0L until 30L).map { id =>
+        val s = f(samples(id))
+        MediaRow(id, wavOf(s), MediaMeta("wav", 0, 0, s.length))
+      })
+    def keySets(ds: org.apache.spark.sql.Dataset[MediaRow],
+        phases: Int = 1): Map[Long, Set[Long]] =
+      Multimodal.audioLandmarkKeys(ds, phases = phases).toDF()
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).toSet }
+    val base = keySets(rows(identity))
+    assert(base.values.forall(_.nonEmpty) && base.size === 30)
+    // 1) byte copy: identical key sets (two independent decode passes)
+    assert(keySets(rows(identity)) === base)
+    // 2) EXACT gain x3 (samples pre-attenuated so no clipping and the
+    // scale is exact): energies scale by exactly 9, every landmark and
+    // every 1/1024 ratio cell is unchanged — keys IDENTICAL
+    val att = keySets(rows(_.map(_ / 8)))
+    val gained = keySets(rows(_.map(v => (v / 8) * 3)))
+    assert(gained === att,
+      "exact gain scaling must preserve every landmark key")
+    // 3) whole-frame trim (drop 8 = 2 frames): the trimmed clip's keys
+    // are a SUBSET of the original's (interior landmark triples are
+    // preserved verbatim; only <= 2 boundary landmarks per end go) —
+    // containment vs the trimmed side is exactly 1.0
+    val wholeFrame = keySets(rows(_.drop(8)))
+    wholeFrame.foreach { case (id, ks) =>
+      assert(ks.nonEmpty && ks.subsetOf(base(id)),
+        s"clip $id whole-frame trim lost interior keys")
+    }
+    // 4) SUB-frame trim (drop 2 samples) at phases = 1: on noise
+    // fixtures every frame energy re-draws — measure the loss instead
+    // of hiding it (this is the documented single-phase residual)
+    val sub1 = keySets(rows(_.drop(2)))
+    val lossy = sub1.count { case (id, ks) => !ks.subsetOf(base(id)) }
+    info(s"sub-frame trim at phases=1: $lossy/30 clips lost keys " +
+      "(expected — single-phase frames re-bin)")
+    // 5) the same sub-frame trim against a phases = 4 index: the trimmed
+    // clip's frames coincide EXACTLY with phase 2 of the original, so
+    // its keys are a subset of the phase union — arbitrary integer
+    // trims are CLOSED, not approximated
+    val base4 = keySets(rows(identity), phases = 4)
+    sub1.foreach { case (id, ks) =>
+      assert(ks.nonEmpty && ks.subsetOf(base4(id)),
+        s"clip $id sub-frame trim not covered by the phase-4 index")
+    }
+    // and the phase union is a real union, not a blowup: bounded by 4x
+    base4.foreach { case (id, ks) =>
+      assert(base(id).subsetOf(ks) && ks.size <= 4 * base(id).size + 8)
+    }
+  }
+
   test("Multimodal.gifFramePHashes: one hash row per decoded frame, and a " +
       "content-identical video with a different frame count matches on " +
       "every common position (the variable-length near-dup)") {
