@@ -537,6 +537,31 @@ object ScaleBench {
             System.err.println(f"[scale] ann derived config @ $dir: n=$n " +
               f"bits=$bits (exp bucket pop ${n.toDouble / (1L << bits)}%.1f/" +
               f"table) cells=$cells (cell pop ${n.toDouble / cells}%.1f)")
+            // planted known-item queries: each is a ~0.999-cosine
+            // perturbation of a copy-0 corpus vector, and the grade is
+            // "does the top-5 contain the SOURCE". This is the production
+            // ANN claim the derived configs must hold at constant cost:
+            // on the no-structure fixture the uniform-noise top-5 recall
+            // necessarily falls as the examined FRACTION shrinks (the
+            // fixed configs hold it by examining a constant fraction —
+            // at linearly growing cost), but a near-duplicate pair lands
+            // in the same cell/bucket at ANY corpus size because
+            // assignment depends on the VECTOR, not on n.
+            val plantedQ = queries.select(
+              (col("vec_id") + lit(1000000000L)).as("vec_id"),
+              transform(col("embedding"), (x, j) =>
+                x * (lit(1.0f) +
+                  (pmod(xxhash64(col("vec_id"), j), lit(100))
+                    .cast("float") - lit(50.0f)) / lit(1000.0f)))
+                .as("embedding"))
+            def knownItem(name: String, body: => DataFrame) = {
+              val t0 = System.nanoTime()
+              val got = pairs(body)
+              val sec = (System.nanoTime() - t0) / 1e9
+              val hits = (0 until 10).count(q =>
+                got.contains((q + 1000000000L, q.toLong)))
+              (name, sec, hits / 10.0)
+            }
             Seq(
               grade("ann_lsh", Similarity.lshTopK(emb, queries, "vec_id",
                 "embedding", k = 5, nBits = 8, nTables = 4)),
@@ -547,7 +572,15 @@ object ScaleBench {
                 nTables = 4, knownN = Some(n))),
               grade("ann_ivf_derived", Similarity.ivfTopKAuto(emb, queries,
                 "vec_id", "embedding", k = 5, targetCellSize = 125,
-                nProbe = 2, knownN = Some(n))))
+                nProbe = 2, knownN = Some(n))),
+              knownItem("ann_lsh_derived_planted",
+                Similarity.lshTopKAuto(emb, plantedQ, "vec_id",
+                  "embedding", k = 5, targetBucketSize = 4,
+                  nTables = 4, knownN = Some(n))),
+              knownItem("ann_ivf_derived_planted",
+                Similarity.ivfTopKAuto(emb, plantedQ, "vec_id",
+                  "embedding", k = 5, targetCellSize = 125,
+                  nProbe = 2, knownN = Some(n))))
           } catch {
             case e: Throwable =>
               System.err.println(s"[scale] ann_recall @ $dir failed: ${e.getMessage}")
@@ -556,7 +589,8 @@ object ScaleBench {
         }
         val annRows = if (!customOn("ann_recall")) Seq.empty else {
           val byDecade = Seq(srcDir, bigDir, hugeDir).map(annRecall)
-          Seq("ann_lsh", "ann_ivf", "ann_lsh_derived", "ann_ivf_derived")
+          Seq("ann_lsh", "ann_ivf", "ann_lsh_derived", "ann_ivf_derived",
+            "ann_lsh_derived_planted", "ann_ivf_derived_planted")
             .flatMap { name =>
             val pts = byDecade.map(_.find(_._1 == name)
               .getOrElse((name, -1.0, -1.0)))
