@@ -532,6 +532,39 @@ object Multimodal {
     }
   }
 
+  final case class AudioLandmarkCensusRow(media_id: Long,
+      decode_ok: Boolean, keys: Array[Long])
+
+  /** [[audioLandmarkKeys]] with corrupt-payload sentinels (the
+    * [[audioFingerprintCensus]] discipline): one row per clip, non-wav /
+    * undecodable payloads emit decode_ok = false with an empty key set
+    * instead of disappearing — the per-row census a streaming intake
+    * needs. A clip that decodes but is too short for landmarks is
+    * decode_ok = true with empty keys (nothing to probe, not an error).
+    */
+  def audioLandmarkCensus(media: Dataset[MediaRow], frameLen: Int = 4,
+      window: Int = 2, phases: Int = 1)(
+      implicit spark: SparkSession): Dataset[AudioLandmarkCensusRow] = {
+    import spark.implicits._
+    require(frameLen >= 1 && window >= 1 &&
+      phases >= 1 && phases <= frameLen,
+      s"frameLen=$frameLen window=$window phases=$phases")
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val ks =
+          if (m.meta.format != "wav") None
+          else decodeWavU16(m.content).map { u =>
+            (0 until phases)
+              .flatMap(p => landmarkKeysOf(u, p, frameLen, window))
+              .distinct.toArray
+          }
+        ks.fold(AudioLandmarkCensusRow(m.media_id, false,
+          Array.empty[Long]))(a =>
+          AudioLandmarkCensusRow(m.media_id, true, a))
+      }
+    }
+  }
+
   /** The pair rule over [[audioLandmarkKeys]] output: clips sharing at
     * least `minContainment9`/1e9 of the SMALLER side's distinct keys are
     * near-dups. Candidates join on key under the m06 df-cap (hot keys

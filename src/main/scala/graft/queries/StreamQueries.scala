@@ -951,8 +951,142 @@ object StreamQueries {
             "component")
         }
       },
-      Some(spectralDriftOracleSql))
+      Some(spectralDriftOracleSql)),
+
+    // ---- streaming TRIMMED-audio intake (m12's streaming twin) ----------
+    // w21 catches byte-copy/gain re-uploads (fingerprint bands); a clip
+    // TRIMMED by a few samples walks right through it (m08's documented
+    // non-claim). Here the corpus's landmark keys — indexed at phases=4,
+    // so ANY integer-sample trim reduces to a whole-frame shift against
+    // one phase — pack into a Bloom artifact, and each arriving clip
+    // probes its own phase-0 keys in-row (zero streaming state). The
+    // stream re-uploads every corpus clip trimmed by 2 samples (a REAL
+    // decode -> drop -> re-encode, SUB-frame on purpose) under new ids:
+    // all of them flag with certainty (subset + no false negatives).
+    // Non-corpus arrivals and corrupt payloads flow as usual. The oracle
+    // replays the closed-form PCM at all four phases, the landmark
+    // triples, the md5 Bloom positions, and the hit fractions.
+    "w25_stream_trimmed_audio_intake" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.operators.Multimodal
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+        val index = StreamingOps.buildLandmarkIndex(corpus)
+        val stream = Multimodal.encodeMediaRows(
+            StreamingOps.documentsStream(s, dir)
+              .filter(col("doc_id") % 4 === 1))
+          .flatMap { m =>
+            if (m.media_id % 3 == 0)
+              // corpus member arriving again, trimmed by 2 samples
+              Multimodal.shiftWav(m.content, 2).map(b =>
+                m.copy(media_id = m.media_id + 3000000000L,
+                  content = b)).toSeq
+            else if (m.media_id % 5 == 3)
+              Seq(m.copy(content = m.content.take(7)))
+            else Seq(m)
+          }
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeLandmarkMatches(stream, index), "w25_mem")
+          .orderBy("media_id")
+      },
+      Some(trimmedAudioIntakeOracleSql))
   )
+
+  /** w25 oracle: corpus landmark keys at ALL FOUR phases (the m12 CTE
+    * machinery keyed by (cid, p)), their md5 Bloom positions, arrival
+    * keys at phase 0 (novel clips + 2-sample-trimmed corpus re-uploads
+    * + corrupt sentinels), and the per-arrival hit fraction.
+    */
+  private def trimmedAudioIntakeOracleSql: String =
+    """WITH cw AS (SELECT doc_id AS cid FROM documents
+          WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        cfr AS (SELECT cid, CAST(tp.p AS INT) AS p,
+            (200 + cid % 100 - CAST(tp.p AS INT)) // 4 AS nf
+          FROM cw, range(4) tp(p)),
+        csq AS (SELECT cid, p, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT cfr.cid, cfr.p, ti.i AS i,
+              ((cid + 1) * 2654435761 + (ti.i + p) * 40503) % 65536
+                - 32768 AS s
+            FROM cfr, range(296) ti(i) WHERE ti.i < nf * 4)
+          GROUP BY 1, 2, 3),
+        clm AS (SELECT cid, p, f, e FROM (
+            SELECT cid, p, f, e,
+              MAX(e) OVER (PARTITION BY cid, p ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY cid, p ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY cid, p) AS nf2
+            FROM csq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        ctri AS (SELECT cid, p,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM clm WINDOW win AS (PARTITION BY cid, p ORDER BY f)),
+        ck AS (SELECT DISTINCT
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM ctri WHERE f1 IS NOT NULL),
+        bpos AS (SELECT DISTINCT CAST(CAST(('0x' || substr(
+              md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+              1, 12)) AS BIGINT) % 1048576 AS INT) AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        aw AS (SELECT doc_id AS mid, doc_id AS acid, 0 AS off,
+            (doc_id % 5 = 3) AS corrupt
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0
+          UNION ALL SELECT doc_id + 3000000000, doc_id, 2, FALSE
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        afr AS (SELECT mid, acid, off, (200 + acid % 100 - off) // 4 AS nf
+          FROM aw WHERE NOT corrupt),
+        asq AS (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT afr.mid, ti.i AS i,
+              ((acid + 1) * 2654435761 + (ti.i + off) * 40503) % 65536
+                - 32768 AS s
+            FROM afr, range(296) ti(i) WHERE ti.i < nf * 4)
+          GROUP BY 1, 2),
+        alm AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM asq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        atri AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM alm WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        ak AS (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM atri WHERE f1 IS NOT NULL),
+        ank AS (SELECT mid, COUNT(*) AS n_keys FROM ak GROUP BY 1),
+        ahit AS (SELECT mid, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(
+                md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+                1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM ak CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY mid, k),
+        agg AS (SELECT mid, SUM(ok) AS n_hits FROM ahit GROUP BY 1)
+        SELECT aw.mid AS media_id, NOT corrupt AS decode_ok,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(ank.n_keys, 0) END AS INT) AS n_keys,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(agg.n_hits, 0) END AS INT) AS n_hits,
+          (NOT corrupt AND COALESCE(ank.n_keys, 0) > 0
+            AND COALESCE(agg.n_hits, 0) * 1000000000
+              >= 600000000 * COALESCE(ank.n_keys, 0)) AS suspect
+        FROM aw LEFT JOIN ank ON ank.mid = aw.mid
+        LEFT JOIN agg ON agg.mid = aw.mid
+        ORDER BY media_id"""
 
   /** w18/m11 SHARED oracle (the q124/q125 discipline: m11's
     * split-build-merge-roundtrip must be INVISIBLE against the

@@ -551,6 +551,83 @@ object StreamingOps {
   def mergeBandIndex(prior: DataFrame, delta: DataFrame): DataFrame =
     mergePackedIndex(prior, delta, BandIndexParamCols, "band-index")
 
+  private val LandmarkIndexParamCols =
+    Seq("frameLen", "window", "phases", "m", "kHash")
+
+  /** The corpus AUDIO LANDMARK index as a persistable, self-describing
+    * artifact: the distinct [[graft.operators.Multimodal.audioLandmarkKeys]]
+    * key set — built at `phases` = frameLen so a clip trimmed by ANY
+    * integer sample count probes positively (its phase-0 keys are a
+    * subset of the corpus phase union, the m12 argument) — packed into
+    * one Bloom row with (frameLen, window, phases, m, kHash, version)
+    * riding along. Daily deltas OR-merge via [[mergeLandmarkIndex]].
+    */
+  def buildLandmarkIndex(
+      corpus: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      frameLen: Int = 4, window: Int = 2, phases: Int = 4,
+      m: Int = 1 << 20, kHash: Int = 3): DataFrame = {
+    import graft.operators.{Bloom, Multimodal}
+    implicit val sp: SparkSession = corpus.sparkSession
+    val keys = Multimodal.audioLandmarkKeys(corpus, frameLen, window,
+        phases).toDF()
+      .select(col("k").cast("string").as("lk")).distinct()
+      .withColumn("__g", lit(1))
+    Bloom.buildPacked(keys, "lk", "__g", m, kHash)
+      .withColumn("frameLen", lit(frameLen))
+      .withColumn("window", lit(window))
+      .withColumn("phases", lit(phases))
+      .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+      .withColumn("version", lit(1L))
+  }
+
+  /** Incremental landmark-index growth: the [[mergeBandIndex]] OR-merge
+    * (exact for Bloom membership) under the landmark identity columns.
+    */
+  def mergeLandmarkIndex(prior: DataFrame, delta: DataFrame): DataFrame =
+    mergePackedIndex(prior, delta, LandmarkIndexParamCols, "landmark-index")
+
+  /** Stateless streaming TRIMMED-AUDIO intake (the m12 operator's
+    * streaming twin, completing the w18/w21 family): each arriving clip
+    * censuses its phase-0 landmark keys in the decode kernel
+    * ([[graft.operators.Multimodal.audioLandmarkCensus]] — one row per
+    * arrival, corrupt payloads degrade to decode_ok = false sentinels),
+    * probes every key against the broadcast corpus index IN-ROW (array
+    * `filter` over the packed Bloom — zero streaming state, no shuffle
+    * below the sink), and flags `suspect` when >= minFrac9/1e9 of its
+    * keys are known. A re-upload trimmed by ANY sample count flags with
+    * CERTAINTY: its keys are a subset of the corpus phase union and
+    * Bloom has no false negatives — false positives can only ADD
+    * suspects, never lose one, and the md5-derived positions replay in
+    * SQL so even those are graded.
+    */
+  def intakeLandmarkMatches(
+      streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      index: DataFrame, frameLen: Int = 4, window: Int = 2,
+      phases: Int = 4, m: Int = 1 << 20, kHash: Int = 3,
+      minFrac9: Long = 600000000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.operators.{Bloom, Multimodal}
+    val filt = checkedFilterFor(index,
+      LandmarkIndexParamCols.zip(Seq(frameLen, window, phases, m, kHash)),
+      "landmark-index")
+    val census = Multimodal.audioLandmarkCensus(streamMedia, frameLen,
+      window, phases = 1).toDF()
+    census
+      .withColumn("__g", lit(1))
+      .join(broadcast(filt), Seq("__g"), "left")
+      .select(col("media_id"), col("decode_ok"),
+        coalesce(size(col("keys")), lit(0)).as("n_keys"),
+        when(col("filter").isNull || !col("decode_ok"), lit(0))
+          .otherwise(size(filter(col("keys"), kk =>
+            Bloom.mightContainPacked(col("filter"),
+              Bloom.positions(kk.cast("string"), m, kHash)))))
+          .as("n_hits"))
+      .withColumn("suspect",
+        col("decode_ok") && col("n_keys") > 0 &&
+          col("n_hits").cast("long") * lit(1000000000L) >=
+            lit(minFrac9) * col("n_keys").cast("long"))
+  }
+
   /** The shared probe tail: census rows (media_id, decode_ok, b0..b3)
     * against a broadcast [[buildBandIndex]] artifact.
     */
