@@ -118,6 +118,57 @@ class StreamingSpec extends SparkSpec {
     assert(meta === ((20, 8, 1 << 20, 3, 2L)))
   }
 
+  test("intakeLandmarkMatches: streamed == batch row for row; trimmed " +
+      "re-uploads flag with certainty; landmark-index merge is exact") {
+    import spark.implicits._
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    val index = StreamingOps.buildLandmarkIndex(corpus)
+    def arrivals(base: org.apache.spark.sql.DataFrame) =
+      Multimodal.encodeMediaRows(base.filter(col("doc_id") % 4 === 1))
+        .flatMap { m =>
+          if (m.media_id % 3 == 0)
+            Multimodal.shiftWav(m.content, 3).map(b =>
+              m.copy(media_id = m.media_id + 3000000000L,
+                content = b)).toSeq
+          else Seq(m)
+        }
+    // statelessness, the strongest form: the streamed computation equals
+    // the identical batch computation row for row
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.intakeLandmarkMatches(
+          arrivals(StreamingOps.documentsStream(spark, sf())), index),
+        "t_landmark_intake").orderBy("media_id").collect().toSeq
+    val batch = StreamingOps.intakeLandmarkMatches(arrivals(docs), index)
+      .orderBy("media_id").collect().toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // certainty: every trimmed corpus re-upload (3-sample trim — NOT a
+    // frame multiple) probes at n_hits == n_keys and flags suspect,
+    // because its phase-0 keys are a subset of the phases=4 corpus union
+    val trimmed = batch.filter(_.getLong(0) >= 3000000000L)
+    assert(trimmed.nonEmpty)
+    trimmed.foreach { r =>
+      assert(r.getBoolean(1) && r.getInt(2) > 0 &&
+        r.getInt(3) === r.getInt(2) && r.getBoolean(4),
+        s"trimmed re-upload not certain: $r")
+    }
+    // merge: half-corpus indexes OR to the from-scratch build bit for bit
+    val a = StreamingOps.buildLandmarkIndex(corpus.filter(_.media_id % 2 == 0))
+    val b = StreamingOps.buildLandmarkIndex(corpus.filter(_.media_id % 2 == 1))
+    val merged = StreamingOps.mergeLandmarkIndex(a, b)
+    assert(merged.select("filter").as[Seq[Long]].head() ===
+      index.select("filter").as[Seq[Long]].head())
+    assert(merged.select("version").as[Long].head() === 2L)
+    // parameter mismatch refuses loudly
+    val other = StreamingOps.buildLandmarkIndex(corpus, m = 1 << 16)
+    assert(intercept[Exception] {
+      StreamingOps.mergeLandmarkIndex(index, other).collect()
+    }.getMessage != null)
+  }
+
   test("mergePackedIndex: an EMPTY side is the OR identity, not silent " +
       "index loss (ADVICE r12)") {
     import spark.implicits._
