@@ -478,6 +478,70 @@ object ScaleBench {
           println(f"""{"query":"phash_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
           Seq(("phash_intake_batch", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
         }
+        // landmark audio intake (r13, the w25 shape run as a batch): index
+        // the corpus's landmark keys at phases=4 (Bloom m scales with the
+        // corpus key count at x100 — the w14 sizing rule), probe every
+        // non-corpus clip. Decode is per-clip local; the probe is one
+        // broadcast row + in-row array filters, so the decade curve should
+        // track the decode volume linearly.
+        def landmarkIntake(dir: String, m: Int): Double = {
+          val t0 = System.nanoTime()
+          try {
+            implicit val sp = spark
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            val corpus = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+            val stream = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 =!= 0))
+            graft.streaming.StreamingOps
+              .intakeLandmarkMatches(stream,
+                graft.streaming.StreamingOps.buildLandmarkIndex(corpus,
+                  m = m), m = m)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] landmark_intake @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val landmarkIntakeRow =
+          if (!customOn("landmark_intake_batch")) Seq.empty else {
+            val (s, b, h) = (landmarkIntake(srcDir, 1 << 20),
+              landmarkIntake(bigDir, 1 << 20), landmarkIntake(hugeDir, 1 << 22))
+            println(f"""{"query":"landmark_intake_batch","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+            Seq(("landmark_intake_batch", s, h,
+              if (s > 0 && h > 0) 1.0 else -1.0))
+          }
+        // m12's pair rule at decade scale: keys per clip are bounded
+        // (~landmarks/3), the key join rides the df-cap, so candidate
+        // volume is capped however hot the lattice fixture's shared keys
+        // get — the curve should stay near-linear in the clip count.
+        def landmarkPairs(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try {
+            implicit val sp = spark
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            val media = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 1))
+            val keys = graft.operators.Multimodal
+              .audioLandmarkKeys(media).toDF()
+            graft.operators.Multimodal.audioLandmarkPairs(keys)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] landmark_pairs @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally releaseCaches()
+        }
+        val landmarkPairsRow =
+          if (!customOn("landmark_pairs")) Seq.empty else {
+            val (s, b, h) = (landmarkPairs(srcDir), landmarkPairs(bigDir),
+              landmarkPairs(hugeDir))
+            println(f"""{"query":"landmark_pairs","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+            Seq(("landmark_pairs", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
+          }
         // hard-negative mining, production (LSH-gated) path: q113b's
         // inventory form carries the exact brute-force truth denominator
         // by design (the grade IS the point there), so the decade curve
@@ -675,7 +739,8 @@ object ScaleBench {
           println(f"""{"query":"cluster_merge_delta","sf01_sec":$m1%.3f,"sf10_sec":$m2%.3f,"sf100_sec":$m3%.3f,"sf01_edges":$me1,"sf10_edges":$me2,"sf100_edges":$me3}""")
           Seq(("cluster_merge_delta", m1, m3, if (m1 > 0 && m3 > 0) 1.0 else -1.0))
         }
-        queryRows ++ lshRow ++ intakeRow ++ phashRow ++ hardNegRow ++
+        queryRows ++ lshRow ++ intakeRow ++ phashRow ++
+          landmarkIntakeRow ++ landmarkPairsRow ++ hardNegRow ++
           annRows ++ clusterRow
       }
 

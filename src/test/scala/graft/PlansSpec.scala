@@ -95,6 +95,24 @@ class PlansSpec extends SparkSpec {
       s"distinct carries vectors: $dedupLine")
   }
 
+  test("m12 landmark pair plan: the hot-key cap broadcasts, no cartesian " +
+      "product, and the key join carries bare (media_id, k) rows") {
+    implicit val sp = spark
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val media = graft.operators.Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1))
+    val keys = graft.operators.Multimodal.audioLandmarkKeys(media).toDF()
+    val plan = graft.operators.Multimodal.audioLandmarkPairs(keys)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair rule went cartesian:\n${plan.take(2000)}")
+    // the over-cap key set joins back broadcast (bounded by the key
+    // space); the equality join on k is what scales
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast anti-join for the df-cap:\n${plan.take(2000)}")
+  }
+
   test("LSH bucketing is map-side only: no exchange below the candidate join") {
     // With literal hyperplanes, bucket assignment must be a pure projection;
     // the first exchange in the plan should be the join/distinct shuffle,
