@@ -953,6 +953,50 @@ object MultimodalQueries {
         JOIN nk nb ON nb.mid = pr.id_b
         WHERE shared * 1000000000 // LEAST(na.nkeys, nb.nkeys)
           >= 600000000
-        ORDER BY pr.id_a, pr.id_b"""))
+        ORDER BY pr.id_a, pr.id_b""")),
+
+    // ---- landmark index: split-build-merge-parquet-roundtrip ------------
+    // The m11/q125 artifact-lifecycle discipline on the landmark axis:
+    // the corpus's two halves build their phases=4 Bloom indexes
+    // SEPARATELY, OR-merge (exact for membership — each key sets the
+    // same md5 positions whichever build it entered), round-trip through
+    // parquet, and the RELOADED merged artifact serves the w25 probe
+    // over the identical arrival set — graded by w25's oracle VERBATIM
+    // (shared constant, cannot drift), so any bit the merge or the
+    // round trip loses fails the hash.
+    "m13_landmark_index_merge" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.streaming.StreamingOps
+        val corpusDocs = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0)
+        // corpus ids are == 9 (mod 12): split on mod 24 so both version
+        // halves really contribute keys
+        def half(m: Long) = Multimodal.encodeMediaRows(
+          corpusDocs.filter(col("doc_id") % 24 === m))
+        val merged = StreamingOps.mergeLandmarkIndex(
+          StreamingOps.buildLandmarkIndex(half(9L)),
+          StreamingOps.buildLandmarkIndex(half(21L)))
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_landmark_idx_" + LlmDedupQueries.artifactKey(dir)).toString
+        merged.write.mode("overwrite").parquet(idxDir)
+        val arrivals = Multimodal.encodeMediaRows(
+            graft.Tables.load(s, dir, "documents")
+              .filter(col("doc_id") % 4 === 1))
+          .flatMap { m =>
+            if (m.media_id % 3 == 0)
+              Multimodal.shiftWav(m.content, 2).map(b =>
+                m.copy(media_id = m.media_id + 3000000000L,
+                  content = b)).toSeq
+            else if (m.media_id % 5 == 3)
+              Seq(m.copy(content = m.content.take(7)))
+            else Seq(m)
+          }
+        StreamingOps.intakeLandmarkMatches(arrivals,
+            s.read.parquet(idxDir))
+          .orderBy("media_id")
+      },
+      Some(StreamQueries.trimmedAudioIntakeOracleSql))
   )
 }

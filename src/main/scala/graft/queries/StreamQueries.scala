@@ -1000,7 +1000,7 @@ object StreamQueries {
     * keys at phase 0 (novel clips + 2-sample-trimmed corpus re-uploads
     * + corrupt sentinels), and the per-arrival hit fraction.
     */
-  private def trimmedAudioIntakeOracleSql: String =
+  private[queries] def trimmedAudioIntakeOracleSql: String =
     """WITH cw AS (SELECT doc_id AS cid FROM documents
           WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
         cfr AS (SELECT cid, CAST(tp.p AS INT) AS p,
