@@ -547,6 +547,38 @@ object LlmVectorQueries {
       Some(graft.operators.Pca.kAxesOracleSql(dim = 64, iters = 3, k = 3,
         fromSql = "embeddings", version = 1L))),
 
+    // ---- axes artifact VERSION BUMP (the q132b discipline on the
+    // spectral axis, completing the lifecycle symmetry: cluster q130
+    // merge, IVF q132 merge + q132b rebuild, landmark m13 merge, axes
+    // q131 roundtrip + THIS rebuild): v1 axes fit over the day-one half
+    // and persist; the corpus grows; the axes REFIT over the full corpus
+    // and OVERWRITE the artifact as v2 (a drift monitor must re-anchor
+    // on the new dominant directions — merging spectral axes is not a
+    // defined operation, which is exactly why this is a rebuild grade);
+    // the RELOADED artifact is graded against the from-scratch
+    // full-corpus oracle with version = 2 pinned in every row.
+    "q131b_axes_rebuild" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import graft.operators.Pca
+        val emb = t(s, dir, "embeddings")
+        val axDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_pca_axes_v2_" + LlmDedupQueries.artifactKey(dir)).toString
+        Pca.axesArtifact(
+            Pca.kComponentFinals(emb.filter(col("vec_id") % 2 === 0),
+              "embedding", dim = 64, iters = 3, k = 3),
+            dim = 64, iters = 3, k = 3, version = 1L)
+          .write.mode("overwrite").parquet(axDir)
+        Pca.axesArtifact(
+            Pca.kComponentFinals(emb, "embedding", dim = 64, iters = 3,
+              k = 3),
+            dim = 64, iters = 3, k = 3, version = 2L)
+          .write.mode("overwrite").parquet(axDir)
+        s.read.parquet(axDir).orderBy("component", "j")
+      },
+      Some(graft.operators.Pca.kAxesOracleSql(dim = 64, iters = 3, k = 3,
+        fromSql = "embeddings", version = 2L))),
+
     // ---- persisted IVF index artifact + incremental inverted file -------
     // The q124/q130/q131 corpus-versioning discipline on the ANN axis:
     // q37 recomputes centroids and the inverted file per run; here the
