@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-parsed JSON lines; the driver keeps only a
+// ~2 KB stdout TAIL and parses the LAST line. StdoutOutput passes the
+// forked program's stdout through BARE (no "[info] " log decoration) and
+// showSuccess drops the "[success] Total time ..." trailer, so the final
+// stdout line is Bench's compact JSON record, undecorated (VERDICT r13 #2).
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

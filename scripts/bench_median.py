@@ -60,7 +60,10 @@ def main(paths):
         # though it ran). All-failed stays -1. ADVICE r12.
         clean = [v for v in vals if v > 0]
         med = lower_median(clean) if clean else -1.0
-        src = caps[vals.index(med)]
+        # guard the source lookup (ADVICE r13): when clean is empty the
+        # sentinel med may not literally appear in vals (e.g. a 0.000
+        # from %.3f rounding), and vals.index would raise ValueError
+        src = caps[vals.index(med)] if med in vals else caps[0]
         queries[k] = med
         runs[k] = src.get("runs", {}).get(k)
         if k in src.get("exec", {}):

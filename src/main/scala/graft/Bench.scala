@@ -72,6 +72,11 @@ object Bench {
     // re-run. The r8 final capture shipped 11 queries inflated 4-80x with
     // byte-identical plan hashes; this machinery makes that one diff.
     val ContaminationSpread = 3.0
+    // end-to-end monotone rise factor for the accumulating-state gate
+    // (ADVICE r13): semantically distinct from the steady-state spread
+    // bound above even while the values coincide — tuning one must not
+    // silently retune the other.
+    val MonotoneDriftFactor = 3.0
     // host-speed canary: the spread detector catches TRANSIENT stalls (one
     // slow run among fast ones) but is blind to SUSTAINED contention —
     // when every run of a capture is equally slow, spreads look clean and
@@ -524,7 +529,7 @@ object Bench {
     // gate is blind to them because it drops the first run
     val monotone = results.collect {
       case (k, _) if allRuns.get(k)
-        .exists(rs => BenchMetrics.monotoneDrift(rs, ContaminationSpread))
+        .exists(rs => BenchMetrics.monotoneDrift(rs, MonotoneDriftFactor))
         => k
     }
     monotone.foreach { k =>
@@ -572,8 +577,11 @@ object Bench {
       .digest(json.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
     val nContaminated = contaminatedList.size
+    // "metric":"summary" (ADVICE r13): a distinct discriminator so a
+    // consumer selecting metric=="total" (or taking the last JSON line)
+    // cannot mistake this 12-metric headline subset for the full record.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_metrics":${results.size},"n_contaminated":$nContaminated,"invalid_capture":$invalidCapture,"canary":$canary,"full_sha256_16":"$sha","full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$headline,"n_metrics":${results.size},"n_contaminated":$nContaminated,"invalid_capture":$invalidCapture,"canary":$canary,"full_sha256_16":"$sha","full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] compact summary ${compact.length} B " +
         "exceeds the 1.5 KB tail budget — driver may truncate it")

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -197,6 +197,168 @@ case class SqDist9(left: Expression, right: Expression)
       r: Expression): SqDist9 = copy(left = l, right = r)
 }
 
+/** Native IVF cell assignment: per row vector, the `nProbe` nearest
+  * centroids by cosine, as an `array<int>` of cell ids in rank order —
+  * the fused form of [[graft.operators.Similarity.assignCells]]'s
+  * `transform(centroids, c -> struct(-cosine, cell))` + `array_sort` +
+  * `slice` literal pipeline.
+  *
+  * Exists for LARGE centroid sets (VERDICT r13 #3): at the derived config
+  * the x100 decade legitimately produces 1600 cells, and the literal
+  * formulation pays (a) a ~100k-node foldable plan and (b) per row x cell
+  * an interpreted higher-order-function dispatch, a struct allocation,
+  * THREE dot products (the row self-dot is re-evaluated per element), and
+  * an O(c log c) struct sort. This expression holds the centroid matrix as
+  * primitive `float[][]` state (driver-computed, shipped once per task via
+  * the serialized expression — nCells x dim floats, KB-scale), hoists the
+  * row norm, pre-computes centroid norms, and keeps a bounded top-nProbe
+  * insertion array — one JIT'd multiply-add loop per row, zero allocation
+  * beyond the output array, zero shuffle.
+  *
+  * BIT-FOR-BIT parity with the literal form (asserted by OperatorsSpec on
+  * both paths): accumulation is the exact [[DotProduct]] recipe
+  * (left-to-right `acc + (double)row_i * (double)cent_i`), the divisor is
+  * `rowNorm * centNorm` in that order, negation last, and ranking compares
+  * `(neg_cosine, cell)` ascending with Spark's NaN-safe double semantics
+  * (NaN ties NaN, NaN above every number, -0.0 == 0.0 — the `array_sort`
+  * ordering). Degenerate rows (vector length != centroid dim, or a null
+  * element) make every cosine NULL in the literal form, whose struct
+  * ordering puts NULL first and tie-breaks on cell — i.e. the nProbe
+  * smallest cell ids; replicated verbatim. All centroids must share one
+  * dim (mixed-dim corpora are out of contract engine-wide — see
+  * [[graft.functions.VectorOps.dimOf]]).
+  */
+case class NearestCells(child: Expression, cents: Seq[(Int, Seq[Float])],
+    nProbe: Int) extends UnaryExpression {
+
+  require(cents.nonEmpty, "graft_nearest_cells needs >= 1 centroid")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType(child) match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells needs an array<float|double> input, got " +
+        s"${child.dataType.simpleString}")
+  }
+
+  @transient private lazy val dim: Int = {
+    val d = cents.head._2.length
+    require(cents.forall(_._2.length == d),
+      "graft_nearest_cells: centroids must share one dimension")
+    d
+  }
+  @transient private lazy val cellIds: Array[Int] = cents.map(_._1).toArray
+  @transient private lazy val matrix: Array[Array[Float]] =
+    cents.map(_._2.toArray).toArray
+  // sqrt of the left-to-right double self-dot — the exact l2Norm(c.v)
+  // the literal form evaluates per element
+  @transient private lazy val centNorms: Array[Double] = matrix.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+  @transient private lazy val cellIdsSorted: Array[Int] = cellIds.sorted
+  @transient private lazy val isFloat: Boolean =
+    elemType(child).contains(FloatType)
+
+  // Spark's NaN-safe double ordering (Utils.nanSafeCompareDoubles): the
+  // comparator array_sort applies to the struct's first field
+  private def cmpDouble(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x); val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1
+    else -1
+  }
+
+  /** The per-row kernel; called from both interpreted eval and the
+    * generated code (one virtual call per ROW — the loop itself is JIT'd
+    * Scala over primitive arrays).
+    */
+  def assign(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val k = math.min(nProbe, cents.size)
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+    if (n != dim || hasNull)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(cellIdsSorted, k))
+    val row = new Array[Double](n)
+    var ss = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      row(i) = x
+      ss += x * x
+      i += 1
+    }
+    val rowNorm = math.sqrt(ss)
+    // bounded insertion arrays, kept ascending by (neg, cell)
+    val bestNeg = new Array[Double](k)
+    val bestCell = new Array[Int](k)
+    var filled = 0
+    var j = 0
+    while (j < matrix.length) {
+      val cv = matrix(j)
+      var num = 0.0
+      var t = 0
+      while (t < dim) { num += row(t) * cv(t).toDouble; t += 1 }
+      val den = rowNorm * centNorms(j)
+      // zero-norm vector: the literal cosine pipeline raises Spark's ANSI
+      // divide-by-zero here (ANSI is the engine default; zero vectors are
+      // out of contract for cosine ANN) — fail identically, not with NaN
+      // ordering, unless the session opted out of ANSI
+      if (den == 0.0 &&
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+        throw org.apache.spark.sql.GraftColumnBridge.divideByZeroError()
+      val neg = -(num / den)
+      val cell = cellIds(j)
+      if (filled < k || {
+        val c = cmpDouble(neg, bestNeg(filled - 1))
+        c < 0 || (c == 0 && cell < bestCell(filled - 1))
+      }) {
+        var pos = if (filled < k) filled else k - 1
+        while (pos > 0 && {
+          val c = cmpDouble(neg, bestNeg(pos - 1))
+          c < 0 || (c == 0 && cell < bestCell(pos - 1))
+        }) {
+          bestNeg(pos) = bestNeg(pos - 1); bestCell(pos) = bestCell(pos - 1)
+          pos -= 1
+        }
+        bestNeg(pos) = neg; bestCell(pos) = cell
+        if (filled < k) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestCell, filled))
+  }
+
+  override def nullSafeEval(v: Any): Any = assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.assign($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 object VectorExpressions {
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
@@ -205,4 +367,8 @@ object VectorExpressions {
 
   def sqDist9(a: Column, b: Column): Column =
     eu.column(SqDist9(eu.expression(a), eu.expression(b)))
+
+  def nearestCells(vec: Column, cents: Seq[(Int, Seq[Float])],
+      nProbe: Int): Column =
+    eu.column(NearestCells(eu.expression(vec), cents, nProbe))
 }

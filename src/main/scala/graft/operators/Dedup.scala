@@ -842,6 +842,18 @@ object Dedup {
     // radius exceeds the strings), not a shortcut: at 100 TB the tiny
     // set is the pathology to cap upstream, not here.
     val tiny = base.filter(col("__n") < chunks)
+    // loud guard (ADVICE r13): a crawl corpus can carry a LARGE tiny-doc
+    // population, and this path is an inherent broadcast-quadratic — fail
+    // visibly with the upstream-cap instruction instead of at broadcast
+    // OOM. LIMIT-probe, not count(): bounded work on the healthy path.
+    val MaxTinyDocs = 1000000L
+    val tinyProbe = tiny.limit((MaxTinyDocs + 1).toInt).count()
+    require(tinyProbe <= MaxTinyDocs,
+      s"editDistancePairsFullRadius: > $MaxTinyDocs documents shorter " +
+        s"than $chunks chars — the tiny-tiny exact comparer is " +
+        "inherently quadratic in that set (every such pair is within " +
+        "radius by length alone); filter or cap tiny documents upstream " +
+        "before calling this operator")
     val tinyPairs = tiny.as("a")
       .join(broadcast(tiny.select(col("doc_id"), col("__text")).as("b")),
         col("a.doc_id") < col("b.doc_id"))

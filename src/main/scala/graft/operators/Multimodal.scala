@@ -512,6 +512,15 @@ object Multimodal {
     * shape intake wants). Spec-measured: a 2-sample (sub-frame) trim
     * matches at containment 1.0 with phases = 4 on noise fixtures,
     * where single-phase keys lose every interior match.
+    *
+    * Measured robustness budget (OperatorsSpec, real WAV decodes —
+    * VERDICT r13 #4): byte copy and EXACT gain preserve every key;
+    * whole-frame and arbitrary integer-sample trims are closed by the
+    * phase union (containment 1.0); 2x RESAMPLE is a NON-claim — the
+    * frame grid stretches with no phase to realign to, measured ~0%
+    * key containment against both the phases=1 and phases=frameLen
+    * indexes on noise fixtures. Resample/transcode dedup needs the w21
+    * byte path or a spectral signature, exactly like m08.
     */
   def audioLandmarkKeys(media: Dataset[MediaRow], frameLen: Int = 4,
       window: Int = 2, phases: Int = 1)(
@@ -584,8 +593,12 @@ object Multimodal {
       .agg(count(lit(1)).as("shared"))
       // nk is one row per CLIP — not broadcastable at corpus scale; the
       // pair frame is the small side after the containment threshold,
-      // so let AQE pick the strategy (the `over` set IS broadcast: hot
-      // keys are bounded by the key space, ~16k values)
+      // so let AQE pick the strategy (the `over` set IS broadcast: a key
+      // lands in `over` only when > maxBucket clips carry it, so
+      // |over| <= total key occurrences / maxBucket — at 200 that is
+      // 0.5% of the corpus key volume, the same corpus-relative bound
+      // m06/q103b broadcast under; NOT the raw 64*64*2048*2048 key
+      // space, which is astronomically larger. ADVICE r13.)
       .join(nk.select(col("media_id").as("id_a"),
         col("nkeys").as("__na")), "id_a")
       .join(nk.select(col("media_id").as("id_b"),

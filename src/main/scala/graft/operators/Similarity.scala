@@ -112,12 +112,38 @@ object Similarity {
       .map { case ((_, v), cell) => (cell, v.toSeq) }
   }
 
-  /** Pure-expression cell assignment: per row, cosine against each entry of
-    * a broadcast centroid array LITERAL, sorted descending, top `nProbe`
-    * cells exploded out. Zero shuffle, zero window — the whole thing is one
-    * map-side projection (PlansSpec asserts no exchange).
+  /** Above this centroid count [[assignCells]] switches from the inlined
+    * literal-expression form to the native [[assignCellsNative]] kernel
+    * (VERDICT r13 #3): the literal form's plan grows ~64 expression nodes
+    * per cell (1600 derived cells at the x100 decade = a ~100k-node plan)
+    * and its per-row cost is an interpreted HOF dispatch + 3 dot products
+    * + a struct sort per cell. Both forms are bit-for-bit identical
+    * (OperatorsSpec asserts it across the threshold), so the switch is
+    * invisible to results and to the sf0.01 oracle replays, which all sit
+    * far below it.
+    */
+  val LiteralCellMax = 128
+
+  /** Cell assignment: per row, cosine against each centroid, top `nProbe`
+    * cells exploded out in rank order. Zero shuffle, zero window — one
+    * map-side projection on either path (PlansSpec asserts no exchange).
+    * Dispatches on [[LiteralCellMax]]: the pure-expression literal form
+    * below it (SQL-oracle-replayable), the native kernel above.
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+      outId: String, outVec: String): DataFrame =
+    if (centroids.size <= LiteralCellMax)
+      assignCellsLiteral(df, idCol, vecCol, centroids, nProbe, outId, outVec)
+    else
+      assignCellsNative(df, idCol, vecCol, centroids, nProbe, outId, outVec)
+
+  /** Pure-expression cell assignment: per row, cosine against each entry of
+    * a broadcast centroid array LITERAL, sorted descending, top `nProbe`
+    * cells exploded out. Constant-folds to one literal; every arithmetic
+    * step replays in portable SQL (the q37 oracle).
+    */
+  def assignCellsLiteral(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], nProbe: Int,
       outId: String, outVec: String): DataFrame = {
     val centLit: Column = array(centroids.map { case (cell, v) =>
@@ -131,6 +157,22 @@ object Similarity {
         explode(transform(slice(ranked, 1, nProbe), x => x.getField("cell")))
           .as("cell"))
   }
+
+  /** Native cell assignment for large centroid sets: the centroid matrix
+    * rides the serialized [[graft.functions.expressions.NearestCells]]
+    * expression as primitive float[][] (KB-scale, shipped once per task —
+    * the executor-side equivalent of a broadcast table, without the join
+    * or the shuffle a groupBy-argmax formulation would pay), and the
+    * per-row work is one fused JIT'd loop. Bit-for-bit identical to
+    * [[assignCellsLiteral]] — see the expression's scaladoc for the
+    * parity argument.
+    */
+  def assignCellsNative(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+      outId: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec),
+      explode(graft.functions.expressions.VectorExpressions.nearestCells(
+        col(vecCol), centroids, nProbe)).as("cell"))
 
   /** IVF-style approximate top-k: corpus rows live in their nearest
     * centroid's cell; queries probe the `nProbe` nearest cells and re-rank

@@ -19,6 +19,14 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** The exact ANSI divide-by-zero error Spark's Divide raises — thrown by
+    * graft_nearest_cells on a zero-norm vector so the native kernel's
+    * failure mode is indistinguishable from the literal cosine pipeline's
+    * (`QueryExecutionErrors` is private[sql]).
+    */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+
   /** DataFrame from a logical plan (classic Dataset.ofRows is private[sql]). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

@@ -147,6 +147,11 @@ class EmptyInputSpec extends SparkSpec {
         case "q131_pca_axes_artifact" =>
           assert(rows.length === 192 && rows.forall(r =>
             r.isNullAt(2) && r.getInt(3) == 64 && r.getLong(6) == 1L))
+        // the rebuild grade emits the same 3 x 64 NULL-axis shape, one
+        // version up (v2 full refit over nothing is still nothing)
+        case "q131b_axes_rebuild" =>
+          assert(rows.length === 192 && rows.forall(r =>
+            r.isNullAt(2) && r.getInt(3) == 64 && r.getLong(6) == 2L))
         // the full-radius recall grader on nothing: zero truth, zero
         // found, sentinel recall9 = -1 (0/0 undefined, the q103d shape)
         case "q126c_edit_distance_recall" =>

@@ -263,6 +263,76 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("native cell assignment is bit-for-bit the literal form, " +
+      "including degenerate rows (VERDICT r13 #3)") {
+    import graft.functions.expressions.VectorExpressions
+    // real corpus at a cell count past LiteralCellMax so the dispatch
+    // would pick the native path, compared against the literal expression
+    // rebuilt verbatim — ranked arrays, not exploded sets, so rank order
+    // and tie-breaks are asserted too
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val nCells = Similarity.LiteralCellMax + 22
+    val cents = Similarity.centroidsOf(emb, "vec_id", "embedding", nCells)
+    assert(cents.size === nCells)
+    def literalRanked(vec: org.apache.spark.sql.Column, nProbe: Int) = {
+      val centLit = array(cents.map { case (cell, v) =>
+        struct(lit(cell).as("cell"), array(v.map(lit(_)): _*).as("v"))
+      }: _*)
+      val ranked = array_sort(transform(centLit, c =>
+        struct((-VectorOps.cosine(vec, c.getField("v"))).as("neg_sim"),
+          c.getField("cell").as("cell"))))
+      transform(slice(ranked, 1, nProbe), x => x.getField("cell"))
+    }
+    for (nProbe <- Seq(1, 4)) {
+      val both = emb.select(
+        VectorExpressions.nearestCells(col("embedding"), cents, nProbe)
+          .as("nat"),
+        literalRanked(col("embedding"), nProbe).as("lit"))
+      assert(both.filter(not(col("nat") <=> col("lit"))).count() === 0L,
+        s"nProbe=$nProbe: native != literal")
+    }
+    // degenerate rows: wrong dimension and a null element (NULL cosines
+    // -> the literal struct sort puts NULL first, tie-break cell asc) —
+    // parity holds
+    val dim = cents.head._2.length
+    val weird = spark.range(1).select(
+      expr(s"array_repeat(cast(0.0 as float), $dim)").as("zero"),
+      expr("array(cast(1.0 as float), cast(2.0 as float))").as("short"),
+      expr(s"concat(array(cast(null as float)), " +
+        s"array_repeat(cast(1.0 as float), ${dim - 1}))").as("nullelem"))
+    for (c <- Seq("short", "nullelem")) {
+      val got = weird.select(
+        VectorExpressions.nearestCells(col(c), cents, 3).as("nat"),
+        literalRanked(col(c), 3).as("lit")).head()
+      assert(got.getSeq[Int](0) === got.getSeq[Int](1), s"column $c")
+    }
+    // zero-norm vector: BOTH paths raise Spark's ANSI divide-by-zero
+    // (zero vectors are out of contract for cosine ANN — same failure
+    // mode either way, never a silent NaN ordering)
+    for (e <- Seq(
+        VectorExpressions.nearestCells(col("zero"), cents, 3),
+        literalRanked(col("zero"), 3))) {
+      val ex = intercept[Exception] { weird.select(e.as("r")).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected divide-by-zero, got $ex")
+    }
+    // the dispatch itself: above the threshold assignCells IS the native
+    // form; below it the literal form — same rows either way
+    val natRows = Similarity.assignCellsNative(emb, "vec_id", "embedding",
+        cents, 2, "id", "v").select("id", "cell")
+      .orderBy("id", "cell").collect().toSeq
+    val litRows = Similarity.assignCellsLiteral(emb, "vec_id", "embedding",
+        cents, 2, "id", "v").select("id", "cell")
+      .orderBy("id", "cell").collect().toSeq
+    assert(natRows === litRows)
+    val dispatched = Similarity.assignCells(emb, "vec_id", "embedding",
+        cents, 2, "id", "v").select("id", "cell")
+      .orderBy("id", "cell").collect().toSeq
+    assert(dispatched === natRows)
+  }
+
   test("derived ANN configs equal their explicit-parameter twins " +
       "(VERDICT r12 #5)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
@@ -1022,6 +1092,33 @@ class OperatorsSpec extends SparkSpec {
     base4.foreach { case (id, ks) =>
       assert(base(id).subsetOf(ks) && ks.size <= 4 * base(id).size + 8)
     }
+    // 6) 2x RESAMPLE (VERDICT r13 #4 — the m08 discipline on the
+    // landmark axis): naive linear interpolation doubles the sample
+    // count, so every 4-sample frame now covers 2 original samples —
+    // frame energies re-draw, landmarks move with the new frame grid,
+    // and on noise fixtures key survival collapses. phases closes
+    // SHIFTS (the frame grid realigns with one phase), not RESAMPLING
+    // (there is no phase whose grid matches a stretched signal), so the
+    // measured budget is ~zero containment even against the full
+    // phase-union index. The stated contract stays: byte-copy + exact
+    // gain + arbitrary integer-sample trims; resample/transcode dedup
+    // needs the w21 byte path or a spectral signature.
+    val resampled = keySets(rows(s => Array.tabulate(s.length * 2 - 1)(i =>
+      if (i % 2 == 0) s(i / 2) else (s(i / 2) + s(i / 2 + 1)) / 2)))
+    val contain1 = resampled.toSeq.map { case (id, ks) =>
+      ks.intersect(base(id)).size.toDouble / math.max(ks.size, 1)
+    }
+    val contain4 = resampled.toSeq.map { case (id, ks) =>
+      ks.intersect(base4(id)).size.toDouble / math.max(ks.size, 1)
+    }
+    val m1 = contain1.sum / contain1.size
+    val m4 = contain4.sum / contain4.size
+    assert(m1 <= 0.1 && m4 <= 0.15,
+      f"resample containment unexpectedly high (phases=1 $m1%.3f, " +
+        f"phases=4 $m4%.3f) — the non-claim is mismeasured")
+    info(f"2x resample key containment: ${m1 * 100}%.1f%% vs phases=1 " +
+      f"index, ${m4 * 100}%.1f%% vs phases=4 index (documented " +
+      "non-claim: landmarks move with the frame grid under resampling)")
   }
 
   test("Multimodal.gifFramePHashes: one hash row per decoded frame, and a " +

@@ -57,6 +57,22 @@ class PlansSpec extends SparkSpec {
     assert(assigned.count() === emb.count() * 2)
   }
 
+  test("native (large-nCells) cell assignment is also a pure map-side " +
+      "projection: no exchange, no join, one graft_nearest_cells kernel " +
+      "(VERDICT r13 #3)") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val cents = graft.operators.Similarity
+      .centroidsOf(emb, "vec_id", "embedding",
+        graft.operators.Similarity.LiteralCellMax + 22)
+    val assigned = graft.operators.Similarity
+      .assignCells(emb, "vec_id", "embedding", cents, 2, "query_id", "qv")
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment plan shuffles:\n$p")
+    assert(!p.contains("Window"), s"assignment plan windows:\n$p")
+    assert(!p.contains("Join"), s"assignment plan joins:\n$p")
+    assert(assigned.count() === emb.count() * 2)
+  }
+
   test("k-means distances compute in-row against broadcast centroids: " +
       "no shuffle keyed on point ids, and wide == long formulation") {
     import graft.operators.KMeans
