@@ -40,12 +40,21 @@ if [[ -f BENCH_LOCAL.json ]]; then
   sed -i -E "s/[0-9]+ s total\. The record is self-defending/${TOTAL} s total. The record is self-defending/" README.md
 fi
 
-if [[ -f "$LOG" ]] && grep -qE 'Total number of tests run: [0-9]+' "$LOG"; then
-  NTESTS=$(grep -oE 'Total number of tests run: [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+')
-  NSUITES=$(grep -oE 'Suites: completed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+')
-  sed -i -E "s/# [0-9]+ tests, [0-9]+ suites/# ${NTESTS} tests, ${NSUITES} suites/" README.md
-else
-  echo "WARN: no sbt summary in $LOG — test counts left as-is" >&2
+# a FULL green suite is part of the blessed-record checklist (VERDICT
+# r13 #1: the r13 "blessed record" commits shipped with a red suite) —
+# refuse to bless without a fresh sbt test log showing zero failures
+if [[ ! -f "$LOG" ]] || ! grep -qE 'Tests: succeeded [0-9]+,' "$LOG"; then
+  echo "ERROR: no sbt test summary in $LOG — run 'sbt test 2>&1 | tee $LOG'" >&2
+  echo "first; a blessed record requires a full green suite." >&2
+  exit 1
 fi
+if ! grep -qE 'Tests: succeeded [0-9]+, failed 0,' "$LOG" || \
+   grep -qE '\*\*\* [0-9]+ TEST(S)? FAILED|Suites: completed [0-9]+, aborted [1-9]' "$LOG"; then
+  echo "ERROR: $LOG shows test failures — fix the suite before blessing." >&2
+  exit 1
+fi
+NTESTS=$(grep -oE 'Tests: succeeded [0-9]+,' "$LOG" | tail -1 | grep -oE '[0-9]+')
+NSUITES=$(grep -oE 'Suites: completed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+')
+sed -i -E "s/# [0-9]+ tests, [0-9]+ suites/# ${NTESTS} tests, ${NSUITES} suites/" README.md
 
 grep -nE "tests, [0-9]+ suites|query inventory" README.md

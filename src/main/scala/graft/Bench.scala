@@ -547,10 +547,21 @@ object Bench {
     val canaryEndMt = canaryMt()
     val loadEnd = loadavg()
     val busyEnd = externalBusyFrac()
+    // (c) end-load gate (VERDICT r13 #6): contention that ARRIVES
+    // mid-capture escapes the start-side busy probe; flag it from the
+    // end-of-window loadavg so medians only merge quiet windows
+    val endLoadBad = BenchMetrics.endLoadInvalid(loadStart, loadEnd,
+      Runtime.getRuntime.availableProcessors())
+    if (endLoadBad)
+      System.err.println(f"[bench] end-of-capture loadavg $loadEnd%.2f " +
+        f"exceeds max(2 x start $loadStart%.2f, cpus/4) — external load " +
+        "arrived mid-capture; capture will carry invalid_capture:true. " +
+        "Discard and re-run in a quiet window.")
+    val invalidCaptureFinal = invalidCapture || endLoadBad
     val canary =
       f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"busy_start":$busyStart%.3f,"busy_end":$busyEnd%.3f}"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"invalid_capture":$invalidCapture,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"allRuns":$ar,"spread":$sp,"contaminated":$contaminated,"invalid_capture":$invalidCaptureFinal,"canary":$canary,"exec":$ex,"sf":"$sfDir"}"""
     println(json)
     // persist the full JSON in-repo so round-over-round diffs don't need a
     // judge re-run (unfiltered runs only; a dev-loop subset would clobber
@@ -581,7 +592,7 @@ object Bench {
     // consumer selecting metric=="total" (or taking the last JSON line)
     // cannot mistake this 12-metric headline subset for the full record.
     val compact =
-      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$headline,"n_metrics":${results.size},"n_contaminated":$nContaminated,"invalid_capture":$invalidCapture,"canary":$canary,"full_sha256_16":"$sha","full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$headline,"n_metrics":${results.size},"n_contaminated":$nContaminated,"invalid_capture":$invalidCaptureFinal,"canary":$canary,"full_sha256_16":"$sha","full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] compact summary ${compact.length} B " +
         "exceeds the 1.5 KB tail budget — driver may truncate it")

@@ -94,6 +94,23 @@ object BenchMetrics {
         case (a, b) => b >= a } &&
       runs.last / runs.head > factor
 
+  /** End-of-capture host-load gate (VERDICT r13 #6): the start-side
+    * busy-probe gate is blind to contention that ARRIVES mid-capture —
+    * the r13 blessed window ran while host load rose 1.66 -> 7.47, which
+    * is exactly the condition behind that round's 1.3-1.5x
+    * identical-plan drifts. A capture whose 1-minute loadavg ends above
+    * BOTH 2x its start and cpus/4 ran beside sustained external work and
+    * is flagged, so medians only merge quiet windows. The cpus/4 floor
+    * keeps the bench's own decaying tail (short 32-thread bursts; the
+    * end probes run ~6 s after the last query) and an idle-start
+    * doubling (0.1 -> 0.3) from self-flagging. Unreadable loadavg (-1)
+    * never flags.
+    */
+  def endLoadInvalid(loadStart: Double, loadEnd: Double,
+      cpus: Int): Boolean =
+    loadStart >= 0 && loadEnd >= 0 &&
+      loadEnd > math.max(2.0 * loadStart, cpus / 4.0)
+
   /** Fingerprint of the canonicalized (exprId-normalized) physical plan.
     * Temp-dir paths (seamf fixture archives are created under java.io.tmpdir
     * with a random suffix each bench run) are masked so the hash is stable

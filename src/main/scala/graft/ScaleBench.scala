@@ -513,6 +513,46 @@ object ScaleBench {
             Seq(("landmark_intake_batch", s, h,
               if (s > 0 && h > 0) 1.0 else -1.0))
           }
+        // landmark index BUILD at phases = frameLen (VERDICT r13 #7 — the
+        // last unpriced landmark-lifecycle stage): the 4x-key corpus
+        // index that intake probes amortize against. Decode dominates
+        // (per-clip local, no shuffle until the one-row bitmap
+        // aggregation), so build time should track clip volume linearly;
+        // the distinct phase-union key count is printed alongside so the
+        // artifact's growth is measured, not asserted.
+        def landmarkIndexBuild(dir: String, m: Int): (Double, Long) = {
+          try {
+            implicit val sp = spark
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            def corpus = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+            val t0 = System.nanoTime()
+            graft.streaming.StreamingOps
+              .buildLandmarkIndex(corpus, phases = 4, m = m)
+              .write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            // key count measured OUTSIDE the timed window (a second
+            // decode pass — the build itself never materializes the
+            // pre-Bloom key set)
+            val nKeys = graft.operators.Multimodal
+              .audioLandmarkKeys(corpus, phases = 4).toDF()
+              .select("k").distinct().count()
+            (t, nKeys)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] landmark_index_build @ $dir failed: ${e.getMessage}")
+              (-1.0, -1L)
+          } finally releaseCaches()
+        }
+        val landmarkBuildRow =
+          if (!customOn("landmark_index_build")) Seq.empty else {
+            val (s, ks) = landmarkIndexBuild(srcDir, 1 << 20)
+            val (b, kb) = landmarkIndexBuild(bigDir, 1 << 20)
+            val (h, kh) = landmarkIndexBuild(hugeDir, 1 << 22)
+            println(f"""{"query":"landmark_index_build","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f,"sf01_keys":$ks,"sf10_keys":$kb,"sf100_keys":$kh}""")
+            Seq(("landmark_index_build", s, h,
+              if (s > 0 && h > 0) 1.0 else -1.0))
+          }
         // m12's pair rule at decade scale: keys per clip are bounded
         // (~landmarks/3), the key join rides the df-cap, so candidate
         // volume is capped however hot the lattice fixture's shared keys
@@ -740,8 +780,8 @@ object ScaleBench {
           Seq(("cluster_merge_delta", m1, m3, if (m1 > 0 && m3 > 0) 1.0 else -1.0))
         }
         queryRows ++ lshRow ++ intakeRow ++ phashRow ++
-          landmarkIntakeRow ++ landmarkPairsRow ++ hardNegRow ++
-          annRows ++ clusterRow
+          landmarkIntakeRow ++ landmarkBuildRow ++ landmarkPairsRow ++
+          hardNegRow ++ annRows ++ clusterRow
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

@@ -477,12 +477,17 @@ object Multimodal {
     * quadratic through a hot key.
     */
   private def landmarkKeysOf(u: Array[Int], offset: Int, frameLen: Int,
-      window: Int): Seq[Long] = {
-    val nf = (u.length - offset) / frameLen
+      window: Int, stride: Int = 1): Seq[Long] = {
+    // complete frames over the DECIMATED sample count (ceil((len-off)/
+    // stride)) — dividing the raw length by frameLen*stride would drop
+    // the final frame whenever the last stride window is partial (an
+    // odd-length 2x upsample ends on an even index, which the stride-2
+    // grid CAN reach)
+    val nf = ((u.length - offset + stride - 1) / stride) / frameLen
     val e = Array.tabulate(math.max(nf, 0)) { f =>
       var sq = 0L; var j = 0
       while (j < frameLen) {
-        val s = u(offset + f * frameLen + j) - 32768
+        val s = u(offset + (f * frameLen + j) * stride) - 32768
         sq += s.toLong * s; j += 1
       }
       sq
@@ -523,23 +528,43 @@ object Multimodal {
     * byte path or a spectral signature, exactly like m08.
     */
   def audioLandmarkKeys(media: Dataset[MediaRow], frameLen: Int = 4,
-      window: Int = 2, phases: Int = 1)(
+      window: Int = 2, phases: Int = 1, stride: Int = 1)(
       implicit spark: SparkSession): Dataset[AudioLandmarkRow] = {
     import spark.implicits._
     require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
     require(window >= 1, s"window must be >= 1, got $window")
     require(phases >= 1 && phases <= frameLen,
       s"phases must be in [1, frameLen=$frameLen], got $phases")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media.mapPartitions { batch =>
       batch.filter(_.meta.format == "wav").flatMap { m =>
         decodeWavU16(m.content).iterator.flatMap { u =>
           (0 until phases)
-            .flatMap(p => landmarkKeysOf(u, p, frameLen, window))
+            .flatMap(p => landmarkKeysOf(u, p, frameLen, window, stride))
             .distinct.map(k => AudioLandmarkRow(m.media_id, k))
         }
       }
     }
   }
+
+  /** Re-encode a WAV at 2x the sample count via linear interpolation
+    * (u'(2i) = u(i), u'(2i+1) = floor((u(i) + u(i+1)) / 2) over the
+    * unsigned 16-bit samples) — the naive-upsample re-upload fixture for
+    * [[audioLandmarkKeys]]'s resample closure. None for non-decodable
+    * input or clips shorter than 2 samples.
+    */
+  def resampleWav2x(bytes: Array[Byte]): Option[Array[Byte]] =
+    decodeWavU16(bytes).filter(_.length >= 2).map { u =>
+      val out = new Array[Int](2 * u.length - 1)
+      var i = 0
+      while (i < u.length - 1) {
+        out(2 * i) = u(i)
+        out(2 * i + 1) = (u(i) + u(i + 1)) / 2
+        i += 1
+      }
+      out(2 * u.length - 2) = u(u.length - 1)
+      encodeWavS16(out.map(_ - 32768))
+    }
 
   final case class AudioLandmarkCensusRow(media_id: Long,
       decode_ok: Boolean, keys: Array[Long])
@@ -570,6 +595,38 @@ object Multimodal {
         ks.fold(AudioLandmarkCensusRow(m.media_id, false,
           Array.empty[Long]))(a =>
           AudioLandmarkCensusRow(m.media_id, true, a))
+      }
+    }
+  }
+
+  final case class AudioLandmarkCensus2Row(media_id: Long,
+      decode_ok: Boolean, keys: Array[Long], keys_half: Array[Long])
+
+  /** Two-hypothesis census for the w26 intake: per clip, the phase-0
+    * landmark keys at BOTH stride 1 (identity) and stride 2 (even-phase
+    * decimation — the exact inverse of a 2x linear upsample, the m14
+    * closure). One decode serves both kernels; corrupt payloads degrade
+    * to a decode_ok = false sentinel with empty key arrays.
+    */
+  def audioLandmarkCensus2(media: Dataset[MediaRow], frameLen: Int = 4,
+      window: Int = 2)(
+      implicit spark: SparkSession): Dataset[AudioLandmarkCensus2Row] = {
+    import spark.implicits._
+    require(frameLen >= 1 && window >= 1,
+      s"frameLen=$frameLen window=$window")
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val ks =
+          if (m.meta.format != "wav") None
+          else decodeWavU16(m.content).map { u =>
+            (landmarkKeysOf(u, 0, frameLen, window).distinct.toArray,
+              landmarkKeysOf(u, 0, frameLen, window, stride = 2)
+                .distinct.toArray)
+          }
+        ks.fold(AudioLandmarkCensus2Row(m.media_id, false,
+          Array.empty[Long], Array.empty[Long])) { case (a, h) =>
+          AudioLandmarkCensus2Row(m.media_id, true, a, h)
+        }
       }
     }
   }
@@ -607,6 +664,50 @@ object Multimodal {
         expr("shared * 1000000000 DIV least(__na, __nb)"))
       .filter(col("containment9") >= minContainment9)
       .select("id_a", "id_b", "shared", "containment9")
+  }
+
+  /** Cross-hypothesis pair rule for RESAMPLE closure (the m14 operator —
+    * the m12 family's last documented non-claim): clips whose
+    * stride-2-DECIMATED landmark keys (`keysHalf`, from
+    * [[audioLandmarkKeys]] at stride = 2) share >= `minContainment9`/1e9
+    * of the smaller side's keys with another clip's IDENTITY keys
+    * (`keysRef`, stride = 1) are resample near-dups. The closure is
+    * EXACT, not statistical: linear 2x interpolation writes the original
+    * samples at every even index (u'(2i) = u(i)), so even-phase
+    * decimation INVERTS it bit for bit — a naively-upsampled re-upload's
+    * decimated key set EQUALS the original's identity key set verbatim
+    * and pairs at containment exactly 1e9 (spec-pinned set equality;
+    * fixture-graded by m14). Filtered resampling (sinc/polyphase) does
+    * not decimate back exactly — the measured residual non-claim, like
+    * m12's for resampling before this closure existed.
+    *
+    * df-cap discipline inherited from [[audioLandmarkPairs]]: hot keys
+    * are computed over BOTH hypothesis tables' union and dropped from
+    * candidacy on both sides (the cap can only lose pairs); denominators
+    * are pre-cap per-clip counts. Output: (id_half, id_ref, shared,
+    * containment9) — id_half is the clip whose decimation matched, i.e.
+    * the suspected UPSAMPLE of id_ref.
+    */
+  def audioLandmarkCrossPairs(keysHalf: DataFrame, keysRef: DataFrame,
+      maxBucket: Int = 200, minContainment9: Long = 600000000L): DataFrame = {
+    val na = keysHalf.groupBy("media_id").agg(count(lit(1)).as("__na"))
+    val nb = keysRef.groupBy("media_id").agg(count(lit(1)).as("__nb"))
+    val over = keysHalf.select("k").unionAll(keysRef.select("k"))
+      .groupBy("k").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxBucket).select("k")
+    val ka = keysHalf.join(broadcast(over), Seq("k"), "left_anti")
+    val kb = keysRef.join(broadcast(over), Seq("k"), "left_anti")
+    ka.as("a").join(kb.as("b"),
+        col("a.k") === col("b.k") && col("a.media_id") =!= col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_half"),
+        col("b.media_id").as("id_ref"))
+      .agg(count(lit(1)).as("shared"))
+      .join(na.select(col("media_id").as("id_half"), col("__na")), "id_half")
+      .join(nb.select(col("media_id").as("id_ref"), col("__nb")), "id_ref")
+      .withColumn("containment9",
+        expr("shared * 1000000000 DIV least(__na, __nb)"))
+      .filter(col("containment9") >= minContainment9)
+      .select("id_half", "id_ref", "shared", "containment9")
   }
 
   final case class PHashRow(media_id: Long, phash: Long,

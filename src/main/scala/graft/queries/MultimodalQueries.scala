@@ -997,6 +997,127 @@ object MultimodalQueries {
             s.read.parquet(idxDir))
           .orderBy("media_id")
       },
-      Some(StreamQueries.trimmedAudioIntakeOracleSql))
+      Some(StreamQueries.trimmedAudioIntakeOracleSql)),
+
+    // ---- resample closure: decimation-hypothesis landmark dedup ---------
+    // m12 closes SHIFTS (phases) and gain (ratios); resampling stayed a
+    // MEASURED non-claim (~0% key survival — the frame grid stretches
+    // with no phase to realign to). m14 closes the naive-upsample half
+    // of it EXACTLY: linear 2x interpolation writes the original at
+    // every even index, so stride-2 decimation INVERTS it bit for bit —
+    // an upsampled re-upload's decimated key set EQUALS the original's
+    // identity keys verbatim, and the cross-hypothesis pair rule finds
+    // every planted (orig, 2x-up) pair at containment exactly 1e9, with
+    // certainty, not probability. Every stage (closed-form PCM for both
+    // clip classes, the piecewise interpolated samples, both hypothesis
+    // kernels, landmarks, triples, union df-cap, containment) replays
+    // in SQL bit for bit. Filtered (sinc/polyphase) resampling does not
+    // decimate back exactly — the residual, still-documented non-claim.
+    "m14_audio_resample_dedup" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = Multimodal.syntheticMediaTable(s, dir, Some("wav"))
+        val ups = media.flatMap(m =>
+          Multimodal.resampleWav2x(m.content).map(b =>
+            m.copy(media_id = m.media_id + 4000000000L, content = b)))
+        val all = media.union(ups)
+        val half = Multimodal.audioLandmarkKeys(all, stride = 2).toDF()
+        val ident = Multimodal.audioLandmarkKeys(all).toDF()
+        Multimodal.audioLandmarkCrossPairs(half, ident)
+          .orderBy("id_half", "id_ref")
+      },
+      Some("""WITH w AS (SELECT doc_id AS mid, doc_id AS cid, 0 AS up
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL SELECT doc_id + 4000000000, doc_id, 1
+          FROM documents WHERE doc_id % 4 = 1),
+        prm AS (SELECT mid, cid, up,
+            CASE WHEN up = 1 THEN 2 * (200 + cid % 100) - 1
+                 ELSE 200 + cid % 100 END AS len
+          FROM w),
+        -- identity-hypothesis (stride 1) frame energies: originals are the
+        -- closed-form PCM; upsamples are its exact linear interpolation
+        sq1 AS MATERIALIZED (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT prm.mid, ti.i AS i,
+              CASE WHEN up = 0 THEN
+                  ((cid + 1) * 2654435761 + ti.i * 40503) % 65536
+                WHEN ti.i % 2 = 0 THEN
+                  ((cid + 1) * 2654435761 + (ti.i // 2) * 40503) % 65536
+                ELSE (((cid + 1) * 2654435761
+                    + ((ti.i - 1) // 2) * 40503) % 65536
+                  + ((cid + 1) * 2654435761
+                    + ((ti.i + 1) // 2) * 40503) % 65536) // 2
+              END - 32768 AS s
+            FROM prm, range(600) ti(i) WHERE ti.i < (len // 4) * 4)
+          GROUP BY 1, 2),
+        -- decimated-hypothesis (stride 2) frame energies: sample index
+        -- 2i — for an upsample v(2i) = u(i), the exact inversion
+        sq2 AS MATERIALIZED (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT prm.mid, ti.i AS i,
+              CASE WHEN up = 0 THEN
+                  ((cid + 1) * 2654435761 + (2 * ti.i) * 40503) % 65536
+                ELSE ((cid + 1) * 2654435761 + ti.i * 40503) % 65536
+              END - 32768 AS s
+            FROM prm, range(300) ti(i)
+            WHERE ti.i < (((len + 1) // 2) // 4) * 4)
+          GROUP BY 1, 2),
+        lm1 AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM sq1)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        lm2 AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM sq2)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        tri1 AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM lm1 WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        tri2 AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM lm2 WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        ks1 AS MATERIALIZED (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM tri1 WHERE f1 IS NOT NULL),
+        ks2 AS MATERIALIZED (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM tri2 WHERE f1 IS NOT NULL),
+        nk1 AS (SELECT mid, COUNT(*) AS nkeys FROM ks1 GROUP BY 1),
+        nk2 AS (SELECT mid, COUNT(*) AS nkeys FROM ks2 GROUP BY 1),
+        cnt AS MATERIALIZED (SELECT k, COUNT(*) AS c FROM (
+            SELECT k FROM ks2 UNION ALL SELECT k FROM ks1) GROUP BY 1),
+        keep2 AS (SELECT ks2.mid, ks2.k FROM ks2 JOIN cnt USING (k)
+          WHERE c <= 200),
+        keep1 AS (SELECT ks1.mid, ks1.k FROM ks1 JOIN cnt USING (k)
+          WHERE c <= 200),
+        pr AS (SELECT a.mid AS id_half, b.mid AS id_ref,
+            COUNT(*) AS shared
+          FROM keep2 a JOIN keep1 b ON a.k = b.k AND a.mid <> b.mid
+          GROUP BY 1, 2)
+        SELECT pr.id_half, pr.id_ref, CAST(shared AS BIGINT) AS shared,
+          CAST(shared * 1000000000 // LEAST(na.nkeys, nb.nkeys) AS BIGINT)
+            AS containment9
+        FROM pr JOIN nk2 na ON na.mid = pr.id_half
+        JOIN nk1 nb ON nb.mid = pr.id_ref
+        WHERE shared * 1000000000 // LEAST(na.nkeys, nb.nkeys)
+          >= 600000000
+        ORDER BY pr.id_half, pr.id_ref"""))
   )
 }

@@ -992,7 +992,49 @@ object StreamQueries {
             StreamingOps.intakeLandmarkMatches(stream, index), "w25_mem")
           .orderBy("media_id")
       },
-      Some(trimmedAudioIntakeOracleSql))
+      Some(trimmedAudioIntakeOracleSql)),
+
+    // w26: the m14 resample closure on the intake path. Arrivals carry
+    // naively-2x-UPSAMPLED corpus re-uploads (real decode -> linear
+    // interpolation -> re-encode); the intake censuses each clip's
+    // phase-0 keys under BOTH hypotheses (identity + stride-2
+    // decimation) in one decode and probes both against the broadcast
+    // corpus index in-row — zero streaming state. An upsampled
+    // re-upload flags suspect_resampled with CERTAINTY (its decimated
+    // keys equal the original's identity keys — m14's set equality —
+    // and Bloom has no false negatives): every planted upsample probes
+    // at n_hits_half = n_keys_half. The oracle replays the corpus
+    // phase union, both arrival kernels including the piecewise
+    // interpolated PCM, the md5 Bloom positions, and both hit
+    // fractions.
+    "w26_stream_resampled_audio_intake" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.operators.Multimodal
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+        val index = StreamingOps.buildLandmarkIndex(corpus)
+        val stream = Multimodal.encodeMediaRows(
+            StreamingOps.documentsStream(s, dir)
+              .filter(col("doc_id") % 4 === 1))
+          .flatMap { m =>
+            if (m.media_id % 3 == 0)
+              // corpus member arriving again, naively upsampled 2x
+              Multimodal.resampleWav2x(m.content).map(b =>
+                m.copy(media_id = m.media_id + 5000000000L,
+                  content = b)).toSeq
+            else if (m.media_id % 5 == 3)
+              Seq(m.copy(content = m.content.take(7)))
+            else Seq(m)
+          }
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeResampledLandmarkMatches(stream, index),
+            "w26_mem")
+          .orderBy("media_id")
+      },
+      Some(resampledAudioIntakeOracleSql))
   )
 
   /** w25 oracle: corpus landmark keys at ALL FOUR phases (the m12 CTE
@@ -1086,6 +1128,155 @@ object StreamQueries {
               >= 600000000 * COALESCE(ank.n_keys, 0)) AS suspect
         FROM aw LEFT JOIN ank ON ank.mid = aw.mid
         LEFT JOIN agg ON agg.mid = aw.mid
+        ORDER BY media_id"""
+
+  /** w26 oracle: the w25 corpus machinery (phase-union keys -> md5 Bloom
+    * positions) verbatim, then BOTH arrival kernels — identity keys over
+    * the piecewise-interpolated upsample PCM, and stride-2 decimated
+    * keys (which recover the original's samples exactly for upsampled
+    * clips) — each probed against the same position set.
+    */
+  private[queries] def resampledAudioIntakeOracleSql: String =
+    """WITH cw AS (SELECT doc_id AS cid FROM documents
+          WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        cfr AS (SELECT cid, CAST(tp.p AS INT) AS p,
+            (200 + cid % 100 - CAST(tp.p AS INT)) // 4 AS nf
+          FROM cw, range(4) tp(p)),
+        csq AS (SELECT cid, p, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT cfr.cid, cfr.p, ti.i AS i,
+              ((cid + 1) * 2654435761 + (ti.i + p) * 40503) % 65536
+                - 32768 AS s
+            FROM cfr, range(296) ti(i) WHERE ti.i < nf * 4)
+          GROUP BY 1, 2, 3),
+        clm AS (SELECT cid, p, f, e FROM (
+            SELECT cid, p, f, e,
+              MAX(e) OVER (PARTITION BY cid, p ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY cid, p ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY cid, p) AS nf2
+            FROM csq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        ctri AS (SELECT cid, p,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM clm WINDOW win AS (PARTITION BY cid, p ORDER BY f)),
+        ck AS MATERIALIZED (SELECT DISTINCT
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM ctri WHERE f1 IS NOT NULL),
+        bpos AS MATERIALIZED (SELECT DISTINCT CAST(CAST(('0x' || substr(
+              md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+              1, 12)) AS BIGINT) % 1048576 AS INT) AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        aw AS (SELECT doc_id AS mid, doc_id AS acid, 0 AS up,
+            (doc_id % 5 = 3) AS corrupt
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0
+          UNION ALL SELECT doc_id + 5000000000, doc_id, 1, FALSE
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        afr AS (SELECT mid, acid, up,
+            CASE WHEN up = 1 THEN 2 * (200 + acid % 100) - 1
+                 ELSE 200 + acid % 100 END AS len
+          FROM aw WHERE NOT corrupt),
+        asq1 AS MATERIALIZED (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT afr.mid, ti.i AS i,
+              CASE WHEN up = 0 THEN
+                  ((acid + 1) * 2654435761 + ti.i * 40503) % 65536
+                WHEN ti.i % 2 = 0 THEN
+                  ((acid + 1) * 2654435761 + (ti.i // 2) * 40503) % 65536
+                ELSE (((acid + 1) * 2654435761
+                    + ((ti.i - 1) // 2) * 40503) % 65536
+                  + ((acid + 1) * 2654435761
+                    + ((ti.i + 1) // 2) * 40503) % 65536) // 2
+              END - 32768 AS s
+            FROM afr, range(600) ti(i) WHERE ti.i < (len // 4) * 4)
+          GROUP BY 1, 2),
+        asq2 AS MATERIALIZED (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT afr.mid, ti.i AS i,
+              CASE WHEN up = 0 THEN
+                  ((acid + 1) * 2654435761 + (2 * ti.i) * 40503) % 65536
+                ELSE ((acid + 1) * 2654435761 + ti.i * 40503) % 65536
+              END - 32768 AS s
+            FROM afr, range(300) ti(i)
+            WHERE ti.i < (((len + 1) // 2) // 4) * 4)
+          GROUP BY 1, 2),
+        alm1 AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM asq1)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        alm2 AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM asq2)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        atri1 AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM alm1 WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        atri2 AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM alm2 WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        ak1 AS MATERIALIZED (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM atri1 WHERE f1 IS NOT NULL),
+        ak2 AS MATERIALIZED (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM atri2 WHERE f1 IS NOT NULL),
+        ank1 AS (SELECT mid, COUNT(*) AS n_keys FROM ak1 GROUP BY 1),
+        ank2 AS (SELECT mid, COUNT(*) AS n_keys FROM ak2 GROUP BY 1),
+        ahit1 AS (SELECT mid, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(
+                md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+                1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM ak1 CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY mid, k),
+        ahit2 AS (SELECT mid, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(
+                md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+                1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM ak2 CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY mid, k),
+        agg1 AS (SELECT mid, SUM(ok) AS n_hits FROM ahit1 GROUP BY 1),
+        agg2 AS (SELECT mid, SUM(ok) AS n_hits FROM ahit2 GROUP BY 1)
+        SELECT aw.mid AS media_id, NOT corrupt AS decode_ok,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(ank1.n_keys, 0) END AS INT) AS n_keys,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(agg1.n_hits, 0) END AS INT) AS n_hits,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(ank2.n_keys, 0) END AS INT) AS n_keys_half,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(agg2.n_hits, 0) END AS INT) AS n_hits_half,
+          (NOT corrupt AND COALESCE(ank1.n_keys, 0) > 0
+            AND COALESCE(agg1.n_hits, 0) * 1000000000
+              >= 600000000 * COALESCE(ank1.n_keys, 0)) AS suspect,
+          (NOT corrupt AND COALESCE(ank2.n_keys, 0) > 0
+            AND COALESCE(agg2.n_hits, 0) * 1000000000
+              >= 600000000 * COALESCE(ank2.n_keys, 0)) AS suspect_resampled
+        FROM aw LEFT JOIN ank1 ON ank1.mid = aw.mid
+        LEFT JOIN agg1 ON agg1.mid = aw.mid
+        LEFT JOIN ank2 ON ank2.mid = aw.mid
+        LEFT JOIN agg2 ON agg2.mid = aw.mid
         ORDER BY media_id"""
 
   /** w18/m11 SHARED oracle (the q124/q125 discipline: m11's

@@ -371,7 +371,9 @@ object StreamingOps {
     * the positions-set form's array_contains probe is O(occupied) and
     * measured 350x slower at sf0.1 (SCALE.md). Size m to the corpus
     * sketch (fill = 1-e^(-kn/m) well under ~0.3); corpus growth re-runs
-    * the bounded build, not the stream.
+    * the bounded build, not the stream. Since r14 the budget is
+    * MEASURED, not advisory: every built/merged artifact carries a
+    * `fill_ratio` column and refuses loudly past [[MaxIndexFill]].
     */
   def intakeWinnowMatches(docs: DataFrame, corpus: DataFrame,
       k: Int = 20, w: Int = 8, m: Int = 1 << 20, kHash: Int = 3,
@@ -407,13 +409,47 @@ object StreamingOps {
     // parameters fails loudly at runtime instead of silently returning
     // wrong hit counts the Bloom's no-false-negative guarantee could
     // mask. `version` starts at 1; merges bump it.
-    Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
-      .withColumn("k", lit(k)).withColumn("w", lit(w))
-      .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
-      .withColumn("version", lit(1L))
+    withFillRatio(
+      Bloom.buildPacked(corpusKeys, "hk", "__g", m, kHash)
+        .withColumn("k", lit(k)).withColumn("w", lit(w))
+        .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+        .withColumn("version", lit(1L)),
+      lit(m), "winnow-index")
   }
 
   private val IndexParamCols = Seq("k", "w", "m", "kHash")
+
+  /** Hard saturation bound for packed index artifacts: past ~0.5 fill the
+    * false-positive rate is (fill)^kHash ~ 12%+ at kHash = 3 and rising
+    * fast — the intake paths' precision silently degrades with nothing in
+    * the row to show it (VERDICT r13 #5). Builders and merges therefore
+    * carry a MEASURED `fill_ratio` column (popcount/m over the packed
+    * words) and refuse loudly past this bound.
+    */
+  private val MaxIndexFill = 0.5
+
+  private def fillBitsOf(filterCol: org.apache.spark.sql.Column) =
+    aggregate(filterCol, lit(0L), (acc, w) => acc + bit_count(w).cast("long"))
+
+  /** Stamp the artifact with its measured saturation and arm the in-row
+    * require: reading the filter past [[MaxIndexFill]] throws with the
+    * measured ratio and the rebuild instruction — the checkedFilterFor
+    * discipline, one popcount on a one-row frame.
+    */
+  private def withFillRatio(index: DataFrame,
+      mCol: org.apache.spark.sql.Column, what: String): DataFrame = {
+    val fr = fillBitsOf(col("filter")).cast("double") / mCol.cast("double")
+    val msg = concat(lit(s"$what Bloom saturated: fill_ratio "),
+      fr.cast("string"), lit(s" > $MaxIndexFill at m="),
+      mCol.cast("string"),
+      lit(" — rebuild with a larger m (or fewer OR-merged deltas); " +
+        "probing a saturated filter silently inflates false positives"))
+    index
+      .withColumn("filter",
+        when(assert_true(fr <= lit(MaxIndexFill), msg).isNull,
+          col("filter")))
+      .withColumn("fill_ratio", fr)
+  }
 
   /** Wrap `filter` so that reading it EVALUATES an assert_true over the
     * artifact's embedded parameters — the check lives in the row the
@@ -456,8 +492,9 @@ object StreamingOps {
     * artifact row: merging indexes built with different parameters
     * throws at runtime (assert_true in the merged filter column), and
     * the merged row carries the params plus `version` = max(inputs) + 1
-    * (the fill-ratio budget in [[intakeWinnowMatches]]'s scaladoc still
-    * applies to the UNION's key count).
+    * (the fill-ratio budget applies to the UNION's key count and is
+    * RE-MEASURED on the merged bitmap — the `fill_ratio` column +
+    * [[MaxIndexFill]] require, VERDICT r13 #5).
     */
   def mergeWinnowIndex(prior: DataFrame, delta: DataFrame): DataFrame =
     mergePackedIndex(prior, delta, IndexParamCols, "winnow-index")
@@ -510,11 +547,15 @@ object StreamingOps {
         concat_ws(",", paramCols.map(c =>
           concat(lit(s"$c="), col(s"__d$c").cast("string"))): _*),
         lit(")"))
-      j.select(col("__g") +:
+      val merged = j.select(col("__g") +:
         when(assert_true(eq, msg).isNull, or).as("filter") +:
         (paramCols.map(c => coalesce(col(c), col(s"__d$c")).as(c)) :+
           (greatest(coalesce(col("__va"), lit(0L)),
             coalesce(col("__vb"), lit(0L))) + 1L).as("version")): _*)
+      // re-measure saturation on the UNION bitmap (VERDICT r13 #5): this
+      // is exactly where repeated deltas silently saturate a filter
+      if (paramCols.contains("m")) withFillRatio(merged, col("m"), what)
+      else merged
     }
   }
 
@@ -538,9 +579,11 @@ object StreamingOps {
     val keys = bands
       .select(explode(array((0 to 3).map(bandKey): _*)).as("bk"))
       .withColumn("__g", lit(1))
-    Bloom.buildPacked(keys, "bk", "__g", m, kHash)
-      .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
-      .withColumn("version", lit(1L))
+    withFillRatio(
+      Bloom.buildPacked(keys, "bk", "__g", m, kHash)
+        .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+        .withColumn("version", lit(1L)),
+      lit(m), "band-index")
   }
 
   /** Incremental media-index growth: OR-merge two [[buildBandIndex]]
@@ -572,12 +615,14 @@ object StreamingOps {
         phases).toDF()
       .select(col("k").cast("string").as("lk")).distinct()
       .withColumn("__g", lit(1))
-    Bloom.buildPacked(keys, "lk", "__g", m, kHash)
-      .withColumn("frameLen", lit(frameLen))
-      .withColumn("window", lit(window))
-      .withColumn("phases", lit(phases))
-      .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
-      .withColumn("version", lit(1L))
+    withFillRatio(
+      Bloom.buildPacked(keys, "lk", "__g", m, kHash)
+        .withColumn("frameLen", lit(frameLen))
+        .withColumn("window", lit(window))
+        .withColumn("phases", lit(phases))
+        .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+        .withColumn("version", lit(1L)),
+      lit(m), "landmark-index")
   }
 
   /** Incremental landmark-index growth: the [[mergeBandIndex]] OR-merge
@@ -626,6 +671,56 @@ object StreamingOps {
         col("decode_ok") && col("n_keys") > 0 &&
           col("n_hits").cast("long") * lit(1000000000L) >=
             lit(minFrac9) * col("n_keys").cast("long"))
+  }
+
+  /** Stateless streaming RESAMPLED-audio intake (w26 — the m14 closure
+    * on the intake path): each arriving clip censuses its phase-0
+    * landmark keys under BOTH hypotheses — identity (stride 1) and
+    * even-phase decimation (stride 2, the exact inverse of a 2x linear
+    * upsample) — in one decode, and probes both key sets against the
+    * broadcast corpus index IN-ROW (zero streaming state, no shuffle
+    * below the sink). A naively-upsampled corpus re-upload flags
+    * `suspect_resampled` with CERTAINTY: its decimated keys EQUAL the
+    * original's identity keys (m14's spec-pinned set equality), which
+    * are a subset of the corpus phase union, and Bloom has no false
+    * negatives — n_hits_half = n_keys_half by construction. The
+    * identity-side probe rides along unchanged (w25's trim/byte-copy
+    * semantics), so one intake pass covers byte copies, gain
+    * transcodes, arbitrary integer trims AND 2x upsamples.
+    */
+  def intakeResampledLandmarkMatches(
+      streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      index: DataFrame, frameLen: Int = 4, window: Int = 2,
+      phases: Int = 4, m: Int = 1 << 20, kHash: Int = 3,
+      minFrac9: Long = 600000000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.operators.{Bloom, Multimodal}
+    val filt = checkedFilterFor(index,
+      LandmarkIndexParamCols.zip(Seq(frameLen, window, phases, m, kHash)),
+      "landmark-index")
+    val census = Multimodal.audioLandmarkCensus2(streamMedia, frameLen,
+      window).toDF()
+    def hits(keysCol: String) =
+      when(col("filter").isNull || !col("decode_ok"), lit(0))
+        .otherwise(size(filter(col(keysCol), kk =>
+          Bloom.mightContainPacked(col("filter"),
+            Bloom.positions(kk.cast("string"), m, kHash)))))
+    def suspectOf(nk: org.apache.spark.sql.Column,
+        nh: org.apache.spark.sql.Column) =
+      col("decode_ok") && nk > 0 &&
+        nh.cast("long") * lit(1000000000L) >= lit(minFrac9) * nk.cast("long")
+    census
+      .withColumn("__g", lit(1))
+      .join(broadcast(filt), Seq("__g"), "left")
+      .select(col("media_id"), col("decode_ok"),
+        coalesce(size(col("keys")), lit(0)).as("n_keys"),
+        hits("keys").as("n_hits"),
+        coalesce(size(col("keys_half")), lit(0)).as("n_keys_half"),
+        hits("keys_half").as("n_hits_half"))
+      .withColumn("suspect",
+        suspectOf(col("n_keys"), col("n_hits")))
+      .withColumn("suspect_resampled",
+        suspectOf(col("n_keys_half"), col("n_hits_half")))
   }
 
   /** The shared probe tail: census rows (media_id, decode_ok, b0..b3)

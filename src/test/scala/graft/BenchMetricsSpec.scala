@@ -46,6 +46,25 @@ class BenchMetricsSpec extends SparkSpec {
     assert(!BenchMetrics.monotoneDrift(Seq(-1.0, 1.0, 9.0)))
   }
 
+  test("endLoadInvalid flags only sustained external load arriving " +
+      "mid-capture (VERDICT r13 #6)") {
+    // the r13 blessed window (1.66 -> 7.47 on 32 cpus): below the cpus/4
+    // floor, ships as context, not a flag — the rule is conservative by
+    // design so the bench's own decaying tail cannot self-flag
+    assert(!BenchMetrics.endLoadInvalid(1.66, 7.47, 32))
+    // load both doubled AND past cpus/4: a concurrent sustained consumer
+    assert(BenchMetrics.endLoadInvalid(1.0, 9.0, 32))
+    assert(BenchMetrics.endLoadInvalid(3.9, 8.1, 32))
+    // past cpus/4 but not doubled: the capture STARTED loaded — that is
+    // the start-side busy gate's job, not this one's
+    assert(!BenchMetrics.endLoadInvalid(5.0, 9.0, 32))
+    // idle-start doubling stays under the floor
+    assert(!BenchMetrics.endLoadInvalid(0.1, 0.3, 32))
+    // unreadable loadavg never flags
+    assert(!BenchMetrics.endLoadInvalid(-1.0, 50.0, 32))
+    assert(!BenchMetrics.endLoadInvalid(1.0, -1.0, 32))
+  }
+
   test("listener attributes tasks/shuffle to the reset..snapshot window") {
     val mx = new BenchMetrics(spark.sparkContext)
     // work BEFORE reset must not leak into the window

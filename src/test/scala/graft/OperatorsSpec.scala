@@ -1121,6 +1121,87 @@ class OperatorsSpec extends SparkSpec {
       "non-claim: landmarks move with the frame grid under resampling)")
   }
 
+  test("m14 resample closure is EXACT: stride-2 decimation of a 2x " +
+      "linear upsample reproduces the original's identity key set " +
+      "VERBATIM (set equality), the cross-hypothesis pair rule finds " +
+      "every planted pair at containment exactly 1e9, and the closure " +
+      "composes with exact gain") {
+    implicit val sp = spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def samples(id: Long): Array[Int] = Array.tabulate(240 + (id % 60).toInt)(
+      i => (((id + 1) * 2654435761L + i.toLong * 40503L) % 65536L).toInt
+        - 32768)
+    def wavOf(s: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](s.length * 2)
+      s.indices.foreach { i =>
+        pcm(2 * i) = (s(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def rowsOf(f: Array[Int] => Array[Int], idOff: Long = 0L,
+        viaResample: Boolean = false): org.apache.spark.sql.Dataset[MediaRow] =
+      spark.createDataset((0L until 30L).map { id =>
+        val wav0 = wavOf(f(samples(id)))
+        val content =
+          if (viaResample) Multimodal.resampleWav2x(wav0).get else wav0
+        MediaRow(id + idOff, content, MediaMeta("wav", 0, 0, 0))
+      })
+    def keySets(ds: org.apache.spark.sql.Dataset[MediaRow],
+        stride: Int = 1): Map[Long, Set[Long]] =
+      Multimodal.audioLandmarkKeys(ds, stride = stride).toDF()
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).toSet }
+    val base = keySets(rowsOf(identity))
+    val ups = rowsOf(identity, idOff = 10000L, viaResample = true)
+    // EXACT inversion: decimated keys of the upsample == identity keys
+    // of the original, as SETS, clip for clip
+    val dec = keySets(ups, stride = 2)
+    base.foreach { case (id, ks) =>
+      assert(dec(id + 10000L) === ks, s"clip $id decimation not exact")
+    }
+    // the identity keys of the upsample share ~nothing with the original
+    // (this is what made resampling a non-claim before the closure)
+    val upIdent = keySets(ups)
+    val leak = base.toSeq.map { case (id, ks) =>
+      upIdent(id + 10000L).intersect(ks).size.toDouble /
+        math.max(ks.size, 1)
+    }
+    assert(leak.sum / leak.size <= 0.1)
+    // pair rule end to end: every planted (up, orig) pair surfaces at
+    // containment EXACTLY 1e9
+    val all = rowsOf(identity).union(ups)
+    val pairs = Multimodal.audioLandmarkCrossPairs(
+        Multimodal.audioLandmarkKeys(all, stride = 2).toDF(),
+        Multimodal.audioLandmarkKeys(all).toDF())
+      .filter(col("id_half") >= 10000L && col("id_ref") < 10000L)
+      .select("id_half", "id_ref", "containment9")
+      .as[(Long, Long, Long)].collect().toSeq
+    (0L until 30L).foreach { id =>
+      assert(pairs.exists(p => p._1 == id + 10000L && p._2 == id &&
+        p._3 == 1000000000L), s"planted pair $id missing or inexact")
+    }
+    // composition: exact gain x3 on the ORIGINAL, then 2x upsample —
+    // decimation still reproduces the gained original's identity keys
+    // (gain cancels in the ratios, decimation inverts the interpolation)
+    val att = keySets(rowsOf(_.map(_ / 8)))
+    val gainedUps = rowsOf(_.map(v => (v / 8) * 3), idOff = 20000L,
+      viaResample = true)
+    val decGained = keySets(gainedUps, stride = 2)
+    att.foreach { case (id, ks) =>
+      assert(decGained(id + 20000L) === ks,
+        s"clip $id gain+resample composition not exact")
+    }
+  }
+
   test("Multimodal.gifFramePHashes: one hash row per decoded frame, and a " +
       "content-identical video with a different frame count matches on " +
       "every common position (the variable-length near-dup)") {

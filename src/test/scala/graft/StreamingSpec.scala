@@ -118,6 +118,50 @@ class StreamingSpec extends SparkSpec {
     assert(meta === ((20, 8, 1 << 20, 3, 2L)))
   }
 
+  test("index artifacts carry a MEASURED fill_ratio, and a saturated " +
+      "filter refuses loudly instead of silently inflating false " +
+      "positives (VERDICT r13 #5)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    // fill_ratio is popcount/m, measured on the packed words themselves
+    val idx = StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0))
+    val (words, m, fr) = idx.select("filter", "m", "fill_ratio")
+      .as[(Seq[Long], Int, Double)].head()
+    val pop = words.map(java.lang.Long.bitCount(_).toLong).sum
+    assert(fr === pop.toDouble / m && fr > 0.0 && fr <= 0.5)
+    // the merge RE-measures on the union bitmap (saturation accrues
+    // exactly there): merged fill equals the from-scratch union's
+    val prior = StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 6 === 0))
+    val delta = StreamingOps.buildWinnowIndex(docs.filter(col("doc_id") % 6 === 3))
+    val mergedFr = StreamingOps.mergeWinnowIndex(prior, delta)
+      .select("fill_ratio").as[Double].head()
+    assert(mergedFr === fr)
+    // saturate: a tiny m forces fill past the 0.5 bound — every read of
+    // the filter column (probe, write, merge) throws with the measured
+    // ratio and the rebuild instruction
+    val sat = StreamingOps.buildWinnowIndex(
+      docs.filter(col("doc_id") % 3 === 0), m = 1 << 8)
+    val ex = intercept[Exception] { sat.select("filter").collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("Bloom saturated"))),
+      s"expected the saturation require, got $ex")
+    // the landmark and band builders carry the same measured column
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val media = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    val lfr = StreamingOps.buildLandmarkIndex(media)
+      .select("fill_ratio").as[Double].head()
+    assert(lfr > 0.0 && lfr <= 0.5)
+    val bfr = StreamingOps.buildBandIndex(
+        Multimodal.imagePHash(Multimodal.encodeMediaRows(
+          docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0))).toDF())
+      .select("fill_ratio").as[Double].head()
+    assert(bfr > 0.0 && bfr <= 0.5)
+  }
+
   test("intakeLandmarkMatches: streamed == batch row for row; trimmed " +
       "re-uploads flag with certainty; landmark-index merge is exact") {
     import spark.implicits._
@@ -167,6 +211,94 @@ class StreamingSpec extends SparkSpec {
     assert(intercept[Exception] {
       StreamingOps.mergeLandmarkIndex(index, other).collect()
     }.getMessage != null)
+  }
+
+  test("intakeResampledLandmarkMatches (w26): streamed == batch row for " +
+      "row; 2x-upsampled re-uploads flag suspect_resampled with " +
+      "certainty through the decimation hypothesis; zero streaming state") {
+    import spark.implicits._
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    val index = StreamingOps.buildLandmarkIndex(corpus)
+    def arrivals(base: org.apache.spark.sql.DataFrame) =
+      Multimodal.encodeMediaRows(base.filter(col("doc_id") % 4 === 1))
+        .flatMap { m =>
+          if (m.media_id % 3 == 0)
+            Multimodal.resampleWav2x(m.content).map(b =>
+              m.copy(media_id = m.media_id + 5000000000L,
+                content = b)).toSeq
+          else Seq(m)
+        }
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.intakeResampledLandmarkMatches(
+          arrivals(StreamingOps.documentsStream(spark, sf())), index),
+        "t_resampled_intake").orderBy("media_id").collect().toSeq
+    val batch = StreamingOps.intakeResampledLandmarkMatches(
+        arrivals(docs), index)
+      .orderBy("media_id").collect().toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // certainty: every upsampled corpus re-upload probes its DECIMATED
+    // keys at n_hits_half == n_keys_half and flags suspect_resampled —
+    // its decimation IS the original (m14 set equality), whose keys are
+    // in the corpus phase union, and Bloom has no false negatives
+    val ups = batch.filter(_.getLong(0) >= 5000000000L)
+    assert(ups.nonEmpty)
+    ups.foreach { r =>
+      assert(r.getBoolean(1) && r.getInt(4) > 0 &&
+        r.getInt(5) === r.getInt(4) && r.getBoolean(7),
+        s"upsampled re-upload not certain: $r")
+    }
+    // and the IDENTITY hypothesis alone would have missed them (the
+    // pre-closure non-claim): upsamples' identity keys mostly novel
+    val missedByIdentity = ups.count(r => !r.getBoolean(6))
+    info(s"identity-hypothesis probe missed $missedByIdentity/${ups.size}" +
+      " upsamples (why the decimation hypothesis exists)")
+  }
+
+  test("w25 -> w19 composition (VERDICT r13 #8): trimmed-audio certainty " +
+      "flags feed per-domain quota admission the way production intake " +
+      "chains them — intake stays zero-state, quota state stays one " +
+      "bounded counter per domain, admitted <= cap unconditionally") {
+    import spark.implicits._
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    val index = StreamingOps.buildLandmarkIndex(corpus)
+    val cap = 3
+    // the production chain: decode+probe (stateless) -> drop known
+    // content -> per-domain admission (the only stateful stage)
+    def chain(base: org.apache.spark.sql.DataFrame) = {
+      val flagged = StreamingOps.intakeLandmarkMatches(
+        Multimodal.encodeMediaRows(base.filter(col("doc_id") % 4 === 1)),
+        index)
+      StreamingOps.streamingDomainQuota(
+        flagged.filter(col("decode_ok") && !col("suspect"))
+          .select(col("media_id").as("doc_id"),
+            concat(lit("d"), (col("media_id") % 3).cast("string"))
+              .as("domain")),
+        "domain", cap).toDF()
+    }
+    val streamed = StreamingOps.runToMemory(spark,
+        chain(StreamingOps.documentsStream(spark, sf())),
+        "t_landmark_quota").orderBy("doc_id")
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    // quota invariant: admitted <= cap per domain, unconditionally
+    streamed.groupBy(_._2).foreach { case (d, rows) =>
+      assert(rows.count(_._3) <= cap, s"domain $d overran the cap")
+    }
+    // corpus members flag suspect upstream, so they never reach quota
+    assert(streamed.forall(r => r._1 % 3 != 0))
+    // end-of-stream equality with the batch rank rule (the w19 oracle
+    // contract): ROW_NUMBER per domain ordered by doc_id, <= cap admits
+    val batchTwin = chain(docs).orderBy("doc_id")
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    assert(streamed === batchTwin)
   }
 
   test("mergePackedIndex: an EMPTY side is the OR identity, not silent " +
