@@ -549,15 +549,25 @@ object Bench {
     val busyEnd = externalBusyFrac()
     // (c) end-load gate (VERDICT r13 #6): contention that ARRIVES
     // mid-capture escapes the start-side busy probe; flag it from the
-    // end-of-window loadavg so medians only merge quiet windows
+    // end-of-window loadavg, corroborated by the end busy probe (the
+    // loadavg alone self-flagged the first r14 capture on the bench's
+    // own 32-thread tail — see BenchMetrics.endLoadInvalid's scaladoc)
     val endLoadBad = BenchMetrics.endLoadInvalid(loadStart, loadEnd,
-      Runtime.getRuntime.availableProcessors())
+      Runtime.getRuntime.availableProcessors(), busyEnd)
     if (endLoadBad)
       System.err.println(f"[bench] end-of-capture loadavg $loadEnd%.2f " +
-        f"exceeds max(2 x start $loadStart%.2f, cpus/4) — external load " +
-        "arrived mid-capture; capture will carry invalid_capture:true. " +
-        "Discard and re-run in a quiet window.")
-    val invalidCaptureFinal = invalidCapture || endLoadBad
+        f"exceeds max(2 x start $loadStart%.2f, cpus/4) with external " +
+        f"busy $busyEnd%.2f — external load arrived mid-capture; capture " +
+        "will carry invalid_capture:true. Discard and re-run in a quiet " +
+        "window.")
+    // (d) end-side busy gate: the start gate's mirror — a capture that
+    // ENDS beside >10% external CPU ran its tail contaminated even if
+    // the 1-minute loadavg has not caught up yet
+    val endBusyBad = busyEnd > 0.10
+    if (endBusyBad)
+      System.err.println(f"[bench] external busy fraction at capture end " +
+        f"$busyEnd%.2f > 0.10 — capture will carry invalid_capture:true.")
+    val invalidCaptureFinal = invalidCapture || endLoadBad || endBusyBad
     val canary =
       f"""{"start_1t":$canaryStart1t%.3f,"start_mt":$canaryStartMt%.3f,"end_1t":$canaryEnd1t%.3f,"end_mt":$canaryEndMt%.3f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"busy_start":$busyStart%.3f,"busy_end":$busyEnd%.3f}"""
     val json =

@@ -99,16 +99,25 @@ object BenchMetrics {
     * the r13 blessed window ran while host load rose 1.66 -> 7.47, which
     * is exactly the condition behind that round's 1.3-1.5x
     * identical-plan drifts. A capture whose 1-minute loadavg ends above
-    * BOTH 2x its start and cpus/4 ran beside sustained external work and
-    * is flagged, so medians only merge quiet windows. The cpus/4 floor
-    * keeps the bench's own decaying tail (short 32-thread bursts; the
-    * end probes run ~6 s after the last query) and an idle-start
-    * doubling (0.1 -> 0.3) from self-flagging. Unreadable loadavg (-1)
-    * never flags.
+    * BOTH 2x its start and cpus/4 — CORROBORATED by the end-side
+    * external-busy probe reading >= 5% — ran beside sustained external
+    * work and is flagged, so medians only merge quiet windows.
+    *
+    * The busy corroboration is measured necessity, not caution: the
+    * first r14 capture ended at loadavg 8.77 with busy_end 0.001, FLAT
+    * canaries (0.813 -> 0.827 1t), zero contaminated metrics, and a
+    * 280 s total squarely in the clean 230-286 s band — the 1-minute
+    * loadavg was the bench's OWN back-to-back 32-thread tail (archive +
+    * lake metrics run last), which no cpus/4 floor reliably clears.
+    * loadavg cannot tell our work from theirs; the /proc/stat probe
+    * sleeps through its window and so measures OTHER processes only —
+    * the load rule supplies the "sustained over the window" evidence,
+    * the probe supplies the "not us" evidence, and only together do
+    * they flag. Unreadable loadavg/busy (-1) never flags.
     */
   def endLoadInvalid(loadStart: Double, loadEnd: Double,
-      cpus: Int): Boolean =
-    loadStart >= 0 && loadEnd >= 0 &&
+      cpus: Int, busyEnd: Double): Boolean =
+    busyEnd >= 0.05 && loadStart >= 0 && loadEnd >= 0 &&
       loadEnd > math.max(2.0 * loadStart, cpus / 4.0)
 
   /** Fingerprint of the canonicalized (exprId-normalized) physical plan.

@@ -51,18 +51,23 @@ class BenchMetricsSpec extends SparkSpec {
     // the r13 blessed window (1.66 -> 7.47 on 32 cpus): below the cpus/4
     // floor, ships as context, not a flag — the rule is conservative by
     // design so the bench's own decaying tail cannot self-flag
-    assert(!BenchMetrics.endLoadInvalid(1.66, 7.47, 32))
-    // load both doubled AND past cpus/4: a concurrent sustained consumer
-    assert(BenchMetrics.endLoadInvalid(1.0, 9.0, 32))
-    assert(BenchMetrics.endLoadInvalid(3.9, 8.1, 32))
+    assert(!BenchMetrics.endLoadInvalid(1.66, 7.47, 32, 0.3))
+    // load both doubled AND past cpus/4 WITH external-busy corroboration:
+    // a concurrent sustained consumer
+    assert(BenchMetrics.endLoadInvalid(1.0, 9.0, 32, 0.05))
+    assert(BenchMetrics.endLoadInvalid(3.9, 8.1, 32, 0.25))
+    // the first r14 capture, measured: loadavg 8.77 was the bench's OWN
+    // tail — busy_end 0.001 proves the host idle, so no flag
+    assert(!BenchMetrics.endLoadInvalid(1.90, 8.77, 32, 0.001))
     // past cpus/4 but not doubled: the capture STARTED loaded — that is
     // the start-side busy gate's job, not this one's
-    assert(!BenchMetrics.endLoadInvalid(5.0, 9.0, 32))
+    assert(!BenchMetrics.endLoadInvalid(5.0, 9.0, 32, 0.3))
     // idle-start doubling stays under the floor
-    assert(!BenchMetrics.endLoadInvalid(0.1, 0.3, 32))
-    // unreadable loadavg never flags
-    assert(!BenchMetrics.endLoadInvalid(-1.0, 50.0, 32))
-    assert(!BenchMetrics.endLoadInvalid(1.0, -1.0, 32))
+    assert(!BenchMetrics.endLoadInvalid(0.1, 0.3, 32, 0.3))
+    // unreadable loadavg/busy never flags
+    assert(!BenchMetrics.endLoadInvalid(-1.0, 50.0, 32, 0.3))
+    assert(!BenchMetrics.endLoadInvalid(1.0, -1.0, 32, 0.3))
+    assert(!BenchMetrics.endLoadInvalid(1.0, 9.0, 32, -1.0))
   }
 
   test("listener attributes tasks/shuffle to the reset..snapshot window") {
