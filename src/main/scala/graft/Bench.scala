@@ -405,6 +405,7 @@ object Bench {
     // plan-matching and report a warm-cache number (ADVICE r1 + r3 #9)
     def releaseCaches(): Unit = {
       graft.operators.Dedup.unpersistAll()
+      graft.operators.Multimodal.unpersistAll()
       graft.operators.Windowed.unpersistAll()
       graft.operators.Bpe.unpersistAll()
       graft.operators.KMeans.unpersistAll()

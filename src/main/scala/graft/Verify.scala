@@ -32,6 +32,7 @@ object Verify {
         }
         finally {
           graft.operators.Dedup.unpersistAll()
+          graft.operators.Multimodal.unpersistAll()
           graft.operators.Windowed.unpersistAll()
           graft.operators.Bpe.unpersistAll()
           graft.operators.KMeans.unpersistAll()

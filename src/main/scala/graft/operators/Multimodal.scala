@@ -599,6 +599,37 @@ object Multimodal {
     }
   }
 
+  // Persisted intermediates (two-hypothesis census tables etc.)
+  // registered so long-lived sessions can release them — the Dedup
+  // ownership contract: callers run [[unpersistAll]] once results are
+  // materialized.
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[graft] def cached(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(df)
+    df
+  }
+
+  /** [[audioLandmarkCensus2]] as a PERSISTED DataFrame — the m14 shape:
+    * the census feeds both hypothesis key tables AND each table is read
+    * twice by the pair rule's df-cap, so without the persist every read
+    * re-decodes the whole corpus. Register + release via
+    * [[unpersistAll]].
+    */
+  def cachedCensus2(media: Dataset[MediaRow], frameLen: Int = 4,
+      window: Int = 2)(implicit spark: SparkSession): DataFrame =
+    cached(audioLandmarkCensus2(media, frameLen, window).toDF())
+
+  /** Release every intermediate persisted by multimodal operators in
+    * this JVM.
+    */
+  def unpersistAll(): Unit = {
+    var df = cachedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cachedFrames.poll() }
+  }
+
   final case class AudioLandmarkCensus2Row(media_id: Long,
       decode_ok: Boolean, keys: Array[Long], keys_half: Array[Long])
 
@@ -638,8 +669,14 @@ object Multimodal {
     * fixtures, never a quadratic); denominators are the PRE-cap per-clip
     * key counts, so the cap can only lose pairs, never inflate a score.
     */
-  def audioLandmarkPairs(keys: DataFrame, maxBucket: Int = 200,
+  def audioLandmarkPairs(keys0: DataFrame, maxBucket: Int = 200,
       minContainment9: Long = 600000000L): DataFrame = {
+    // the keys frame feeds FOUR reads (pre-cap counts, the hot-key
+    // aggregation, and both sides of the candidate self-join) — without
+    // a persist each read re-runs the whole decode+kernel pipeline
+    // upstream (measured ~3x on m12 at sf0.1). Registered via the
+    // Dedup-style registry; callers release with [[unpersistAll]].
+    val keys = cached(keys0)
     val nk = keys.groupBy("media_id").agg(count(lit(1)).as("nkeys"))
     val over = keys.groupBy("k").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxBucket).select("k")

@@ -1022,8 +1022,18 @@ object MultimodalQueries {
           Multimodal.resampleWav2x(m.content).map(b =>
             m.copy(media_id = m.media_id + 4000000000L, content = b)))
         val all = media.union(ups)
-        val half = Multimodal.audioLandmarkKeys(all, stride = 2).toDF()
-        val ident = Multimodal.audioLandmarkKeys(all).toDF()
+        // ONE decode serves both hypothesis kernels (audioLandmarkCensus2
+        // — the production shape; two audioLandmarkKeys passes would
+        // decode every clip twice, and the pair rule reads each key
+        // table twice more for the df-cap). Exploding the persisted
+        // census arrays yields exactly the audioLandmarkKeys tables:
+        // same phase-0 kernels, same per-clip distinct. Released via
+        // Multimodal.unpersistAll (the Dedup ownership contract).
+        val census = Multimodal.cachedCensus2(all)
+        val half = census.select(col("media_id"),
+          explode(col("keys_half")).as("k"))
+        val ident = census.select(col("media_id"),
+          explode(col("keys")).as("k"))
         Multimodal.audioLandmarkCrossPairs(half, ident)
           .orderBy("id_half", "id_ref")
       },

@@ -165,6 +165,7 @@ class EmptyInputSpec extends SparkSpec {
         case _ => assert(rows.isEmpty, s"$name: ${rows.take(3).toSeq}")
       }
       graft.operators.Dedup.unpersistAll()
+      graft.operators.Multimodal.unpersistAll()
       graft.operators.Windowed.unpersistAll()
       graft.operators.LogReg.unpersistAll()
     }
