@@ -582,6 +582,49 @@ object ScaleBench {
             println(f"""{"query":"landmark_pairs","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
             Seq(("landmark_pairs", s, h, if (s > 0 && h > 0) 1.0 else -1.0))
           }
+        // m14's resample-closure pair rule at decade scale: ONE persisted
+        // two-hypothesis census (decode once), then the cross-hypothesis
+        // key join under the union df-cap — same near-linear shape as
+        // landmark_pairs with ~1.5x kernel work for the second hypothesis
+        def landmarkResamplePairs(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try {
+            implicit val sp = spark
+            import spark.implicits._
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            val media = graft.operators.Multimodal.encodeMediaRows(
+              docs.filter(col("doc_id") % 4 === 1))
+            val ups = media.flatMap(m =>
+              if (m.media_id % 3 == 0)
+                graft.operators.Multimodal.resampleWav2x(m.content)
+                  .map(b => m.copy(media_id = m.media_id + 4000000000L,
+                    content = b)).toSeq
+              else Seq.empty)
+            val census = graft.operators.Multimodal
+              .cachedCensus2(media.union(ups))
+            graft.operators.Multimodal.audioLandmarkCrossPairs(
+                census.select(col("media_id"),
+                  explode(col("keys_half")).as("k")),
+                census.select(col("media_id"), explode(col("keys")).as("k")))
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] landmark_resample_pairs @ $dir failed: ${e.getMessage}")
+              -1.0
+          } finally {
+            graft.operators.Multimodal.unpersistAll()
+            releaseCaches()
+          }
+        }
+        val landmarkResampleRow =
+          if (!customOn("landmark_resample_pairs")) Seq.empty else {
+            val (s, b, h) = (landmarkResamplePairs(srcDir),
+              landmarkResamplePairs(bigDir), landmarkResamplePairs(hugeDir))
+            println(f"""{"query":"landmark_resample_pairs","sf01_sec":$s%.3f,"sf10_sec":$b%.3f,"sf100_sec":$h%.3f}""")
+            Seq(("landmark_resample_pairs", s, h,
+              if (s > 0 && h > 0) 1.0 else -1.0))
+          }
         // hard-negative mining, production (LSH-gated) path: q113b's
         // inventory form carries the exact brute-force truth denominator
         // by design (the grade IS the point there), so the decade curve
@@ -781,7 +824,7 @@ object ScaleBench {
         }
         queryRows ++ lshRow ++ intakeRow ++ phashRow ++
           landmarkIntakeRow ++ landmarkBuildRow ++ landmarkPairsRow ++
-          hardNegRow ++ annRows ++ clusterRow
+          landmarkResampleRow ++ hardNegRow ++ annRows ++ clusterRow
       }
 
     val bad = (rows ++ archiveRows ++ hundredRows)

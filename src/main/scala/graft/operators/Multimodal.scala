@@ -547,24 +547,38 @@ object Multimodal {
     }
   }
 
-  /** Re-encode a WAV at 2x the sample count via linear interpolation
-    * (u'(2i) = u(i), u'(2i+1) = floor((u(i) + u(i+1)) / 2) over the
-    * unsigned 16-bit samples) — the naive-upsample re-upload fixture for
-    * [[audioLandmarkKeys]]'s resample closure. None for non-decodable
-    * input or clips shorter than 2 samples.
+  /** Re-encode a WAV at `factor`x the sample count via linear
+    * interpolation (u'(factor*i) = u(i); the factor-1 points between
+    * u(i) and u(i+1) are floor((u(i)*(factor-j) + u(i+1)*j) / factor)
+    * over the unsigned 16-bit samples) — the naive-upsample re-upload
+    * fixture for [[audioLandmarkKeys]]'s resample closure. The ORIGINAL
+    * samples land exactly on the factor-grid, so stride = factor
+    * decimation inverts the upsample bit for bit at ANY integer factor
+    * (spec-pinned for 2x and 3x). None for non-decodable input or clips
+    * shorter than 2 samples.
     */
-  def resampleWav2x(bytes: Array[Byte]): Option[Array[Byte]] =
+  def resampleWavKx(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
     decodeWavU16(bytes).filter(_.length >= 2).map { u =>
-      val out = new Array[Int](2 * u.length - 1)
+      val out = new Array[Int](factor * (u.length - 1) + 1)
       var i = 0
       while (i < u.length - 1) {
-        out(2 * i) = u(i)
-        out(2 * i + 1) = (u(i) + u(i + 1)) / 2
+        var j = 0
+        while (j < factor) {
+          out(factor * i + j) =
+            (u(i) * (factor - j) + u(i + 1) * j) / factor
+          j += 1
+        }
         i += 1
       }
-      out(2 * u.length - 2) = u(u.length - 1)
+      out(factor * (u.length - 1)) = u(u.length - 1)
       encodeWavS16(out.map(_ - 32768))
     }
+  }
+
+  /** [[resampleWavKx]] at 2x — the m14/w26 fixture transform. */
+  def resampleWav2x(bytes: Array[Byte]): Option[Array[Byte]] =
+    resampleWavKx(bytes, 2)
 
   final case class AudioLandmarkCensusRow(media_id: Long,
       decode_ok: Boolean, keys: Array[Long])

@@ -1200,6 +1200,17 @@ class OperatorsSpec extends SparkSpec {
       assert(decGained(id + 20000L) === ks,
         s"clip $id gain+resample composition not exact")
     }
+    // the closure generalizes to ANY integer factor: linear k-x
+    // interpolation keeps the originals on the factor-grid, so
+    // stride = k inverts it — pinned at k = 3
+    val ups3 = spark.createDataset((0L until 30L).map { id =>
+      val w = Multimodal.resampleWavKx(wavOf(samples(id)), 3).get
+      MediaRow(id + 30000L, w, MediaMeta("wav", 0, 0, 0))
+    })
+    val dec3 = keySets(ups3, stride = 3)
+    base.foreach { case (id, ks) =>
+      assert(dec3(id + 30000L) === ks, s"clip $id 3x decimation not exact")
+    }
   }
 
   test("Multimodal.gifFramePHashes: one hash row per decoded frame, and a " +

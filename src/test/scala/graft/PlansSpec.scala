@@ -73,6 +73,30 @@ class PlansSpec extends SparkSpec {
     assert(assigned.count() === emb.count() * 2)
   }
 
+  test("m14 cross-hypothesis pair rule: hot keys prune via broadcast " +
+      "anti-joins, the candidate join is a key equi-join (no cartesian), " +
+      "and the census is persisted once (InMemoryRelation feeds every " +
+      "read)") {
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMediaTable(spark, sf("sf0.001"),
+      Some("wav"))
+    val census = Multimodal.cachedCensus2(media)
+    val pairs = Multimodal.audioLandmarkCrossPairs(
+      census.select(col("media_id"), explode(col("keys_half")).as("k")),
+      census.select(col("media_id"), explode(col("keys")).as("k")))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), s"hot-key prune must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degenerated to a cross product:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"census not persisted:\n$p")
+    pairs.write.format("noop").mode("overwrite").save()
+    Multimodal.unpersistAll()
+  }
+
   test("k-means distances compute in-row against broadcast centroids: " +
       "no shuffle keyed on point ids, and wide == long formulation") {
     import graft.operators.KMeans
