@@ -256,6 +256,28 @@ class StreamingSpec extends SparkSpec {
     val missedByIdentity = ups.count(r => !r.getBoolean(6))
     info(s"identity-hypothesis probe missed $missedByIdentity/${ups.size}" +
       " upsamples (why the decimation hypothesis exists)")
+    // COMPOSED transform: trim 2 samples THEN upsample 2x (the pirated
+    // re-upload that was both clipped and transcoded). Decimation
+    // recovers the TRIMMED clip exactly, whose phase-0 keys sit in the
+    // phases=4 corpus union (the m12 trim closure) — so the certainty
+    // guarantee survives the composition too
+    val composed = Multimodal.encodeMediaRows(
+        docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+      .flatMap { m =>
+        for {
+          t <- Multimodal.shiftWav(m.content, 2)
+          u <- Multimodal.resampleWav2x(t)
+        } yield m.copy(media_id = m.media_id + 7000000000L, content = u)
+      }
+    val composedRows = StreamingOps.intakeResampledLandmarkMatches(
+        composed, index)
+      .orderBy("media_id").collect().toSeq
+    assert(composedRows.nonEmpty)
+    composedRows.foreach { r =>
+      assert(r.getBoolean(1) && r.getInt(4) > 0 &&
+        r.getInt(5) === r.getInt(4) && r.getBoolean(7),
+        s"trim+resample composition not certain: $r")
+    }
   }
 
   test("w25 -> w19 composition (VERDICT r13 #8): trimmed-audio certainty " +
