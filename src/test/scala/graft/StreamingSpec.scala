@@ -147,6 +147,22 @@ class StreamingSpec extends SparkSpec {
     assert(chain(ex).exists(t =>
       Option(t.getMessage).exists(_.contains("Bloom saturated"))),
       s"expected the saturation require, got $ex")
+    // probe-side enforcement: the builder's in-plan assert does not
+    // travel through a parquet round trip, so a saturated artifact
+    // RELOADED from disk must still refuse where it matters — at the
+    // probe (recomputed popcount, so a doctored fill_ratio cannot mask)
+    val satDir = java.nio.file.Files
+      .createTempDirectory("graft_sat_idx").toString
+    idx.withColumn("filter", transform(col("filter"), _ => lit(-1L)))
+      .write.mode("overwrite").parquet(satDir)
+    val exReload = intercept[Exception] {
+      StreamingOps.intakeWinnowMatchesWith(
+        docs.filter(col("doc_id") % 3 =!= 0).limit(5),
+        spark.read.parquet(satDir)).collect()
+    }
+    assert(chain(exReload).exists(t =>
+      Option(t.getMessage).exists(_.contains("Bloom saturated"))),
+      s"reloaded saturated artifact probed silently: $exReload")
     // the landmark and band builders carry the same measured column
     implicit val sp = spark
     import graft.operators.Multimodal
