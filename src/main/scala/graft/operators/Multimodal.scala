@@ -580,6 +580,21 @@ object Multimodal {
   def resampleWav2x(bytes: Array[Byte]): Option[Array[Byte]] =
     resampleWavKx(bytes, 2)
 
+  /** Re-encode a WAV keeping every `factor`-th sample (v(i) =
+    * u(factor*i)) — the nearest-neighbor DOWNSAMPLE re-upload fixture
+    * (the low-bitrate rip). Its identity landmark keys equal the
+    * original's stride-`factor` keys exactly, which is what the
+    * stride-multiplied index (w27) closes. None for non-decodable input
+    * or clips shorter than `factor` samples.
+    */
+  def decimateWav(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    decodeWavU16(bytes).filter(_.length >= factor).map { u =>
+      val n = (u.length + factor - 1) / factor
+      encodeWavS16(Array.tabulate(n)(i => u(factor * i) - 32768))
+    }
+  }
+
   final case class AudioLandmarkCensusRow(media_id: Long,
       decode_ok: Boolean, keys: Array[Long])
 

@@ -1034,7 +1034,48 @@ object StreamQueries {
             "w26_mem")
           .orderBy("media_id")
       },
-      Some(resampledAudioIntakeOracleSql))
+      Some(resampledAudioIntakeOracleSql)),
+
+    // w27: the DOWNSAMPLE closure — w26's symmetric half, closed on the
+    // INDEX side. The corpus index is built at strideMax = 2 (it
+    // additionally carries every clip's stride-2 keys at all four
+    // phases, ~1/2 extra keys), so a nearest-neighbor 2x-DOWNSAMPLED
+    // re-upload — whose identity keys ARE the original's stride-2
+    // offset-0 keys — flags suspect through the UNCHANGED identity
+    // intake, with certainty (subset of the index key set + no Bloom
+    // false negatives). The oracle replays the (phase x stride) corpus
+    // key lattice, the decimated arrival PCM, the md5 Bloom positions,
+    // and the hit fractions.
+    "w27_stream_downsampled_audio_intake" -> QueryDef(
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        import graft.operators.Multimodal
+        val corpus = Multimodal.encodeMediaRows(
+          graft.Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+        val index = StreamingOps.buildLandmarkIndex(corpus, strideMax = 2)
+        val stream = Multimodal.encodeMediaRows(
+            StreamingOps.documentsStream(s, dir)
+              .filter(col("doc_id") % 4 === 1))
+          .flatMap { m =>
+            if (m.media_id % 3 == 0)
+              // corpus member arriving again as a 2x nearest-neighbor
+              // downsample (the low-bitrate rip)
+              Multimodal.decimateWav(m.content, 2).map(b =>
+                m.copy(media_id = m.media_id + 6000000000L,
+                  content = b)).toSeq
+            else if (m.media_id % 5 == 3)
+              Seq(m.copy(content = m.content.take(7)))
+            else Seq(m)
+          }
+        StreamingOps.runToMemory(s,
+            StreamingOps.intakeLandmarkMatches(stream, index,
+              strideMax = 2),
+            "w27_mem")
+          .orderBy("media_id")
+      },
+      Some(downsampledAudioIntakeOracleSql))
   )
 
   /** w25 oracle: corpus landmark keys at ALL FOUR phases (the m12 CTE
@@ -1277,6 +1318,103 @@ object StreamQueries {
         LEFT JOIN agg1 ON agg1.mid = aw.mid
         LEFT JOIN ank2 ON ank2.mid = aw.mid
         LEFT JOIN agg2 ON agg2.mid = aw.mid
+        ORDER BY media_id"""
+
+  /** w27 oracle: the corpus key set over the FULL (phase x stride)
+    * lattice (p in 0..3, st in 1..2 — the strideMax = 2 index), then
+    * the w25 arrival machinery with the decimated-PCM class (sample
+    * index 2i) for the planted downsampled re-uploads.
+    */
+  private[queries] def downsampledAudioIntakeOracleSql: String =
+    """WITH cw AS (SELECT doc_id AS cid FROM documents
+          WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        cfr AS (SELECT cid, CAST(tp.p AS INT) AS p, CAST(ts.s AS INT) AS st,
+            ((200 + cid % 100 - CAST(tp.p AS INT) + CAST(ts.s AS INT) - 1)
+              // CAST(ts.s AS INT)) // 4 AS nf
+          FROM cw, range(4) tp(p), range(1, 3) ts(s)),
+        csq AS (SELECT cid, p, st, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT cfr.cid, cfr.p, cfr.st, ti.i AS i,
+              ((cid + 1) * 2654435761 + (p + st * ti.i) * 40503) % 65536
+                - 32768 AS s
+            FROM cfr, range(296) ti(i) WHERE ti.i < nf * 4)
+          GROUP BY 1, 2, 3, 4),
+        clm AS (SELECT cid, p, st, f, e FROM (
+            SELECT cid, p, st, f, e,
+              MAX(e) OVER (PARTITION BY cid, p, st ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY cid, p, st ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY cid, p, st) AS nf2
+            FROM csq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        ctri AS (SELECT cid, p, st,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM clm WINDOW win AS (PARTITION BY cid, p, st ORDER BY f)),
+        ck AS MATERIALIZED (SELECT DISTINCT
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM ctri WHERE f1 IS NOT NULL),
+        bpos AS MATERIALIZED (SELECT DISTINCT CAST(CAST(('0x' || substr(
+              md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+              1, 12)) AS BIGINT) % 1048576 AS INT) AS p
+          FROM ck CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        aw AS (SELECT doc_id AS mid, doc_id AS acid, 0 AS dwn,
+            (doc_id % 5 = 3) AS corrupt
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0
+          UNION ALL SELECT doc_id + 6000000000, doc_id, 1, FALSE
+          FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+        afr AS (SELECT mid, acid, dwn,
+            CASE WHEN dwn = 1 THEN (200 + acid % 100 + 1) // 2
+                 ELSE 200 + acid % 100 END AS len
+          FROM aw WHERE NOT corrupt),
+        asq AS (SELECT mid, i // 4 AS f, SUM(s * s) AS e
+          FROM (SELECT afr.mid, ti.i AS i,
+              ((acid + 1) * 2654435761
+                + (CASE WHEN dwn = 1 THEN 2 * ti.i ELSE ti.i END) * 40503)
+                % 65536 - 32768 AS s
+            FROM afr, range(300) ti(i) WHERE ti.i < (len // 4) * 4)
+          GROUP BY 1, 2),
+        alm AS (SELECT mid, f, e FROM (
+            SELECT mid, f, e,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mp,
+              MAX(e) OVER (PARTITION BY mid ORDER BY f
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mf,
+              COUNT(*) OVER (PARTITION BY mid) AS nf2
+            FROM asq)
+          WHERE f >= 2 AND f <= nf2 - 3 AND e > mp AND e > mf),
+        atri AS (SELECT mid,
+            LAG(f, 2) OVER win AS f1, LAG(e, 2) OVER win AS e1,
+            LAG(f, 1) OVER win AS f2, LAG(e, 1) OVER win AS e2,
+            f AS f3, e AS e3
+          FROM alm WINDOW win AS (PARTITION BY mid ORDER BY f)),
+        ak AS MATERIALIZED (SELECT DISTINCT mid,
+            ((((f2 - f1) % 64) * 64 + ((f3 - f2) % 64)) * 2048
+              + LEAST(2047, e2 * 1024 // e1)) * 2048
+              + LEAST(2047, e3 * 1024 // e2) AS k
+          FROM atri WHERE f1 IS NOT NULL),
+        ank AS (SELECT mid, COUNT(*) AS n_keys FROM ak GROUP BY 1),
+        ahit AS (SELECT mid, k,
+            MIN(CASE WHEN CAST(CAST(('0x' || substr(
+                md5(CAST(k AS VARCHAR) || '#bloom' || CAST(i AS VARCHAR)),
+                1, 12)) AS BIGINT) % 1048576 AS INT)
+              IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS ok
+          FROM ak CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          GROUP BY mid, k),
+        agg AS (SELECT mid, SUM(ok) AS n_hits FROM ahit GROUP BY 1)
+        SELECT aw.mid AS media_id, NOT corrupt AS decode_ok,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(ank.n_keys, 0) END AS INT) AS n_keys,
+          CAST(CASE WHEN corrupt THEN 0
+            ELSE COALESCE(agg.n_hits, 0) END AS INT) AS n_hits,
+          (NOT corrupt AND COALESCE(ank.n_keys, 0) > 0
+            AND COALESCE(agg.n_hits, 0) * 1000000000
+              >= 600000000 * COALESCE(ank.n_keys, 0)) AS suspect
+        FROM aw LEFT JOIN ank ON ank.mid = aw.mid
+        LEFT JOIN agg ON agg.mid = aw.mid
         ORDER BY media_id"""
 
   /** w18/m11 SHARED oracle (the q124/q125 discipline: m11's

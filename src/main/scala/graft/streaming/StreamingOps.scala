@@ -607,7 +607,7 @@ object StreamingOps {
     mergePackedIndex(prior, delta, BandIndexParamCols, "band-index")
 
   private val LandmarkIndexParamCols =
-    Seq("frameLen", "window", "phases", "m", "kHash")
+    Seq("frameLen", "window", "phases", "m", "kHash", "strideMax")
 
   /** The corpus AUDIO LANDMARK index as a persistable, self-describing
     * artifact: the distinct [[graft.operators.Multimodal.audioLandmarkKeys]]
@@ -617,14 +617,30 @@ object StreamingOps {
     * one Bloom row with (frameLen, window, phases, m, kHash, version)
     * riding along. Daily deltas OR-merge via [[mergeLandmarkIndex]].
     */
+  /** `strideMax` > 1 is the DOWNSAMPLE closer, the index-side twin of
+    * w26's arrival-side decimation hypothesis: the index additionally
+    * carries the corpus's stride-s keys for every s in 2..strideMax (at
+    * the same phase offsets), so a nearest-neighbor s-x DOWNSAMPLED
+    * re-upload — whose identity keys ARE the original's stride-s
+    * offset-0 keys — probes at n_hits = n_keys through the UNCHANGED
+    * identity intake, with certainty. Costs ~1/s extra keys and kernel
+    * work per stride (the stride-s kernel has 1/s the frames).
+    * Downsample composed with an original-domain trim t is covered
+    * while s*t' lands inside the phase set — beyond that, the
+    * documented residual (w27's spec measures the strideMax = 1 index
+    * missing every planted downsample, the motivation).
+    */
   def buildLandmarkIndex(
       corpus: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
       frameLen: Int = 4, window: Int = 2, phases: Int = 4,
-      m: Int = 1 << 20, kHash: Int = 3): DataFrame = {
+      m: Int = 1 << 20, kHash: Int = 3, strideMax: Int = 1): DataFrame = {
     import graft.operators.{Bloom, Multimodal}
     implicit val sp: SparkSession = corpus.sparkSession
-    val keys = Multimodal.audioLandmarkKeys(corpus, frameLen, window,
-        phases).toDF()
+    require(strideMax >= 1, s"strideMax must be >= 1, got $strideMax")
+    val keys = (1 to strideMax)
+      .map(s => Multimodal.audioLandmarkKeys(corpus, frameLen, window,
+        phases, stride = s).toDF())
+      .reduce(_.unionAll(_))
       .select(col("k").cast("string").as("lk")).distinct()
       .withColumn("__g", lit(1))
     withFillRatio(
@@ -633,6 +649,7 @@ object StreamingOps {
         .withColumn("window", lit(window))
         .withColumn("phases", lit(phases))
         .withColumn("m", lit(m)).withColumn("kHash", lit(kHash))
+        .withColumn("strideMax", lit(strideMax))
         .withColumn("version", lit(1L)),
       lit(m), "landmark-index")
   }
@@ -661,11 +678,12 @@ object StreamingOps {
       streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
       index: DataFrame, frameLen: Int = 4, window: Int = 2,
       phases: Int = 4, m: Int = 1 << 20, kHash: Int = 3,
-      minFrac9: Long = 600000000L)(
+      minFrac9: Long = 600000000L, strideMax: Int = 1)(
       implicit spark: SparkSession): DataFrame = {
     import graft.operators.{Bloom, Multimodal}
     val filt = checkedFilterFor(index,
-      LandmarkIndexParamCols.zip(Seq(frameLen, window, phases, m, kHash)),
+      LandmarkIndexParamCols.zip(
+        Seq(frameLen, window, phases, m, kHash, strideMax)),
       "landmark-index")
     val census = Multimodal.audioLandmarkCensus(streamMedia, frameLen,
       window, phases = 1).toDF()
@@ -704,11 +722,12 @@ object StreamingOps {
       streamMedia: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
       index: DataFrame, frameLen: Int = 4, window: Int = 2,
       phases: Int = 4, m: Int = 1 << 20, kHash: Int = 3,
-      minFrac9: Long = 600000000L)(
+      minFrac9: Long = 600000000L, strideMax: Int = 1)(
       implicit spark: SparkSession): DataFrame = {
     import graft.operators.{Bloom, Multimodal}
     val filt = checkedFilterFor(index,
-      LandmarkIndexParamCols.zip(Seq(frameLen, window, phases, m, kHash)),
+      LandmarkIndexParamCols.zip(
+        Seq(frameLen, window, phases, m, kHash, strideMax)),
       "landmark-index")
     val census = Multimodal.audioLandmarkCensus2(streamMedia, frameLen,
       window).toDF()

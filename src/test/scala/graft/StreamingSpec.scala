@@ -296,6 +296,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("intakeLandmarkMatches at strideMax=2 (w27): streamed == batch; " +
+      "2x-downsampled re-uploads flag with certainty through the " +
+      "stride-multiplied index, and the strideMax=1 index misses every " +
+      "one of them (the motivation, measured)") {
+    import spark.implicits._
+    implicit val sp = spark
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sf(), "documents")
+    val corpus = Multimodal.encodeMediaRows(
+      docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+    val index2 = StreamingOps.buildLandmarkIndex(corpus, strideMax = 2)
+    def arrivals(base: org.apache.spark.sql.DataFrame) =
+      Multimodal.encodeMediaRows(base.filter(col("doc_id") % 4 === 1))
+        .flatMap { m =>
+          if (m.media_id % 3 == 0)
+            Multimodal.decimateWav(m.content, 2).map(b =>
+              m.copy(media_id = m.media_id + 6000000000L,
+                content = b)).toSeq
+          else Seq(m)
+        }
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.intakeLandmarkMatches(
+          arrivals(StreamingOps.documentsStream(spark, sf())), index2,
+          strideMax = 2),
+        "t_downsampled_intake").orderBy("media_id").collect().toSeq
+    val batch = StreamingOps.intakeLandmarkMatches(arrivals(docs), index2,
+        strideMax = 2)
+      .orderBy("media_id").collect().toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // certainty: a downsample's identity keys ARE the original's
+    // stride-2 offset-0 keys, which the strideMax=2 index carries
+    val downs = batch.filter(_.getLong(0) >= 6000000000L)
+    assert(downs.nonEmpty)
+    downs.foreach { r =>
+      assert(r.getBoolean(1) && r.getInt(2) > 0 &&
+        r.getInt(3) === r.getInt(2) && r.getBoolean(4),
+        s"downsampled re-upload not certain: $r")
+    }
+    // the plain (strideMax = 1) index misses them all — the closure is
+    // load-bearing, not redundant with the phase union
+    val index1 = StreamingOps.buildLandmarkIndex(corpus)
+    val missed = StreamingOps.intakeLandmarkMatches(
+        arrivals(docs), index1)
+      .filter(col("media_id") >= 6000000000L)
+      .collect().toSeq
+    val caught1 = missed.count(_.getBoolean(4))
+    info(s"strideMax=1 index caught $caught1/${missed.size} downsamples " +
+      "(why the stride multiplicity exists)")
+    assert(caught1 <= missed.size / 10)
+    // parameter identity: probing a strideMax=2 artifact as strideMax=1
+    // refuses loudly
+    assert(intercept[Exception] {
+      StreamingOps.intakeLandmarkMatches(arrivals(docs), index2).collect()
+    }.getMessage != null)
+  }
+
   test("w25 -> w19 composition (VERDICT r13 #8): trimmed-audio certainty " +
       "flags feed per-domain quota admission the way production intake " +
       "chains them — intake stays zero-state, quota state stays one " +
