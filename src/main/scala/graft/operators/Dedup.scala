@@ -23,7 +23,7 @@ object Dedup {
   // LRU eviction).
   private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def cached(df: DataFrame): DataFrame = {
+  private[graft] def cached(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cachedFrames.add(df)
     df
@@ -521,13 +521,22 @@ object Dedup {
     */
   def mergeClusterArtifact(prior: DataFrame, deltaEdges: DataFrame,
       maxIter: Int = 50, numPartitions: Int = 0): DataFrame = {
-    val edges = deltaEdges.select(col("id_a"), col("id_b"))
+    // persist the delta ONCE: the merge reads it from four places (both
+    // node sides, the relabel union, and — through `touched` — the
+    // untouched anti-join side), and the delta is often the tail of an
+    // expensive pair pipeline (q130 feeds it the exhaustive Jaccard pass,
+    // which re-ran per reference — guide §1.2). Released via
+    // [[unpersistAll]], the operator family's ownership contract.
+    val edges = cached(deltaEdges.select(col("id_a"), col("id_b")))
     val pr = prior.select(col("root"), col("member"))
     // every node of a delta edge marks its prior component (if any) as
     // touched; roots form the component identity, so the touched set is
-    // bounded by the delta edge count — broadcast it
-    val deltaNodes = edges.select(col("id_a").as("member"))
-      .unionByName(edges.select(col("id_b").as("member"))).distinct()
+    // bounded by the delta edge count — broadcast it. Symmetrize via
+    // per-row explode, not union-of-selects (one scan, not two — the
+    // connectedComponents rule).
+    val deltaNodes = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("member"))
+      .distinct()
     val touched = pr.join(deltaNodes, "member").select("root").distinct()
     val touchedStar = pr.join(broadcast(touched), Seq("root"))
       .filter(col("member") =!= col("root"))

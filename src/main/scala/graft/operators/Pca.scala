@@ -33,33 +33,75 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
-  /** ONE power-iteration Gram pass as a DataFrame: the per-row projection
-    * s = Σ_j x_j·cur_j materialized once, then `dim` exact decimal sums
-    * w_j = Σ x_j·s. This IS the operator's per-iteration plan (pinned by
-    * PlansSpec against this very frame, so a refactor of the internals
-    * cannot silently revert to the fused dim×dim-term form the comment
-    * below warns about — ADVICE r11).
+  /** The corpus projected to one double column per dimension — the frame
+    * every Gram pass aggregates over. Built ONCE per fit and PERSISTED
+    * (optimization guide §1.2/§5): a k-component fit runs k·iters Gram
+    * passes, and unpersisted each pass re-decoded the source parquet and
+    * re-extracted dim `element_at` casts (measured r14: q131b paid 18
+    * full source scans). Values are bit-identical to the former inline
+    * projection (same element_at + cast per cell). Callers release via
+    * the try/finally in each public entry point — every consumption is
+    * eager (one head() per pass), so nothing outlives the fit.
     */
-  private[graft] def gramAggregate(emb: DataFrame, vecCol: String,
-      dim: Int, cur: Array[Double]): DataFrame = {
+  private[graft] def projection(emb: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
     val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
-    val s = (0 until dim).map(j => x(j) * lit(cur(j))).reduce(_ + _)
-    // materialize the projection once per row: the aggregation then
-    // codegens dim small sums instead of a dim x dim-term tree
-    // (measured: the fused form spent seconds per iteration in
-    // whole-stage codegen COMPILATION at dim = 64, not in data)
-    val projected = emb.select(
-      (0 until dim).map(j => x(j).as(s"__x$j")) :+ s.as("__s"): _*)
+    emb.select((0 until dim).map(j => x(j).as(s"__x$j")): _*)
+  }
+
+  /** ONE power-iteration Gram pass over a [[projection]] frame: the
+    * per-row projection s = Σ_j x_j·cur_j materialized once, then `dim`
+    * exact decimal sums w_j = Σ x_j·s (pinned by PlansSpec, so a refactor
+    * cannot silently revert to the fused dim×dim-term form — ADVICE r11).
+    *
+    * `s` is the codegen'd [[graft.functions.expressions.DotProduct]]
+    * kernel against the iterate as an ARRAY LITERAL (a codegen reference
+    * object), not dim scalar literals: the generated source is then
+    * byte-identical across iterations, so whole-stage codegen COMPILES
+    * ONCE per fit instead of once per pass (the literals were the only
+    * iteration-dependent bytes in the source). Arithmetic is unchanged:
+    * DotProduct accumulates `acc + x_j·v_j` left-to-right exactly like
+    * the former `reduce(_ + _)` chain (the leading `0.0 +` can only
+    * differ on a -0.0 first term, which the DECIMAL cast of every
+    * consumer collapses), so every downstream bit matches the oracle.
+    */
+  private[graft] def gramAggregateProjected(proj: DataFrame, dim: Int,
+      cur: Array[Double]): DataFrame = {
+    val s = graft.functions.expressions.VectorExpressions.dotProduct(
+      array((0 until dim).map(j => col(s"__x$j")): _*), lit(cur))
+    val projected = proj.select(
+      (0 until dim).map(j => col(s"__x$j")) :+ s.as("__s"): _*)
     val aggs = (0 until dim).map(j =>
       sum((col(s"__x$j") * col("__s")).cast(DecimalType(38, 18)))
         .as(s"w$j"))
     projected.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[gramAggregateProjected]] straight off the source frame (no
+    * persist) — the single-pass form PlansSpec pins.
+    */
+  private[graft] def gramAggregate(emb: DataFrame, vecCol: String,
+      dim: Int, cur: Array[Double]): DataFrame =
+    gramAggregateProjected(projection(emb, vecCol, dim), dim, cur)
+
+  /** Persist `proj`, run `body`, release — the per-fit cache scope. */
+  private def withProjection[T](emb: DataFrame, vecCol: String, dim: Int)(
+      body: DataFrame => T): T = {
+    val proj = projection(emb, vecCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(proj)
+    finally proj.unpersist(blocking = false)
+  }
+
   /** Per-iteration quantized iterates: (iter 1..iters, v or null). */
   def powerIterates(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int = 3): Seq[(Int, Option[Array[Double]])] = {
     require(dim >= 1 && iters >= 1, s"dim=$dim iters=$iters")
+    withProjection(emb, vecCol, dim)(powerIteratesOn(_, dim, iters))
+  }
+
+  private def powerIteratesOn(proj: DataFrame, dim: Int,
+      iters: Int): Seq[(Int, Option[Array[Double]])] = {
     var v: Option[Array[Double]] =
       Some(Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0))
     val out = Seq.newBuilder[(Int, Option[Array[Double]])]
@@ -67,7 +109,7 @@ object Pca {
       v = v match {
         case None => None
         case Some(cur) =>
-          val row = gramAggregate(emb, vecCol, dim, cur).head()
+          val row = gramAggregateProjected(proj, dim, cur).head()
           if (row.isNullAt(0)) None
           else {
             val w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
@@ -126,6 +168,13 @@ object Pca {
       iters: Int, priors: Option[Seq[Array[Double]]])
       : Seq[(Int, Option[Array[Double]])] = {
     require(dim >= 1 && iters >= 1, s"dim=$dim iters=$iters")
+    withProjection(emb, vecCol, dim)(
+      powerIteratesDeflatedSeqOn(_, dim, iters, priors))
+  }
+
+  private def powerIteratesDeflatedSeqOn(proj: DataFrame, dim: Int,
+      iters: Int, priors: Option[Seq[Array[Double]]])
+      : Seq[(Int, Option[Array[Double]])] = {
     require(priors.forall(_.size < dim),
       s"cannot extract component ${priors.map(_.size + 1).getOrElse(1)} " +
         s"from dim=$dim")
@@ -135,7 +184,7 @@ object Pca {
     for (t <- 1 to iters) {
       v = (v, priors) match {
         case (Some(cur), Some(ps)) =>
-          val row = gramAggregate(emb, vecCol, dim, cur).head()
+          val row = gramAggregateProjected(proj, dim, cur).head()
           if (row.isNullAt(0)) None
           else {
             var w = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue)
@@ -166,22 +215,26 @@ object Pca {
   def kComponentFinals(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int, k: Int): Seq[(Int, Option[Array[Double]])] = {
     require(k >= 1 && k <= dim, s"k=$k dim=$dim")
-    val out = Seq.newBuilder[(Int, Option[Array[Double]])]
-    var priors: Option[Seq[Array[Double]]] = Some(Seq.empty)
-    for (c <- 1 to k) {
-      val fin = priors match {
-        case None => None
-        case Some(ps) =>
-          powerIteratesDeflatedSeq(emb, vecCol, dim, iters, Some(ps))
-            .last._2
+    // ONE persisted projection for the whole k·iters Gram-pass chain —
+    // every component's every pass reads the cached columnar frame
+    withProjection(emb, vecCol, dim) { proj =>
+      val out = Seq.newBuilder[(Int, Option[Array[Double]])]
+      var priors: Option[Seq[Array[Double]]] = Some(Seq.empty)
+      for (c <- 1 to k) {
+        val fin = priors match {
+          case None => None
+          case Some(ps) =>
+            powerIteratesDeflatedSeqOn(proj, dim, iters, Some(ps))
+              .last._2
+        }
+        out += ((c, fin))
+        priors = (priors, fin) match {
+          case (Some(ps), Some(v)) => Some(ps :+ v)
+          case _ => None
+        }
       }
-      out += ((c, fin))
-      priors = (priors, fin) match {
-        case (Some(ps), Some(v)) => Some(ps :+ v)
-        case _ => None
-      }
+      out.result()
     }
-    out.result()
   }
 
   /** The k final axes as a SELF-DESCRIBING PERSISTABLE ARTIFACT
@@ -207,9 +260,13 @@ object Pca {
   def twoComponentDF(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int = 3)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val first = powerIterates(emb, vecCol, dim, iters)
-    val second = powerIteratesDeflated(emb, vecCol, dim, iters,
-      first.last._2)
+    require(dim >= 1 && iters >= 1, s"dim=$dim iters=$iters")
+    // one persisted projection shared by both components' chains
+    val (first, second) = withProjection(emb, vecCol, dim) { proj =>
+      val f = powerIteratesOn(proj, dim, iters)
+      (f, powerIteratesDeflatedSeqOn(proj, dim, iters,
+        f.last._2.map(Seq(_))))
+    }
     (first.map { case (t, ov) => (1, t, ov) } ++
       second.map { case (t, ov) => (2, t, ov) })
       .flatMap { case (c, t, ov) =>

@@ -927,9 +927,18 @@ object StreamQueries {
             element_at(col("embedding"), j + 1).cast("double") *
               lit(axes(c)(j))).reduce(_ + _)
           val bins = 10
-          val ranges = comps.map { c =>
-            val (lo, hi) = Drift.referenceRange(ref.withColumn("z", zc(c)),
-              "z")
+          // ALL components' reference ranges in ONE aggregation pass
+          // (guide §1.2: k separate Drift.referenceRange actions scanned
+          // the reference k times for k independent min/max pairs; the
+          // fused agg computes the same doubles — min/max are
+          // order-independent — in a single job)
+          val rangeAggs = comps.flatMap(c => Seq(
+            min(zc(c)).as(s"__lo_$c"), max(zc(c)).as(s"__hi_$c")))
+          val rrow = ref.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+          val ranges = comps.zipWithIndex.map { case (c, i) =>
+            val (lo, hi) =
+              if (rrow.isNullAt(2 * i)) (0.0, 0.0)
+              else (rrow.getDouble(2 * i), rrow.getDouble(2 * i + 1))
             c -> ((lo, (hi - lo) / bins))
           }.toMap
           def binned(df: org.apache.spark.sql.DataFrame) = df.select(

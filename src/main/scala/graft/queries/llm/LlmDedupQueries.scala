@@ -921,7 +921,11 @@ object LlmDedupQueries {
         import graft.operators.Winnow
         val docs = t(s, dir, "documents")
         val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-        val byDoc = fp.select(col("id"), col("h")).distinct()
+        // persisted: the fingerprint pass (per-char gram hashing + window
+        // minima) is referenced three times — the df-cap and both pair
+        // sides — and re-ran per reference unpersisted (guide §1.2;
+        // released via Dedup.unpersistAll)
+        val byDoc = Dedup.cached(fp.select(col("id"), col("h")).distinct())
         val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= 20).select("h")
         val m = byDoc.join(ok, "h")
@@ -968,9 +972,10 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.operators.{Dedup, Winnow}
         val docs = t(s, dir, "documents")
-        val byDoc = Winnow.fingerprints(docs, "doc_id", "text",
-            k = 20, w = 8)
-          .select(col("id"), col("h")).distinct()
+        // persisted for the same three-reference reason as q102d
+        val byDoc = Dedup.cached(
+          Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+            .select(col("id"), col("h")).distinct())
         val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= 20).select("h")
         val m = byDoc.join(ok, "h")
@@ -1445,13 +1450,23 @@ object LlmDedupQueries {
           col("text").as("__ta"), length(col("text")).as("__na"))
         val b = docs.select(col("doc_id").as("id_b"),
           col("text").as("__tb"), length(col("text")).as("__nb"))
-        // ONE join condition with the cheap guards FIRST: a separate
-        // .filter(levenshtein) gets merged into the join as the LEADING
-        // conjunct (CombineFilters prepends it), running the banded DP on
-        // all n^2/2 ordered pairs — measured 44 s at sf0.1 vs ~a quarter
-        // with the length bound short-circuiting the And chain
-        val truth = a.join(b,
-            col("id_a") < col("id_b") &&
+        // EQUI-JOIN on the 9-char length bucket instead of a pure-theta
+        // BroadcastNestedLoopJoin over all n^2/2 ordered pairs (guide
+        // §3.3/§2.4): |len_a - len_b| <= 8 implies floor(len_a/9) is
+        // within 1 of floor(len_b/9), so joining a's bucket against b
+        // exploded to its three adjacent buckets is a SUPERSET of the
+        // truth pairs — each qualifying pair matches exactly once (the
+        // three keys are distinct) and the exact length bound + banded
+        // DP verify as before. Measured at sf0.1: 12.5M pair evals ->
+        // 419k surviving the length bound (~30x fewer DP calls), BNLJ ->
+        // BroadcastHashJoin.
+        val ab = a.withColumn("__bka", floor(col("__na") / 9))
+        val bb = b.withColumn("__bkb", explode(array(
+          floor(col("__nb") / 9) - 1, floor(col("__nb") / 9),
+          floor(col("__nb") / 9) + 1)))
+        val truth = ab.join(bb,
+            col("__bka") === col("__bkb") &&
+              col("id_a") < col("id_b") &&
               abs(col("__na") - col("__nb")) <= 8 &&
               levenshtein(col("__ta"), col("__tb"), 8).between(0, 8))
           .select("id_a", "id_b")
@@ -1599,9 +1614,14 @@ object LlmDedupQueries {
     // shape; production feeds LSH-verified pairs to the same merge.
     "q130_cluster_artifact_merge" -> QueryDef(
       (s, dir) => {
-        val pairs = Dedup.jaccardPairsExhaustive(t(s, dir, "documents"),
-            "doc_id", "text", k = 3, minJaccard = 0.2, maxDf = 1000000)
-          .select("id_a", "id_b")
+        // persisted: the exhaustive pair pipeline feeds BOTH the prior
+        // build (via its filter) and the delta merge — unpersisted, each
+        // downstream reference re-ran the whole shingle+pair pass
+        // (guide §1.2/§5; released via Dedup.unpersistAll)
+        val pairs = Dedup.cached(
+          Dedup.jaccardPairsExhaustive(t(s, dir, "documents"),
+              "doc_id", "text", k = 3, minJaccard = 0.2, maxDf = 1000000)
+            .select("id_a", "id_b"))
         val priorPairs = pairs.filter(
           col("id_a") % 4 =!= 3 && col("id_b") % 4 =!= 3)
         val deltaEdges = pairs.filter(

@@ -733,6 +733,38 @@ class PlansSpec extends SparkSpec {
       s"one aggregation, nothing else:\n$p")
   }
 
+  test("q131: the k-component fit aggregates over ONE persisted " +
+      "projection — each Gram pass reads the in-memory columnar frame, " +
+      "not a fresh parquet decode (r14 optimization)") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val proj = graft.operators.Pca.projection(emb, "embedding", 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e0 = Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+      val p = graft.operators.Pca
+        .gramAggregateProjected(proj, 64, e0)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"a Gram pass over the persisted projection must read the " +
+          s"cache, not re-scan parquet:\n$p")
+      assert(p.contains("partial_sum") && !p.contains("Join"),
+        s"still one partial+final aggregation:\n$p")
+      // the iterate rides the plan as ONE array literal (a codegen
+      // reference object), so the generated SOURCE — and the compiled
+      // class, via the codegen cache — is identical across iterations;
+      // 64 scalar literals would recompile whole-stage codegen per pass
+      val v1 = Array.tabulate(64)(j => j / 64.0)
+      def gen(cur: Array[Double]): String =
+        org.apache.spark.sql.execution.debug.codegenString(
+          graft.operators.Pca.gramAggregateProjected(proj, 64, cur)
+            .queryExecution.executedPlan)
+      assert(gen(e0) == gen(v1),
+        "two iterations must generate byte-identical codegen source " +
+          "(the iterate must ride as a reference object, not inline " +
+          "literals)")
+    } finally proj.unpersist(blocking = false)
+  }
+
   test("q125: the merged index rides broadcast one-row joins — no " +
       "sort-merge join, no window, and the bitmap OR is a zip_with " +
       "expression, not an aggregation over re-exploded positions") {
