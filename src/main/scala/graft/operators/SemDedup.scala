@@ -274,12 +274,18 @@ object SemDedup {
         col(vecCol).as("__v"))
       val dim = knownDim.getOrElse(VectorOps.dimOf(base, "__v"))
       val clean = base.filter(size(col("__v")) === dim)
-      val bucketed = clean.select(col("id"),
+      // persisted (lazy — the zero-jobs-before-action contract holds):
+      // the bucket table feeds BOTH the min-id representative aggregation
+      // and the candidate join side, and each evaluation pays the
+      // nTables x bits hyperplane dot products per row (64 dim-wide dots
+      // at the defaults) — guide §1.2, the assignment-frame rule applied
+      // to the gate path. Released via [[unpersistAll]].
+      val bucketed = persisted(clean.select(col("id"),
           explode(array((0 until nTables).map { t =>
             struct(lit(t).as("t"), VectorOps
               .hyperplaneBucket(col("__v"), bits, t * 1000, dim).as("b"))
           }: _*)).as("tb"))
-        .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+        .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b")))
       // min-id representative per cell; members pair against it ONLY
       val reps = bucketed.groupBy("t", "b").agg(min(col("id")).as("id_a"))
       val cand = bucketed.join(reps, Seq("t", "b"))
@@ -357,12 +363,15 @@ object SemDedup {
         val bits = gateBits(n, targetClusterSize)
         val dim = knownDim.getOrElse(VectorOps.dimOf(survEmb, "__v"))
         val clean = survEmb.filter(size(col("__v")) === dim)
-        val pts = clean
+        // persisted: referenced by the cell-mean aggregation AND the
+        // distance join side — each evaluation re-hashed and re-exploded
+        // every survivor (dim rows per doc). Released via [[unpersistAll]].
+        val pts = persisted(clean
           .select(col("id"),
             VectorOps.hyperplaneBucket(col("__v"), bits, 0, dim).as("cell"),
             posexplode(col("__v")).as(Seq("pos", "xf")))
           .select(col("id"), col("cell"), (col("pos") + 1).as("dim"),
-            col("xf").cast("double").as("x"))
+            col("xf").cast("double").as("x")))
         // per-cell mean prototype: decimal per-term sums (KMeans's
         // centroid discipline) so the prototype replays across engines
         val means = pts.groupBy("cell", "dim")

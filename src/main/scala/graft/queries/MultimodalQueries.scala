@@ -277,8 +277,11 @@ object MultimodalQueries {
         val pairs = Multimodal.phashDedupEdges(ph, maxHamming = 3,
           maxBucket = 200)
         val comp = Dedup.connectedComponents(pairs)
-        val partners = pairs.select(col("id_a").as("media_id"))
-          .unionAll(pairs.select(col("id_b").as("media_id")))
+        // per-row explode, not union-of-selects: the union executed the
+        // candidate-join + verify pipeline twice (connectedComponents'
+        // symmetrization rule, applied to the degree count)
+        val partners = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("media_id"))
           .groupBy("media_id").agg(count(lit(1)).as("n_partners"))
         ph.join(comp, ph("media_id") === comp("id"))
           .join(partners, "media_id")
@@ -359,8 +362,11 @@ object MultimodalQueries {
         val pairs = Multimodal.phashDedupEdges(ph, maxHamming = 3,
           maxBucket = 5)
         val comp = Dedup.connectedComponents(pairs)
-        val partners = pairs.select(col("id_a").as("media_id"))
-          .unionAll(pairs.select(col("id_b").as("media_id")))
+        // per-row explode, not union-of-selects: the union executed the
+        // candidate-join + verify pipeline twice (connectedComponents'
+        // symmetrization rule, applied to the degree count)
+        val partners = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("media_id"))
           .groupBy("media_id").agg(count(lit(1)).as("n_partners"))
         ph.join(comp, ph("media_id") === comp("id"))
           .join(partners, "media_id")
