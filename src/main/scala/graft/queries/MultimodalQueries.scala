@@ -265,8 +265,7 @@ object MultimodalQueries {
         // persisted: the hash table (one short row per image) feeds the
         // banding explode, both verify joins, and the output spine — four
         // consumers that would otherwise each re-decode every PNG
-        val ph = Multimodal.imagePHash(media).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ph = Multimodal.cached(Multimodal.imagePHash(media).toDF())
         // composed edge set (Multimodal.phashDedupEdges): df-capped band
         // candidates verified at Hamming <= 3, UNION the exact-hash
         // clique stars. The cap (200) never trips at the graded SFs and
@@ -357,8 +356,7 @@ object MultimodalQueries {
             (col("doc_id") % 64).as("content_id"))
         val media = Multimodal.encodeMediaRowsWithId(base,
           "media_id", "content_id")
-        val ph = Multimodal.imagePHash(media).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ph = Multimodal.cached(Multimodal.imagePHash(media).toDF())
         val pairs = Multimodal.phashDedupEdges(ph, maxHamming = 3,
           maxBucket = 5)
         val comp = Dedup.connectedComponents(pairs)
@@ -459,8 +457,7 @@ object MultimodalQueries {
       (s, dir) => {
         implicit val sp = s
         val media = Multimodal.syntheticMediaTable(s, dir, Some("png"))
-        val ph = Multimodal.imagePHash(media).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ph = Multimodal.cached(Multimodal.imagePHash(media).toDF())
         val bench = ph.filter(col("media_id") % 20 === 0)
         val corpus = ph.filter(col("media_id") % 20 =!= 0)
         def banded(df: org.apache.spark.sql.DataFrame, idAs: String) =
@@ -542,8 +539,7 @@ object MultimodalQueries {
         val media = Multimodal.syntheticMediaTable(s, dir, Some("wav"))
         val doubled = media.union(
           media.map(m => m.copy(media_id = m.media_id + 1000000000L)))
-        val fp = Multimodal.audioFingerprint(doubled).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fp = Multimodal.cached(Multimodal.audioFingerprint(doubled).toDF())
         val cand = Multimodal.phashCandidatePairs(fp, maxBucket = 200)
         val ham = (0 to 3).map(i =>
           bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _)
@@ -623,8 +619,7 @@ object MultimodalQueries {
       (s, dir) => {
         implicit val sp = s
         val media = Multimodal.syntheticMediaTable(s, dir, Some("gif"))
-        val fph = Multimodal.gifFramePHashes(media).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fph = Multimodal.cached(Multimodal.gifFramePHashes(media).toDF())
         val nf = fph.groupBy("media_id").agg(count(lit(1)).as("nf"))
         val banded0 = fph.select(col("media_id"), col("frame_idx"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
@@ -736,8 +731,7 @@ object MultimodalQueries {
         val docs = graft.Tables.load(s, dir, "documents")
           .filter(col("doc_id") % 4 === 0)
         val media = Multimodal.syntheticMediaTable(s, dir, Some("png"))
-        val ph = Multimodal.imagePHash(media).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ph = Multimodal.cached(Multimodal.imagePHash(media).toDF())
         val cand = Multimodal.phashCandidatePairs(ph, maxBucket = 200)
         val ham = (0 to 3).map(i =>
           bit_count(col(s"__a$i").bitwiseXOR(col(s"__c$i")))).reduce(_ + _)

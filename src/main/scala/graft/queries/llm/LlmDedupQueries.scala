@@ -441,9 +441,12 @@ object LlmDedupQueries {
     "q103c_semdedup_lsh_gate" -> QueryDef(
       (s, dir) => {
         import graft.operators.SemDedup
+        // knownDim pins the fixture embedding width (TESTDATA contract,
+        // the q131 style) — saves the gate path's dimOf aggregation scan
         SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
             "embedding", targetClusterSize = 50, iters = 2,
-            minCosine = 0.45, maxExactK = 1, pinnedBits = Some(8))
+            minCosine = 0.45, maxExactK = 1, pinnedBits = Some(8),
+            knownDim = Some(64))
           .orderBy("vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -488,11 +491,18 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.operators.SemDedup
         val emb = t(s, dir, "embeddings")
+        // ONE corpus count shared by both pipelines (each derived it
+        // independently), and the fixture dim pinned for the gate path
+        // (the q131 TESTDATA-contract style: a mismatch drops every row
+        // and fails the hash loudly)
+        val n = emb.count()
         val exact = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45)
+          targetClusterSize = 50, iters = 2, minCosine = 0.45,
+          knownN = Some(n))
         val lsh = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
           targetClusterSize = 50, iters = 2, minCosine = 0.45,
-          maxExactK = 1, pinnedBits = Some(8))
+          maxExactK = 1, pinnedBits = Some(8), knownN = Some(n),
+          knownDim = Some(64))
         val all = emb.select(col("vec_id"))
         val exRem = all.except(exact).select(col("vec_id"),
           lit(1L).as("__ex"))

@@ -421,11 +421,16 @@ object LlmSelectionQueries {
       (s, dir) => {
         import graft.operators.SemDedup
         val emb = t(s, dir, "embeddings")
+        // one shared corpus count; fixture dim pinned on the gate path
+        // (q131 TESTDATA-contract style) — drops two derivation scans
+        val n = emb.count()
         val exact = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
-          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50)
+          targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50,
+          knownN = Some(n))
         val gate = SemDedup.d4ProductionKept(emb, "vec_id", "embedding",
           targetClusterSize = 50, iters = 2, minCosine = 0.45, keepPct = 50,
-          maxExactK = 1, pinnedBits = Some(8))
+          maxExactK = 1, pinnedBits = Some(8), knownN = Some(n),
+          knownDim = Some(64))
         val ex = exact.select(col("vec_id"), lit(1L).as("__ex"))
         val ga = gate.select(col("vec_id"), lit(1L).as("__ga"))
         ex.join(ga, Seq("vec_id"), "full")
