@@ -931,11 +931,12 @@ object LlmDedupQueries {
         import graft.operators.Winnow
         val docs = t(s, dir, "documents")
         val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-        // persisted: the fingerprint pass (per-char gram hashing + window
-        // minima) is referenced three times — the df-cap and both pair
-        // sides — and re-ran per reference unpersisted (guide §1.2;
-        // released via Dedup.unpersistAll)
-        val byDoc = Dedup.cached(fp.select(col("id"), col("h")).distinct())
+        // NOT persisted, by measurement (r14): the sketch kernel is
+        // map-side codegen fused into each consumer; materializing the
+        // byDoc fragment for its three references read 1.2x SLOWER than
+        // recomputing (the q45/q89 index-fragment result) — the distinct's
+        // exchange is reused across consumers anyway
+        val byDoc = fp.select(col("id"), col("h")).distinct()
         val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= 20).select("h")
         val m = byDoc.join(ok, "h")
@@ -982,10 +983,10 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.operators.{Dedup, Winnow}
         val docs = t(s, dir, "documents")
-        // persisted for the same three-reference reason as q102d
-        val byDoc = Dedup.cached(
-          Winnow.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
-            .select(col("id"), col("h")).distinct())
+        // NOT persisted — same measured result as q102d (see there)
+        val byDoc = Winnow.fingerprints(docs, "doc_id", "text",
+            k = 20, w = 8)
+          .select(col("id"), col("h")).distinct()
         val ok = byDoc.groupBy("h").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= 20).select("h")
         val m = byDoc.join(ok, "h")
