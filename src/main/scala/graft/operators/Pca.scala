@@ -217,24 +217,54 @@ object Pca {
     require(k >= 1 && k <= dim, s"k=$k dim=$dim")
     // ONE persisted projection for the whole k·iters Gram-pass chain —
     // every component's every pass reads the cached columnar frame
-    withProjection(emb, vecCol, dim) { proj =>
-      val out = Seq.newBuilder[(Int, Option[Array[Double]])]
-      var priors: Option[Seq[Array[Double]]] = Some(Seq.empty)
-      for (c <- 1 to k) {
-        val fin = priors match {
-          case None => None
-          case Some(ps) =>
-            powerIteratesDeflatedSeqOn(proj, dim, iters, Some(ps))
-              .last._2
-        }
-        out += ((c, fin))
-        priors = (priors, fin) match {
-          case (Some(ps), Some(v)) => Some(ps :+ v)
-          case _ => None
-        }
+    withProjection(emb, vecCol, dim)(kComponentFinalsOn(_, dim, iters, k))
+  }
+
+  private def kComponentFinalsOn(proj: DataFrame, dim: Int, iters: Int,
+      k: Int): Seq[(Int, Option[Array[Double]])] = {
+    val out = Seq.newBuilder[(Int, Option[Array[Double]])]
+    var priors: Option[Seq[Array[Double]]] = Some(Seq.empty)
+    for (c <- 1 to k) {
+      val fin = priors match {
+        case None => None
+        case Some(ps) =>
+          powerIteratesDeflatedSeqOn(proj, dim, iters, Some(ps))
+            .last._2
       }
-      out.result()
+      out += ((c, fin))
+      priors = (priors, fin) match {
+        case (Some(ps), Some(v)) => Some(ps :+ v)
+        case _ => None
+      }
     }
+    out.result()
+  }
+
+  /** [[kComponentFinals]] for SEVERAL row-subset variants of the SAME
+    * source, sharing ONE persisted projection (guide §1.2/§5; VERDICT
+    * r14 #5): the q131b rebuild grade fits v1 over the day-one half and
+    * v2 over the full corpus — per-fit persists (r14 #1) still projected
+    * the source parquet once per fit, so the half-corpus rows were
+    * decoded and `element_at`-extracted twice. Each variant's predicate
+    * is evaluated map-side into a flag column of the one persisted
+    * frame; variant i's Gram passes aggregate only rows whose flag
+    * holds. Decimal Gram sums are order-independent and the per-row
+    * doubles are identical, so each variant's finals are BIT-IDENTICAL
+    * to a standalone [[kComponentFinals]] over the filtered source
+    * (OperatorsSpec pins this).
+    */
+  def kComponentFinalsVariants(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, k: Int, predicates: Seq[org.apache.spark.sql.Column])
+      : Seq[Seq[(Int, Option[Array[Double]])]] = {
+    require(k >= 1 && k <= dim, s"k=$k dim=$dim")
+    require(predicates.nonEmpty, "need at least one variant predicate")
+    val x = (j: Int) => element_at(col(vecCol), j + 1).cast("double")
+    val proj = emb.select((0 until dim).map(j => x(j).as(s"__x$j")) ++
+        predicates.zipWithIndex.map { case (p, i) => p.as(s"__f$i") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try predicates.indices.map(i =>
+      kComponentFinalsOn(proj.filter(col(s"__f$i")), dim, iters, k))
+    finally proj.unpersist(blocking = false)
   }
 
   /** The k final axes as a SELF-DESCRIBING PERSISTABLE ARTIFACT

@@ -55,6 +55,24 @@ object SemDedup {
     p
   }
 
+  /** The gate paths' dim handling. A DERIVED dim (from [[VectorOps.dimOf]]'s
+    * max-size scan) keeps the plain size filter — ragged narrower rows drop
+    * by design. A caller-PINNED dim (`knownDim`) instead mirrors the
+    * pinnedBits discipline (ADVICE r14): a row whose width disagrees with
+    * the pin RAISES with a clear message, because silently dropping every
+    * row on a fixture-dim drift would degrade to an all-survivors result
+    * caught only by the downstream grade hash, far from the error.
+    */
+  private def cleanByDim(base: DataFrame, dim: Int,
+      pinned: Boolean): DataFrame =
+    if (!pinned) base.filter(size(col("__v")) === dim)
+    else base.withColumn("__v",
+      when(size(col("__v")) === dim, col("__v"))
+        .otherwise(raise_error(concat(
+          lit(s"SemDedup: knownDim=$dim but embedding has size "),
+          size(col("__v")).cast("string"),
+          lit(" — the pinned fixture dim drifted; fix the caller")))))
+
   /** Distinct removed ids per cluster: (cid, id) — rows that have a
     * same-cluster neighbor with a smaller id at cosine >= `minCosine`.
     */
@@ -273,7 +291,7 @@ object SemDedup {
       val base = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v"))
       val dim = knownDim.getOrElse(VectorOps.dimOf(base, "__v"))
-      val clean = base.filter(size(col("__v")) === dim)
+      val clean = cleanByDim(base, dim, pinned = knownDim.isDefined)
       // persisted (lazy — the zero-jobs-before-action contract holds):
       // the bucket table feeds BOTH the min-id representative aggregation
       // and the candidate join side, and each evaluation pays the
@@ -362,7 +380,7 @@ object SemDedup {
       else {
         val bits = gateBits(n, targetClusterSize)
         val dim = knownDim.getOrElse(VectorOps.dimOf(survEmb, "__v"))
-        val clean = survEmb.filter(size(col("__v")) === dim)
+        val clean = cleanByDim(survEmb, dim, pinned = knownDim.isDefined)
         // persisted: referenced by the cell-mean aggregation AND the
         // distance join side — each evaluation re-hashed and re-exploded
         // every survivor (dim rows per doc). Released via [[unpersistAll]].

@@ -442,7 +442,8 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.operators.SemDedup
         // knownDim pins the fixture embedding width (TESTDATA contract,
-        // the q131 style) — saves the gate path's dimOf aggregation scan
+        // the q131 style) — saves the gate path's dimOf aggregation
+        // scan; a drifted pin RAISES in the operator (ADVICE r14)
         SemDedup.survivorsAuto(t(s, dir, "embeddings"), "vec_id",
             "embedding", targetClusterSize = 50, iters = 2,
             minCosine = 0.45, maxExactK = 1, pinnedBits = Some(8),
@@ -490,11 +491,16 @@ object LlmDedupQueries {
     "q103d_semdedup_gate_recall" -> QueryDef(
       (s, dir) => {
         import graft.operators.SemDedup
+        // Sharing the base frame across the two pipelines was MEASURED
+        // and REJECTED in r15 (see the q122c call-site note: registry
+        // persist 1.3x slower, localCheckpoint 2.2x slower — recompute
+        // beats materialization at this input size, the q102d/q59
+        // precedent).
         val emb = t(s, dir, "embeddings")
         // ONE corpus count shared by both pipelines (each derived it
-        // independently), and the fixture dim pinned for the gate path
-        // (the q131 TESTDATA-contract style: a mismatch drops every row
-        // and fails the hash loudly)
+        // independently — the count also materializes the shared cache),
+        // and the fixture dim pinned for the gate path (a mismatch now
+        // RAISES in the operator instead of silently dropping rows)
         val n = emb.count()
         val exact = SemDedup.survivorsAuto(emb, "vec_id", "embedding",
           targetClusterSize = 50, iters = 2, minCosine = 0.45,

@@ -420,6 +420,17 @@ object LlmSelectionQueries {
     "q122c_d4_gate_recall" -> QueryDef(
       (s, dir) => {
         import graft.operators.SemDedup
+        // Sharing the (id, vec) base frame across the two pipelines
+        // (VERDICT r14 #1) was MEASURED and REJECTED in r15, both
+        // vehicles, same window, q122c: registry persist 10.7 -> 13.8 s
+        // (1.3x slower — every one of the ~50 downstream actions paid
+        // CacheManager plan-matching + InMemoryTableScan overhead) and
+        // eager localCheckpoint 10.7 -> 23.7 s (2.2x — LogicalRDD
+        // re-planning/row-scan costs dominate). At this input size the
+        // columnar parquet re-scan is cheaper than any materialization
+        // (the q102d/q59 recompute-beats-persist precedent); at 100 TB
+        // the shared scans are already covered by the operator-internal
+        // persists (fit assignments, bucket tables, survEmb).
         val emb = t(s, dir, "embeddings")
         // one shared corpus count; fixture dim pinned on the gate path
         // (q131 TESTDATA-contract style) — drops two derivation scans

@@ -2238,4 +2238,53 @@ class OperatorsSpec extends SparkSpec {
     assert(est._1 === 4L)          // merged union-sample is k deep
     assert(est._2 >= 0L && est._2 <= 4L)
   }
+
+  test("Pca.kComponentFinalsVariants: each variant's finals are " +
+      "bit-identical to a standalone fit over the filtered source") {
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        (rnd.nextGaussian() + (if (j == i % 3) 2.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 2 === 0
+    val Seq(vHalf, vFull) = Pca.kComponentFinalsVariants(emb, "embedding",
+      dim = 8, iters = 2, k = 2, Seq(pred, lit(true)))
+    val sHalf = Pca.kComponentFinals(emb.filter(pred), "embedding",
+      dim = 8, iters = 2, k = 2)
+    val sFull = Pca.kComponentFinals(emb, "embedding", dim = 8, iters = 2,
+      k = 2)
+    def flat(s: Seq[(Int, Option[Array[Double]])]) =
+      s.map { case (c, ov) => (c, ov.map(_.toSeq)) }
+    assert(flat(vHalf) === flat(sHalf))
+    assert(flat(vFull) === flat(sFull))
+    // the variants must genuinely differ (the predicate bites)
+    assert(flat(vHalf) !== flat(vFull))
+  }
+
+  test("SemDedup gate path: a drifted knownDim pin RAISES instead of " +
+      "silently dropping every row (ADVICE r14)") {
+    val emb = Seq.tabulate(10)(i =>
+        (i.toLong, Seq.tabulate(4)(j => (i * 4 + j).toFloat / 40f)))
+      .toDF("vec_id", "embedding")
+    // correct pin: same survivors as the derived-dim path
+    val ok = graft.operators.SemDedup.survivorsAuto(emb, "vec_id",
+        "embedding", targetClusterSize = 2, iters = 2, minCosine = 0.999,
+        maxExactK = 1, knownDim = Some(4))
+      .as[Long].collect().toSet
+    val derived = graft.operators.SemDedup.survivorsAuto(emb, "vec_id",
+        "embedding", targetClusterSize = 2, iters = 2, minCosine = 0.999,
+        maxExactK = 1)
+      .as[Long].collect().toSet
+    assert(ok === derived)
+    // drifted pin: loud failure at execution, not an all-survivor result
+    val e = intercept[Exception] {
+      graft.operators.SemDedup.survivorsAuto(emb, "vec_id", "embedding",
+          targetClusterSize = 2, iters = 2, minCosine = 0.999,
+          maxExactK = 1, knownDim = Some(5))
+        .count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("knownDim=5"), s"unexpected error: ${msgs(e)}")
+  }
 }
