@@ -791,7 +791,11 @@ object ScaleBench {
                 .write.format("noop").mode("overwrite").save()
             }
             val tMerge = med3 {
-              graft.operators.Dedup.mergeClusterArtifact(prior, delta)
+              // persistDelta=false: delta is already localCheckpoint'd —
+              // the internal persist would rebuild a redundant cache
+              // inside every timed med3 run (ADVICE r14 #1)
+              graft.operators.Dedup.mergeClusterArtifact(prior, delta,
+                persistDelta = false)
                 .write.format("noop").mode("overwrite").save()
             }
             // the structural claim, quantified: the iterative work's input

@@ -457,13 +457,24 @@ object Dedup {
         // re-joining next against labels (saves one join job per round)
         val newLabel =
           least(col("label"), coalesce(col("nlabel"), col("label")))
+        // early-exit count folded INTO the checkpoint materialization
+        // (VERDICT r14 #3, guide §1.2): the eager localCheckpoint already
+        // runs one job over the round's labels, and an Observation on the
+        // same plan harvests the changed-count from that job's
+        // accumulators — one job per round instead of checkpoint + a
+        // separate count scan of the checkpointed labels.
+        val obs = org.apache.spark.sql.Observation()
         val next = labels
           .join(neigh, Seq("id"), "left_outer")
           .select(col("id"), newLabel.as("label"),
             (newLabel < col("label")).as("__changed"))
+          .observe(obs, count(when(col("__changed"), lit(1))).as("changed"))
           .repartition(nPart, col("id"))
           .localCheckpoint(true)
-        val changed = next.filter(col("__changed")).count()
+        val changed = obs.get("changed") match {
+          case n: Number => n.longValue
+          case other => sys.error(s"unexpected observed metric: $other")
+        }
         labels = next.drop("__changed")
         done = changed == 0
         iter += 1
@@ -519,15 +530,23 @@ object Dedup {
     * like [[connectedComponents]]; wrap with [[clusterArtifact]] to
     * persist the next version.
     */
+  /** @param persistDelta false = skip the internal delta persist when the
+    *   caller already materialized it (q130 filters an already-cached
+    *   pairs frame; ScaleBench localCheckpoints the delta) — caching the
+    *   same rows twice wastes memory and, inside a timed region, forces a
+    *   redundant cache build per run (ADVICE r14 #1).
+    */
   def mergeClusterArtifact(prior: DataFrame, deltaEdges: DataFrame,
-      maxIter: Int = 50, numPartitions: Int = 0): DataFrame = {
+      maxIter: Int = 50, numPartitions: Int = 0,
+      persistDelta: Boolean = true): DataFrame = {
     // persist the delta ONCE: the merge reads it from four places (both
     // node sides, the relabel union, and — through `touched` — the
     // untouched anti-join side), and the delta is often the tail of an
     // expensive pair pipeline (q130 feeds it the exhaustive Jaccard pass,
     // which re-ran per reference — guide §1.2). Released via
     // [[unpersistAll]], the operator family's ownership contract.
-    val edges = cached(deltaEdges.select(col("id_a"), col("id_b")))
+    val sel = deltaEdges.select(col("id_a"), col("id_b"))
+    val edges = if (persistDelta) cached(sel) else sel
     val pr = prior.select(col("root"), col("member"))
     // every node of a delta edge marks its prior component (if any) as
     // touched; roots form the component identity, so the touched set is

@@ -1647,7 +1647,11 @@ object LlmDedupQueries {
           "graft_cluster_art_" + artifactKey(dir)).toString
         Dedup.clusterArtifact(Dedup.connectedComponents(priorPairs))
           .write.mode("overwrite").parquet(artDir)
-        Dedup.mergeClusterArtifact(s.read.parquet(artDir), deltaEdges)
+        // persistDelta=false: deltaEdges filters the ALREADY-cached pairs
+        // frame above — the internal persist would cache the same rows
+        // twice (ADVICE r14 #1)
+        Dedup.mergeClusterArtifact(s.read.parquet(artDir), deltaEdges,
+            persistDelta = false)
           .groupBy("label")
           .agg(count(lit(1)).as("n_docs"),
             array_join(
