@@ -142,25 +142,78 @@ object SpanDedup {
     *    narrows, and exactly what q102c measures;
     *  - island merging is shared with the production path, so the span
     *    sets differ only in the flag rule.
-    * Corpus-bounded BY DESIGN: the gram shuffle carries raw k-char
-    * strings (~k bytes per character of corpus). This is the grading
-    * baseline, not the scale path — at 100 TB you run `repeatedSpans`
-    * and carry its measured recall from a corpus sample.
+    * Exactness is preserved WITHOUT a corpus-wide raw-gram shuffle
+    * (r15): duplicated-hash detection shuffles 8-byte xxhash64 keys, a
+    * Bloom filter over the duplicated hashes gates the candidate pass
+    * map-side (no false negatives), and only the candidate minority
+    * shuffles raw grams for the exact re-verify — see the body. The
+    * remaining corpus-bounded term is the candidate fraction itself (a
+    * heavily-duplicated corpus shuffles its duplicated grams raw once);
+    * this is still the grading baseline — at 100 TB you run
+    * `repeatedSpans` and carry its measured recall from a corpus sample.
     */
   def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, spread: Boolean = true): DataFrame = {
     require(k >= 2, s"gram length must be >= 2, got $k")
     // explicit spread parameter — see grams()
     val spreadDocs = Spread(docs, spread)
-    val g = spreadDocs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
-        col(textCol))
+    val base = spreadDocs.filter(length(col(textCol)) >= k)
+    def positions = base.select(col(idCol).as("id"),
+      explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+      col(textCol))
+    // The truth set is EXACT but the raw k-char grams no longer ride the
+    // shuffle corpus-wide (VERDICT r14 #5 / guide §2.3 "shuffle keys and
+    // metadata instead of payloads"; this was the inventory's worst
+    // shuffle-bytes-per-input ratio). Three steps, exactness preserved:
+    //
+    //  1. duplicated-HASH detection: one aggregation over xxhash64(gram)
+    //     — 8-byte keys through the exchange instead of k-char strings;
+    //  2. a Bloom filter over the duplicated hashes (manual, guide §3.2;
+    //     sized by the gram-count upper bound from one scan of the doc
+    //     lengths, fpp 1%) gates pass B map-side — no false negatives,
+    //     so no true-duplicate position is ever lost;
+    //  3. candidate positions re-derive their RAW gram from the document
+    //     text in the same map stage and re-verify with an exact window
+    //     count over the raw gram — only the (collided ∪ fp ∪ truly
+    //     duplicated) minority shuffles its raw grams. All raw
+    //     occurrences of a gram with corpus count >= 2 pass the Bloom,
+    //     so the within-candidates count EQUALS the corpus count for
+    //     every gram that could be flagged; a unique gram that sneaks in
+    //     (hash collision / Bloom fp) counts 1 and drops. The flag set
+    //     is bit-identical to grouping raw substrings (spec-pinned).
+    val dupH = positions
+      .select(xxhash64(col(textCol).substr(col("pos"), lit(k))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    // upper bound on distinct duplicated hashes: total gram count, from a
+    // no-explode pass over the doc lengths (expectedNumItems must be >=
+    // the true count; overshoot only widens the filter)
+    val nGrams = base
+      .agg(coalesce(sum(length(col(textCol)) - (k - 1)), lit(0L))
+        .cast("long")).head().getLong(0)
+    if (nGrams == 0L)
+      return mergeFlagged(
+        positions.select(col("id"), col("pos")).limit(0), k)
+    val spark = docs.sparkSession
+    // sentinel row: stat.bloomFilter over ZERO rows yields a filter with
+    // a null bit buffer (mightContainLong NPEs). One constant key fixes
+    // the degenerate case and can only ADD a candidate, which the exact
+    // re-verify below prices and drops.
+    val bf = dupH.select("h")
+      .unionAll(spark.range(1).select(lit(0L).as("h")))
+      .stat.bloomFilter("h", math.max(1L, nGrams) + 1, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightDup = udf((h: Long) => bfB.value.mightContainLong(h))
+    val cand = positions
       .select(col("id"), col("pos"),
         col(textCol).substr(col("pos"), lit(k)).as("g"))
-    val dup = g.groupBy("g").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("g")
-    mergeFlagged(g.join(dup, "g").select("id", "pos"), k)
+      .filter(mightDup(xxhash64(col("g"))))
+    val byGram = Window.partitionBy("g")
+    val flagged = cand
+      .withColumn("__n", count(lit(1)).over(byGram))
+      .filter(col("__n") >= 2)
+      .select("id", "pos")
+    mergeFlagged(flagged, k)
   }
 
   /** Per-document roll-up: (idCol, n_dup_spans, dup_chars) for documents

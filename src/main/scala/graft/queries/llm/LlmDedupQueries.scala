@@ -847,9 +847,15 @@ object LlmDedupQueries {
       (s, dir) => {
         import graft.operators.SpanDedup
         val docs = t(s, dir, "documents")
-        val truth = SpanDedup.exactRepeatedSpans(docs, "doc_id", "text",
-          k = 30)
-        val prod = SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 30)
+        // both span frames feed TWO consumers each (their size/count agg
+        // and the overlap join) — unpersisted, each whole gram pipeline
+        // ran twice (guide §1.2). Span frames are island-merged and tiny
+        // (bounded by flagged islands, not grams). Registered with the
+        // dedup family's cache registry; Bench/Verify drain it per run.
+        val truth = Dedup.cached(
+          SpanDedup.exactRepeatedSpans(docs, "doc_id", "text", k = 30))
+        val prod = Dedup.cached(
+          SpanDedup.repeatedSpans(docs, "doc_id", "text", k = 30))
         val tAgg = truth.agg(count(lit(1)).as("n_truth_spans"),
           coalesce(sum(col("span_end") - col("span_start")), lit(0L))
             .cast("long").as("truth_chars"))
