@@ -41,11 +41,15 @@ object CurationFunnel {
     // Per-document stage flags, persisted ONCE: the components path below
     // and the final aggregation both consume it. Monotone flags: each
     // stage's predicate conjoins the previous one's.
-    val keyed = docs.select(col("doc_id"), col("text"),
+    // `keyed` itself is ALSO persisted (r15, guide §1.2): it feeds both
+    // the winners aggregation and the join's left side — unpersisted,
+    // the quality score (the funnel's dominant per-row expression) and
+    // the normalization md5 ran twice over the corpus.
+    val keyed = cached(docs.select(col("doc_id"), col("text"),
         (TextOps.qualityScore(col("text"),
           graft.functions.SqlFunctions.DefaultStopwords) >= qualityMin).as("q"))
       .withColumn("k", when(col("q"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))))
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))))
     // winner per fingerprint among quality docs (scale-safe groupBy, no
     // per-group window); left join back marks the survivor
     val winners = keyed.filter(col("q"))

@@ -1468,7 +1468,11 @@ object LlmDedupQueries {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"),
             col("text").substr(lit(1),
               (col("doc_id") % 8 + 1).cast("int")).as("text"))
-        val docs = raw.unionAll(tiny)
+        // persisted (guide §1.2): the grading corpus (raw ∪ planted tiny)
+        // is referenced ~8x — both truth join sides, the operator's probe/
+        // window/verify sides, and the tiny path — each re-running the
+        // parquet scan + union + substr. Registry-drained per run.
+        val docs = Dedup.cached(raw.unionAll(tiny))
         val a = docs.select(col("doc_id").as("id_a"),
           col("text").as("__ta"), length(col("text")).as("__na"))
         val b = docs.select(col("doc_id").as("id_b"),
