@@ -369,9 +369,17 @@ object LlmVectorQueries {
       (s, dir) => {
         import graft.operators.Bloom
         val m = 4096; val kh = 3
-        val keys = t(s, dir, "documents")
-          .select(col("source"), md5(col("text")).as("h")).distinct()
-        val filters = Bloom.build(keys, "h", "source", m, kh)
+        // persisted (r15, guide §1.2): the distinct key set feeds THREE
+        // consumers (filter build, probe side, present marker) — each
+        // re-ran the doc scan + md5 + distinct shuffle. Drained per run.
+        val keys = Dedup.cached(t(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h")).distinct())
+        // packed-bitmap build + O(1) getbit probes (r15): the sorted
+        // position-ARRAY form paid a linear array_contains scan per hash
+        // per probe pair (~2.5k ints x 3 x |probes x filters|). Same md5
+        // position family, so every output count is bit-identical — the
+        // filter representation never leaves the aggregation.
+        val filters = Bloom.buildPacked(keys, "h", "source", m, kh)
           .withColumnRenamed("source", "filter_source")
         val probes = keys
           .withColumnRenamed("source", "probe_source")
@@ -379,7 +387,8 @@ object LlmVectorQueries {
         val present = keys
           .select(col("source").as("filter_source"), col("h"), lit(1L).as("present"))
         probes.crossJoin(broadcast(filters))
-          .withColumn("might", Bloom.mightContain(col("filter"), col("pos")))
+          .withColumn("might",
+            Bloom.mightContainPacked(col("filter"), col("pos")))
           .join(present, Seq("filter_source", "h"), "left")
           .groupBy("probe_source", "filter_source")
           .agg(count(lit(1)).as("n_probes"),
